@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in ``streampro_assignment_etl_spark`` — this file
+only adapts the query registry to the driver's calling convention.
 """
 
 from __future__ import annotations
@@ -13,26 +15,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from streampro_assignment_etl_spark.queries import REGISTRY
+from streampro_assignment_etl_spark.session import apply_runtime_confs
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Flagship = the reference's final analysis (Q3 drop-off outliers,
+    /root/reference/src/notebooks/analysis.ipynb cells 20-22) with the
+    composite scoring folded into one Spark plan.
+    """
+    apply_runtime_confs(spark)
+    return REGISTRY["sp_q3_dropoff_outliers"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return spec.builder(spark, sf_dir)
+
+        run.__name__ = spec.name
+        run.__doc__ = spec.doc
+        return run
+
+    return {name: wrap(spec) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for every SQL-expressible query."""
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,6 @@
+from .catalog import REGISTRY, QuerySpec, query  # noqa: F401
+
+# Importing these modules populates REGISTRY via the @query decorator.
+from . import relational  # noqa: F401,E402
+from . import streampro  # noqa: F401,E402
+from . import extensions  # noqa: F401,E402

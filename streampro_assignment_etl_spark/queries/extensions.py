@@ -1,0 +1,321 @@
+"""North-star extension queries (BASELINE.json): dedup, text analysis,
+similarity search over `documents` / `embeddings`.
+
+These are first-class operators for a 100 TB training-data pipeline.
+Heavier algorithms (MinHash-LSH, SimHash, ANN) live in
+``operators/`` — entries here are the oracle-checkable query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .catalog import query
+
+# Tiny fixed stopword list shared by Spark + oracle text.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+# BPE-ish token regex: alpha runs | digit runs | single non-space symbol.
+# Kept to constructs with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB).
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication (hash-groupBy): keep the lowest doc_id per text.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    tags=("dedup",),
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+ORDER BY doc_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = hash aggregate on the full text. At 100 TB you'd
+    group on a content hash instead of the raw text to shrink shuffle
+    width — that variant is `dedup_fingerprint` below."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    tags=("dedup",),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM fp
+GROUP BY fingerprint
+ORDER BY keep_doc_id
+""",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint dedup: whitespace-collapse + lower
+    + md5. Shuffles 16-byte keys instead of full documents — the
+    scale-path for exact dedup (the md5 hex string is identical across
+    engines, so it doubles as an oracle-checkable content hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting, quality scoring, language stats.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_by_lang",
+    tags=("text",),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         n_chars,
+         len(string_split(text, ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpe_tokens,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL}))) AS n_stopwords
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_ws_tokens) AS total_ws_tokens,
+       SUM(n_bpe_tokens) AS total_bpe_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_ws_tokens), 4) AS chars_per_token,
+       ROUND(CAST(SUM(n_stopwords) AS DOUBLE) / SUM(n_ws_tokens), 4) AS stopword_ratio
+FROM tok
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring primitives (token counts, stopword ratio) rolled
+    up per language. All tokenization is JVM-side built-ins — no Python
+    in the hot path; integer sums keep the oracle hash exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.split(F.col("text"), " ")
+    tok = docs.select(
+        "lang",
+        "n_chars",
+        F.size(ws_tokens).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(
+            F.filter(ws_tokens, lambda w: w.isin(*_STOPWORDS))
+        ).alias("n_stopwords"),
+    )
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.sum("n_ws_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+            F.round(F.sum("n_stopwords").cast("double") / F.sum("n_ws_tokens"), 4).alias(
+                "stopword_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "token_counts_by_source",
+    tags=("text",),
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_tokens,
+       MIN(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS min_tokens,
+       MAX(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS max_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — the budgeting query every
+    training-data pipeline runs before a mix is finalized."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0)))
+    return (
+        docs.select("source", n_tok.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_length_percentiles",
+    tags=("text",),
+    oracle="""
+WITH ordered AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       MIN(n_chars) AS min_chars,
+       MIN(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT) THEN n_chars END) AS median_chars,
+       MAX(n_chars) AS max_chars
+FROM ordered
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete median of document lengths per lang, computed explicitly
+    via ROW_NUMBER so both engines use identical (non-interpolating)
+    semantics. percentile_approx is the 100 TB path; this exact variant
+    is its correctness anchor at test scale."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ordered = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    return (
+        ordered.groupBy("lang")
+        .agg(
+            F.min("n_chars").alias("min_chars"),
+            F.min(F.when(F.col("rn") == mid, F.col("n_chars"))).alias("median_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (the baseline ANN path).
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_topk_cosine",
+    headline=True,
+    tags=("similarity",),
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos_sim, 4) AS cosine_sim
+FROM ranked
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) query set against
+    the full corpus — each partition scores its shard independently, then
+    a per-query top-k window. This is the exact baseline an IVF/LSH path
+    (operators/similarity.py) is validated against at scale."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cosine_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "embedding_label_stats",
+    tags=("similarity",),
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       MIN(len(embedding)) AS min_dim,
+       MAX(len(embedding)) AS max_dim
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanity stats over the embedding column (array cardinality checks
+    are the cheap guardrail before any ANN build)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+        )
+        .orderBy("label")
+    )

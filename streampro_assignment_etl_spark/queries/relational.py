@@ -1,0 +1,637 @@
+"""Relational operator inventory (SURVEY.md §2.2, R1–R20) over the
+driver testdata tables.
+
+Each query exists twice: an idiomatic DataFrame builder (Spark side) and
+a DuckDB oracle SQL string with identical semantics and column aliases.
+Reference citations point into /root/reference (the workload whose
+operator surface these queries reproduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec, dec_sum, pct
+from ..sources.testdata import load_table, register_views
+from .catalog import query
+
+# DECIMAL(12,2) covers every money/qty/rate column in the testdata with
+# room for triple products (12,2)^3 to stay under DuckDB's 38-digit cap.
+_D = "decimal(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# R1/R4/R5/F4: projection + hash aggregation + full agg-function set.
+# TPC-H Q1-shaped pricing summary (the classic scan-heavy rollup).
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    headline=True,
+    tags=("R1", "R4", "R5", "R16", "F4"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy rollup: single shuffle on tiny key space; partial
+    (map-side) aggregation does almost all the work, so it scales linearly
+    with input at 100 TB. Exercises R1/R4/R5 (reference GROUP BY cells
+    4/7/9, /root/reference/src/notebooks/analysis.ipynb)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+    one = F.lit(1).cast(_D)
+    disc_price = dec("l_extendedprice", 2, 12) * (one - dec("l_discount", 2, 12))
+    charge = disc_price * (one + dec("l_tax", 2, 12))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 2, 12)).cast("double").alias("sum_qty"),
+            dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity", 2, 12)).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice", 2, 12)).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(dec("l_discount", 2, 12)).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# R2: SELECT DISTINCT (reference cells 6/20 — distinct decomposition).
+# --------------------------------------------------------------------------
+@query(
+    "distinct_segments",
+    tags=("R2",),
+    oracle="""
+SELECT DISTINCT c_mktsegment, c_nationkey
+FROM customer
+ORDER BY c_mktsegment, c_nationkey
+""",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — maps to a hash aggregate with no agg functions;
+    partial dedup happens map-side. Reference: `SELECT DISTINCT user_id,
+    device_os, app_version` (analysis.ipynb cell 20)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# R3: filter/predicates with pushdown. Projection must prune columns at
+# the parquet scan (verified via .explain in tests).
+# --------------------------------------------------------------------------
+@query(
+    "filter_predicates",
+    tags=("R3", "F4"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders
+WHERE o_orderstatus = 'O'
+  AND o_totalprice > 150000
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+ORDER BY o_orderkey
+""",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates — all pushed to the parquet scan
+    (PushedFilters), columns pruned to 4 of 6. Reference filter shapes:
+    analysis.ipynb cells 6/9/10 (`WHERE user_id = ...`, `value > 0`)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 150000)
+            & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# R4/R5/R7: two-level aggregation with HAVING (TPC-H Q13 shape;
+# reference HAVING: cells 8 and 20).
+# --------------------------------------------------------------------------
+@query(
+    "agg_having_distribution",
+    tags=("R4", "R5", "R7", "R13"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         COUNT(*) AS order_count,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+  FROM orders
+  GROUP BY o_custkey
+  HAVING COUNT(*) >= 5
+)
+SELECT order_count,
+       COUNT(*) AS num_customers,
+       MIN(total_spend) AS min_spend,
+       MAX(total_spend) AS max_spend
+FROM per_cust
+GROUP BY order_count
+ORDER BY order_count
+""",
+)
+def agg_having_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter then a second aggregation over the
+    aggregate. Two shuffles, both on small intermediate data. Reference:
+    `HAVING COUNT(DISTINCT session_id) > 1` (cell 8)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dec_sum("o_totalprice", 2).alias("total_spend"),
+        )
+        .filter(F.col("order_count") >= 5)
+    )
+    return (
+        per_cust.groupBy("order_count")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.min("total_spend").alias("min_spend"),
+            F.max("total_spend").alias("max_spend"),
+        )
+        .orderBy("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# R8: inner equi-joins through a dimension chain (broadcast the small
+# dims; the fact side never shuffles for them).
+# --------------------------------------------------------------------------
+@query(
+    "join_dims_rollup",
+    headline=True,
+    tags=("R8", "R4", "R5"),
+    oracle="""
+SELECT r_name, n_name,
+       COUNT(*) AS num_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+)
+def join_dims_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup. nation/region are broadcast explicitly (they are
+    dimension-sized at any SF); orders⋈customer is a shuffled hash join
+    that AQE can convert to broadcast when customer is small. Reference
+    join chain: videos⋈events⋈users (cells 13–15)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            dec_sum("o_totalprice", 2).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# R9: composite-key equi-join (reference: ON user_id AND session_id,
+# cells 10/14/15/20/21).
+# --------------------------------------------------------------------------
+@query(
+    "join_composite_key",
+    tags=("R9", "R13"),
+    oracle="""
+WITH first_line AS (
+  SELECT l_orderkey, MIN(l_linenumber) AS l_linenumber
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n_first_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS first_line_revenue
+FROM lineitem l
+JOIN first_line f
+  ON l.l_orderkey = f.l_orderkey AND l.l_linenumber = f.l_linenumber
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on a composite key (orderkey, linenumber) against a
+    derived min-per-group table — both sides shuffle on the same key so
+    the join is co-partitioned; no extra exchange after the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    first_line = li.groupBy("l_orderkey").agg(F.min("l_linenumber").alias("l_linenumber"))
+    j = li.join(first_line, on=["l_orderkey", "l_linenumber"], how="inner")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_first_lines"),
+            dec_sum("l_extendedprice", 2).alias("first_line_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# R10: theta/range join — equi key + inequality residuals (the
+# reference's retention-horizon join, cells 14/15/20/21).
+# --------------------------------------------------------------------------
+@query(
+    "theta_range_join",
+    headline=True,
+    tags=("R10", "F5"),
+    oracle="""
+SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS lines_shipped_90d,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value_shipped
+FROM orders o
+JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND l.l_shipdate >  o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with range residuals: Catalyst extracts o_orderkey =
+    l_orderkey as the hash key and evaluates the date inequalities as a
+    post-match filter — exactly how the reference's `session_id > ...
+    AND SUBSTRING(timestamp,...) <= ...` join executes (cell 14,
+    ipynb:1230-1236)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate)
+        & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 90 DAY"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("lines_shipped_90d"),
+            dec_sum("l_extendedprice", 2).alias("value_shipped"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# --------------------------------------------------------------------------
+# R11/R19/R20: left join + NULL-aware aggregation + NULLIF
+# (reference: users LEFT JOIN first_session_watch_times, cell 10).
+# --------------------------------------------------------------------------
+@query(
+    "left_join_null_handling",
+    tags=("R11", "R19", "R20", "F7"),
+    oracle="""
+WITH cust_orders AS (
+  SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS order_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT c_mktsegment,
+       COUNT(*) AS num_customers,
+       SUM(order_count) AS total_orders,
+       COUNT(CASE WHEN order_count = 0 THEN 1 END) AS inactive_customers,
+       ROUND(100.0 * COUNT(CASE WHEN order_count = 0 THEN 1 END)
+             / NULLIF(COUNT(*), 0), 2) AS inactive_pct
+FROM cust_orders
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def left_join_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN misses become COUNT(col)=0; NULLIF guards the division
+    (reference NULLIF idiom, cell 10 ipynb:951)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cust_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    inactive = F.count(F.when(F.col("order_count") == 0, 1))
+    return (
+        cust_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.sum("order_count").alias("total_orders"),
+            inactive.alias("inactive_customers"),
+            F.round(
+                F.lit(100.0) * inactive / F.nullif(F.count(F.lit(1)), F.lit(0)), 2
+            ).alias("inactive_pct"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# R12: uncorrelated scalar subquery (reference cell 19) — exercised via
+# the Spark SQL path to prove SQL-surface parity.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_subquery_pct",
+    tags=("R12", "F7"),
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS num_customers,
+       ROUND(100.0 * COUNT(*) / (SELECT COUNT(*) FROM customer), 1) AS pct_of_all
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def scalar_subquery_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in the projection — Spark plans it as a separate
+    subquery stage reused as a literal (RewriteCorrelatedScalarSubquery
+    not needed: uncorrelated). Identical SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    # CAST(100 AS DOUBLE): Spark parses the bare literal 100.0 as
+    # DECIMAL(4,1) while DuckDB makes it DOUBLE — pin the type.
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS num_customers,
+               ROUND(CAST(100 AS DOUBLE) * COUNT(*) / (SELECT COUNT(*) FROM customer), 1) AS pct_of_all
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# R14/R15: window function + top-1-per-group (reference
+# user_dominant_genres, cell 15 ipynb:1379).
+# --------------------------------------------------------------------------
+@query(
+    "top1_per_group_window",
+    tags=("R14", "R15", "R13"),
+    oracle="""
+WITH per_type AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS type_value,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id, event_type
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id
+              ORDER BY type_value DESC, event_type) AS rn
+  FROM per_type
+)
+SELECT event_type AS dominant_type,
+       COUNT(*) AS num_users,
+       ROUND(MIN(type_value), 2) AS min_value,
+       ROUND(MAX(type_value), 2) AS max_value
+FROM ranked
+WHERE rn = 1
+GROUP BY event_type
+ORDER BY dominant_type
+""",
+)
+def top1_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER over (sum DESC) then rn=1 — classic top-1-per-group.
+    Tie-break pinned on event_type for cross-engine determinism
+    (SURVEY §7.2 risk note on R15 ties)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        dec_sum("value", 2).alias("type_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("type_value"), F.asc("event_type"))
+    ranked = per_type.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("dominant_type"))
+        .agg(
+            F.count(F.lit(1)).alias("num_users"),
+            F.round(F.min("type_value"), 2).alias("min_value"),
+            F.round(F.max("type_value"), 2).alias("max_value"),
+        )
+        .orderBy("dominant_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# R16: multi-key sort with NULLS LAST (reference ORDER BY ...
+# avg_subsequent_watch_time DESC NULLS LAST, cell 14 ipynb:1249).
+# --------------------------------------------------------------------------
+@query(
+    "sort_nulls_last",
+    tags=("R16", "R11", "R17"),
+    oracle="""
+WITH seg AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS finished_spend
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, finished_spend
+FROM seg
+ORDER BY finished_spend DESC NULLS LAST, c_custkey
+LIMIT 100
+""",
+)
+def sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESC NULLS LAST ordering over a nullable aggregate produced by
+    left-join misses; LIMIT makes Spark plan TakeOrderedAndProject
+    (no global sort materialization)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    seg = (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(dec_sum("o_totalprice", 2).alias("finished_spend"))
+    )
+    return seg.orderBy(
+        F.col("finished_spend").desc_nulls_last(), F.col("c_custkey").asc()
+    ).limit(100)
+
+
+# --------------------------------------------------------------------------
+# R17: top-k (reference LIMIT 10 after ORDER BY, cells 7/23).
+# --------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    tags=("R17", "R16"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject: per-partition heaps then
+    a driver-side merge of k rows. No full sort at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# R18: ordered string aggregation — the one construct needing a dialect
+# shim (reference GROUP_CONCAT(x ORDER BY y), cell 8 ipynb:589).
+# --------------------------------------------------------------------------
+@query(
+    "ordered_string_agg",
+    tags=("R18", "F2"),
+    oracle="""
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_sequence
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered GROUP_CONCAT re-expressed Spark-natively:
+    collect_list(struct(sortkeys..., payload)) → array_sort → transform →
+    array_join (SURVEY §4 dialect shim). The struct sort makes ordering
+    explicit instead of relying on within-group row order."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("event_sequence")
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# R19: CASE expression buckets (reference returned_day1 CASE, cell 20).
+# --------------------------------------------------------------------------
+@query(
+    "case_expr_buckets",
+    tags=("R19", "R4", "R5"),
+    oracle="""
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'large'
+            WHEN o_totalprice >= 100000 THEN 'medium'
+            ELSE 'small' END AS bucket,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def case_expr_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-aggregate CASE as a grouping key + COUNT DISTINCT."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# R6: conditional / filtered aggregation (reference cells 9/10/14/20/21).
+# --------------------------------------------------------------------------
+@query(
+    "conditional_agg",
+    tags=("R6", "R5"),
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_events,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS view_value,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) AS purchase_events
+FROM events
+WHERE user_id < 50
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(CASE WHEN)/SUM(CASE WHEN)/COUNT(DISTINCT CASE WHEN) — the
+    reference's filtered-aggregation idiom (cell 9 ipynb:752, cell 20)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    zero = F.lit(0).cast(_D)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("view_events"),
+            F.sum(
+                F.when(F.col("event_type") == "view", dec("value", 2, 12)).otherwise(zero)
+            )
+            .cast("double")
+            .alias("view_value"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("event_id"))
+            ).alias("purchase_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,676 @@
+"""The reference's analytics workload (StreamPro Q1–Q3 + session
+exploration, /root/reference/src/notebooks/analysis.ipynb) re-expressed
+over the driver testdata `events` table.
+
+The reference encodes sessions in strings — `user_{id}_sess_{day}_{sub}`
+— and defines "first session" as lexicographic MIN(session_id) (SURVEY
+§1.4: load-bearing, deliberately quirky semantics). We synthesize the
+same encoding from `events.ts` (day index since 2024-01-01, sub = hour)
+so the quirk (e.g. '..._sess_10_0' < '..._sess_2_0') is preserved and
+oracle-checkable.
+
+Analog mapping (testdata has no videos/devices dims):
+  watch_time event  -> event_type = 'view', value = seconds watched
+  genre             -> 'g' || (props json key k % 4)
+  device_os         -> 'os' || (k % 2);  app_version -> 'v' || (k % 3)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import dec
+from ..sources.testdata import load_table
+from .catalog import query
+
+_D = "decimal(12,2)"
+
+# ---- shared fragments ------------------------------------------------------
+
+# DuckDB-side sessionized events CTE (kept textually tiny so each oracle
+# query stays self-contained for the driver).
+SESS_SQL = """
+sess AS (
+  SELECT *,
+         'user_' || CAST(user_id AS VARCHAR) || '_sess_' ||
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS VARCHAR) ||
+         '_' || CAST(hour(ts) AS VARCHAR) AS session_id
+  FROM events
+)
+"""
+
+UFS_SQL = """
+user_first_sessions AS (
+  SELECT user_id,
+         MIN(session_id) AS first_session_id,
+         strftime(MIN(ts), '%Y-%m-%d') AS first_session_date
+  FROM sess
+  GROUP BY user_id
+)
+"""
+
+
+def sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + synthesized string session_id (reference session encoding,
+    notebook cell 6 ipynb:278-280)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "session_id",
+        F.concat(
+            F.lit("user_"),
+            F.col("user_id").cast("string"),
+            F.lit("_sess_"),
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast("string"),
+            F.lit("_"),
+            F.hour("ts").cast("string"),
+        ),
+    )
+
+
+def first_sessions(sess: DataFrame) -> DataFrame:
+    """Per-user lexicographic-MIN first session (cell 10; SURVEY §1.4)."""
+    return sess.groupBy("user_id").agg(
+        F.min("session_id").alias("first_session_id"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("first_session_date"),
+    )
+
+
+def _genre(col):
+    """Genre analog from the props JSON payload: 'g' || (k % 4)."""
+    k = F.get_json_object(col, "$.k").cast("int")
+    return F.concat(F.lit("g"), (k % 4).cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Q1 — first-session watch-time conversion (cell 10).
+# ---------------------------------------------------------------------------
+@query(
+    "sp_q1_first_session_conversion",
+    headline=True,
+    tags=("R4", "R5", "R6", "R9", "R11", "R13", "R20", "F4", "F6", "F7"),
+    oracle=f"""
+WITH {SESS_SQL.strip()},
+users AS (SELECT DISTINCT user_id FROM events),
+{UFS_SQL.strip()},
+first_session_watch_times AS (
+  SELECT ufs.user_id, ufs.first_session_id,
+         CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_watch_time
+  FROM user_first_sessions ufs
+  INNER JOIN sess e
+    ON ufs.user_id = e.user_id AND ufs.first_session_id = e.session_id
+  WHERE e.event_type = 'view' AND e.value IS NOT NULL AND e.value > 0
+  GROUP BY ufs.user_id, ufs.first_session_id
+)
+SELECT
+  COUNT(DISTINCT u.user_id) AS total_users,
+  COUNT(DISTINCT f.user_id) AS users_with_watch_time,
+  COUNT(DISTINCT CASE WHEN f.total_watch_time >= 30 THEN f.user_id END) AS users_with_30_plus,
+  ROUND(100.0 * COUNT(DISTINCT CASE WHEN f.total_watch_time >= 30 THEN f.user_id END)
+        / NULLIF(COUNT(DISTINCT u.user_id), 0), 2) AS pct_reaching_30_seconds
+FROM users u
+LEFT JOIN first_session_watch_times f ON u.user_id = f.user_id
+""",
+)
+def sp_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q1 (notebook cell 10): % of users reaching >=30s watch
+    time in their lexicographic-first session. CTE chain: first-session
+    extraction → composite-key self-join → conditional distinct counts."""
+    sess = sessionized(spark, sf_dir)
+    users = sess.select("user_id").distinct()
+    # Explicit renames break the shared lineage (users/ufs/fswt all derive
+    # from `sess`) so the self-joins are unambiguous.
+    ufs = first_sessions(sess).select(
+        F.col("user_id").alias("ufs_user_id"), "first_session_id"
+    )
+    e = sess.alias("e")
+    fswt = (
+        ufs.join(
+            e,
+            (F.col("ufs_user_id") == F.col("e.user_id"))
+            & (F.col("first_session_id") == F.col("e.session_id")),
+        )
+        .filter(
+            (F.col("e.event_type") == "view")
+            & F.col("e.value").isNotNull()
+            & (F.col("e.value") > 0)
+        )
+        .groupBy("ufs_user_id", "first_session_id")
+        .agg(F.sum(dec(F.col("e.value"), 2, 12)).cast("double").alias("total_watch_time"))
+        .select(F.col("ufs_user_id").alias("f_user_id"), "total_watch_time")
+    )
+    converted = F.countDistinct(
+        F.when(F.col("total_watch_time") >= 30, F.col("f_user_id"))
+    )
+    return (
+        users.join(fswt, users.user_id == F.col("f_user_id"), "left")
+        .agg(
+            F.countDistinct("user_id").alias("total_users"),
+            F.countDistinct("f_user_id").alias("users_with_watch_time"),
+            converted.alias("users_with_30_plus"),
+            F.round(
+                F.lit(100.0) * converted / F.nullif(F.countDistinct("user_id"), F.lit(0)),
+                2,
+            ).alias("pct_reaching_30_seconds"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — dominant-genre second-session retention (cell 15: 5 CTEs, theta
+# join with 3-day horizon, ROW_NUMBER dominant pick).
+# ---------------------------------------------------------------------------
+@query(
+    "sp_q2_dominant_genre_retention",
+    headline=True,
+    tags=("R10", "R13", "R14", "R15", "F1", "F3", "F5", "F6"),
+    oracle=f"""
+WITH {SESS_SQL.strip()},
+{UFS_SQL.strip()},
+first_session_genre_watch AS (
+  SELECT ufs.user_id,
+         'g' || CAST(CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 4 AS VARCHAR) AS genre,
+         CAST(SUM(CASE WHEN e.event_type = 'view' THEN CAST(e.value AS DECIMAL(12,2))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS genre_watch_time
+  FROM user_first_sessions ufs
+  INNER JOIN sess e
+    ON ufs.user_id = e.user_id AND ufs.first_session_id = e.session_id
+  GROUP BY 1, 2
+),
+user_dominant_genres AS (
+  SELECT user_id, genre AS dominant_genre, genre_watch_time
+  FROM (
+    SELECT user_id, genre, genre_watch_time,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY genre_watch_time DESC, genre) AS rn
+    FROM first_session_genre_watch
+  )
+  WHERE rn = 1
+),
+subsequent_activity AS (
+  SELECT ufs.user_id,
+         CAST(SUM(CASE WHEN e.event_type = 'view' THEN CAST(e.value AS DECIMAL(12,2))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS subsequent_watch_time,
+         COUNT(DISTINCT e.session_id) AS subsequent_sessions
+  FROM user_first_sessions ufs
+  INNER JOIN sess e
+    ON ufs.user_id = e.user_id
+   AND e.session_id > ufs.first_session_id
+   AND strftime(e.ts, '%Y-%m-%d') <=
+       strftime(CAST(ufs.first_session_date AS DATE) + INTERVAL 3 DAY, '%Y-%m-%d')
+  GROUP BY ufs.user_id
+)
+SELECT udg.dominant_genre,
+       COUNT(DISTINCT udg.user_id) AS users_with_dominant_genre,
+       COUNT(DISTINCT sa.user_id) AS users_returned,
+       ROUND(100.0 * COUNT(DISTINCT sa.user_id) / COUNT(DISTINCT udg.user_id), 1) AS return_rate_pct,
+       ROUND(CAST(SUM(CAST(udg.genre_watch_time AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(udg.genre_watch_time), 1) AS avg_dominant_genre_first_watch_time,
+       ROUND(CAST(SUM(CAST(sa.subsequent_watch_time AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(sa.subsequent_watch_time), 1) AS avg_subsequent_watch_time,
+       ROUND(CAST(SUM(sa.subsequent_sessions) AS DOUBLE)
+             / COUNT(sa.subsequent_sessions), 1) AS avg_subsequent_sessions
+FROM user_dominant_genres udg
+LEFT JOIN subsequent_activity sa ON udg.user_id = sa.user_id
+GROUP BY udg.dominant_genre
+ORDER BY avg_subsequent_watch_time DESC NULLS LAST, udg.dominant_genre
+""",
+)
+def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q2 (cell 15): which dominant first-session genre drives
+    the best retention within a 3-day horizon. The horizon join is the
+    reference's theta join — equi on user_id, residual `session_id >` and
+    date-string `<=` predicates (ipynb:1230-1236)."""
+    sess = sessionized(spark, sf_dir)
+    ufs = first_sessions(sess)
+    zero = F.lit(0).cast(_D)
+
+    e = sess.alias("e")
+    fsgw = (
+        ufs.join(
+            e,
+            (ufs.user_id == F.col("e.user_id"))
+            & (ufs.first_session_id == F.col("e.session_id")),
+        )
+        .groupBy(ufs.user_id.alias("user_id"), _genre(F.col("e.props")).alias("genre"))
+        .agg(
+            F.sum(
+                F.when(F.col("e.event_type") == "view", dec("e.value", 2, 12)).otherwise(zero)
+            )
+            .cast("double")
+            .alias("genre_watch_time")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("genre_watch_time"), F.asc("genre"))
+    udg = (
+        fsgw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("genre").alias("dominant_genre"), "genre_watch_time")
+    )
+
+    horizon = F.col("e.ts")
+    sa = (
+        ufs.join(
+            e,
+            (ufs.user_id == F.col("e.user_id"))
+            & (F.col("e.session_id") > ufs.first_session_id)
+            & (
+                F.date_format(horizon, "yyyy-MM-dd")
+                <= F.date_add(F.to_date(ufs.first_session_date), 3).cast("string")
+            ),
+        )
+        .groupBy(ufs.user_id.alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(F.col("e.event_type") == "view", dec("e.value", 2, 12)).otherwise(zero)
+            )
+            .cast("double")
+            .alias("subsequent_watch_time"),
+            F.countDistinct(F.col("e.session_id")).alias("subsequent_sessions"),
+        )
+    )
+
+    def dec_mean(col: str, digits: int = 1):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(18,4)")).cast("double") / F.count(col), digits
+        )
+
+    return (
+        udg.join(sa, udg.user_id == sa.user_id, "left")
+        .groupBy("dominant_genre")
+        .agg(
+            F.countDistinct(udg.user_id).alias("users_with_dominant_genre"),
+            F.countDistinct(sa.user_id).alias("users_returned"),
+            F.round(
+                F.lit(100.0) * F.countDistinct(sa.user_id) / F.countDistinct(udg.user_id), 1
+            ).alias("return_rate_pct"),
+            dec_mean("genre_watch_time").alias("avg_dominant_genre_first_watch_time"),
+            dec_mean("subsequent_watch_time").alias("avg_subsequent_watch_time"),
+            F.round(
+                F.sum("subsequent_sessions").cast("double") / F.count("subsequent_sessions"), 1
+            ).alias("avg_subsequent_sessions"),
+        )
+        .orderBy(F.col("avg_subsequent_watch_time").desc_nulls_last(), "dominant_genre")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — device/app-version drop-off outliers, composite score folded into
+# SQL (cells 20–22; the pandas post-processing P2 becomes a cross join
+# with the overall benchmark row, SURVEY §2.4).
+# ---------------------------------------------------------------------------
+_Q3_METRIC_CTES = f"""
+WITH {SESS_SQL.strip()},
+{UFS_SQL.strip()},
+user_device_info AS (
+  SELECT DISTINCT ufs.user_id,
+         'os' || CAST(CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 2 AS VARCHAR) AS device_os,
+         'v'  || CAST(CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 3 AS VARCHAR) AS app_version
+  FROM user_first_sessions ufs
+  INNER JOIN sess e
+    ON ufs.user_id = e.user_id AND ufs.first_session_id = e.session_id
+),
+first_session_watch_times AS (
+  SELECT ufs.user_id,
+         CAST(SUM(CASE WHEN e.event_type = 'view' THEN CAST(e.value AS DECIMAL(12,2))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS first_session_watch_time
+  FROM user_first_sessions ufs
+  INNER JOIN sess e
+    ON ufs.user_id = e.user_id AND ufs.first_session_id = e.session_id
+  GROUP BY ufs.user_id
+),
+user_session_counts AS (
+  SELECT user_id, COUNT(DISTINCT session_id) AS total_sessions
+  FROM sess GROUP BY user_id
+),
+day1_retention AS (
+  SELECT ufs.user_id,
+         CASE WHEN COUNT(DISTINCT e.session_id) > 0 THEN 1 ELSE 0 END AS returned_day1
+  FROM user_first_sessions ufs
+  LEFT JOIN sess e
+    ON ufs.user_id = e.user_id
+   AND e.session_id > ufs.first_session_id
+   AND strftime(e.ts, '%Y-%m-%d') =
+       strftime(CAST(ufs.first_session_date AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+  GROUP BY ufs.user_id
+),
+combo_metrics AS (
+  SELECT udi.device_os, udi.app_version,
+         COUNT(DISTINCT udi.user_id) AS total_users,
+         ROUND(100.0 * COUNT(DISTINCT CASE WHEN usc.total_sessions = 1 THEN udi.user_id END)
+               / COUNT(DISTINCT udi.user_id), 1) AS single_session_rate_pct,
+         ROUND(100.0 * COUNT(DISTINCT CASE WHEN fswt.first_session_watch_time < 5 THEN udi.user_id END)
+               / COUNT(DISTINCT udi.user_id), 1) AS low_watch_time_rate_pct,
+         ROUND(100.0 * COUNT(DISTINCT CASE WHEN dr.returned_day1 = 0 THEN udi.user_id END)
+               / COUNT(DISTINCT udi.user_id), 1) AS no_day1_return_rate_pct
+  FROM user_device_info udi
+  LEFT JOIN first_session_watch_times fswt ON udi.user_id = fswt.user_id
+  LEFT JOIN user_session_counts usc ON udi.user_id = usc.user_id
+  LEFT JOIN day1_retention dr ON udi.user_id = dr.user_id
+  GROUP BY udi.device_os, udi.app_version
+  HAVING COUNT(DISTINCT udi.user_id) >= 5
+),
+overall AS (
+  SELECT ROUND(100.0 * COUNT(DISTINCT CASE WHEN usc.total_sessions = 1 THEN ufs.user_id END)
+               / COUNT(DISTINCT ufs.user_id), 1) AS overall_single_session_rate,
+         ROUND(100.0 * COUNT(DISTINCT CASE WHEN fswt.first_session_watch_time < 5 THEN ufs.user_id END)
+               / COUNT(DISTINCT ufs.user_id), 1) AS overall_low_watch_rate,
+         ROUND(100.0 * COUNT(DISTINCT CASE WHEN dr.returned_day1 = 0 THEN ufs.user_id END)
+               / COUNT(DISTINCT ufs.user_id), 1) AS overall_no_day1_rate
+  FROM user_first_sessions ufs
+  LEFT JOIN first_session_watch_times fswt ON ufs.user_id = fswt.user_id
+  LEFT JOIN user_session_counts usc ON ufs.user_id = usc.user_id
+  LEFT JOIN day1_retention dr ON ufs.user_id = dr.user_id
+)
+"""
+
+_Q3_FINAL = """
+SELECT cm.device_os, cm.app_version, cm.total_users,
+       cm.single_session_rate_pct, cm.low_watch_time_rate_pct, cm.no_day1_return_rate_pct,
+       ROUND(0.4 * (cm.single_session_rate_pct - o.overall_single_session_rate)
+           + 0.3 * (cm.low_watch_time_rate_pct - o.overall_low_watch_rate)
+           + 0.3 * (cm.no_day1_return_rate_pct - o.overall_no_day1_rate), 2) AS composite_drop_off_score
+FROM combo_metrics cm CROSS JOIN overall o
+ORDER BY composite_drop_off_score DESC, cm.device_os, cm.app_version
+"""
+
+
+@query(
+    "sp_q3_dropoff_outliers",
+    headline=True,
+    tags=("R2", "R7", "R11", "R12", "R13", "R19", "P2"),
+    oracle=_Q3_METRIC_CTES + _Q3_FINAL,
+)
+def sp_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Q3 (cells 20–22): drop-off outliers by (device_os,
+    app_version) with the pandas composite-score post-processing folded
+    into the plan as a broadcast cross join against the 1-row overall
+    benchmark (SURVEY §2.4 P2)."""
+    sess = sessionized(spark, sf_dir)
+    ufs = first_sessions(sess)
+    zero = F.lit(0).cast(_D)
+    e = sess.alias("e")
+    k = F.get_json_object(F.col("e.props"), "$.k").cast("int")
+
+    first_join = ufs.join(
+        e,
+        (ufs.user_id == F.col("e.user_id"))
+        & (ufs.first_session_id == F.col("e.session_id")),
+    )
+    udi = first_join.select(
+        ufs.user_id.alias("user_id"),
+        F.concat(F.lit("os"), (k % 2).cast("string")).alias("device_os"),
+        F.concat(F.lit("v"), (k % 3).cast("string")).alias("app_version"),
+    ).distinct()
+
+    fswt = first_join.groupBy(ufs.user_id.alias("user_id")).agg(
+        F.sum(F.when(F.col("e.event_type") == "view", dec("e.value", 2, 12)).otherwise(zero))
+        .cast("double")
+        .alias("first_session_watch_time")
+    )
+    usc = sess.groupBy("user_id").agg(F.countDistinct("session_id").alias("total_sessions"))
+    dr = (
+        ufs.join(
+            e,
+            (ufs.user_id == F.col("e.user_id"))
+            & (F.col("e.session_id") > ufs.first_session_id)
+            & (
+                F.date_format(F.col("e.ts"), "yyyy-MM-dd")
+                == F.date_add(F.to_date(ufs.first_session_date), 1).cast("string")
+            ),
+            "left",
+        )
+        .groupBy(ufs.user_id.alias("user_id"))
+        .agg(
+            F.when(F.countDistinct(F.col("e.session_id")) > 0, 1)
+            .otherwise(0)
+            .alias("returned_day1")
+        )
+    )
+
+    def metrics(base: DataFrame, keys: list):
+        """Shared drop-off metric block over a user-level joined frame."""
+        uid = F.col("user_id")
+        total = F.countDistinct(uid)
+        single = F.countDistinct(F.when(F.col("total_sessions") == 1, uid))
+        low = F.countDistinct(F.when(F.col("first_session_watch_time") < 5, uid))
+        noret = F.countDistinct(F.when(F.col("returned_day1") == 0, uid))
+        aggs = [
+            F.round(F.lit(100.0) * single / total, 1),
+            F.round(F.lit(100.0) * low / total, 1),
+            F.round(F.lit(100.0) * noret / total, 1),
+        ]
+        return base, total, aggs
+
+    user_level = (
+        udi.join(fswt, "user_id", "left").join(usc, "user_id", "left").join(dr, "user_id", "left")
+    )
+    _, total, (single_r, low_r, noret_r) = metrics(user_level, ["device_os", "app_version"])
+    combo = (
+        user_level.groupBy("device_os", "app_version")
+        .agg(
+            total.alias("total_users"),
+            single_r.alias("single_session_rate_pct"),
+            low_r.alias("low_watch_time_rate_pct"),
+            noret_r.alias("no_day1_return_rate_pct"),
+        )
+        .filter(F.col("total_users") >= 5)
+    )
+
+    overall_base = (
+        ufs.select("user_id")
+        .join(fswt, "user_id", "left")
+        .join(usc, "user_id", "left")
+        .join(dr, "user_id", "left")
+    )
+    _, _, (o_single, o_low, o_noret) = metrics(overall_base, [])
+    overall = overall_base.agg(
+        o_single.alias("overall_single_session_rate"),
+        o_low.alias("overall_low_watch_rate"),
+        o_noret.alias("overall_no_day1_rate"),
+    )
+
+    score = F.round(
+        F.lit(0.4) * (F.col("single_session_rate_pct") - F.col("overall_single_session_rate"))
+        + F.lit(0.3) * (F.col("low_watch_time_rate_pct") - F.col("overall_low_watch_rate"))
+        + F.lit(0.3) * (F.col("no_day1_return_rate_pct") - F.col("overall_no_day1_rate")),
+        2,
+    )
+    return (
+        combo.crossJoin(F.broadcast(overall))
+        .select(
+            "device_os",
+            "app_version",
+            "total_users",
+            "single_session_rate_pct",
+            "low_watch_time_rate_pct",
+            "no_day1_return_rate_pct",
+            score.alias("composite_drop_off_score"),
+        )
+        .orderBy(F.desc("composite_drop_off_score"), "device_os", "app_version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session exploration queries (cells 7/8/9/13/19).
+# ---------------------------------------------------------------------------
+@query(
+    "sp_session_overview",
+    tags=("R4", "R5", "R16", "R17", "F1", "F4", "F8"),
+    oracle=f"""
+WITH {SESS_SQL.strip()}
+SELECT user_id,
+       COUNT(DISTINCT session_id) AS total_sessions,
+       MIN(session_id) AS first_session,
+       MAX(session_id) AS last_session,
+       MAX(CAST(split_part(session_id, '_', 4) AS INTEGER)) + 1 AS active_days
+FROM sess
+GROUP BY user_id
+ORDER BY total_sessions DESC, user_id
+LIMIT 10
+""",
+)
+def sp_session_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell 7: per-user session stats, incl. MIN/MAX on VARCHAR (F8,
+    lexicographic in both engines) and split_part day extraction (F1)."""
+    sess = sessionized(spark, sf_dir)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("total_sessions"),
+            F.min("session_id").alias("first_session"),
+            F.max("session_id").alias("last_session"),
+            (F.max(F.split_part(F.col("session_id"), F.lit("_"), F.lit(4)).cast("int")) + 1).alias(
+                "active_days"
+            ),
+        )
+        .orderBy(F.desc("total_sessions"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "sp_daily_patterns",
+    tags=("R4", "R7", "R18", "F1", "F2"),
+    oracle=f"""
+WITH {SESS_SQL.strip()}
+SELECT split_part(session_id, '_', 1) || '_' || split_part(session_id, '_', 2) AS user_key,
+       split_part(session_id, '_', 4) AS day_index,
+       COUNT(DISTINCT session_id) AS sessions_per_day,
+       string_agg(split_part(session_id, '_', 5), ',' ORDER BY session_id, event_id) AS sub_session_indices
+FROM sess
+WHERE user_id < 10
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT session_id) > 1
+ORDER BY 1, CAST(day_index AS INTEGER)
+""",
+)
+def sp_daily_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell 8: ordinal GROUP BY + HAVING + ordered GROUP_CONCAT, with the
+    user id rebuilt from session_id via split_part || (F1/F2). event_id
+    added to the concat sort for total cross-engine determinism."""
+    sess = sessionized(spark, sf_dir).filter(F.col("user_id") < 10)
+    part = lambda n: F.split_part(F.col("session_id"), F.lit("_"), F.lit(n))  # noqa: E731
+    return (
+        sess.groupBy(
+            F.concat(part(1), F.lit("_"), part(2)).alias("user_key"),
+            part(4).alias("day_index"),
+        )
+        .agg(
+            F.countDistinct("session_id").alias("sessions_per_day"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("session_id"), F.col("event_id"), part(5).alias("sub")))
+                    ),
+                    lambda s: s["sub"],
+                ),
+                ",",
+            ).alias("sub_session_indices"),
+        )
+        .filter(F.col("sessions_per_day") > 1)
+        .orderBy("user_key", part(4).cast("int"))
+        .drop("session_id")
+    )
+
+
+@query(
+    "sp_session_timeline",
+    tags=("R3", "R6", "F1", "F4"),
+    oracle=f"""
+WITH {SESS_SQL.strip()}
+SELECT session_id,
+       split_part(session_id, '_', 4) AS day_index,
+       split_part(session_id, '_', 5) AS sub_session,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS event_count,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS watch_events,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS total_watch_time
+FROM sess
+WHERE user_id = 1
+GROUP BY 1, 2, 3
+ORDER BY CAST(day_index AS INTEGER), CAST(sub_session AS INTEGER)
+""",
+)
+def sp_session_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell 9: one user's session timeline with conditional aggregation
+    and timestamps rendered as strings (the reference stores timestamps
+    as strings in the trusted zone, SURVEY §1.3)."""
+    sess = sessionized(spark, sf_dir).filter(F.col("user_id") == 1)
+    part = lambda n: F.split_part(F.col("session_id"), F.lit("_"), F.lit(n))  # noqa: E731
+    zero = F.lit(0).cast(_D)
+    return (
+        sess.groupBy(
+            "session_id", part(4).alias("day_index"), part(5).alias("sub_session")
+        )
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("event_count"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("watch_events"),
+            F.sum(F.when(F.col("event_type") == "view", dec("value", 2, 12)).otherwise(zero))
+            .cast("double")
+            .alias("total_watch_time"),
+        )
+        .orderBy(F.col("day_index").cast("int"), F.col("sub_session").cast("int"))
+    )
+
+
+@query(
+    "sp_genre_overview",
+    tags=("R4", "R5", "R16"),
+    oracle="""
+SELECT 'g' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS VARCHAR) AS genre,
+       COUNT(*) AS event_count,
+       COUNT(DISTINCT user_id) AS users_exposed
+FROM events
+GROUP BY 1
+ORDER BY users_exposed DESC, genre
+""",
+)
+def sp_genre_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell 13 analog: exposure counts by genre (JSON-derived)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(_genre(F.col("props")).alias("genre"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("users_exposed"),
+        )
+        .orderBy(F.desc("users_exposed"), "genre")
+    )
+
+
+@query(
+    "sp_event_type_distribution",
+    tags=("R12", "R4", "F7"),
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS unique_users,
+       ROUND(100.0 * COUNT(DISTINCT user_id)
+             / (SELECT COUNT(DISTINCT user_id) FROM events), 1) AS user_pct
+FROM events
+GROUP BY event_type
+ORDER BY unique_users DESC, event_type
+""",
+)
+def sp_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell 19 analog: distribution with a scalar-subquery denominator."""
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    # CAST(100 AS DOUBLE): Spark's bare 100.0 literal is DECIMAL(4,1).
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS unique_users,
+               ROUND(CAST(100 AS DOUBLE) * COUNT(DISTINCT user_id)
+                     / (SELECT COUNT(DISTINCT user_id) FROM events), 1) AS user_pct
+        FROM events
+        GROUP BY event_type
+        ORDER BY unique_users DESC, event_type
+        """
+    )

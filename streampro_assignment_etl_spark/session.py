@@ -1,0 +1,72 @@
+"""SparkSession factory with scale-aware defaults.
+
+Mirrors the reference's env-driven config surface
+(/root/reference/src/utils/config.py:7-56, config/dev.env) but targets a
+Spark cluster: every knob here is chosen so the same code runs on
+``local[32]`` for tests and on a 1000-executor cluster against ~100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point applies, including to
+# driver-provided sessions (they must hold even when we didn't build
+# the session ourselves).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics: testdata parquet is written
+    # timezone-naive; UTC makes Spark's TIMESTAMP match DuckDB's naive
+    # TIMESTAMP bit-for-bit.
+    "spark.sql.session.timeZone": "UTC",
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark 4
+    # refuses by default; read as long and convert (ts div 1000).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime partition coalescing + skew-join splitting. This is
+    # the main lever that makes one logical plan work at sf0.001 and at
+    # 100 TB without hand-tuned partition counts.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas exchange (toPandas, pandas UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing (possibly foreign) session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds; session defaults then rule.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "streampro-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this workload.
+
+    ``spark.sql.shuffle.partitions`` is set to the core count locally; on a
+    real cluster AQE coalesces from a higher initial number, so we set
+    ``initialPartitionNum`` generously and let AQE shrink it.
+    """
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(4 * n))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)
