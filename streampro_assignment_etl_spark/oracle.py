@@ -57,6 +57,10 @@ def _cell_equal(a, b) -> bool:
         pass
     if isinstance(a, float) and isinstance(b, float):
         return (a == b) or (math.isnan(a) and math.isnan(b))
+    # int-vs-float cross-type equality is NOT accepted: the driver's value
+    # hash treats 123 and 123.0 as different (see compare_frames dtype gate).
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     return a == b
 
 
@@ -65,6 +69,25 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return [Mismatch(name, "columns", f"spark={s_cols} oracle={o_cols}")]
+    # Dtype-strict gate: the driver's value hash distinguishes 123 (int64)
+    # from 123.0 (float64) even when == holds (round-1 lesson: DuckDB
+    # SUM(BIGINT) -> HUGEINT -> float64 flipped 3 hashes while the lenient
+    # local compare stayed green). Compare pandas dtype *kinds* per column
+    # so local green predicts driver green. int32 vs int64 is fine (same
+    # kind 'i'); int vs float / object vs numeric is a failure.
+    for col in s_cols:
+        sk = spark_pdf[col].dtype.kind
+        ok = oracle_pdf[col].dtype.kind
+        if sk != ok and not (sk in "iu" and ok in "iu"):
+            problems.append(
+                Mismatch(
+                    name,
+                    "dtype",
+                    f"col={col}: spark={spark_pdf[col].dtype} oracle={oracle_pdf[col].dtype}",
+                )
+            )
+    if problems:
+        return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(
             Mismatch(name, "rowcount", f"spark={len(spark_pdf)} oracle={len(oracle_pdf)}")

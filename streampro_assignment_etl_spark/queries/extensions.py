@@ -56,7 +56,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH fp AS (
   SELECT doc_id,
-         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+         md5(lower(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint
   FROM documents
 )
 SELECT fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -71,7 +71,9 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-path for exact dedup (the md5 hex string is identical across
     engines, so it doubles as an oracle-checkable content hash)."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    # Explicit whitespace class: Java \s includes \x0B but RE2's does not,
+    # so a literal class keeps fingerprints engine-identical on VT chars.
+    fp = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")))
     return (
         docs.select("doc_id", fp.alias("fingerprint"))
         .groupBy("fingerprint")
@@ -97,8 +99,8 @@ WITH tok AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_ws_tokens) AS total_ws_tokens,
-       SUM(n_bpe_tokens) AS total_bpe_tokens,
+       CAST(SUM(n_ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_ws_tokens), 4) AS chars_per_token,
        ROUND(CAST(SUM(n_stopwords) AS DOUBLE) / SUM(n_ws_tokens), 4) AS stopword_ratio
 FROM tok
@@ -144,9 +146,9 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_tokens,
-       MIN(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS min_tokens,
-       MAX(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS max_tokens
+       CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS total_tokens,
+       CAST(MIN(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS min_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS max_tokens
 FROM documents
 GROUP BY source
 ORDER BY source

@@ -335,7 +335,7 @@ WITH cust_orders AS (
 )
 SELECT c_mktsegment,
        COUNT(*) AS num_customers,
-       SUM(order_count) AS total_orders,
+       CAST(SUM(order_count) AS BIGINT) AS total_orders,
        COUNT(CASE WHEN order_count = 0 THEN 1 END) AS inactive_customers,
        ROUND(100.0 * COUNT(CASE WHEN order_count = 0 THEN 1 END)
              / NULLIF(COUNT(*), 0), 2) AS inactive_pct
