@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark entry point (driver contract).
+
+Runs every ``headline=True`` query from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <scale factor>}
+
+Timing methodology: each query is built lazily and materialized with
+``df.count()`` after a ``foreach`` no-op would under-count pandas
+conversion; ``count()`` executes the full plan (every headline query
+ends in aggregation/sort so nothing is skipped by count's column
+pruning — verified against collect() timings at sf0.01). A warmup pass
+at the same SF runs first so JVM/codegen warmup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streampro_assignment_etl_spark.queries import REGISTRY  # noqa: E402
+from streampro_assignment_etl_spark.session import get_spark  # noqa: E402
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            return float(tail[2:])
+        except ValueError:
+            pass
+    return 0.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("streampro-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {n: s for n, s in REGISTRY.items() if s.headline}
+
+    # Warmup: run the cheapest headline query once to absorb JVM +
+    # whole-stage-codegen + parquet-footer-cache warmup.
+    warm = headline.get("pricing_summary") or next(iter(headline.values()))
+    warm.builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
