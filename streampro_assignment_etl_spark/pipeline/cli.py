@@ -1,0 +1,126 @@
+"""CLI / job runner (SURVEY §3.1; ≙ /root/reference/src/core/job_manager.py:19-152
+and src/jobs/pipeline.py:18-67).
+
+Argparse surface mirrors the reference (``--env``, ``--ingestion_date``,
+``--debug``) plus ``--lake-root``/``--data-dir`` replacing the MinIO
+endpoint config. The ``pipeline`` command runs both stages **in-process
+on one SparkSession** — the reference forks a subprocess per stage
+(pipeline.py:34-54), which on Spark would pay JVM startup twice for
+nothing.
+
+Usage:
+    python -m streampro_assignment_etl_spark.pipeline.cli pipeline \
+        --lake-root /tmp/lake --ingestion_date 2025-09-09 [--data-dir data/]
+    python -m streampro_assignment_etl_spark.pipeline.cli query sp_q1_first_session_conversion
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from datetime import date
+
+from .base import JobResult
+from .lake import LakeStorage
+from .landing_to_raw import LandingToRawProcessor
+from .raw_to_trusted import RawToTrustedProcessor
+from .schemas import STREAMPRO_TABLES, TESTDATA_TABLES
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="streampro-spark",
+        description="StreamPro PySpark ETL: landing → raw → trusted → analytics",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp: argparse.ArgumentParser) -> None:
+        sp.add_argument("--env", default="dev", choices=["dev", "test", "prod"])
+        sp.add_argument(
+            "--ingestion_date",
+            default=date.today().isoformat(),
+            help="Ingestion date (YYYY-MM-DD); defaults to today",
+        )
+        sp.add_argument("--lake-root", required=True, help="Lake root dir/URI")
+        sp.add_argument("--data-dir", help="Seed landing/ from this fixture dir first")
+        sp.add_argument(
+            "--registry",
+            default="streampro",
+            choices=["streampro", "testdata"],
+            help="Schema registry for raw→trusted parsing",
+        )
+        sp.add_argument("--debug", action="store_true")
+
+    for cmd in ("to_raw", "to_trusted", "pipeline"):
+        common(sub.add_parser(cmd))
+
+    q = sub.add_parser("query", help="Run a registered analytics query")
+    q.add_argument("name", help="Query name from the registry (or 'list')")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--debug", action="store_true")
+    return p
+
+
+def _registry(args: argparse.Namespace):
+    return TESTDATA_TABLES if args.registry == "testdata" else STREAMPRO_TABLES
+
+
+def _report(result: JobResult) -> int:
+    log = logging.getLogger("streampro.cli")
+    if result.is_success:
+        log.info("%s: %s (%.2fs)", result.job_id, result.message, result.duration_seconds)
+        return 0
+    log.error("%s FAILED: %s", result.job_id, result.error)
+    return 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug else logging.INFO,
+        format="%(asctime)s %(levelname)-7s %(name)s %(message)s",
+        stream=sys.stdout,
+    )
+
+    if args.command == "query":
+        from ..queries import REGISTRY
+        from ..session import get_spark
+
+        if args.name == "list":
+            for name in sorted(REGISTRY):
+                print(name)
+            return 0
+        spec = REGISTRY.get(args.name)
+        if spec is None:
+            print(f"unknown query {args.name!r}; try 'list'", file=sys.stderr)
+            return 2
+        spark = get_spark("streampro-cli")
+        spec.builder(spark, args.sf_dir).show(50, truncate=False)
+        return 0
+
+    lake = LakeStorage(args.lake_root)
+    lake.ensure_zones()
+    if args.data_dir:
+        seeded = lake.seed_landing(args.data_dir)
+        logging.getLogger("streampro.cli").info("seeded %d landing files", len(seeded))
+
+    rc = 0
+    if args.command in ("to_raw", "pipeline"):
+        rc = _report(LandingToRawProcessor(lake, args.ingestion_date).run())
+        if rc and args.command == "pipeline":
+            return rc  # stage-1 failure short-circuits stage 2 (pipeline.py:47)
+    if args.command in ("to_trusted", "pipeline"):
+        from ..session import get_spark
+
+        spark = get_spark("streampro-pipeline")
+        rc = _report(
+            RawToTrustedProcessor(
+                spark, lake, args.ingestion_date, registry=_registry(args)
+            ).run()
+        )
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4,3 +4,4 @@ from .catalog import REGISTRY, QuerySpec, query  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import streampro  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+from . import pipeline_q  # noqa: F401,E402

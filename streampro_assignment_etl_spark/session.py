@@ -31,6 +31,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas exchange (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Hive-style partition values stay strings: the trusted-zone model
+    # types ingestion_date as VARCHAR (reference schema registry,
+    # /root/reference/src/utils/schema_registry.py), and inferring
+    # DATE/INT from directory names would silently retype it.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

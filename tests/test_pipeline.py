@@ -1,0 +1,221 @@
+"""End-to-end + unit tests for the zoned pipeline (SURVEY §2.1 S1–S10, §2.4 P1).
+
+Fixture files mirror the reference's data/ shapes
+(/root/reference/data/users_2025-09-09.csv etc.); the e2e test walks
+landing → raw → trusted and asserts the typed, partitioned output.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from streampro_assignment_etl_spark.pipeline import (
+    LakeStorage,
+    LandingToRawProcessor,
+    RawToTrustedProcessor,
+    STREAMPRO_TABLES,
+    parse_landing_filename,
+)
+
+DATE = "2025-09-09"
+
+USERS_CSV = """user_id,signup_date,subscription_tier,age_group,gender
+user_1,2025-03-26,Free,36-50,Female
+user_2,2024-09-12,Premium,26-35,Male
+user_3,2024-12-01,Free,18-25,Female
+"""
+
+VIDEOS_CSV = """video_id,title,genre,duration_seconds,patent_id
+video_1,Video Title 1,Action,2820,patent_3
+video_2,Video Title 2,Drama,3244,patent_1
+"""
+
+DEVICES_CSV = """device,os,model,os_version
+mobile,iOS,iPhone X,14.6
+tv,Roku,Express,10.5
+"""
+
+EVENTS = [
+    {
+        "timestamp": "2025-09-09 10:00:00",
+        "account_id": "acc_1",
+        "video_id": "video_1",
+        "user_id": "user_1",
+        "event_name": "watch_time",
+        "value": 5.5,
+        "device": "mobile",
+        "app_version": "2.0.1",
+        "device_os": "iOS",
+        "network_type": "wifi",
+        "ip": "10.0.0.1",
+        "country": "US",
+        "session_id": "user_1_sess_1_0",
+    },
+    {
+        "timestamp": "2025-09-09 10:05:00",
+        "account_id": "acc_2",
+        "video_id": "video_2",
+        "user_id": "user_2",
+        "event_name": "play",
+        "value": None,
+        "device": "tv",
+        "app_version": "2.0.0",
+        "device_os": "Roku",
+        "network_type": "wifi",
+        "ip": "10.0.0.2",
+        "country": "US",
+        "session_id": "user_2_sess_1_0",
+    },
+]
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    lk = LakeStorage(tmp_path / "lake")
+    lk.ensure_zones()
+    (tmp_path / "data").mkdir()
+    for name, text in (
+        (f"users_{DATE}.csv", USERS_CSV),
+        (f"videos_{DATE}.csv", VIDEOS_CSV),
+        (f"devices_{DATE}.csv", DEVICES_CSV),
+    ):
+        (tmp_path / "data" / name).write_text(text)
+    (tmp_path / "data" / f"events_{DATE}.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in EVENTS) + "\n"
+    )
+    lk.seed_landing(tmp_path / "data")
+    return lk
+
+
+# -- S10: filename contract -------------------------------------------------
+@pytest.mark.parametrize(
+    ("name", "expect"),
+    [
+        ("users_2025-09-09.csv", ("users", "2025-09-09")),
+        ("events_2025-09-09.jsonl", ("events", "2025-09-09")),
+        ("user_device_info_2025-01-02.csv", ("user_device_info", "2025-01-02")),
+        ("users.csv", ("users", "2099-01-01")),  # undated → default date
+        ("snapshot_v2.csv", ("snapshot_v2", "2099-01-01")),  # not a date suffix
+    ],
+)
+def test_parse_landing_filename(name, expect):
+    assert parse_landing_filename(name, "2099-01-01") == expect
+
+
+# -- S6/S7/S8/S9: lake object ops ------------------------------------------
+def test_lake_object_ops(lake: LakeStorage, tmp_path):
+    listed = lake.list_objects("landing")
+    assert f"landing/users_{DATE}.csv" in listed
+    assert len(listed) == 4
+
+    lake.copy_object(f"landing/users_{DATE}.csv", f"raw/ingestion_date={DATE}/users_{DATE}.csv")
+    assert lake.exists(f"raw/ingestion_date={DATE}/users_{DATE}.csv")
+
+    out = tmp_path / "dl.csv"
+    lake.download_file(f"landing/users_{DATE}.csv", out)
+    assert out.read_text() == USERS_CSV
+
+    assert lake.get_object_url(f"landing/users_{DATE}.csv").startswith("file://")
+    assert lake.delete_object(f"landing/videos_{DATE}.csv")
+    assert not lake.exists(f"landing/videos_{DATE}.csv")
+    assert not lake.delete_object("landing/nope.csv")
+
+
+# -- landing→raw ------------------------------------------------------------
+def test_landing_to_raw(lake: LakeStorage):
+    result = LandingToRawProcessor(lake, DATE).run()
+    assert result.is_success, result.error
+    raw = lake.list_objects("raw")
+    assert raw == [
+        f"raw/ingestion_date={DATE}/devices_{DATE}.csv",
+        f"raw/ingestion_date={DATE}/events_{DATE}.jsonl",
+        f"raw/ingestion_date={DATE}/users_{DATE}.csv",
+        f"raw/ingestion_date={DATE}/videos_{DATE}.csv",
+    ]
+    # Raw is byte-identical to landing (format-preserving zone).
+    assert (lake.root / raw[2]).read_text() == USERS_CSV
+
+
+def test_landing_to_raw_date_filter(lake: LakeStorage):
+    """Files for other dates are ignored (reference contract)."""
+    lake.upload_file(
+        lake.root / f"landing/users_{DATE}.csv", "landing/users_2024-01-01.csv"
+    )
+    result = LandingToRawProcessor(lake, DATE).run()
+    assert result.is_success
+    assert not any("2024-01-01" in k for k in lake.list_objects("raw"))
+
+
+# -- raw→trusted e2e --------------------------------------------------------
+def test_raw_to_trusted_e2e(spark, lake: LakeStorage):
+    assert LandingToRawProcessor(lake, DATE).run().is_success
+    result = RawToTrustedProcessor(spark, lake, DATE).run()
+    assert result.is_success, result.error
+    assert sorted(result.metadata["tables_created"]) == [
+        "trusted_devices",
+        "trusted_events",
+        "trusted_users",
+        "trusted_videos",
+    ]
+
+    users = spark.read.parquet(lake.trusted_path("users"))
+    assert users.count() == 3
+    # P1: ingestion_date stamped and used as the partition column.
+    assert users.select("ingestion_date").distinct().collect()[0][0] == DATE
+    assert lake.exists(f"trusted/users/ingestion_date={DATE}")
+
+    # Typed parse from the registry, not inference (SURVEY §1.2).
+    videos = spark.read.parquet(lake.trusted_path("videos"))
+    assert dict(videos.dtypes)["duration_seconds"] == "int"
+    devices = spark.read.parquet(lake.trusted_path("devices"))
+    assert dict(devices.dtypes)["os_version"] == "decimal(3,1)"
+
+    events = spark.read.parquet(lake.trusted_path("events"))
+    rows = {r["user_id"]: r for r in events.collect()}
+    assert str(rows["user_1"]["value"]) == "5.5"  # DECIMAL(2,1), reference type
+    assert rows["user_2"]["value"] is None  # JSON null survives
+    assert rows["user_1"]["timestamp"] == "2025-09-09 10:00:00"  # stays VARCHAR
+
+    # _post_process registered temp views over trusted output.
+    assert spark.sql("SELECT COUNT(*) FROM trusted_events").collect()[0][0] == 2
+
+
+def test_raw_to_trusted_partition_isolation(spark, lake: LakeStorage):
+    """Re-running one date must not clobber another date's partition."""
+    assert LandingToRawProcessor(lake, DATE).run().is_success
+    assert RawToTrustedProcessor(spark, lake, DATE).run().is_success
+
+    other = "2025-09-10"
+    lake.upload_file(lake.root / f"landing/users_{DATE}.csv", f"landing/users_{other}.csv")
+    assert LandingToRawProcessor(lake, other).run().is_success
+    reg = {"trusted_users": STREAMPRO_TABLES["trusted_users"]}
+    assert RawToTrustedProcessor(spark, lake, other, registry=reg).run().is_success
+
+    users = spark.read.parquet(lake.trusted_path("users"))
+    dates = {r[0] for r in users.select("ingestion_date").distinct().collect()}
+    assert dates == {DATE, other}
+    assert users.count() == 6
+
+
+def test_raw_to_trusted_missing_file_skipped(spark, lake: LakeStorage):
+    """A missing raw file skips that table (reference logs-and-continues)."""
+    assert LandingToRawProcessor(lake, DATE).run().is_success
+    lake.delete_object(f"raw/ingestion_date={DATE}/videos_{DATE}.csv")
+    result = RawToTrustedProcessor(spark, lake, DATE).run()
+    assert result.is_success
+    assert "trusted_videos" not in result.metadata["tables_created"]
+
+
+def test_failfast_on_corrupt_csv(spark, lake: LakeStorage):
+    """Typed trusted parse fails loudly on malformed rows (vs pandas'
+    silent coercion in the reference)."""
+    (lake.root / f"raw/ingestion_date={DATE}").mkdir(parents=True, exist_ok=True)
+    (lake.root / f"raw/ingestion_date={DATE}/videos_{DATE}.csv").write_text(
+        "video_id,title,genre,duration_seconds,patent_id\nv1,T,Drama,not_a_number,p1\n"
+    )
+    reg = {"trusted_videos": STREAMPRO_TABLES["trusted_videos"]}
+    result = RawToTrustedProcessor(spark, lake, DATE, registry=reg).run()
+    assert not result.is_success
