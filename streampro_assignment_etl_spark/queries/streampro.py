@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.exact import dec
 from ..sources.testdata import load_table
@@ -77,6 +78,36 @@ def first_sessions(sess: DataFrame) -> DataFrame:
     )
 
 
+def sessionized_with_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized events with per-user first-session columns attached via
+    an unordered window — the single-pass session DAG (SURVEY §4).
+
+    Instead of materializing `user_first_sessions` and joining it back
+    into every metric CTE (the reference's 5-CTE shape, which on Spark
+    costs one events scan + user_id shuffle PER metric), a
+    ``Window.partitionBy(user_id)`` computes MIN(session_id)/MIN(ts)
+    in-place. Every downstream metric then becomes a conditional
+    aggregation over this one frame:
+
+    * one parquet scan + ONE user_id shuffle total (branches share the
+      identical scan→window exchange, so Spark's ReuseExchange dedupes
+      them in the physical plan);
+    * follow-up ``groupBy(user_id)`` needs no new shuffle — the window
+      output is already hash-partitioned by user_id.
+
+    At 100 TB this turns Q1/Q3 into scan → shuffle → fold, which is the
+    minimum possible for per-user session semantics.
+    """
+    w = Window.partitionBy("user_id")
+    return (
+        sessionized(spark, sf_dir)
+        .withColumn("first_session_id", F.min("session_id").over(w))
+        .withColumn(
+            "first_session_date", F.date_format(F.min("ts").over(w), "yyyy-MM-dd")
+        )
+    )
+
+
 def _genre(col):
     """Genre analog from the props JSON payload: 'g' || (k % 4)."""
     k = F.get_json_object(col, "$.k").cast("int")
@@ -115,45 +146,36 @@ LEFT JOIN first_session_watch_times f ON u.user_id = f.user_id
 )
 def sp_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Q1 (notebook cell 10): % of users reaching >=30s watch
-    time in their lexicographic-first session. CTE chain: first-session
-    extraction → composite-key self-join → conditional distinct counts."""
-    sess = sessionized(spark, sf_dir)
-    users = sess.select("user_id").distinct()
-    # Explicit renames break the shared lineage (users/ufs/fswt all derive
-    # from `sess`) so the self-joins are unambiguous.
-    ufs = first_sessions(sess).select(
-        F.col("user_id").alias("ufs_user_id"), "first_session_id"
+    time in their lexicographic-first session.
+
+    Single-pass plan: the oracle's users/ufs/fswt CTE joins collapse to
+    one windowed frame + one groupBy(user_id) fold (see
+    ``sessionized_with_first``) — the join keys are all user_id, every
+    user appears in `sess`, and SUM over an inner-join group equals the
+    conditional SUM (NULL when no row qualifies, so non-NULL-ness marks
+    join membership)."""
+    s = sessionized_with_first(spark, sf_dir)
+    qualifies = (
+        (F.col("session_id") == F.col("first_session_id"))
+        & (F.col("event_type") == "view")
+        & F.col("value").isNotNull()
+        & (F.col("value") > 0)
     )
-    e = sess.alias("e")
-    fswt = (
-        ufs.join(
-            e,
-            (F.col("ufs_user_id") == F.col("e.user_id"))
-            & (F.col("first_session_id") == F.col("e.session_id")),
-        )
-        .filter(
-            (F.col("e.event_type") == "view")
-            & F.col("e.value").isNotNull()
-            & (F.col("e.value") > 0)
-        )
-        .groupBy("ufs_user_id", "first_session_id")
-        .agg(F.sum(dec(F.col("e.value"), 2, 12)).cast("double").alias("total_watch_time"))
-        .select(F.col("ufs_user_id").alias("f_user_id"), "total_watch_time")
+    per_user = s.groupBy("user_id").agg(
+        F.sum(F.when(qualifies, dec("value", 2, 12)))
+        .cast("double")
+        .alias("total_watch_time")
     )
-    converted = F.countDistinct(
-        F.when(F.col("total_watch_time") >= 30, F.col("f_user_id"))
-    )
-    return (
-        users.join(fswt, users.user_id == F.col("f_user_id"), "left")
-        .agg(
-            F.countDistinct("user_id").alias("total_users"),
-            F.countDistinct("f_user_id").alias("users_with_watch_time"),
-            converted.alias("users_with_30_plus"),
-            F.round(
-                F.lit(100.0) * converted / F.nullif(F.countDistinct("user_id"), F.lit(0)),
-                2,
-            ).alias("pct_reaching_30_seconds"),
-        )
+    watched = F.count(F.when(F.col("total_watch_time").isNotNull(), 1))
+    converted = F.count(F.when(F.col("total_watch_time") >= 30, 1))
+    total = F.count(F.lit(1))  # per_user is one row per distinct user
+    return per_user.agg(
+        total.alias("total_users"),
+        watched.alias("users_with_watch_time"),
+        converted.alias("users_with_30_plus"),
+        F.round(F.lit(100.0) * converted / F.nullif(total, F.lit(0)), 2).alias(
+            "pct_reaching_30_seconds"
+        ),
     )
 
 
@@ -222,22 +244,23 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the best retention within a 3-day horizon. The horizon join is the
     reference's theta join — equi on user_id, residual `session_id >` and
     date-string `<=` predicates (ipynb:1230-1236)."""
-    sess = sessionized(spark, sf_dir)
-    ufs = first_sessions(sess)
+    # Persisted once: the dominant-genre and subsequent-activity branches
+    # both consume the windowed frame, and Catalyst prunes their columns
+    # differently (props vs ts), which blocks exchange reuse — without the
+    # persist each branch would redo the scan + user_id shuffle + window.
+    # Disk-backed cache of the sessionized frame is the SURVEY §4 plan
+    # ("repartition events by user_id once and reuse across the CTE DAG");
+    # Spark's ContextCleaner drops it when the result goes out of scope.
+    s = sessionized_with_first(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     zero = F.lit(0).cast(_D)
 
-    e = sess.alias("e")
+    # First-session events are a tiny filtered slice of the windowed
+    # frame; the (user, genre) re-group shuffles only that slice.
     fsgw = (
-        ufs.join(
-            e,
-            (ufs.user_id == F.col("e.user_id"))
-            & (ufs.first_session_id == F.col("e.session_id")),
-        )
-        .groupBy(ufs.user_id.alias("user_id"), _genre(F.col("e.props")).alias("genre"))
+        s.filter(F.col("session_id") == F.col("first_session_id"))
+        .groupBy("user_id", _genre(F.col("props")).alias("genre"))
         .agg(
-            F.sum(
-                F.when(F.col("e.event_type") == "view", dec("e.value", 2, 12)).otherwise(zero)
-            )
+            F.sum(F.when(F.col("event_type") == "view", dec("value", 2, 12)).otherwise(zero))
             .cast("double")
             .alias("genre_watch_time")
         )
@@ -249,26 +272,28 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("genre").alias("dominant_genre"), "genre_watch_time")
     )
 
-    horizon = F.col("e.ts")
+    # Subsequent-activity theta join → conditional aggregation on the
+    # same windowed frame (equi user_id + residual predicates become a
+    # row-local filter; no second events scan — ReuseExchange shares the
+    # window's shuffle with fsgw's branch).
     sa = (
-        ufs.join(
-            e,
-            (ufs.user_id == F.col("e.user_id"))
-            & (F.col("e.session_id") > ufs.first_session_id)
+        s.filter(
+            (F.col("session_id") > F.col("first_session_id"))
             & (
-                F.date_format(horizon, "yyyy-MM-dd")
-                <= F.date_add(F.to_date(ufs.first_session_date), 3).cast("string")
-            ),
-        )
-        .groupBy(ufs.user_id.alias("user_id"))
-        .agg(
-            F.sum(
-                F.when(F.col("e.event_type") == "view", dec("e.value", 2, 12)).otherwise(zero)
+                F.date_format(F.col("ts"), "yyyy-MM-dd")
+                <= F.date_add(F.to_date(F.col("first_session_date")), 3).cast("string")
             )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", dec("value", 2, 12)).otherwise(zero))
             .cast("double")
             .alias("subsequent_watch_time"),
-            F.countDistinct(F.col("e.session_id")).alias("subsequent_sessions"),
+            F.countDistinct("session_id").alias("subsequent_sessions"),
         )
+        # Renamed key: udg and sa share lineage (both fold the windowed
+        # frame), so attribute-based join conditions would be ambiguous.
+        .withColumnRenamed("user_id", "sa_user_id")
     )
 
     def dec_mean(col: str, digits: int = 1):
@@ -277,13 +302,13 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        udg.join(sa, udg.user_id == sa.user_id, "left")
+        udg.join(sa, F.col("user_id") == F.col("sa_user_id"), "left")
         .groupBy("dominant_genre")
         .agg(
-            F.countDistinct(udg.user_id).alias("users_with_dominant_genre"),
-            F.countDistinct(sa.user_id).alias("users_returned"),
+            F.countDistinct("user_id").alias("users_with_dominant_genre"),
+            F.countDistinct("sa_user_id").alias("users_returned"),
             F.round(
-                F.lit(100.0) * F.countDistinct(sa.user_id) / F.countDistinct(udg.user_id), 1
+                F.lit(100.0) * F.countDistinct("sa_user_id") / F.countDistinct("user_id"), 1
             ).alias("return_rate_pct"),
             dec_mean("genre_watch_time").alias("avg_dominant_genre_first_watch_time"),
             dec_mean("subsequent_watch_time").alias("avg_subsequent_watch_time"),
@@ -387,68 +412,68 @@ def sp_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_version) with the pandas composite-score post-processing folded
     into the plan as a broadcast cross join against the 1-row overall
     benchmark (SURVEY §2.4 P2)."""
-    sess = sessionized(spark, sf_dir)
-    ufs = first_sessions(sess)
+    s = sessionized_with_first(spark, sf_dir)
     zero = F.lit(0).cast(_D)
-    e = sess.alias("e")
-    k = F.get_json_object(F.col("e.props"), "$.k").cast("int")
-
-    first_join = ufs.join(
-        e,
-        (ufs.user_id == F.col("e.user_id"))
-        & (ufs.first_session_id == F.col("e.session_id")),
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    is_first = F.col("session_id") == F.col("first_session_id")
+    day1 = (F.col("session_id") > F.col("first_session_id")) & (
+        F.date_format(F.col("ts"), "yyyy-MM-dd")
+        == F.date_add(F.to_date(F.col("first_session_date")), 1).cast("string")
     )
-    udi = first_join.select(
-        ufs.user_id.alias("user_id"),
-        F.concat(F.lit("os"), (k % 2).cast("string")).alias("device_os"),
-        F.concat(F.lit("v"), (k % 3).cast("string")).alias("app_version"),
-    ).distinct()
 
-    fswt = first_join.groupBy(ufs.user_id.alias("user_id")).agg(
-        F.sum(F.when(F.col("e.event_type") == "view", dec("e.value", 2, 12)).otherwise(zero))
+    # The oracle's udi/fswt/usc/dr CTEs (4 scans + 4 user_id shuffles in
+    # the naive translation) fold into ONE groupBy(user_id) over the
+    # windowed frame: all four are per-user reductions, and the window
+    # already co-partitioned the data by user_id (no extra shuffle).
+    # Join-membership equivalences: every user has >=1 first-session
+    # event, so the fswt/udi inner joins keep all users; dr's
+    # LEFT-JOIN-then-COUNT>0 is MAX(day1-match indicator).
+    per_user = s.groupBy("user_id").agg(
+        F.sum(F.when(is_first & (F.col("event_type") == "view"), dec("value", 2, 12)).otherwise(F.when(is_first, zero)))
         .cast("double")
-        .alias("first_session_watch_time")
+        .alias("first_session_watch_time"),
+        F.countDistinct("session_id").alias("total_sessions"),
+        F.max(F.when(day1, 1).otherwise(0)).alias("returned_day1"),
+        F.collect_set(
+            F.when(
+                is_first,
+                F.struct(
+                    F.concat(F.lit("os"), (k % 2).cast("string")).alias("device_os"),
+                    F.concat(F.lit("v"), (k % 3).cast("string")).alias("app_version"),
+                ),
+            )
+        ).alias("first_session_combos"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ^ user-grain (events-count ÷ ~sessions·events rows): the combo and
+    # overall branches both fold this frame, and persisting it caps the
+    # whole query at ONE events scan + ONE user_id shuffle.
+
+    uid = F.col("user_id")
+    total = F.countDistinct(uid)
+    single_r = F.round(
+        F.lit(100.0) * F.countDistinct(F.when(F.col("total_sessions") == 1, uid)) / total, 1
     )
-    usc = sess.groupBy("user_id").agg(F.countDistinct("session_id").alias("total_sessions"))
-    dr = (
-        ufs.join(
-            e,
-            (ufs.user_id == F.col("e.user_id"))
-            & (F.col("e.session_id") > ufs.first_session_id)
-            & (
-                F.date_format(F.col("e.ts"), "yyyy-MM-dd")
-                == F.date_add(F.to_date(ufs.first_session_date), 1).cast("string")
-            ),
-            "left",
-        )
-        .groupBy(ufs.user_id.alias("user_id"))
-        .agg(
-            F.when(F.countDistinct(F.col("e.session_id")) > 0, 1)
-            .otherwise(0)
-            .alias("returned_day1")
-        )
+    low_r = F.round(
+        F.lit(100.0) * F.countDistinct(F.when(F.col("first_session_watch_time") < 5, uid)) / total,
+        1,
+    )
+    noret_r = F.round(
+        F.lit(100.0) * F.countDistinct(F.when(F.col("returned_day1") == 0, uid)) / total, 1
     )
 
-    def metrics(base: DataFrame, keys: list):
-        """Shared drop-off metric block over a user-level joined frame."""
-        uid = F.col("user_id")
-        total = F.countDistinct(uid)
-        single = F.countDistinct(F.when(F.col("total_sessions") == 1, uid))
-        low = F.countDistinct(F.when(F.col("first_session_watch_time") < 5, uid))
-        noret = F.countDistinct(F.when(F.col("returned_day1") == 0, uid))
-        aggs = [
-            F.round(F.lit(100.0) * single / total, 1),
-            F.round(F.lit(100.0) * low / total, 1),
-            F.round(F.lit(100.0) * noret / total, 1),
-        ]
-        return base, total, aggs
-
-    user_level = (
-        udi.join(fswt, "user_id", "left").join(usc, "user_id", "left").join(dr, "user_id", "left")
-    )
-    _, total, (single_r, low_r, noret_r) = metrics(user_level, ["device_os", "app_version"])
+    # udi exploded back to (user, device_os, app_version) grain — a user
+    # can carry several combos in their first session; collect_set
+    # already deduplicated per user.
     combo = (
-        user_level.groupBy("device_os", "app_version")
+        per_user.select(
+            "user_id",
+            "total_sessions",
+            "first_session_watch_time",
+            "returned_day1",
+            F.explode("first_session_combos").alias("combo"),
+        )
+        .select("*", F.col("combo.device_os").alias("device_os"), F.col("combo.app_version").alias("app_version"))
+        .groupBy("device_os", "app_version")
         .agg(
             total.alias("total_users"),
             single_r.alias("single_session_rate_pct"),
@@ -458,17 +483,10 @@ def sp_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_users") >= 5)
     )
 
-    overall_base = (
-        ufs.select("user_id")
-        .join(fswt, "user_id", "left")
-        .join(usc, "user_id", "left")
-        .join(dr, "user_id", "left")
-    )
-    _, _, (o_single, o_low, o_noret) = metrics(overall_base, [])
-    overall = overall_base.agg(
-        o_single.alias("overall_single_session_rate"),
-        o_low.alias("overall_low_watch_rate"),
-        o_noret.alias("overall_no_day1_rate"),
+    overall = per_user.agg(
+        single_r.alias("overall_single_session_rate"),
+        low_r.alias("overall_low_watch_rate"),
+        noret_r.alias("overall_no_day1_rate"),
     )
 
     score = F.round(

@@ -29,6 +29,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-plan (esp. coalesce shuffle partitions) inside persisted
+    # plans too — otherwise every .persist() pins the full initial
+    # partition count and small cached frames run hundreds of near-empty
+    # tasks per stage.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for any pandas exchange (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Hive-style partition values stay strings: the trusted-zone model
