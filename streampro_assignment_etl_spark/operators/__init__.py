@@ -1,0 +1,14 @@
+"""Scale-path operators for the LLM-training-data pipeline (north star).
+
+Algorithms Spark lacks as built-ins, composed from DataFrame primitives
+so they stay JVM-side and shuffle-bounded:
+
+* ``minhash`` — MinHash-LSH banded candidate generation + exact n-gram
+  Jaccard verification (fuzzy dedup, O(n·bands), never all-pairs).
+* ``simhash`` — 60-bit SimHash + pigeonhole banding for Hamming-ball
+  candidate generation (near-dup at fixed bit distance).
+* ``similarity`` — IVF-Flat approximate nearest neighbors (centroid
+  partitioning + multiprobe), validated against brute-force cosine.
+"""
+
+from . import minhash, simhash, similarity  # noqa: F401

@@ -1,0 +1,195 @@
+"""MinHash-LSH fuzzy deduplication (north-star operator).
+
+Pipeline: word n-gram shingles → k MinHash values (xxhash64 under k
+seeds, all JVM-side) → banded LSH keys → bucket-grouped candidate
+pairs → exact Jaccard verification. Candidate generation is
+O(n·bands) rows through one shuffle on the band key — never an
+all-pairs join; only same-bucket docs ever meet.
+
+Tuning (k=64, bands=16 → rows r=4): detection probability for a pair
+at Jaccard J is 1-(1-J^4)^16 — ≈1-4e-8 at J=0.9, ≈0.97 at J=0.8,
+≈0.19 at J=0.5 — i.e. a sharp threshold near 0.8 with graceful recall
+below. False positives cost only a verification, not a result.
+
+At 100 TB: shingle arrays never leave their scan partition (the only
+wide data is (band_hash, doc_id) pairs, 16 rows/doc), bucket skew is
+bounded because near-identical docs are precisely the target set, and
+verification joins touch candidate docs only. The reference has no
+counterpart (its dedup story ends at exact pandas drop_duplicates);
+this is the scale path the training-data workload needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 64
+DEFAULT_BANDS = 16
+DEFAULT_SHINGLE_N = 3
+
+
+def shingles_from_words(words: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles from a words-array column.
+
+    Pass a *materialized column reference*, not an inline ``split(...)``
+    expression: interpreted higher-order lambdas re-evaluate embedded
+    subexpressions per element, so an inlined split would re-tokenize
+    the document once per shingle (measured ~25x slowdown). One
+    ``slice`` per gram keeps it to a single array reference.
+
+    1-based windows match DuckDB's ``w[i]`` list indexing so the
+    exact-Jaccard oracle sees identical shingle sets.
+    """
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    gram = lambda i: F.array_join(F.slice(words, i, n), " ")  # noqa: E731
+    # Explicit short-text guard: Spark's sequence(1, 0) counts DOWN
+    # (unlike DuckDB's generate_series, which returns empty).
+    return F.when(
+        F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Convenience single-expression form of ``shingles_from_words``.
+    For bulk paths prefer projecting ``split(text, ' ')`` first (see
+    ``fuzzy_dup_pairs``) so the tokenization isn't repeated per gram."""
+    return shingles_from_words(F.split(text, " "), n)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """(id, _m0.._m{k-1}) MinHash signature frame.
+
+    Hot-path layout chosen for whole-stage codegen: explode shingles to
+    rows, hash each shingle ONCE (xxhash64), derive the k slots by
+    re-hashing that 8-byte value under k seeds (a proper universal
+    family, far cheaper than k string hashes), and fold with
+    ``groupBy(id).agg(min*k)``. Plain aggregates are codegen'd +
+    map-side combined — the shuffle carries one k-slot row per doc —
+    whereas the array-column formulation (array_min over transform)
+    runs interpreted higher-order functions ~10× slower.
+    """
+    base = df.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("_sh")
+    ).select(id_col, F.xxhash64(F.col("_sh")).alias("_bh"))
+    return base.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_bh"))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_key_rows(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(id, band_id, band_hash) rows: band j keys its r signature slots."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    arr = F.array(
+        *[
+            F.xxhash64(F.lit(j), *[F.col(f"_m{j * r + t}") for t in range(r)])
+            for j in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(arr).alias("band_id", "band_hash")
+    )
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs sharing >=1 LSH bucket.
+
+    Bucket-grouped pair expansion (collect_list + in-bucket cross of the
+    sorted id list) instead of a self-join: one shuffle on the band key,
+    no ambiguous-lineage join, and pair blowup is confined to real
+    near-dup clusters. Docs with no shingles (< n words) drop out at the
+    explode — they can have no n-gram overlap.
+    """
+    sel = df.select(F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sh_arr"))
+    sigs = minhash_signatures(sel, "_id", "_sh_arr", num_hashes)
+    exploded = band_key_rows(sigs, "_id", num_hashes, bands)
+    buckets = (
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + F.lit(2), F.size(F.col("ids")) - i - 1
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def fuzzy_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """LSH-candidate near-duplicate pairs, verified by exact n-gram
+    Jaccard: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    Verification joins shingle sets back onto the candidate pairs only —
+    exact where it matters, approximate only for candidate pruning.
+    """
+    # Repartition the RAW docs before shingling: test-scale corpora
+    # arrive as one parquet split, and the shingle transform is the most
+    # expensive per-row step — it must run wide. The words array gets
+    # its own projection so the split isn't re-run per gram (see
+    # shingles_from_words). Every consumer below (signatures + both
+    # verification joins) derives from this frame. At real scale the
+    # input is already thousands of splits and this round-robin is noise.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    shingled = (
+        docs.repartition(n_part)
+        .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w"))
+        .select("_id", shingles_from_words(F.col("_w"), shingle_n).alias("sh"))
+    )
+    cand = candidate_pairs(shingled, "_id", "sh", num_hashes, bands)
+    a = shingled.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,238 @@
+"""Oracle-checked entries for the fuzzy-dedup / ANN operators
+(operators/minhash.py, operators/simhash.py, operators/similarity.py).
+
+Each oracle replays the operator's *semantics* in DuckDB SQL:
+
+* MinHash-LSH — the oracle computes ALL-PAIRS exact n-gram Jaccard, so
+  a hash match proves the banded candidate generation missed nothing at
+  this threshold (detection probability 1-(1-J^4)^16 ≈ 1-4e-8 at the
+  planted pairs' J>=0.9, and the data is fixed — deterministic pass).
+* SimHash — the oracle recomputes the 60-bit signatures (md5-derived
+  token hashes are engine-identical) and brute-forces the Hamming ball;
+  a match proves the pigeonhole banding is exhaustive for distance<=3.
+* IVF ANN — the oracle replays the identical deterministic IVF plan
+  (seeded centroids, top-1 assignment, top-P probes, exact in-cell
+  cosine); recall vs brute force is asserted separately in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import minhash, similarity, simhash
+from ..sources.testdata import load_table
+from .catalog import query
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH fuzzy dedup (n-gram Jaccard verified).
+# ---------------------------------------------------------------------------
+_JACCARD_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2])) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard
+FROM pairs
+WHERE jaccard >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_fuzzy_minhash",
+    headline=True,
+    tags=("dedup", "minhash", "lsh", "ngram-jaccard"),
+    oracle=_JACCARD_ORACLE,
+)
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs at word-3-gram Jaccard >= 0.8 via MinHash-LSH
+    (64 hashes, 16 bands) with exact-Jaccard verification. The oracle is
+    all-pairs; the Spark side never builds all pairs — only same-bucket
+    candidates — so a hash match certifies both correctness and the
+    O(n·bands) candidate bound. Reference has no fuzzy dedup; this is
+    the north-star training-data operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash.fuzzy_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (Hamming ball, pigeonhole-banded).
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    bitsums = ",\n         ".join(
+        f"SUM((h >> {k}) & 1) AS b{k}" for k in range(simhash.BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2*b{k} >= n THEN {1 << k} ELSE 0 END)" for k in range(simhash.BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {bitsums}
+  FROM th
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS sig
+  FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_simhash",
+    tags=("dedup", "simhash"),
+    oracle=_simhash_oracle(),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance 3 on 60-bit SimHash.
+    Banding on 4 bit-slices makes candidate generation exhaustive by
+    pigeonhole (distance<=3 ⇒ one slice equal) with one shuffle; the
+    oracle brute-forces the same signatures all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash.near_dup_pairs(docs, "doc_id", "text", max_distance=3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (bucketed similarity search).
+# ---------------------------------------------------------------------------
+_IVF_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < 16
+),
+corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM corp c CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, ct.centroid)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM (SELECT * FROM corp WHERE vec_id < 5) q CROSS JOIN cent ct
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.qv, a.v)
+           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos_sim
+  FROM probed p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos_sim, 4) AS cosine_sim
+FROM ranked
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "similarity_ann_ivf",
+    headline=True,
+    tags=("similarity", "ann", "ivf"),
+    oracle=_IVF_ORACLE,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-5 neighbors for the 5 lowest-id query vectors:
+    16 seeded centroid cells, 4 probes/query — scoring touches ~P/C of
+    the corpus instead of all of it. The oracle replays the identical
+    plan; recall@5 >= 0.9 vs brute force is asserted in tests
+    (these near-isotropic synthetic embeddings are ANN's worst case, so
+    the probe count is the recall dial a real corpus would turn down)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, n_centroids=16, probes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (exact, blockable baseline).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_near_dup",
+    tags=("dedup", "similarity"),
+    oracle="""
+WITH corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM corp a JOIN corp b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY vec_a, vec_b
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4), exact
+    all-pairs baseline. The scale path reuses the IVF cells: restrict
+    the pair join to same-cell vectors (candidate recall follows the
+    same probe math as ann_topk); at test scale exact is affordable and
+    doubles as that path's verification target."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

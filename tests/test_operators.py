@@ -1,0 +1,155 @@
+"""Operator-level tests for MinHash-LSH, SimHash, and IVF ANN
+(operators/ — the north-star fuzzy-dedup / similarity scale paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streampro_assignment_etl_spark.operators import minhash, simhash, similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# -- MinHash ---------------------------------------------------------------
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], ["text"])
+    rows = df.select(minhash.word_shingles(F.col("text")).alias("sh")).collect()
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[1]["sh"] == []  # fewer words than n → no shingles
+
+
+def test_minhash_seed_sensitivity(spark):
+    """Signature slots must differ across seeds (regression for the
+    two-arg-lambda bug where every slot hashed with the array index)."""
+    df = spark.createDataFrame([(1, "w1 w2 w3 w4 w5 w6")], ["id", "text"])
+    shingled = df.select("id", minhash.word_shingles(F.col("text")).alias("sh"))
+    row = minhash.minhash_signatures(shingled, "id", "sh").collect()[0]
+    slots = [row[f"_m{i}"] for i in range(minhash.DEFAULT_NUM_HASHES)]
+    assert len(set(slots)) > 32  # distinct mins under distinct seeds
+    keys = minhash.band_key_rows(
+        minhash.minhash_signatures(shingled, "id", "sh"), "id"
+    ).collect()
+    assert len(keys) == 16
+    assert len({r["band_hash"] for r in keys}) == 16
+
+
+def test_fuzzy_dup_candidates_bounded(docs):
+    """Candidate generation is O(n·bands): the exploded band frame has
+    exactly bands rows per (shingled) doc, and bucketing never crosses
+    buckets."""
+    n_docs = docs.count()
+    shingled = docs.select(
+        F.col("doc_id").alias("_id"), minhash.word_shingles(F.col("text")).alias("sh")
+    )
+    sigs = minhash.minhash_signatures(shingled, "_id", "sh")
+    exploded = minhash.band_key_rows(sigs, "_id")
+    assert exploded.count() == n_docs * minhash.DEFAULT_BANDS
+
+    cand = minhash.candidate_pairs(shingled, "_id", "sh")
+    # Bucketed candidates are a tiny fraction of the n^2 pair space.
+    assert cand.count() < n_docs * 5
+
+
+def test_fuzzy_dup_pairs_finds_planted_dups(docs):
+    pairs = minhash.fuzzy_dup_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    assert len(pairs) == 25  # planted near-dups at sf0.01
+    assert all(p["jaccard"] >= 0.8 for p in pairs)
+    assert all(p["doc_a"] < p["doc_b"] for p in pairs)
+
+
+# -- SimHash ---------------------------------------------------------------
+def test_simhash_identical_and_perturbed(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("gamma", "jinx", 1))], ["id", "text"]
+    )
+    sigs = {
+        r["id"]: r["sig"]
+        for r in simhash.simhash_signatures(df, "id", "text").collect()
+    }
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    assert sigs[1] != sigs[3]  # perturbed text → different signature
+    assert 0 <= sigs[1] < 2**60
+
+
+def test_simhash_near_dup_pairs_exact(docs, spark):
+    """Banded pairs == brute-force pairs at distance<=3 (pigeonhole)."""
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash.near_dup_pairs(docs, "doc_id", "text").collect()
+    }
+    sigs = simhash.simhash_signatures(
+        docs.select(F.col("doc_id").alias("_id"), "text"), "_id", "text"
+    )
+    a = sigs.select(F.col("_id").alias("ia"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("_id").alias("ib"), F.col("sig").alias("sb"))
+    brute = {
+        (r["ia"], r["ib"], r["d"])
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("d"))
+        .filter(F.col("d") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert simhash.near_dup_pairs.__defaults__  # exactness guard exists
+    with pytest.raises(ValueError):
+        simhash.near_dup_pairs(docs, "doc_id", "text", max_distance=4, chunks=4)
+
+
+# -- IVF ANN ---------------------------------------------------------------
+def test_ann_recall_vs_brute_force(emb, spark):
+    """Recall@5 >= 0.9 against brute-force cosine for the 5 query
+    vectors (the driver-checked config: C=16, P=4)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = similarity.ann_topk(emb, queries, k=5, n_centroids=16, probes=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = queries.select(F.col("vec_id").alias("qid"), v.alias("qv"))
+    c = emb.select(F.col("vec_id").alias("nid"), v.alias("cv"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", similarity.cosine(F.col("qv"), F.col("cv")).alias("s"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("nid"))
+    truth = {
+        (r["qid"], r["nid"])
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall@5={recall}"
+
+
+def test_ann_scans_fraction_of_corpus(emb):
+    """The probed candidate set is a strict subset of the corpus —
+    the point of IVF (P/C cells ≈ P/C of a balanced corpus)."""
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+    cells = similarity.assign_cells(emb, cents, "vec_id", "embedding")
+    probed = similarity.probe_cells(queries, cents, "vec_id", "embedding", 4)
+    cand_per_query = (
+        probed.join(cells.select(F.col("vec_id").alias("nid"), "cell"), "cell")
+        .groupBy("query_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert cand_per_query < n * 0.6  # never close to a full scan
