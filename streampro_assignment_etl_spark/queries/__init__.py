@@ -6,3 +6,4 @@ from . import streampro  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import pipeline_q  # noqa: F401,E402
 from . import dedup_ann  # noqa: F401,E402
+from . import streaming_q  # noqa: F401,E402

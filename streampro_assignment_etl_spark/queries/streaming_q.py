@@ -1,0 +1,53 @@
+"""Oracle-checked Structured Streaming entry (SURVEY M5).
+
+Runs a REAL streaming query — readStream over staged JSONL, watermarked
+tumbling-window aggregation, foreachBatch parquet sink, availableNow
+trigger — and returns the drained result. The DuckDB oracle computes
+the same hour-window rollup directly on the source table, so a hash
+match certifies stream/batch equivalence end-to-end (the single
+availableNow micro-batch drops nothing at the watermark, making the
+comparison exact and deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from ..streaming import read_events_stream, run_stream_to_parquet, windowed_event_counts
+from .catalog import query
+from .pipeline_q import _TS_FMT, _fresh_lake, _stage_single_file
+
+
+@query(
+    "streaming_windowed_counts",
+    tags=("streaming", "M5"),
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet → landing JSONL → readStream (typed schema) →
+    watermark + 1h tumbling windows → foreachBatch parquet sink
+    (availableNow) → read back. Batch is the oracle: DuckDB's
+    date_trunc('hour') rollup over the same rows."""
+    lake = _fresh_lake(sf_dir, "stream")
+    events = load_table(spark, sf_dir, "events")
+    part = _stage_single_file(events, lake.root, "json", timestampNTZFormat=_TS_FMT)
+    landing = lake.root / "landing_stream"
+    landing.mkdir(parents=True, exist_ok=True)
+    import shutil
+
+    shutil.copyfile(part, landing / "events_stream.jsonl")
+
+    stream = windowed_event_counts(read_events_stream(spark, str(landing)))
+    out, ckpt = str(lake.root / "stream_out"), str(lake.root / "stream_ckpt")
+    run_stream_to_parquet(stream, out, ckpt, mode="update")
+    return spark.read.parquet(out).orderBy("window_start", "event_type")

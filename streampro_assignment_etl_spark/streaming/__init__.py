@@ -1,0 +1,27 @@
+"""Structured Streaming ingest for the events feed (SURVEY M5).
+
+The reference only simulates its stream (an events JSONL file
+processed in batch, /root/reference/README.md:44); this package is the
+idiomatic Spark upgrade: ``readStream`` over the landing zone with the
+typed registry schema, watermarked windowed aggregation,
+``session_window`` sessionization, and a ``foreachBatch`` partitioned
+parquet sink into the trusted zone. Batch remains the correctness
+oracle — tests assert stream results equal the same aggregation run in
+batch over identical input.
+"""
+
+from .events_stream import (
+    read_events_stream,
+    run_stream_to_parquet,
+    sessionized_stream,
+    windowed_event_counts,
+    write_stream_to_trusted,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_stream_to_parquet",
+    "sessionized_stream",
+    "windowed_event_counts",
+    "write_stream_to_trusted",
+]

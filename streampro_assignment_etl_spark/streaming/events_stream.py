@@ -1,0 +1,148 @@
+"""Streaming events pipeline: landing JSONL → watermark → windows → trusted.
+
+Spark-first upgrade of the reference's batch-simulated event feed
+(raw_to_trusted_processor.py:60-79 parses an events JSONL in pandas;
+SURVEY §1.1 maps it to ``spark.readStream.json``). Design points for a
+real cluster:
+
+* **Typed source.** ``readStream.schema(...)`` from the registry — a
+  streaming source must never infer schemas (inference would re-scan
+  the directory and can drift between micro-batches).
+* **Watermarks bound state.** Windowed aggregations keep state only
+  until `watermark` passes the window end; without it, state grows
+  with the key space forever (the classic 100 TB streaming failure).
+* **session_window** is the native counterpart of the reference's
+  string-encoded sessions (SURVEY §1.4): event-time sessions with a
+  gap timeout, stateful merge handled by Spark.
+* **foreachBatch sink** writes each micro-batch as partitioned parquet
+  through the exact same writer contract as the batch pipeline, so
+  downstream consumers cannot tell which path produced a partition.
+* **availableNow trigger** gives bounded, catch-up execution: process
+  everything present, then stop — this is also what makes the
+  batch-equivalence tests (and the driver-checked query) deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..pipeline.schemas import TESTDATA_TABLES
+
+EVENTS_SCHEMA = TESTDATA_TABLES["trusted_events"].struct  # ts arrives as string
+
+
+def read_events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Typed streaming read of events JSONL files in a landing dir,
+    with an event-time column parsed for watermarking."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .json(landing_dir)
+        .withColumn("ts_event", F.to_timestamp("ts"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window rollup per event_type with bounded state.
+
+    Decimal-summed values (functions/exact.py) keep the aggregate
+    order-independent, so streaming results are bit-equal to batch.
+    """
+    return (
+        events.withWatermark("ts_event", watermark)
+        .groupBy(F.window("ts_event", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # NB: no countDistinct — distinct aggregates are unsupported
+            # in streaming; approx_count_distinct is the streaming path
+            # and exact distincts belong to the batch oracle.
+            F.sum(dec("value", 2, 12)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time sessionization via native session windows — the
+    stateful-streaming counterpart of the reference's string-encoded
+    sessions (merged by Spark's session-window state store)."""
+    return (
+        events.withWatermark("ts_event", watermark)
+        .groupBy(F.session_window("ts_event", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2, 12)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sess.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sess.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def write_stream_to_trusted(
+    df: DataFrame, trusted_dir: str, checkpoint_dir: str
+):
+    """foreachBatch partitioned-parquet sink (append, exactly-once per
+    micro-batch via the checkpoint): the streaming twin of
+    RawToTrustedProcessor._load."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "ingestion_date", F.date_format("ts_event", "yyyy-MM-dd")
+            )
+            .write.mode("append")
+            .partitionBy("ingestion_date")
+            .parquet(trusted_dir)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_parquet(
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    mode: str = "update",
+    timeout_s: int = 300,
+) -> None:
+    """Run a streaming aggregation to parquet via foreachBatch with
+    availableNow, blocking until drained.
+
+    ``mode='update'`` emits every in-flight aggregate per micro-batch
+    (right for tumbling windows drained in one availableNow pass).
+    Session windows only support append: emitted once the watermark
+    finalizes them — re-run against the same checkpoint to flush (the
+    restart resumes the checkpointed watermark over an empty batch).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        result.writeStream.outputMode(mode)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -1,0 +1,149 @@
+"""Structured Streaming tests (SURVEY M5): batch-equivalence of the
+windowed/sessionized aggregations and exactly-once trusted-sink writes."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from streampro_assignment_etl_spark.functions.exact import dec
+from streampro_assignment_etl_spark.streaming import (
+    read_events_stream,
+    run_stream_to_parquet,
+    sessionized_stream,
+    windowed_event_counts,
+    write_stream_to_trusted,
+)
+from streampro_assignment_etl_spark.streaming.events_stream import EVENTS_SCHEMA
+
+
+def _event(i, ts, user, etype, value):
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": json.dumps({"k": i % 7}),
+    }
+
+
+EVENTS = [
+    _event(0, "2024-01-01 00:05:00", 1, "view", 10.5),
+    _event(1, "2024-01-01 00:45:00", 1, "view", 5.25),
+    _event(2, "2024-01-01 01:10:00", 2, "click", 1.0),
+    _event(3, "2024-01-01 01:59:59", 1, "view", 2.0),
+    _event(4, "2024-01-01 03:00:00", 2, "view", 7.75),
+    _event(5, "2024-01-02 00:00:00", 3, "error", 0.5),
+]
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "events_a.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in EVENTS[:4]) + "\n"
+    )
+    (d / "events_b.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in EVENTS[4:]) + "\n"
+    )
+    return str(d)
+
+
+def _batch_events(spark, landing):
+    return (
+        spark.read.schema(EVENTS_SCHEMA)
+        .json(landing)
+        .withColumn("ts_event", F.to_timestamp("ts"))
+    )
+
+
+def test_windowed_counts_match_batch(spark, landing, tmp_path):
+    stream = windowed_event_counts(read_events_stream(spark, landing))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_stream_to_parquet(stream, out, ckpt, mode="update")
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in _batch_events(spark, landing)
+        .groupBy(F.window("ts_event", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2, 12)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    )
+    assert got == batch
+    assert len(got) == 5  # (00h view)(01h click)(01h view)(03h view)(00h day2 error)
+
+
+def test_sessionized_stream_matches_batch(spark, landing, tmp_path):
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    # Append mode: session windows finalize when the watermark passes.
+    # First availableNow run seeds state; the re-run resumes from the
+    # checkpointed watermark and flushes finalized sessions.
+    for _ in range(2):
+        stream = sessionized_stream(
+            read_events_stream(spark, landing), gap="30 minutes", watermark="1 minute"
+        )
+        run_stream_to_parquet(stream, out, ckpt, mode="append")
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        tuple(r)
+        for r in _batch_events(spark, landing)
+        .groupBy(F.session_window("ts_event", "30 minutes").alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2, 12)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sess.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .collect()
+    )
+    # All but the max-event-time session are past the watermark → flushed.
+    assert set(got).issubset(set(batch))
+    assert len(got) >= len(batch) - 1
+
+
+def test_stream_to_trusted_exactly_once(spark, landing, tmp_path):
+    trusted, ckpt = str(tmp_path / "trusted"), str(tmp_path / "t_ckpt")
+    q = write_stream_to_trusted(read_events_stream(spark, landing), trusted, ckpt)
+    q.awaitTermination(300)
+
+    df = spark.read.parquet(trusted)
+    assert df.count() == len(EVENTS)
+    dates = {r[0] for r in df.select("ingestion_date").distinct().collect()}
+    assert dates == {"2024-01-01", "2024-01-02"}
+
+    # Re-run with the same checkpoint and no new files: no duplicates.
+    q2 = write_stream_to_trusted(read_events_stream(spark, landing), trusted, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(trusted).count() == len(EVENTS)
+
+    # New file arriving is picked up incrementally.
+    import pathlib
+
+    (pathlib.Path(landing) / "events_c.jsonl").write_text(
+        json.dumps(_event(6, "2024-01-02 01:00:00", 4, "view", 3.0)) + "\n"
+    )
+    q3 = write_stream_to_trusted(read_events_stream(spark, landing), trusted, ckpt)
+    q3.awaitTermination(300)
+    assert spark.read.parquet(trusted).count() == len(EVENTS) + 1
