@@ -692,3 +692,99 @@ def sp_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY unique_users DESC, event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# F9/P3 — parameterized drill-down into the worst combo (cell 23,
+# ipynb:3180: interpolated `WHERE device_os = '{worst_combo[...]}'`).
+# ---------------------------------------------------------------------------
+_DRILL_SQL = """
+WITH affected AS (
+  SELECT DISTINCT user_id
+  FROM sess_first_v
+  WHERE session_id = first_session_id
+    AND concat('os', CAST(CAST(get_json_object(props, '$.k') AS INT) % 2 AS STRING)) = :os
+    AND concat('v',  CAST(CAST(get_json_object(props, '$.k') AS INT) % 3 AS STRING)) = :ver
+),
+per_user AS (
+  SELECT s.user_id,
+         COUNT(DISTINCT s.session_id) AS total_sessions,
+         CAST(SUM(CASE WHEN s.session_id = s.first_session_id AND s.event_type = 'view'
+                       THEN CAST(s.value AS DECIMAL(12,2))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS fs_watch
+  FROM sess_first_v s JOIN affected a ON s.user_id = a.user_id
+  GROUP BY s.user_id
+)
+SELECT CAST(:os AS STRING) AS device_os,
+       CAST(:ver AS STRING) AS app_version,
+       COUNT(*) AS affected_users,
+       CAST(SUM(CASE WHEN total_sessions = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_session_users,
+       ROUND(CAST(SUM(CAST(fs_watch AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2) AS avg_first_session_watch_time,
+       ROUND(CAST(SUM(total_sessions) AS DOUBLE) / COUNT(*), 2) AS avg_total_sessions
+FROM per_user
+"""
+
+_DRILL_ORACLE = _Q3_METRIC_CTES + """
+, worst AS (
+  SELECT cm.device_os, cm.app_version
+  FROM combo_metrics cm CROSS JOIN overall o
+  ORDER BY ROUND(0.4 * (cm.single_session_rate_pct - o.overall_single_session_rate)
+             + 0.3 * (cm.low_watch_time_rate_pct - o.overall_low_watch_rate)
+             + 0.3 * (cm.no_day1_return_rate_pct - o.overall_no_day1_rate), 2) DESC,
+           cm.device_os, cm.app_version
+  LIMIT 1
+),
+swf AS (
+  SELECT s.*, ufs.first_session_id
+  FROM sess s JOIN user_first_sessions ufs ON s.user_id = ufs.user_id
+),
+affected AS (
+  SELECT DISTINCT s.user_id
+  FROM swf s, worst w
+  WHERE s.session_id = s.first_session_id
+    AND 'os' || CAST(CAST(json_extract_string(s.props, '$.k') AS INTEGER) % 2 AS VARCHAR) = w.device_os
+    AND 'v'  || CAST(CAST(json_extract_string(s.props, '$.k') AS INTEGER) % 3 AS VARCHAR) = w.app_version
+),
+per_user AS (
+  SELECT s.user_id,
+         COUNT(DISTINCT s.session_id) AS total_sessions,
+         CAST(SUM(CASE WHEN s.session_id = s.first_session_id AND s.event_type = 'view'
+                       THEN CAST(s.value AS DECIMAL(12,2))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS fs_watch
+  FROM swf s JOIN affected a ON s.user_id = a.user_id
+  GROUP BY s.user_id
+)
+SELECT (SELECT device_os FROM worst) AS device_os,
+       (SELECT app_version FROM worst) AS app_version,
+       COUNT(*) AS affected_users,
+       CAST(SUM(CASE WHEN total_sessions = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_session_users,
+       ROUND(CAST(SUM(CAST(fs_watch AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 2) AS avg_first_session_watch_time,
+       ROUND(CAST(SUM(total_sessions) AS DOUBLE) / COUNT(*), 2) AS avg_total_sessions
+FROM per_user
+"""
+
+
+@query(
+    "sp_drilldown_worst_combo",
+    tags=("F9", "P3", "R3", "R12"),
+    oracle=_DRILL_ORACLE,
+)
+def sp_drilldown_worst_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-23 analog: pick the worst (device_os, app_version) combo from
+    Q3's ranking driver-side (`df.first()` — P3) and drill into its
+    affected users via a PARAMETERIZED `spark.sql(sql, args=...)` query
+    (F9 — named parameters instead of the reference's f-string
+    interpolation, which was SQL-injection-shaped). The oracle derives
+    the worst combo in pure SQL; equality also re-proves Q3's ranking."""
+    worst = sp_q3(spark, sf_dir).first()  # P3: worst_combo = df.iloc[0]
+    sessionized_with_first(spark, sf_dir).createOrReplaceTempView("sess_first_v")
+    # At tiny scale the HAVING >= 5 gate can leave no combos; NULL params
+    # match nothing, mirroring the oracle's empty `worst` CTE (its scalar
+    # subqueries go NULL and the aggregates run over zero users).
+    return spark.sql(
+        _DRILL_SQL,
+        args={
+            "os": worst["device_os"] if worst else None,
+            "ver": worst["app_version"] if worst else None,
+        },
+    )
