@@ -1,0 +1,58 @@
+"""Plan-shape pins (SURVEY §4): the physical plans the 100 TB story
+depends on must not silently regress."""
+
+from __future__ import annotations
+
+from streampro_assignment_etl_spark.plans import (
+    broadcast_join_count,
+    parquet_scan_count,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from streampro_assignment_etl_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return REGISTRY[name].builder(spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _q(spark, "filter_predicates")
+    pushed = pushed_filters(df)
+    assert any("o_orderstatus" in p for p in pushed), pushed
+    assert any("o_totalprice" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark):
+    """A 2-column distinct over a 5-column table must read 2 columns."""
+    df = _q(spark, "distinct_segments")
+    (cols,) = read_schema_columns(df)
+    assert sorted(cols) == ["c_mktsegment", "c_nationkey"]
+
+
+def test_dim_join_broadcasts(spark):
+    """Dimension rollup joins broadcast the small sides — no shuffle of
+    the fact table for the join itself."""
+    df = _q(spark, "join_dims_rollup")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_single_pass_session_q1(spark):
+    """Q1 is scan → one user_id shuffle → fold: exactly 1 events scan
+    and no join operators at all."""
+    df = _q(spark, "sp_q1_first_session_conversion")
+    assert parquet_scan_count(df) == 1
+    from streampro_assignment_etl_spark.plans import plan_string
+
+    assert "Join" not in plan_string(df)
+
+
+def test_pricing_summary_single_scan_single_agg_shuffle(spark):
+    df = _q(spark, "pricing_summary")
+    assert parquet_scan_count(df) == 1
+    # One hash-partitioned exchange for the groupBy (plus the one
+    # single-partition exchange for the final orderBy).
+    assert shuffle_count(df) <= 3
