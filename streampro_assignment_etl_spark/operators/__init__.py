@@ -9,6 +9,9 @@ so they stay JVM-side and shuffle-bounded:
   candidate generation (near-dup at fixed bit distance).
 * ``similarity`` — IVF-Flat approximate nearest neighbors (centroid
   partitioning + multiprobe), validated against brute-force cosine.
+* ``multimodal`` — binary media columns + typed metadata with
+  Arrow-batched mapInPandas featurize/resize/frame-sample operators
+  (codec step stubbed; plumbing real).
 """
 
-from . import minhash, simhash, similarity  # noqa: F401
+from . import minhash, multimodal, simhash, similarity  # noqa: F401

@@ -1,0 +1,205 @@
+"""Multimodal columns: binary payloads + typed metadata (north star).
+
+Treats image/audio/video as opaque ``binary`` columns with a typed
+metadata struct, processed by Arrow-batched ``mapInPandas`` operators —
+the Spark-side plumbing (schema, partitioning, UDF signatures, batch
+shapes) is real and tested; only the codec step is stubbed:
+
+* ``extract_features`` — REAL computation: a normalized 16-bin byte
+  histogram per payload (numpy over Arrow batches). No codec needed;
+  this is the shape any embedding-model featurizer plugs into.
+* ``resize_images`` / decode — the container has no image libs, so
+  decode is a clearly-marked deterministic stub (``_decode_stub``)
+  behind a PIL import-try; the operator contract (binary in → binary
+  out + updated meta) is what's tested.
+* ``sample_frames`` — real byte-level frame slicing for fixed-size
+  frame payloads (every Nth frame), no codec required.
+
+Scale notes: payloads ride through the plan as opaque bytes — never
+into driver memory; ``repartition`` before the pandas stage balances
+batch sizes (binary rows are wide, so Arrow batch row-count defaults
+matter more than row counts elsewhere); metadata lives in a struct so
+filters on it prune at the parquet scan without touching payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_HIST_BINS = 16
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("frame_bytes", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (testdata ships no binary columns):
+    payload bytes derived from sha2 of the id — stable across runs,
+    executors, and engines."""
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("id") % 3 + 1).cast("int"),
+    )
+    # 64 hex chars -> 32 payload bytes, repeated by (1 + id % 4).
+    payload = F.unhex(
+        F.repeat(F.sha2(F.col("id").cast("string"), 256), (F.col("id") % 4 + 1).cast("int"))
+    )
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            kinds.alias("kind"),
+            payload.alias("payload"),
+            F.struct(
+                F.lit("application/octet-stream").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(4).alias("height"),
+                F.lit(8).alias("frame_bytes"),
+                ((F.col("id") % 4 + 1) * 4).cast("int").alias("n_frames"),
+            ).alias("meta"),
+        )
+    )
+
+
+def _byte_histogram(payload: bytes) -> list[float]:
+    """Normalized 16-bin histogram of byte values — the deterministic
+    stand-in for a model featurizer, but a real binary computation."""
+    if not payload:
+        return [0.0] * N_HIST_BINS
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype(np.float64)
+    return (hist / hist.sum()).astype(np.float32).tolist()
+
+
+def extract_features(media: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas streams an iterator of pandas batches per partition —
+    payloads never collect to the driver, and numpy touches each batch
+    columnar-wise. Repartition first so batches are balanced when the
+    source was few large files.
+    """
+    n_part = partitions or media.sparkSession.sparkContext.defaultParallelism
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": pdf["payload"].map(_byte_histogram),
+                }
+            )
+
+    return media.repartition(n_part).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def _decode_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB decode: the container ships no image codecs. Deterministic
+    fake 'decode' = tile/truncate the payload to width*height bytes.
+    Swap for PIL/libvips in a real deployment (see resize_images)."""
+    need = width * height
+    if not payload:
+        return bytes(need)
+    reps = -(-need // len(payload))
+    return (payload * reps)[:need]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize the image rows to (width, height): decode → resample →
+    re-encode. Decode is PIL when available, else the marked
+    deterministic stub — the operator contract (binary in, binary out,
+    meta updated, non-images passed through untouched) is identical.
+    """
+    try:  # pragma: no cover - container has no PIL; the stub path is tested
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    out_schema = MEDIA_SCHEMA
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            resized = pdf.copy()
+            if have_pil:  # pragma: no cover
+                raise NotImplementedError(
+                    "PIL decode path intentionally unimplemented in this "
+                    "container; wire Image.frombytes/resize here."
+                )
+            resized.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(
+                lambda b: _decode_stub(b, width, height)
+            )
+            meta = pd.DataFrame(list(resized["meta"]))
+            meta.loc[is_img.values, "width"] = width
+            meta.loc[is_img.values, "height"] = height
+            resized["meta"] = meta.to_dict("records")
+            yield resized
+
+    return media.mapInPandas(do_resize, out_schema)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Keep every Nth fixed-size frame of video payloads (real byte
+    slicing on meta.frame_bytes — no codec), updating n_frames.
+    Non-video rows pass through untouched."""
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            metas = pd.DataFrame(list(out["meta"]))
+            is_vid = (pdf["kind"] == "video").values
+
+            def slice_frames(row):
+                fb = row["meta"]["frame_bytes"]
+                frames = [
+                    row["payload"][i : i + fb]
+                    for i in range(0, len(row["payload"]), fb)
+                ]
+                kept = frames[::every_n]
+                return b"".join(kept), len(kept)
+
+            sliced = pdf.loc[is_vid].apply(slice_frames, axis=1)
+            out.loc[is_vid, "payload"] = sliced.map(lambda t: t[0])
+            metas.loc[is_vid, "n_frames"] = (
+                sliced.map(lambda t: t[1]) if len(sliced) else metas.loc[is_vid, "n_frames"]
+            )
+            out["meta"] = metas.to_dict("records")
+            yield out
+
+    return media.mapInPandas(do_sample, MEDIA_SCHEMA)

@@ -236,3 +236,40 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (rows-only: payload synthesis is
+# Spark-side, so no DuckDB oracle can replay it; the operator contract
+# is pinned in tests/test_multimodal.py instead).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_feature_stats",
+    tags=("multimodal", "mapInPandas"),
+    oracle=None,
+)
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a deterministic binary media table, run the
+    Arrow-batched byte-histogram featurizer (operators/multimodal.py),
+    and roll feature mass up per kind — exercising binary columns,
+    struct metadata, and the mapInPandas batch path end to end."""
+    from ..operators import multimodal as MM
+
+    media = MM.synthesize_media(spark, n=120)
+    feats = MM.extract_features(media)
+    return (
+        feats.select(
+            "kind",
+            "n_bytes",
+            F.aggregate(
+                F.col("feature"), F.lit(0.0), lambda a, x: a + x.cast("double")
+            ).alias("mass"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("mass"), 4).alias("avg_feature_mass"),
+        )
+        .orderBy("kind")
+    )

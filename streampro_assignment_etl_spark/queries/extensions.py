@@ -321,3 +321,89 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic + document fingerprinting (functions/text.py).
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    score = lambda ms: "len(list_filter(string_split(text, ' '), w -> w IN ({})))".format(  # noqa: E731
+        ", ".join(f"'{w}'" for w in ms)
+    )
+    scores = {lang: score(ms) for lang, ms in LANG_MARKERS.items()}
+    cases = " ".join(
+        f"WHEN {scores[lang]} = m THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    m = "greatest({})".format(", ".join(scores.values()))
+    return f"""
+WITH scored AS (
+  SELECT lang AS lang_actual,
+         CASE {cases} END AS lang_pred
+  FROM (SELECT lang, text, {m} AS m FROM documents)
+)
+SELECT lang_actual, lang_pred, COUNT(*) AS n_docs
+FROM scored
+GROUP BY lang_actual, lang_pred
+ORDER BY lang_actual, lang_pred
+"""
+
+
+@query(
+    "language_id_confusion",
+    tags=("text", "langid"),
+    oracle=_langid_oracle(),
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID applied to the corpus, rolled up as a
+    (labeled lang × predicted lang) confusion matrix. The synthetic
+    testdata shares one vocabulary across langs, so predictions collapse
+    to the tie-break language — the matrix exposes that honestly; on
+    real web text the same operator separates languages by function
+    words. Oracle replays the identical scoring in SQL."""
+    from ..functions.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(F.split(F.col("text"), " "))
+    return (
+        docs.select(F.col("lang").alias("lang_actual"), pred.alias("lang_pred"))
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_actual", "lang_pred")
+    )
+
+
+@query(
+    "doc_rolling_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM fp
+GROUP BY fingerprint
+ORDER BY keep_doc_id
+""",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints (base 131 mod 1e9+7) rolled
+    up as a dedup table — the streaming-friendly cousin of the md5
+    fingerprint (a rolling hash extends incrementally as chunks arrive,
+    so at 100 TB it fingerprints append-only shards without re-reading
+    them). Both engines fold the identical character-code sequence."""
+    from ..functions.text import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", rolling_hash(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )

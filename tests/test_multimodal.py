@@ -1,0 +1,88 @@
+"""Multimodal binary-column plumbing tests (operators/multimodal.py):
+schema, Arrow batch shapes, deterministic featurization, stubbed decode
+contract, and frame sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from streampro_assignment_etl_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = MM.synthesize_media(spark, n=60)
+    df.persist()
+    df.count()
+    return df
+
+
+def _names_types(schema):
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert _names_types(media.schema) == _names_types(MM.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert set(r["kind"] for r in rows.values()) == {"image", "audio", "video"}
+    # payload length = 32 bytes * (1 + id % 4); deterministic re-synthesis.
+    assert len(rows[0]["payload"]) == 32
+    assert len(rows[3]["payload"]) == 128
+    again = {r["media_id"]: r for r in MM.synthesize_media(spark, n=60).collect()}
+    assert again[7]["payload"] == rows[7]["payload"]
+
+
+def test_extract_features_histogram(spark, media):
+    feats = MM.extract_features(media)
+    assert _names_types(feats.schema) == _names_types(MM.FEATURE_SCHEMA)
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows[:10]:
+        assert len(r["feature"]) == MM.N_HIST_BINS
+        assert math.isclose(sum(r["feature"]), 1.0, rel_tol=1e-5)
+        assert r["n_bytes"] % 32 == 0
+    # Executor-side results equal the local reference implementation.
+    local = MM._byte_histogram(
+        {m["media_id"]: m for m in media.collect()}[1]["payload"]
+    )
+    got = [r for r in rows if r["media_id"] == 1][0]["feature"]
+    assert [round(x, 6) for x in got] == [round(x, 6) for x in local]
+
+
+def test_resize_images_stub_contract(spark, media):
+    resized = MM.resize_images(media, width=4, height=3)
+    assert _names_types(resized.schema) == _names_types(MM.MEDIA_SCHEMA)
+    rows = resized.collect()
+    for r in rows:
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 12  # width*height bytes post-stub
+            assert r["meta"]["width"] == 4 and r["meta"]["height"] == 3
+        else:  # non-images pass through untouched
+            assert r["meta"]["width"] == 8
+            assert len(r["payload"]) % 32 == 0
+
+
+def test_sample_frames(spark, media):
+    sampled = MM.sample_frames(media, every_n=2)
+    orig = {r["media_id"]: r for r in media.collect()}
+    for r in sampled.collect():
+        o = orig[r["media_id"]]
+        if r["kind"] == "video":
+            fb = o["meta"]["frame_bytes"]
+            n_orig = len(o["payload"]) // fb
+            kept = math.ceil(n_orig / 2)
+            assert len(r["payload"]) == kept * fb
+            assert r["meta"]["n_frames"] == kept
+            assert r["payload"][:fb] == o["payload"][:fb]  # frame 0 kept
+        else:
+            assert r["payload"] == o["payload"]
+
+
+def test_feature_batches_are_balanced(spark, media):
+    """The repartition inside extract_features spreads binary rows over
+    the cluster rather than one input split."""
+    n_part = MM.extract_features(media).rdd.getNumPartitions()
+    assert n_part > 1
