@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .base import BaseProcessor, ProcessingResult
 from .lake import LakeStorage
 from .schemas import STREAMPRO_TABLES, TableSchema
+from .writers import write_parquet
 
 log = logging.getLogger("streampro.pipeline.raw_to_trusted")
 
@@ -109,12 +110,7 @@ class RawToTrustedProcessor(BaseProcessor):
             schema = self.registry[name]
             target = self.lake.trusted_path(schema.suffix)
             try:
-                (
-                    df.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy(*schema.partition_cols)
-                    .parquet(target)  # snappy is Spark's default parquet codec
-                )
+                write_parquet(df, target, schema.partition_cols)
                 created.append(name)
             except Exception as exc:  # noqa: BLE001 — per-table isolation, like the reference
                 failed.append({"table": name, "error": str(exc)})

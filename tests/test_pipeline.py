@@ -219,3 +219,57 @@ def test_failfast_on_corrupt_csv(spark, lake: LakeStorage):
     reg = {"trusted_videos": STREAMPRO_TABLES["trusted_videos"]}
     result = RawToTrustedProcessor(spark, lake, DATE, registry=reg).run()
     assert not result.is_success
+
+
+# -- S4/S5: zone writers -----------------------------------------------------
+def test_writers_roundtrip(spark, tmp_path):
+    from streampro_assignment_etl_spark.pipeline.writers import write_csv, write_parquet
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+    pq = str(tmp_path / "pq")
+    write_parquet(df.withColumn("ingestion_date", __import__("pyspark").sql.functions.lit(DATE)), pq, ("ingestion_date",))
+    back = spark.read.parquet(pq)
+    assert back.count() == df.count()
+    assert (tmp_path / "pq" / f"ingestion_date={DATE}").exists()
+
+    csv = str(tmp_path / "csv")
+    write_csv(df, csv, single_file=True)
+    parts = [p for p in (tmp_path / "csv").iterdir() if p.name.startswith("part-")]
+    assert len(parts) == 1  # single-object layout like the reference
+    reread = (
+        spark.read.option("header", True).schema(df.schema).csv(csv)
+    )
+    assert sorted(r["c_custkey"] for r in reread.collect()) == sorted(
+        r["c_custkey"] for r in df.collect()
+    )
+
+
+# -- CLI ---------------------------------------------------------------------
+def test_cli_pipeline_end_to_end(spark, tmp_path, capsys):
+    """Drive the argparse surface: seed → pipeline → query list."""
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / f"users_{DATE}.csv").write_text(USERS_CSV)
+    (data / f"events_{DATE}.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in EVENTS) + "\n"
+    )
+    lake_root = str(tmp_path / "clilake")
+    rc = main(
+        [
+            "pipeline",
+            "--lake-root", lake_root,
+            "--ingestion_date", DATE,
+            "--data-dir", str(data),
+        ]
+    )
+    assert rc == 0
+    users = spark.read.parquet(f"{lake_root}/trusted/users")
+    assert users.count() == 3
+
+    assert main(["query", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out
+    assert main(["query", "definitely_not_a_query"]) == 2
