@@ -1,0 +1,150 @@
+"""DuckDB → Spark SQL dialect shim (SURVEY §4).
+
+The reference's workload parses in Spark SQL verbatim except for two
+constructs (SPLIT_PART, ``||``, NULLIF, SUBSTRING, ordinal GROUP BY and
+NULLS LAST all work as-is):
+
+* ``GROUP_CONCAT(expr ORDER BY key)`` (analysis.ipynb cell 8) —
+  Spark has no ordered string agg; rewritten to
+  ``array_join(transform(array_sort(collect_list(struct(key, expr))),
+  s -> s._gc), ',')`` (sort-by-struct gives the ORDER BY, default
+  separator ',' matches DuckDB).
+* ``DATE_ADD(d, INTERVAL n DAY)`` (cells 14/20/21) — Spark's
+  ``date_add`` takes (date, int).
+
+Plus one type-name mapping: ``CAST(x AS VARCHAR)`` → ``AS STRING``
+(Spark only accepts parameterized VARCHAR(n)).
+
+These are expression-level *string* rewrites, not Catalyst rules —
+applied before parsing, so everything downstream is stock Spark SQL.
+A user of the reference can run their notebook SQL through
+``run_duckdb_sql`` unmodified.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _matching_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' closing the '(' at open_idx (ignores quotes)."""
+    depth = 0
+    in_str = False
+    for i in range(open_idx, len(s)):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"unbalanced parens after index {open_idx}")
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on a (case-insensitive) separator at paren depth 0."""
+    parts, depth, in_str, last, i = [], 0, False, 0, 0
+    target = sep.upper()
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + len(target)].upper() == target:
+            parts.append(s[last:i])
+            last = i + len(target)
+            i = last
+            continue
+        i += 1
+    parts.append(s[last:])
+    return parts
+
+
+def rewrite_group_concat(sql: str) -> str:
+    """``GROUP_CONCAT(expr ORDER BY k1[, k2...])`` → ordered array_join."""
+    out = sql
+    while True:
+        m = re.search(r"GROUP_CONCAT\s*\(", out, re.IGNORECASE)
+        if not m:
+            return out
+        open_idx = out.index("(", m.start())
+        close_idx = _matching_paren(out, open_idx)
+        body = out[open_idx + 1 : close_idx]
+        parts = _split_top_level(body, " ORDER BY ")
+        expr = parts[0].strip()
+        keys = [k.strip() for k in _split_top_level(parts[1], ",")] if len(parts) > 1 else []
+        key_fields = ", ".join(f"{k} AS _k{i}" for i, k in enumerate(keys))
+        struct_body = f"{key_fields}, {expr} AS _gc" if key_fields else f"{expr} AS _gc"
+        repl = (
+            f"array_join(transform(array_sort(collect_list("
+            f"struct({struct_body}))), s -> s._gc), ',')"
+        )
+        out = out[: m.start()] + repl + out[close_idx + 1 :]
+
+
+def rewrite_date_add_interval(sql: str) -> str:
+    """``DATE_ADD(x, INTERVAL n DAY[S])`` →
+    ``CAST(date_add(x, n) AS TIMESTAMP)``.
+
+    The TIMESTAMP cast is load-bearing quirk reproduction: DuckDB's
+    DATE_ADD(DATE, INTERVAL) returns a TIMESTAMP, so the reference's
+    ``CAST(DATE_ADD(...) AS VARCHAR)`` yields '2025-09-10 00:00:00' —
+    which never string-EQUALS a bare SUBSTRING(ts,1,10) date (the
+    notebook's day-1 retention comparison is silently always-false in
+    DuckDB, while its ``<=`` horizon comparisons still work since
+    'YYYY-MM-DD' sorts before 'YYYY-MM-DD 00:00:00'). A faithful shim
+    must reproduce those strings bit-for-bit, not fix them (SURVEY
+    §1.4: broken-but-load-bearing semantics stay).
+    """
+    out = sql
+    while True:
+        m = re.search(r"DATE_ADD\s*\(", out, re.IGNORECASE)
+        if not m:
+            return out
+        open_idx = out.index("(", m.start())
+        close_idx = _matching_paren(out, open_idx)
+        body = out[open_idx + 1 : close_idx]
+        args = _split_top_level(body, ",")
+        iv = re.fullmatch(r"\s*INTERVAL\s+(\d+)\s+DAYS?\s*", args[-1], re.IGNORECASE)
+        if iv is None:
+            # Already Spark-form date_add(d, n); leave untouched but keep
+            # scanning past it.
+            rest = rewrite_date_add_interval(out[close_idx + 1 :])
+            return out[: close_idx + 1] + rest
+        base = ",".join(args[:-1]).strip()
+        out = (
+            out[: m.start()]
+            + f"CAST(date_add({base}, {iv.group(1)}) AS TIMESTAMP)"
+            + out[close_idx + 1 :]
+        )
+
+
+def rewrite_varchar_cast(sql: str) -> str:
+    """``AS VARCHAR)`` → ``AS STRING)`` (bare VARCHAR casts only)."""
+    return re.sub(r"\bAS\s+VARCHAR\s*\)", "AS STRING)", sql, flags=re.IGNORECASE)
+
+
+def duckdb_to_spark_sql(sql: str) -> str:
+    """Full shim: every rewrite the reference workload needs."""
+    return rewrite_varchar_cast(rewrite_date_add_interval(rewrite_group_concat(sql)))
+
+
+def run_duckdb_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run reference-dialect (DuckDB) SQL on Spark, views pre-registered."""
+    return spark.sql(duckdb_to_spark_sql(sql))
