@@ -7,3 +7,4 @@ from . import extensions  # noqa: F401,E402
 from . import pipeline_q  # noqa: F401,E402
 from . import dedup_ann  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
+from . import setops  # noqa: F401,E402

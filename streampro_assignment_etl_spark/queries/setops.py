@@ -1,0 +1,170 @@
+"""Additive relational surface beyond the reference (SURVEY §2.5).
+
+The reference workload has no set operations, grouping sets, semi/anti
+joins, or EXISTS subqueries — but an engine its users migrate onto
+should (SURVEY lists them as the additive north-star surface). Each is
+declared with a DuckDB oracle like the core inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table, register_views
+from .catalog import query
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT (all DISTINCT-flavored).
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops_customer_nations",
+    tags=("set-ops",),
+    oracle="""
+WITH buyers AS (
+  SELECT DISTINCT c.c_nationkey AS nationkey
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+), sellers AS (
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+SELECT 'both' AS side, nationkey FROM (SELECT nationkey FROM buyers INTERSECT SELECT nationkey FROM sellers)
+UNION ALL
+SELECT 'buyer_only' AS side, nationkey FROM (SELECT nationkey FROM buyers EXCEPT SELECT nationkey FROM sellers)
+UNION ALL
+SELECT 'seller_only' AS side, nationkey FROM (SELECT nationkey FROM sellers EXCEPT SELECT nationkey FROM buyers)
+ORDER BY side, nationkey
+""",
+)
+def set_ops_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result: nations that buy,
+    sell, or both. Set ops plan as hash aggregates + joins — map-side
+    partial dedup keeps the shuffles key-width only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    buyers = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    sellers = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = buyers.intersect(sellers).select(F.lit("both").alias("side"), "nationkey")
+    b_only = buyers.exceptAll(sellers).distinct().select(
+        F.lit("buyer_only").alias("side"), "nationkey"
+    )
+    s_only = sellers.exceptAll(buyers).distinct().select(
+        F.lit("seller_only").alias("side"), "nationkey"
+    )
+    return both.unionAll(b_only).unionAll(s_only).orderBy("side", "nationkey")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS / ROLLUP with grouping() discriminators.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_order_priorities",
+    tags=("grouping-sets",),
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+)
+def rollup_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) with COALESCE'd subtotal labels.
+    Spark plans one Expand + single aggregate — no per-granularity
+    rescan. (No NULL key values exist in these columns, so COALESCE
+    marks exactly the rollup subtotals in both engines.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS).
+# ---------------------------------------------------------------------------
+@query(
+    "semi_anti_customers",
+    tags=("semi-join", "anti-join"),
+    oracle="""
+SELECT 'with_orders' AS bucket, COUNT(*) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS bucket, COUNT(*) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY bucket
+""",
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins — the EXISTS/NOT EXISTS physical
+    forms: probe side streams, no row multiplication, build side can
+    broadcast. The `distinct orders` trap (exploding matches) never
+    arises."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = cust.c_custkey == orders.o_custkey
+
+    def bucket(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        ).select(F.lit(label).alias("bucket"), "n_customers", "min_key", "max_key")
+
+    semi = bucket(cust.join(orders, cond, "left_semi"), "with_orders")
+    anti = bucket(cust.join(orders, cond, "left_anti"), "without_orders")
+    return semi.unionAll(anti).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# IN / NOT IN subqueries via the SQL path (planned as semi/anti too).
+# ---------------------------------------------------------------------------
+@query(
+    "in_subquery_parts",
+    tags=("semi-join", "subquery"),
+    oracle="""
+SELECT p_type, COUNT(*) AS n_parts
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+GROUP BY p_type
+ORDER BY p_type
+""",
+)
+def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery through spark.sql — Catalyst rewrites it to a left
+    semi join; the subquery's filter pushes to the lineitem scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_type, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+        GROUP BY p_type
+        ORDER BY p_type
+        """
+    )
