@@ -244,26 +244,59 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the best retention within a 3-day horizon. The horizon join is the
     reference's theta join — equi on user_id, residual `session_id >` and
     date-string `<=` predicates (ipynb:1230-1236)."""
-    # Persisted once: the dominant-genre and subsequent-activity branches
-    # both consume the windowed frame, and Catalyst prunes their columns
-    # differently (props vs ts), which blocks exchange reuse — without the
-    # persist each branch would redo the scan + user_id shuffle + window.
-    # Disk-backed cache of the sessionized frame is the SURVEY §4 plan
-    # ("repartition events by user_id once and reuse across the CTE DAG");
-    # Spark's ContextCleaner drops it when the result goes out of scope.
-    s = sessionized_with_first(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # Single-pass via GROUPING SETS: the oracle's fsgw (user, genre) and
+    # sa (user) CTEs fold into ONE aggregation over the windowed frame —
+    # filter to the union of first-session and horizon rows, Expand x2,
+    # aggregate both grains at once. No big-frame persist (only the tiny
+    # post-agg result is cached for its two consumers), one events scan,
+    # one user_id shuffle, one agg shuffle of the filtered slice.
+    s = sessionized_with_first(spark, sf_dir)
     zero = F.lit(0).cast(_D)
-
-    # First-session events are a tiny filtered slice of the windowed
-    # frame; the (user, genre) re-group shuffles only that slice.
-    fsgw = (
-        s.filter(F.col("session_id") == F.col("first_session_id"))
-        .groupBy("user_id", _genre(F.col("props")).alias("genre"))
+    is_first = F.col("session_id") == F.col("first_session_id")
+    in_horizon = (F.col("session_id") > F.col("first_session_id")) & (
+        F.date_format(F.col("ts"), "yyyy-MM-dd")
+        <= F.date_add(F.to_date(F.col("first_session_date")), 3).cast("string")
+    )
+    base = s.filter(is_first | in_horizon).select(
+        "user_id",
+        _genre(F.col("props")).alias("genre"),
+        is_first.alias("is_first"),
+        "event_type",
+        "value",
+        "session_id",
+    )
+    first_view = F.col("is_first") & (F.col("event_type") == "view")
+    subs_view = (~F.col("is_first")) & (F.col("event_type") == "view")
+    gs = (
+        base.groupingSets([["user_id", "genre"], ["user_id"]], "user_id", "genre")
         .agg(
-            F.sum(F.when(F.col("event_type") == "view", dec("value", 2, 12)).otherwise(zero))
+            # NULL iff the group holds no first-session rows — exactly the
+            # oracle fsgw's inner-join membership.
+            F.sum(
+                F.when(first_view, dec("value", 2, 12)).otherwise(
+                    F.when(F.col("is_first"), zero)
+                )
+            )
             .cast("double")
-            .alias("genre_watch_time")
+            .alias("genre_watch_time"),
+            # NULL iff no horizon rows — the oracle sa's membership.
+            F.sum(
+                F.when(subs_view, dec("value", 2, 12)).otherwise(
+                    F.when(~F.col("is_first"), zero)
+                )
+            )
+            .cast("double")
+            .alias("subsequent_watch_time"),
+            F.countDistinct(F.when(~F.col("is_first"), F.col("session_id"))).alias(
+                "subs_sessions_raw"
+            ),
+            F.grouping("genre").alias("gid"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # <= users x (genres+1) rows
+    )
+
+    fsgw = gs.filter((F.col("gid") == 0) & F.col("genre_watch_time").isNotNull()).select(
+        "user_id", "genre", "genre_watch_time"
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("genre_watch_time"), F.asc("genre"))
     udg = (
@@ -272,28 +305,14 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("genre").alias("dominant_genre"), "genre_watch_time")
     )
 
-    # Subsequent-activity theta join → conditional aggregation on the
-    # same windowed frame (equi user_id + residual predicates become a
-    # row-local filter; no second events scan — ReuseExchange shares the
-    # window's shuffle with fsgw's branch).
-    sa = (
-        s.filter(
-            (F.col("session_id") > F.col("first_session_id"))
-            & (
-                F.date_format(F.col("ts"), "yyyy-MM-dd")
-                <= F.date_add(F.to_date(F.col("first_session_date")), 3).cast("string")
-            )
-        )
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.when(F.col("event_type") == "view", dec("value", 2, 12)).otherwise(zero))
-            .cast("double")
-            .alias("subsequent_watch_time"),
-            F.countDistinct("session_id").alias("subsequent_sessions"),
-        )
-        # Renamed key: udg and sa share lineage (both fold the windowed
-        # frame), so attribute-based join conditions would be ambiguous.
-        .withColumnRenamed("user_id", "sa_user_id")
+    has_sa = F.col("subs_sessions_raw") > 0
+    sa = gs.filter(F.col("gid") == 1).select(
+        # Renamed key: udg and sa share lineage (both fold gs), so
+        # attribute-based join conditions would be ambiguous.
+        F.col("user_id").alias("sa_join_id"),
+        F.when(has_sa, F.col("user_id")).alias("sa_user_id"),
+        "subsequent_watch_time",
+        F.when(has_sa, F.col("subs_sessions_raw")).alias("subsequent_sessions"),
     )
 
     def dec_mean(col: str, digits: int = 1):
@@ -302,7 +321,7 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        udg.join(sa, F.col("user_id") == F.col("sa_user_id"), "left")
+        udg.join(sa, F.col("user_id") == F.col("sa_join_id"), "left")
         .groupBy("dominant_genre")
         .agg(
             F.countDistinct("user_id").alias("users_with_dominant_genre"),
