@@ -122,3 +122,40 @@ def test_analyze_and_stats(spark, tmp_path):
     assert bundle["row_count"] == spark.table("v_customer").count()
     assert len(bundle["sample"]) == 5
     assert any(c["column"] == "c_custkey" for c in bundle["schema"])
+
+
+# -- bucketed co-located join ------------------------------------------------
+def test_bucketed_join_has_no_shuffle(spark):
+    """Same-bucketed tables join shuffle-free: the bucket layout is the
+    pre-paid shuffle."""
+    from streampro_assignment_etl_spark.plans import plan_string, shuffle_count
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    try:
+        C.save_bucketed_table(cust, "b_cust", ["c_custkey"], 4, sort_cols=["c_custkey"])
+        C.save_bucketed_table(
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            "b_orders",
+            ["c_custkey"],
+            4,
+            sort_cols=["c_custkey"],
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_cust").join(spark.table("b_orders"), "c_custkey")
+            plan = plan_string(joined)
+            assert "SortMergeJoin" in plan
+            assert shuffle_count(joined) == 0  # co-located: no Exchange at all
+            n = joined.count()
+            # Same result as the plain (shuffled) join.
+            plain = cust.join(
+                orders.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey"
+            )
+            assert n == plain.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        C.drop_table(spark, "b_cust")
+        C.drop_table(spark, "b_orders")

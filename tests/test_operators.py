@@ -153,3 +153,52 @@ def test_ann_scans_fraction_of_corpus(emb):
         .collect()[0][0]
     )
     assert cand_per_query < n * 0.6  # never close to a full scan
+
+
+# -- skew salting ------------------------------------------------------------
+def test_salted_sum_count_equals_plain(spark):
+    from streampro_assignment_etl_spark.operators import skew
+
+    # 90% of rows share one hot key.
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+        F.col("id"),
+    )
+    got = {
+        r["k"]: (r["sum_v"], r["n_rows"])
+        for r in skew.salted_sum_count(df, ["k"], "v", ["id"], n_salts=16).collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["c"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("c")).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_preserves_multiplicity(spark):
+    from streampro_assignment_etl_spark.operators import skew
+
+    big = spark.range(5000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("big_id"),
+    )
+    small = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("small_val")
+    )
+    got = skew.salted_join_small_right(big, small, "k", n_salts=8)
+    plain = big.join(small, "k")
+    assert got.count() == plain.count()
+    g = sorted(tuple(r) for r in got.collect())
+    p = sorted(tuple(r) for r in plain.collect())
+    assert g == p
+
+
+def test_salt_is_deterministic(spark):
+    from streampro_assignment_etl_spark.operators import skew
+
+    df = spark.range(100).select("id")
+    a = df.withColumn("s", skew.salt_expr(["id"], 8)).collect()
+    b = df.withColumn("s", skew.salt_expr(["id"], 8)).collect()
+    assert a == b
+    assert {r["s"] for r in a} == set(range(8))  # spreads over all salts

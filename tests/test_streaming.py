@@ -147,3 +147,47 @@ def test_stream_to_trusted_exactly_once(spark, landing, tmp_path):
     q3 = write_stream_to_trusted(read_events_stream(spark, landing), trusted, ckpt)
     q3.awaitTermination(300)
     assert spark.read.parquet(trusted).count() == len(EVENTS) + 1
+
+
+# -- applyInPandasWithState: cross-batch exact dedup -------------------------
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import run_dedup_stream
+
+    landing = tmp_path / "docs_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "dedup_out"), str(tmp_path / "dedup_ckpt")
+
+    # Batch 1: four docs, one in-batch duplicate pair (0 and 2).
+    (landing / "docs_a.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 0, "text": "alpha beta gamma"},
+                {"doc_id": 1, "text": "delta epsilon"},
+                {"doc_id": 2, "text": "Alpha  beta GAMMA"},  # dup of 0 after normalize
+                {"doc_id": 3, "text": "zeta eta"},
+            ]
+        )
+        + "\n"
+    )
+    run_dedup_stream(spark, str(landing), out, ckpt)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {0, 1, 3}  # in-batch dup collapsed to lowest doc_id
+
+    # Batch 2 (new file, resumed checkpoint): repeats of 1 and 3 plus a
+    # new doc; only the new doc survives — state crossed the batch
+    # boundary and the restart.
+    (landing / "docs_b.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": "delta  epsilon"},  # dup of 1
+                {"doc_id": 11, "text": "zeta eta"},  # dup of 3
+                {"doc_id": 12, "text": "theta iota"},  # new
+            ]
+        )
+        + "\n"
+    )
+    run_dedup_stream(spark, str(landing), out, ckpt)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {0, 1, 3, 12}
