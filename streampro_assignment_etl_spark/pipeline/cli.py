@@ -42,7 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
             default=date.today().isoformat(),
             help="Ingestion date (YYYY-MM-DD); defaults to today",
         )
-        sp.add_argument("--lake-root", required=True, help="Lake root dir/URI")
+        sp.add_argument(
+            "--lake-root",
+            help="Lake root dir/URI (default: LAKE_ROOT from config/<env>.env)",
+        )
         sp.add_argument("--data-dir", help="Seed landing/ from this fixture dir first")
         sp.add_argument(
             "--registry",
@@ -99,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
         spec.builder(spark, args.sf_dir).show(50, truncate=False)
         return 0
 
+    if not args.lake_root:
+        from .config import get_settings
+
+        args.lake_root = get_settings(args.env).LAKE_ROOT
     lake = LakeStorage(args.lake_root)
     lake.ensure_zones()
     if args.data_dir:

@@ -273,3 +273,30 @@ def test_cli_pipeline_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "pricing_summary" in out
     assert main(["query", "definitely_not_a_query"]) == 2
+
+
+# -- env-driven settings -----------------------------------------------------
+def test_settings_precedence(tmp_path, monkeypatch):
+    from streampro_assignment_etl_spark.pipeline.config import get_settings
+
+    cfg = tmp_path / "config"
+    cfg.mkdir()
+    (cfg / "dev.env").write_text("LAKE_ROOT=/dev/lake\nLOG_LEVEL=DEBUG\n")
+    (cfg / "prod.env").write_text("LAKE_ROOT=s3a://bucket/lake\n")
+
+    monkeypatch.delenv("LAKE_ROOT", raising=False)
+    dev = get_settings("dev", cfg)
+    assert dev.LAKE_ROOT == "/dev/lake"
+    assert dev.LOG_LEVEL == "DEBUG"
+    assert dev.LANDING_PREFIX == "landing"  # code default fills gaps
+
+    prod = get_settings("prod", cfg)
+    assert prod.LAKE_ROOT == "s3a://bucket/lake"
+    assert prod.LOG_LEVEL == "INFO"  # prod file doesn't set it
+
+    # Unknown env falls back to dev.env (reference contract).
+    assert get_settings("staging", cfg).LAKE_ROOT == "/dev/lake"
+
+    # Process env beats file.
+    monkeypatch.setenv("LAKE_ROOT", "/override")
+    assert get_settings("dev", cfg).LAKE_ROOT == "/override"
