@@ -1,0 +1,98 @@
+"""Property-based cross-engine differential tests (SURVEY §5.4).
+
+Hypothesis generates adversarial inputs; each property asserts a
+primitive that the oracle gates depend on produces IDENTICAL results
+in Spark and DuckDB. These are the primitives where an engine
+divergence would silently flip value hashes: ordered string agg (the
+R18 dialect rewrite), content fingerprints, token hashes, rolling
+hashes, and lexicographic MIN on strings (SURVEY §1.4's load-bearing
+session semantics).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# Safe-but-adversarial text: ASCII incl. spaces and punctuation that
+# regex/split/quote paths must survive (no control chars — the JSON
+# fixture layer, not the engines, would eat those).
+WORD = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=12,
+)
+
+HYP = dict(max_examples=15, deadline=None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(**HYP)
+@given(st.lists(st.tuples(WORD, WORD), min_size=1, max_size=8))
+def test_ordered_string_agg_matches(spark, duck, pairs):
+    """R18: the GROUP_CONCAT rewrite (array_join∘array_sort∘collect_list)
+    equals DuckDB's string_agg ORDER BY for arbitrary strings, with the
+    value appended to the sort key for total determinism."""
+    df = spark.createDataFrame(pairs, ["k", "v"])
+    got = df.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("v")))),
+                lambda s: s["v"],
+            ),
+            ",",
+        ).alias("c")
+    ).collect()[0]["c"]
+    duck.execute("CREATE OR REPLACE TABLE t (k VARCHAR, v VARCHAR)")
+    duck.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    want = duck.execute("SELECT string_agg(v, ',' ORDER BY k, v) FROM t").fetchone()[0]
+    assert got == want
+
+
+@settings(**HYP)
+@given(st.lists(WORD, min_size=1, max_size=6))
+def test_fingerprint_and_hashes_match(spark, duck, texts):
+    """md5 fingerprint (normalized), 60-bit token hash, and the rolling
+    hash are bit-identical across engines for arbitrary text."""
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    from streampro_assignment_etl_spark.functions.text import rolling_hash
+    from streampro_assignment_etl_spark.operators.simhash import token_hash60
+
+    got = df.select(
+        F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " "))).alias("fp"),
+        token_hash60(F.col("text")).alias("h60"),
+        rolling_hash(F.col("text")).alias("rh"),
+    ).collect()
+    for (t,), row in zip([(t,) for t in texts], got):
+        fp, h60, rh = duck.execute(
+            """
+            SELECT md5(lower(regexp_replace(?, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))),
+                   CAST('0x' || substr(md5(?), 1, 15) AS BIGINT),
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(?, ''), c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 131 + b) % 1000000007)
+            """,
+            [t, t, t],
+        ).fetchone()
+        assert row["fp"] == fp, t
+        assert row["h60"] == h60, t
+        assert (row["rh"] or 0) == (rh or 0), t
+
+
+@settings(**HYP)
+@given(st.lists(WORD, min_size=1, max_size=10))
+def test_lexicographic_min_matches(spark, duck, values):
+    """SURVEY §1.4: string MIN/MAX must be byte-wise identical — the
+    session semantics depend on it."""
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    got = df.agg(F.min("s").alias("lo"), F.max("s").alias("hi")).collect()[0]
+    duck.execute("CREATE OR REPLACE TABLE ls (s VARCHAR)")
+    duck.executemany("INSERT INTO ls VALUES (?)", [(v,) for v in values])
+    lo, hi = duck.execute("SELECT MIN(s), MAX(s) FROM ls").fetchone()
+    assert got["lo"] == lo and got["hi"] == hi, values
