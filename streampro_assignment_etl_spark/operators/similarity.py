@@ -144,3 +144,68 @@ def ann_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def cosine_topk_vectorized(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k via Arrow-batched numpy matmul — the
+    vectorized alternative to the pure-built-in `similarity_topk_cosine`
+    path. Same O(Q·N) work, executed as one BLAS matmul per batch
+    instead of interpreted per-element folds (~10-100x on wide query
+    sets); each partition emits only its local top-k per query, so the
+    final window ranks Q·k·partitions rows, never Q·N.
+
+    The query matrix is collected to the driver (queries are small by
+    contract) and closure-broadcast to executors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        raise ValueError("empty query set")
+    qids = np.array([r[id_col] for r in qrows])
+    Q = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Qn @ Vn.T  # (n_queries, batch_rows)
+            kk = min(k + 1, S.shape[1])  # +1 absorbs a self-match
+            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            q_idx = np.repeat(np.arange(len(qids)), kk)
+            n_idx = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[q_idx],
+                    "neighbor_id": ids[n_idx],
+                    "cos_sim": S[q_idx, n_idx],
+                }
+            )
+
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    local_topk = (
+        emb.repartition(n_part)
+        .select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cosine_sim"))
+        .orderBy("query_id", "rank")
+    )

@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
         )
         sp.add_argument("--data-dir", help="Seed landing/ from this fixture dir first")
         sp.add_argument(
+            "--backfill",
+            metavar="START:END",
+            help="Process an inclusive ingestion-date range instead of one date",
+        )
+        sp.add_argument(
             "--registry",
             default="streampro",
             choices=["streampro", "testdata"],
@@ -112,20 +117,34 @@ def main(argv: list[str] | None = None) -> int:
         seeded = lake.seed_landing(args.data_dir)
         logging.getLogger("streampro.cli").info("seeded %d landing files", len(seeded))
 
-    rc = 0
-    if args.command in ("to_raw", "pipeline"):
-        rc = _report(LandingToRawProcessor(lake, args.ingestion_date).run())
-        if rc and args.command == "pipeline":
-            return rc  # stage-1 failure short-circuits stage 2 (pipeline.py:47)
-    if args.command in ("to_trusted", "pipeline"):
-        from ..session import get_spark
+    if args.backfill:
+        start, _, end = args.backfill.partition(":")
+        from datetime import date as _date, timedelta
 
-        spark = get_spark("streampro-pipeline")
-        rc = _report(
-            RawToTrustedProcessor(
-                spark, lake, args.ingestion_date, registry=_registry(args)
-            ).run()
-        )
+        d0, d1 = _date.fromisoformat(start), _date.fromisoformat(end or start)
+        dates = [
+            (d0 + timedelta(days=i)).isoformat() for i in range((d1 - d0).days + 1)
+        ]
+    else:
+        dates = [args.ingestion_date]
+
+    spark = None
+    rc = 0
+    for d in dates:
+        if args.command in ("to_raw", "pipeline"):
+            rc = _report(LandingToRawProcessor(lake, d).run())
+            if rc and args.command == "pipeline":
+                return rc  # stage-1 failure short-circuits stage 2 (pipeline.py:47)
+        if args.command in ("to_trusted", "pipeline"):
+            if spark is None:  # one SparkSession across the whole backfill
+                from ..session import get_spark
+
+                spark = get_spark("streampro-pipeline")
+            rc = _report(
+                RawToTrustedProcessor(spark, lake, d, registry=_registry(args)).run()
+            )
+            if rc:
+                return rc
     return rc
 
 

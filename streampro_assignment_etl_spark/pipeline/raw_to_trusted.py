@@ -36,41 +36,73 @@ log = logging.getLogger("streampro.pipeline.raw_to_trusted")
 
 
 class RawToTrustedProcessor(BaseProcessor):
+    """Raw → trusted parse/load.
+
+    ``bad_rows`` policy (the reference's pandas path silently coerces —
+    neither option does):
+      * "fail" (default): FAILFAST — any malformed row aborts the table.
+      * "quarantine": PERMISSIVE with a ``_corrupt_record`` capture —
+        clean rows land in trusted, raw malformed lines land under
+        ``quarantine/<table>/ingestion_date=<d>/`` for replay/triage.
+        This is the production posture at 100 TB: one bad line in a
+        billion must neither kill the job nor vanish.
+    """
+
     def __init__(
         self,
         spark: SparkSession,
         lake: LakeStorage,
         ingestion_date: str,
         registry: dict[str, TableSchema] | None = None,
+        bad_rows: str = "fail",
     ):
         super().__init__(
             "raw_to_trusted_processor",
             "Parse raw CSV/JSONL into typed, partitioned trusted parquet",
         )
+        if bad_rows not in ("fail", "quarantine"):
+            raise ValueError("bad_rows must be 'fail' or 'quarantine'")
         self.spark = spark
         self.lake = lake
         self.ingestion_date = ingestion_date
         self.registry = registry or STREAMPRO_TABLES
+        self.bad_rows = bad_rows
+
+    def _read_schema(self, schema: TableSchema) -> "T.StructType":
+        from pyspark.sql import types as T
+
+        if self.bad_rows == "fail":
+            return schema.struct
+        return T.StructType(
+            list(schema.struct.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
 
     # -- extract ---------------------------------------------------------
     def read_csv(self, path: str, schema: TableSchema) -> DataFrame:
         """S1 — typed, header-aware CSV read
         (≙ MinIOClient.read_csv, minio_client.py:96-104)."""
-        return (
-            self.spark.read.schema(schema.struct)
+        reader = (
+            self.spark.read.schema(self._read_schema(schema))
             .option("header", True)
-            .option("mode", "FAILFAST")
-            .csv(path)
+            .option(
+                "mode", "FAILFAST" if self.bad_rows == "fail" else "PERMISSIVE"
+            )
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
         )
+        return reader.csv(path)
 
     def read_jsonl(self, path: str, schema: TableSchema) -> DataFrame:
         """S2 — typed JSONL read; Spark's JSON source is line-delimited by
         default (≙ extract_jsonl, raw_to_trusted_processor.py:60-79)."""
-        return (
-            self.spark.read.schema(schema.struct)
-            .option("mode", "FAILFAST")
-            .json(path)
+        reader = (
+            self.spark.read.schema(self._read_schema(schema))
+            .option(
+                "mode", "FAILFAST" if self.bad_rows == "fail" else "PERMISSIVE"
+            )
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
         )
+        return reader.json(path)
 
     def _extract(self) -> dict[str, DataFrame]:
         out: dict[str, DataFrame] = {}
@@ -106,10 +138,32 @@ class RawToTrustedProcessor(BaseProcessor):
     # -- load --------------------------------------------------------------
     def _load(self, transformed: dict[str, DataFrame]) -> ProcessingResult:
         created, failed = [], []
+        quarantined: dict[str, int] = {}
         for name, df in transformed.items():
             schema = self.registry[name]
             target = self.lake.trusted_path(schema.suffix)
             try:
+                if self.bad_rows == "quarantine" and "_corrupt_record" in df.columns:
+                    # Persist before splitting: Spark disallows filtering
+                    # on the corrupt-record column of an unmaterialized
+                    # PERMISSIVE read.
+                    df = df.persist()
+                    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+                    n_bad = corrupt.count()
+                    if n_bad:
+                        qpath = str(
+                            self.lake.root
+                            / "quarantine"
+                            / schema.suffix
+                            / f"ingestion_date={self.ingestion_date}"
+                        )
+                        corrupt.select("_corrupt_record").write.mode(
+                            "overwrite"
+                        ).text(qpath)
+                        quarantined[name] = n_bad
+                    df = df.filter(F.col("_corrupt_record").isNull()).drop(
+                        "_corrupt_record"
+                    )
                 write_parquet(df, target, schema.partition_cols)
                 created.append(name)
             except Exception as exc:  # noqa: BLE001 — per-table isolation, like the reference
@@ -122,6 +176,7 @@ class RawToTrustedProcessor(BaseProcessor):
             metadata={
                 "ingestion_date": self.ingestion_date,
                 "failed": failed,
+                "quarantined": quarantined,
                 "format": "PARQUET",
                 "compression": "SNAPPY",
                 "partitioned": True,

@@ -202,3 +202,18 @@ def test_salt_is_deterministic(spark):
     b = df.withColumn("s", skew.salt_expr(["id"], 8)).collect()
     assert a == b
     assert {r["s"] for r in a} == set(range(8))  # spreads over all salts
+
+
+# -- vectorized cosine path ---------------------------------------------------
+def test_vectorized_cosine_matches_builtin(spark, emb):
+    """The Arrow/numpy top-k equals the pure-built-in exact query
+    (neighbor sets identical; scores equal to 4 decimals)."""
+    from streampro_assignment_etl_spark.queries.extensions import similarity_topk_cosine
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    fast = similarity.cosine_topk_vectorized(emb, queries, k=5)
+    exact = similarity_topk_cosine(spark, SF)
+    f = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in fast.collect()}
+    e = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact.collect()}
+    assert set(f) == set(e)
+    assert all(abs(f[kk] - e[kk]) < 1e-3 for kk in f)

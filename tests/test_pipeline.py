@@ -300,3 +300,57 @@ def test_settings_precedence(tmp_path, monkeypatch):
     # Process env beats file.
     monkeypatch.setenv("LAKE_ROOT", "/override")
     assert get_settings("dev", cfg).LAKE_ROOT == "/override"
+
+
+def test_quarantine_mode_splits_corrupt_rows(spark, lake: LakeStorage):
+    """bad_rows='quarantine': clean rows reach trusted, malformed lines
+    land raw-as-text under quarantine/ — nothing dies, nothing vanishes."""
+    (lake.root / f"raw/ingestion_date={DATE}").mkdir(parents=True, exist_ok=True)
+    (lake.root / f"raw/ingestion_date={DATE}/videos_{DATE}.csv").write_text(
+        "video_id,title,genre,duration_seconds,patent_id\n"
+        "v1,Good Title,Drama,1200,p1\n"
+        "v2,Bad Row,Comedy,not_a_number,p2\n"
+        "v3,Another Good,Action,900,p3\n"
+    )
+    reg = {"trusted_videos": STREAMPRO_TABLES["trusted_videos"]}
+    result = RawToTrustedProcessor(
+        spark, lake, DATE, registry=reg, bad_rows="quarantine"
+    ).run()
+    assert result.is_success, result.error
+    assert result.metadata["quarantined"] == {"trusted_videos": 1}
+
+    trusted = spark.read.parquet(lake.trusted_path("videos"))
+    assert sorted(r["video_id"] for r in trusted.collect()) == ["v1", "v3"]
+
+    qpath = lake.root / "quarantine" / "videos" / f"ingestion_date={DATE}"
+    bad = spark.read.text(str(qpath)).collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["value"]
+
+    # Invalid policy rejected up front.
+    with pytest.raises(ValueError):
+        RawToTrustedProcessor(spark, lake, DATE, bad_rows="ignore")
+
+
+def test_cli_backfill_date_range(spark, tmp_path):
+    """--backfill START:END processes every date in the range on one
+    SparkSession."""
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "users_2025-09-09.csv").write_text(USERS_CSV)
+    (data / "users_2025-09-10.csv").write_text(USERS_CSV)
+    lake_root = str(tmp_path / "bflake")
+    rc = main(
+        [
+            "pipeline",
+            "--lake-root", lake_root,
+            "--backfill", "2025-09-09:2025-09-10",
+            "--data-dir", str(data),
+        ]
+    )
+    assert rc == 0
+    users = spark.read.parquet(f"{lake_root}/trusted/users")
+    dates = {r[0] for r in users.select("ingestion_date").distinct().collect()}
+    assert dates == {"2025-09-09", "2025-09-10"}
+    assert users.count() == 6
