@@ -168,3 +168,51 @@ def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: lag/lead, running aggregates, rank family.
+# ---------------------------------------------------------------------------
+@query(
+    "window_functions_suite",
+    tags=("window",),
+    oracle="""
+SELECT o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       strftime(LAG(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS prev_order_date,
+       CAST(LEAD(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price
+FROM orders
+WHERE o_custkey < 20
+ORDER BY o_custkey, order_seq
+""",
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth beyond ROW_NUMBER: RANK, running SUM with an
+    explicit ROWS frame, LAG/LEAD — one WindowExec pass since every
+    function shares the (partition, order) spec."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        orders.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            price.cast("double").alias("price"),
+            F.rank().over(w).alias("order_seq"),
+            F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            .alias("running_total"),
+            F.date_format(F.lag("o_orderdate").over(w), "yyyy-MM-dd").alias("prev_order_date"),
+            F.lead(price).over(w).cast("double").alias("next_price"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
