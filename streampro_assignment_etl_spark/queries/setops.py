@@ -216,3 +216,62 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "order_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (operators/asof.py) — DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_last_view_before_click",
+    tags=("asof-join", "timeseries"),
+    oracle="""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts
+  FROM events WHERE event_type = 'click' AND user_id < 10
+),
+views_ranked AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+),
+views1 AS (SELECT user_id, ts, value FROM views_ranked WHERE rn = 1)
+SELECT c.click_id,
+       c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CAST(v.value AS DOUBLE) AS last_view_value,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_view_ts
+FROM clicks c ASOF LEFT JOIN views1 v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.click_id
+""",
+)
+def asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent at-or-before view event —
+    the classic as-of join, via the linear union+window operator
+    (operators/asof.py) against DuckDB's native ASOF JOIN as oracle.
+    Equal-ts view duplicates are deduped (max event_id) first; both
+    engines then have a deterministic unique match."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 10)).select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    vr = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(vr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    joined = asof_join_backward(clicks, views, "user_id", "ts", ["value"])
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        F.col("value").cast("double").alias("last_view_value"),
+        F.date_format("matched_ts", fmt).alias("last_view_ts"),
+    ).orderBy("click_id")

@@ -217,3 +217,38 @@ def test_vectorized_cosine_matches_builtin(spark, emb):
     e = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact.collect()}
     assert set(f) == set(e)
     assert all(abs(f[kk] - e[kk]) < 1e-3 for kk in f)
+
+
+# -- as-of join ---------------------------------------------------------------
+def test_asof_join_edges(spark):
+    from datetime import datetime
+
+    from streampro_assignment_etl_spark.operators.asof import asof_join_backward
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), "before_any"),
+            (1, ts("2024-01-01T12:00:00"), "exact_tie"),
+            (1, ts("2024-01-01T13:30:00"), "between"),
+            (2, ts("2024-01-01T09:00:00"), "other_key"),
+        ],
+        ["k", "ts", "label"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T11:00:00"), 1.0),
+            (1, ts("2024-01-01T12:00:00"), 2.0),
+            (1, ts("2024-01-01T13:00:00"), 3.0),
+            (2, ts("2024-01-01T09:30:00"), 9.0),
+        ],
+        ["k", "ts", "v"],
+    )
+    got = {
+        r["label"]: (r["v"], r["matched_ts"])
+        for r in asof_join_backward(left, right, "k", "ts", ["v"]).collect()
+    }
+    assert got["before_any"] == (None, None)  # no prior right row → NULL
+    assert got["exact_tie"][0] == 2.0  # inclusive at equal ts
+    assert got["between"][0] == 3.0  # latest at-or-before wins
+    assert got["other_key"] == (None, None)  # keys never cross
