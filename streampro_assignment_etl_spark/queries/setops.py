@@ -275,3 +275,70 @@ def asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("last_view_value"),
         F.date_format("matched_ts", fmt).alias("last_view_ts"),
     ).orderBy("click_id")
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style rollup: one pass, multiple time granularities
+# (the continuous-aggregate pattern from timeseries stores).
+# ---------------------------------------------------------------------------
+@query(
+    "hypertable_rollup",
+    tags=("hypertable", "grouping-sets", "timeseries"),
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+         value
+  FROM events
+  WHERE user_id < 5
+)
+SELECT COALESCE(bucket_day, 'ALL') AS bucket_day,
+       COALESCE(bucket_hour, 'ALL') AS bucket_hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM b
+GROUP BY GROUPING SETS ((bucket_day, bucket_hour, event_type),
+                        (bucket_day, event_type),
+                        (event_type))
+ORDER BY bucket_day, bucket_hour, event_type
+""",
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly, daily, and total
+    rollups of the event stream in ONE aggregation (grouping sets →
+    single Expand, no per-granularity rescan) — the batch form of what
+    a timeseries store maintains incrementally. At scale the output
+    becomes the materialized serving table for dashboard queries."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    b = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket_hour"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bucket_day"),
+        "value",
+    )
+    return (
+        b.groupingSets(
+            [
+                ["bucket_day", "bucket_hour", "event_type"],
+                ["bucket_day", "event_type"],
+                ["event_type"],
+            ],
+            "bucket_day",
+            "bucket_hour",
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("bucket_day", F.lit("ALL")).alias("bucket_day"),
+            F.coalesce("bucket_hour", F.lit("ALL")).alias("bucket_hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_day", "bucket_hour", "event_type")
+    )
