@@ -146,3 +146,34 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def click_view_interval_join(
+    clicks: DataFrame, views: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    view events in the preceding ``max_gap`` (event-time interval
+    condition). Both sides are watermarked so Spark can bound the join
+    state: a buffered view can be dropped once the click-side watermark
+    passes view.ts + max_gap — without the interval bound the state
+    would grow forever (the stream-stream analog of the batch theta
+    join R10)."""
+    c = clicks.withWatermark("ts_event", watermark).alias("c")
+    v = views.withWatermark("ts_event", watermark).alias("v")
+    return c.join(
+        v,
+        F.expr(
+            f"""
+            c.user_id = v.user_id AND
+            v.ts_event <= c.ts_event AND
+            v.ts_event >= c.ts_event - INTERVAL {max_gap}
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.date_format("c.ts_event", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("v.ts_event", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )

@@ -191,3 +191,57 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     run_dedup_stream(spark, str(landing), out, ckpt)
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got2 == {0, 1, 3, 12}
+
+
+# -- stream-stream interval join ---------------------------------------------
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join equals the same join run
+    in batch over identical input, and actually produces pairs."""
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        click_view_interval_join,
+    )
+
+    landing = str(tmp_path / "ss_landing")
+    import pathlib
+
+    pathlib.Path(landing).mkdir()
+    rows = [
+        _event(0, "2024-01-01 10:00:00", 7, "view", 5.0),
+        _event(1, "2024-01-01 10:30:00", 7, "click", 1.0),  # joins view 0
+        _event(2, "2024-01-01 10:45:00", 7, "view", 2.0),
+        _event(3, "2024-01-01 11:20:00", 7, "click", 1.0),  # joins views 0? no (>1h? 10:00+1h=11:00 <11:20 out) -> joins view 2
+        _event(4, "2024-01-01 09:00:00", 8, "view", 3.0),
+        _event(5, "2024-01-01 11:00:00", 8, "click", 1.0),  # view 4 outside 1h window
+    ]
+    (pathlib.Path(landing) / "ev.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in rows) + "\n"
+    )
+
+    def split(src):
+        clicks = src.filter(F.col("event_type") == "click")
+        views = src.filter(F.col("event_type") == "view")
+        return clicks, views
+
+    stream = read_events_stream(spark, landing)
+    joined = click_view_interval_join(*split(stream))
+    out, ckpt = str(tmp_path / "ss_out"), str(tmp_path / "ss_ckpt")
+
+    def write_batch(df, _):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        tuple(r) for r in click_view_interval_join(*split(_batch_events(spark, landing))).collect()
+    )
+    assert got == batch
+    pairs = {(r[1], r[2]) for r in batch}  # (click_id, view_id)
+    assert pairs == {(1, 0), (3, 2)}  # in-window matches only
