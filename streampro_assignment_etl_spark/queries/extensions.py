@@ -407,3 +407,95 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .orderBy("keep_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking + deterministic sampling — the two curation steps
+# between dedup and training-mix assembly.
+# ---------------------------------------------------------------------------
+@query(
+    "chunk_documents",
+    tags=("text", "chunking"),
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         CAST(ceil(greatest(len(string_split(text, ' ')) - 16, 1) / 48.0) AS BIGINT) AS nc
+  FROM documents WHERE doc_id < 50
+),
+ix AS (
+  SELECT doc_id, words, unnest(generate_series(0, nc - 1)) AS chunk_id
+  FROM w
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(words[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
+       len(string_split(array_to_string(words[chunk_id*48 + 1 : chunk_id*48 + 64], ' '), ' ')) AS chunk_words
+FROM ix
+ORDER BY doc_id, chunk_id
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (64-word chunks, stride 48 →
+    16-word overlap) — the standard pre-tokenization step for training
+    corpora. Pure built-ins: sequence → slice → posexplode; each chunk
+    carries (doc_id, chunk_id) lineage for provenance joins."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunk, stride = 64, 48
+    words = F.col("_w")
+    n_chunks = F.ceil(F.greatest(F.size(words) - (chunk - stride), F.lit(1)) / stride).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * stride + 1, chunk), " "),
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("_w"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+            F.size(F.split("chunk_text", " ")).alias("chunk_words"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "deterministic_sample",
+    tags=("sampling",),
+    oracle="""
+WITH h AS (
+  SELECT source, doc_id, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS sampled_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM h
+WHERE bucket < 20
+GROUP BY source
+ORDER BY source
+""",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% corpus sample via hash-mod bucketing (md5 of the
+    stable id — engine-portable, partitioning-independent, re-runnable).
+    This is how a training mix samples at 100 TB: `rand()` or sampleBy
+    depend on partition order and can't be audited; a content-hash
+    bucket can be re-derived forever."""
+    from ..operators.simhash import token_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = token_hash60(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.filter(bucket < 20)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
