@@ -1,0 +1,276 @@
+"""Reshaping + time-series + semi-structured surface.
+
+Additive breadth beyond the reference workload (SURVEY §2.5): PIVOT,
+CUBE, calendar gap-filling, JSON extraction from string columns, and a
+bucketed ("binned") interval self-join — the equi-join rewrite that
+makes range joins shuffle-partitionable at 100 TB. Every query carries
+a DuckDB oracle like the core inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .catalog import query
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: long→wide with an explicit value list (one-pass plan).
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_event_type_daily",
+    tags=("pivot", "reshape"),
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value totals pivoted into one column per event type.
+
+    The pivot value list is passed explicitly so Spark plans a single
+    aggregation (no extra distinct-values job) — mandatory at scale,
+    where the implicit-list form adds a full scan + collect. Decimal
+    sums keep the hash order-independent (functions/exact.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"))
+    )
+    counts = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return wide.join(counts, "day").orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all 2^k grouping combinations in one Expand + aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "cube_returnflag_status",
+    tags=("grouping-sets", "cube"),
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+""",
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with a GROUPING() discriminator.
+
+    Spark plans one Expand (4 grouping combinations) feeding a single
+    partial+final hash aggregate — the row multiplication happens
+    map-side pre-combine, so the shuffle carries only group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "sum_qty",
+            "sum_price",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill: dense date spine via sequence() — no driver loop.
+# ---------------------------------------------------------------------------
+@query(
+    "gapfill_user_daily",
+    tags=("timeseries", "gapfill"),
+    oracle="""
+WITH span AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events
+),
+spine AS (
+  SELECT u.user_id, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 8) u
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM span) g
+),
+actual AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events
+  WHERE user_id < 8 AND event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT s.user_id,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_purchases
+FROM spine s LEFT JOIN actual a ON s.user_id = a.user_id AND s.day = a.day
+ORDER BY s.user_id, day
+""",
+)
+def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily purchase counts: a generated date spine
+    (sequence+explode — distributed, no driver-side calendar loop)
+    cross-joined with the user dimension, left-joined to actuals,
+    missing days filled with 0. The spine side is tiny (users × days)
+    and broadcast; the actuals aggregate shuffles only (user, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("d0"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("d1"),
+    )
+    users = ev.filter(F.col("user_id") < 8).select("user_id").distinct()
+    spine = (
+        users.crossJoin(F.broadcast(span))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    actual = (
+        ev.filter((F.col("user_id") < 8) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(actual, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_purchases"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction from a string column (events.props is a JSON blob).
+# ---------------------------------------------------------------------------
+@query(
+    "json_props_extract",
+    tags=("json", "semi-structured"),
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+ORDER BY k_bucket
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path extraction from a JSON string column via get_json_object —
+    JVM-side (Jackson), no Python round-trip. At scale the better move
+    is parsing once to a typed struct (from_json + schema) and storing
+    columnar; this query is the exploratory form that precedes it."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binned interval self-join — the scale-path rewrite of a range join.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_binned",
+    tags=("range-join", "scale-path"),
+    oracle="""
+SELECT p.user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_purchases_with_errors
+FROM events p
+JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase'
+ AND e.event_type = 'error'
+ AND e.ts >= p.ts - INTERVAL 10 MINUTE
+ AND e.ts < p.ts
+GROUP BY p.user_id
+ORDER BY p.user_id
+""",
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within the 10 minutes preceding each purchase, per user —
+    executed as a BUCKETED EQUI-JOIN, not a theta join.
+
+    A naive `e.ts BETWEEN p.ts - 10min AND p.ts` join has no equi-key
+    beyond user_id, so every hot user devolves to a per-key cartesian.
+    The scale path bins both sides into 10-minute epochs: an error can
+    only precede a purchase from the same or the next bin, so the
+    purchase side expands to its two candidate bins (array+explode, 2×
+    row cost) and joins on (user_id, bin) — a plain shuffled hash join
+    whose key cardinality grows with time, immune to hot users — with
+    the exact timestamp predicate left as a residual filter. Each
+    qualifying pair matches exactly one candidate bin, so no dedup
+    pass is needed.
+    """
+    width = 600  # seconds, = the query's look-back interval
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = (F.unix_timestamp("ts") / width).cast("bigint")
+
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("ts").alias("e_ts"),
+        bin_col.alias("bin"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            bin_col.alias("p_bin"),
+        )
+        .withColumn("bin", F.explode(F.array(F.col("p_bin") - 1, F.col("p_bin"))))
+    )
+    pairs = purchases.join(errors, ["user_id", "bin"]).filter(
+        (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("p_id").alias("n_purchases_with_errors"),
+        )
+        .orderBy("user_id")
+    )
