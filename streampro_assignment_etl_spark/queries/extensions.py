@@ -499,3 +499,79 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full curation funnel as ONE lazy DAG.
+# ---------------------------------------------------------------------------
+@query(
+    "curation_pipeline",
+    tags=("text", "dedup", "sampling", "pipeline"),
+    oracle=f"""
+WITH deduped AS (
+  SELECT * FROM (
+    SELECT doc_id, text, lang, source, n_chars,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(lower(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+quality AS (
+  SELECT * FROM deduped
+  WHERE n_chars >= 80 AND len(string_split(text, ' ')) >= 10
+),
+sampled AS (
+  SELECT * FROM quality
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 50
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM sampled
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus funnel — fingerprint dedup →
+    quality gate → deterministic 50% sample → per-language token
+    budget — composed as ONE lazy DataFrame DAG.
+
+    Catalyst fuses the three filter stages into the scan projection; the
+    only shuffles are the dedup window (16-byte md5 keys) and the final
+    tiny groupBy. This is the shape a 100 TB curation run takes: no
+    intermediate materialization, every stage's predicate pushed as
+    close to the parquet scan as semantics allow.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.simhash import token_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")))
+    deduped = (
+        docs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy(fp).orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    quality = deduped.filter(
+        (F.col("n_chars") >= 80) & (F.size(F.split("text", " ")) >= 10)
+    )
+    sampled = quality.filter(token_hash60(F.col("doc_id").cast("string")) % 100 < 50)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0)))
+            ).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("lang")
+    )
