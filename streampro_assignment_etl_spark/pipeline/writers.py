@@ -42,3 +42,55 @@ def write_csv(
     """
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", header).csv(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_file_bytes`` files.
+
+    Streaming ``foreachBatch`` sinks and per-date overwrites accumulate
+    tiny part-files; at 100 TB an uncompacted table can carry millions
+    of them, and scan planning (footer reads, task scheduling) starts to
+    dominate query time. Compaction = read → repartition to
+    ``ceil(bytes / target)`` → atomic swap via a staging directory
+    (write new, move old out, move new in) so readers never observe a
+    half-written table.
+
+    Returns ``{"files_before", "files_after", "bytes"}``.
+    """
+    import math
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    root = Path(path)
+    part_files = [p for p in root.rglob("*.parquet") if p.is_file()]
+    total_bytes = sum(p.stat().st_size for p in part_files)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.parquet(str(root))
+    staging = root.parent / f".{root.name}.compact-{uuid.uuid4().hex[:8]}"
+    writer = (
+        df.repartition(n_files)
+        if partition_col is None
+        # Partitioned layout: cluster rows so each Hive partition is
+        # written by few tasks instead of n_files × n_partitions shards.
+        else df.repartition(n_files, partition_col).sortWithinPartitions(partition_col)
+    )
+    w = writer.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(str(staging))
+
+    backup = root.parent / f".{root.name}.old-{uuid.uuid4().hex[:8]}"
+    root.rename(backup)
+    staging.rename(root)
+    shutil.rmtree(backup)
+
+    after = sum(1 for p in root.rglob("*.parquet") if p.is_file())
+    return {"files_before": len(part_files), "files_after": after, "bytes": total_bytes}

@@ -354,3 +354,30 @@ def test_cli_backfill_date_range(spark, tmp_path):
     dates = {r[0] for r in users.select("ingestion_date").distinct().collect()}
     assert dates == {"2025-09-09", "2025-09-10"}
     assert users.count() == 6
+
+
+def test_compact_parquet_flat_and_partitioned(spark, tmp_path):
+    from streampro_assignment_etl_spark.pipeline.writers import compact_parquet
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "id % 3 AS part", "repeat('x', 50) AS pad"
+    )
+
+    # Flat layout: 64 shards -> ~1 file.
+    flat = tmp_path / "flat"
+    df.repartition(64).write.parquet(str(flat))
+    stats = compact_parquet(spark, str(flat))
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(str(flat)).count() == 10_000
+
+    # Partitioned layout: compaction preserves the Hive dirs and rows.
+    part = tmp_path / "part"
+    df.repartition(32).write.partitionBy("part").parquet(str(part))
+    before = sum(1 for p in part.rglob("*.parquet"))
+    stats = compact_parquet(spark, str(part), partition_col="part")
+    assert stats["files_before"] == before
+    assert stats["files_after"] <= 3  # one file per partition value
+    out = spark.read.parquet(str(part))
+    assert out.count() == 10_000
+    assert out.select("part").distinct().count() == 3
