@@ -94,3 +94,71 @@ def compact_parquet(
 
     after = sum(1 for p in root.rglob("*.parquet") if p.is_file())
     return {"files_before": len(part_files), "files_after": after, "bytes": total_bytes}
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: "DataFrame",
+    keys: tuple[str, ...],
+    partition_col: str | None = None,
+) -> dict:
+    """Keyed SCD-1 merge into a parquet table: rows in ``updates`` replace
+    target rows with the same key; new keys are appended.
+
+    The reference pipeline can only overwrite whole ``ingestion_date``
+    partitions (raw_to_trusted_processor.py:148-211); late-arriving
+    corrections at 100 TB need a keyed merge. Without a transactional
+    format this is read → anti-join → union → atomic staged swap (same
+    crash-safe rename dance as ``compact_parquet``). The anti-join
+    shuffles on the key columns only; with a partitioned target, pass
+    ``partition_col`` and pre-filter the target read to the partitions
+    present in ``updates`` (partition pruning keeps the rewrite
+    proportional to touched partitions, not table size).
+
+    Returns ``{"target_rows_before", "updated", "inserted"}``.
+    """
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    root = Path(target_path)
+    target = spark.read.parquet(str(root))
+    if partition_col is not None:
+        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        target = target.filter(F.col(partition_col).isin(touched))
+        untouched = spark.read.parquet(str(root)).filter(
+            ~F.col(partition_col).isin(touched)
+        )
+    else:
+        untouched = None
+
+    before = target.count()
+    kept = target.join(updates.select(*keys), list(keys), "left_anti")
+    kept_n = kept.count()
+    merged = kept.select(*target.columns).unionByName(
+        updates.select(*target.columns)
+    )
+    if untouched is not None:
+        merged = merged.unionByName(untouched.select(*target.columns))
+
+    staging = root.parent / f".{root.name}.merge-{uuid.uuid4().hex[:8]}"
+    w = merged.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(str(staging))
+
+    backup = root.parent / f".{root.name}.old-{uuid.uuid4().hex[:8]}"
+    root.rename(backup)
+    staging.rename(root)
+    shutil.rmtree(backup)
+
+    upd = updates.count()
+    updated = before - kept_n
+    return {
+        "target_rows_before": before,
+        "updated": updated,
+        "inserted": upd - updated,
+    }

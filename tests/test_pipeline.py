@@ -381,3 +381,37 @@ def test_compact_parquet_flat_and_partitioned(spark, tmp_path):
     out = spark.read.parquet(str(part))
     assert out.count() == 10_000
     assert out.select("part").distinct().count() == 3
+
+
+def test_merge_upsert_flat_and_partitioned(spark, tmp_path):
+    from streampro_assignment_etl_spark.pipeline.writers import merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(100)], "id INT, val STRING, part INT"
+    )
+
+    # Flat target: 10 updates + 5 inserts.
+    flat = tmp_path / "flat"
+    base.write.parquet(str(flat))
+    updates = spark.createDataFrame(
+        [(i, "NEW", i % 2) for i in range(95, 110)], "id INT, val STRING, part INT"
+    )
+    stats = merge_upsert(spark, str(flat), updates, keys=("id",))
+    assert stats == {"target_rows_before": 100, "updated": 5, "inserted": 10}
+    out = spark.read.parquet(str(flat))
+    assert out.count() == 110
+    assert out.filter("val = 'NEW'").count() == 15
+    assert out.filter("id = 97 AND val = 'NEW'").count() == 1
+
+    # Partitioned target: only the touched partition is rewritten.
+    part = tmp_path / "part"
+    base.write.partitionBy("part").parquet(str(part))
+    upd_part = spark.createDataFrame(
+        [(2, "P", 0), (200, "P", 0)], "id INT, val STRING, part INT"
+    )
+    stats = merge_upsert(spark, str(part), upd_part, keys=("id",), partition_col="part")
+    assert stats == {"target_rows_before": 50, "updated": 1, "inserted": 1}
+    out = spark.read.parquet(str(part))
+    assert out.count() == 101
+    assert out.filter("val = 'P'").count() == 2
+    assert out.filter("part = 1").count() == 50  # untouched partition intact
