@@ -56,3 +56,39 @@ def test_pricing_summary_single_scan_single_agg_shuffle(spark):
     # One hash-partitioned exchange for the groupBy (plus the one
     # single-partition exchange for the final orderBy).
     assert shuffle_count(df) <= 3
+
+
+def test_range_join_binned_is_equi_join(spark):
+    """The binned interval join must plan as a hash equi-join on
+    (user_id, bin) — never a BroadcastNestedLoopJoin / cartesian."""
+    from streampro_assignment_etl_spark.plans import plan_string
+
+    plan = plan_string(_q(spark, "range_join_binned"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan
+
+
+def test_cube_single_expand_single_agg(spark):
+    """CUBE plans one Expand feeding one partial+final aggregate —
+    not a union of per-granularity scans."""
+    df = _q(spark, "cube_returnflag_status")
+    assert parquet_scan_count(df) == 1
+    from streampro_assignment_etl_spark.plans import plan_string
+
+    # The formatted plan names each node twice (tree + detail section),
+    # so one physical Expand appears as exactly two mentions.
+    assert plan_string(df).count("Expand") == 2
+
+
+def test_pivot_is_one_pass(spark):
+    """Explicit pivot value list: a single aggregation job, no extra
+    distinct-values collect (two scans total: wide sums + row counts)."""
+    df = _q(spark, "pivot_event_type_daily")
+    assert parquet_scan_count(df) == 2
+
+
+def test_curation_pipeline_two_shuffled_stages(spark):
+    """Dedup window + final groupBy are the only wide dependencies;
+    quality/sample filters fuse into the projections (no extra scans)."""
+    df = _q(spark, "curation_pipeline")
+    assert parquet_scan_count(df) == 1
