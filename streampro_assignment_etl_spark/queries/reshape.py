@@ -274,3 +274,46 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL join: per-row dependent subquery with its own LIMIT.
+# ---------------------------------------------------------------------------
+@query(
+    "lateral_top_orders",
+    tags=("lateral", "correlated-subquery"),
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 20
+ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+""",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL subquery —
+    the dependent-join form of top-k-per-group. Catalyst decorrelates
+    it into a window/group-limit over one shuffled join rather than
+    re-executing the inner query per outer row (which is what makes
+    LATERAL safe at scale; raw values pass through, no float
+    re-aggregation)."""
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 20
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
