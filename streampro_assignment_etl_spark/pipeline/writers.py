@@ -162,3 +162,32 @@ def merge_upsert(
         "updated": updated,
         "inserted": upd - updated,
     }
+
+
+def read_trusted(
+    spark,
+    trusted_path: str,
+    merge_schema: bool = False,
+    ingestion_dates: tuple[str, ...] = (),
+):
+    """Trusted-zone reader with schema-evolution support.
+
+    Parquet reads normally take the schema from one footer; when a later
+    ingestion date adds a column (source systems evolve), that column is
+    silently invisible unless the read merges footers. ``merge_schema``
+    turns on ``mergeSchema`` — older partitions surface the new column
+    as NULL, the union schema is stable, and partition pruning via
+    ``ingestion_dates`` still reaches the scan (footer merging happens
+    only across the pruned file set, keeping planning cost proportional
+    to the dates actually read — at 100 TB never merge-scan the whole
+    table when the query names its dates).
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(trusted_path)
+    if ingestion_dates:
+        df = df.filter(F.col("ingestion_date").isin(*ingestion_dates))
+    return df

@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from streampro_assignment_etl_spark.pipeline import (
@@ -415,3 +416,36 @@ def test_merge_upsert_flat_and_partitioned(spark, tmp_path):
     assert out.count() == 101
     assert out.filter("val = 'P'").count() == 2
     assert out.filter("part = 1").count() == 50  # untouched partition intact
+
+
+def test_read_trusted_schema_evolution(spark, tmp_path):
+    """A later ingestion date adds a column; merge_schema surfaces it
+    with NULL backfill for old dates, and date pruning reaches the scan."""
+    from streampro_assignment_etl_spark.pipeline.writers import read_trusted
+
+    root = tmp_path / "trusted" / "users"
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, name STRING")
+    d1.withColumn("ingestion_date", F.lit("2025-09-09")).write.partitionBy(
+        "ingestion_date"
+    ).parquet(str(root))
+    d2 = spark.createDataFrame(
+        [(3, "c", "gold")], "id INT, name STRING, tier STRING"
+    )
+    d2.withColumn("ingestion_date", F.lit("2025-09-10")).write.mode(
+        "append"
+    ).partitionBy("ingestion_date").parquet(str(root))
+
+    # Without merging, the visible schema depends on one footer; with
+    # merging it is the union, old rows NULL-backfilled.
+    merged = read_trusted(spark, str(root), merge_schema=True)
+    assert "tier" in merged.columns
+    assert merged.filter("tier IS NULL").count() == 2
+    assert merged.filter("tier = 'gold'").count() == 1
+
+    # Date pruning: only the requested partition's files are read.
+    pruned = read_trusted(
+        spark, str(root), merge_schema=True, ingestion_dates=("2025-09-10",)
+    )
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "2025-09-09" not in plan
