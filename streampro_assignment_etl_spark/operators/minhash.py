@@ -32,22 +32,32 @@ DEFAULT_SHINGLE_N = 3
 def shingles_from_words(words: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
     """Distinct word n-gram shingles from a words-array column.
 
-    Pass a *materialized column reference*, not an inline ``split(...)``
-    expression: interpreted higher-order lambdas re-evaluate embedded
-    subexpressions per element, so an inlined split would re-tokenize
-    the document once per shingle (measured ~25x slowdown). One
-    ``slice`` per gram keeps it to a single array reference.
+    Built by zipping n shifted slices of the words array pairwise with
+    ``zip_with`` + string concat, not ``transform(sequence(...), i ->
+    slice/array_join)``: the zip lambda is a two-arg concat the
+    interpreter evaluates cheaply, whereas the index-transform form
+    re-evaluates a slice-copy + join per element (measured 6.7x slower
+    at sf0.1: 6.1s vs 0.9s for the shingle+hash pass). Pass a
+    *materialized column reference*, not an inline ``split(...)``
+    expression — interpreted lambdas re-evaluate embedded
+    subexpressions per element (an inlined split re-tokenizes per
+    shingle, ~25x).
 
-    1-based windows match DuckDB's ``w[i]`` list indexing so the
-    exact-Jaccard oracle sees identical shingle sets.
+    The window set matches DuckDB's 1-based ``w[i] .. w[i+n-1]``
+    windows so the exact-Jaccard oracle sees identical shingle sets.
+    ``greatest(len-(n-1), 0)`` guards short texts: slice length 0 is an
+    empty array, so docs with < n words yield no shingles (DuckDB's
+    generate_series(1, 0) likewise returns empty).
     """
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    gram = lambda i: F.array_join(F.slice(words, i, n), " ")  # noqa: E731
-    # Explicit short-text guard: Spark's sequence(1, 0) counts DOWN
-    # (unlike DuckDB's generate_series, which returns empty).
-    return F.when(
-        F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.slice(words, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, 1 + k, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return F.array_distinct(grams)
 
 
 def word_shingles(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
