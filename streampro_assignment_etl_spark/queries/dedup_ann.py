@@ -20,15 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import minhash, similarity, simhash
+from ..operators import components, minhash, similarity, simhash
 from ..sources.testdata import load_table
 from .catalog import query
 
 # ---------------------------------------------------------------------------
 # MinHash-LSH fuzzy dedup (n-gram Jaccard verified).
 # ---------------------------------------------------------------------------
-_JACCARD_ORACLE = """
-WITH s AS (
+_JACCARD_CTES = """s AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
@@ -42,7 +41,10 @@ pairs AS (
          ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
   FROM s a JOIN s b ON a.doc_id < b.doc_id
-)
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
 SELECT doc_a, doc_b, jaccard
 FROM pairs
 WHERE jaccard >= 0.8
@@ -74,6 +76,67 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster resolution: near-dup pairs -> connected components ->
+# canonical representative per cluster (operators/components.py).
+# ---------------------------------------------------------------------------
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+{_JACCARD_CTES},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION SELECT doc_b, doc_a FROM dup),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT component AS canonical_id,
+       COUNT(*) AS cluster_size,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM comp
+GROUP BY component
+ORDER BY canonical_id
+"""
+
+
+@query(
+    "dedup_clusters",
+    tags=("dedup", "connected-components", "graph"),
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs (same config as
+    ``dedup_fuzzy_minhash``) resolved into connected components via
+    alternating large-star/small-star (operators/components.py), rolled
+    up to one row per cluster with its canonical (min) doc_id and
+    ordered member list. The oracle recomputes the same pairs all-pairs
+    and closes them with a recursive CTE — so a hash match certifies
+    the distributed O(log n) closure against exact transitive closure.
+    Deduplicating the corpus is then one anti-join on
+    node != canonical_id (``components.canonical_docs``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = minhash.fuzzy_dup_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8
+    ).select("doc_a", "doc_b")
+    cc = components.connected_components(dup, "doc_a", "doc_b")
+    return (
+        cc.groupBy(F.col("component").alias("canonical_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("canonical_id")
     )
 
 

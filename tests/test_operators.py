@@ -252,3 +252,50 @@ def test_asof_join_edges(spark):
     assert got["exact_tie"][0] == 2.0  # inclusive at equal ts
     assert got["between"][0] == 3.0  # latest at-or-before wins
     assert got["other_key"] == (None, None)  # keys never cross
+
+
+def test_connected_components_chain_hub_and_cross_cluster(spark):
+    """Chains (multi-round convergence), hubs, and separate clusters all
+    resolve to min-id components; string ids work too."""
+    from streampro_assignment_etl_spark.operators.components import (
+        canonical_docs,
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5, hub 10-{11,12,13}, pair 20-21, reversed edge 31->30
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13),
+         (20, 21), (31, 30)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30,
+    }
+
+    docs = spark.createDataFrame([(i,) for i in [1, 3, 5, 11, 40]], ["doc_id"])
+    cd = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+          for r in canonical_docs(docs, edges, "doc_id").collect()}
+    assert cd == {1: (1, True), 3: (1, False), 5: (1, False),
+                  11: (10, False), 40: (40, True)}  # isolated doc = own canonical
+
+
+def test_connected_components_string_ids_and_bridge_merge(spark):
+    """Two clusters bridged by one edge merge into one component under
+    lexicographic min for string ids."""
+    from streampro_assignment_etl_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("x", "y"), ("c", "x")], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert got == {"b": "b", "c": "b", "x": "b", "y": "b"}
