@@ -575,3 +575,63 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: flag training docs whose word 5-grams collide with a
+# held-out eval/benchmark slice (standard LLM-data hygiene — eval
+# overlap leaks benchmark answers into training).
+# ---------------------------------------------------------------------------
+@query(
+    "decontaminate_eval_overlap",
+    tags=("decontamination", "ngram", "broadcast"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 4, 0)),
+           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))) AS gram
+  FROM s
+),
+ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 7 = 0),
+tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.gram) AS n_shared_grams,
+       COUNT(DISTINCT ev.eval_id) AS n_eval_docs_hit
+FROM tr JOIN ev ON tr.gram = ev.gram
+GROUP BY tr.doc_id
+HAVING COUNT(DISTINCT tr.gram) >= 3
+ORDER BY doc_id
+""",
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing >= 3 distinct word 5-grams with the eval
+    slice (deterministic stand-in: doc_id % 7 == 0). The eval side is
+    tiny by construction, so its exploded gram set is BROADCAST — the
+    100 TB-side plan is scan -> explode -> broadcast-hash-join ->
+    partial agg, with no shuffle of training grams; only the matched
+    slice aggregates. (A real pipeline swaps the eval slice for its
+    benchmark suites; the plumbing is identical.)"""
+    from ..operators.minhash import shingles_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).select("doc_id", F.explode(shingles_from_words(F.col("_w"), 5)).alias("gram"))
+    ev = grams.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    tr = grams.filter(F.col("doc_id") % 7 != 0)
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+        .filter(F.col("n_shared_grams") >= 3)
+        .orderBy("doc_id")
+    )
