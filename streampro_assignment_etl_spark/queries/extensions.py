@@ -635,3 +635,76 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_grams") >= 3)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-language target rates (the auditable
+# hash-mod analog of sampleBy for building a training mix).
+# ---------------------------------------------------------------------------
+_STRATA_RATES = {"en": 60, "de": 40, "fr": 40, "es": 20, "zh": 20}
+_RATES_SQL = ", ".join(f"('{k}', {v})" for k, v in _STRATA_RATES.items())
+
+
+@query(
+    "stratified_sample_by_lang",
+    tags=("sampling", "stratified", "broadcast"),
+    oracle=f"""
+WITH rates(lang, pct) AS (VALUES {_RATES_SQL}),
+h AS (
+  SELECT d.lang, d.doc_id, d.n_chars, r.pct,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+  FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT lang,
+       COUNT(*) AS sampled_docs,
+       CAST(MIN(pct) AS INTEGER) AS target_pct,
+       ROUND(100.0 * COUNT(*) / MIN(strata_n), 1) AS achieved_pct,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM (SELECT *, COUNT(*) OVER (PARTITION BY lang) AS strata_n FROM h)
+WHERE bucket < pct
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language training-mix sampling at declared rates (en 60%,
+    de/fr 40%, es/zh 20%) via the same auditable md5-bucket used by
+    ``deterministic_sample`` — unlike ``df.sampleBy`` the membership is
+    a pure function of doc_id, so the mix is reproducible across runs,
+    partitionings, and engines. The rates table is a broadcast join
+    (literally a dozen rows); at 100 TB the plan stays scan ->
+    broadcast-join -> filter -> partial agg with no extra shuffle."""
+    from pyspark.sql.window import Window
+
+    from ..operators.simhash import token_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = F.create_map(
+        *[F.lit(x) for kv in _STRATA_RATES.items() for x in kv]
+    )
+    bucket = token_hash60(F.col("doc_id").cast("string")) % 100
+    wn = Window.partitionBy("lang")
+    base = (
+        docs.filter(F.col("lang").isin(*_STRATA_RATES))
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            rates[F.col("lang")].alias("pct"),
+            bucket.alias("bucket"),
+        )
+        .withColumn("strata_n", F.count(F.lit(1)).over(wn))
+    )
+    return (
+        base.filter(F.col("bucket") < F.col("pct"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.min("pct").cast("int").alias("target_pct"),
+            F.round(F.lit(100.0) * F.count(F.lit(1)) / F.min("strata_n"), 1).alias(
+                "achieved_pct"
+            ),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
