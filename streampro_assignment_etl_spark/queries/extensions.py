@@ -708,3 +708,68 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style keyword extraction: top-3 distinguishing terms per doc.
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    tags=("text", "tfidf", "explode", "window"),
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df
+  FROM words GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked
+WHERE rank <= 3 AND doc_id < 50
+ORDER BY doc_id, rank
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by tf/df — the TF-IDF
+    shape with an exactly-rounded rational score (IEEE division of two
+    ints is bit-identical across engines, unlike ln(N/df), so the
+    oracle hash stays exact; the ln variant changes only the monotonic
+    transform, not the ranking for fixed N). Plan: explode -> two hash
+    aggs (term grain + (doc,term) grain) -> shuffle join on term ->
+    per-doc window. At 100 TB the df side is Zipf-skewed; AQE's
+    skew-join split handles the head terms, and the doc_id filter
+    prunes the window to the reported slice only AFTER df is computed
+    corpus-wide (df must see every doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
+        .orderBy("doc_id", "rank")
+    )
