@@ -8,6 +8,7 @@ Heavier algorithms (MinHash-LSH, SimHash, ANN) live in
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -772,4 +773,52 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rank") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rank")
         .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom aggregate via pandas GROUPED_AGG UDAF (Arrow-batched) — the
+# escape hatch for aggregations Spark's built-ins can't express.
+# ---------------------------------------------------------------------------
+@query(
+    "udaf_median_chars_by_source",
+    tags=("udaf", "pandas-udf", "arrow"),
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       median(n_chars) AS median_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def udaf_median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolating median per source via a pandas GROUPED_AGG UDAF —
+    the Arrow-batched custom-aggregate path (one Python batch per
+    group, never per row). Built-ins (`percentile`, `median`) are the
+    production path; this entry pins the UDAF plumbing the engine
+    offers for aggregations Catalyst lacks. Exactness across engines:
+    the mean of two ints <= 2^52 is exactly representable, so pandas'
+    interpolating median bit-matches DuckDB's."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one Aggregate node, so the row count is a (trivial) second UDAF
+    # — both ride the same Arrow batch per group.
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            count_udaf("n_chars").alias("n_docs"),
+            median_udaf("n_chars").alias("median_chars"),
+        )
+        .orderBy("source")
     )
