@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -97,14 +96,17 @@ def connected_components(
     a collect) — with ``max_iter`` as a safety bound; O(log n) rounds
     suffice per the algorithm's convergence proof, so 25 covers any
     realistic corpus. Each round materializes the (small) edge frontier
-    via persist so lineage doesn't deepen exponentially across
-    iterations.
+    via ``localCheckpoint`` — persist alone is not enough for iterative
+    plans: it short-circuits *execution* but the *logical plan* still
+    nests every prior round (~4× growth/round → the optimizer OOMs on
+    long chains). Checkpointing truncates the lineage so round N plans
+    against a flat scan of round N-1's frontier. (On a cluster with an
+    HDFS checkpoint dir, swap for ``checkpoint()`` to survive executor
+    loss; the frontier is tiny — near-dup nodes only — either way.)
     """
-    edges = pairs.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         chained = (
             nxt.select(F.col("dst").alias("src"))
             .join(nxt.select("src").distinct(), "src", "leftsemi")
@@ -113,7 +115,6 @@ def connected_components(
         multi_out = (
             nxt.groupBy("src").count().filter(F.col("count") > 1).count()
         )
-        edges.unpersist()
         edges = nxt
         if chained == 0 and multi_out == 0:
             break
@@ -129,7 +130,6 @@ def connected_components(
         )
         .distinct()
     )
-    edges.unpersist()
     return out
 
 

@@ -92,3 +92,29 @@ def test_curation_pipeline_two_shuffled_stages(spark):
     quality/sample filters fuse into the projections (no extra scans)."""
     df = _q(spark, "curation_pipeline")
     assert parquet_scan_count(df) == 1
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-slice gram set must broadcast — the training-side gram
+    stream joins it without shuffling 100 TB of exploded n-grams."""
+    from streampro_assignment_etl_spark.plans import broadcast_join_count
+
+    df = _q(spark, "decontaminate_eval_overlap")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_dedup_clusters_bounded_iterations(spark):
+    """Star-contraction must converge well under the max_iter bound on
+    a worst-case path graph (O(log n) rounds, not O(n))."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    got = connected_components(path, "doc_a", "doc_b", max_iter=10)
+    assert got.filter(F.col("component") != 0).count() == 0
+    assert got.count() == 41
