@@ -209,3 +209,89 @@ def cosine_topk_vectorized(
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cosine_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN — the bucketed alternative to IVF-Flat.
+# ---------------------------------------------------------------------------
+DEFAULT_PLANES = 6
+
+
+def hyperplanes(dim: int, n_planes: int = DEFAULT_PLANES) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix: component (j, i) is the md5
+    parity of "j_i". Reproducible across engines and runs (SRP-LSH
+    needs random signs, not Gaussians — sign vectors preserve the
+    angular collision probability 1 - θ/π), so both the Spark plan and
+    the DuckDB oracle can embed the SAME literal planes."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """SRP-LSH bucket id: bit j = sign(v · w_j), packed little-endian.
+    Each dot is the same sequential fold as ``dot`` (bit-identical to
+    DuckDB's list_dot_product), so bucketing agrees cross-engine."""
+    bucket = F.lit(0)
+    for j, w in enumerate(planes):
+        warr = F.array(*[F.lit(x) for x in w])
+        d = dot(vec, warr)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """SRP-LSH top-k: (query_id, neighbor_id, rank, cosine_sim).
+
+    Corpus vectors hash to ONE bucket each (map-side expression, no
+    shuffle); queries probe their own bucket plus every 1-bit flip
+    (n_planes+1 buckets), an equi-join on the bucket id — so candidate
+    generation touches ~(n_planes+1)/2^n_planes of the corpus instead
+    of all of it, and the only wide op is the bucket-key join. Exact
+    cosine + per-query top-k on candidates only, like ``ann_topk``.
+    vs IVF: no centroid model to seed/train (works on a cold corpus),
+    at the cost of a recall curve set by plane count, not probe count.
+    """
+    planes = hyperplanes(dim, n_planes)
+    corp = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    probes = [0] + [1 << j for j in range(n_planes)]
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("_b", srp_bucket(F.col("qv"), planes))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in probes])
+            ).alias("bucket"),
+        )
+    )
+    cand = q.join(corp, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cosine_sim")
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -343,3 +343,71 @@ def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH ANN (random-hyperplane bucketed similarity search) — the
+# train-free alternative to IVF; same oracle strategy (replay the
+# identical deterministic plan in SQL).
+# ---------------------------------------------------------------------------
+def _lsh_oracle(n_planes: int = 6, dim: int = 64) -> str:
+    planes = similarity.hyperplanes(dim, n_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {w}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, w in enumerate(planes)
+    )
+    probes = [0] + [1 << j for j in range(n_planes)]
+    return f"""
+WITH corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM corp
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+probed AS (
+  SELECT query_id, qv, xor(bucket, t.m) AS bucket
+  FROM q, UNNEST({probes}) AS t(m)
+),
+cand AS (
+  SELECT p.query_id, p.qv, c.vec_id AS neighbor_id, c.v
+  FROM probed p JOIN b c ON p.bucket = c.bucket
+  WHERE p.query_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos_sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos_sim, 4) AS cosine_sim
+FROM ranked
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "similarity_ann_lsh",
+    tags=("similarity", "ann", "lsh", "srp"),
+    oracle=_lsh_oracle(),
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH top-5 for the 5 lowest-id query vectors: 6 sign-bit
+    hyperplanes (64 buckets), each query probing its bucket + all
+    1-bit flips — candidates are ~7/64 of the corpus via one equi-join
+    on the bucket id, with no centroid model to train (the cold-corpus
+    complement to ``similarity_ann_ivf``). The oracle replays the
+    identical literal hyperplanes; planted high-cosine recall is pinned
+    in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, n_planes=6, dim=64
+    )

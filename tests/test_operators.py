@@ -299,3 +299,34 @@ def test_connected_components_string_ids_and_bridge_merge(spark):
         for r in connected_components(edges, "doc_a", "doc_b").collect()
     }
     assert got == {"b": "b", "c": "b", "x": "b", "y": "b"}
+
+
+def test_lsh_topk_finds_planted_twins(spark):
+    """On clustered data (the case LSH exists for) each query's planted
+    near-identical twin must appear at rank 1: cos(base, twin) ~ 0.999
+    flips a sign bit with probability ~ theta/pi ~ 0.8% per plane, and
+    the 1-bit multiprobe absorbs single flips."""
+    import hashlib
+
+    from streampro_assignment_etl_spark.operators.similarity import lsh_topk
+
+    def hvec(seed, dim=16):
+        # deterministic pseudo-random components in [-1, 1)
+        return [
+            (int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:8], 16) % 2000)
+            / 1000.0
+            - 1.0
+            for i in range(dim)
+        ]
+
+    rows = []
+    for b in range(20):
+        base = hvec(f"base{b}")
+        twin = [x + 0.01 * ((b + i) % 3 - 1) for i, x in enumerate(base)]
+        rows.append((b, base))          # query ids 0..19
+        rows.append((100 + b, twin))    # twins
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter("vec_id < 20")
+    got = lsh_topk(emb, queries, k=1, n_planes=6, dim=16).collect()
+    hits = sum(1 for r in got if r["neighbor_id"] == r["query_id"] + 100)
+    assert hits >= 18, f"only {hits}/20 twins found at rank 1"
