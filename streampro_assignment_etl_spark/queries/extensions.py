@@ -822,3 +822,77 @@ def udaf_median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: group documents into ~context-window-sized packs
+# (the step between curation and tokenized training batches).
+# ---------------------------------------------------------------------------
+@query(
+    "sequence_packing",
+    tags=("packing", "window", "prefix-sum"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+pref AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM t
+),
+packed AS (
+  SELECT shard, CAST(floor(start_tok / 2048.0) AS BIGINT) AS pack_id,
+         doc_id, n_tokens
+  FROM pref
+)
+SELECT shard, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM packed
+GROUP BY shard, pack_id
+ORDER BY shard, pack_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-quantized sequence packing: shard the corpus by the
+    auditable md5 bucket (8 shards), then within each shard assign docs
+    (in doc_id order) to 2048-token packs by exclusive prefix sum —
+    pack_id = floor(tokens_before / capacity). Packs can overflow by at
+    most one document (greedy-fill semantics); what matters at scale is
+    that packing is embarrassingly parallel across shards: one window
+    sort per shard, no cross-shard coordination, and shard count scales
+    with the cluster. The oracle replays the identical prefix-sum."""
+    from pyspark.sql.window import Window
+
+    from ..operators.simhash import token_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (token_hash60(F.col("doc_id").cast("string")) % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = t.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    packed = pref.withColumn(
+        "pack_id", F.floor(F.col("start_tok") / 2048.0).cast("bigint")
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("shard", "pack_id")
+    )
