@@ -896,3 +896,73 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filter: intra-document duplicate 3-gram ratio
+# (the Gopher-rules-style signal that catches boilerplate/spam docs).
+# ---------------------------------------------------------------------------
+@query(
+    "repetition_filter",
+    tags=("text", "quality", "ngram"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         greatest(len(w) - 2, 0) AS n_grams,
+         len(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS n_distinct
+  FROM s
+),
+r AS (
+  SELECT doc_id, source,
+         CASE WHEN n_grams > 0
+              THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4)
+              ELSE 0.0 END AS rep_ratio
+  FROM g
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN rep_ratio > 0.2 THEN 1 END) AS n_flagged,
+       ROUND(MAX(rep_ratio), 4) AS max_rep_ratio
+FROM r
+GROUP BY source
+ORDER BY source
+""",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total word 3-grams per
+    doc, flagged above 0.2 and rolled up per source — the
+    Gopher-rules-style quality gate that catches templated/boilerplate
+    text exact dedup misses. Per-doc map-side expression (reuses the
+    zip_with shingle kernel) + one partial-aggregated rollup; nothing
+    shuffles but the per-source partials."""
+    from ..operators.minhash import shingles_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_w")
+    )
+    n_grams = F.greatest(F.size("_w") - 2, F.lit(0))
+    n_distinct = F.size(shingles_from_words(F.col("_w"), 3))
+    rep = base.select(
+        "source",
+        F.when(
+            n_grams > 0,
+            F.round(F.lit(1.0) - n_distinct.cast("double") / n_grams, 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("rep_ratio") > 0.2, 1)).alias("n_flagged"),
+            F.round(F.max("rep_ratio"), 4).alias("max_rep_ratio"),
+        )
+        .orderBy("source")
+    )
