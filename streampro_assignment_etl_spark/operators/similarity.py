@@ -124,8 +124,9 @@ def ann_topk(
     scanned corpus share). Exact cosine + per-query top-k window on
     candidates only. Self-matches excluded, ties broken by neighbor_id.
     """
-    cells = assign_cells(emb, seed_centroids(emb, id_col, vec_col, n_centroids), id_col, vec_col)
-    probed = probe_cells(queries, seed_centroids(emb, id_col, vec_col, n_centroids), id_col, vec_col, probes)
+    centroids = seed_centroids(emb, id_col, vec_col, n_centroids)
+    cells = assign_cells(emb, centroids, id_col, vec_col)
+    probed = probe_cells(queries, centroids, id_col, vec_col, probes)
     cand = probed.join(
         cells.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
