@@ -411,3 +411,64 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         emb, queries, id_col="vec_id", vec_col="embedding", k=5, n_planes=6, dim=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Applying cluster resolution: the deduplicated corpus (keep one
+# canonical doc per near-dup cluster) — pairs -> components -> anti-join.
+# ---------------------------------------------------------------------------
+_DEDUP_APPLY_ORACLE = f"""
+WITH RECURSIVE
+{_JACCARD_CTES},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION SELECT doc_b, doc_a FROM dup),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+tagged AS (
+  SELECT d.source, d.doc_id,
+         COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN doc_id = canonical_id THEN 1 END) AS n_kept,
+       COUNT(CASE WHEN doc_id <> canonical_id THEN 1 END) AS n_removed
+FROM tagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "dedup_apply_clusters",
+    tags=("dedup", "connected-components", "anti-join"),
+    oracle=_DEDUP_APPLY_ORACLE,
+)
+def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff of cluster resolution: every doc labeled with its
+    cluster canonical (``components.canonical_docs``), non-canonical
+    members dropped, retention audited per source. At scale this is the
+    one-join dedup pass the whole pipeline exists to enable — the
+    cluster map is tiny (near-dup nodes only) and broadcasts against
+    the full corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = minhash.fuzzy_dup_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8
+    ).select("doc_a", "doc_b")
+    labeled = components.canonical_docs(docs, dup, "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(labeled, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_canonical"), 1)).alias("n_kept"),
+            F.count(F.when(~F.col("is_canonical"), 1)).alias("n_removed"),
+        )
+        .orderBy("source")
+    )
