@@ -104,19 +104,30 @@ def connected_components(
     HDFS checkpoint dir, swap for ``checkpoint()`` to survive executor
     loss; the frontier is tiny — near-dup nodes only — either way.)
     """
-    edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Checkpoint the INPUT too: the edge list is usually the output of
+    # an expensive candidate generator (MinHash-LSH), and round 1
+    # references it three times (symmetrize ×2 + min-join) — without
+    # truncation that recomputes the generator per reference.
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        chained = (
-            nxt.select(F.col("dst").alias("src"))
-            .join(nxt.select("src").distinct(), "src", "leftsemi")
-            .count()
+        # Star-forest test in ONE job: a node breaks the forest iff it
+        # has out-degree > 1 (two labels) or appears as both source and
+        # target (an unresolved chain). Degree-count union-aggregate —
+        # no join, one action per round.
+        degrees = (
+            nxt.select(F.col("src").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+            .union(nxt.select("dst", F.lit(0), F.lit(1)))
+            .groupBy("node")
+            .agg(F.sum("o").alias("o"), F.sum("i").alias("i"))
         )
-        multi_out = (
-            nxt.groupBy("src").count().filter(F.col("count") > 1).count()
-        )
+        broken = degrees.filter(
+            (F.col("o") > 1) | ((F.col("o") > 0) & (F.col("i") > 0))
+        ).count()
         edges = nxt
-        if chained == 0 and multi_out == 0:
+        if broken == 0:
             break
     # Converged star forest: every edge points node -> component min.
     # Roots carry no outgoing edge, so add their self-row to make the
