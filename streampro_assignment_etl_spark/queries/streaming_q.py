@@ -51,3 +51,53 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, ckpt = str(lake.root / "stream_out"), str(lake.root / "stream_ckpt")
     run_stream_to_parquet(stream, out, ckpt, mode="update")
     return spark.read.parquet(out).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (batch API parity with the streaming window() op).
+# ---------------------------------------------------------------------------
+@query(
+    "sliding_window_counts",
+    tags=("streaming", "window", "sliding"),
+    oracle="""
+WITH e AS (
+  SELECT event_type, ts, CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS grid
+  FROM events
+),
+expanded AS (
+  SELECT event_type, to_timestamp(t.s) AS window_start
+  FROM e, UNNEST([grid, grid - 1800]) AS t(s)
+  -- an event belongs to the 1h windows starting at its 30-min grid
+  -- slot and the one before (window/slide = 2 windows per event)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM expanded
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes over events — the
+    overlapping-window shape trending/rate dashboards stream with
+    (``F.window(ts, '1 hour', '30 minutes')`` works identically under
+    readStream; the tumbling variant above pins the streaming runtime,
+    this one pins the sliding semantics). Spark materializes each event
+    into window/slide=2 rows before the aggregate — exactly what the
+    oracle's epoch-grid UNNEST replays."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
