@@ -56,55 +56,76 @@ def seed_centroids(emb: DataFrame, id_col: str, vec_col: str, n: int) -> DataFra
     )
 
 
+CentroidList = list[tuple[int, list[float]]]
+
+
+def collect_centroids(centroids: DataFrame) -> CentroidList:
+    """Materialize the (small, by-contract) centroid table to driver
+    literals so cell assignment can be a pure projection. C is 16-1024
+    in practice — the same scale as any broadcast dim."""
+    return [(r["centroid_id"], list(r["centroid"])) for r in centroids.collect()]
+
+
+def _ranked_cells(vec: Column, cents: CentroidList) -> Column:
+    """Array of struct(_ns, cid) sorted so element 1 is the nearest
+    centroid (cosine DESC, centroid_id ASC — `_ns` is the negated
+    cosine, so the natural ascending struct sort gives exactly the
+    ROW_NUMBER ordering the oracle replays; IEEE negation is exact)."""
+    scored = [
+        F.struct(
+            (-cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))).alias("_ns"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, cvec in cents
+    ]
+    return F.array_sort(F.array(*scored))
+
+
+def _as_centroid_list(centroids: DataFrame | CentroidList) -> CentroidList:
+    if isinstance(centroids, DataFrame):
+        return collect_centroids(centroids)
+    return centroids
+
+
 def assign_cells(
-    emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    emb: DataFrame, centroids: DataFrame | CentroidList, id_col: str, vec_col: str
 ) -> DataFrame:
     """Nearest-centroid (by cosine) cell assignment: (id, vec, cell).
 
-    Broadcast cross join against the C-row centroid table + top-1
-    window — N·C dot products, map-side only, no corpus shuffle.
+    A pure map-side projection: the C centroids are driver-collected
+    literals, each row computes its C cosines and takes the argmax via
+    a sorted literal-struct array — N·C dot products, ZERO shuffles, no
+    corpus byte ever leaves its scan partition. (The previous
+    crossJoin + top-1-window shape moved every corpus vector through an
+    Exchange on the row id — one full pass of embedding bytes over the
+    wire for what is an argmax over broadcast constants.)
     """
-    scored = (
-        emb.select(F.col(id_col).alias("_vid"), _as_double(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "_vid",
-            "_v",
-            "centroid_id",
-            cosine(F.col("_v"), F.col("centroid")).alias("_sim"),
-        )
-    )
-    w = Window.partitionBy("_vid").orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("_vid").alias(id_col),
-            F.col("_v").alias(vec_col),
-            F.col("centroid_id").alias("cell"),
-        )
+    cents = _as_centroid_list(centroids)
+    v = _as_double(vec_col)
+    return emb.select(
+        F.col(id_col),
+        v.alias(vec_col),
+        F.element_at(_ranked_cells(v, cents), 1)["cid"].alias("cell"),
     )
 
 
 def probe_cells(
-    queries: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, probes: int
+    queries: DataFrame,
+    centroids: DataFrame | CentroidList,
+    id_col: str,
+    vec_col: str,
+    probes: int,
 ) -> DataFrame:
-    """Top-``probes`` cells per query: (query_id, qv, cell)."""
-    scored = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "qv",
-            "centroid_id",
-            cosine(F.col("qv"), F.col("centroid")).alias("_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= probes)
-        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+    """Top-``probes`` cells per query: (query_id, qv, cell) — the same
+    map-side ranked-cells projection as ``assign_cells``, sliced to P
+    and exploded (still no shuffle; the query set is small anyway)."""
+    cents = _as_centroid_list(centroids)
+    v = _as_double(vec_col)
+    ranked = F.slice(_ranked_cells(v, cents), 1, probes)
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("qv"),
+        F.explode(F.transform(ranked, lambda s: s["cid"])).alias("cell"),
     )
 
 
@@ -124,9 +145,9 @@ def ann_topk(
     scanned corpus share). Exact cosine + per-query top-k window on
     candidates only. Self-matches excluded, ties broken by neighbor_id.
     """
-    centroids = seed_centroids(emb, id_col, vec_col, n_centroids)
-    cells = assign_cells(emb, centroids, id_col, vec_col)
-    probed = probe_cells(queries, centroids, id_col, vec_col, probes)
+    cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
+    cells = assign_cells(emb, cents, id_col, vec_col)
+    probed = probe_cells(queries, cents, id_col, vec_col, probes)
     cand = probed.join(
         cells.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"

@@ -103,6 +103,31 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert broadcast_join_count(df) >= 1
 
 
+def test_ann_ivf_cell_assignment_is_map_side(spark):
+    """IVF cell assignment is a pure projection over broadcast centroid
+    literals — no corpus byte crosses an Exchange for the argmax. The
+    whole query carries exactly 2 shuffles (candidate top-k window +
+    final orderBy), down from 3 with the old crossJoin+window shape."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.operators.similarity import (
+        assign_cells,
+        collect_centroids,
+        seed_centroids,
+    )
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = collect_centroids(seed_centroids(emb, "vec_id", "embedding", 8))
+    cells = assign_cells(emb, cents, "vec_id", "embedding")
+    assert shuffle_count(cells) == 0, "cell assignment must not shuffle"
+
+    df = _q(spark, "similarity_ann_ivf")
+    assert shuffle_count(df) <= 2
+
+
 def test_dedup_clusters_bounded_iterations(spark):
     """Star-contraction must converge well under the max_iter bound on
     a worst-case path graph (O(log n) rounds, not O(n))."""
