@@ -271,75 +271,150 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs (exact, blockable baseline).
+# Embedding-cosine near-dup pairs, cell-blocked (the scale path).
+# The all-pairs O(N²) form is NOT a registered query any more — it
+# survives only as this operator's verification anchor in
+# tests/test_operators.py (recall pin) — because a
+# cartesian-with-inequality join is exactly the plan a 100 TB corpus
+# cannot run. The oracle replays the identical deterministic blocked
+# plan (seeded centroids -> top-P cells per vector -> same-cell pair
+# join), the same strategy as the IVF ANN oracle above.
 # ---------------------------------------------------------------------------
-@query(
-    "embedding_near_dup",
-    tags=("dedup", "similarity"),
-    oracle="""
-WITH corp AS (
+_NEAR_DUP_CELLS_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < 16
+),
+corp AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+blocked AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM corp c CROSS JOIN cent ct
+  ) WHERE rn <= 4
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-FROM corp a JOIN corp b ON a.vec_id < b.vec_id
+FROM blocked a JOIN blocked b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
 ORDER BY vec_a, vec_b
-""",
+"""
+
+
+@query(
+    "embedding_near_dup_cells",
+    tags=("dedup", "similarity", "ivf"),
+    oracle=_NEAR_DUP_CELLS_ORACLE,
 )
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.4), exact
-    all-pairs baseline. The scale path reuses the IVF cells: restrict
-    the pair join to same-cell vectors (candidate recall follows the
-    same probe math as ann_topk); at test scale exact is affordable and
-    doubles as that path's verification target."""
+def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4) mined through IVF
+    cell blocking (operators/similarity.near_dup_pairs_cells): each
+    vector lands in its 4 nearest of 16 seeded centroid cells via the
+    zero-shuffle ranked-cells projection, pair generation is an
+    EQUI-JOIN on the cell id (O(N²·P/C) candidates, hash join — never
+    the O(N²) BroadcastNestedLoop an all-pairs theta join plans), exact
+    cosine + threshold on candidates only. The oracle replays the
+    identical deterministic plan; recall vs exact all-pairs (~0.9 at
+    this threshold on isotropic worst-case synthetic vectors, 1.0 for
+    genuine high-cosine near-dups) is pinned in tests/test_operators.py
+    — the probe count is the recall dial."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
-    cos = similarity.cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return similarity.near_dup_pairs_cells(
+        emb, "vec_id", "embedding", threshold=0.4, n_centroids=16, probes=4
+    ).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------
-# Multimodal feature extraction (rows-only: payload synthesis is
-# Spark-side, so no DuckDB oracle can replay it; the operator contract
-# is pinned in tests/test_multimodal.py instead).
+# Multimodal feature extraction. The media table is synthesized from
+# sha2(id) (operators/multimodal.synthesize_media), which DuckDB can
+# replay byte-for-byte: hex(payload) == repeat(sha256(id), 1+id%4) and
+# each byte's high nibble — the histogram bin — is the hex digit at the
+# odd positions of that string. So the oracle regenerates the corpus
+# and the byte-histogram features from first principles, giving the
+# binary/mapInPandas path a full value-hash gate.
 # ---------------------------------------------------------------------------
+_MULTIMODAL_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 119)) AS id),
+m AS (
+  SELECT id,
+         CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(sha256(CAST(id AS VARCHAR)), CAST(id % 4 + 1 AS INT)) AS hx
+  FROM ids
+),
+bins AS (
+  SELECT id, kind, CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+         CAST('0x' || substr(hx, CAST(2 * i - 1 AS INT), 1) AS INT) AS bin
+  FROM m, UNNEST(generate_series(1, length(hx) // 2)) AS t(i)
+),
+feat AS (
+  SELECT id, kind, n_bytes,
+         1.0 AS mass,
+         AVG(CAST(bin AS DOUBLE)) AS mean_bin
+  FROM bins
+  GROUP BY id, kind, n_bytes
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(mass), 4) AS avg_feature_mass,
+       ROUND(AVG(mean_bin), 4) AS avg_mean_bin
+FROM feat
+GROUP BY kind
+ORDER BY kind
+"""
+
+
 @query(
     "multimodal_feature_stats",
     tags=("multimodal", "mapInPandas"),
-    oracle=None,
+    oracle=_MULTIMODAL_ORACLE,
 )
 def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a deterministic binary media table, run the
     Arrow-batched byte-histogram featurizer (operators/multimodal.py),
-    and roll feature mass up per kind — exercising binary columns,
-    struct metadata, and the mapInPandas batch path end to end."""
+    and roll feature mass + histogram mean-bin up per kind — exercising
+    binary columns, struct metadata, and the mapInPandas batch path end
+    to end. The oracle replays payload synthesis and the histogram from
+    the sha2 hex text, so the hash gate covers the featurizer's actual
+    float32 output (mean_bin is the histogram-weighted bin index; mass
+    sums the normalized histogram, ~1.0 by construction)."""
     from ..operators import multimodal as MM
 
     media = MM.synthesize_media(spark, n=120)
     feats = MM.extract_features(media)
+    fd = F.transform(F.col("feature"), lambda x: x.cast("double"))
+    mean_bin = F.aggregate(
+        F.zip_with(
+            fd,
+            F.sequence(F.lit(0), F.lit(MM.N_HIST_BINS - 1)),
+            lambda f, i: f * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     return (
         feats.select(
             "kind",
             "n_bytes",
-            F.aggregate(
-                F.col("feature"), F.lit(0.0), lambda a, x: a + x.cast("double")
-            ).alias("mass"),
+            F.aggregate(fd, F.lit(0.0), lambda a, x: a + x).alias("mass"),
+            mean_bin.alias("mean_bin"),
         )
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
             F.round(F.avg("mass"), 4).alias("avg_feature_mass"),
+            F.round(F.avg("mean_bin"), 4).alias("avg_mean_bin"),
         )
         .orderBy("kind")
     )

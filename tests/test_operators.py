@@ -330,3 +330,54 @@ def test_lsh_topk_finds_planted_twins(spark):
     got = lsh_topk(emb, queries, k=1, n_planes=6, dim=16).collect()
     hits = sum(1 for r in got if r["neighbor_id"] == r["query_id"] + 100)
     assert hits >= 18, f"only {hits}/20 twins found at rank 1"
+
+def test_near_dup_cells_recall_and_planted_exactness(emb, spark):
+    """Cell-blocked near-dup mining vs exact all-pairs: (a) on the
+    isotropic fixture corpus (blocking's worst case) recall >= 0.85 at
+    the driver config (tau=0.4, C=16, P=4) with zero false pairs;
+    (b) genuine near-dups (planted cos~0.999 twins) are found with
+    recall 1.0 — the case the operator exists for."""
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.near_dup_pairs_cells(
+            emb, "vec_id", "embedding", threshold=0.4, n_centroids=16, probes=4
+        ).collect()
+    }
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    assert not (got - truth), "blocking must never invent pairs"
+    assert len(got & truth) / len(truth) >= 0.85, (len(got), len(truth))
+
+    import hashlib
+
+    def hvec(seed, dim=16):
+        return [
+            (int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:8], 16) % 2000)
+            / 1000.0
+            - 1.0
+            for i in range(dim)
+        ]
+
+    rows = []
+    for k in range(20):
+        base = hvec(f"nd{k}")
+        twin = [x + 0.005 * ((k + i) % 3 - 1) for i, x in enumerate(base)]
+        rows.append((k, base))
+        rows.append((100 + k, twin))
+    planted = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.near_dup_pairs_cells(
+            planted, "vec_id", "embedding", threshold=0.99, n_centroids=8, probes=2
+        ).collect()
+    }
+    assert found >= {(k, 100 + k) for k in range(20)}, found

@@ -128,6 +128,17 @@ def test_ann_ivf_cell_assignment_is_map_side(spark):
     assert shuffle_count(df) <= 2
 
 
+def test_near_dup_cells_is_equi_join(spark):
+    """Cell-blocked near-dup mining must plan the pair join as a hash
+    equi-join on the cell id — never the BroadcastNestedLoopJoin the
+    all-pairs theta form degenerates to."""
+    from streampro_assignment_etl_spark.plans import plan_string
+
+    plan = plan_string(_q(spark, "embedding_near_dup_cells"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan
+
+
 def test_dedup_clusters_bounded_iterations(spark):
     """Star-contraction must converge well under the max_iter bound on
     a worst-case path graph (O(log n) rounds, not O(n))."""
