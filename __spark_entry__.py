@@ -40,6 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from streampro_assignment_etl_spark.queries import release_persisted
+
+            # The driver runs the whole registry in one session; free the
+            # previous query's tracked mid-plan caches before building.
+            release_persisted()
             apply_runtime_confs(spark)
             return spec.builder(spark, sf_dir)
 

@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from streampro_assignment_etl_spark.queries import REGISTRY  # noqa: E402
+from streampro_assignment_etl_spark.queries import REGISTRY, release_persisted  # noqa: E402
 from streampro_assignment_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -50,12 +50,14 @@ def main() -> None:
     # whole-stage-codegen + parquet-footer-cache warmup.
     warm = headline.get("pricing_summary") or next(iter(headline.values()))
     warm.builder(spark, sf_dir).count()
+    release_persisted()
 
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_persisted()  # don't let one query's cache skew the next
 
     out = {
         "metric": "headline_queries_total",

@@ -77,7 +77,10 @@ def _split_top_level(s: str, sep: str) -> list[str]:
 
 
 def rewrite_group_concat(sql: str) -> str:
-    """``GROUP_CONCAT(expr ORDER BY k1[, k2...])`` → ordered array_join."""
+    """``GROUP_CONCAT(expr[, sep] [ORDER BY k1[, k2...]])`` → ordered
+    array_join. An explicit separator (second top-level argument before
+    the ORDER BY) is honored in the array_join; the default matches
+    DuckDB's ','."""
     out = sql
     while True:
         m = re.search(r"GROUP_CONCAT\s*\(", out, re.IGNORECASE)
@@ -87,13 +90,18 @@ def rewrite_group_concat(sql: str) -> str:
         close_idx = _matching_paren(out, open_idx)
         body = out[open_idx + 1 : close_idx]
         parts = _split_top_level(body, " ORDER BY ")
-        expr = parts[0].strip()
+        head = [a.strip() for a in _split_top_level(parts[0], ",")]
+        if len(head) > 2:
+            raise NotImplementedError(
+                f"GROUP_CONCAT with {len(head)} arguments is not supported: {body!r}"
+            )
+        expr, sep = head[0], (head[1] if len(head) == 2 else "','")
         keys = [k.strip() for k in _split_top_level(parts[1], ",")] if len(parts) > 1 else []
         key_fields = ", ".join(f"{k} AS _k{i}" for i, k in enumerate(keys))
         struct_body = f"{key_fields}, {expr} AS _gc" if key_fields else f"{expr} AS _gc"
         repl = (
             f"array_join(transform(array_sort(collect_list("
-            f"struct({struct_body}))), s -> s._gc), ',')"
+            f"struct({struct_body}))), s -> s._gc), {sep})"
         )
         out = out[: m.start()] + repl + out[close_idx + 1 :]
 
@@ -140,9 +148,38 @@ def rewrite_varchar_cast(sql: str) -> str:
     return re.sub(r"\bAS\s+VARCHAR\s*\)", "AS STRING)", sql, flags=re.IGNORECASE)
 
 
+def rewrite_date_diff(sql: str) -> str:
+    """``DATE_DIFF('day', a, b)`` → ``datediff(b, a)``.
+
+    DuckDB's three-argument form counts unit boundaries from a to b;
+    Spark's two-argument ``datediff(end, start)`` is day-granular with
+    the argument order flipped. Only the 'day' unit maps cleanly, so any
+    other unit fails loudly rather than silently changing semantics."""
+    out = sql
+    pos = 0
+    while True:
+        m = re.search(r"\bDATE_DIFF\s*\(", out[pos:], re.IGNORECASE)
+        if not m:
+            return out
+        open_idx = out.index("(", pos + m.start())
+        close_idx = _matching_paren(out, open_idx)
+        args = _split_top_level(out[open_idx + 1 : close_idx], ",")
+        if len(args) != 3:
+            # Spark-form datediff(end, start): leave untouched, scan on.
+            pos = close_idx + 1
+            continue
+        unit = args[0].strip().strip("'\"").lower()
+        if unit != "day":
+            raise NotImplementedError(f"DATE_DIFF unit {unit!r} has no day-exact Spark mapping")
+        a, b = args[1].strip(), args[2].strip()
+        out = out[: pos + m.start()] + f"datediff({b}, {a})" + out[close_idx + 1 :]
+
+
 def duckdb_to_spark_sql(sql: str) -> str:
     """Full shim: every rewrite the reference workload needs."""
-    return rewrite_varchar_cast(rewrite_date_add_interval(rewrite_group_concat(sql)))
+    return rewrite_date_diff(
+        rewrite_varchar_cast(rewrite_date_add_interval(rewrite_group_concat(sql)))
+    )
 
 
 def run_duckdb_sql(spark: SparkSession, sql: str) -> DataFrame:

@@ -22,8 +22,31 @@ drop_duplicates); this is additive north-star surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize `df` and truncate its logical plan between rounds.
+
+    Local mode: ``localCheckpoint`` (executor-memory blocks — fast, but
+    lost with an executor). On a real cluster set
+    ``SPARK_CHECKPOINT_DIR`` and the same call becomes a RELIABLE
+    ``checkpoint()`` to that directory (HDFS/S3): a lost executor then
+    costs a re-read, not a full recompute of every prior round. The
+    checkpoint dir is wired lazily so plain local runs need no setup.
+    """
+    ckpt_dir = os.environ.get("SPARK_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None or not str(sc.getCheckpointDir()).startswith(
+            ckpt_dir
+        ):
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -100,19 +123,20 @@ def connected_components(
     plans: it short-circuits *execution* but the *logical plan* still
     nests every prior round (~4× growth/round → the optimizer OOMs on
     long chains). Checkpointing truncates the lineage so round N plans
-    against a flat scan of round N-1's frontier. (On a cluster with an
-    HDFS checkpoint dir, swap for ``checkpoint()`` to survive executor
-    loss; the frontier is tiny — near-dup nodes only — either way.)
+    against a flat scan of round N-1's frontier. With
+    ``SPARK_CHECKPOINT_DIR`` set, ``_truncate_lineage`` upgrades to
+    reliable ``checkpoint()`` automatically (survives executor loss on a
+    cluster); the frontier is tiny — near-dup nodes only — either way.
     """
     # Checkpoint the INPUT too: the edge list is usually the output of
     # an expensive candidate generator (MinHash-LSH), and round 1
     # references it three times (symmetrize ×2 + min-join) — without
     # truncation that recomputes the generator per reference.
-    edges = pairs.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    edges = _truncate_lineage(
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nxt = _truncate_lineage(_small_star(_large_star(edges)))
         # Star-forest test in ONE job: a node breaks the forest iff it
         # has out-degree > 1 (two labels) or appears as both source and
         # target (an unresolved chain). Degree-count union-aggregate —

@@ -112,13 +112,15 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 
 
 def run_differential(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[Mismatch]]:
-    """Run every oracle-bearing declared query on both engines; return
-    per-query mismatch lists (empty list = green)."""
-    from .queries import REGISTRY
+    """Run every oracle-bearing declared query (driver-facing REGISTRY
+    plus local-only EXTRAS) on both engines; return per-query mismatch
+    lists (empty list = green)."""
+    from .queries import EXTRAS, REGISTRY, release_persisted
 
     con = duckdb_connect(sf_dir)
     results: dict[str, list[Mismatch]] = {}
-    for name, spec in REGISTRY.items():
+    for name, spec in {**REGISTRY, **EXTRAS}.items():
+        release_persisted()  # free the previous query's tracked caches
         if names and name not in names:
             continue
         if spec.oracle is None:

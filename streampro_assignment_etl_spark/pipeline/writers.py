@@ -10,7 +10,49 @@ that partition.
 
 from __future__ import annotations
 
+import shutil
+import uuid
+from pathlib import Path
+
 from pyspark.sql import DataFrame
+
+
+def _staged_swap(root: Path, staging: Path) -> None:
+    """Swap ``staging`` into ``root``'s place via rename, crash-aware.
+
+    POSIX has no atomic directory exchange, so there is an unavoidable
+    instant between the two renames where ``root`` does not exist. A
+    failure raised in that window is restored in-process; a hard crash
+    (kill -9, power loss) leaves the hidden ``.<name>.old-*`` backup on
+    disk — ``recover_staged_swap(path)`` puts it back. Readers racing
+    the swap see either the old or the new table, never a half-written
+    mix, because the staging write happens entirely off to the side.
+    """
+    backup = root.parent / f".{root.name}.old-{uuid.uuid4().hex[:8]}"
+    root.rename(backup)
+    try:
+        staging.rename(root)
+    except BaseException:
+        backup.rename(root)  # in-process failure: restore the old table
+        raise
+    shutil.rmtree(backup)
+
+
+def recover_staged_swap(path: str) -> bool:
+    """Restore a table lost to a hard crash inside ``_staged_swap``'s
+    rename window: if ``path`` is missing but a ``.<name>.old-*`` backup
+    exists, rename the newest backup back into place. Returns True if a
+    recovery happened. Idempotent; safe to call on healthy tables."""
+    root = Path(path)
+    if root.exists():
+        return False
+    backups = sorted(
+        root.parent.glob(f".{root.name}.old-*"), key=lambda p: p.stat().st_mtime
+    )
+    if not backups:
+        return False
+    backups[-1].rename(root)
+    return True
 
 
 def write_parquet(
@@ -64,9 +106,6 @@ def compact_parquet(
     Returns ``{"files_before", "files_after", "bytes"}``.
     """
     import math
-    import shutil
-    import uuid
-    from pathlib import Path
 
     root = Path(path)
     part_files = [p for p in root.rglob("*.parquet") if p.is_file()]
@@ -87,10 +126,7 @@ def compact_parquet(
         w = w.partitionBy(partition_col)
     w.parquet(str(staging))
 
-    backup = root.parent / f".{root.name}.old-{uuid.uuid4().hex[:8]}"
-    root.rename(backup)
-    staging.rename(root)
-    shutil.rmtree(backup)
+    _staged_swap(root, staging)
 
     after = sum(1 for p in root.rglob("*.parquet") if p.is_file())
     return {"files_before": len(part_files), "files_after": after, "bytes": total_bytes}
@@ -118,11 +154,12 @@ def merge_upsert(
 
     Returns ``{"target_rows_before", "updated", "inserted"}``.
     """
-    import shutil
-    import uuid
-    from pathlib import Path
-
     from pyspark.sql import functions as F
+
+    # One row per key: duplicate keys in `updates` would both corrupt
+    # the merged table (two rows for one key) and break the
+    # updated/inserted accounting below.
+    updates = updates.dropDuplicates(list(keys))
 
     root = Path(target_path)
     target = spark.read.parquet(str(root))
@@ -150,10 +187,7 @@ def merge_upsert(
         w = w.partitionBy(partition_col)
     w.parquet(str(staging))
 
-    backup = root.parent / f".{root.name}.old-{uuid.uuid4().hex[:8]}"
-    root.rename(backup)
-    staging.rename(root)
-    shutil.rmtree(backup)
+    _staged_swap(root, staging)
 
     upd = updates.count()
     updated = before - kept_n

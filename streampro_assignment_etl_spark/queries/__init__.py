@@ -1,4 +1,11 @@
-from .catalog import REGISTRY, QuerySpec, query  # noqa: F401
+from .catalog import (  # noqa: F401
+    EXTRAS,
+    REGISTRY,
+    QuerySpec,
+    query,
+    release_persisted,
+    track_persist,
+)
 
 # Importing these modules populates REGISTRY via the @query decorator.
 from . import relational  # noqa: F401,E402

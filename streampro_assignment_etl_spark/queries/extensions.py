@@ -30,6 +30,7 @@ _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 # ---------------------------------------------------------------------------
 @query(
     "dedup_exact",
+    extra=True,  # full-text-shuffle anchor; dedup_fingerprints carries the driver row
     tags=("dedup",),
     oracle="""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -53,6 +54,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_fingerprint",
+    extra=True,  # merged into dedup_fingerprints
     tags=("dedup",),
     oracle="""
 WITH fp AS (
@@ -88,6 +90,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "text_quality_by_lang",
+    extra=True,  # merged into text_quality_percentiles
     tags=("text",),
     oracle=f"""
 WITH tok AS (
@@ -143,6 +146,7 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_counts_by_source",
+    extra=True,  # merged into token_stats_by_source
     tags=("text",),
     oracle=f"""
 SELECT source,
@@ -175,6 +179,7 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_length_percentiles",
+    extra=True,  # merged into text_quality_percentiles
     tags=("text",),
     oracle="""
 WITH ordered AS (
@@ -298,6 +303,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_label_stats",
+    extra=True,  # plain agg family amply covered by driver rows
     tags=("similarity",),
     oracle="""
 SELECT label,
@@ -377,6 +383,7 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_rolling_fingerprint",
+    extra=True,  # merged into dedup_fingerprints
     tags=("text", "fingerprint"),
     oracle="""
 WITH fp AS (
@@ -463,6 +470,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "deterministic_sample",
+    extra=True,  # hash-mod sampling has a driver row via stratified_sample_by_lang
     tags=("sampling",),
     oracle="""
 WITH h AS (
@@ -782,6 +790,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "udaf_median_chars_by_source",
+    extra=True,  # merged into token_stats_by_source (all-UDAF agg)
     tags=("udaf", "pandas-udf", "arrow"),
     oracle="""
 SELECT source,
@@ -963,6 +972,204 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.count(F.when(F.col("rep_ratio") > 0.2, 1)).alias("n_flagged"),
             F.round(F.max("rep_ratio"), 4).alias("max_rep_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consolidated driver entries (round 3): each merges 2-3 of the EXTRA
+# micro-queries above into one registry slot so every operator family
+# fits the driver's 50-entry correctness window. The originals stay
+# above as EXTRAS (same oracle discipline, local differential tests).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_fingerprints",
+    tags=("dedup", "fingerprint"),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fingerprint,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 131 + b) % 1000000007) AS rolling_fp
+  FROM documents
+)
+SELECT fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT text) AS n_distinct_texts,
+       CAST(MIN(rolling_fp) AS BIGINT) AS min_rolling_fp
+FROM fp
+GROUP BY fingerprint
+ORDER BY keep_doc_id
+""",
+)
+def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three exact-dedup schemes in one plan (merges `dedup_exact` +
+    `dedup_fingerprint` + `doc_rolling_fingerprint`): group by the
+    normalized md5 fingerprint (16-byte shuffle keys — the 100 TB
+    path), keep the lowest doc_id, and audit the scheme against the
+    others in the same pass — COUNT(DISTINCT text) inside each
+    fingerprint group IS the exact full-text dedup (>1 means
+    normalization merged genuinely different texts), and the group-min
+    Rabin-Karp rolling hash exercises the streaming-friendly
+    fingerprint both engines fold identically."""
+    from ..functions.text import rolling_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")))
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            fp.alias("fingerprint"),
+            rolling_hash(F.col("text")).alias("rolling_fp"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            F.min("rolling_fp").alias("min_rolling_fp"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+@query(
+    "text_quality_percentiles",
+    tags=("text",),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpe_tokens,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_SQL}))) AS n_stopwords,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_ws_tokens), 4) AS chars_per_token,
+       ROUND(CAST(SUM(n_stopwords) AS DOUBLE) / SUM(n_ws_tokens), 4) AS stopword_ratio,
+       MIN(n_chars) AS min_chars,
+       MIN(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT) THEN n_chars END) AS median_chars,
+       MAX(n_chars) AS max_chars
+FROM tok
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality scoring AND length percentiles in one pass
+    (merges `text_quality_by_lang` + `doc_length_percentiles`): token
+    counts / stopword ratio from JVM-side built-ins, plus the exact
+    discrete median via a ROW_NUMBER window sharing the same lang
+    partitioning as the final groupBy — one scan, one lang shuffle.
+    percentile_approx (functions/approx.py) is the 100 TB path; this
+    exact variant is its correctness anchor."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.split(F.col("text"), " ")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    tok = docs.select(
+        "lang",
+        "n_chars",
+        F.size(ws_tokens).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.filter(ws_tokens, lambda w_: w_.isin(*_STOPWORDS))).alias("n_stopwords"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.sum("n_ws_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+            F.round(F.sum("n_stopwords").cast("double") / F.sum("n_ws_tokens"), 4).alias(
+                "stopword_ratio"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.min(F.when(F.col("rn") == mid, F.col("n_chars"))).alias("median_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "token_stats_by_source",
+    tags=("text", "udaf", "pandas-udf", "arrow"),
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS total_tokens,
+       CAST(MIN(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS min_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT) AS max_tokens,
+       median(n_chars) AS median_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source — the budgeting query every
+    training-data pipeline runs — computed ENTIRELY through pandas
+    GROUPED_AGG UDAFs (merges `token_counts_by_source` +
+    `udaf_median_chars_by_source`). Spark disallows mixing GROUPED_AGG
+    pandas UDFs with JVM aggregates in one Aggregate node, so all five
+    aggregates are Arrow-batched UDAFs riding one batch per group;
+    tokenization itself stays a JVM-side regexp before the shuffle.
+    Exactness: int sums/extrema are exact in int64, and the mean of two
+    ints <= 2^52 is exactly representable, so pandas' interpolating
+    median bit-matches DuckDB's."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return len(v)
+
+    @pandas_udf("long")
+    def sum_udaf(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("long")
+    def min_udaf(v: pd.Series) -> int:
+        return int(v.min())
+
+    @pandas_udf("long")
+    def max_udaf(v: pd.Series) -> int:
+        return int(v.max())
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0)))
+    return (
+        docs.select("source", n_tok.alias("n_tokens"), "n_chars")
+        .groupBy("source")
+        .agg(
+            count_udaf("n_tokens").alias("n_docs"),
+            sum_udaf("n_tokens").alias("total_tokens"),
+            min_udaf("n_tokens").alias("min_tokens"),
+            max_udaf("n_tokens").alias("max_tokens"),
+            median_udaf("n_chars").alias("median_chars"),
         )
         .orderBy("source")
     )

@@ -74,6 +74,7 @@ def _run_pipeline(spark: SparkSession, lake: LakeStorage, table: str) -> DataFra
 
 @query(
     "pipeline_csv_roundtrip",
+    extra=True,  # merged into pipeline_file_roundtrips
     tags=("S1", "S4", "S6", "S7", "S10", "P1"),
     oracle="""
 SELECT c_mktsegment,
@@ -126,6 +127,7 @@ def pipeline_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_jsonl_roundtrip",
+    extra=True,  # merged into pipeline_file_roundtrips
     tags=("S2", "S4", "S6", "S7", "S10", "P1"),
     oracle="""
 SELECT strftime(ts, '%Y-%m-%d') AS event_date,
@@ -164,4 +166,180 @@ def pipeline_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_ts"),
         )
         .orderBy("event_date", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consolidated driver entry (round 3): both landing formats through the
+# zoned pipeline in one query — the CSV and JSONL roundtrips above stay
+# as EXTRAS; this entry unions their rollups into one tall frame so
+# S1+S2 (+S4/S6/S7/S10/P1) share a single driver correctness row.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_file_roundtrips",
+    tags=("S1", "S2", "S4", "S6", "S7", "S10", "P1"),
+    oracle="""
+SELECT 'csv' AS stage, c_mktsegment AS key1, '2025-09-09' AS key2,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_nationkey) AS n_distinct,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(c_custkey) AS VARCHAR) AS first_marker
+FROM customer
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'jsonl' AS stage, strftime(ts, '%Y-%m-%d') AS key1, event_type AS key2,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_distinct,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       MIN(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS first_marker
+FROM events
+GROUP BY 1, 2, key2
+ORDER BY stage, key1, key2
+""",
+)
+def pipeline_file_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→CSV and events→JSONL, each through landing→raw→trusted
+    (typed parse, ingestion_date stamp, partitioned parquet), rolled up
+    from the TRUSTED output and unioned into one tall frame. The oracle
+    aggregates the original source parquet directly, so a hash match
+    proves both format paths are value-preserving end-to-end (longs,
+    doubles, strings, micros-exact timestamps-as-strings)."""
+    lake_c = _fresh_lake(sf_dir, "csv")
+    customer = load_table(spark, sf_dir, "customer")
+    part = _stage_single_file(customer, lake_c.root, "csv", header=True)
+    lake_c.upload_file(part, f"landing/customer_{INGESTION_DATE}.csv")
+    trusted_c = _run_pipeline(spark, lake_c, "customer")
+    csv_rollup = (
+        trusted_c.groupBy("c_mktsegment", "ingestion_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_nationkey").alias("n_distinct"),
+            F.sum(dec("c_acctbal", 2, 12)).cast("double").alias("total_value"),
+            F.min("c_custkey").cast("string").alias("first_marker"),
+        )
+        .select(
+            F.lit("csv").alias("stage"),
+            F.col("c_mktsegment").alias("key1"),
+            F.col("ingestion_date").alias("key2"),
+            "n_rows",
+            "n_distinct",
+            "total_value",
+            "first_marker",
+        )
+    )
+
+    lake_j = _fresh_lake(sf_dir, "jsonl")
+    events = load_table(spark, sf_dir, "events")
+    part = _stage_single_file(events, lake_j.root, "json", timestampNTZFormat=_TS_FMT)
+    lake_j.upload_file(part, f"landing/events_{INGESTION_DATE}.jsonl")
+    trusted_j = _run_pipeline(spark, lake_j, "events")
+    jsonl_rollup = (
+        trusted_j.groupBy(
+            F.substring("ts", 1, 10).alias("key1"), F.col("event_type").alias("key2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_distinct"),
+            F.sum(dec("value", 2, 12)).cast("double").alias("total_value"),
+            F.min("ts").alias("first_marker"),
+        )
+        .select(F.lit("jsonl").alias("stage"), "key1", "key2", "n_rows", "n_distinct", "total_value", "first_marker")
+    )
+    return csv_rollup.unionAll(jsonl_rollup).orderBy("stage", "key1", "key2")
+
+
+# ---------------------------------------------------------------------------
+# Catalog/DDL driver entry (S11-S15): CTAS -> ANALYZE -> partitioned
+# external table + MSCK -> introspected SELECT, oracled by the same
+# aggregate straight over the source parquet.
+# ---------------------------------------------------------------------------
+@query(
+    "catalog_ctas_roundtrip",
+    tags=("S11", "S12", "S13", "S14", "S15"),
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, n_rows, sum_qty, sum_price,
+       CAST((SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS BIGINT) AS n_partitions,
+       TRUE AS catalog_ok
+FROM agg
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def catalog_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog surface end-to-end (S11-S15): a view over the source
+    parquet (S13) feeds a CTAS to an external location (S11); the result
+    is ANALYZEd (S15: table + column stats for CBO); re-written
+    partitioned by l_returnflag and registered as a typed EXTERNAL
+    PARTITIONED table with MSCK partition discovery (S12); then the
+    final SELECT reads back THROUGH the catalog table, stamped with the
+    discovered partition count (SHOW PARTITIONS) and a tableExists
+    introspection bit (S14). The oracle computes the same aggregate
+    directly over the parquet — a hash match proves the whole
+    DDL chain is value-preserving and the partition registry complete."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..pipeline import catalog_ops as C
+    from ..pipeline.schemas import TableSchema
+
+    sf_tag = Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    view, ctas, ext = f"li_src_{sf_tag}", f"ctas_pricing_{sf_tag}", f"ext_pricing_{sf_tag}"
+    base = Path(tempfile.gettempdir()) / f"streampro_catalog_{sf_tag}"
+    C.drop_table(spark, ctas)
+    C.drop_table(spark, ext)
+    if base.exists():
+        shutil.rmtree(base)
+
+    assert C.create_view_from_parquet(spark, view, f"{sf_dir}/lineitem.parquet")
+    assert C.create_table_as_select(
+        spark,
+        ctas,
+        f"""SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM {view} GROUP BY l_returnflag, l_linestatus""",
+        location=str(base / "ctas"),
+    )
+    assert C.analyze_table(spark, ctas)
+
+    ext_loc = base / "ext"
+    spark.table(ctas).write.partitionBy("l_returnflag").parquet(str(ext_loc))
+    schema = TableSchema(
+        name=ext,
+        struct=T.StructType(
+            [
+                T.StructField("l_linestatus", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("sum_qty", T.DoubleType()),
+                T.StructField("sum_price", T.DoubleType()),
+            ]
+        ),
+        partition_cols=("l_returnflag",),
+    )
+    C.register_external_table(spark, schema, str(ext_loc), ext)
+    n_parts = len(C.show_partitions(spark, ext))
+    assert C.table_exists(spark, ext)
+
+    return (
+        spark.table(ext)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            "sum_qty",
+            "sum_price",
+            F.lit(n_parts).cast("bigint").alias("n_partitions"),
+            F.lit(True).alias("catalog_ok"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
     )

@@ -78,66 +78,41 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# R2: SELECT DISTINCT (reference cells 6/20 — distinct decomposition).
+# R2+R3: SELECT DISTINCT over pushed-down predicates (reference cells
+# 6/9/10/20). One entry covers both: DISTINCT maps to a no-function hash
+# aggregate with map-side partial dedup, and every conjunct must reach
+# the parquet scan as a PushedFilter with columns pruned to the 3 the
+# query touches (pinned in tests/test_plans.py).
 # --------------------------------------------------------------------------
 @query(
-    "distinct_segments",
-    tags=("R2",),
+    "distinct_filter_pushdown",
+    tags=("R2", "R3", "F4"),
     oracle="""
-SELECT DISTINCT c_mktsegment, c_nationkey
-FROM customer
-ORDER BY c_mktsegment, c_nationkey
-""",
-)
-def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SELECT DISTINCT — maps to a hash aggregate with no agg functions;
-    partial dedup happens map-side. Reference: `SELECT DISTINCT user_id,
-    device_os, app_version` (analysis.ipynb cell 20)."""
-    return (
-        _t(spark, sf_dir, "customer")
-        .select("c_mktsegment", "c_nationkey")
-        .distinct()
-        .orderBy("c_mktsegment", "c_nationkey")
-    )
-
-
-# --------------------------------------------------------------------------
-# R3: filter/predicates with pushdown. Projection must prune columns at
-# the parquet scan (verified via .explain in tests).
-# --------------------------------------------------------------------------
-@query(
-    "filter_predicates",
-    tags=("R3", "F4"),
-    oracle="""
-SELECT o_orderkey, o_custkey, o_totalprice,
-       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+SELECT DISTINCT o_orderstatus, o_orderpriority
 FROM orders
-WHERE o_orderstatus = 'O'
-  AND o_totalprice > 150000
+WHERE o_totalprice > 150000
   AND o_orderdate >= TIMESTAMP '1998-01-01'
   AND o_orderdate <  TIMESTAMP '1999-01-01'
-ORDER BY o_orderkey
+ORDER BY o_orderstatus, o_orderpriority
 """,
 )
-def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conjunctive predicates — all pushed to the parquet scan
-    (PushedFilters), columns pruned to 4 of 6. Reference filter shapes:
-    analysis.ipynb cells 6/9/10 (`WHERE user_id = ...`, `value > 0`)."""
+def distinct_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates + SELECT DISTINCT in one plan: all
+    predicates push to the scan, the scan reads 4 of orders' 6 columns,
+    and the distinct is a map-side-partial hash aggregate. Merges the
+    round-2 `filter_predicates` + `distinct_segments` micro-queries
+    (both shapes stay pinned in tests/test_plans.py; this consolidation
+    keeps the driver registry inside its 50-entry window)."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.filter(
-            (F.col("o_orderstatus") == "O")
-            & (F.col("o_totalprice") > 150000)
+            (F.col("o_totalprice") > 150000)
             & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
             & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
         )
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_totalprice",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        )
-        .orderBy("o_orderkey")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
     )
 
 
@@ -147,6 +122,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "agg_having_distribution",
+    extra=True,  # R4/R5/R7 have driver rows via pricing_summary + sp_daily_patterns
     tags=("R4", "R5", "R7", "R13"),
     oracle="""
 WITH per_cust AS (
@@ -240,6 +216,7 @@ def join_dims_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "join_composite_key",
+    extra=True,  # R9 has a driver row via sp_q1's (user_id, session_id) join
     tags=("R9", "R13"),
     oracle="""
 WITH first_line AS (
@@ -412,6 +389,7 @@ def scalar_subquery_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "top1_per_group_window",
+    extra=True,  # R14/R15 have a driver row via sp_q2's dominant-genre window
     tags=("R14", "R15", "R13"),
     oracle="""
 WITH per_type AS (
@@ -504,6 +482,7 @@ def sort_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "topk_orders",
+    extra=True,  # R16/R17 have a driver row via sort_nulls_last's LIMIT
     tags=("R17", "R16"),
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -529,6 +508,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "ordered_string_agg",
+    extra=True,  # R18 has a driver row via sp_daily_patterns' ordered concat
     tags=("R18", "F2"),
     oracle="""
 SELECT user_id,
@@ -561,77 +541,55 @@ def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# R19: CASE expression buckets (reference returned_day1 CASE, cell 20).
+# R19+R6: CASE as a grouping key + conditional/filtered aggregation in
+# one plan (reference returned_day1 CASE cell 20; filtered-agg idiom
+# cells 9/10/14/20/21). Merges the round-2 `case_expr_buckets` +
+# `conditional_agg` micro-queries into one driver entry.
 # --------------------------------------------------------------------------
 @query(
-    "case_expr_buckets",
-    tags=("R19", "R4", "R5"),
+    "conditional_case_agg",
+    tags=("R19", "R6", "R4", "R5"),
     oracle="""
 SELECT CASE WHEN o_totalprice >= 200000 THEN 'large'
             WHEN o_totalprice >= 100000 THEN 'medium'
             ELSE 'small' END AS bucket,
        COUNT(*) AS n_orders,
-       COUNT(DISTINCT o_custkey) AS n_customers
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS finished_value,
+       COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS open_customers
 FROM orders
 GROUP BY 1
 ORDER BY bucket
 """,
 )
-def case_expr_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-aggregate CASE as a grouping key + COUNT DISTINCT."""
+def conditional_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-aggregate CASE as the grouping key, plus the reference's full
+    filtered-aggregation idiom over it: COUNT(CASE WHEN), SUM(CASE WHEN
+    ... DECIMAL), and two COUNT(DISTINCT ...) (plain + CASE-guarded,
+    which Catalyst plans as one Expand over the distinct columns)."""
     o = _t(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") >= 200000, "large")
         .when(F.col("o_totalprice") >= 100000, "medium")
         .otherwise("small")
     )
+    zero = F.lit(0).cast(_D)
     return (
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-        )
-        .orderBy("bucket")
-    )
-
-
-# --------------------------------------------------------------------------
-# R6: conditional / filtered aggregation (reference cells 9/10/14/20/21).
-# --------------------------------------------------------------------------
-@query(
-    "conditional_agg",
-    tags=("R6", "R5"),
-    oracle="""
-SELECT user_id,
-       COUNT(*) AS n_events,
-       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_events,
-       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2))
-                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS view_value,
-       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN event_id END) AS purchase_events
-FROM events
-WHERE user_id < 50
-GROUP BY user_id
-ORDER BY user_id
-""",
-)
-def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(CASE WHEN)/SUM(CASE WHEN)/COUNT(DISTINCT CASE WHEN) — the
-    reference's filtered-aggregation idiom (cell 9 ipynb:752, cell 20)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    zero = F.lit(0).cast(_D)
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count(F.when(F.col("event_type") == "view", 1)).alias("view_events"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
             F.sum(
-                F.when(F.col("event_type") == "view", dec("value", 2, 12)).otherwise(zero)
+                F.when(F.col("o_orderstatus") == "F", dec("o_totalprice", 2, 12)).otherwise(zero)
             )
             .cast("double")
-            .alias("view_value"),
+            .alias("finished_value"),
             F.countDistinct(
-                F.when(F.col("event_type") == "purchase", F.col("event_id"))
-            ).alias("purchase_events"),
+                F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+            ).alias("open_customers"),
         )
-        .orderBy("user_id")
+        .orderBy("bucket")
     )

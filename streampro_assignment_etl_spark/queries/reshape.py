@@ -112,6 +112,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "gapfill_user_daily",
+    extra=True,  # spine-join family locally tested; hypertable_rollup carries the timeseries driver row
     tags=("timeseries", "gapfill"),
     oracle="""
 WITH span AS (
@@ -281,6 +282,7 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "lateral_top_orders",
+    extra=True,  # decorrelated top-k family has driver rows via sort_nulls_last + window_functions_suite
     tags=("lateral", "correlated-subquery"),
     oracle="""
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

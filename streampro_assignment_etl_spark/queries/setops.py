@@ -64,6 +64,7 @@ def set_ops_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "rollup_order_priorities",
+    extra=True,  # grouping-sets family has driver rows via cube_returnflag_status + hypertable_rollup
     tags=("grouping-sets",),
     oracle="""
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
@@ -104,6 +105,7 @@ def rollup_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "semi_anti_customers",
+    extra=True,  # merged into subquery_membership
     tags=("semi-join", "anti-join"),
     oracle="""
 SELECT 'with_orders' AS bucket, COUNT(*) AS n_customers,
@@ -146,6 +148,7 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "in_subquery_parts",
+    extra=True,  # merged into subquery_membership
     tags=("semi-join", "subquery"),
     oracle="""
 SELECT p_type, COUNT(*) AS n_parts
@@ -342,3 +345,46 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_day", "bucket_hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Consolidated driver entry (round 3): EXISTS / NOT EXISTS / IN in one
+# SQL-path query — Catalyst rewrites all three to left semi/anti joins
+# (merges `semi_anti_customers` + `in_subquery_parts`, kept above as
+# EXTRAS with the explicit DataFrame left_semi/left_anti forms).
+# ---------------------------------------------------------------------------
+_MEMBERSHIP_SQL = """
+SELECT 'with_orders' AS bucket, COUNT(*) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS bucket, COUNT(*) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'big_spenders' AS bucket, COUNT(*) AS n_customers,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM customer c
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+ORDER BY bucket
+"""
+
+
+@query(
+    "subquery_membership",
+    tags=("semi-join", "anti-join", "subquery"),
+    oracle=_MEMBERSHIP_SQL,
+)
+def subquery_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS, NOT EXISTS, and IN membership subqueries in one result —
+    the identical SQL text runs on both engines; Catalyst plans the
+    three branches as left semi / left anti / left semi joins (probe
+    side streams, no row multiplication, build side broadcast-able),
+    and the IN branch's o_totalprice filter pushes to the orders scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MEMBERSHIP_SQL)

@@ -50,7 +50,13 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = windowed_event_counts(read_events_stream(spark, str(landing)))
     out, ckpt = str(lake.root / "stream_out"), str(lake.root / "stream_ckpt")
     run_stream_to_parquet(stream, out, ckpt, mode="update")
-    return spark.read.parquet(out).orderBy("window_start", "event_type")
+    # Select the result columns explicitly: the idempotent sink adds a
+    # batch_id partition column on read-back.
+    return (
+        spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -58,6 +64,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "sliding_window_counts",
+    extra=True,  # streaming family driver row is streaming_windowed_counts
     tags=("streaming", "window", "sliding"),
     oracle="""
 WITH e AS (

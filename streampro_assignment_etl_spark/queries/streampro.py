@@ -24,7 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.exact import dec
 from ..sources.testdata import load_table
-from .catalog import query
+from .catalog import query, track_persist
 
 _D = "decimal(12,2)"
 
@@ -292,8 +292,8 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.grouping("genre").alias("gid"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # <= users x (genres+1) rows
     )
+    gs = track_persist(gs, StorageLevel.MEMORY_AND_DISK)  # <= users x (genres+1) rows
 
     fsgw = gs.filter((F.col("gid") == 0) & F.col("genre_watch_time").isNotNull()).select(
         "user_id", "genre", "genre_watch_time"
@@ -462,7 +462,8 @@ def sp_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("first_session_combos"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_user = track_persist(per_user, StorageLevel.MEMORY_AND_DISK)
     # ^ user-grain (events-count ÷ ~sessions·events rows): the combo and
     # overall branches both fold this frame, and persisting it caps the
     # whole query at ONE events scan + ONE user_id shuffle.
@@ -614,6 +615,7 @@ def sp_daily_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sp_session_timeline",
+    extra=True,  # projection/sort/limit family has driver rows via sort_nulls_last + sp_session_overview
     tags=("R3", "R6", "F1", "F4"),
     oracle=f"""
 WITH {SESS_SQL.strip()}
@@ -658,6 +660,7 @@ def sp_session_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sp_genre_overview",
+    extra=True,  # plain agg family has driver rows via join_dims_rollup + sp_event-level entries
     tags=("R4", "R5", "R16"),
     oracle="""
 SELECT 'g' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS VARCHAR) AS genre,
@@ -683,6 +686,7 @@ def sp_genre_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sp_event_type_distribution",
+    extra=True,  # R12 scalar subquery has a driver row via scalar_subquery_pct
     tags=("R12", "R4", "F7"),
     oracle="""
 SELECT event_type,
@@ -807,3 +811,90 @@ def sp_drilldown_worst_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ver": worst["app_version"] if worst else None,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Verbatim-dialect gate (round 3): ONE SQL text, written in the
+# reference's DuckDB dialect, runs on BOTH engines — DuckDB executes it
+# as the oracle, Spark executes it through functions/dialect.py's
+# string-rewrite shim. A hash match is a hard driver gate on the shim
+# itself (DATE_ADD+INTERVAL quirk, VARCHAR casts, DATE_DIFF), not just
+# on hand-matched twin queries. Structure mirrors notebook cell 15's Q2
+# (CTE chain, lexicographic first session, 3-day horizon theta join,
+# ROW_NUMBER dominant pick) over the events analog.
+# ---------------------------------------------------------------------------
+_VERBATIM_Q2 = """
+WITH sess AS (
+    SELECT *,
+           'user_' || CAST(user_id AS VARCHAR) || '_sess_' ||
+           CAST(DATE_DIFF('day', CAST('2024-01-01' AS DATE), CAST(ts AS DATE)) AS VARCHAR) ||
+           '_' || CAST(hour(ts) AS VARCHAR) AS session_id
+    FROM events
+),
+user_first_sessions AS (
+    SELECT user_id, MIN(session_id) as first_session_id,
+           SUBSTRING(CAST(MIN(ts) AS VARCHAR), 1, 10) as first_session_date
+    FROM sess GROUP BY user_id
+),
+first_session_type_value AS (
+    SELECT ufs.user_id, e.event_type,
+           SUM(CASE WHEN e.value IS NOT NULL THEN CAST(e.value AS DOUBLE) ELSE 0 END) as type_value
+    FROM user_first_sessions ufs
+    INNER JOIN sess e
+        ON ufs.user_id = e.user_id AND ufs.first_session_id = e.session_id
+    GROUP BY ufs.user_id, e.event_type
+),
+user_dominant_types AS (
+    SELECT user_id, event_type as dominant_type, type_value
+    FROM (
+        SELECT user_id, event_type, type_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY type_value DESC, event_type) as rn
+        FROM first_session_type_value
+    ) ranked WHERE rn = 1
+),
+subsequent_activity AS (
+    SELECT ufs.user_id,
+           SUM(CASE WHEN e.value IS NOT NULL THEN CAST(e.value AS DOUBLE) ELSE 0 END) as subsequent_value,
+           COUNT(DISTINCT e.session_id) as subsequent_sessions
+    FROM user_first_sessions ufs
+    INNER JOIN sess e
+        ON ufs.user_id = e.user_id
+        AND e.session_id > ufs.first_session_id
+        AND SUBSTRING(CAST(e.ts AS VARCHAR), 1, 10) <= CAST(DATE_ADD(CAST(ufs.first_session_date AS DATE), INTERVAL 3 DAY) AS VARCHAR)
+    GROUP BY ufs.user_id
+)
+SELECT udt.dominant_type,
+       COUNT(DISTINCT udt.user_id) as users_with_dominant_type,
+       COUNT(DISTINCT sa.user_id) as users_returned,
+       ROUND(CAST(100.0 AS DOUBLE) * COUNT(DISTINCT sa.user_id) / COUNT(DISTINCT udt.user_id), 1) as return_rate_pct,
+       ROUND(AVG(udt.type_value), 1) as avg_dominant_first_value,
+       ROUND(AVG(sa.subsequent_value), 1) as avg_subsequent_value,
+       ROUND(AVG(CAST(sa.subsequent_sessions AS DOUBLE)), 1) as avg_subsequent_sessions
+FROM user_dominant_types udt
+LEFT JOIN subsequent_activity sa ON udt.user_id = sa.user_id
+GROUP BY udt.dominant_type
+ORDER BY avg_subsequent_value DESC NULLS LAST, udt.dominant_type
+"""
+
+
+@query(
+    "sp_q2_verbatim_dialect",
+    tags=("R10", "R13", "R14", "R15", "F3", "F4", "F5", "dialect-shim"),
+    oracle=_VERBATIM_Q2,
+)
+def sp_q2_verbatim_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-dialect SQL executed UNMODIFIED through the shim
+    (functions/dialect.run_duckdb_sql) — the exact text DuckDB runs as
+    the oracle. Gates the DATE_ADD(d, INTERVAL n DAY)->TIMESTAMP quirk
+    reproduction (the horizon bound renders as 'YYYY-MM-DD 00:00:00',
+    which sorts AFTER every bare 'YYYY-MM-DD' substring — faithfully
+    quirky, not fixed), the bare-VARCHAR cast mapping, and the
+    DATE_DIFF argument-order flip, against the driver's value hash.
+    The curated-plan twin is ``sp_q2_dominant_genre_retention``;
+    tests/test_reference_parity.py additionally proves the notebook's
+    literal Q1/Q2/Q3 texts on a StreamPro-schema fixture."""
+    from ..functions.dialect import run_duckdb_sql
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return run_duckdb_sql(spark, _VERBATIM_Q2)

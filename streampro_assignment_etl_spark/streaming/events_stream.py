@@ -96,18 +96,23 @@ def sessionized_stream(
 def write_stream_to_trusted(
     df: DataFrame, trusted_dir: str, checkpoint_dir: str
 ):
-    """foreachBatch partitioned-parquet sink (append, exactly-once per
-    micro-batch via the checkpoint): the streaming twin of
-    RawToTrustedProcessor._load."""
+    """foreachBatch partitioned-parquet sink, idempotent per micro-batch:
+    batch N owns the ``batch_id=N`` subtree and OVERWRITES it, so a
+    micro-batch that partially writes and is checkpoint-retried replaces
+    its own output instead of re-appending — checkpointed offsets +
+    idempotent writes = end-to-end exactly-once (a bare
+    ``mode('append')`` here would silently be at-least-once). Readers
+    of ``trusted_dir`` see batch_id as one more Hive partition column.
+    The streaming twin of RawToTrustedProcessor._load."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn(
                 "ingestion_date", F.date_format("ts_event", "yyyy-MM-dd")
             )
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("ingestion_date")
-            .parquet(trusted_dir)
+            .parquet(f"{trusted_dir}/batch_id={batch_id}")
         )
 
     return (
@@ -133,10 +138,14 @@ def run_stream_to_parquet(
     Session windows only support append: emitted once the watermark
     finalizes them — re-run against the same checkpoint to flush (the
     restart resumes the checkpointed watermark over an empty batch).
+
+    Each micro-batch overwrites its own ``batch_id=N`` subtree, making
+    the sink idempotent under checkpoint retries (exactly-once, not
+    at-least-once); readers see batch_id as a partition column.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     q = (
         result.writeStream.outputMode(mode)

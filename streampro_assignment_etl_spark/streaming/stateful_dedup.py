@@ -87,7 +87,10 @@ def run_dedup_stream(
     spark: Any, landing_dir: str, out_dir: str, checkpoint_dir: str, timeout_s: int = 300
 ) -> None:
     """Drain a landing dir of docs JSONL through the stateful dedup into
-    parquet (availableNow; re-runs resume the fingerprint state)."""
+    parquet (availableNow; re-runs resume the fingerprint state). Each
+    micro-batch overwrites its own ``batch_id=N`` subtree so checkpoint
+    retries are idempotent (exactly-once, matching the state-store
+    semantics; a bare append would double-emit on retry)."""
     src_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
@@ -95,7 +98,7 @@ def run_dedup_stream(
     deduped = dedup_stream(stream)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     q = (
         deduped.writeStream.outputMode("update")

@@ -381,3 +381,28 @@ def test_near_dup_cells_recall_and_planted_exactness(emb, spark):
         ).collect()
     }
     assert found >= {(k, 100 + k) for k in range(20)}, found
+
+def test_connected_components_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
+    """SPARK_CHECKPOINT_DIR selects reliable checkpoint() (files land in
+    the dir and survive executor loss); unset falls back to
+    localCheckpoint with no files written. Results identical."""
+    from streampro_assignment_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    ckpt = tmp_path / "cc_ckpt"
+    monkeypatch.setenv("SPARK_CHECKPOINT_DIR", str(ckpt))
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert any(ckpt.rglob("*")), "reliable checkpoint must write files"
+
+    monkeypatch.delenv("SPARK_CHECKPOINT_DIR")
+    got2 = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got2 == got

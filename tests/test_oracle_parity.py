@@ -6,9 +6,10 @@ from __future__ import annotations
 import pytest
 
 from streampro_assignment_etl_spark.oracle import run_differential
-from streampro_assignment_etl_spark.queries import REGISTRY
+from streampro_assignment_etl_spark.queries import EXTRAS, REGISTRY
 
-ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ALL_QUERIES = {**REGISTRY, **EXTRAS}
+ORACLE_QUERIES = sorted(n for n, s in ALL_QUERIES.items() if s.oracle)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

@@ -449,3 +449,35 @@ def test_read_trusted_schema_evolution(spark, tmp_path):
     assert pruned.count() == 1
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "2025-09-09" not in plan
+
+
+def test_merge_upsert_duplicate_update_keys(spark, tmp_path):
+    """Duplicate keys in `updates` must neither double-write rows nor
+    corrupt the updated/inserted accounting (ADVICE r2)."""
+    from streampro_assignment_etl_spark.pipeline.writers import merge_upsert
+
+    flat = tmp_path / "dup_tbl"
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]).write.parquet(str(flat))
+    updates = spark.createDataFrame(
+        [(2, "b2"), (2, "b2"), (3, "c"), (3, "c")], ["id", "v"]
+    )
+    stats = merge_upsert(spark, str(flat), updates, keys=("id",))
+    assert stats == {"target_rows_before": 2, "updated": 1, "inserted": 1}
+    got = sorted(tuple(r) for r in spark.read.parquet(str(flat)).collect())
+    assert [t[0] for t in got] == [1, 2, 3]  # exactly one row per key
+
+
+def test_recover_staged_swap(spark, tmp_path):
+    """A hard crash inside the swap's rename window leaves only the
+    hidden backup; recover_staged_swap restores the table."""
+    from streampro_assignment_etl_spark.pipeline.writers import recover_staged_swap
+
+    root = tmp_path / "swap_tbl"
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(str(root))
+    # Simulate the crash: root renamed away, replacement never arrived.
+    backup = tmp_path / f".{root.name}.old-deadbeef"
+    root.rename(backup)
+    assert recover_staged_swap(str(root)) is True
+    assert [tuple(r) for r in spark.read.parquet(str(root)).collect()] == [(1, "a")]
+    # Idempotent / no-op on a healthy table.
+    assert recover_staged_swap(str(root)) is False

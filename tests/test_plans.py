@@ -20,17 +20,23 @@ def _q(spark, name):
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    df = _q(spark, "filter_predicates")
+    df = _q(spark, "distinct_filter_pushdown")
     pushed = pushed_filters(df)
-    assert any("o_orderstatus" in p for p in pushed), pushed
     assert any("o_totalprice" in p for p in pushed), pushed
+    assert any("o_orderdate" in p for p in pushed), pushed
 
 
 def test_column_pruning(spark):
-    """A 2-column distinct over a 5-column table must read 2 columns."""
-    df = _q(spark, "distinct_segments")
+    """The 2-column distinct + 2 filter columns over the 6-column orders
+    table must read exactly those 4 columns."""
+    df = _q(spark, "distinct_filter_pushdown")
     (cols,) = read_schema_columns(df)
-    assert sorted(cols) == ["c_mktsegment", "c_nationkey"]
+    assert sorted(cols) == [
+        "o_orderdate",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
 
 
 def test_dim_join_broadcasts(spark):

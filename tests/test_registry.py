@@ -1,0 +1,40 @@
+"""Registry curation pins: the driver evaluates at most 50 queries (in
+registration order), so the driver-facing REGISTRY must stay inside
+that window — with a slot of headroom — and every entry must be
+oracle-checkable or explicitly rows-only. EXTRAS hold redundant
+operator representatives; they must never collide with driver names."""
+
+from __future__ import annotations
+
+from streampro_assignment_etl_spark.queries import EXTRAS, REGISTRY
+
+DRIVER_WINDOW = 50
+
+
+def test_registry_fits_driver_window():
+    assert len(REGISTRY) <= DRIVER_WINDOW, sorted(REGISTRY)
+
+
+def test_registry_has_headroom_for_next_round():
+    assert len(REGISTRY) <= DRIVER_WINDOW - 1, (
+        "leave at least one free slot so a new operator can land without "
+        "re-curating"
+    )
+
+
+def test_no_name_collisions():
+    assert not set(REGISTRY) & set(EXTRAS)
+
+
+def test_every_registry_entry_has_oracle():
+    """After round 3 every driver entry carries a DuckDB oracle — the
+    hash gate covers 100% of the driver window (multimodal included)."""
+    missing = [n for n, s in REGISTRY.items() if not s.oracle]
+    assert not missing, missing
+
+
+def test_headline_queries_stay_registered():
+    """bench.py times headline entries; they must live in the driver
+    registry, not EXTRAS."""
+    assert [n for n, s in REGISTRY.items() if s.headline], "no headline queries"
+    assert not [n for n, s in EXTRAS.items() if s.headline]

@@ -67,7 +67,10 @@ def test_windowed_counts_match_batch(spark, landing, tmp_path):
     run_stream_to_parquet(stream, out, ckpt, mode="update")
 
     got = sorted(
-        tuple(r) for r in spark.read.parquet(out).collect()
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect()
     )
     batch = sorted(
         tuple(r)
@@ -100,7 +103,12 @@ def test_sessionized_stream_matches_batch(spark, landing, tmp_path):
         )
         run_stream_to_parquet(stream, out, ckpt, mode="append")
 
-    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+        .collect()
+    )
     batch = sorted(
         tuple(r)
         for r in _batch_events(spark, landing)
@@ -146,6 +154,21 @@ def test_stream_to_trusted_exactly_once(spark, landing, tmp_path):
     )
     q3 = write_stream_to_trusted(read_events_stream(spark, landing), trusted, ckpt)
     q3.awaitTermination(300)
+    assert spark.read.parquet(trusted).count() == len(EVENTS) + 1
+
+    # Simulate a crash between sink write and checkpoint commit: drop
+    # the newest commit marker so the next run REPLAYS that micro-batch.
+    # The batch_id-keyed overwrite sink must absorb the replay without
+    # duplicating rows — this is the exactly-once claim under retry.
+    commits = sorted(
+        p for p in (pathlib.Path(ckpt) / "commits").iterdir() if p.name.isdigit()
+    )
+    commits[-1].unlink()
+    crc = commits[-1].with_name(f".{commits[-1].name}.crc")  # checksum-FS sidecar
+    if crc.exists():
+        crc.unlink()
+    q4 = write_stream_to_trusted(read_events_stream(spark, landing), trusted, ckpt)
+    q4.awaitTermination(300)
     assert spark.read.parquet(trusted).count() == len(EVENTS) + 1
 
 
