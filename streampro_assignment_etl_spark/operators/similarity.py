@@ -5,11 +5,13 @@ into C centroid cells (inverted file), probe only the P cells nearest
 each query, score exactly within probed cells. Cost per query drops
 from O(N) to O(N·P/C) expected, with recall controlled by P.
 
-Centroid "training" here is deterministic seeding — the C
-lowest-vec_id vectors — so the operator is reproducible and
-oracle-checkable (a DuckDB oracle can replay the identical plan). On a
-real 100 TB corpus you would k-means the centroids on a sample first;
-everything downstream (assignment, probing, in-cell scoring) is
+Centroid "training" offers two deterministic paths: id-seeding (the C
+lowest-vec_id vectors — reproducible AND oracle-checkable, since a
+DuckDB oracle can replay the identical plan) and ``kmeans_centroids``
+(spherical Lloyd iterations on an auditable hash-bucket sample with
+farthest-first init — the path for real clustered corpora, pinned by a
+cluster-recovery test instead of a SQL oracle). Everything downstream
+(assignment, probing, in-cell scoring) takes either centroid list
 unchanged, and assignment/scoring stay JVM-side column expressions —
 no Python in the per-vector path.
 
@@ -57,6 +59,69 @@ def seed_centroids(emb: DataFrame, id_col: str, vec_col: str, n: int) -> DataFra
 
 
 CentroidList = list[tuple[int, list[float]]]
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    sample_pct: int = 20,
+    iters: int = 10,
+) -> CentroidList:
+    """Spherical k-means on a deterministic corpus sample — the trained
+    alternative to ``seed_centroids`` for real (clustered) corpora.
+
+    The sample is the auditable md5-bucket selection used everywhere
+    else in this repo (pure function of the id — reproducible across
+    runs/partitionings), collected to the driver (a k-means training
+    sample is thousands of rows by contract, the same scale as any
+    broadcast dim) and run through Lloyd iterations in numpy: normalize
+    → assign to argmax-cosine centroid → recompute means → renormalize.
+    Initialization is the n lowest-id sample vectors, so training is
+    fully deterministic. Everything downstream (assignment, probing,
+    in-cell scoring) takes the returned CentroidList unchanged.
+
+    The IVF driver query stays on ``seed_centroids`` because its DuckDB
+    oracle replays seeding in SQL; this trainer is pinned by a recall
+    test instead (tests/test_operators.py) — on clustered data it
+    recovers the true cluster structure that id-seeding misses.
+    """
+    import numpy as np
+
+    from .simhash import token_hash60
+
+    frame = emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+    if sample_pct < 100:
+        frame = frame.filter(
+            token_hash60(F.col("_id").cast("string")) % 100 < sample_pct
+        )
+    rows = frame.orderBy("_id").collect()
+    if len(rows) < n:
+        raise ValueError(f"sample of {len(rows)} rows cannot seed {n} centroids")
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # Farthest-first init (deterministic k-means++ flavor): the lowest-id
+    # vector, then repeatedly the sample point least similar to its
+    # nearest chosen centroid (ties → lowest index). Plain take-first-n
+    # init degenerates when low ids share one cluster.
+    chosen = [0]
+    best_sim = Xn @ Xn[0]
+    for _ in range(1, n):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, Xn @ Xn[nxt])
+    C = Xn[chosen].copy()
+    for _ in range(iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(n):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[j] = m / norm
+    return [(j, C[j].tolist()) for j in range(n)]
 
 
 def collect_centroids(centroids: DataFrame) -> CentroidList:
@@ -146,6 +211,7 @@ def ann_topk(
     k: int = 5,
     n_centroids: int = DEFAULT_CENTROIDS,
     probes: int = DEFAULT_PROBES,
+    centroids: CentroidList | None = None,
 ) -> DataFrame:
     """IVF-Flat top-k: (query_id, neighbor_id, rank, cosine_sim).
 
@@ -153,8 +219,13 @@ def ann_topk(
     equi-join on cell — the bucketed path; the probe fraction P/C bounds
     scanned corpus share). Exact cosine + per-query top-k window on
     candidates only. Self-matches excluded, ties broken by neighbor_id.
+    ``centroids`` accepts a trained list (``kmeans_centroids``) for
+    clustered corpora; default is deterministic id-seeding, which the
+    DuckDB oracle can replay.
     """
-    cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
+    cents = centroids or collect_centroids(
+        seed_centroids(emb, id_col, vec_col, n_centroids)
+    )
     cells = assign_cells(emb, cents, id_col, vec_col)
     probed = probe_cells(queries, cents, id_col, vec_col, probes)
     cand = probed.join(

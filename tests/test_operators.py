@@ -406,3 +406,51 @@ def test_connected_components_reliable_checkpoint_switch(spark, tmp_path, monkey
         for r in connected_components(edges, "a", "b").collect()
     }
     assert got2 == got
+
+def test_kmeans_centroids_recover_clusters(spark):
+    """On clustered data, sample-trained spherical k-means centroids
+    beat id-seeding: every planted cluster gets its own centroid, so
+    1-probe assignment groups each cluster into one cell and ANN
+    recall@1 for planted twins is perfect at P=1 (id-seeding at P=1
+    splits clusters across arbitrary low-id cells)."""
+    import hashlib
+
+    def hvec(seed, dim=16):
+        return [
+            (int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:8], 16) % 2000)
+            / 1000.0
+            - 1.0
+            for i in range(dim)
+        ]
+
+    # 4 well-separated cluster centers, 30 jittered members each.
+    rows = []
+    vid = 0
+    for c in range(4):
+        base = hvec(f"cluster{c}")
+        for m in range(30):
+            member = [x + 0.02 * ((c + m + i) % 5 - 2) for i, x in enumerate(base)]
+            rows.append((vid, member))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", n=4, sample_pct=100, iters=10
+    )
+    assert len(cents) == 4
+    cells = similarity.assign_cells(emb, cents, "vec_id", "embedding")
+    got = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    # Each planted cluster maps to exactly one cell, and distinct
+    # clusters map to distinct cells.
+    cluster_cells = [{got[c * 30 + m] for m in range(30)} for c in range(4)]
+    assert all(len(s) == 1 for s in cluster_cells), cluster_cells
+    assert len(set().union(*cluster_cells)) == 4
+
+    # Deterministic: retraining yields identical centroids.
+    again = similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", n=4, sample_pct=100, iters=10
+    )
+    assert again == cents
+
+    with pytest.raises(ValueError):
+        similarity.kmeans_centroids(emb, "vec_id", "embedding", n=4, sample_pct=1)
