@@ -142,16 +142,19 @@ def _ranked_cells(vec: Column, cents: CentroidList) -> Column:
     copies of the cosine fold (C·3 higher-order nodes + C·dim literal
     children) and plan compile time, not row work, dominates the query
     at bench scale. Same floats, same fold order, ~C× smaller tree."""
+    return F.array_sort(_scored_cells(vec, cents))
+
+
+def _scored_cells(vec: Column, cents: CentroidList) -> Column:
+    """Unsorted array of struct(_ns, cid) — struct ordering makes
+    min(array) ≡ first element of the sorted array, so top-1 consumers
+    (``assign_cells``) take ``array_min`` and skip the per-row sort."""
     carr = F.lit([[float(x) for x in cvec] for _, cvec in cents])
     cids = F.lit([int(cid) for cid, _ in cents])
-    return F.array_sort(
-        F.zip_with(
-            carr,
-            cids,
-            lambda cvec, cid: F.struct(
-                (-cosine(vec, cvec)).alias("_ns"), cid.alias("cid")
-            ),
-        )
+    return F.zip_with(
+        carr,
+        cids,
+        lambda cvec, cid: F.struct((-cosine(vec, cvec)).alias("_ns"), cid.alias("cid")),
     )
 
 
@@ -179,7 +182,7 @@ def assign_cells(
     return emb.select(
         F.col(id_col),
         v.alias(vec_col),
-        F.element_at(_ranked_cells(v, cents), 1)["cid"].alias("cell"),
+        F.array_min(_scored_cells(v, cents))["cid"].alias("cell"),
     )
 
 
