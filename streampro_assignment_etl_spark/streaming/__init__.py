@@ -17,9 +17,12 @@ from .events_stream import (
     windowed_event_counts,
     write_stream_to_trusted,
 )
+from .fuzzy_dedup import fuzzy_dedup_stream, run_fuzzy_dedup_stream
 
 __all__ = [
+    "fuzzy_dedup_stream",
     "read_events_stream",
+    "run_fuzzy_dedup_stream",
     "run_stream_to_parquet",
     "sessionized_stream",
     "windowed_event_counts",

@@ -1,0 +1,188 @@
+"""Streaming fuzzy dedup: cross-batch MinHash-LSH near-dup detection
+(``applyInPandasWithState``).
+
+The batch operator (operators/minhash.py) answers "which documents in
+this corpus are near-duplicates"; an online training-data pipeline
+needs "is this INCOMING document a near-dup of anything ever seen" —
+across micro-batches and restarts. This is the fuzzy counterpart of
+``stateful_dedup`` (exact fingerprints): state is keyed by LSH band
+bucket and holds the (doc_id, signature) list of every document that
+ever landed in that bucket, so a new arrival is compared only against
+its bucket cohort — the same O(n·bands) candidate bound as the batch
+operator, maintained incrementally.
+
+Signature parity: the map-side expression computes EXACTLY the batch
+``minhash_signatures`` values (min over shingles of
+``xxhash64(seed_i, xxhash64(shingle))``), pinned by a test — so batch
+and stream agree on what a near-duplicate is, and a corpus can be
+bootstrapped in batch then guarded by the stream.
+
+Scale notes: state per bucket is the bucket's cohort (near-dup
+neighborhoods only — buckets are 2^64-sparse, cohorts are small unless
+documents genuinely collide); the stream shuffles one (band_hash,
+doc_id, signature) row per band per doc. Pair emission happens at the
+SECOND document's single arrival batch, so one batch-local
+``dropDuplicates`` makes pairs exactly-once without cross-batch pair
+state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.minhash import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    DEFAULT_SHINGLE_N,
+    word_shingles,
+)
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+
+def signature_array(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Per-row MinHash signature as ``array<long>`` — the map-side twin
+    of the batch ``minhash_signatures`` explode+groupBy layout (which is
+    faster for bulk scans but is a cross-row aggregate; a stream needs
+    the signature BEFORE its one stateful hop). Identical values: slot i
+    = min over shingles of xxhash64(i, xxhash64(shingle))."""
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(hashed, lambda h: F.xxhash64(i, h))),
+    )
+
+
+def band_hash_array(
+    sig: Column, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> Column:
+    """``array<long>`` of LSH band keys — band j hashes its r signature
+    slots under seed j, matching the batch ``band_key_rows`` keys."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(j), *[F.element_at(sig, j * r + t + 1) for t in range(r)]
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def _bucket_matcher(threshold: float):
+    def match_bucket(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+        else:
+            ids, sigs = [], []
+        out: list[tuple[int, int, float]] = []
+        for pdf in pdfs:
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                # Plain-int everything: numpy scalars poison the state
+                # pickle on the JVM side.
+                doc_id, sig = int(doc_id), [int(x) for x in sig]
+                for prior_id, prior_sig in zip(ids, sigs):
+                    if prior_id == doc_id:
+                        continue
+                    est = sum(a == b for a, b in zip(sig, prior_sig)) / len(sig)
+                    if est >= threshold:
+                        out.append(
+                            (min(doc_id, prior_id), max(doc_id, prior_id), est)
+                        )
+                ids.append(doc_id)
+                sigs.append(sig)
+        state.update((ids, sigs))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
+
+    return match_bucket
+
+
+def fuzzy_dedup_stream(
+    doc_stream: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Streaming near-dup pair detector: (doc_a, doc_b, est_jaccard)
+    whenever an incoming document's estimated Jaccard (signature
+    agreement) against ANY previously-seen same-bucket document reaches
+    ``threshold``. One stateful hop: map-side signature + band keys →
+    explode bands → groupBy(band_hash) with per-bucket cohort state."""
+    sig = signature_array(word_shingles(F.col("text"), shingle_n), num_hashes)
+    banded = (
+        doc_stream.select("doc_id", sig.alias("sig"))
+        .filter(F.size("sig") > 0)
+        .select(
+            "doc_id",
+            "sig",
+            F.explode(band_hash_array(F.col("sig"), num_hashes, bands)).alias(
+                "band_hash"
+            ),
+        )
+    )
+    return banded.groupBy("band_hash").applyInPandasWithState(
+        _bucket_matcher(threshold),
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_fuzzy_dedup_stream(
+    spark,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    timeout_s: int = 300,
+) -> None:
+    """Drain a landing dir of docs JSONL through the streaming fuzzy
+    dedup into parquet. A pair can surface through several shared
+    buckets, always in the ONE batch where its second document arrives,
+    so the batch-local dropDuplicates makes pair output exactly-once;
+    the batch_id-keyed overwrite keeps checkpoint retries idempotent."""
+    src_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(src_schema).json(landing_dir)
+    pairs = fuzzy_dedup_stream(stream, threshold=threshold)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.dropDuplicates(["doc_a", "doc_b"]).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        pairs.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -268,3 +268,84 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert got == batch
     pairs = {(r[1], r[2]) for r in batch}  # (click_id, view_id)
     assert pairs == {(1, 0), (3, 2)}  # in-window matches only
+
+
+# -- streaming fuzzy dedup (MinHash-LSH with per-bucket cohort state) --------
+def test_streaming_signature_matches_batch(spark):
+    """The stream's map-side signature expression must equal the batch
+    minhash_signatures values slot-for-slot — batch and stream have to
+    agree on what a near-duplicate is."""
+    from streampro_assignment_etl_spark.operators.minhash import (
+        minhash_signatures,
+        word_shingles,
+    )
+    from streampro_assignment_etl_spark.streaming.fuzzy_dedup import signature_array
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs today")],
+        ["doc_id", "text"],
+    )
+    k = 16
+    stream_form = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id", signature_array(word_shingles(F.col("text")), k).alias("sig")
+        ).collect()
+    }
+    batch = minhash_signatures(
+        docs.select("doc_id", word_shingles(F.col("text")).alias("sh")),
+        "doc_id",
+        "sh",
+        num_hashes=k,
+    )
+    batch_form = {
+        r["doc_id"]: [r[f"_m{i}"] for i in range(k)] for r in batch.collect()
+    }
+    assert stream_form == batch_form
+
+
+def test_streaming_fuzzy_dedup_across_batches(spark, tmp_path):
+    """Near-dup pairs are detected in-batch AND across micro-batches
+    (checkpoint-restored bucket cohorts), unrelated docs never pair."""
+    from streampro_assignment_etl_spark.streaming.fuzzy_dedup import (
+        run_fuzzy_dedup_stream,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("kappa", "kappa2")  # one shingle neighborhood differs
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen")
+
+    landing = tmp_path / "fuzzy_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "fuzzy_out"), str(tmp_path / "fuzzy_ckpt")
+
+    (landing / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": near},   # in-batch near-dup of 1
+                {"doc_id": 3, "text": other},
+            ]
+        )
+        + "\n"
+    )
+    run_fuzzy_dedup_stream(spark, str(landing), out, ckpt, threshold=0.5)
+    got1 = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, 2)}
+
+    # Batch 2: a near-dup of doc 1 arrives later — the bucket cohort
+    # crossed the batch boundary and the restart.
+    (landing / "b.jsonl").write_text(
+        # One appended word: 18 of 19 shingles shared (J~0.95), so a
+        # band collision is near-certain — the fixture must not hinge
+        # on a lucky banding draw at moderate J.
+        json.dumps({"doc_id": 10, "text": base + " phi"}) + "\n"
+    )
+    run_fuzzy_dedup_stream(spark, str(landing), out, ckpt, threshold=0.5)
+    got2 = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
+    assert (1, 10) in got2 and (2, 10) in got2, got2
+    assert not any(3 in p for p in got2)
