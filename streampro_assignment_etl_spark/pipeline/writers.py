@@ -225,3 +225,64 @@ def read_trusted(
     if ingestion_dates:
         df = df.filter(F.col("ingestion_date").isin(*ingestion_dates))
     return df
+
+
+# Re-aggregable functions: how to COMBINE two partial results for the
+# same group. count re-aggregates as the SUM of partial counts.
+_COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def incremental_rollup(
+    spark,
+    rollup_path: str,
+    delta: DataFrame,
+    keys: tuple[str, ...],
+    aggs: dict[str, tuple[str, str]],
+) -> None:
+    """Maintain a materialized rollup incrementally: fold ONE ingest's
+    delta into the stored aggregate instead of re-scanning the corpus.
+
+    ``aggs`` maps output column → (func, source_col) with func in
+    sum/count/min/max — the algebraically re-aggregable functions, so
+    the stored rollup combines with the delta's partial rollup by
+    re-applying the combine form per group (count combines as sum).
+    Derived measures (avg = sum/count) belong in the reading query, not
+    the stored state. At 100 TB this is the difference between an
+    ingest costing O(delta) and O(corpus): the nightly date partition
+    folds into a serving table in one delta-sized groupBy plus a
+    rollup-sized union — the batch analog of what the streaming windows
+    maintain continuously. The swap is the same crash-aware staged
+    rename as ``compact_parquet`` (see ``recover_staged_swap``).
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    unknown = {f for f, _ in aggs.values()} - set(_COMBINE)
+    if unknown:
+        raise ValueError(f"non-re-aggregable functions: {sorted(unknown)}")
+
+    partial = delta.groupBy(*keys).agg(
+        *[
+            (F.count(F.lit(1)) if func == "count" else getattr(F, func)(src)).alias(out)
+            for out, (func, src) in aggs.items()
+        ]
+    )
+    root = Path(rollup_path)
+    if root.exists():
+        existing = spark.read.parquet(str(root))
+        combined = (
+            existing.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                *[
+                    getattr(F, _COMBINE[func])(out).alias(out)
+                    for out, (func, _) in aggs.items()
+                ]
+            )
+        )
+        staging = root.parent / f".{root.name}.roll-{uuid.uuid4().hex[:8]}"
+        combined.write.mode("overwrite").parquet(str(staging))
+        _staged_swap(root, staging)
+    else:
+        partial.write.parquet(str(root))

@@ -481,3 +481,46 @@ def test_recover_staged_swap(spark, tmp_path):
     assert [tuple(r) for r in spark.read.parquet(str(root)).collect()] == [(1, "a")]
     # Idempotent / no-op on a healthy table.
     assert recover_staged_swap(str(root)) is False
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Folding two ingest deltas into the stored rollup must equal the
+    one-shot aggregate over all rows (sum/count/min/max combine
+    algebraically), and unknown functions fail loudly."""
+    import pytest
+
+    from streampro_assignment_etl_spark.pipeline.writers import incremental_rollup
+
+    d1 = spark.createDataFrame(
+        [("a", 10, 5.0), ("a", 20, 1.0), ("b", 5, 9.0)], ["k", "qty", "price"]
+    )
+    d2 = spark.createDataFrame(
+        [("a", 1, 0.5), ("c", 7, 2.0)], ["k", "qty", "price"]
+    )
+    aggs = {
+        "total_qty": ("sum", "qty"),
+        "n_rows": ("count", "k"),
+        "min_price": ("min", "price"),
+        "max_price": ("max", "price"),
+    }
+    path = str(tmp_path / "rollup")
+    incremental_rollup(spark, path, d1, ("k",), aggs)
+    incremental_rollup(spark, path, d2, ("k",), aggs)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    full = sorted(
+        tuple(r)
+        for r in d1.unionByName(d2)
+        .groupBy("k")
+        .agg(
+            F.sum("qty").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+        .collect()
+    )
+    assert got == full
+
+    with pytest.raises(ValueError, match="non-re-aggregable"):
+        incremental_rollup(spark, path, d2, ("k",), {"a": ("avg", "price")})
