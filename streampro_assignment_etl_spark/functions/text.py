@@ -65,3 +65,36 @@ def rolling_hash(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction). Patterns use only constructs
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# explicit character classes, no \d/\s/\b shorthands (SURVEY §7.2 /
+# the \x0B divergence note in queries/extensions.py).
+# ---------------------------------------------------------------------------
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # kind -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+", "<EMAIL>"),
+    "phone": (r"[+]?[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM-side regexp_extract_all)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact every PII pattern with its token — the pre-training
+    scrubbing pass. Order matters: emails first (an email contains no
+    phone/IP match for these patterns, but scrubbing IPs before emails
+    could split a hostname-shaped address)."""
+    out = text
+    for _, (pat, token) in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -1173,3 +1173,108 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (EXTRA): redaction is a canonical pre-training pass.
+# The synthetic corpus carries no PII, so the query PLANTS deterministic
+# PII spans (email/phone/IPv4 derived from doc_id) on a doc_id-mod
+# subset, scrubs them, and audits counts + a zero-residual self-check;
+# the oracle replays the planting and the regexes in DuckDB (patterns
+# restricted to Java-regex/RE2-identical constructs).
+# ---------------------------------------------------------------------------
+@query(
+    "pii_scrub_stats",
+    extra=True,  # headroom: driver window is full at 49; same local gate
+    tags=("text", "pii", "redaction"),
+    oracle="""
+WITH planted AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                || ' call +' || CAST(100 + doc_id % 900 AS VARCHAR) || '-555-'
+                || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+         ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS n_email,
+         len(regexp_extract_all(text, '[+]?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+         len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ipv4,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', '<EMAIL>', 'g'),
+             '[+]?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS clean
+  FROM planted
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 END) AS docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ips_redacted,
+       CAST(SUM(len(regexp_extract_all(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+'))
+              + len(regexp_extract_all(clean, '[+]?[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+              + len(regexp_extract_all(clean, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))) AS BIGINT)
+         AS residual_after_scrub
+FROM scrubbed
+GROUP BY source
+ORDER BY source
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit per source: plant deterministic email/phone/
+    IPv4 spans on the doc_id%5==0 slice, count matches per kind
+    (JVM-side regexp_extract_all), scrub with functions/text.scrub_pii,
+    and prove zero residual matches in the scrubbed text — the
+    self-check every redaction pass should ship with. All regex stays
+    in whole-stage codegen; no Python in the scan path."""
+    from ..functions.text import PII_PATTERNS, pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example call +"),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-555-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    planted = docs.select("source", "doc_id", planted_text.alias("text"))
+    counts = pii_counts(F.col("text"))
+    clean_counts = pii_counts(F.col("clean"))
+    residual = sum(clean_counts.values(), F.lit(0))
+    scrubbed = planted.select(
+        "source",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        scrub_pii(F.col("text")).alias("clean"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(
+                F.when(F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0, 1)
+            ).alias("docs_with_pii"),
+            F.sum("n_email").alias("emails_redacted"),
+            F.sum("n_phone").alias("phones_redacted"),
+            F.sum("n_ipv4").alias("ips_redacted"),
+            F.sum(residual).alias("residual_after_scrub"),
+        )
+        .orderBy("source")
+    )
