@@ -133,10 +133,15 @@ def fuzzy_dedup_stream(
     agreement) against ANY previously-seen same-bucket document reaches
     ``threshold``. One stateful hop: map-side signature + band keys →
     explode bands → groupBy(band_hash) with per-bucket cohort state."""
-    sig = signature_array(word_shingles(F.col("text"), shingle_n), num_hashes)
+    # Shingle-less docs (< n words) can match nothing: drop them BEFORE
+    # the signature, whose slots would otherwise be all-NULL array_min
+    # of an empty array (size(sig) is k either way, so filter on the
+    # shingle count, not the signature).
+    shingled = doc_stream.select(
+        "doc_id", word_shingles(F.col("text"), shingle_n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
     banded = (
-        doc_stream.select("doc_id", sig.alias("sig"))
-        .filter(F.size("sig") > 0)
+        shingled.select("doc_id", signature_array(F.col("_sh"), num_hashes).alias("sig"))
         .select(
             "doc_id",
             "sig",

@@ -96,3 +96,36 @@ def test_lexicographic_min_matches(spark, duck, values):
     duck.executemany("INSERT INTO ls VALUES (?)", [(v,) for v in values])
     lo, hi = duck.execute("SELECT MIN(s), MAX(s) FROM ls").fetchone()
     assert got["lo"] == lo and got["hi"] == hi, values
+
+
+@settings(**HYP)
+@given(st.lists(st.text(alphabet="abcdefg h", min_size=1, max_size=30), min_size=1, max_size=5))
+def test_stream_signature_equals_batch_signature(spark, texts):
+    """The streaming map-side MinHash signature must equal the batch
+    explode+groupBy layout for arbitrary word streams — batch bootstrap
+    and streaming guard must agree on near-duplicate identity. Docs
+    with <n words produce no shingles: stream yields an empty array,
+    batch drops the row; both mean 'cannot match anything'."""
+    from streampro_assignment_etl_spark.operators.minhash import (
+        minhash_signatures,
+        word_shingles,
+    )
+    from streampro_assignment_etl_spark.streaming.fuzzy_dedup import signature_array
+
+    k = 8
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    stream_form = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)  # the operator's shingle-less guard
+        .select("doc_id", signature_array(F.col("sh"), k).alias("sig"))
+        .collect()
+    }
+    batch = minhash_signatures(
+        docs.select("doc_id", word_shingles(F.col("text")).alias("sh")),
+        "doc_id",
+        "sh",
+        num_hashes=k,
+    )
+    batch_form = {r["doc_id"]: [r[f"_m{i}"] for i in range(k)] for r in batch.collect()}
+    assert stream_form == batch_form
