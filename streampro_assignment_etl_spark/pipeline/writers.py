@@ -286,3 +286,27 @@ def incremental_rollup(
         _staged_swap(root, staging)
     else:
         partial.write.parquet(str(root))
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-file-sorted parquet layout — the
+    data-skipping lever for high-cardinality filter columns that are
+    too fine for Hive partitioning (user ids, timestamps, keys).
+
+    ``repartitionByRange`` gives every output file a DISJOINT value
+    range for ``sort_cols`` and the within-partition sort tightens each
+    row group's min/max footer stats to near-point intervals, so a
+    selective filter prunes all but the covering file's row groups at
+    scan time (parquet predicate pushdown evaluates footer stats before
+    reading pages). Unsorted writes leave every file spanning the whole
+    value range — stats exist but never exclude anything. The disjoint
+    layout contract is pinned by a pyarrow footer-stats test.
+    """
+    writer = df.repartitionByRange(n_files, *sort_cols) if n_files else df.repartitionByRange(*sort_cols)
+    writer.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

@@ -547,3 +547,100 @@ def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal transform chain (EXTRA): resize (stub decode) + frame
+# sampling through mapInPandas, byte-level verified. Same sha2-replay
+# trick as multimodal_feature_stats: DuckDB reconstructs every payload
+# byte from the hex text and applies the SAME keep rules — images
+# truncate to width*height bytes, videos keep every 2nd 8-byte frame —
+# so the hash gate covers the operators' actual byte output, not just
+# row counts.
+# ---------------------------------------------------------------------------
+_MM_CHAIN_ORACLE = """
+WITH ids AS (SELECT unnest(generate_series(0, 119)) AS id),
+m AS (
+  SELECT id,
+         CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(sha256(CAST(id AS VARCHAR)), CAST(id % 4 + 1 AS INT)) AS hx,
+         CAST((id % 4 + 1) * 4 AS INT) AS n_frames0
+  FROM ids
+),
+bytes AS (
+  SELECT id, kind, n_frames0,
+         CAST('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2) AS INT) AS byte,
+         CAST(i AS INT) AS pos,
+         CAST((i - 1) // 8 AS INT) AS frame
+  FROM m, UNNEST(generate_series(1, length(hx) // 2)) AS t(i)
+),
+kept AS (
+  SELECT * FROM bytes
+  WHERE (kind = 'image' AND pos <= 16)
+     OR kind = 'audio'
+     OR (kind = 'video' AND frame % 2 = 0)
+),
+per_media AS (
+  SELECT id, kind, COUNT(*) AS n_bytes, SUM(byte) AS byte_sum,
+         CASE kind WHEN 'video' THEN CAST(COUNT(DISTINCT frame) AS INT)
+                   ELSE MIN(n_frames0) END AS n_frames
+  FROM kept
+  GROUP BY id, kind
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(byte_sum) AS BIGINT) AS byte_sum,
+       CAST(SUM(n_frames) AS BIGINT) AS total_frames
+FROM per_media
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+@query(
+    "multimodal_transform_chain",
+    extra=True,  # window is full; same local differential gate
+    tags=("multimodal", "mapInPandas", "binary"),
+    oracle=_MM_CHAIN_ORACLE,
+)
+def multimodal_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained binary transforms through Arrow-batched mapInPandas:
+    resize images to 4x4 (stub decode: truncate/tile to width*height
+    bytes), sample every 2nd fixed-size frame of videos, pass audio
+    through — then roll up per kind with a payload BYTE SUM computed
+    JVM-side (hex -> per-byte fold), which the oracle replays from the
+    sha2 hex text. Proves the pandas operators' byte output exactly."""
+    from ..operators import multimodal as MM
+
+    media = MM.synthesize_media(spark, n=120)
+    chained = MM.sample_frames(MM.resize_images(media, 4, 4), every_n=2)
+    hx = F.hex(F.col("payload"))
+    nbytes = (F.length(hx) / 2).cast("int")
+    byte_sum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), nbytes),
+            lambda i: F.conv(F.substring(hx, (i * 2 - 1).cast("int"), 2), 16, 10).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        chained.select(
+            "kind",
+            nbytes.alias("n_bytes"),
+            byte_sum.alias("byte_sum"),
+            F.col("meta.n_frames").alias("n_frames"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("byte_sum").alias("byte_sum"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+        )
+        .orderBy("kind")
+    )

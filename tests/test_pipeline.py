@@ -524,3 +524,49 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-re-aggregable"):
         incremental_rollup(spark, path, d2, ("k",), {"a": ("avg", "price")})
+
+
+def test_write_sorted_parquet_disjoint_file_ranges(spark, tmp_path):
+    """The range-sorted layout must give files pairwise-disjoint
+    [min, max] ranges on the sort column (read straight from parquet
+    footers) — the property that lets footer-stats pruning skip
+    everything but the covering file; an unsorted write of the same
+    data has overlapping ranges."""
+    import pyarrow.parquet as pq
+
+    from streampro_assignment_etl_spark.pipeline.writers import write_sorted_parquet
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 7919 % 10000).alias("k"), F.col("id").alias("v")
+    )
+
+    def file_ranges(path):
+        out = []
+        for p in sorted(path.rglob("*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            ki = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "k"
+            )
+            mins = [md.row_group(g).column(ki).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(ki).statistics.max for g in range(md.num_row_groups)]
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    sorted_dir = tmp_path / "sorted"
+    write_sorted_parquet(df, str(sorted_dir), ("k",), n_files=8)
+    ranges = file_ranges(sorted_dir)
+    assert len(ranges) >= 4
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, f"overlap: ({a_lo},{a_hi}) vs ({b_lo},{b_hi})"
+
+    unsorted_dir = tmp_path / "unsorted"
+    df.repartition(8).write.parquet(str(unsorted_dir))
+    u = file_ranges(unsorted_dir)
+    overlaps = sum(1 for (_, a_hi), (b_lo, _) in zip(u, u[1:]) if a_hi >= b_lo)
+    assert overlaps > 0  # hash layout spans the whole range per file
+
+    # Round-trip integrity.
+    got = spark.read.parquet(str(sorted_dir))
+    assert got.count() == 10000
+    assert got.agg(F.countDistinct("k")).collect()[0][0] == 10000
