@@ -319,3 +319,51 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON parsing (EXTRA): the production form json_props_extract's
+# docstring points to — parse the string column ONCE into a typed
+# struct with from_json + explicit schema, then work columnar. One
+# Jackson parse per row feeding every downstream field access, vs
+# one get_json_object parse per PATH per row in the exploratory form.
+# ---------------------------------------------------------------------------
+@query(
+    "json_props_typed",
+    extra=True,  # json family driver row is json_props_extract
+    tags=("json", "semi-structured", "from_json"),
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 1 END) AS n_unparsed,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+ORDER BY k_bucket NULLS FIRST
+""",
+)
+def json_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props parsed once to a typed struct via from_json with an
+    explicit schema (no schema inference scan); every downstream
+    reference reads the struct field. Unparseable payloads surface as
+    NULL structs counted explicitly — the quarantine-style accounting a
+    typed parse should carry. At scale this frame is what you'd persist
+    columnar so later queries never touch JSON text again."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    typed = ev.select(F.from_json("props", schema).alias("p"))
+    k = F.col("p.k")
+    return (
+        typed.groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(k.isNull(), 1)).alias("n_unparsed"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy(F.col("k_bucket").asc_nulls_first())
+    )

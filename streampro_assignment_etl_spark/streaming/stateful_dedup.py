@@ -13,9 +13,10 @@ checkpoint restarts.
 Scale properties: state per DISTINCT fingerprint is one int; the
 stream shuffles by fingerprint (same key-width argument as batch
 fingerprint dedup); keys never expire (NoTimeout) because "seen
-before" has no horizon — at 100 TB you would shard the state store or
-swap in a bloom-filter state per key-range, which changes only the
-state schema, not the operator shape.
+before" has no horizon. For 100 TB key spaces the sharded BLOOM
+variant below (``dedup_stream_bloom``) bounds total state to
+n_shards fixed-size filters at a small false-positive cost — same
+operator shape, different state schema.
 """
 
 from __future__ import annotations
@@ -96,6 +97,108 @@ def run_dedup_stream(
     )
     stream = spark.readStream.schema(src_schema).json(landing_dir)
     deduped = dedup_stream(stream)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter state variant: constant-size state per key-range shard.
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 1 << 15  # 32768 bits = 512 longs per shard
+BLOOM_HASHES = 7
+
+_BLOOM_STATE_SCHEMA = T.StructType(
+    [T.StructField("bits", T.ArrayType(T.LongType()))]
+)
+
+
+def _bloom_slots(fingerprint: str) -> list[int]:
+    """k deterministic bit positions from the md5-hex fingerprint: the
+    hex digest is 128 bits; slice 15-bit windows with a seed prefix so
+    engines/restarts agree bit-for-bit."""
+    import hashlib
+
+    out = []
+    for seed in range(BLOOM_HASHES):
+        h = hashlib.md5(f"{seed}:{fingerprint}".encode()).hexdigest()
+        out.append(int(h[:8], 16) % BLOOM_BITS)
+    return out
+
+
+def _emit_bloom_unseen(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per key-range shard: emit a row iff its fingerprint's bloom bits
+    are not all set, then set them. State is a FIXED 512-long bit
+    array regardless of how many fingerprints the shard has seen."""
+    n_words = BLOOM_BITS // 64
+    bits = list(state.get[0]) if state.exists else [0] * n_words
+    out_frames = []
+    for pdf in pdfs:
+        keep = []
+        for i, fp in enumerate(pdf["fingerprint"]):
+            slots = _bloom_slots(fp)
+            if all(bits[s // 64] & (1 << (s % 64)) for s in slots):
+                continue  # (probabilistically) seen before
+            for s in slots:
+                bits[s // 64] |= 1 << (s % 64)
+            keep.append(i)
+        if keep:
+            out_frames.append(pdf.iloc[keep][["doc_id", "text", "fingerprint"]])
+    state.update(([int(w) for w in bits],))
+    for f in out_frames:
+        yield f
+
+
+def dedup_stream_bloom(doc_stream: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Streaming exact-dedup with BOUNDED state: fingerprints hash into
+    ``n_shards`` key ranges, each holding one fixed-size bloom filter
+    (512 longs) instead of one state entry per distinct fingerprint —
+    total state is n_shards x 4 KiB forever, the trade being a small
+    false-positive rate (a never-seen doc dropped as duplicate; FP rate
+    ~ (1 - e^{-kn/m})^k per shard, so size n_shards for the expected
+    distinct count). This is the sharded-bloom design the exact-state
+    operator's docstring points to at 100 TB; unlike that operator it
+    keeps NO doc payloads in state at all.
+
+    In-batch duplicates collapse to the FIRST row the shard processes
+    (pandas batch order), not necessarily min doc_id — online arrival
+    semantics; the exact-state operator keeps min-per-batch."""
+    shard = F.abs(F.xxhash64("fingerprint")) % n_shards
+    return (
+        fingerprinted(doc_stream)
+        .withColumn("_shard", shard)
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _emit_bloom_unseen,
+            outputStructType=DOC_SCHEMA,
+            stateStructType=_BLOOM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_bloom_dedup_stream(
+    spark: Any, landing_dir: str, out_dir: str, checkpoint_dir: str, timeout_s: int = 300
+) -> None:
+    """Drain docs JSONL through the bloom-state dedup (availableNow,
+    idempotent batch_id-keyed sink like ``run_dedup_stream``)."""
+    src_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(src_schema).json(landing_dir)
+    deduped = dedup_stream_bloom(stream)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")

@@ -349,3 +349,48 @@ def test_streaming_fuzzy_dedup_across_batches(spark, tmp_path):
     got2 = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
     assert (1, 10) in got2 and (2, 10) in got2, got2
     assert not any(3 in p for p in got2)
+
+
+def test_bloom_dedup_across_batches(spark, tmp_path):
+    """Bounded-state bloom dedup: exact duplicates are dropped across
+    micro-batches and restarts while state stays n_shards fixed-size
+    filters; at this scale (far below FP territory) output matches the
+    exact-state operator's keep set."""
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import (
+        run_bloom_dedup_stream,
+    )
+
+    landing = tmp_path / "bloom_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "bloom_out"), str(tmp_path / "bloom_ckpt")
+
+    (landing / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 0, "text": "alpha beta gamma"},
+                {"doc_id": 1, "text": "delta epsilon"},
+                {"doc_id": 2, "text": "Alpha  beta GAMMA"},  # dup of 0 normalized
+                {"doc_id": 3, "text": "zeta eta"},
+            ]
+        )
+        + "\n"
+    )
+    run_bloom_dedup_stream(spark, str(landing), out, ckpt)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert len(got1) == 3 and 1 in got1 and 3 in got1
+    assert len(got1 & {0, 2}) == 1  # dup pair collapsed to one arrival
+
+    (landing / "b.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": "delta  epsilon"},  # dup of 1
+                {"doc_id": 11, "text": "brand new document"},
+            ]
+        )
+        + "\n"
+    )
+    run_bloom_dedup_stream(spark, str(landing), out, ckpt)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 11 in got2 and 10 not in got2  # state crossed the restart
