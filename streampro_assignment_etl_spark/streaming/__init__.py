@@ -18,10 +18,20 @@ from .events_stream import (
     write_stream_to_trusted,
 )
 from .fuzzy_dedup import fuzzy_dedup_stream, run_fuzzy_dedup_stream
+from .stateful_dedup import (
+    dedup_stream,
+    dedup_stream_bloom,
+    run_bloom_dedup_stream,
+    run_dedup_stream,
+)
 
 __all__ = [
+    "dedup_stream",
+    "dedup_stream_bloom",
     "fuzzy_dedup_stream",
     "read_events_stream",
+    "run_bloom_dedup_stream",
+    "run_dedup_stream",
     "run_fuzzy_dedup_stream",
     "run_stream_to_parquet",
     "sessionized_stream",
