@@ -310,3 +310,52 @@ def write_sorted_parquet(
     """
     writer = df.repartitionByRange(n_files, *sort_cols) if n_files else df.repartitionByRange(*sort_cols)
     writer.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def zorder_value(col_a, col_b, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative int columns into
+    one Z-order key (pure JVM bit ops — no UDF). Sorting by this key
+    clusters rows that are close in BOTH dimensions, so per-file
+    min/max footer stats form small boxes in (a, b) space and a filter
+    on EITHER column prunes most files — single-column range sort can
+    only serve its own column."""
+    from pyspark.sql import functions as F
+
+    # Each masked term occupies disjoint output bits (a-bit i lands at
+    # 2i, b-bit i at 2i+1), so summation IS the bitwise OR — and sums
+    # stay plain Column arithmetic (`|` on Columns is logical OR).
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + col_a.bitwiseAND(F.lit(1 << i)).cast("long") * F.lit(1 << i)
+            + col_b.bitwiseAND(F.lit(1 << i)).cast("long") * F.lit(1 << (i + 1))
+        )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional data-skipping layout: range-partition + sort by
+    the Z-order interleave of (col_a, col_b), then drop the key — the
+    files carry the clustering in their footer stats, not in a column.
+    See ``write_sorted_parquet`` for the single-column form and the
+    footer-stats test for the pruning contract."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(F.col(col_a), F.col(col_b), bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

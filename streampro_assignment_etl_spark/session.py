@@ -36,6 +36,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for any pandas exchange (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime row-level filter pushdown: when one join side is selective,
+    # inject a bloom filter / IN-subquery built from it into the other
+    # side's SCAN — at 100 TB a dimension filter can then prune most of
+    # the fact scan before the shuffle. Threshold lowered so the
+    # optimization actually engages at fact-table sizes (default 10GB
+    # creation threshold never fires below warehouse scale).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
     # Hive-style partition values stay strings: the trusted-zone model
     # types ingestion_date as VARCHAR (reference schema registry,
     # /root/reference/src/utils/schema_registry.py), and inferring

@@ -570,3 +570,51 @@ def test_write_sorted_parquet_disjoint_file_ranges(spark, tmp_path):
     got = spark.read.parquet(str(sorted_dir))
     assert got.count() == 10000
     assert got.agg(F.countDistinct("k")).collect()[0][0] == 10000
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover small boxes in BOTH dimensions: the
+    summed per-file (min,max) extent in each column is far below
+    n_files x global_range (what a layout sorted on only one column
+    degenerates to in the other column)."""
+    import pyarrow.parquet as pq
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        write_sorted_parquet,
+        write_zordered_parquet,
+    )
+
+    n = 1 << 14
+    side = 1 << 7  # x,y uniform on a 128x128 grid
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % side).alias("x"),
+        ((F.col("id") * 40503) % side).alias("y"),
+    )
+
+    def extent_sum(path, col):
+        total = 0
+        for p in sorted(path.rglob("*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            ci = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mins = [md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups)]
+            total += max(maxs) - min(mins)
+        return total
+
+    zdir = tmp_path / "zorder"
+    write_zordered_parquet(df, str(zdir), "x", "y", n_files=16, bits=8)
+    xdir = tmp_path / "xsort"
+    write_sorted_parquet(df, str(xdir), ("x",), n_files=16)
+
+    # x-sorted: x extents tiny, y extents ~full range per materialized
+    # file (no skipping; the range partitioner may emit <16 files).
+    assert extent_sum(xdir, "y") >= 10 * (side - 1)
+    # z-ordered: BOTH dimensions bounded — each file covers ~a quadrant
+    # strip, so summed extent stays well under half the degenerate case.
+    assert extent_sum(zdir, "x") <= 8 * side, extent_sum(zdir, "x")
+    assert extent_sum(zdir, "y") <= 8 * side, extent_sum(zdir, "y")
+
+    assert spark.read.parquet(str(zdir)).count() == n

@@ -160,3 +160,33 @@ def test_dedup_clusters_bounded_iterations(spark):
     got = connected_components(path, "doc_a", "doc_b", max_iter=10)
     assert got.filter(F.col("component") != 0).count() == 0
     assert got.count() == 41
+
+
+def test_runtime_bloom_filter_engages(spark):
+    """The session enables AQE runtime bloom-filter pushdown; with the
+    size thresholds scaled down to fixture scale, a selective dim
+    filter must inject a bloom filter into the fact-side scan plan —
+    the 100 TB lever that prunes most of a fact scan pre-shuffle."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF, "orders").filter(F.col("o_totalprice") > 400000)
+        li = load_table(spark, SF, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
