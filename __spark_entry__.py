@@ -36,7 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """Driver-facing registry: 49 entries, one per operator family from
+    SURVEY.md §2 / COVERAGE.md, every one oracle-backed — curated to fit
+    the driver's 50-entry correctness window with one slot of headroom
+    (pinned in tests/test_registry.py). Redundant representatives live
+    in ``extras()`` below: same oracle discipline, verified by the local
+    differential harness instead of driver-window spend."""
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,3 +63,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query."""
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """NOT part of the driver contract — the locally-verified EXTRAS
+    registry (redundant operator representatives; see COVERAGE.md),
+    exposed for inspection with the same calling convention."""
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    def wrap(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return spec.builder(spark, sf_dir)
+
+        run.__name__ = spec.name
+        return run
+
+    return {name: wrap(spec) for name, spec in EXTRAS.items()}
