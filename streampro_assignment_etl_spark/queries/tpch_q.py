@@ -112,3 +112,85 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue.cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@query(
+    "order_priority_late_ship",
+    extra=True,  # tpch breadth; EXISTS family driver row is subquery_membership
+    tags=("R4", "tpch-q4", "exists"),
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the testdata columns): orders in a
+    quarter with at least one line shipped after the order date, counted
+    per priority. The correlated EXISTS plans as a left semi join on
+    orderkey with the date residual — no row multiplication from
+    multi-line orders."""
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "large_volume_customer",
+    extra=True,  # tpch breadth; IN-over-aggregate subquery variant
+    tags=("R4", "R12", "tpch-q18"),
+    oracle="""
+SELECT c.c_name, o.o_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer c, orders o, lineitem l
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+  AND c.c_custkey = o.o_custkey
+  AND o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the IN-over-grouped-HAVING subquery (large
+    orders by total quantity) joined back through customer. Catalyst
+    plans the subquery as an aggregate feeding a left semi join — the
+    fact table aggregates once, never per outer row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 2, 12)).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", dec("o_totalprice", 2, 12).cast("double").alias("o_totalprice"))
+        .agg(F.sum(dec("l_quantity", 2, 12)).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
