@@ -72,3 +72,60 @@ def asof_join_backward(
         *[F.col(f"_m_{c}").alias(c) for c in right_value_cols],
         F.col("_m_ts").alias(matched_ts_name),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    matched_ts_name: str = "matched_ts",
+) -> DataFrame:
+    """Left as-of-FORWARD join: left columns + earliest-at-or-after
+    right values (NULL when no later right row exists) — the "next
+    event" direction (next maintenance after a failure, next quote
+    after an order). Same linear union + window strategy as the
+    backward form, mirrored: ``first(value, ignorenulls)`` over a
+    current-row→unbounded-FOLLOWING frame, with left ordered before
+    right at equal ts so an exactly-simultaneous right row matches
+    (inclusive, like DuckDB's ``ASOF JOIN ... ON l.ts <= r.ts``)."""
+    left_payload = [c for c in left.columns if c not in (key_col, ts_col)]
+
+    tagged_left = left.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_rts"),
+    )
+    tagged_right = right.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        F.col(ts_col).alias("_rts"),
+    )
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        "*",
+        *[
+            F.first(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_value_cols
+        ],
+        F.first("_rts", ignorenulls=True).over(w).alias("_m_ts"),
+    )
+    return carried.filter(F.col("_tag") == 0).select(
+        F.col(key_col),
+        F.col("_ts").alias(ts_col),
+        *[F.col(c) for c in left_payload],
+        *[F.col(f"_m_{c}").alias(c) for c in right_value_cols],
+        F.col("_m_ts").alias(matched_ts_name),
+    )

@@ -388,3 +388,64 @@ def subquery_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the IN branch's o_totalprice filter pushes to the orders scan."""
     register_views(spark, sf_dir)
     return spark.sql(_MEMBERSHIP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (EXTRA): the "next event at-or-after" direction,
+# mirroring the driver-checked backward form.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_next_view_after_click",
+    extra=True,  # asof family driver row is asof_last_view_before_click
+    tags=("asof-join", "timeseries"),
+    oracle="""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts
+  FROM events WHERE event_type = 'click' AND user_id < 10
+),
+views_ranked AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'
+),
+views1 AS (SELECT user_id, ts, value FROM views_ranked WHERE rn = 1)
+SELECT c.click_id,
+       c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CAST(v.value AS DOUBLE) AS next_view_value,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_view_ts
+FROM clicks c ASOF LEFT JOIN views1 v
+  ON c.user_id = v.user_id AND c.ts <= v.ts
+ORDER BY c.click_id
+""",
+)
+def asof_next_view_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's EARLIEST at-or-after view event —
+    the forward as-of join (operators/asof.asof_join_forward) against
+    DuckDB's native forward ASOF (`c.ts <= v.ts`) as oracle. Same
+    linear union+window plan as the backward form; equal-ts view
+    duplicates deduped (max event_id) first."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 10)).select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    vr = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(vr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    joined = asof_join_forward(clicks, views, "user_id", "ts", ["value"])
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        F.col("value").cast("double").alias("next_view_value"),
+        F.date_format("matched_ts", fmt).alias("next_view_ts"),
+    ).orderBy("click_id")

@@ -454,3 +454,38 @@ def test_kmeans_centroids_recover_clusters(spark):
 
     with pytest.raises(ValueError):
         similarity.kmeans_centroids(emb, "vec_id", "embedding", n=4, sample_pct=1)
+
+def test_asof_forward_edges(spark):
+    """Forward as-of: exact-ts right row matches (inclusive), otherwise
+    the earliest later row; no later row -> NULL match."""
+    from datetime import datetime as dt
+
+    from streampro_assignment_etl_spark.operators.asof import asof_join_forward
+
+    L = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10, 0, 0), "exact"),
+            (1, dt(2024, 1, 1, 11, 30, 0), "between"),
+            (1, dt(2024, 1, 1, 23, 0, 0), "after_all"),
+            (2, dt(2024, 1, 1, 9, 0, 0), "other_key"),
+        ],
+        ["k", "ts", "label"],
+    )
+    R = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10, 0, 0), 100.0),
+            (1, dt(2024, 1, 1, 12, 0, 0), 200.0),
+            (2, dt(2024, 1, 1, 9, 30, 0), 300.0),
+        ],
+        ["k", "ts", "v"],
+    )
+    got = {
+        r["label"]: r["v"]
+        for r in asof_join_forward(L, R, "k", "ts", ["v"]).collect()
+    }
+    assert got == {
+        "exact": 100.0,       # inclusive at equal ts
+        "between": 200.0,     # earliest later row
+        "after_all": None,    # nothing later
+        "other_key": 300.0,   # per-key isolation
+    }
