@@ -129,3 +129,20 @@ def test_stream_signature_equals_batch_signature(spark, texts):
     )
     batch_form = {r["doc_id"]: [r[f"_m{i}"] for i in range(k)] for r in batch.collect()}
     assert stream_form == batch_form
+
+
+@settings(**HYP)
+@given(st.lists(st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+                min_size=1, max_size=8))
+def test_zorder_interleave_is_bijective(spark, pairs):
+    """zorder_value must be a true bit interleave: de-interleaving the
+    key recovers (a, b) exactly for arbitrary 16-bit inputs — a broken
+    interleave silently destroys the two-dimensional clustering."""
+    from streampro_assignment_etl_spark.pipeline.writers import zorder_value
+
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    rows = df.select("a", "b", zorder_value(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in rows:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r["a"], r["b"]), (r["a"], r["b"], r["z"])
