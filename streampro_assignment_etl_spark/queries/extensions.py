@@ -1278,3 +1278,72 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary builder (EXTRA): the pre-tokenizer corpus step — term
+# frequencies, ranks, and cumulative corpus coverage for a top-K vocab.
+# Integer counts + rational coverage keep the hash exact.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_top_terms",
+    extra=True,  # text family has ample driver rows; same local gate
+    tags=("text", "vocab", "tokenizer"),
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT term, COUNT(*) AS freq FROM words GROUP BY term
+),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+ranked AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank,
+         SUM(freq) OVER (ORDER BY freq DESC, term
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tf
+)
+SELECT r.rank, r.term, CAST(r.freq AS BIGINT) AS freq,
+       ROUND(CAST(100 AS DOUBLE) * r.cum / t.total, 4) AS coverage_pct
+FROM ranked r CROSS JOIN tot t
+WHERE r.rank <= 100
+ORDER BY r.rank
+""",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with cumulative coverage — the check a
+    tokenizer build runs first ("how much of the corpus do K terms
+    cover"). Plan: explode -> one term-grain hash aggregate -> a single
+    global window for rank + running coverage on the (small) term table
+    -> broadcast of the 1-row total. The global single-partition window
+    runs on |vocab| rows, never corpus rows; Zipf head means even a
+    100 TB corpus's term table is cluster-trivial after the map-side
+    combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tf.agg(F.sum("freq").alias("total"))
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = tf.select(
+        "term",
+        "freq",
+        F.row_number().over(w).alias("rank"),
+        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= 100)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "freq",
+            F.round(F.lit(100.0) * F.col("cum") / F.col("total"), 4).alias("coverage_pct"),
+        )
+        .orderBy("rank")
+    )
