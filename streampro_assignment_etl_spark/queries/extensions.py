@@ -1347,3 +1347,87 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix rebalance (EXTRA): derive the per-language sampling
+# rates that achieve a target token share — the computation that feeds
+# `stratified_sample_by_lang`'s rate table instead of hand-picking it.
+# ---------------------------------------------------------------------------
+_TARGET_SHARES = {"en": 40, "de": 20, "fr": 20, "es": 10, "zh": 10}  # percent
+_TARGET_SQL = ", ".join(f"('{k}', {v})" for k, v in _TARGET_SHARES.items())
+
+
+@query(
+    "mix_rebalance_rates",
+    extra=True,  # sampling family driver row is stratified_sample_by_lang
+    tags=("sampling", "mix", "rebalance"),
+    oracle=f"""
+WITH cur AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+),
+tgt(lang, target_pct) AS (VALUES {_TARGET_SQL}),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM cur),
+-- Downsample-only rebalance: the binding language is the one whose
+-- target share is hardest to reach from its current tokens; scale
+-- every language to `anchor = min(tokens / target)` so rates stay <= 1.
+anchor AS (
+  SELECT MIN(CAST(c.tokens AS DOUBLE) / t.target_pct) AS per_pct
+  FROM cur c JOIN tgt t ON c.lang = t.lang
+)
+SELECT c.lang,
+       c.tokens AS current_tokens,
+       ROUND(CAST(100 AS DOUBLE) * c.tokens / x.total, 4) AS current_pct,
+       CAST(t.target_pct AS BIGINT) AS target_pct,
+       ROUND(a.per_pct * t.target_pct / c.tokens, 6) AS sampling_rate,
+       CAST(ROUND(a.per_pct * t.target_pct, 0) AS BIGINT) AS sampled_tokens
+FROM cur c
+JOIN tgt t ON c.lang = t.lang
+CROSS JOIN tot x CROSS JOIN anchor a
+ORDER BY c.lang
+""",
+)
+def mix_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates that achieve a target token-share
+    mix by downsampling only (the binding language — hardest target to
+    reach — keeps rate 1.0; everything else scales to it). One
+    lang-grain aggregate plus arithmetic over two broadcast singletons;
+    the output is exactly the rates table a stratified sampler consumes.
+    Token accounting uses the whitespace tokenizer shared with
+    `text_quality_percentiles`."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = (
+        docs.select("lang", F.size(F.split("text", " ")).alias("_t"))
+        .groupBy("lang")
+        .agg(F.sum("_t").alias("current_tokens"))
+    )
+    tgt = F.create_map(*[F.lit(x) for kv in _TARGET_SHARES.items() for x in kv])
+    with_tgt = cur.filter(F.col("lang").isin(*_TARGET_SHARES)).withColumn(
+        "target_pct", tgt[F.col("lang")]
+    )
+    total = with_tgt.agg(F.sum("current_tokens").alias("total"))
+    anchor = with_tgt.agg(
+        F.min(F.col("current_tokens").cast("double") / F.col("target_pct")).alias(
+            "per_pct"
+        )
+    )
+    return (
+        with_tgt.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "lang",
+            "current_tokens",
+            F.round(F.lit(100.0) * F.col("current_tokens") / F.col("total"), 4).alias(
+                "current_pct"
+            ),
+            F.col("target_pct").cast("bigint").alias("target_pct"),
+            F.round(
+                F.col("per_pct") * F.col("target_pct") / F.col("current_tokens"), 6
+            ).alias("sampling_rate"),
+            F.round(F.col("per_pct") * F.col("target_pct"), 0)
+            .cast("bigint")
+            .alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
