@@ -14,6 +14,12 @@ conversion; ``count()`` executes the full plan (every headline query
 ends in aggregation/sort so nothing is skipped by count's column
 pruning — verified against collect() timings at sf0.01). A warmup pass
 at the same SF runs first so JVM/codegen warmup isn't billed to q1.
+
+Each query runs ``REPS`` times (default 3) and reports the MEDIAN:
+n=1 timings at this scale are compile-dominated and swing ±20%
+run-to-run, which made round-over-round deltas unreadable (round-3
+VERDICT, "Bench methodology hardening"). The JSON contract is
+unchanged — one line, per-query seconds plus the total.
 """
 
 from __future__ import annotations
@@ -52,12 +58,16 @@ def main() -> None:
     warm.builder(spark, sf_dir).count()
     release_persisted()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, spec in headline.items():
-        t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_persisted()  # don't let one query's cache skew the next
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+            release_persisted()  # don't let one rep's cache skew the next
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     out = {
         "metric": "headline_queries_total",

@@ -42,6 +42,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(vec: Column) -> Column:
+    """sqrt(dot(v, v)) with the same sequential fold as ``dot`` — hoist
+    this per ROW (not per pair) and candidate scoring drops from three
+    dot products to one: cosine(a,b) ≡ dot(a,b)/(norm(a)*norm(b))
+    bit-for-bit, because the substituted norms are the identical
+    subexpressions ``cosine`` would evaluate inline."""
+    return F.sqrt(dot(vec, vec))
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side replica of ``norm`` for literal centroids: Python
+    floats are IEEE doubles and the fold order matches ``dot``, so the
+    result is bit-identical to the JVM evaluating the same expression."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def _as_double(c: str) -> Column:
     return F.transform(F.col(c), lambda x: x.cast("double"))
 
@@ -68,6 +90,7 @@ def kmeans_centroids(
     n: int,
     sample_pct: int = 20,
     iters: int = 10,
+    max_sample_rows: int = 100_000,
 ) -> CentroidList:
     """Spherical k-means on a deterministic corpus sample — the trained
     alternative to ``seed_centroids`` for real (clustered) corpora.
@@ -84,7 +107,12 @@ def kmeans_centroids(
 
     The IVF driver query stays on ``seed_centroids`` because its DuckDB
     oracle replays seeding in SQL; this trainer is pinned by a recall
-    test instead (tests/test_operators.py) — on clustered data it
+    test instead and a hard ``max_sample_rows`` driver-collect cap
+    enforced as a distributed top-k (``limit`` after ``orderBy`` plans
+    as TakeOrderedAndProject — a percentage of a 100 TB corpus must
+    never reach the driver; the capped sample is the lowest-id slice
+    of the bucket selection, still a pure function of the ids)
+    (tests/test_operators.py) — on clustered data it
     recovers the true cluster structure that id-seeding misses.
     """
     import numpy as np
@@ -96,7 +124,7 @@ def kmeans_centroids(
         frame = frame.filter(
             token_hash60(F.col("_id").cast("string")) % 100 < sample_pct
         )
-    rows = frame.orderBy("_id").collect()
+    rows = frame.orderBy("_id").limit(max_sample_rows).collect()
     if len(rows) < n:
         raise ValueError(f"sample of {len(rows)} rows cannot seed {n} centroids")
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
@@ -131,30 +159,58 @@ def collect_centroids(centroids: DataFrame) -> CentroidList:
     return [(r["centroid_id"], list(r["centroid"])) for r in centroids.collect()]
 
 
-def _ranked_cells(vec: Column, cents: CentroidList) -> Column:
+def _ranked_cells(vec: Column, cents: CentroidList, vnorm: Column) -> Column:
     """Array of struct(_ns, cid) sorted so element 1 is the nearest
     centroid (cosine DESC, centroid_id ASC — `_ns` is the negated
     cosine, so the natural ascending struct sort gives exactly the
     ROW_NUMBER ordering the oracle replays; IEEE negation is exact).
 
-    The centroid matrix rides in as TWO nested array Literals scored by
+    The centroid matrix rides in as nested array literals scored by
     ONE zip_with lambda — a per-centroid Python loop would inline C
     copies of the cosine fold (C·3 higher-order nodes + C·dim literal
     children) and plan compile time, not row work, dominates the query
     at bench scale. Same floats, same fold order, ~C× smaller tree."""
-    return F.array_sort(_scored_cells(vec, cents))
+    return F.array_sort(_scored_cells(vec, cents, vnorm))
 
 
-def _scored_cells(vec: Column, cents: CentroidList) -> Column:
+def _double_array_sql(xs: list[float]) -> str:
+    """SQL literal for array<double>. ``repr`` emits the shortest
+    round-trip decimal and Java parses it back to the identical IEEE
+    bits (both sides implement shortest-repr), verified bit-exact in
+    tests — so this is the same literal ``F.lit`` would build, minus
+    the one-py4j-call-per-element cost (0.7 s per 16x64 matrix, paid
+    twice per ANN query, vs ~10 ms for one parsed string)."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")"
+
+
+def _scored_cells(vec: Column, cents: CentroidList, vnorm: Column) -> Column:
     """Unsorted array of struct(_ns, cid) — struct ordering makes
     min(array) ≡ first element of the sorted array, so top-1 consumers
-    (``assign_cells``) take ``array_min`` and skip the per-row sort."""
-    carr = F.lit([[float(x) for x in cvec] for _, cvec in cents])
-    cids = F.lit([int(cid) for cid, _ in cents])
+    (``assign_cells``) take ``array_min`` and skip the per-row sort.
+
+    ``vnorm`` is the row's own norm hoisted by the caller (computed
+    once per row, not once per centroid) and each centroid's norm is
+    precomputed on the driver (``_py_norm``, bit-identical fold), so
+    scoring C cells costs C dot products instead of 3C: _ns =
+    -(dot(v,c)/(vnorm*cnorm)) ≡ -cosine(v,c) bit-for-bit."""
+    carr = F.expr(
+        "array(" + ",".join(_double_array_sql(cvec) for _, cvec in cents) + ")"
+    )
+    cmeta = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid', {int(cid)}, 'cn', {_py_norm(cvec)!r}D)"
+            for cid, cvec in cents
+        )
+        + ")"
+    )
     return F.zip_with(
         carr,
-        cids,
-        lambda cvec, cid: F.struct((-cosine(vec, cvec)).alias("_ns"), cid.alias("cid")),
+        cmeta,
+        lambda cvec, m: F.struct(
+            (-(dot(vec, cvec) / (vnorm * m["cn"]))).alias("_ns"),
+            m["cid"].alias("cid"),
+        ),
     )
 
 
@@ -165,7 +221,11 @@ def _as_centroid_list(centroids: DataFrame | CentroidList) -> CentroidList:
 
 
 def assign_cells(
-    emb: DataFrame, centroids: DataFrame | CentroidList, id_col: str, vec_col: str
+    emb: DataFrame,
+    centroids: DataFrame | CentroidList,
+    id_col: str,
+    vec_col: str,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid (by cosine) cell assignment: (id, vec, cell).
 
@@ -176,14 +236,25 @@ def assign_cells(
     crossJoin + top-1-window shape moved every corpus vector through an
     Exchange on the row id — one full pass of embedding bytes over the
     wire for what is an argmax over broadcast constants.)
+
+    ``norm_col`` optionally keeps the per-row norm (already computed
+    for the argmax) as an output column so downstream exact scoring can
+    reuse it instead of re-deriving it per candidate pair.
     """
     cents = _as_centroid_list(centroids)
     v = _as_double(vec_col)
-    return emb.select(
+    base = emb.select(F.col(id_col), v.alias(vec_col), norm(v).alias("_vn"))
+    out = base.select(
         F.col(id_col),
-        v.alias(vec_col),
-        F.array_min(_scored_cells(v, cents))["cid"].alias("cell"),
+        F.col(vec_col),
+        F.col("_vn"),
+        F.array_min(_scored_cells(F.col(vec_col), cents, F.col("_vn")))["cid"].alias(
+            "cell"
+        ),
     )
+    if norm_col is None:
+        return out.drop("_vn")
+    return out.withColumnRenamed("_vn", norm_col)
 
 
 def probe_cells(
@@ -192,18 +263,26 @@ def probe_cells(
     id_col: str,
     vec_col: str,
     probes: int,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Top-``probes`` cells per query: (query_id, qv, cell) — the same
     map-side ranked-cells projection as ``assign_cells``, sliced to P
     and exploded (still no shuffle; the query set is small anyway)."""
     cents = _as_centroid_list(centroids)
     v = _as_double(vec_col)
-    ranked = F.slice(_ranked_cells(v, cents), 1, probes)
-    return queries.select(
-        F.col(id_col).alias("query_id"),
-        v.alias("qv"),
+    base = queries.select(
+        F.col(id_col).alias("query_id"), v.alias("qv"), norm(v).alias("_qn")
+    )
+    ranked = F.slice(_ranked_cells(F.col("qv"), cents, F.col("_qn")), 1, probes)
+    out = base.select(
+        "query_id",
+        "qv",
+        F.col("_qn"),
         F.explode(F.transform(ranked, lambda s: s["cid"])).alias("cell"),
     )
+    if norm_col is None:
+        return out.drop("_qn")
+    return out.withColumnRenamed("_qn", norm_col)
 
 
 def ann_topk(
@@ -229,16 +308,22 @@ def ann_topk(
     cents = centroids or collect_centroids(
         seed_centroids(emb, id_col, vec_col, n_centroids)
     )
-    cells = assign_cells(emb, cents, id_col, vec_col)
-    probed = probe_cells(queries, cents, id_col, vec_col, probes)
+    cells = assign_cells(emb, cents, id_col, vec_col, norm_col="_cn")
+    probed = probe_cells(queries, cents, id_col, vec_col, probes, norm_col="_qn")
     cand = probed.join(
         cells.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "_cn", "cell"
         ),
         "cell",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    # One dot per pair: both norms ride in from the cell frames
+    # (bit-identical to cosine(qv, cv) — see ``norm``).
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -280,19 +365,21 @@ def near_dup_pairs_cells(
     """
     cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
     v = _as_double(vec_col)
-    ranked = F.slice(_ranked_cells(v, cents), 1, probes)
-    blocked = emb.select(
-        F.col(id_col).alias("_id"),
-        v.alias("_v"),
+    base = emb.select(F.col(id_col).alias("_id"), v.alias("_v"), norm(v).alias("_n"))
+    ranked = F.slice(_ranked_cells(F.col("_v"), cents, F.col("_n")), 1, probes)
+    blocked = base.select(
+        "_id",
+        "_v",
+        "_n",
         F.explode(F.transform(ranked, lambda s: s["cid"])).alias("cell"),
     )
     a = blocked.select(
-        F.col("_id").alias("vec_a"), F.col("_v").alias("va"), "cell"
+        F.col("_id").alias("vec_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), "cell"
     )
     b = blocked.select(
-        F.col("_id").alias("vec_b"), F.col("_v").alias("vb"), "cell"
+        F.col("_id").alias("vec_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "cell"
     )
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -396,7 +483,7 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     DuckDB's list_dot_product), so bucketing agrees cross-engine."""
     bucket = F.lit(0)
     for j, w in enumerate(planes):
-        warr = F.array(*[F.lit(x) for x in w])
+        warr = F.expr(_double_array_sql(w))
         d = dot(vec, warr)
         bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
@@ -424,15 +511,22 @@ def lsh_topk(
     """
     planes = hyperplanes(dim, n_planes)
     corp = emb.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        norm(_as_double(vec_col)).alias("_cn"),
     ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
     probes = [0] + [1 << j for j in range(n_planes)]
     q = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("qv"),
+            norm(_as_double(vec_col)).alias("_qn"),
+        )
         .withColumn("_b", srp_bucket(F.col("qv"), planes))
         .select(
             "query_id",
             "qv",
+            "_qn",
             F.explode(
                 F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in probes])
             ).alias("bucket"),
@@ -440,7 +534,11 @@ def lsh_topk(
     )
     cand = q.join(corp, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

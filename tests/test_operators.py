@@ -455,6 +455,34 @@ def test_kmeans_centroids_recover_clusters(spark):
     with pytest.raises(ValueError):
         similarity.kmeans_centroids(emb, "vec_id", "embedding", n=4, sample_pct=1)
 
+
+def test_kmeans_centroids_driver_sample_hard_cap(spark):
+    """The driver-collect is bounded by max_sample_rows no matter the
+    corpus size: training on a corpus far larger than the cap must see
+    exactly the lowest-id cap-slice (verified by matching a training
+    run on that slice alone), so a 100 TB corpus can never OOM the
+    driver through this path."""
+    import hashlib
+
+    def hvec(seed, dim=8):
+        return [
+            (int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:8], 16) % 2000)
+            / 1000.0
+            - 1.0
+            for i in range(dim)
+        ]
+
+    rows = [(i, hvec(i)) for i in range(2000)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    capped = similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", n=3, sample_pct=100, iters=3, max_sample_rows=200
+    )
+    head_only = similarity.kmeans_centroids(
+        emb.filter("vec_id < 200"), "vec_id", "embedding", n=3, sample_pct=100, iters=3
+    )
+    assert capped == head_only
+
 def test_asof_forward_edges(spark):
     """Forward as-of: exact-ts right row matches (inclusive), otherwise
     the earliest later row; no later row -> NULL match."""
