@@ -298,11 +298,28 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     fsgw = gs.filter((F.col("gid") == 0) & F.col("genre_watch_time").isNotNull()).select(
         "user_id", "genre", "genre_watch_time"
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("genre_watch_time"), F.asc("genre"))
+    # Dominant genre as a min_by aggregate, not a row_number window: the
+    # oracle's ORDER BY genre_watch_time DESC, genre ASC is exactly the
+    # lexicographic min of struct(-gwt, genre) (IEEE negation is exact,
+    # NULL gwt rows already filtered), and a hash aggregate skips the
+    # window's per-partition sort while landing on the same hash(user_id)
+    # partitioning the downstream join needs.
     udg = (
-        fsgw.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("genre").alias("dominant_genre"), "genre_watch_time")
+        fsgw.groupBy("user_id")
+        .agg(
+            F.min_by(
+                F.struct("genre", "genre_watch_time"),
+                F.struct(
+                    (-F.col("genre_watch_time")).alias("_n"),
+                    F.col("genre").alias("_g"),
+                ),
+            ).alias("_top")
+        )
+        .select(
+            "user_id",
+            F.col("_top.genre").alias("dominant_genre"),
+            F.col("_top.genre_watch_time").alias("genre_watch_time"),
+        )
     )
 
     has_sa = F.col("subs_sessions_raw") > 0
