@@ -8,26 +8,34 @@ filename→(table, date) contract
 (/root/reference/src/core/landing_to_raw_processor.py:70-98).
 
 These are metadata/byte operations, not data-plane work: on a cluster
-they run on the driver against S3/HDFS via fsspec or the Hadoop
-FileSystem API, never through executors — copying a landing file into
-``raw/ingestion_date=…/`` moves no data through Python on any path
-(server-side copy on S3, rename on HDFS). Local filesystem backing
-keeps tests hermetic; the layout (Hive-style partition directories) is
-identical on any Hadoop-compatible store, so ``file://`` here swaps
-for ``s3a://`` in production with no code change above this module.
+they run on the driver, never through executors. Every zone op routes
+through a ``pyarrow.fs.FileSystem`` — the REAL seam: a local path root
+gets ``LocalFileSystem``, an ``s3://…`` / ``gs://…`` / ``hdfs://…``
+root resolves via ``FileSystem.from_uri`` to the matching object-store
+client (CopyObject server-side copy on S3, rename on HDFS), and tests
+exercise a non-local in-memory filesystem through the ``filesystem=``
+injection point. Spark-readable locations (``raw_file_path`` /
+``trusted_path`` / ``uri``) come back as plain paths for local roots
+and scheme-qualified URIs otherwise (``s3://`` is emitted as ``s3a://``
+for Hadoop's connector), so the pipeline code above this module is
+byte-identical across stores.
 """
 
 from __future__ import annotations
 
-import shutil
 from dataclasses import dataclass
 from pathlib import Path
+
+import pyarrow.fs as pafs
 
 LANDING_PREFIX = "landing"
 RAW_PREFIX = "raw"
 TRUSTED_PREFIX = "trusted"
 
 _DATA_SUFFIXES = (".csv", ".json", ".jsonl")
+
+# Hadoop connectors name some schemes differently from pyarrow.
+_SPARK_SCHEME = {"s3": "s3a"}
 
 
 @dataclass(frozen=True)
@@ -54,17 +62,56 @@ def parse_landing_filename(name: str, default_date: str) -> tuple[str, str]:
 
 
 class LakeStorage:
-    """Object store facade over one lake root directory/URI."""
+    """Object store facade over one lake root directory/URI.
 
-    def __init__(self, root: str | Path):
-        self.root = Path(root)
+    ``root`` may be a local path (tests, single-node), a filesystem URI
+    (``s3://bucket/lake``, ``hdfs://nn/lake``, ``file:///…``), or any
+    base path valid inside an explicitly injected ``filesystem``
+    (``pyarrow.fs.FileSystem`` instance — how tests run the whole
+    pipeline against an in-memory store).
+    """
+
+    def __init__(
+        self, root: str | Path, filesystem: pafs.FileSystem | None = None
+    ):
+        s = str(root)
+        if filesystem is not None:
+            self.fs = filesystem
+            self._base = s.rstrip("/")
+            self._scheme: str | None = None
+            self.root = Path(s)  # best-effort; meaningful only for local fs
+        elif "://" in s:
+            self.fs, base = pafs.FileSystem.from_uri(s)
+            self._base = base.rstrip("/")
+            scheme = s.split("://", 1)[0]
+            self._scheme = None if scheme == "file" else scheme
+            self.root = Path(self._base)
+        else:
+            self.fs = pafs.LocalFileSystem()
+            self._base = str(Path(s).absolute())
+            self._scheme = None
+            self.root = Path(s)
+
+    # -- path algebra ----------------------------------------------------
+    def _abs(self, key: str) -> str:
+        """Filesystem-internal absolute path for a lake-relative key."""
+        return f"{self._base}/{key}" if key else self._base
+
+    def uri(self, *parts: str) -> str:
+        """Spark-readable location for a lake-relative path: plain path
+        for local roots, scheme-qualified URI otherwise (s3 → s3a for
+        the Hadoop connector)."""
+        p = "/".join([self._base, *[str(x) for x in parts if str(x)]])
+        if self._scheme is None:
+            return p
+        return f"{_SPARK_SCHEME.get(self._scheme, self._scheme)}://{p}"
 
     # -- S9: bucket bootstrap + seed ------------------------------------
     def ensure_zones(self) -> None:
         """Create the bucket/zone layout (≙ MinIO ensure-bucket +
         docker-init seed step, minio_client.py:29-36)."""
         for prefix in (LANDING_PREFIX, RAW_PREFIX, TRUSTED_PREFIX):
-            (self.root / prefix).mkdir(parents=True, exist_ok=True)
+            self.fs.create_dir(self._abs(prefix), recursive=True)
 
     def seed_landing(self, data_dir: str | Path) -> list[str]:
         """Copy fixture files into landing/ (≙ docker-compose seed,
@@ -81,46 +128,56 @@ class LakeStorage:
     # -- S6: listing / discovery ----------------------------------------
     def list_objects(self, prefix: str = "") -> list[str]:
         """Recursive key listing under a prefix (minio_client.py:106-112)."""
-        base = self.root / prefix if prefix else self.root
-        if not base.exists():
-            return []
+        sel = pafs.FileSelector(
+            self._abs(prefix), recursive=True, allow_not_found=True
+        )
+        infos = self.fs.get_file_info(sel)
+        skip = len(self._base) + 1
         return sorted(
-            str(p.relative_to(self.root)) for p in base.rglob("*") if p.is_file()
+            i.path[skip:] for i in infos if i.type == pafs.FileType.File
         )
 
     # -- S7: server-side copy -------------------------------------------
     def copy_object(self, source_key: str, target_key: str) -> None:
         """Byte-identical copy within the lake (minio_client.py:114-124).
         On S3 this is CopyObject (server-side, zero egress)."""
-        src = self.root / source_key
-        dst = self.root / target_key
-        dst.parent.mkdir(parents=True, exist_ok=True)
-        shutil.copyfile(src, dst)
+        dst = self._abs(target_key)
+        parent = dst.rsplit("/", 1)[0]
+        self.fs.create_dir(parent, recursive=True)
+        self.fs.copy_file(self._abs(source_key), dst)
 
     # -- S8: upload / download / delete / url ---------------------------
     def upload_file(self, local_path: str | Path, key: str) -> None:
-        dst = self.root / key
-        dst.parent.mkdir(parents=True, exist_ok=True)
-        shutil.copyfile(local_path, dst)
+        dst = self._abs(key)
+        self.fs.create_dir(dst.rsplit("/", 1)[0], recursive=True)
+        with open(local_path, "rb") as src, self.fs.open_output_stream(dst) as out:
+            while chunk := src.read(1 << 20):
+                out.write(chunk)
 
     def download_file(self, key: str, local_path: str | Path) -> None:
         Path(local_path).parent.mkdir(parents=True, exist_ok=True)
-        shutil.copyfile(self.root / key, local_path)
+        with self.fs.open_input_stream(self._abs(key)) as src, open(
+            local_path, "wb"
+        ) as out:
+            while chunk := src.read(1 << 20):
+                out.write(chunk)
 
     def delete_object(self, key: str) -> bool:
-        p = self.root / key
-        if p.is_file():
-            p.unlink()
-            return True
-        return False
+        if not self.exists(key):
+            return False
+        self.fs.delete_file(self._abs(key))
+        return True
 
     def get_object_url(self, key: str) -> str:
         """Spark-readable URI for a key (≙ get_object_url,
         minio_client.py:135-136)."""
-        return (self.root / key).resolve().as_uri()
+        if self._scheme is None:
+            return Path(self._abs(key)).resolve().as_uri()
+        return self.uri(key)
 
     def exists(self, key: str) -> bool:
-        return (self.root / key).exists()
+        info = self.fs.get_file_info(self._abs(key))
+        return info.type != pafs.FileType.NotFound
 
     # -- S10-adjacent path builders -------------------------------------
     def raw_partition_key(self, ingestion_date: str, file_name: str) -> str:
@@ -130,13 +187,15 @@ class LakeStorage:
         """Exact raw object path for one table+date (manual partition
         pruning by path construction, raw_to_trusted_processor.py:98)."""
         ext = "jsonl" if fmt == "jsonl" else "csv"
-        return str(
-            self.root / RAW_PREFIX / f"ingestion_date={ingestion_date}" / f"{table}_{ingestion_date}.{ext}"
+        return self.uri(
+            RAW_PREFIX,
+            f"ingestion_date={ingestion_date}",
+            f"{table}_{ingestion_date}.{ext}",
         )
 
     def trusted_path(self, location_suffix: str) -> str:
         """Trusted table root (partition dirs live below it)."""
-        return str(self.root / TRUSTED_PREFIX / location_suffix)
+        return self.uri(TRUSTED_PREFIX, location_suffix)
 
     def discover_landing(self, ingestion_date: str) -> dict[str, LandingFile]:
         """S6+S10: list landing/, parse filenames, keep files matching the

@@ -151,11 +151,10 @@ class RawToTrustedProcessor(BaseProcessor):
                     corrupt = df.filter(F.col("_corrupt_record").isNotNull())
                     n_bad = corrupt.count()
                     if n_bad:
-                        qpath = str(
-                            self.lake.root
-                            / "quarantine"
-                            / schema.suffix
-                            / f"ingestion_date={self.ingestion_date}"
+                        qpath = self.lake.uri(
+                            "quarantine",
+                            schema.suffix,
+                            f"ingestion_date={self.ingestion_date}",
                         )
                         corrupt.select("_corrupt_record").write.mode(
                             "overwrite"

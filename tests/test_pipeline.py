@@ -125,6 +125,64 @@ def test_lake_object_ops(lake: LakeStorage, tmp_path):
     assert not lake.delete_object("landing/nope.csv")
 
 
+def test_lake_object_ops_on_memory_filesystem(tmp_path):
+    """The FS seam is real: the full zone-op surface (seed, list, copy,
+    download, delete, discovery, landing→raw) runs unchanged against a
+    NON-LOCAL pyarrow filesystem — the same code path an s3://… root
+    resolves to via FileSystem.from_uri."""
+    import pyarrow.fs as pafs
+
+    (tmp_path / "data").mkdir()
+    (tmp_path / "data" / f"users_{DATE}.csv").write_text(USERS_CSV)
+    (tmp_path / "data" / f"videos_{DATE}.csv").write_text(VIDEOS_CSV)
+
+    lk = LakeStorage("bucket/lake", filesystem=pafs._MockFileSystem())
+    lk.ensure_zones()
+    seeded = lk.seed_landing(tmp_path / "data")
+    assert seeded == [f"landing/users_{DATE}.csv", f"landing/videos_{DATE}.csv"]
+    assert lk.list_objects("landing") == seeded
+    assert lk.exists(f"landing/users_{DATE}.csv")
+
+    found = lk.discover_landing(DATE)
+    assert set(found) == {"users", "videos"}
+
+    result = LandingToRawProcessor(lk, DATE).run()
+    assert result.is_success, result.error
+    assert sorted(result.metadata["copied"]) == sorted(
+        f.raw_key for f in found.values()
+    )
+    assert lk.exists(f"raw/ingestion_date={DATE}/users_{DATE}.csv")
+
+    out = tmp_path / "dl.csv"
+    lk.download_file(f"raw/ingestion_date={DATE}/users_{DATE}.csv", out)
+    assert out.read_text() == USERS_CSV
+
+    assert lk.delete_object(f"landing/users_{DATE}.csv")
+    assert not lk.exists(f"landing/users_{DATE}.csv")
+
+
+def test_lake_uri_scheme_mapping(tmp_path):
+    """A file:// root resolves through FileSystem.from_uri (the URI
+    branch), and object-store schemes are emitted Hadoop-style for
+    Spark (s3 → s3a) by the uri()/trusted_path() builders."""
+    root = tmp_path / "lk"
+    root.mkdir()
+    lk = LakeStorage(root.as_uri())
+    lk.ensure_zones()
+    assert lk.list_objects() == []
+    assert lk.trusted_path("events") == f"{root}/trusted/events"
+
+    import pyarrow.fs as pafs
+
+    s3ish = LakeStorage("bucket/lake", filesystem=pafs._MockFileSystem())
+    s3ish._scheme = "s3"  # what an s3://bucket/lake root parses to
+    assert s3ish.trusted_path("events") == "s3a://bucket/lake/trusted/events"
+    assert (
+        s3ish.raw_file_path(DATE, "users", "csv")
+        == f"s3a://bucket/lake/raw/ingestion_date={DATE}/users_{DATE}.csv"
+    )
+
+
 # -- landing→raw ------------------------------------------------------------
 def test_landing_to_raw(lake: LakeStorage):
     result = LandingToRawProcessor(lake, DATE).run()
