@@ -60,6 +60,72 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stateful streaming dedup (SURVEY north-star: custom stateful operator).
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_stateful_dedup",
+    tags=("streaming", "stateful", "dedup", "applyInPandasWithState"),
+    oracle=r"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+  FROM documents WHERE doc_id % 7 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fingerprint
+  FROM src
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint
+FROM fp
+GROUP BY fingerprint
+ORDER BY doc_id
+""",
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful exact dedup as a REAL streaming run.
+
+    Micro-batch 0 is the documents table; micro-batch 1 is a planted
+    echo of every 7th document under a shifted doc_id (same text ⇒ same
+    fingerprint). The two JSONL files stream with increasing mtimes,
+    maxFilesPerTrigger=1 and availableNow — two micro-batches in order
+    — through the applyInPandasWithState operator. Every echo row is a
+    duplicate of a batch-0 fingerprint, so the result equals the
+    original table IFF the seen-state genuinely survived between
+    micro-batches (a state loss would leak echo rows and fail the
+    row-count gate, not just the hash). "Min doc_id in the first batch
+    that saw the fingerprint" equals the global min per fingerprint
+    because batch ranges increase in doc_id — exactly what the DuckDB
+    oracle replays over the same planted union."""
+    import os
+    import shutil
+
+    from ..streaming.stateful_dedup import run_dedup_stream
+
+    lake = _fresh_lake(sf_dir, "statefuldedup")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = int(docs.agg(F.max("doc_id")).first()[0])
+    landing = lake.root / "landing_docs"
+    landing.mkdir(parents=True, exist_ok=True)
+    echoes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(hi + 1)).alias("doc_id"), "text"
+    )
+    for i, half in enumerate((docs, echoes)):
+        part = _stage_single_file(half, lake.root, "json")
+        dst = landing / f"docs_batch{i}.jsonl"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    out, ckpt = str(lake.root / "dedup_out"), str(lake.root / "dedup_ckpt")
+    run_dedup_stream(spark, str(landing), out, ckpt, max_files_per_trigger=1)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sliding windows (batch API parity with the streaming window() op).
 # ---------------------------------------------------------------------------
 @query(

@@ -85,17 +85,30 @@ def dedup_stream(doc_stream: DataFrame) -> DataFrame:
 
 
 def run_dedup_stream(
-    spark: Any, landing_dir: str, out_dir: str, checkpoint_dir: str, timeout_s: int = 300
+    spark: Any,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain a landing dir of docs JSONL through the stateful dedup into
     parquet (availableNow; re-runs resume the fingerprint state). Each
     micro-batch overwrites its own ``batch_id=N`` subtree so checkpoint
     retries are idempotent (exactly-once, matching the state-store
-    semantics; a bare append would double-emit on retry)."""
+    semantics; a bare append would double-emit on retry).
+
+    ``max_files_per_trigger`` bounds each micro-batch's file intake —
+    Trigger.AvailableNow honors source read limits, so setting 1 over an
+    N-file landing dir forces N micro-batches and genuinely exercises
+    CROSS-batch state (the default drains everything in one batch)."""
     src_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
-    stream = spark.readStream.schema(src_schema).json(landing_dir)
+    reader = spark.readStream.schema(src_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(landing_dir)
     deduped = dedup_stream(stream)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

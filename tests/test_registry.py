@@ -15,11 +15,12 @@ def test_registry_fits_driver_window():
     assert len(REGISTRY) <= DRIVER_WINDOW, sorted(REGISTRY)
 
 
-def test_registry_has_headroom_for_next_round():
-    assert len(REGISTRY) <= DRIVER_WINDOW - 1, (
-        "leave at least one free slot so a new operator can land without "
-        "re-curating"
-    )
+def test_registry_window_exactly_spent():
+    """Round 5 spent the final slot on streaming_stateful_dedup (the one
+    north-star family that was pytest-only) — the window is now FULL by
+    design. Landing another driver entry requires demoting a redundant
+    representative to EXTRAS first; this pin makes that explicit."""
+    assert len(REGISTRY) == DRIVER_WINDOW, sorted(REGISTRY)
 
 
 def test_no_name_collisions():
