@@ -138,18 +138,41 @@ def _decode_stub(payload: bytes, width: int, height: int) -> bytes:
     return (payload * reps)[:need]
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize the image rows to (width, height): decode → resample →
-    re-encode. Decode is PIL when available, else the marked
-    deterministic stub — the operator contract (binary in, binary out,
-    meta updated, non-images passed through untouched) is identical.
-    """
-    try:  # pragma: no cover - container has no PIL; the stub path is tested
-        from PIL import Image  # noqa: F401
+def _resize_pil(payload: bytes, width: int, height: int) -> bytes:
+    """REAL decode path (runs when PIL is importable): parse the encoded
+    image, NEAREST-resample to (width, height), re-encode as PNG —
+    all choices deterministic so re-runs/retries emit identical bytes.
+    Executor-side only; payload bytes never leave the Arrow batch."""
+    from io import BytesIO
 
-        have_pil = True
-    except ImportError:
-        have_pil = False
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        buf = BytesIO()
+        im.resize((width, height), Image.NEAREST).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, use_pil: bool | None = None
+) -> DataFrame:
+    """Resize the image rows to (width, height): decode → resample →
+    re-encode. Decode is PIL when available (``_resize_pil``: real
+    Image.open/resize/PNG re-encode, mime updated accordingly), else
+    the marked deterministic stub — the operator contract (binary in,
+    binary out, meta updated, non-images passed through untouched) is
+    identical either way. ``use_pil`` forces a path (tests); default
+    auto-detects at plan-build time so the flag, not an import race on
+    executors, decides the path.
+    """
+    if use_pil is None:
+        try:
+            from PIL import Image  # noqa: F401
+
+            use_pil = True
+        except ImportError:
+            use_pil = False
+    have_pil = use_pil
 
     out_schema = MEDIA_SCHEMA
 
@@ -157,17 +180,17 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             is_img = pdf["kind"] == "image"
             resized = pdf.copy()
-            if have_pil:  # pragma: no cover
-                raise NotImplementedError(
-                    "PIL decode path intentionally unimplemented in this "
-                    "container; wire Image.frombytes/resize here."
-                )
-            resized.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(
-                lambda b: _decode_stub(b, width, height)
+            decode = (
+                (lambda b: _resize_pil(b, width, height))
+                if have_pil
+                else (lambda b: _decode_stub(b, width, height))
             )
+            resized.loc[is_img, "payload"] = pdf.loc[is_img, "payload"].map(decode)
             meta = pd.DataFrame(list(resized["meta"]))
             meta.loc[is_img.values, "width"] = width
             meta.loc[is_img.values, "height"] = height
+            if have_pil:
+                meta.loc[is_img.values, "mime"] = "image/png"
             resized["meta"] = meta.to_dict("records")
             yield resized
 

@@ -45,6 +45,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
     "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+    # Cost-based optimizer: when catalog tables carry ANALYZE stats
+    # (pipeline/catalog_ops.analyze_table), join ordering uses real
+    # row counts / NDVs instead of raw file sizes — on a 100 TB star
+    # schema that's the difference between shuffling the fact table
+    # through every join and reducing via the selective dims first.
+    # With no stats present Spark falls back to size-based estimates,
+    # so this is strictly additive; tests/test_plans.py pins the
+    # stats-informed reorder.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
     # Hive-style partition values stay strings: the trusted-zone model
     # types ingestion_date as VARCHAR (reference schema registry,
     # /root/reference/src/utils/schema_registry.py), and inferring

@@ -53,7 +53,7 @@ def test_extract_features_histogram(spark, media):
 
 
 def test_resize_images_stub_contract(spark, media):
-    resized = MM.resize_images(media, width=4, height=3)
+    resized = MM.resize_images(media, width=4, height=3, use_pil=False)
     assert _names_types(resized.schema) == _names_types(MM.MEDIA_SCHEMA)
     rows = resized.collect()
     for r in rows:
@@ -63,6 +63,42 @@ def test_resize_images_stub_contract(spark, media):
         else:  # non-images pass through untouched
             assert r["meta"]["width"] == 8
             assert len(r["payload"]) % 32 == 0
+
+
+def test_resize_images_real_pil_decode(spark):
+    """Exercised only where PIL is installed (skipped in the hermetic
+    container): real encoded-PNG payloads go through Image.open →
+    NEAREST resize → PNG re-encode, and the outputs decode back to the
+    target dimensions with deterministic bytes across runs."""
+    pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    def png_bytes(w, h, seed):
+        im = Image.new("RGB", (w, h))
+        im.putdata(
+            [((i * seed) % 256, (i + seed) % 256, (i * 7) % 256) for i in range(w * h)]
+        )
+        buf = BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (0, "image", png_bytes(8, 6, 3), ("image/png", 8, 6, 8, 1)),
+        (1, "image", png_bytes(10, 10, 5), ("image/png", 10, 10, 8, 1)),
+        (2, "audio", b"\x01\x02\x03\x04", ("application/octet-stream", 8, 4, 8, 1)),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.resize_images(media, 4, 3, use_pil=True).collect()}
+    for mid in (0, 1):
+        r = out[mid]
+        assert r["meta"]["mime"] == "image/png"
+        with Image.open(BytesIO(bytes(r["payload"]))) as im:
+            assert im.size == (4, 3)
+    assert bytes(out[2]["payload"]) == b"\x01\x02\x03\x04"  # non-image untouched
+    again = {r["media_id"]: r for r in MM.resize_images(media, 4, 3, use_pil=True).collect()}
+    assert bytes(again[0]["payload"]) == bytes(out[0]["payload"])
 
 
 def test_sample_frames(spark, media):
