@@ -68,6 +68,28 @@ def test_fuzzy_dup_pairs_finds_planted_dups(docs):
     assert all(p["doc_a"] < p["doc_b"] for p in pairs)
 
 
+def test_fuzzy_dup_pairs_pruned_verification_parity(docs):
+    """The candidate-pruned verification plan (the 100 TB shape: 1 full
+    shingle pass + 2 cohort passes instead of 3 full passes) returns
+    EXACTLY the same pairs and jaccards as the overlap-friendly default."""
+    from streampro_assignment_etl_spark.queries import release_persisted
+
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard"])  # noqa: E731
+    base = sorted(
+        map(key, minhash.fuzzy_dup_pairs(docs, "doc_id", "text", threshold=0.8).collect())
+    )
+    pruned = sorted(
+        map(
+            key,
+            minhash.fuzzy_dup_pairs(
+                docs, "doc_id", "text", threshold=0.8, prune_verification=True
+            ).collect(),
+        )
+    )
+    release_persisted()
+    assert pruned == base
+
+
 # -- SimHash ---------------------------------------------------------------
 def test_simhash_identical_and_perturbed(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
