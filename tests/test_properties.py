@@ -146,3 +146,61 @@ def test_zorder_interleave_is_bijective(spark, pairs):
         a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r["a"], r["b"]), (r["a"], r["b"], r["z"])
+
+
+@settings(**HYP)
+@given(
+    st.integers(min_value=2, max_value=16).flatmap(
+        lambda dim: st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=dim,
+                max_size=dim,
+            ).filter(lambda v: any(x != 0 for x in v)),
+            min_size=2,
+            max_size=6,
+        )
+    )
+)
+def test_norm_carried_cosine_is_bit_identical(spark, vectors):
+    """The similarity operators replace cosine(a,b) with
+    dot(a,b)/(norm_a*norm_b) where the norms are hoisted per row (JVM)
+    or precomputed on the driver (_py_norm). All three must agree
+    BIT-FOR-BIT for arbitrary vectors — a single-ulp divergence could
+    flip an IVF cell assignment or a rank tie against the DuckDB
+    oracle."""
+    import struct
+
+    from streampro_assignment_etl_spark.operators.similarity import (
+        _py_norm,
+        cosine,
+        dot,
+        norm,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, ["id", "v"]).selectExpr(
+        "id", "cast(v as array<double>) v"
+    )
+    a = df.selectExpr("id id_a", "v va")
+    b = df.selectExpr("id id_b", "v vb")
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    got = pairs.select(
+        "id_a",
+        "id_b",
+        cosine(F.col("va"), F.col("vb")).alias("inline"),
+        (dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))).alias(
+            "carried"
+        ),
+        norm(F.col("va")).alias("na"),
+    ).collect()
+    bits = lambda x: struct.pack(">d", x)  # noqa: E731
+    for r in got:
+        assert bits(r["inline"]) == bits(r["carried"]), (r["id_a"], r["id_b"])
+        # Driver-side norm replica matches the JVM fold bit-for-bit.
+        assert bits(_py_norm(vectors[r["id_a"]])) == bits(r["na"])
