@@ -79,6 +79,34 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_fuzzy_minhash_pruned",
+    extra=True,  # driver row is dedup_fuzzy_minhash; this pins the scale plan
+    tags=("dedup", "minhash", "lsh", "ngram-jaccard", "scale-plan"),
+    oracle=_JACCARD_ORACLE,
+)
+def dedup_fuzzy_minhash_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB verification plan of ``dedup_fuzzy_minhash``:
+    candidate pairs persisted, both verification sides left-semi-pruned
+    to candidate docs (1 full shingle pass + 2 cohort passes instead of
+    3 full passes — see fuzzy_dup_pairs docstring). Same all-pairs
+    Jaccard oracle, so the hash gate certifies the pruned plan returns
+    bit-identical pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash.fuzzy_dup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            threshold=0.8,
+            num_hashes=32,
+            bands=8,
+            prune_verification=True,
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup cluster resolution: near-dup pairs -> connected components ->
 # canonical representative per cluster (operators/components.py).
