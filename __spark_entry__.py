@@ -36,12 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Driver-facing registry: 49 entries, one per operator family from
-    SURVEY.md §2 / COVERAGE.md, every one oracle-backed — curated to fit
-    the driver's 50-entry correctness window with one slot of headroom
-    (pinned in tests/test_registry.py). Redundant representatives live
-    in ``extras()`` below: same oracle discipline, verified by the local
-    differential harness instead of driver-window spend."""
+    """Driver-facing registry: 50 entries, one per operator family from
+    SURVEY.md §2 / COVERAGE.md, every one oracle-backed — the driver's
+    50-entry correctness window exactly spent (pinned in
+    tests/test_registry.py; round 5's final slot went to the
+    cross-batch streaming stateful dedup). Redundant representatives
+    live in ``extras()`` below: same oracle discipline, verified by the
+    local differential harness instead of driver-window spend."""
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
