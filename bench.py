@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,7 +59,7 @@ def main() -> None:
     warm.builder(spark, sf_dir).count()
     release_persisted()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         samples = []
@@ -67,7 +68,7 @@ def main() -> None:
             spec.builder(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
             release_persisted()  # don't let one rep's cache skew the next
-        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        timings[name] = round(statistics.median(samples), 3)
 
     out = {
         "metric": "headline_queries_total",

@@ -148,8 +148,13 @@ def _resize_pil(payload: bytes, width: int, height: int) -> bytes:
     from PIL import Image
 
     with Image.open(BytesIO(payload)) as im:
+        out = im.resize((width, height), Image.NEAREST)
+        # PNG can't encode CMYK/YCbCr/F modes — normalize anything the
+        # codec doesn't support (resize first: fewer pixels to convert).
+        if out.mode not in ("1", "L", "LA", "I", "P", "RGB", "RGBA"):
+            out = out.convert("RGB")
         buf = BytesIO()
-        im.resize((width, height), Image.NEAREST).save(buf, format="PNG")
+        out.save(buf, format="PNG")
         return buf.getvalue()
 
 

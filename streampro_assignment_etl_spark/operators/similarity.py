@@ -101,8 +101,8 @@ def kmeans_centroids(
     sample is thousands of rows by contract, the same scale as any
     broadcast dim) and run through Lloyd iterations in numpy: normalize
     → assign to argmax-cosine centroid → recompute means → renormalize.
-    Initialization is the n lowest-id sample vectors, so training is
-    fully deterministic. Everything downstream (assignment, probing,
+    Initialization is farthest-first from the hash-ordered sample's
+    first vector, so training is fully deterministic. Everything downstream (assignment, probing,
     in-cell scoring) takes the returned CentroidList unchanged.
 
     The IVF driver query stays on ``seed_centroids`` because its DuckDB
@@ -110,8 +110,11 @@ def kmeans_centroids(
     test instead and a hard ``max_sample_rows`` driver-collect cap
     enforced as a distributed top-k (``limit`` after ``orderBy`` plans
     as TakeOrderedAndProject — a percentage of a 100 TB corpus must
-    never reach the driver; the capped sample is the lowest-id slice
-    of the bucket selection, still a pure function of the ids)
+    never reach the driver). The sample is ordered by the md5 token
+    hash of the id (ties → id), NOT by raw id: a lowest-id cap slice
+    on a time-ordered corpus would train exclusively on the oldest
+    rows, while the hash order keeps the capped slice an unbiased —
+    and still fully deterministic, partitioning-independent — draw
     (tests/test_operators.py) — on clustered data it
     recovers the true cluster structure that id-seeding misses.
     """
@@ -120,11 +123,10 @@ def kmeans_centroids(
     from .simhash import token_hash60
 
     frame = emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+    hash_key = token_hash60(F.col("_id").cast("string"))
     if sample_pct < 100:
-        frame = frame.filter(
-            token_hash60(F.col("_id").cast("string")) % 100 < sample_pct
-        )
-    rows = frame.orderBy("_id").limit(max_sample_rows).collect()
+        frame = frame.filter(hash_key % 100 < sample_pct)
+    rows = frame.orderBy(hash_key, "_id").limit(max_sample_rows).collect()
     if len(rows) < n:
         raise ValueError(f"sample of {len(rows)} rows cannot seed {n} centroids")
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
@@ -179,8 +181,19 @@ def _double_array_sql(xs: list[float]) -> str:
     bits (both sides implement shortest-repr), verified bit-exact in
     tests — so this is the same literal ``F.lit`` would build, minus
     the one-py4j-call-per-element cost (0.7 s per 16x64 matrix, paid
-    twice per ANN query, vs ~10 ms for one parsed string)."""
-    return "array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")"
+    twice per ANN query, vs ~10 ms for one parsed string).
+
+    Non-finite components are rejected LOUDLY: ``repr`` would render
+    them as ``infD``/``nanD``, which the SQL parser cannot read, and a
+    centroid containing inf/NaN is garbage upstream (a vector whose
+    squared norm overflowed) — fail at build time with a real message
+    instead of a ParseException."""
+    import math
+
+    vals = [float(x) for x in xs]
+    if not all(map(math.isfinite, vals)):
+        raise ValueError(f"non-finite component in centroid/plane vector: {vals}")
+    return "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
 
 
 def _scored_cells(vec: Column, cents: CentroidList, vnorm: Column) -> Column:
@@ -196,11 +209,16 @@ def _scored_cells(vec: Column, cents: CentroidList, vnorm: Column) -> Column:
     carr = F.expr(
         "array(" + ",".join(_double_array_sql(cvec) for _, cvec in cents) + ")"
     )
+    norms = [_py_norm(cvec) for _, cvec in cents]
+    import math
+
+    if not all(map(math.isfinite, norms)):
+        raise ValueError(f"non-finite centroid norm: {norms}")
     cmeta = F.expr(
         "array("
         + ",".join(
-            f"named_struct('cid', {int(cid)}, 'cn', {_py_norm(cvec)!r}D)"
-            for cid, cvec in cents
+            f"named_struct('cid', {int(cid)}, 'cn', {cn!r}D)"
+            for (cid, _), cn in zip(cents, norms)
         )
         + ")"
     )

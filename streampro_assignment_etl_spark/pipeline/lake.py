@@ -72,19 +72,37 @@ class LakeStorage:
     """
 
     def __init__(
-        self, root: str | Path, filesystem: pafs.FileSystem | None = None
+        self,
+        root: str | Path,
+        filesystem: pafs.FileSystem | None = None,
+        scheme: str | None = None,
     ):
+        """``scheme`` sets the URI scheme ``uri()`` emits when a
+        filesystem is injected directly (there is no URI to parse it
+        from) — e.g. ``LakeStorage("bucket/lake", filesystem=s3fs,
+        scheme="s3")`` so Spark-facing paths come back ``s3a://…``
+        instead of bare in-filesystem paths."""
         s = str(root)
+        self._authority = ""  # host[:port] for hdfs://-style roots
         if filesystem is not None:
             self.fs = filesystem
             self._base = s.rstrip("/")
-            self._scheme: str | None = None
+            self._scheme = scheme
             self.root = Path(s)  # best-effort; meaningful only for local fs
         elif "://" in s:
+            from urllib.parse import urlsplit
+
             self.fs, base = pafs.FileSystem.from_uri(s)
             self._base = base.rstrip("/")
-            scheme = s.split("://", 1)[0]
-            self._scheme = None if scheme == "file" else scheme
+            parts = urlsplit(s)
+            self._scheme = None if parts.scheme == "file" else parts.scheme
+            # Authority handling differs per store: S3/GCS fold the
+            # bucket into the returned path ("bucket/lake"), while HDFS
+            # consumes host:port into the filesystem object and returns
+            # a bare "/lake" — in that case keep the authority so
+            # emitted URIs stay fully qualified (hdfs://nn:8020/...).
+            if self._base.startswith("/") and parts.netloc:
+                self._authority = parts.netloc
             self.root = Path(self._base)
         else:
             self.fs = pafs.LocalFileSystem()
@@ -104,7 +122,7 @@ class LakeStorage:
         p = "/".join([self._base, *[str(x) for x in parts if str(x)]])
         if self._scheme is None:
             return p
-        return f"{_SPARK_SCHEME.get(self._scheme, self._scheme)}://{p}"
+        return f"{_SPARK_SCHEME.get(self._scheme, self._scheme)}://{self._authority}{p}"
 
     # -- S9: bucket bootstrap + seed ------------------------------------
     def ensure_zones(self) -> None:
@@ -148,22 +166,30 @@ class LakeStorage:
 
     # -- S8: upload / download / delete / url ---------------------------
     def upload_file(self, local_path: str | Path, key: str) -> None:
+        # compression=None: pyarrow streams default to extension-based
+        # transparent (de)compression, which would silently mangle a
+        # byte-identical object copy of *.gz/*.bz2 keys.
         dst = self._abs(key)
         self.fs.create_dir(dst.rsplit("/", 1)[0], recursive=True)
-        with open(local_path, "rb") as src, self.fs.open_output_stream(dst) as out:
+        with open(local_path, "rb") as src, self.fs.open_output_stream(
+            dst, compression=None
+        ) as out:
             while chunk := src.read(1 << 20):
                 out.write(chunk)
 
     def download_file(self, key: str, local_path: str | Path) -> None:
         Path(local_path).parent.mkdir(parents=True, exist_ok=True)
-        with self.fs.open_input_stream(self._abs(key)) as src, open(
-            local_path, "wb"
-        ) as out:
+        with self.fs.open_input_stream(
+            self._abs(key), compression=None
+        ) as src, open(local_path, "wb") as out:
             while chunk := src.read(1 << 20):
                 out.write(chunk)
 
     def delete_object(self, key: str) -> bool:
-        if not self.exists(key):
+        # File-only, like the shutil-era is_file() guard: directory /
+        # missing keys return False instead of raising.
+        info = self.fs.get_file_info(self._abs(key))
+        if info.type != pafs.FileType.File:
             return False
         self.fs.delete_file(self._abs(key))
         return True

@@ -480,11 +480,16 @@ def test_kmeans_centroids_recover_clusters(spark):
 
 def test_kmeans_centroids_driver_sample_hard_cap(spark):
     """The driver-collect is bounded by max_sample_rows no matter the
-    corpus size: training on a corpus far larger than the cap must see
-    exactly the lowest-id cap-slice (verified by matching a training
-    run on that slice alone), so a 100 TB corpus can never OOM the
-    driver through this path."""
+    corpus size, and the capped slice is the HASH-ordered (unbiased)
+    prefix, not the lowest ids: training on a corpus far larger than
+    the cap equals training on exactly the 200 lowest-hash ids alone —
+    so a 100 TB corpus can never OOM the driver through this path, and
+    a time-ordered corpus doesn't train only on its oldest rows."""
     import hashlib
+
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.operators.simhash import token_hash60
 
     def hvec(seed, dim=8):
         return [
@@ -500,10 +505,25 @@ def test_kmeans_centroids_driver_sample_hard_cap(spark):
     capped = similarity.kmeans_centroids(
         emb, "vec_id", "embedding", n=3, sample_pct=100, iters=3, max_sample_rows=200
     )
-    head_only = similarity.kmeans_centroids(
-        emb.filter("vec_id < 200"), "vec_id", "embedding", n=3, sample_pct=100, iters=3
+    slice_ids = [
+        r["vec_id"]
+        for r in emb.orderBy(
+            token_hash60(F.col("vec_id").cast("string")), "vec_id"
+        )
+        .limit(200)
+        .collect()
+    ]
+    # Unbiased: the hash-ordered slice is not the id-ordered head.
+    assert sorted(slice_ids) != list(range(200))
+    slice_only = similarity.kmeans_centroids(
+        emb.filter(F.col("vec_id").isin(slice_ids)),
+        "vec_id",
+        "embedding",
+        n=3,
+        sample_pct=100,
+        iters=3,
     )
-    assert capped == head_only
+    assert capped == slice_only
 
 def test_asof_forward_edges(spark):
     """Forward as-of: exact-ts right row matches (inclusive), otherwise

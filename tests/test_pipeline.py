@@ -174,13 +174,26 @@ def test_lake_uri_scheme_mapping(tmp_path):
 
     import pyarrow.fs as pafs
 
-    s3ish = LakeStorage("bucket/lake", filesystem=pafs._MockFileSystem())
-    s3ish._scheme = "s3"  # what an s3://bucket/lake root parses to
+    s3ish = LakeStorage("bucket/lake", filesystem=pafs._MockFileSystem(), scheme="s3")
     assert s3ish.trusted_path("events") == "s3a://bucket/lake/trusted/events"
     assert (
         s3ish.raw_file_path(DATE, "users", "csv")
         == f"s3a://bucket/lake/raw/ingestion_date={DATE}/users_{DATE}.csv"
     )
+    # Directory / missing keys: delete returns False, never raises.
+    s3ish.ensure_zones()
+    assert not s3ish.delete_object("landing")
+    assert not s3ish.delete_object("nope.csv")
+
+    # hdfs-style roots keep their authority in emitted URIs (from_uri
+    # consumes host:port into the filesystem; uri() must restore it).
+    hdfsish = LakeStorage.__new__(LakeStorage)
+    hdfsish.fs = pafs._MockFileSystem()
+    hdfsish._base = "/lake"
+    hdfsish._scheme = "hdfs"
+    hdfsish._authority = "nn:8020"
+    hdfsish.root = None
+    assert hdfsish.trusted_path("events") == "hdfs://nn:8020/lake/trusted/events"
 
 
 # -- landing→raw ------------------------------------------------------------

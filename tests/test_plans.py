@@ -175,26 +175,40 @@ def test_cbo_uses_analyze_stats_for_join_reorder(spark):
     from streampro_assignment_etl_spark.sources.testdata import load_table
 
     assert spark.conf.get("spark.sql.cbo.enabled") == "true"
-    for t in ("customer", "orders", "nation"):
-        load_table(spark, SF, t).write.mode("overwrite").saveAsTable(f"cbo_{t}")
-        assert analyze_table(spark, f"cbo_{t}")
-    q = """
-    SELECT n.n_name, COUNT(*) AS n_orders
-    FROM cbo_orders o
-    JOIN cbo_customer c ON o.o_custkey = c.c_custkey
-    JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
-    WHERE n.n_name IN ('FRANCE','GERMANY')
-    GROUP BY n.n_name ORDER BY n.n_name
-    """
-    opt = spark.sql(q)._jdf.queryExecution().optimizedPlan()
-    # Exact cardinality from column stats (2 qualifying nations).
-    assert "rowCount=2" in str(opt.stats())
-    # Stats-informed reorder: the fact table is no longer the first
-    # (deepest-left) relation despite being written first in the SQL.
-    order = re.findall(r"cbo_\w+", str(opt))
-    assert order and order[0] != "cbo_orders", order
-    for t in ("customer", "orders", "nation"):
+
+    import shutil
+
+    def clean(t):
+        # Drop catalog entry AND any orphaned warehouse dir from an
+        # earlier session (the in-memory catalog forgets tables between
+        # sessions but their managed locations survive on disk).
         spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/cbo_{t}", ignore_errors=True)
+
+    try:
+        for t in ("customer", "orders", "nation"):
+            clean(t)
+            load_table(spark, SF, t).write.mode("overwrite").saveAsTable(f"cbo_{t}")
+            assert analyze_table(spark, f"cbo_{t}")
+        q = """
+        SELECT n.n_name, COUNT(*) AS n_orders
+        FROM cbo_orders o
+        JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+        JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('FRANCE','GERMANY')
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+        opt = spark.sql(q)._jdf.queryExecution().optimizedPlan()
+        # Exact cardinality from column stats (2 qualifying nations).
+        assert "rowCount=2" in str(opt.stats())
+        # Stats-informed reorder: the fact table is no longer the first
+        # (deepest-left) relation despite being written first in the SQL.
+        order = re.findall(r"cbo_\w+", str(opt))
+        assert order and order[0] != "cbo_orders", order
+    finally:
+        for t in ("customer", "orders", "nation"):
+            clean(t)
 
 
 def test_runtime_bloom_filter_engages(spark):
