@@ -161,7 +161,11 @@ def test_zorder_interleave_is_bijective(spark, pairs):
                 ),
                 min_size=dim,
                 max_size=dim,
-            ).filter(lambda v: any(x != 0 for x in v)),
+            ).filter(lambda v: any(abs(x) > 1e-100 for x in v)),
+            # |x| > 1e-100 keeps dot(v,v) clear of subnormal underflow:
+            # a vector like [0.0, 1e-308] has (1e-308)^2 == 0.0, zero
+            # norm, and divide-by-zero under ANSI — in BOTH cosine
+            # forms equally, so it proves nothing about the rewrite.
             min_size=2,
             max_size=6,
         )
