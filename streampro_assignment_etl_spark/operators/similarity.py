@@ -258,10 +258,17 @@ def assign_cells(
     ``norm_col`` optionally keeps the per-row norm (already computed
     for the argmax) as an output column so downstream exact scoring can
     reuse it instead of re-deriving it per candidate pair.
+
+    Rows whose norm is zero (all-zero or underflowing-subnormal
+    embeddings — what a failed embed job emits) are EXCLUDED: cosine
+    is undefined for them, and under ANSI mode one such row would fail
+    an entire 100 TB job with DIVIDE_BY_ZERO mid-stage.
     """
     cents = _as_centroid_list(centroids)
     v = _as_double(vec_col)
-    base = emb.select(F.col(id_col), v.alias(vec_col), norm(v).alias("_vn"))
+    base = emb.select(F.col(id_col), v.alias(vec_col), norm(v).alias("_vn")).filter(
+        F.col("_vn") > 0
+    )
     out = base.select(
         F.col(id_col),
         F.col(vec_col),
@@ -285,12 +292,13 @@ def probe_cells(
 ) -> DataFrame:
     """Top-``probes`` cells per query: (query_id, qv, cell) — the same
     map-side ranked-cells projection as ``assign_cells``, sliced to P
-    and exploded (still no shuffle; the query set is small anyway)."""
+    and exploded (still no shuffle; the query set is small anyway).
+    Zero-norm queries are excluded like ``assign_cells`` corpus rows."""
     cents = _as_centroid_list(centroids)
     v = _as_double(vec_col)
     base = queries.select(
         F.col(id_col).alias("query_id"), v.alias("qv"), norm(v).alias("_qn")
-    )
+    ).filter(F.col("_qn") > 0)
     ranked = F.slice(_ranked_cells(F.col("qv"), cents, F.col("_qn")), 1, probes)
     out = base.select(
         "query_id",
@@ -383,7 +391,9 @@ def near_dup_pairs_cells(
     """
     cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
     v = _as_double(vec_col)
-    base = emb.select(F.col(id_col).alias("_id"), v.alias("_v"), norm(v).alias("_n"))
+    base = emb.select(
+        F.col(id_col).alias("_id"), v.alias("_v"), norm(v).alias("_n")
+    ).filter(F.col("_n") > 0)  # cosine undefined for zero-norm rows
     ranked = F.slice(_ranked_cells(F.col("_v"), cents, F.col("_n")), 1, probes)
     blocked = base.select(
         "_id",
@@ -432,7 +442,12 @@ def cosine_topk_vectorized(
         raise ValueError("empty query set")
     qids = np.array([r[id_col] for r in qrows])
     Q = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(Q, axis=1, keepdims=True)
+    keep_q = qnorm[:, 0] > 0  # cosine undefined for zero-norm queries
+    qids, Q, qnorm = qids[keep_q], Q[keep_q], qnorm[keep_q]
+    if not len(qids):
+        raise ValueError("all query vectors have zero norm")
+    Qn = Q / qnorm
 
     out_schema = "query_id long, neighbor_id long, cos_sim double"
 
@@ -442,7 +457,13 @@ def cosine_topk_vectorized(
                 continue
             ids = pdf[id_col].to_numpy()
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            vnorm = np.linalg.norm(V, axis=1, keepdims=True)
+            keep = vnorm[:, 0] > 0
+            if not keep.all():
+                ids, V, vnorm = ids[keep], V[keep], vnorm[keep]
+            if not len(ids):
+                continue
+            Vn = V / vnorm
             S = Qn @ Vn.T  # (n_queries, batch_rows)
             kk = min(k + 1, S.shape[1])  # +1 absorbs a self-match
             top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
@@ -528,11 +549,15 @@ def lsh_topk(
     at the cost of a recall curve set by plane count, not probe count.
     """
     planes = hyperplanes(dim, n_planes)
-    corp = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("cv"),
-        norm(_as_double(vec_col)).alias("_cn"),
-    ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    corp = (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("cv"),
+            norm(_as_double(vec_col)).alias("_cn"),
+        )
+        .filter(F.col("_cn") > 0)  # cosine undefined for zero-norm rows
+        .withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    )
     probes = [0] + [1 << j for j in range(n_planes)]
     q = (
         queries.select(
@@ -540,6 +565,7 @@ def lsh_topk(
             _as_double(vec_col).alias("qv"),
             norm(_as_double(vec_col)).alias("_qn"),
         )
+        .filter(F.col("_qn") > 0)
         .withColumn("_b", srp_bucket(F.col("qv"), planes))
         .select(
             "query_id",

@@ -478,6 +478,45 @@ def test_kmeans_centroids_recover_clusters(spark):
         similarity.kmeans_centroids(emb, "vec_id", "embedding", n=4, sample_pct=1)
 
 
+def test_zero_norm_embeddings_excluded_not_fatal(spark):
+    """A failed embed job emits all-zero vectors; cosine is undefined
+    for them and ANSI mode turns the division into a job-killing error.
+    Every ANN path must EXCLUDE such rows (corpus and query side), not
+    crash — one garbage row must never fail a 100 TB job."""
+    import hashlib
+
+    def hvec(seed, dim=8):
+        return [
+            (int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:8], 16) % 2000)
+            / 1000.0
+            - 1.0
+            for i in range(dim)
+        ]
+
+    rows = [(i, hvec(i)) for i in range(20)] + [(99, [0.0] * 8), (100, [1e-308] * 8)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter("vec_id in (3, 99)")
+
+    got = similarity.ann_topk(emb, queries, k=3, n_centroids=4, probes=2).collect()
+    ids = {r["query_id"] for r in got}
+    neigh = {r["neighbor_id"] for r in got}
+    assert 3 in ids and 99 not in ids  # zero-norm query dropped
+    assert 99 not in neigh and 100 not in neigh  # zero/underflow corpus rows dropped
+
+    got_lsh = similarity.lsh_topk(emb, queries, k=3, dim=8).collect()
+    assert {r["query_id"] for r in got_lsh} <= {3}
+
+    got_vec = similarity.cosine_topk_vectorized(emb, queries, k=3).collect()
+    assert {r["query_id"] for r in got_vec} == {3}
+    assert not {99, 100} & {r["neighbor_id"] for r in got_vec}
+
+    pairs = similarity.near_dup_pairs_cells(
+        emb, threshold=0.4, n_centroids=4, probes=2
+    ).collect()
+    flat = {x for r in pairs for x in (r["vec_a"], r["vec_b"])}
+    assert not {99, 100} & flat
+
+
 def test_kmeans_centroids_driver_sample_hard_cap(spark):
     """The driver-collect is bounded by max_sample_rows no matter the
     corpus size, and the capped slice is the HASH-ordered (unbiased)
