@@ -266,15 +266,25 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
-    )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
 
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
+
+    # Norms hoisted per ROW (one dot per pair instead of three) —
+    # bit-identical to the inline cosine the oracle computes; the
+    # substitution property is fuzz-pinned in tests/test_properties.py.
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qv"),
+        F.sqrt(dot(as_double("embedding"), as_double("embedding"))).alias("_qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cv"),
+        F.sqrt(dot(as_double("embedding"), as_double("embedding"))).alias("_cn"),
+    )
 
     scored = (
         F.broadcast(q)
@@ -283,13 +293,9 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
-                )
-            ).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
