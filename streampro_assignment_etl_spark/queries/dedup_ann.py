@@ -168,6 +168,105 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_ORACLE = f"""
+WITH RECURSIVE
+{_JACCARD_CTES},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION SELECT doc_b, doc_a FROM dup),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+canon AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+assigned AS (
+  SELECT doc_id, group_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8
+              THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 8
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM canon
+),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaky_groups
+  FROM (SELECT group_id FROM assigned GROUP BY group_id
+        HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+       (SELECT leaky_groups FROM leak) AS leaky_groups
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query(
+    "leakage_safe_split",
+    extra=True,  # dedup family driver rows: dedup_clusters / dedup_apply_clusters
+    tags=("split", "dedup", "connected-components", "train-eval"),
+    oracle=_SPLIT_ORACLE,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: every doc is mapped to its near-dup CLUSTER (MinHash
+    pairs → connected components, same config as ``dedup_clusters``;
+    singletons are their own group), and the 80/10/10 split is a pure
+    md5-bucket function of the GROUP id — so a whole cluster co-travels
+    by construction. ``leaky_groups`` materializes the invariant (a
+    group spanning >1 split) and must be 0; the oracle recomputes the
+    same assignment over exact transitive closure. At 100 TB this adds
+    one broadcast of the (small) component map on top of the cluster
+    resolution cost — the split itself is map-side."""
+    from ..operators.simhash import token_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = minhash.fuzzy_dup_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8
+    ).select("doc_a", "doc_b")
+    comp = components.connected_components(dup, "doc_a", "doc_b")
+    canon = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), docs["doc_id"] == comp["node"], "left")
+        .select(
+            docs["doc_id"], F.coalesce("component", docs["doc_id"]).alias("group_id")
+        )
+    )
+    bucket = token_hash60(F.col("group_id").cast("string")) % 10
+    assigned = canon.select(
+        "doc_id",
+        "group_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    leak = (
+        assigned.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaky_groups")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_id").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (Hamming ball, pigeonhole-banded).
 # ---------------------------------------------------------------------------
