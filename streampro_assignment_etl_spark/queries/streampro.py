@@ -247,9 +247,9 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single-pass via GROUPING SETS: the oracle's fsgw (user, genre) and
     # sa (user) CTEs fold into ONE aggregation over the windowed frame —
     # filter to the union of first-session and horizon rows, Expand x2,
-    # aggregate both grains at once. No big-frame persist (only the tiny
-    # post-agg result is cached for its two consumers), one events scan,
-    # one user_id shuffle, one agg shuffle of the filtered slice.
+    # aggregate both grains at once — and a second fold to user grain
+    # merges both slices without any self-join or persist: one events
+    # scan, one user_id window shuffle, one straight-line agg chain.
     s = sessionized_with_first(spark, sf_dir)
     zero = F.lit(0).cast(_D)
     is_first = F.col("session_id") == F.col("first_session_id")
@@ -293,43 +293,49 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("genre").alias("gid"),
         )
     )
-    gs = track_persist(gs, StorageLevel.MEMORY_AND_DISK)  # <= users x (genres+1) rows
-
-    fsgw = gs.filter((F.col("gid") == 0) & F.col("genre_watch_time").isNotNull()).select(
-        "user_id", "genre", "genre_watch_time"
-    )
-    # Dominant genre as a min_by aggregate, not a row_number window: the
-    # oracle's ORDER BY genre_watch_time DESC, genre ASC is exactly the
-    # lexicographic min of struct(-gwt, genre) (IEEE negation is exact,
-    # NULL gwt rows already filtered), and a hash aggregate skips the
-    # window's per-partition sort while landing on the same hash(user_id)
-    # partitioning the downstream join needs.
-    udg = (
-        fsgw.groupBy("user_id")
+    # ONE aggregate folds the oracle's udg (dominant genre, gid=0 slice)
+    # AND sa (horizon metrics, gid=1 slice) to user grain — no self-join
+    # of gs at all. The previous udg⋈sa left join looked cheap but
+    # DeduplicateRelations re-ids one side's subtree, the re-id'd branch
+    # missed the persisted gs cache, and the "broadcast" side silently
+    # re-executed the whole events pipeline (second scan + window +
+    # grouping sets). With a single consumer chain gs needs no persist
+    # either. Semantics: min_by skips rows whose ordering struct is NULL
+    # (non-gid0 / NULL-gwt rows) and yields NULL when none qualify
+    # (user dropped, = the oracle's fsgw inner-join membership); every
+    # user has exactly one gid=1 row, picked by max(when(gid=1, ...)).
+    # The min_by struct(-gwt, genre) tie-break is the oracle's
+    # ROW_NUMBER ordering exactly (IEEE negation is exact).
+    gid0 = (F.col("gid") == 0) & F.col("genre_watch_time").isNotNull()
+    gid1 = F.col("gid") == 1
+    per_user = (
+        gs.groupBy("user_id")
         .agg(
             F.min_by(
                 F.struct("genre", "genre_watch_time"),
-                F.struct(
-                    (-F.col("genre_watch_time")).alias("_n"),
-                    F.col("genre").alias("_g"),
+                F.when(
+                    gid0,
+                    F.struct(
+                        (-F.col("genre_watch_time")).alias("_n"),
+                        F.col("genre").alias("_g"),
+                    ),
                 ),
-            ).alias("_top")
+            ).alias("_top"),
+            F.max(
+                F.when(gid1, F.struct("subsequent_watch_time", "subs_sessions_raw"))
+            ).alias("_sa"),
         )
-        .select(
-            "user_id",
-            F.col("_top.genre").alias("dominant_genre"),
-            F.col("_top.genre_watch_time").alias("genre_watch_time"),
-        )
+        .filter(F.col("_top").isNotNull())
     )
 
-    has_sa = F.col("subs_sessions_raw") > 0
-    sa = gs.filter(F.col("gid") == 1).select(
-        # Renamed key: udg and sa share lineage (both fold gs), so
-        # attribute-based join conditions would be ambiguous.
-        F.col("user_id").alias("sa_join_id"),
+    has_sa = F.col("_sa.subs_sessions_raw") > 0
+    merged = per_user.select(
+        "user_id",
+        F.col("_top.genre").alias("dominant_genre"),
+        F.col("_top.genre_watch_time").alias("genre_watch_time"),
+        F.col("_sa.subsequent_watch_time").alias("subsequent_watch_time"),
         F.when(has_sa, F.col("user_id")).alias("sa_user_id"),
-        "subsequent_watch_time",
-        F.when(has_sa, F.col("subs_sessions_raw")).alias("subsequent_sessions"),
+        F.when(has_sa, F.col("_sa.subs_sessions_raw")).alias("subsequent_sessions"),
     )
 
     def dec_mean(col: str, digits: int = 1):
@@ -338,8 +344,7 @@ def sp_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        udg.join(sa, F.col("user_id") == F.col("sa_join_id"), "left")
-        .groupBy("dominant_genre")
+        merged.groupBy("dominant_genre")
         .agg(
             F.countDistinct("user_id").alias("users_with_dominant_genre"),
             F.countDistinct("sa_user_id").alias("users_returned"),

@@ -56,6 +56,18 @@ def test_single_pass_session_q1(spark):
     assert "Join" not in plan_string(df)
 
 
+def test_single_scan_no_self_join_q2(spark):
+    """Q2 must stay ONE events scan: the udg/sa self-join this replaced
+    looked broadcast-cheap but its DeduplicateRelations-re-id'd branch
+    missed the cache and re-executed the whole events pipeline (second
+    scan + window + grouping sets)."""
+    df = _q(spark, "sp_q2_dominant_genre_retention")
+    assert parquet_scan_count(df) == 1
+    from streampro_assignment_etl_spark.plans import plan_string
+
+    assert "Join" not in plan_string(df)
+
+
 def test_pricing_summary_single_scan_single_agg_shuffle(spark):
     df = _q(spark, "pricing_summary")
     assert parquet_scan_count(df) == 1
