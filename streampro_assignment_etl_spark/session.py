@@ -86,11 +86,21 @@ def get_spark(app_name: str = "streampro-spark", cpus: int | None = None) -> Spa
     ``initialPartitionNum`` generously and let AQE shrink it.
     """
     n = cpus or default_parallelism()
+    master = os.environ.get("SPARK_MASTER", f"local[{n}]")
+    # AQE's starting partition count: on a real cluster begin high
+    # (4x cores) and let coalesce shrink — under-partitioning a 100 TB
+    # shuffle is unrecoverable, over-partitioning is coalesced for free.
+    # Locally the economics invert: 4x initial partitions cost ~0.9 s of
+    # shuffle-block + AQE bookkeeping per shuffle-bearing query
+    # (measured: trivial 260k-row groupBy = 1.49 s at init=128 vs 0.56 s
+    # at init=cores) with nothing to coalesce, so local mode keeps the
+    # initial number at shuffle.partitions.
+    init_parts = n if master.startswith("local") else 4 * n
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(n))
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(4 * n))
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(init_parts))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
