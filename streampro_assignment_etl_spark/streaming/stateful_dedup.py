@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -135,42 +136,61 @@ _BLOOM_STATE_SCHEMA = T.StructType(
 )
 
 
-def _bloom_slots(fingerprint: str) -> list[int]:
-    """k deterministic bit positions from the md5-hex fingerprint: the
-    hex digest is 128 bits; slice 15-bit windows with a seed prefix so
-    engines/restarts agree bit-for-bit."""
-    import hashlib
-
-    out = []
-    for seed in range(BLOOM_HASHES):
-        h = hashlib.md5(f"{seed}:{fingerprint}".encode()).hexdigest()
-        out.append(int(h[:8], 16) % BLOOM_BITS)
-    return out
+def bloom_slot_array(fingerprint: F.Column | str) -> F.Column:
+    """k bloom bit positions as a JVM ``array<long>`` column: xxhash64 of
+    the fingerprint under k seeds, pmod'd into the bit range. Computed
+    map-side BEFORE the shard shuffle so the Python state function never
+    hashes — it only tests and ORs bits. Deterministic across restarts
+    and engines (xxhash64 is a fixed function of (seed, bytes))."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(seed), fingerprint), F.lit(BLOOM_BITS))
+            for seed in range(BLOOM_HASHES)
+        ]
+    )
 
 
 def _emit_bloom_unseen(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per key-range shard: emit a row iff its fingerprint's bloom bits
-    are not all set, then set them. State is a FIXED 512-long bit
-    array regardless of how many fingerprints the shard has seen."""
+    are not all set, then set them. State is a FIXED 512-long bit array
+    regardless of how many fingerprints the shard has seen.
+
+    Fully vectorized over the batch (numpy bit ops on the precomputed
+    ``_slots`` column — no per-row Python loop, no hashing here): exact
+    in-batch duplicate fingerprints collapse to their first arrival,
+    survivors are membership-tested against the shard filter in one
+    gather, and the kept rows' bits are OR'd in with one scatter. One
+    deliberate difference from a sequential per-row insert: a unique doc
+    whose slots are jointly covered only by OTHER docs of the SAME batch
+    is kept (sequential would false-positive-drop it) — strictly fewer
+    false positives, same bounded state."""
     n_words = BLOOM_BITS // 64
-    bits = list(state.get[0]) if state.exists else [0] * n_words
-    out_frames = []
-    for pdf in pdfs:
-        keep = []
-        for i, fp in enumerate(pdf["fingerprint"]):
-            slots = _bloom_slots(fp)
-            if all(bits[s // 64] & (1 << (s % 64)) for s in slots):
-                continue  # (probabilistically) seen before
-            for s in slots:
-                bits[s // 64] |= 1 << (s % 64)
-            keep.append(i)
-        if keep:
-            out_frames.append(pdf.iloc[keep][["doc_id", "text", "fingerprint"]])
-    state.update(([int(w) for w in bits],))
-    for f in out_frames:
-        yield f
+    if state.exists:
+        # State schema is array<signed long>; reinterpret, don't convert.
+        bits = np.array(state.get[0], dtype=np.int64).view(np.uint64).copy()
+    else:
+        bits = np.zeros(n_words, dtype=np.uint64)
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        state.update((bits.view(np.int64).tolist(),))
+        return
+    batch = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    batch = batch[~batch.duplicated("fingerprint")]
+    slots = np.stack(batch["_slots"].to_numpy())  # (n, k)
+    words, offs = slots // 64, (slots % 64).astype(np.uint64)
+    seen = ((bits[words] >> offs) & np.uint64(1)).all(axis=1)
+    kept = batch[~seen]
+    if len(kept):
+        ks = slots[~seen]
+        np.bitwise_or.at(
+            bits, ks // 64, np.uint64(1) << (ks % 64).astype(np.uint64)
+        )
+        state.update((bits.view(np.int64).tolist(),))
+        yield kept[["doc_id", "text", "fingerprint"]]
+    else:
+        state.update((bits.view(np.int64).tolist(),))
 
 
 def dedup_stream_bloom(doc_stream: DataFrame, n_shards: int = 64) -> DataFrame:
@@ -191,6 +211,7 @@ def dedup_stream_bloom(doc_stream: DataFrame, n_shards: int = 64) -> DataFrame:
     return (
         fingerprinted(doc_stream)
         .withColumn("_shard", shard)
+        .withColumn("_slots", bloom_slot_array(F.col("fingerprint")))
         .groupBy("_shard")
         .applyInPandasWithState(
             _emit_bloom_unseen,
