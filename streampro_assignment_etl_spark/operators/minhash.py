@@ -217,7 +217,11 @@ def fuzzy_dup_pairs(
             .union(cand.select(F.col("id_b").alias("_id")))
             .distinct()
         )
-        ver = shingled.join(F.broadcast(cand_ids), "_id", "left_semi")
+        # No broadcast hint: the candidate-doc set scales with the
+        # corpus's dup rate and is unbounded, so forcing it driver-side
+        # could OOM exactly at the scale this plan targets. AQE converts
+        # the semi join to broadcast at runtime when the set is small.
+        ver = shingled.join(cand_ids, "_id", "left_semi")
     else:
         cand = candidate_pairs(shingled, "_id", "sh", num_hashes, bands)
         ver = shingled

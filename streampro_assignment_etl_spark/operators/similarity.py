@@ -68,6 +68,18 @@ def _as_double(c: str) -> Column:
     return F.transform(F.col(c), lambda x: x.cast("double"))
 
 
+def _finite_positive(c: Column) -> Column:
+    """True iff ``c`` is a finite positive double — the usable-norm
+    predicate for every similarity path. A bare ``c > 0`` is NOT enough:
+    Spark orders NaN above every numeric, so a NaN norm (an embedding
+    with a NaN component — what a failed embed job emits) passes ``> 0``,
+    scores NaN cosine, and ranks FIRST under desc ordering in every
+    top-k. ``c < +inf`` rejects both NaN (ordered above inf) and inf
+    (overflowed squared norm); ``~isnan`` is kept explicit so the intent
+    survives anyone weakening the range check."""
+    return (c > 0) & (c < F.lit(float("inf"))) & ~F.isnan(c)
+
+
 def seed_centroids(emb: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
     """Deterministic centroid set: the n lowest-id vectors.
     (kmeans-on-sample drop-in point at real scale.)"""
@@ -259,15 +271,16 @@ def assign_cells(
     for the argmax) as an output column so downstream exact scoring can
     reuse it instead of re-deriving it per candidate pair.
 
-    Rows whose norm is zero (all-zero or underflowing-subnormal
-    embeddings — what a failed embed job emits) are EXCLUDED: cosine
-    is undefined for them, and under ANSI mode one such row would fail
-    an entire 100 TB job with DIVIDE_BY_ZERO mid-stage.
+    Rows whose norm is zero, NaN, or infinite (all-zero, NaN-poisoned,
+    or overflowing embeddings — what a failed embed job emits) are
+    EXCLUDED: cosine is undefined for them, and under ANSI mode a
+    zero-norm row would fail an entire 100 TB job with DIVIDE_BY_ZERO
+    mid-stage while a NaN row would rank first in every top-k.
     """
     cents = _as_centroid_list(centroids)
     v = _as_double(vec_col)
     base = emb.select(F.col(id_col), v.alias(vec_col), norm(v).alias("_vn")).filter(
-        F.col("_vn") > 0
+        _finite_positive(F.col("_vn"))
     )
     out = base.select(
         F.col(id_col),
@@ -293,12 +306,13 @@ def probe_cells(
     """Top-``probes`` cells per query: (query_id, qv, cell) — the same
     map-side ranked-cells projection as ``assign_cells``, sliced to P
     and exploded (still no shuffle; the query set is small anyway).
-    Zero-norm queries are excluded like ``assign_cells`` corpus rows."""
+    Zero/NaN/inf-norm queries are excluded like ``assign_cells`` corpus
+    rows."""
     cents = _as_centroid_list(centroids)
     v = _as_double(vec_col)
     base = queries.select(
         F.col(id_col).alias("query_id"), v.alias("qv"), norm(v).alias("_qn")
-    ).filter(F.col("_qn") > 0)
+    ).filter(_finite_positive(F.col("_qn")))
     ranked = F.slice(_ranked_cells(F.col("qv"), cents, F.col("_qn")), 1, probes)
     out = base.select(
         "query_id",
@@ -393,7 +407,7 @@ def near_dup_pairs_cells(
     v = _as_double(vec_col)
     base = emb.select(
         F.col(id_col).alias("_id"), v.alias("_v"), norm(v).alias("_n")
-    ).filter(F.col("_n") > 0)  # cosine undefined for zero-norm rows
+    ).filter(_finite_positive(F.col("_n")))  # cosine undefined otherwise
     ranked = F.slice(_ranked_cells(F.col("_v"), cents, F.col("_n")), 1, probes)
     blocked = base.select(
         "_id",
@@ -443,10 +457,11 @@ def cosine_topk_vectorized(
     qids = np.array([r[id_col] for r in qrows])
     Q = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(Q, axis=1, keepdims=True)
-    keep_q = qnorm[:, 0] > 0  # cosine undefined for zero-norm queries
+    # cosine undefined for zero/NaN/inf-norm queries
+    keep_q = np.isfinite(qnorm[:, 0]) & (qnorm[:, 0] > 0)
     qids, Q, qnorm = qids[keep_q], Q[keep_q], qnorm[keep_q]
     if not len(qids):
-        raise ValueError("all query vectors have zero norm")
+        raise ValueError("all query vectors have zero or non-finite norm")
     Qn = Q / qnorm
 
     out_schema = "query_id long, neighbor_id long, cos_sim double"
@@ -458,7 +473,7 @@ def cosine_topk_vectorized(
             ids = pdf[id_col].to_numpy()
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vnorm = np.linalg.norm(V, axis=1, keepdims=True)
-            keep = vnorm[:, 0] > 0
+            keep = np.isfinite(vnorm[:, 0]) & (vnorm[:, 0] > 0)
             if not keep.all():
                 ids, V, vnorm = ids[keep], V[keep], vnorm[keep]
             if not len(ids):
@@ -555,7 +570,7 @@ def lsh_topk(
             _as_double(vec_col).alias("cv"),
             norm(_as_double(vec_col)).alias("_cn"),
         )
-        .filter(F.col("_cn") > 0)  # cosine undefined for zero-norm rows
+        .filter(_finite_positive(F.col("_cn")))  # cosine undefined otherwise
         .withColumn("bucket", srp_bucket(F.col("cv"), planes))
     )
     probes = [0] + [1 << j for j in range(n_planes)]
@@ -565,7 +580,7 @@ def lsh_topk(
             _as_double(vec_col).alias("qv"),
             norm(_as_double(vec_col)).alias("_qn"),
         )
-        .filter(F.col("_qn") > 0)
+        .filter(_finite_positive(F.col("_qn")))
         .withColumn("_b", srp_bucket(F.col("qv"), planes))
         .select(
             "query_id",

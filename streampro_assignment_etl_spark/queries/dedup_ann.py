@@ -223,8 +223,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction. ``leaky_groups`` materializes the invariant (a
     group spanning >1 split) and must be 0; the oracle recomputes the
     same assignment over exact transitive closure. At 100 TB this adds
-    one broadcast of the (small) component map on top of the cluster
-    resolution cost — the split itself is map-side."""
+    one join against the component map on top of the cluster resolution
+    cost (AQE broadcasts it when small) — the split itself is
+    map-side."""
     from ..operators.simhash import token_hash60
 
     docs = load_table(spark, sf_dir, "documents")
@@ -234,7 +235,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = components.connected_components(dup, "doc_a", "doc_b")
     canon = (
         docs.select("doc_id")
-        .join(F.broadcast(comp), docs["doc_id"] == comp["node"], "left")
+        # No broadcast hint: the component map scales with the corpus
+        # dup rate (unbounded); AQE picks broadcast when it's small.
+        .join(comp, docs["doc_id"] == comp["node"], "left")
         .select(
             docs["doc_id"], F.coalesce("component", docs["doc_id"]).alias("group_id")
         )

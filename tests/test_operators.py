@@ -479,10 +479,13 @@ def test_kmeans_centroids_recover_clusters(spark):
 
 
 def test_zero_norm_embeddings_excluded_not_fatal(spark):
-    """A failed embed job emits all-zero vectors; cosine is undefined
-    for them and ANSI mode turns the division into a job-killing error.
-    Every ANN path must EXCLUDE such rows (corpus and query side), not
-    crash — one garbage row must never fail a 100 TB job."""
+    """A failed embed job emits all-zero, NaN-poisoned, or overflowing
+    vectors; cosine is undefined for all of them. ANSI mode turns the
+    zero-norm division into a job-killing error, and a NaN norm passes
+    a naive ``> 0`` filter (Spark orders NaN above every numeric), then
+    ranks FIRST in every desc top-k. Every ANN path must EXCLUDE such
+    rows (corpus and query side), not crash or mis-rank — one garbage
+    row must never fail or corrupt a 100 TB job."""
     import hashlib
 
     def hvec(seed, dim=8):
@@ -493,28 +496,36 @@ def test_zero_norm_embeddings_excluded_not_fatal(spark):
             for i in range(dim)
         ]
 
-    rows = [(i, hvec(i)) for i in range(20)] + [(99, [0.0] * 8), (100, [1e-308] * 8)]
+    bad = [
+        (99, [0.0] * 8),  # zero norm: ANSI DIVIDE_BY_ZERO
+        (100, [1e-308] * 8),  # subnormal: norm underflows to 0
+        (101, [float("nan")] + [1.0] * 7),  # NaN norm: passes > 0, ranks first
+        (102, [1e200] * 8),  # overflow: inf norm
+    ]
+    BAD = {99, 100, 101, 102}
+    rows = [(i, hvec(i)) for i in range(20)] + bad
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    queries = emb.filter("vec_id in (3, 99)")
+    queries = emb.filter("vec_id in (3, 99, 101)")
 
     got = similarity.ann_topk(emb, queries, k=3, n_centroids=4, probes=2).collect()
     ids = {r["query_id"] for r in got}
     neigh = {r["neighbor_id"] for r in got}
-    assert 3 in ids and 99 not in ids  # zero-norm query dropped
-    assert 99 not in neigh and 100 not in neigh  # zero/underflow corpus rows dropped
+    assert 3 in ids and not (BAD & ids)  # bad-norm queries dropped
+    assert not (BAD & neigh)  # bad-norm corpus rows dropped
 
     got_lsh = similarity.lsh_topk(emb, queries, k=3, dim=8).collect()
     assert {r["query_id"] for r in got_lsh} <= {3}
+    assert not (BAD & {r["neighbor_id"] for r in got_lsh})
 
     got_vec = similarity.cosine_topk_vectorized(emb, queries, k=3).collect()
     assert {r["query_id"] for r in got_vec} == {3}
-    assert not {99, 100} & {r["neighbor_id"] for r in got_vec}
+    assert not (BAD & {r["neighbor_id"] for r in got_vec})
 
     pairs = similarity.near_dup_pairs_cells(
         emb, threshold=0.4, n_centroids=4, probes=2
     ).collect()
     flat = {x for r in pairs for x in (r["vec_a"], r["vec_b"])}
-    assert not {99, 100} & flat
+    assert not (BAD & flat)
 
 
 def test_kmeans_centroids_driver_sample_hard_cap(spark):
