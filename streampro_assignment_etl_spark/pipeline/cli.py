@@ -83,7 +83,10 @@ def _report(result: JobResult) -> int:
     return 1
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, lake_factory=None) -> int:
+    """``lake_factory`` (root -> LakeStorage) is the injection seam for
+    lakes the CLI string surface can't express — e.g. tests running the
+    whole pipeline against an in-memory ``pyarrow.fs`` store."""
     args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.debug else logging.INFO,
@@ -111,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         from .config import get_settings
 
         args.lake_root = get_settings(args.env).LAKE_ROOT
-    lake = LakeStorage(args.lake_root)
+    lake = (lake_factory or LakeStorage)(args.lake_root)
     lake.ensure_zones()
     if args.data_dir:
         seeded = lake.seed_landing(args.data_dir)

@@ -115,14 +115,64 @@ class LakeStorage:
         """Filesystem-internal absolute path for a lake-relative key."""
         return f"{self._base}/{key}" if key else self._base
 
+    @property
+    def spark_readable(self) -> bool:
+        """Whether ``uri()`` can emit a location Spark's JVM readers can
+        open. False exactly when a NON-local filesystem was injected
+        without ``scheme``: its paths are meaningful only inside that
+        Python-side filesystem object, and handing them to Spark would
+        silently resolve against the local filesystem. Pipelines route
+        Spark I/O through ``stage_in``/``stage_out`` in that case."""
+        return self._scheme is not None or isinstance(self.fs, pafs.LocalFileSystem)
+
     def uri(self, *parts: str) -> str:
         """Spark-readable location for a lake-relative path: plain path
         for local roots, scheme-qualified URI otherwise (s3 → s3a for
-        the Hadoop connector)."""
+        the Hadoop connector). Raises for an injected non-local
+        filesystem without ``scheme`` — a bare in-filesystem path like
+        ``bucket/lake/raw/...`` would be a SILENT local-fs misread, not
+        a Spark-readable location."""
+        if not self.spark_readable:
+            raise ValueError(
+                "no Spark-readable location exists for this lake: a non-local "
+                "filesystem was injected without scheme=; use stage_in()/"
+                "stage_out() for Spark I/O, or pass scheme='s3' etc. if the "
+                "store is also mounted for Spark"
+            )
         p = "/".join([self._base, *[str(x) for x in parts if str(x)]])
         if self._scheme is None:
             return p
         return f"{_SPARK_SCHEME.get(self._scheme, self._scheme)}://{self._authority}{p}"
+
+    # -- staging bridge for non-Spark-readable stores --------------------
+    def stage_in(self, prefix: str, local_dir: str | Path) -> str:
+        """Download every object under a lake prefix into ``local_dir``,
+        preserving the relative layout; returns the local root holding
+        the subtree. The bridge that lets Spark read from a lake whose
+        filesystem the JVM has no connector for (e.g. the in-memory test
+        store): bytes flow through the ``pyarrow.fs`` seam, Spark reads
+        local files. Driver-side like every zone op — size accordingly
+        (raw zone objects for one ingestion date, not a corpus)."""
+        local_root = Path(local_dir)
+        for key in self.list_objects(prefix):
+            self.download_file(key, local_root / key)
+        return str(local_root / prefix)
+
+    def stage_out(self, local_dir: str | Path, prefix: str) -> list[str]:
+        """Upload a local directory subtree to a lake prefix, replacing
+        whatever the prefix held (delete-then-put: the staged dir is the
+        new truth for that subtree — callers stage exactly the
+        partitions they rewrote). Returns the uploaded keys."""
+        local_root = Path(local_dir)
+        for key in self.list_objects(prefix):
+            self.delete_object(key)
+        uploaded = []
+        for f in sorted(local_root.rglob("*")):
+            if f.is_file():
+                key = f"{prefix}/{f.relative_to(local_root)}"
+                self.upload_file(f, key)
+                uploaded.append(key)
+        return uploaded
 
     # -- S9: bucket bootstrap + seed ------------------------------------
     def ensure_zones(self) -> None:
@@ -196,7 +246,13 @@ class LakeStorage:
 
     def get_object_url(self, key: str) -> str:
         """Spark-readable URI for a key (≙ get_object_url,
-        minio_client.py:135-136)."""
+        minio_client.py:135-136). Same guard as ``uri()``: an injected
+        non-local filesystem without ``scheme`` has no emittable URL."""
+        if not self.spark_readable:
+            raise ValueError(
+                "no Spark-readable URL exists for this lake: a non-local "
+                "filesystem was injected without scheme="
+            )
         if self._scheme is None:
             return Path(self._abs(key)).resolve().as_uri()
         return self.uri(key)

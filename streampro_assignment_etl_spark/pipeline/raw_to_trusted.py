@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .base import BaseProcessor, ProcessingResult
-from .lake import LakeStorage
+from .lake import LakeStorage, TRUSTED_PREFIX
 from .schemas import STREAMPRO_TABLES, TableSchema
 from .writers import write_parquet
 
@@ -67,6 +67,30 @@ class RawToTrustedProcessor(BaseProcessor):
         self.ingestion_date = ingestion_date
         self.registry = registry or STREAMPRO_TABLES
         self.bad_rows = bad_rows
+        # Local staging bridge, created lazily iff the lake's filesystem
+        # is not Spark-readable (injected non-local fs without scheme):
+        # raw bytes stage in through the pyarrow.fs seam for Spark to
+        # read, trusted parquet stages back out. mkdtemp, not
+        # TemporaryDirectory: registered temp views keep reading the
+        # staged trusted files after run() returns, so the dir must
+        # outlive the processor until cleanup()/process exit.
+        self._staging: str | None = None
+
+    def _staging_dir(self) -> "Path":
+        from pathlib import Path
+
+        if self._staging is None:
+            import tempfile
+
+            self._staging = tempfile.mkdtemp(prefix="streampro_stage_")
+        return Path(self._staging)
+
+    def cleanup(self) -> None:
+        if self._staging is not None:
+            import shutil
+
+            shutil.rmtree(self._staging, ignore_errors=True)
+            self._staging = None
 
     def _read_schema(self, schema: TableSchema) -> "T.StructType":
         from pyspark.sql import types as T
@@ -108,15 +132,25 @@ class RawToTrustedProcessor(BaseProcessor):
         out: dict[str, DataFrame] = {}
         for name, schema in self.registry.items():
             table_key = schema.suffix
-            path = self.lake.raw_file_path(self.ingestion_date, table_key, schema.fmt)
-            if not self.lake.exists(
-                self.lake.raw_partition_key(
-                    self.ingestion_date,
-                    f"{table_key}_{self.ingestion_date}.{'jsonl' if schema.fmt == 'jsonl' else 'csv'}",
+            ext = "jsonl" if schema.fmt == "jsonl" else "csv"
+            raw_key = self.lake.raw_partition_key(
+                self.ingestion_date, f"{table_key}_{self.ingestion_date}.{ext}"
+            )
+            if not self.lake.exists(raw_key):
+                log.warning(
+                    "raw file missing for %s (%s) — skipping", table_key, raw_key
                 )
-            ):
-                log.warning("raw file missing for %s (%s) — skipping", table_key, path)
                 continue
+            if self.lake.spark_readable:
+                path = self.lake.raw_file_path(
+                    self.ingestion_date, table_key, schema.fmt
+                )
+            else:
+                # Stage the raw object through the fs seam so Spark can
+                # read it from local disk.
+                local = self._staging_dir() / raw_key
+                self.lake.download_file(raw_key, local)
+                path = str(local)
             reader = self.read_jsonl if schema.fmt == "jsonl" else self.read_csv
             out[name] = reader(path, schema)
         log.info("extracted %d raw datasets", len(out))
@@ -135,13 +169,43 @@ class RawToTrustedProcessor(BaseProcessor):
             for name, df in extracted.items()
         }
 
+    def _write_trusted(self, df: DataFrame, schema: TableSchema) -> None:
+        """Write trusted parquet straight to the lake, or — for a
+        non-Spark-readable lake filesystem — to local staging, then
+        upload through the fs seam at PARTITION granularity so the
+        per-ingestion-date overwrite contract holds (a whole-suffix
+        replace would delete other dates' partitions)."""
+        if self.lake.spark_readable:
+            write_parquet(
+                df, self.lake.trusted_path(schema.suffix), schema.partition_cols
+            )
+            return
+        local = self._staging_dir() / "out" / schema.suffix
+        write_parquet(df, str(local), schema.partition_cols)
+        if schema.partition_cols:
+            for pdir in sorted(local.glob(f"{schema.partition_cols[0]}=*")):
+                self.lake.stage_out(
+                    pdir, f"{TRUSTED_PREFIX}/{schema.suffix}/{pdir.name}"
+                )
+        else:
+            self.lake.stage_out(local, f"{TRUSTED_PREFIX}/{schema.suffix}")
+
+    def _write_quarantine(self, corrupt: DataFrame, schema: TableSchema) -> None:
+        part = f"ingestion_date={self.ingestion_date}"
+        if self.lake.spark_readable:
+            qpath = self.lake.uri("quarantine", schema.suffix, part)
+            corrupt.select("_corrupt_record").write.mode("overwrite").text(qpath)
+            return
+        qlocal = self._staging_dir() / "quarantine" / schema.suffix / part
+        corrupt.select("_corrupt_record").write.mode("overwrite").text(str(qlocal))
+        self.lake.stage_out(qlocal, f"quarantine/{schema.suffix}/{part}")
+
     # -- load --------------------------------------------------------------
     def _load(self, transformed: dict[str, DataFrame]) -> ProcessingResult:
         created, failed = [], []
         quarantined: dict[str, int] = {}
         for name, df in transformed.items():
             schema = self.registry[name]
-            target = self.lake.trusted_path(schema.suffix)
             try:
                 if self.bad_rows == "quarantine" and "_corrupt_record" in df.columns:
                     # Persist before splitting: Spark disallows filtering
@@ -151,19 +215,12 @@ class RawToTrustedProcessor(BaseProcessor):
                     corrupt = df.filter(F.col("_corrupt_record").isNotNull())
                     n_bad = corrupt.count()
                     if n_bad:
-                        qpath = self.lake.uri(
-                            "quarantine",
-                            schema.suffix,
-                            f"ingestion_date={self.ingestion_date}",
-                        )
-                        corrupt.select("_corrupt_record").write.mode(
-                            "overwrite"
-                        ).text(qpath)
+                        self._write_quarantine(corrupt, schema)
                         quarantined[name] = n_bad
                     df = df.filter(F.col("_corrupt_record").isNull()).drop(
                         "_corrupt_record"
                     )
-                write_parquet(df, target, schema.partition_cols)
+                self._write_trusted(df, schema)
                 created.append(name)
             except Exception as exc:  # noqa: BLE001 — per-table isolation, like the reference
                 failed.append({"table": name, "error": str(exc)})
@@ -188,8 +245,18 @@ class RawToTrustedProcessor(BaseProcessor):
     def _post_process(self, load_result: ProcessingResult) -> None:
         """Register trusted outputs as temp views (≙ the reference's
         DuckDB view bootstrap, duckdb_client.py:308-348 — but lazy: a
-        temp view over parquet scans nothing until queried)."""
+        temp view over parquet scans nothing until queried). For a
+        non-Spark-readable lake the trusted subtree stages back in
+        through the fs seam; those views read the staged copy and live
+        until ``cleanup()``/process exit."""
         for name in load_result.tables_created:
             schema = self.registry[name]
-            df = self.spark.read.parquet(self.lake.trusted_path(schema.suffix))
+            if self.lake.spark_readable:
+                path = self.lake.trusted_path(schema.suffix)
+            else:
+                path = self.lake.stage_in(
+                    f"{TRUSTED_PREFIX}/{schema.suffix}",
+                    self._staging_dir() / "views",
+                )
+            df = self.spark.read.parquet(path)
             df.createOrReplaceTempView(name)
