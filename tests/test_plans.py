@@ -223,6 +223,61 @@ def test_cbo_uses_analyze_stats_for_join_reorder(spark):
             clean(t)
 
 
+def test_aqe_skew_join_absorbs_hot_user(spark):
+    """SCALE.md claims the session-DAG's join skew is absorbed by AQE
+    skew-join; nothing pinned it (round-5 VERDICT #4). Synthesizes the
+    hot-key shape — one user holding ~50% of events — with the skew
+    thresholds scaled down to fixture size, and asserts the runtime
+    plan actually split the hot partition (SortMergeJoin(skew=true));
+    disabling the session's skewJoin conf makes the flag disappear, so
+    this fails if skew handling is ever turned off.
+
+    Scope note: AQE splits skewed JOIN partitions. The user_id WINDOW
+    shuffle in sp_q2/q3 is not splittable by construction (window
+    semantics need the whole key co-located) — a hot AGGREGATION key is
+    what operators/skew.py salting is for (tested in test_operators)."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = "true"
+
+    hot = spark.range(200_000).select(
+        F.lit("user_hot").alias("user_id"), F.col("id").alias("v")
+    )
+    rest = spark.range(200_000).select(
+        F.concat(F.lit("u_"), (F.col("id") % 500).cast("string")).alias("user_id"),
+        F.col("id").alias("v"),
+    )
+    events = hot.union(rest)
+    users = spark.createDataFrame(
+        [("user_hot",)] + [(f"u_{i}",) for i in range(500)], ["user_id"]
+    )
+
+    def final_plan():
+        j = events.join(users, "user_id").select(F.sum("v").alias("s"))
+        j.collect()
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        plan = final_plan()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead coalesced and skewed
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        assert "skew=true" not in final_plan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_engages(spark):
     """The session enables AQE runtime bloom-filter pushdown; with the
     size thresholds scaled down to fixture scale, a selective dim
