@@ -29,17 +29,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _matching_paren(s: str, open_idx: int) -> int:
-    """Index of the ')' closing the '(' at open_idx (ignores quotes)."""
+    """Index of the ')' closing the '(' at open_idx. Parens inside
+    single-quoted string literals AND double-quoted identifiers are
+    ignored (SQL's '' / "" doubling degrades to close-then-reopen,
+    which is paren-neutral, so no escape tracking is needed)."""
     depth = 0
-    in_str = False
+    quote: str | None = None
     for i in range(open_idx, len(s)):
         c = s[i]
-        if in_str:
-            if c == "'":
-                in_str = False
+        if quote is not None:
+            if c == quote:
+                quote = None
             continue
-        if c == "'":
-            in_str = True
+        if c in ("'", '"'):
+            quote = c
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -50,18 +53,20 @@ def _matching_paren(s: str, open_idx: int) -> int:
 
 
 def _split_top_level(s: str, sep: str) -> list[str]:
-    """Split on a (case-insensitive) separator at paren depth 0."""
-    parts, depth, in_str, last, i = [], 0, False, 0, 0
+    """Split on a (case-insensitive) separator at paren depth 0,
+    skipping quoted strings/identifiers like ``_matching_paren``."""
+    parts, depth, last, i = [], 0, 0, 0
+    quote: str | None = None
     target = sep.upper()
     while i < len(s):
         c = s[i]
-        if in_str:
-            if c == "'":
-                in_str = False
+        if quote is not None:
+            if c == quote:
+                quote = None
             i += 1
             continue
-        if c == "'":
-            in_str = True
+        if c in ("'", '"'):
+            quote = c
         elif c == "(":
             depth += 1
         elif c == ")":

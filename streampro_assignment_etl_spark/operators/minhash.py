@@ -28,6 +28,11 @@ from pyspark.storagelevel import StorageLevel
 DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16
 DEFAULT_SHINGLE_N = 3
+# Auto-switch point for prune_verification=None: input scans wider than
+# this many splits (~8 GB at 128 MB maxPartitionBytes) get the
+# cohort-pruned verification plan (1 full + 2 cohort shingle passes)
+# instead of the 3-overlapping-full-passes plan that wins at toy scale.
+_PRUNE_AUTO_PARTITIONS = 64
 
 
 def shingles_from_words(words: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
@@ -166,7 +171,7 @@ def fuzzy_dup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = DEFAULT_SHINGLE_N,
-    prune_verification: bool = False,
+    prune_verification: bool | None = None,
 ) -> DataFrame:
     """LSH-candidate near-duplicate pairs, verified by exact n-gram
     Jaccard: (doc_a, doc_b, jaccard) with jaccard >= threshold.
@@ -177,10 +182,10 @@ def fuzzy_dup_pairs(
     ``prune_verification`` picks the verification plan (results are
     identical; a parity test pins that):
 
-    * False (default): the two verification sides re-derive the shingle
-      frame directly — THREE independent shingle passes that the
-      scheduler overlaps across cores. Measured fastest at bench scale,
-      and caching the shingle arrays instead is a false economy
+    * False: the two verification sides re-derive the shingle frame
+      directly — THREE independent shingle passes that the scheduler
+      overlaps across cores. Measured fastest at bench scale, and
+      caching the shingle arrays instead is a false economy
       (columnar-serializing wide string arrays costs more than
       recomputing them).
     * True: persist the candidate PAIRS (tiny by LSH design) and
@@ -191,7 +196,18 @@ def fuzzy_dup_pairs(
       the shape for a 100 TB corpus, where a full shingle pass is hours
       of cluster time, at the price of a stage barrier that loses
       overlap at small scale.
+    * None (default): auto-select by input scale, so a 100 TB user gets
+      the scale-safe plan without reading SCALE.md. The proxy is the
+      scan's partition count (free — no job): above
+      ``_PRUNE_AUTO_PARTITIONS`` input splits (~8 GB at the default
+      128 MB maxPartitionBytes) a full shingle pass is expensive enough
+      that cohort pruning wins; below it the overlapped 3-pass plan
+      does. Both plans stay parity-pinned regardless of the default.
     """
+    if prune_verification is None:
+        prune_verification = (
+            docs.rdd.getNumPartitions() > _PRUNE_AUTO_PARTITIONS
+        )
     # Repartition the RAW docs before shingling: test-scale corpora
     # arrive as one parquet split, and the shingle transform is the most
     # expensive per-row step — it must run wide. The words array gets

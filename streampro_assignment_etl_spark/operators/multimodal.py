@@ -169,6 +169,13 @@ def resize_images(
     identical either way. ``use_pil`` forces a path (tests); default
     auto-detects at plan-build time so the flag, not an import race on
     executors, decides the path.
+
+    Environment parity: auto-detection runs on the DRIVER, the decode
+    runs on EXECUTORS. If the driver has PIL and an executor doesn't,
+    the task fails with an explicit env-mismatch ImportError rather
+    than either a raw mid-job stack trace or a silent per-executor stub
+    fallback — the latter would make output bytes depend on which
+    executor got the batch.
     """
     if use_pil is None:
         try:
@@ -182,6 +189,16 @@ def resize_images(
     out_schema = MEDIA_SCHEMA
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if have_pil:
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as exc:
+                raise ImportError(
+                    "resize_images planned the PIL decode path (PIL was "
+                    "importable on the driver) but PIL is missing on this "
+                    "executor — install pillow on executors or pass "
+                    "use_pil=False for the stub path"
+                ) from exc
         for pdf in batches:
             is_img = pdf["kind"] == "image"
             resized = pdf.copy()

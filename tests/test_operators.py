@@ -90,6 +90,25 @@ def test_fuzzy_dup_pairs_pruned_verification_parity(docs):
     assert pruned == base
 
 
+def test_fuzzy_dup_pairs_auto_selects_pruned_plan_on_wide_input(docs):
+    """prune_verification=None auto-selects by input width: a narrow
+    (test-scale) scan keeps the overlapped 3-pass plan, an input wider
+    than _PRUNE_AUTO_PARTITIONS splits — the ~8 GB+ regime — gets the
+    cohort-pruned plan (visible as the verification LeftSemi join), so
+    a 100 TB user gets the scale-safe default without opting in."""
+    from streampro_assignment_etl_spark.queries import release_persisted
+
+    def plan(frame):
+        out = minhash.fuzzy_dup_pairs(frame, "doc_id", "text", threshold=0.8)
+        s = out._jdf.queryExecution().optimizedPlan().toString()
+        release_persisted()
+        return s
+
+    assert "LeftSemi" not in plan(docs)
+    wide = docs.repartition(minhash._PRUNE_AUTO_PARTITIONS + 1)
+    assert "LeftSemi" in plan(wide)
+
+
 # -- SimHash ---------------------------------------------------------------
 def test_simhash_identical_and_perturbed(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

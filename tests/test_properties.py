@@ -55,6 +55,88 @@ def test_ordered_string_agg_matches(spark, duck, pairs):
     assert got == want
 
 
+# Separators engineered to collide with every token the shim's string
+# surgery scans for: parens (paren matcher), commas (arg splitter),
+# the ORDER BY / INTERVAL keywords (separator detectors), quotes.
+_ADVERSARIAL_SEP = st.one_of(
+    st.just(" ORDER BY "),
+    st.just("INTERVAL 3 DAY"),
+    st.just("(,"),
+    st.just("')('"),
+    st.just('")"'),
+    st.just("(("),
+    st.text(alphabet="(),'\" abORDERBYINTERVAL_", min_size=0, max_size=8),
+)
+
+
+@settings(**HYP)
+@given(
+    _ADVERSARIAL_SEP,
+    st.lists(
+        st.tuples(st.integers(0, 50), WORD),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_group_concat_rewrite_survives_quoted_separators(spark, duck, sep, rows):
+    """Round-5 VERDICT #6: the dialect shim rewrites by paren-matching
+    over the raw SQL string; a separator LITERAL containing parens,
+    commas, quotes, or the very keywords the shim scans for must not
+    derail the surgery — the rewritten query's result equals DuckDB's
+    string_agg bit-for-bit."""
+    from streampro_assignment_etl_spark.functions.dialect import run_duckdb_sql
+
+    lit = "'" + sep.replace("'", "''") + "'"
+    sql = f"SELECT GROUP_CONCAT(v, {lit} ORDER BY k, v) AS c FROM gc_fuzz"
+    spark.createDataFrame(rows, ["k", "v"]).createOrReplaceTempView("gc_fuzz")
+    duck.execute("CREATE OR REPLACE TABLE gc_fuzz (k INT, v VARCHAR)")
+    duck.executemany("INSERT INTO gc_fuzz VALUES (?, ?)", rows)
+    want = duck.execute(
+        f"SELECT string_agg(v, {lit} ORDER BY k, v) AS c FROM gc_fuzz"
+    ).fetchone()[0]
+    got = run_duckdb_sql(spark, sql).collect()[0]["c"]
+    assert got == want
+
+
+def test_nested_group_concat_inside_date_add(spark, duck):
+    """GROUP_CONCAT nested inside DATE_ADD's first argument (and
+    DATE_ADD alongside a paren-laden GROUP_CONCAT in one projection):
+    the two rewrites compose without eating each other's parens, and
+    the quirk-preserving TIMESTAMP render matches DuckDB."""
+    from streampro_assignment_etl_spark.functions.dialect import run_duckdb_sql
+
+    rows = [(1, "2025-09-09")]
+    spark.createDataFrame(rows, ["k", "d"]).createOrReplaceTempView("nest_t")
+    duck.execute("CREATE OR REPLACE TABLE nest_t (k INT, d VARCHAR)")
+    duck.executemany("INSERT INTO nest_t VALUES (?, ?)", rows)
+    sql = """
+    SELECT CAST(DATE_ADD(CAST(GROUP_CONCAT(d, '((' ORDER BY k) AS DATE),
+                         INTERVAL 2 DAY) AS VARCHAR) AS a,
+           GROUP_CONCAT(d, '),(' ORDER BY k, d) AS c
+    FROM nest_t
+    """
+    got = run_duckdb_sql(spark, sql).collect()[0]
+    want = duck.execute(sql).fetchone()
+    assert (got["a"], got["c"]) == want
+
+
+def test_dialect_unsupported_forms_fail_loudly():
+    """Shapes the shim cannot map keep failing with a real error —
+    never a silent mis-rewrite."""
+    from streampro_assignment_etl_spark.functions.dialect import (
+        rewrite_date_diff,
+        rewrite_group_concat,
+    )
+
+    with pytest.raises(NotImplementedError, match="GROUP_CONCAT"):
+        rewrite_group_concat("SELECT GROUP_CONCAT(a, b, c) FROM t")
+    with pytest.raises(NotImplementedError, match="DATE_DIFF"):
+        rewrite_date_diff("SELECT DATE_DIFF('month', a, b) FROM t")
+    with pytest.raises(ValueError, match="unbalanced"):
+        rewrite_group_concat("SELECT GROUP_CONCAT(a ORDER BY ( FROM t")
+
+
 @settings(**HYP)
 @given(st.lists(WORD, min_size=1, max_size=6))
 def test_fingerprint_and_hashes_match(spark, duck, texts):
