@@ -35,8 +35,20 @@ DEFAULT_SHINGLE_N = 3
 _PRUNE_AUTO_PARTITIONS = 64
 
 
-def shingles_from_words(words: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
+def shingles_from_words(
+    words: Column, n: int = DEFAULT_SHINGLE_N, distinct: bool = True
+) -> Column:
     """Distinct word n-gram shingles from a words-array column.
+
+    ``distinct=False`` skips the ``array_distinct`` pass — sound for
+    every consumer with SET semantics downstream: MinHash slot mins are
+    duplicate-invariant (min over a multiset equals min over its set),
+    and Spark's ``array_intersect``/``array_union`` dedupe their
+    inputs, so exact-Jaccard verification is bit-identical. Worth ~15%
+    of the fuzzy-dedup pipeline (the distinct pass costs more than the
+    extra duplicate rows through the hash+min fold). Keep the default
+    for consumers that COUNT shingles (``repetition_filter``'s
+    distinct-gram ratio) or expose the arrays.
 
     Built by zipping n shifted slices of the words array pairwise with
     ``zip_with`` + string concat, not ``transform(sequence(...), i ->
@@ -63,7 +75,7 @@ def shingles_from_words(words: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
             F.slice(words, 1 + k, m),
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def word_shingles(text: Column, n: int = DEFAULT_SHINGLE_N) -> Column:
@@ -216,10 +228,15 @@ def fuzzy_dup_pairs(
     # verification joins) derives from this frame. At real scale the
     # input is already thousands of splits and this round-robin is noise.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # distinct=False: everything downstream is set-semantic (see
+    # shingles_from_words) — duplicate shingles cost a few extra rows
+    # through the hash+min fold, the distinct pass costs more.
     shingled = (
         docs.repartition(n_part)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w"))
-        .select("_id", shingles_from_words(F.col("_w"), shingle_n).alias("sh"))
+        .select(
+            "_id", shingles_from_words(F.col("_w"), shingle_n, distinct=False).alias("sh")
+        )
     )
     if prune_verification:
         from ..queries.catalog import track_persist

@@ -123,7 +123,13 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copyfile(part, dst)
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
     out, ckpt = str(lake.root / "dedup_out"), str(lake.root / "dedup_ckpt")
-    run_dedup_stream(spark, str(landing), out, ckpt, max_files_per_trigger=1)
+    # 8 state partitions: sized to the fixture's distinct-key volume —
+    # each micro-batch pays one state-store commit per partition, and
+    # the session's 32 would be pure commit overhead here (state layout
+    # freezes at first checkpoint; see run_dedup_stream docstring).
+    run_dedup_stream(
+        spark, str(landing), out, ckpt, max_files_per_trigger=1, shuffle_partitions=8
+    )
     return (
         spark.read.parquet(out)
         .select("doc_id", "fingerprint")

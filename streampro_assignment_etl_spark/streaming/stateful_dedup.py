@@ -92,6 +92,7 @@ def run_dedup_stream(
     checkpoint_dir: str,
     timeout_s: int = 300,
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain a landing dir of docs JSONL through the stateful dedup into
     parquet (availableNow; re-runs resume the fingerprint state). Each
@@ -102,7 +103,16 @@ def run_dedup_stream(
     ``max_files_per_trigger`` bounds each micro-batch's file intake —
     Trigger.AvailableNow honors source read limits, so setting 1 over an
     N-file landing dir forces N micro-batches and genuinely exercises
-    CROSS-batch state (the default drains everything in one batch)."""
+    CROSS-batch state (the default drains everything in one batch).
+
+    ``shuffle_partitions`` sets the STATE partition count for this
+    stream. Streaming state layout is frozen by the first checkpoint —
+    the session's shuffle.partitions at first start is what the state
+    store lives with forever — so size it to the expected distinct-key
+    volume, not the session default: each micro-batch pays one state
+    commit per partition (at toy scale 32 partitions is pure commit
+    overhead; at 100 TB key volume you want hundreds). Restored after
+    the drain; existing checkpoints ignore it by design."""
     src_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
@@ -115,14 +125,21 @@ def run_dedup_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
-    q = (
-        deduped.writeStream.outputMode("update")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            deduped.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 # ---------------------------------------------------------------------------
