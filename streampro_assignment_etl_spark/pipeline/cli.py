@@ -95,14 +95,16 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
     )
 
     if args.command == "query":
-        from ..queries import REGISTRY
+        from ..queries import EXTRAS, REGISTRY
         from ..session import get_spark
 
         if args.name == "list":
             for name in sorted(REGISTRY):
                 print(name)
+            for name in sorted(EXTRAS):
+                print(f"{name} (extra)")
             return 0
-        spec = REGISTRY.get(args.name)
+        spec = REGISTRY.get(args.name) or EXTRAS.get(args.name)
         if spec is None:
             print(f"unknown query {args.name!r}; try 'list'", file=sys.stderr)
             return 2
