@@ -20,11 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.exact import dec
 from ..sources.testdata import load_table
-from .catalog import query, track_persist
+from .catalog import query
 
 _D = "decimal(12,2)"
 
@@ -485,10 +484,11 @@ def sp_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("first_session_combos"),
     )
-    per_user = track_persist(per_user, StorageLevel.MEMORY_AND_DISK)
-    # ^ user-grain (events-count ÷ ~sessions·events rows): the combo and
-    # overall branches both fold this frame, and persisting it caps the
-    # whole query at ONE events scan + ONE user_id shuffle.
+    # ^ user-grain (events-count ÷ ~sessions·events rows). No persist:
+    # round 6 folded the combo AND overall branches into ONE grouping-
+    # sets aggregate below, so this frame has a single consumer chain —
+    # one events scan, one user_id shuffle, no cached-frame reuse to
+    # get trapped by (see sp_q2's DeduplicateRelations note).
 
     uid = F.col("user_id")
     total = F.countDistinct(uid)
@@ -505,40 +505,50 @@ def sp_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # udi exploded back to (user, device_os, app_version) grain — a user
     # can carry several combos in their first session; collect_set
-    # already deduplicated per user.
-    combo = (
-        per_user.select(
-            "user_id",
-            "total_sessions",
-            "first_session_watch_time",
-            "returned_day1",
-            F.explode("first_session_combos").alias("combo"),
-        )
-        .select("*", F.col("combo.device_os").alias("device_os"), F.col("combo.app_version").alias("app_version"))
-        .groupBy("device_os", "app_version")
-        .agg(
-            total.alias("total_users"),
-            single_r.alias("single_session_rate_pct"),
-            low_r.alias("low_watch_time_rate_pct"),
-            noret_r.alias("no_day1_return_rate_pct"),
-        )
-        .filter(F.col("total_users") >= 5)
+    # already deduplicated per user. The oracle's combo_metrics AND
+    # overall CTEs fold into ONE grouping-sets aggregate over this
+    # frame: every rate is a countDistinct(user) ratio, and distinct
+    # aggregation is explosion-invariant (a user duplicated across
+    # combo rows still counts once in the () slice), so the global
+    # slice equals the oracle's user-grain overall bit-for-bit. Every
+    # user has >=1 first-session event by construction, so no user is
+    # lost to an empty combo set. This halves the passes over the
+    # user-grain frame (one Expand instead of two aggregations) and
+    # drops the persist + broadcast cross join.
+    exploded = per_user.select(
+        "user_id",
+        "total_sessions",
+        "first_session_watch_time",
+        "returned_day1",
+        F.explode("first_session_combos").alias("combo"),
+    ).select(
+        "*",
+        F.col("combo.device_os").alias("device_os"),
+        F.col("combo.app_version").alias("app_version"),
     )
-
-    overall = per_user.agg(
-        single_r.alias("overall_single_session_rate"),
-        low_r.alias("overall_low_watch_rate"),
-        noret_r.alias("overall_no_day1_rate"),
+    gs = exploded.groupingSets(
+        [["device_os", "app_version"], []], "device_os", "app_version"
+    ).agg(
+        total.alias("total_users"),
+        single_r.alias("single_session_rate_pct"),
+        low_r.alias("low_watch_time_rate_pct"),
+        noret_r.alias("no_day1_return_rate_pct"),
+        F.grouping_id().alias("_gid"),
     )
-
+    # The 1-row overall slice (_gid=3) rides to every combo row through
+    # an unpartitioned window over this tiny post-agg frame (combos+1
+    # rows) — no second pass over gs, no join.
+    w = Window.partitionBy()
+    ov = lambda c: F.max(F.when(F.col("_gid") == 3, F.col(c))).over(w)  # noqa: E731
     score = F.round(
-        F.lit(0.4) * (F.col("single_session_rate_pct") - F.col("overall_single_session_rate"))
-        + F.lit(0.3) * (F.col("low_watch_time_rate_pct") - F.col("overall_low_watch_rate"))
-        + F.lit(0.3) * (F.col("no_day1_return_rate_pct") - F.col("overall_no_day1_rate")),
+        F.lit(0.4) * (F.col("single_session_rate_pct") - ov("single_session_rate_pct"))
+        + F.lit(0.3) * (F.col("low_watch_time_rate_pct") - ov("low_watch_time_rate_pct"))
+        + F.lit(0.3) * (F.col("no_day1_return_rate_pct") - ov("no_day1_return_rate_pct")),
         2,
     )
     return (
-        combo.crossJoin(F.broadcast(overall))
+        gs.withColumn("composite_drop_off_score", score)
+        .filter((F.col("_gid") == 0) & (F.col("total_users") >= 5))
         .select(
             "device_os",
             "app_version",
@@ -546,7 +556,7 @@ def sp_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "single_session_rate_pct",
             "low_watch_time_rate_pct",
             "no_day1_return_rate_pct",
-            score.alias("composite_drop_off_score"),
+            "composite_drop_off_score",
         )
         .orderBy(F.desc("composite_drop_off_score"), "device_os", "app_version")
     )
