@@ -437,6 +437,118 @@ def test_lake_object_ops_against_real_s3(tmp_path):
         lk.delete_object(key)
 
 
+class _S3ResultTagShim:
+    """WSGI wrapper fixing one moto/aws-sdk-cpp mismatch: moto emits a
+    ``<CompleteMultipartUploadResponse>`` root element where real S3
+    (and pyarrow's bundled AWS C++ SDK) requires
+    ``<CompleteMultipartUploadResult>`` — without the rename the SDK
+    treats the 200 as an embedded error and multipart writes fail.
+    Everything else passes through byte-identical."""
+
+    def __init__(self, app):
+        self.app = app
+
+    def __call__(self, environ, start_response):
+        captured = {}
+
+        def sr(status, headers, exc_info=None):
+            captured["status"], captured["headers"] = status, headers
+            return lambda _: None
+
+        body = b"".join(self.app(environ, sr))
+        if b"CompleteMultipartUploadResponse" in body:
+            body = body.replace(
+                b"CompleteMultipartUploadResponse", b"CompleteMultipartUploadResult"
+            )
+            captured["headers"] = [
+                (k, str(len(body)) if k.lower() == "content-length" else v)
+                for k, v in captured["headers"]
+            ]
+        start_response(captured["status"], captured["headers"])
+        return [body]
+
+
+def test_lake_object_ops_against_moto_s3(tmp_path, monkeypatch):
+    """The S3 seam over REAL wire protocol, hermetically: an in-process
+    moto server speaks HTTP S3 (ListObjectsV2 / multipart PUT /
+    server-side CopyObject / DELETE), ``LakeStorage("s3://…")`` resolves
+    through the genuine ``FileSystem.from_uri`` branch (endpoint routed
+    via AWS_ENDPOINT_URL, which pyarrow's AWS SDK honors at client
+    construction), and the full zone-op surface runs unchanged —
+    closing the round-5 residual that the seam was only ever proven on
+    LocalFileSystem and an injected in-memory store. The opt-in
+    ``SPARK_GRAFT_S3_TEST_ROOT`` marker above remains for a REAL bucket."""
+    boto3 = pytest.importorskip("boto3")
+    pytest.importorskip("moto")
+    import threading
+
+    from moto.moto_server.werkzeug_app import (
+        DomainDispatcherApplication,
+        create_backend_app,
+    )
+    from werkzeug.serving import make_server
+
+    srv = make_server(
+        "127.0.0.1",
+        0,
+        _S3ResultTagShim(DomainDispatcherApplication(create_backend_app)),
+        threaded=True,
+    )
+    port = srv.socket.getsockname()[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        endpoint = f"http://127.0.0.1:{port}"
+        monkeypatch.setenv("AWS_ENDPOINT_URL", endpoint)
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
+        monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+        monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
+        boto3.client("s3", endpoint_url=endpoint).create_bucket(
+            Bucket="sparkgraft-it"
+        )
+
+        (tmp_path / "data").mkdir()
+        (tmp_path / "data" / f"users_{DATE}.csv").write_text(USERS_CSV)
+        (tmp_path / "data" / f"videos_{DATE}.csv").write_text(VIDEOS_CSV)
+
+        lk = LakeStorage("s3://sparkgraft-it/lake")  # real from_uri branch
+        assert lk.spark_readable
+        assert lk.trusted_path("events") == "s3a://sparkgraft-it/lake/trusted/events"
+
+        lk.ensure_zones()
+        seeded = lk.seed_landing(tmp_path / "data")  # multipart uploads
+        assert seeded == [
+            f"landing/users_{DATE}.csv",
+            f"landing/videos_{DATE}.csv",
+        ]
+        assert lk.list_objects("landing") == seeded  # ListObjectsV2
+        found = lk.discover_landing(DATE)
+        assert set(found) == {"users", "videos"}
+
+        # landing→raw: server-side CopyObject per discovered file.
+        result = LandingToRawProcessor(lk, DATE).run()
+        assert result.is_success, result.error
+        assert lk.exists(f"raw/ingestion_date={DATE}/users_{DATE}.csv")
+
+        out = tmp_path / "dl.csv"
+        lk.download_file(f"raw/ingestion_date={DATE}/users_{DATE}.csv", out)
+        assert out.read_text() == USERS_CSV  # byte-identical through copy
+
+        assert lk.delete_object(f"landing/users_{DATE}.csv")
+        assert not lk.exists(f"landing/users_{DATE}.csv")
+
+        # Round-trip the byte plane once more via upload/download on a
+        # multi-MiB payload so the multipart path carries >1 chunk.
+        big = tmp_path / "big.bin"
+        big.write_bytes(b"\x5a" * (6 << 20))
+        lk.upload_file(big, "landing/big.bin")
+        back = tmp_path / "big_back.bin"
+        lk.download_file("landing/big.bin", back)
+        assert back.read_bytes() == big.read_bytes()
+    finally:
+        srv.shutdown()
+
+
 def test_lake_uri_raises_without_scheme_on_nonlocal_fs():
     """An injected non-local filesystem without ``scheme`` has no
     Spark-readable locations: uri()/raw_file_path()/trusted_path() must
