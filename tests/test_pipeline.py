@@ -468,17 +468,12 @@ class _S3ResultTagShim:
         return [body]
 
 
-def test_lake_object_ops_against_moto_s3(tmp_path, monkeypatch):
-    """The S3 seam over REAL wire protocol, hermetically: an in-process
-    moto server speaks HTTP S3 (ListObjectsV2 / multipart PUT /
-    server-side CopyObject / DELETE), ``LakeStorage("s3://…")`` resolves
-    through the genuine ``FileSystem.from_uri`` branch (endpoint routed
-    via AWS_ENDPOINT_URL, which pyarrow's AWS SDK honors at client
-    construction), and the full zone-op surface runs unchanged —
-    closing the round-5 residual that the seam was only ever proven on
-    LocalFileSystem and an injected in-memory store. The opt-in
-    ``SPARK_GRAFT_S3_TEST_ROOT`` marker above remains for a REAL bucket."""
-    boto3 = pytest.importorskip("boto3")
+@pytest.fixture
+def moto_s3(monkeypatch):
+    """In-process HTTP S3 endpoint (moto + Result-tag shim), with AWS
+    env routed so both boto3 and pyarrow's ``FileSystem.from_uri``
+    resolve to it. Yields the endpoint URL; server stops on teardown."""
+    pytest.importorskip("boto3")
     pytest.importorskip("moto")
     import threading
 
@@ -496,57 +491,135 @@ def test_lake_object_ops_against_moto_s3(tmp_path, monkeypatch):
     )
     port = srv.socket.getsockname()[1]
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    try:
-        endpoint = f"http://127.0.0.1:{port}"
-        monkeypatch.setenv("AWS_ENDPOINT_URL", endpoint)
-        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
-        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
-        monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
-        monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
-        boto3.client("s3", endpoint_url=endpoint).create_bucket(
-            Bucket="sparkgraft-it"
-        )
+    endpoint = f"http://127.0.0.1:{port}"
+    monkeypatch.setenv("AWS_ENDPOINT_URL", endpoint)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
+    yield endpoint
+    srv.shutdown()
 
-        (tmp_path / "data").mkdir()
-        (tmp_path / "data" / f"users_{DATE}.csv").write_text(USERS_CSV)
-        (tmp_path / "data" / f"videos_{DATE}.csv").write_text(VIDEOS_CSV)
 
-        lk = LakeStorage("s3://sparkgraft-it/lake")  # real from_uri branch
-        assert lk.spark_readable
-        assert lk.trusted_path("events") == "s3a://sparkgraft-it/lake/trusted/events"
+def test_lake_object_ops_against_moto_s3(tmp_path, moto_s3):
+    """The S3 seam over REAL wire protocol, hermetically: an in-process
+    moto server speaks HTTP S3 (ListObjectsV2 / multipart PUT /
+    server-side CopyObject / DELETE), ``LakeStorage("s3://…")`` resolves
+    through the genuine ``FileSystem.from_uri`` branch (endpoint routed
+    via AWS_ENDPOINT_URL, which pyarrow's AWS SDK honors at client
+    construction), and the full zone-op surface runs unchanged —
+    closing the round-5 residual that the seam was only ever proven on
+    LocalFileSystem and an injected in-memory store. The opt-in
+    ``SPARK_GRAFT_S3_TEST_ROOT`` marker above remains for a REAL bucket."""
+    import boto3
 
-        lk.ensure_zones()
-        seeded = lk.seed_landing(tmp_path / "data")  # multipart uploads
-        assert seeded == [
-            f"landing/users_{DATE}.csv",
-            f"landing/videos_{DATE}.csv",
-        ]
-        assert lk.list_objects("landing") == seeded  # ListObjectsV2
-        found = lk.discover_landing(DATE)
-        assert set(found) == {"users", "videos"}
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(
+        Bucket="sparkgraft-it"
+    )
 
-        # landing→raw: server-side CopyObject per discovered file.
-        result = LandingToRawProcessor(lk, DATE).run()
-        assert result.is_success, result.error
-        assert lk.exists(f"raw/ingestion_date={DATE}/users_{DATE}.csv")
+    (tmp_path / "data").mkdir()
+    (tmp_path / "data" / f"users_{DATE}.csv").write_text(USERS_CSV)
+    (tmp_path / "data" / f"videos_{DATE}.csv").write_text(VIDEOS_CSV)
 
-        out = tmp_path / "dl.csv"
-        lk.download_file(f"raw/ingestion_date={DATE}/users_{DATE}.csv", out)
-        assert out.read_text() == USERS_CSV  # byte-identical through copy
+    lk = LakeStorage("s3://sparkgraft-it/lake")  # real from_uri branch
+    assert lk.spark_readable
+    assert lk.trusted_path("events") == "s3a://sparkgraft-it/lake/trusted/events"
 
-        assert lk.delete_object(f"landing/users_{DATE}.csv")
-        assert not lk.exists(f"landing/users_{DATE}.csv")
+    lk.ensure_zones()
+    seeded = lk.seed_landing(tmp_path / "data")  # multipart uploads
+    assert seeded == [
+        f"landing/users_{DATE}.csv",
+        f"landing/videos_{DATE}.csv",
+    ]
+    assert lk.list_objects("landing") == seeded  # ListObjectsV2
+    found = lk.discover_landing(DATE)
+    assert set(found) == {"users", "videos"}
 
-        # Round-trip the byte plane once more via upload/download on a
-        # multi-MiB payload so the multipart path carries >1 chunk.
-        big = tmp_path / "big.bin"
-        big.write_bytes(b"\x5a" * (6 << 20))
-        lk.upload_file(big, "landing/big.bin")
-        back = tmp_path / "big_back.bin"
-        lk.download_file("landing/big.bin", back)
-        assert back.read_bytes() == big.read_bytes()
-    finally:
-        srv.shutdown()
+    # landing→raw: server-side CopyObject per discovered file.
+    result = LandingToRawProcessor(lk, DATE).run()
+    assert result.is_success, result.error
+    assert lk.exists(f"raw/ingestion_date={DATE}/users_{DATE}.csv")
+
+    out = tmp_path / "dl.csv"
+    lk.download_file(f"raw/ingestion_date={DATE}/users_{DATE}.csv", out)
+    assert out.read_text() == USERS_CSV  # byte-identical through copy
+
+    assert lk.delete_object(f"landing/users_{DATE}.csv")
+    assert not lk.exists(f"landing/users_{DATE}.csv")
+
+    # Round-trip the byte plane once more via upload/download on a
+    # multi-MiB payload so the multipart path carries >1 chunk.
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"\x5a" * (6 << 20))
+    lk.upload_file(big, "landing/big.bin")
+    back = tmp_path / "big_back.bin"
+    lk.download_file("landing/big.bin", back)
+    assert back.read_bytes() == big.read_bytes()
+
+
+def test_cli_pipeline_end_to_end_against_moto_s3(spark, tmp_path, moto_s3):
+    """Full pipeline CLI (seed → landing→raw CopyObject → raw→trusted
+    Spark parse → trusted parquet → query views) with ALL lake state in
+    an HTTP S3 store. This sandbox's Spark has no hadoop-aws connector,
+    so the lake is injected without ``scheme`` — the not-spark-readable
+    configuration — and Spark I/O flows through the stage_in/stage_out
+    bridge while every zone op speaks real S3 wire protocol."""
+    import boto3
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket="sparkgraft-cli")
+    s3fs = pafs.S3FileSystem(
+        endpoint_override=moto_s3,
+        access_key="testing",
+        secret_key="testing",
+        region="us-east-1",
+    )
+    s3lake = LakeStorage("sparkgraft-cli/lake", filesystem=s3fs)
+    assert not s3lake.spark_readable  # forces the staging bridge
+
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / f"users_{DATE}.csv").write_text(USERS_CSV)
+    (data / f"events_{DATE}.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in EVENTS) + "\n"
+    )
+
+    rc = main(
+        [
+            "pipeline",
+            "--lake-root", "s3://sparkgraft-cli/lake",
+            "--ingestion_date", DATE,
+            "--data-dir", str(data),
+        ],
+        lake_factory=lambda root: s3lake,
+    )
+    assert rc == 0
+
+    # Raw got server-side copies; trusted got Spark-written parquet,
+    # staged out to S3 — verify via an independent client (boto3).
+    assert s3lake.exists(f"raw/ingestion_date={DATE}/users_{DATE}.csv")
+    s3_keys = [
+        o["Key"]
+        for o in boto3.client("s3", endpoint_url=moto_s3).list_objects_v2(
+            Bucket="sparkgraft-cli", Prefix="lake/trusted"
+        )["Contents"]
+    ]
+    assert any(
+        k.startswith(f"lake/trusted/users/ingestion_date={DATE}/")
+        and ".parquet" in k
+        for k in s3_keys
+    )
+
+    # Query composition over the registered views, then byte-level
+    # round-trip: the parquet S3 holds parses back to the same rows.
+    assert spark.sql("SELECT count(*) AS n FROM trusted_users").first()["n"] == 3
+    local = s3lake.stage_in("trusted/users", tmp_path / "check")
+    got = spark.read.parquet(local)
+    assert sorted(r["user_id"] for r in got.collect()) == [
+        "user_1", "user_2", "user_3",
+    ]
 
 
 def test_lake_uri_raises_without_scheme_on_nonlocal_fs():
