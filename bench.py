@@ -70,10 +70,24 @@ def main() -> None:
             release_persisted()  # don't let one rep's cache skew the next
         timings[name] = round(statistics.median(samples), 3)
 
+    # Round-6 note for round-over-round comparison: the headline set
+    # GREW by streaming_stateful_dedup (round-5 VERDICT #5 — surface
+    # state-path cost), so "value" is not comparable to BENCH_r05 and
+    # earlier totals. "batch_total" is the invariant subtotal over the
+    # nine pre-existing batch queries; "streaming_total" is the new
+    # micro-batch-drain machinery (dominated by checkpoint/state-store
+    # fixed cost, not row volume).
+    streaming_names = {n for n, s in headline.items() if "streaming" in s.tags}
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "batch_total": round(
+            sum(t for n, t in timings.items() if n not in streaming_names), 3
+        ),
+        "streaming_total": round(
+            sum(t for n, t in timings.items() if n in streaming_names), 3
+        ),
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
     }

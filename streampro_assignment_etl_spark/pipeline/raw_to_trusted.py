@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .base import BaseProcessor, ProcessingResult
 from .lake import LakeStorage, TRUSTED_PREFIX
 from .schemas import STREAMPRO_TABLES, TableSchema
-from .writers import write_parquet
+from .writers import write_orc, write_parquet
 
 log = logging.getLogger("streampro.pipeline.raw_to_trusted")
 
@@ -55,18 +55,27 @@ class RawToTrustedProcessor(BaseProcessor):
         ingestion_date: str,
         registry: dict[str, TableSchema] | None = None,
         bad_rows: str = "fail",
+        trusted_format: str = "parquet",
     ):
+        """``trusted_format`` selects the columnar sink for the trusted
+        zone: ``"parquet"`` (default, reference parity) or ``"orc"``
+        (Spark-core source; for lakes serving Hive/Trino warehouses
+        that mandate ORC). Reads, typing, partitioning, and the
+        per-date overwrite contract are format-independent."""
         super().__init__(
             "raw_to_trusted_processor",
             "Parse raw CSV/JSONL into typed, partitioned trusted parquet",
         )
         if bad_rows not in ("fail", "quarantine"):
             raise ValueError("bad_rows must be 'fail' or 'quarantine'")
+        if trusted_format not in ("parquet", "orc"):
+            raise ValueError("trusted_format must be 'parquet' or 'orc'")
         self.spark = spark
         self.lake = lake
         self.ingestion_date = ingestion_date
         self.registry = registry or STREAMPRO_TABLES
         self.bad_rows = bad_rows
+        self.trusted_format = trusted_format
         # Local staging bridge, created lazily iff the lake's filesystem
         # is not Spark-readable (injected non-local fs without scheme):
         # raw bytes stage in through the pyarrow.fs seam for Spark to
@@ -175,13 +184,14 @@ class RawToTrustedProcessor(BaseProcessor):
         upload through the fs seam at PARTITION granularity so the
         per-ingestion-date overwrite contract holds (a whole-suffix
         replace would delete other dates' partitions)."""
+        write = write_orc if self.trusted_format == "orc" else write_parquet
         if self.lake.spark_readable:
-            write_parquet(
+            write(
                 df, self.lake.trusted_path(schema.suffix), schema.partition_cols
             )
             return
         local = self._staging_dir() / "out" / schema.suffix
-        write_parquet(df, str(local), schema.partition_cols)
+        write(df, str(local), schema.partition_cols)
         if schema.partition_cols:
             for pdir in sorted(local.glob(f"{schema.partition_cols[0]}=*")):
                 self.lake.stage_out(
@@ -233,7 +243,7 @@ class RawToTrustedProcessor(BaseProcessor):
                 "ingestion_date": self.ingestion_date,
                 "failed": failed,
                 "quarantined": quarantined,
-                "format": "PARQUET",
+                "format": self.trusted_format.upper(),
                 "compression": "SNAPPY",
                 "partitioned": True,
             },
@@ -258,5 +268,9 @@ class RawToTrustedProcessor(BaseProcessor):
                     f"{TRUSTED_PREFIX}/{schema.suffix}",
                     self._staging_dir() / "views",
                 )
-            df = self.spark.read.parquet(path)
-            df.createOrReplaceTempView(name)
+            reader = (
+                self.spark.read.orc
+                if self.trusted_format == "orc"
+                else self.spark.read.parquet
+            )
+            reader(path).createOrReplaceTempView(name)

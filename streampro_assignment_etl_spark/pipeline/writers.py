@@ -69,6 +69,28 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """S4-alternate — Snappy ORC with the same dynamic partition
+    overwrite contract as ``write_parquet``. ORC ships in Spark's core
+    jars (no extra package), carries the same footer min/max stats the
+    layout levers rely on, and is the interchange format Hive/Trino
+    warehouses commonly mandate — a lake that must serve one needs the
+    trusted zone writable as ORC without changing anything upstream."""
+    writer = (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "snappy")
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

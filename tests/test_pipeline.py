@@ -255,6 +255,47 @@ def test_raw_to_trusted_e2e(spark, lake: LakeStorage):
     assert spark.sql("SELECT COUNT(*) FROM trusted_events").collect()[0][0] == 2
 
 
+def test_raw_to_trusted_orc_format(spark, lake: LakeStorage):
+    """``trusted_format="orc"`` lands the trusted zone as Snappy ORC
+    (Spark-core source, no extra package) with identical typing,
+    partitioning, per-date overwrite semantics, and queryable views —
+    for lakes serving Hive/Trino warehouses that mandate ORC."""
+    assert LandingToRawProcessor(lake, DATE).run().is_success
+    result = RawToTrustedProcessor(
+        spark, lake, DATE, trusted_format="orc"
+    ).run()
+    assert result.is_success, result.error
+    assert result.metadata["format"] == "ORC"
+
+    # ORC part-files under the same Hive-partitioned layout.
+    keys = lake.list_objects("trusted/users")
+    assert any(
+        k.startswith(f"trusted/users/ingestion_date={DATE}/") and ".orc" in k
+        for k in keys
+    )
+    users = spark.read.orc(lake.trusted_path("users"))
+    assert users.count() == 3
+    assert users.select("ingestion_date").distinct().collect()[0][0] == DATE
+
+    # Registry typing survives the format swap (no inference drift).
+    videos = spark.read.orc(lake.trusted_path("videos"))
+    assert dict(videos.dtypes)["duration_seconds"] == "int"
+    events = spark.read.orc(lake.trusted_path("events"))
+    assert dict(events.dtypes)["value"] == "decimal(2,1)"
+
+    # Views registered by _post_process read the ORC output.
+    assert spark.sql("SELECT COUNT(*) FROM trusted_events").collect()[0][0] == 2
+
+    # Filters push into the ORC scan like parquet (footer stats real).
+    plan = (
+        users.filter(F.col("user_id") == "user_1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "user_id" in plan
+
+
 def test_raw_to_trusted_partition_isolation(spark, lake: LakeStorage):
     """Re-running one date must not clobber another date's partition."""
     assert LandingToRawProcessor(lake, DATE).run().is_success
