@@ -61,15 +61,23 @@ def _stage_single_file(df: DataFrame, staging: Path, writer: str, **options) -> 
     return part
 
 
-def _run_pipeline(spark: SparkSession, lake: LakeStorage, table: str) -> DataFrame:
+def _run_pipeline(
+    spark: SparkSession,
+    lake: LakeStorage,
+    table: str,
+    trusted_format: str = "parquet",
+) -> DataFrame:
     """landing→raw→trusted for one registry table; returns trusted df."""
     registry = {k: v for k, v in TESTDATA_TABLES.items() if v.suffix == table}
     res1 = LandingToRawProcessor(lake, INGESTION_DATE).run()
     assert res1.is_success, res1.error
-    res2 = RawToTrustedProcessor(spark, lake, INGESTION_DATE, registry=registry).run()
+    res2 = RawToTrustedProcessor(
+        spark, lake, INGESTION_DATE, registry=registry, trusted_format=trusted_format
+    ).run()
     assert res2.is_success, res2.error
     name = next(iter(registry))
-    return spark.read.parquet(lake.trusted_path(registry[name].suffix))
+    path = lake.trusted_path(registry[name].suffix)
+    return spark.read.orc(path) if trusted_format == "orc" else spark.read.parquet(path)
 
 
 @query(
@@ -103,6 +111,57 @@ def pipeline_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake.upload_file(part, f"landing/customer_{INGESTION_DATE}.csv")
 
     trusted = _run_pipeline(spark, lake, "customer")
+    return (
+        trusted.groupBy("c_mktsegment", "ingestion_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.sum(dec("c_acctbal", 2, 12)).cast("double").alias("total_acctbal"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            "ingestion_date",
+            "n_customers",
+            "n_nations",
+            "total_acctbal",
+            "min_custkey",
+            "max_custkey",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "pipeline_orc_roundtrip",
+    extra=True,  # S4-alternate format; parquet family carries the driver row
+    tags=("S1", "S4", "S6", "S7", "S10", "P1"),
+    oracle="""
+SELECT c_mktsegment,
+       '2025-09-09' AS ingestion_date,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def pipeline_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same zoned pipeline as ``pipeline_csv_roundtrip`` but the trusted
+    zone lands as Snappy ORC (``trusted_format="orc"``) and the rollup
+    reads it back via ``spark.read.orc`` — hash equality with the
+    direct-on-source oracle proves the ORC sink/source is
+    value-preserving for longs, ints, doubles, decimals and strings."""
+    lake = _fresh_lake(sf_dir, "orc")
+    customer = load_table(spark, sf_dir, "customer")
+    part = _stage_single_file(customer, lake.root, "csv", header=True)
+    lake.upload_file(part, f"landing/customer_{INGESTION_DATE}.csv")
+
+    trusted = _run_pipeline(spark, lake, "customer", trusted_format="orc")
     return (
         trusted.groupBy("c_mktsegment", "ingestion_date")
         .agg(
