@@ -791,6 +791,121 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram language-model quality scoring (CCNet-style, Wenzek et al. 2020:
+# filter/bucket web text by LM perplexity). The model here is a bigram
+# MLE trained on the corpus itself — all counts are integers, so both
+# engines see identical probabilities, and the per-doc score is a sum of
+# per-term values each rounded to fixed decimals BEFORE a DECIMAL sum
+# (order-independent, unlike a raw double sum, which would make the
+# cross-engine hash depend on aggregation order).
+# ---------------------------------------------------------------------------
+@query(
+    "lm_bigram_perplexity",
+    extra=True,  # local-harness coverage; text-quality family holds the driver row
+    tags=("text", "lm", "perplexity", "curation"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> w[i] || ' ' || w[i+1])) AS bigram,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> w[i])) AS ctx
+  FROM toks
+),
+cb AS (SELECT bigram, COUNT(*) AS c_big FROM big GROUP BY bigram),
+cc AS (SELECT ctx, COUNT(*) AS c_ctx FROM big GROUP BY ctx),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(log10(CAST(cc.c_ctx AS DOUBLE) / cb.c_big), 6)
+              AS DECIMAL(18,6)) AS neglog10,
+         CASE WHEN cb.c_big = 1 THEN 1 ELSE 0 END AS is_hapax
+  FROM big b JOIN cb USING (bigram) JOIN cc USING (ctx)
+  WHERE b.doc_id < 50
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(neglog10) AS s, SUM(is_hapax) AS h
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_neglog10,
+       ROUND(CAST(h AS DOUBLE) / n_bigrams, 6) AS hapax_ratio
+FROM per_doc
+ORDER BY doc_id
+""",
+)
+def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM fluency score: ``avg_neglog10`` is the mean
+    -log10 P(w_i | w_{i-1}) under corpus MLE counts (perplexity =
+    10^avg_neglog10 — the round-trip through pow is omitted to keep the
+    cross-engine hash exact), plus ``hapax_ratio`` — the fraction of a
+    doc's bigrams seen exactly once corpus-wide, an exact-rational
+    novelty signal. High values of either flag disfluent/outlier text;
+    CCNet buckets a web corpus by exactly this kind of LM score.
+
+    Plan: one explode pass feeds BOTH count aggregations (bigram grain
+    and context grain, partial-agged map-side), then the scored slice
+    joins counts back on the bigram/ctx keys. At 100 TB: the count
+    tables are Zipf-skewed — AQE's skew split handles the head keys —
+    and a production variant would min-count-prune the model and
+    broadcast it (the model is vocabulary-sized, not corpus-sized);
+    training on a hash-mod sample instead of the full corpus drops the
+    count pass to O(sample). The doc_id<50 reporting slice prunes the
+    scoring join only — counts stay corpus-wide, exactly like
+    ``tfidf_top_terms``'s df side."""
+    from ..operators.minhash import shingles_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigr = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_from_words(F.col("_w"), 2, distinct=False)
+            ).alias("bigram"),
+        )
+        .withColumn("ctx", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    )
+    cb = bigr.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_big"))
+    cc = bigr.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
+    scored = (
+        bigr.filter(F.col("doc_id") < 50)
+        .join(cb, "bigram")
+        .join(cc, "ctx")
+        .select(
+            "doc_id",
+            F.round(
+                F.log10(F.col("c_ctx").cast("double") / F.col("c_big")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("neglog10"),
+            (F.col("c_big") == 1).cast("int").alias("is_hapax"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("neglog10").alias("_s"),
+        F.sum("is_hapax").alias("_h"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("_s").cast("double") / F.col("n_bigrams"), 6).alias(
+            "avg_neglog10"
+        ),
+        F.round(F.col("_h").cast("double") / F.col("n_bigrams"), 6).alias(
+            "hapax_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Custom aggregate via pandas GROUPED_AGG UDAF (Arrow-batched) — the
 # escape hatch for aggregations Spark's built-ins can't express.
 # ---------------------------------------------------------------------------
