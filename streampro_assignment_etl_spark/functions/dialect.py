@@ -52,6 +52,35 @@ def _matching_paren(s: str, open_idx: int) -> int:
     raise ValueError(f"unbalanced parens after index {open_idx}")
 
 
+def _in_quote(s: str, idx: int) -> bool:
+    """Whether ``idx`` falls inside a single-quoted literal or
+    double-quoted identifier (quote state scanned from the start; ''/""
+    doubling degrades to close-then-reopen, same as _matching_paren)."""
+    quote: str | None = None
+    for i in range(idx):
+        c = s[i]
+        if quote is not None:
+            if c == quote:
+                quote = None
+        elif c in ("'", '"'):
+            quote = c
+    return quote is not None
+
+
+def _search_unquoted(pattern: str, s: str, pos: int = 0) -> re.Match | None:
+    """First case-insensitive match at or after ``pos`` that is NOT
+    inside a quoted literal/identifier. The rewrite entry points must
+    use this, not bare re.search: a token like ``'DATE_ADD('`` inside a
+    string literal would otherwise anchor the paren surgery mid-literal
+    and derail it on valid SQL."""
+    rx = re.compile(pattern, re.IGNORECASE)
+    while True:
+        m = rx.search(s, pos)
+        if m is None or not _in_quote(s, m.start()):
+            return m
+        pos = m.start() + 1
+
+
 def _split_top_level(s: str, sep: str) -> list[str]:
     """Split on a (case-insensitive) separator at paren depth 0,
     skipping quoted strings/identifiers like ``_matching_paren``."""
@@ -88,10 +117,10 @@ def rewrite_group_concat(sql: str) -> str:
     DuckDB's ','."""
     out = sql
     while True:
-        m = re.search(r"GROUP_CONCAT\s*\(", out, re.IGNORECASE)
+        m = _search_unquoted(r"GROUP_CONCAT\s*\(", out)
         if not m:
             return out
-        open_idx = out.index("(", m.start())
+        open_idx = m.end() - 1
         close_idx = _matching_paren(out, open_idx)
         body = out[open_idx + 1 : close_idx]
         parts = _split_top_level(body, " ORDER BY ")
@@ -126,11 +155,12 @@ def rewrite_date_add_interval(sql: str) -> str:
     §1.4: broken-but-load-bearing semantics stay).
     """
     out = sql
+    pos = 0
     while True:
-        m = re.search(r"DATE_ADD\s*\(", out, re.IGNORECASE)
+        m = _search_unquoted(r"DATE_ADD\s*\(", out, pos)
         if not m:
             return out
-        open_idx = out.index("(", m.start())
+        open_idx = m.end() - 1
         close_idx = _matching_paren(out, open_idx)
         body = out[open_idx + 1 : close_idx]
         args = _split_top_level(body, ",")
@@ -138,19 +168,26 @@ def rewrite_date_add_interval(sql: str) -> str:
         if iv is None:
             # Already Spark-form date_add(d, n); leave untouched but keep
             # scanning past it.
-            rest = rewrite_date_add_interval(out[close_idx + 1 :])
-            return out[: close_idx + 1] + rest
-        base = ",".join(args[:-1]).strip()
+            pos = close_idx + 1
+            continue
         out = (
             out[: m.start()]
-            + f"CAST(date_add({base}, {iv.group(1)}) AS TIMESTAMP)"
+            + f"CAST(date_add({','.join(args[:-1]).strip()}, {iv.group(1)}) AS TIMESTAMP)"
             + out[close_idx + 1 :]
         )
+        pos = m.start()
 
 
 def rewrite_varchar_cast(sql: str) -> str:
-    """``AS VARCHAR)`` → ``AS STRING)`` (bare VARCHAR casts only)."""
-    return re.sub(r"\bAS\s+VARCHAR\s*\)", "AS STRING)", sql, flags=re.IGNORECASE)
+    """``AS VARCHAR)`` → ``AS STRING)`` (bare VARCHAR casts only;
+    occurrences inside string literals are left alone)."""
+    out, pos = sql, 0
+    while True:
+        m = _search_unquoted(r"\bAS\s+VARCHAR\s*\)", out, pos)
+        if not m:
+            return out
+        out = out[: m.start()] + "AS STRING)" + out[m.end() :]
+        pos = m.start() + len("AS STRING)")
 
 
 def rewrite_date_diff(sql: str) -> str:
@@ -163,10 +200,10 @@ def rewrite_date_diff(sql: str) -> str:
     out = sql
     pos = 0
     while True:
-        m = re.search(r"\bDATE_DIFF\s*\(", out[pos:], re.IGNORECASE)
+        m = _search_unquoted(r"\bDATE_DIFF\s*\(", out, pos)
         if not m:
             return out
-        open_idx = out.index("(", pos + m.start())
+        open_idx = m.end() - 1
         close_idx = _matching_paren(out, open_idx)
         args = _split_top_level(out[open_idx + 1 : close_idx], ",")
         if len(args) != 3:
@@ -177,7 +214,8 @@ def rewrite_date_diff(sql: str) -> str:
         if unit != "day":
             raise NotImplementedError(f"DATE_DIFF unit {unit!r} has no day-exact Spark mapping")
         a, b = args[1].strip(), args[2].strip()
-        out = out[: pos + m.start()] + f"datediff({b}, {a})" + out[close_idx + 1 :]
+        out = out[: m.start()] + f"datediff({b}, {a})" + out[close_idx + 1 :]
+        pos = m.start()
 
 
 def duckdb_to_spark_sql(sql: str) -> str:

@@ -49,6 +49,37 @@ def test_rewrite_handles_nested_and_multiple():
     assert "struct(b AS _k0, c AS _k1, a AS _gc)" in out
 
 
+def test_rewrite_tokens_inside_string_literals_untouched():
+    """Round-6 review finding: the entry-point searches were quote-blind,
+    so a rewrite token INSIDE a string literal anchored the paren
+    surgery mid-literal and crashed on valid SQL. Tokens in literals
+    must pass through byte-identical; real tokens around them still
+    rewrite."""
+    sql = "SELECT DATE_ADD(d, INTERVAL 2 DAY) AS a, 'DATE_ADD(' AS lit FROM t"
+    out = duckdb_to_spark_sql(sql)
+    assert "'DATE_ADD(' AS lit" in out
+    assert "CAST(date_add(d, 2) AS TIMESTAMP)" in out
+
+    sql = "SELECT GROUP_CONCAT(a ORDER BY b) AS g, 'GROUP_CONCAT(' AS lit FROM t"
+    out = duckdb_to_spark_sql(sql)
+    assert "'GROUP_CONCAT(' AS lit" in out
+    assert "array_join" in out and "GROUP_CONCAT(a" not in out
+
+    # A separator literal containing the token must not re-anchor the
+    # loop on its own output.
+    sql = "SELECT GROUP_CONCAT(a, 'GROUP_CONCAT(' ORDER BY b) FROM t"
+    out = rewrite_group_concat(sql)
+    assert out.count("array_join") == 1 and "'GROUP_CONCAT('" in out
+
+    sql = "SELECT DATE_DIFF('day', a, b) AS n, 'DATE_DIFF(' AS lit FROM t"
+    out = duckdb_to_spark_sql(sql)
+    assert "'DATE_DIFF(' AS lit" in out and "datediff(b, a)" in out
+
+    sql = "SELECT CAST(x AS VARCHAR) AS s, 'AS VARCHAR)' AS lit FROM t"
+    out = duckdb_to_spark_sql(sql)
+    assert "'AS VARCHAR)' AS lit" in out and "CAST(x AS STRING)" in out
+
+
 # -- differential: reference notebook SQL on Spark (shimmed) vs DuckDB -------
 
 DATE = "2025-09-09"
