@@ -135,6 +135,7 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
 
     spark = None
     rc = 0
+    prev_proc: RawToTrustedProcessor | None = None
     for d in dates:
         if args.command in ("to_raw", "pipeline"):
             rc = _report(LandingToRawProcessor(lake, d).run())
@@ -145,9 +146,23 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 from ..session import get_spark
 
                 spark = get_spark("streampro-pipeline")
-            rc = _report(
-                RawToTrustedProcessor(spark, lake, d, registry=_registry(args)).run()
+            # Intermediate backfill dates skip view registration (only
+            # the final date's views matter; on a non-Spark-readable
+            # lake every registration re-downloads the whole trusted
+            # subtree — quadratic over the backfill) and release their
+            # staging dirs as soon as the next date succeeds, so a long
+            # backfill holds at most one date's staging on disk.
+            proc = RawToTrustedProcessor(
+                spark,
+                lake,
+                d,
+                registry=_registry(args),
+                register_views=(d == dates[-1]),
             )
+            rc = _report(proc.run())
+            if prev_proc is not None:
+                prev_proc.cleanup()
+            prev_proc = proc
             if rc:
                 return rc
     return rc

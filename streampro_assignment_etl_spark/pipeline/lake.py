@@ -160,18 +160,28 @@ class LakeStorage:
 
     def stage_out(self, local_dir: str | Path, prefix: str) -> list[str]:
         """Upload a local directory subtree to a lake prefix, replacing
-        whatever the prefix held (delete-then-put: the staged dir is the
-        new truth for that subtree — callers stage exactly the
-        partitions they rewrote). Returns the uploaded keys."""
+        whatever the prefix held (the staged dir is the new truth for
+        that subtree — callers stage exactly the partitions they
+        rewrote). Returns the uploaded keys.
+
+        Order is upload-first, then delete stale keys: puts overwrite
+        in place, so a transient store error mid-operation leaves a mix
+        of old and new objects — a re-run converges — whereas the
+        reverse order has a window where the old partition is deleted
+        and nothing has landed yet, turning a retryable network blip
+        into data loss on exactly the remote stores this bridge
+        targets. (Spark part files are UUID-named, so old part files
+        are always in the stale set, never silently shadowed.)"""
         local_root = Path(local_dir)
-        for key in self.list_objects(prefix):
-            self.delete_object(key)
+        existing = set(self.list_objects(prefix))
         uploaded = []
         for f in sorted(local_root.rglob("*")):
             if f.is_file():
                 key = f"{prefix}/{f.relative_to(local_root)}"
                 self.upload_file(f, key)
                 uploaded.append(key)
+        for key in existing - set(uploaded):
+            self.delete_object(key)
         return uploaded
 
     # -- S9: bucket bootstrap + seed ------------------------------------

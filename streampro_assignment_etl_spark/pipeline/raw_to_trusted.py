@@ -56,12 +56,19 @@ class RawToTrustedProcessor(BaseProcessor):
         registry: dict[str, TableSchema] | None = None,
         bad_rows: str = "fail",
         trusted_format: str = "parquet",
+        register_views: bool = True,
     ):
         """``trusted_format`` selects the columnar sink for the trusted
         zone: ``"parquet"`` (default, reference parity) or ``"orc"``
         (Spark-core source; for lakes serving Hive/Trino warehouses
         that mandate ORC). Reads, typing, partitioning, and the
-        per-date overwrite contract are format-independent."""
+        per-date overwrite contract are format-independent.
+
+        ``register_views=False`` skips the post-process view
+        registration — for backfill loops, where only the FINAL date's
+        views matter and, on a non-Spark-readable lake, each
+        registration would re-download the whole trusted subtree
+        (quadratic transfer over the backfill)."""
         super().__init__(
             "raw_to_trusted_processor",
             "Parse raw CSV/JSONL into typed, partitioned trusted parquet",
@@ -76,6 +83,7 @@ class RawToTrustedProcessor(BaseProcessor):
         self.registry = registry or STREAMPRO_TABLES
         self.bad_rows = bad_rows
         self.trusted_format = trusted_format
+        self.register_views = register_views
         # Local staging bridge, created lazily iff the lake's filesystem
         # is not Spark-readable (injected non-local fs without scheme):
         # raw bytes stage in through the pyarrow.fs seam for Spark to
@@ -259,6 +267,8 @@ class RawToTrustedProcessor(BaseProcessor):
         non-Spark-readable lake the trusted subtree stages back in
         through the fs seam; those views read the staged copy and live
         until ``cleanup()``/process exit."""
+        if not self.register_views:
+            return
         for name in load_result.tables_created:
             schema = self.registry[name]
             if self.lake.spark_readable:

@@ -161,6 +161,52 @@ def test_lake_object_ops_on_memory_filesystem(tmp_path):
     assert not lk.exists(f"landing/users_{DATE}.csv")
 
 
+def test_stage_out_upload_first_survives_midway_failure(tmp_path):
+    """Round-6 review finding: stage_out was delete-then-put, so a
+    failure between the deletes and the uploads emptied the target
+    prefix — retryable error, permanent data loss. The fixed order
+    uploads the new truth first and deletes stale keys last: a midway
+    crash leaves old+new mixed (re-run converges), never an empty
+    prefix; a clean run removes exactly the stale keys."""
+    import pyarrow.fs as pafs
+
+    lk = LakeStorage("bucket/lake", filesystem=pafs._MockFileSystem())
+    lk.ensure_zones()
+    # Existing partition content (old part file + marker).
+    (tmp_path / "old").mkdir()
+    (tmp_path / "old" / "part-OLD.parquet").write_text("old-bytes")
+    (tmp_path / "old" / "_SUCCESS").write_text("")
+    lk.stage_out(tmp_path / "old", "trusted/users/ingestion_date=2025-09-09")
+
+    # New staged rewrite, two files; inject a failure on the SECOND put.
+    (tmp_path / "new").mkdir()
+    (tmp_path / "new" / "part-NEW-a.parquet").write_text("new-a")
+    (tmp_path / "new" / "part-NEW-b.parquet").write_text("new-b")
+    real_upload = lk.upload_file
+    calls = {"n": 0}
+
+    def failing_upload(local_path, key):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("transient store error")
+        real_upload(local_path, key)
+
+    lk.upload_file = failing_upload
+    with pytest.raises(OSError):
+        lk.stage_out(tmp_path / "new", "trusted/users/ingestion_date=2025-09-09")
+    # Old objects are still there — nothing was deleted before uploads.
+    keys = lk.list_objects("trusted/users/ingestion_date=2025-09-09")
+    assert "trusted/users/ingestion_date=2025-09-09/part-OLD.parquet" in keys
+
+    # Clean re-run replaces the subtree and clears every stale key.
+    lk.upload_file = real_upload
+    lk.stage_out(tmp_path / "new", "trusted/users/ingestion_date=2025-09-09")
+    keys = lk.list_objects("trusted/users/ingestion_date=2025-09-09")
+    assert sorted(k.rsplit("/", 1)[-1] for k in keys) == [
+        "part-NEW-a.parquet", "part-NEW-b.parquet",
+    ]
+
+
 def test_lake_uri_scheme_mapping(tmp_path):
     """A file:// root resolves through FileSystem.from_uri (the URI
     branch), and object-store schemes are emitted Hadoop-style for
