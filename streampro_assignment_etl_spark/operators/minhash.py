@@ -28,11 +28,12 @@ from pyspark.storagelevel import StorageLevel
 DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16
 DEFAULT_SHINGLE_N = 3
-# Auto-switch point for prune_verification=None: input scans wider than
-# this many splits (~8 GB at 128 MB maxPartitionBytes) get the
-# cohort-pruned verification plan (1 full + 2 cohort shingle passes)
-# instead of the 3-overlapping-full-passes plan that wins at toy scale.
-_PRUNE_AUTO_PARTITIONS = 64
+# Auto-switch point for prune_verification=None: inputs whose Catalyst
+# size estimate exceeds this get the cohort-pruned verification plan
+# (1 full + 2 cohort shingle passes) instead of the
+# 3-overlapping-full-passes plan that wins at toy scale. ~8 GB = the
+# regime where one extra full shingle pass costs real cluster time.
+_PRUNE_AUTO_BYTES = 8 << 30
 
 
 def shingles_from_words(
@@ -214,17 +215,22 @@ def fuzzy_dup_pairs(
       of cluster time, at the price of a stage barrier that loses
       overlap at small scale.
     * None (default): auto-select by input scale, so a 100 TB user gets
-      the scale-safe plan without reading SCALE.md. The proxy is the
-      scan's partition count (free — no job): above
-      ``_PRUNE_AUTO_PARTITIONS`` input splits (~8 GB at the default
-      128 MB maxPartitionBytes) a full shingle pass is expensive enough
-      that cohort pruning wins; below it the overlapped 3-pass plan
-      does. Both plans stay parity-pinned regardless of the default.
+      the scale-safe plan without reading SCALE.md. The proxy is
+      Catalyst's size estimate of the input plan
+      (``optimizedPlan().stats().sizeInBytes``) against
+      ``_PRUNE_AUTO_BYTES`` (~8 GB) — a pure driver-side plan lookup.
+      NOT ``df.rdd.getNumPartitions()``: under AQE that call FINALIZES
+      the adaptive plan, executing every upstream exchange as real jobs
+      before this operator even builds its own, and then reports the
+      AQE-coalesced post-shuffle count — which would mis-read a
+      multi-TB shuffled frame as "narrow" exactly where the pruned plan
+      matters. Size estimates are upper-boundish for filtered scans
+      (pre-filter bytes), which errs toward the scale-safe plan. Both
+      plans stay parity-pinned regardless of the default.
     """
     if prune_verification is None:
-        prune_verification = (
-            docs.rdd.getNumPartitions() > _PRUNE_AUTO_PARTITIONS
-        )
+        est = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        prune_verification = int(est) > _PRUNE_AUTO_BYTES
     # Repartition the RAW docs before shingling: test-scale corpora
     # arrive as one parquet split, and the shingle transform is the most
     # expensive per-row step — it must run wide. The words array gets

@@ -90,12 +90,16 @@ def test_fuzzy_dup_pairs_pruned_verification_parity(docs):
     assert pruned == base
 
 
-def test_fuzzy_dup_pairs_auto_selects_pruned_plan_on_wide_input(docs):
-    """prune_verification=None auto-selects by input width: a narrow
-    (test-scale) scan keeps the overlapped 3-pass plan, an input wider
-    than _PRUNE_AUTO_PARTITIONS splits — the ~8 GB+ regime — gets the
-    cohort-pruned plan (visible as the verification LeftSemi join), so
-    a 100 TB user gets the scale-safe default without opting in."""
+def test_fuzzy_dup_pairs_auto_selects_pruned_plan_on_wide_input(docs, monkeypatch):
+    """prune_verification=None auto-selects by Catalyst's input size
+    estimate (a pure driver-side plan lookup — the round-6 review
+    killed the df.rdd partition-count proxy, which under AQE EXECUTES
+    the upstream DAG and reads the post-shuffle coalesced count): a
+    small input keeps the overlapped 3-pass plan; one estimated past
+    _PRUNE_AUTO_BYTES gets the cohort-pruned plan (visible as the
+    verification LeftSemi join), so a 100 TB user gets the scale-safe
+    default without opting in. The threshold is monkeypatched below the
+    fixture's estimated size to pin the switch host-independently."""
     from streampro_assignment_etl_spark.queries import release_persisted
 
     def plan(frame):
@@ -105,8 +109,10 @@ def test_fuzzy_dup_pairs_auto_selects_pruned_plan_on_wide_input(docs):
         return s
 
     assert "LeftSemi" not in plan(docs)
-    wide = docs.repartition(minhash._PRUNE_AUTO_PARTITIONS + 1)
-    assert "LeftSemi" in plan(wide)
+    est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert 0 < est < minhash._PRUNE_AUTO_BYTES  # sanity: fixture is "narrow"
+    monkeypatch.setattr(minhash, "_PRUNE_AUTO_BYTES", est - 1)
+    assert "LeftSemi" in plan(docs)
 
 
 # -- SimHash ---------------------------------------------------------------
