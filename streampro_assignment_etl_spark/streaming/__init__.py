@@ -11,6 +11,8 @@ batch over identical input.
 """
 
 from .events_stream import (
+    click_view_interval_join,
+    enriched_events_stream,
     read_events_stream,
     run_stream_to_parquet,
     sessionized_stream,
@@ -26,8 +28,10 @@ from .stateful_dedup import (
 )
 
 __all__ = [
+    "click_view_interval_join",
     "dedup_stream",
     "dedup_stream_bloom",
+    "enriched_events_stream",
     "fuzzy_dedup_stream",
     "read_events_stream",
     "run_bloom_dedup_stream",

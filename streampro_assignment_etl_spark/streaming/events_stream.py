@@ -157,6 +157,29 @@ def run_stream_to_parquet(
     q.awaitTermination(timeout_s)
 
 
+def enriched_events_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins the (batch) dimension frame — the streaming analog of
+    the fact⋈dim rollups in the batch workload.
+
+    Scale semantics worth knowing: Spark re-evaluates the STATIC side's
+    plan per micro-batch (so a dim read from parquet picks up new files
+    between batches — slowly-changing dims work without restarts), and
+    a dim under the broadcast threshold ships as a broadcast join with
+    ZERO stream-side shuffle (no explicit hint here — an unbounded
+    caller-supplied dim must be allowed to fall back to a shuffle join
+    rather than OOM the driver, the same rule the batch operators
+    follow). A left join keeps unmatched events (dimension gaps must
+    not drop facts); stream-static joins need no watermark because the
+    static side holds no streaming state."""
+    return events.join(dim, on, how)
+
+
 def click_view_interval_join(
     clicks: DataFrame, views: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -147,9 +147,20 @@ def run_dedup_stream(
 # ---------------------------------------------------------------------------
 BLOOM_BITS = 1 << 15  # 32768 bits = 512 longs per shard
 BLOOM_HASHES = 7
+# Slot-derivation version, persisted IN the state: v1 was md5 15-bit
+# windows (rounds ≤5), v2 is xxhash64+pmod. Bits set under one
+# derivation are meaningless under another, so resuming an old
+# checkpoint must fail LOUDLY — adding this field also changed the
+# state schema, which Spark's state-schema validation rejects at
+# restart for v1-era checkpoints; the in-state check below guards any
+# FUTURE derivation change that happens not to alter the schema.
+_BLOOM_SLOT_VERSION = 2
 
 _BLOOM_STATE_SCHEMA = T.StructType(
-    [T.StructField("bits", T.ArrayType(T.LongType()))]
+    [
+        T.StructField("slot_version", T.IntegerType()),
+        T.StructField("bits", T.ArrayType(T.LongType())),
+    ]
 )
 
 
@@ -185,13 +196,22 @@ def _emit_bloom_unseen(
     false positives, same bounded state."""
     n_words = BLOOM_BITS // 64
     if state.exists:
+        stored_version = state.get[0]
+        if stored_version != _BLOOM_SLOT_VERSION:
+            raise ValueError(
+                f"bloom state written under slot derivation v{stored_version}, "
+                f"code is v{_BLOOM_SLOT_VERSION}: the persisted bits test "
+                "different positions than this code sets — resuming would "
+                "silently leak duplicates and inflate false positives. "
+                "Start a fresh checkpoint."
+            )
         # State schema is array<signed long>; reinterpret, don't convert.
-        bits = np.array(state.get[0], dtype=np.int64).view(np.uint64).copy()
+        bits = np.array(state.get[1], dtype=np.int64).view(np.uint64).copy()
     else:
         bits = np.zeros(n_words, dtype=np.uint64)
     frames = [pdf for pdf in pdfs if len(pdf)]
     if not frames:
-        state.update((bits.view(np.int64).tolist(),))
+        state.update((_BLOOM_SLOT_VERSION, bits.view(np.int64).tolist()))
         return
     batch = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     batch = batch[~batch.duplicated("fingerprint")]
@@ -204,10 +224,10 @@ def _emit_bloom_unseen(
         np.bitwise_or.at(
             bits, ks // 64, np.uint64(1) << (ks % 64).astype(np.uint64)
         )
-        state.update((bits.view(np.int64).tolist(),))
+        state.update((_BLOOM_SLOT_VERSION, bits.view(np.int64).tolist()))
         yield kept[["doc_id", "text", "fingerprint"]]
     else:
-        state.update((bits.view(np.int64).tolist(),))
+        state.update((_BLOOM_SLOT_VERSION, bits.view(np.int64).tolist()))
 
 
 def dedup_stream_bloom(doc_stream: DataFrame, n_shards: int = 64) -> DataFrame:

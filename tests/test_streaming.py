@@ -216,6 +216,46 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     assert got2 == {0, 1, 3, 12}
 
 
+# -- stream-static enrichment join -------------------------------------------
+def test_stream_static_enrichment_matches_batch(spark, landing, tmp_path):
+    """Stream-static join: each micro-batch enriches against a batch
+    dimension frame, equals the same join in batch, keeps unmatched
+    events (left join), and the static side plans as a broadcast join
+    under the session threshold (zero stream-side shuffle)."""
+    from streampro_assignment_etl_spark.streaming import enriched_events_stream
+
+    dim = spark.createDataFrame(
+        [(1, "Premium"), (2, "Free")], ["user_id", "tier"]
+    )
+    stream = enriched_events_stream(
+        read_events_stream(spark, landing), dim
+    ).select("event_id", "user_id", "tier")
+    out, ckpt = str(tmp_path / "enr_out"), str(tmp_path / "enr_ckpt")
+
+    def write_batch(df, _):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch_df = enriched_events_stream(
+        _batch_events(spark, landing), dim
+    ).select("event_id", "user_id", "tier")
+    assert got == sorted(tuple(r) for r in batch_df.collect())
+    # Left semantics: users outside the dim keep their events, tier null.
+    assert any(r[2] is None for r in got)
+    assert any(r[2] == "Premium" for r in got)
+    # Under the session broadcast threshold the tiny dim broadcasts.
+    assert "BroadcastHashJoin" in batch_df._jdf.queryExecution().executedPlan().toString()
+
+
 # -- stream-stream interval join ---------------------------------------------
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join equals the same join run
@@ -394,3 +434,36 @@ def test_bloom_dedup_across_batches(spark, tmp_path):
     run_bloom_dedup_stream(spark, str(landing), out, ckpt)
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 11 in got2 and 10 not in got2  # state crossed the restart
+
+
+def test_bloom_state_version_mismatch_fails_loudly():
+    """Round-6 review finding: the slot derivation changed (md5 windows
+    → xxhash64+pmod) and an old checkpoint would have resumed silently
+    against incompatible bits. The version now rides in the state and a
+    mismatch raises instead of leaking duplicates. (v1-era checkpoints
+    are additionally rejected by Spark's state-schema validation, since
+    adding the version field changed the schema.)"""
+    import numpy as np
+
+    from streampro_assignment_etl_spark.streaming import stateful_dedup as sd
+
+    class _StubState:
+        exists = True
+        get = (1, [0] * (sd.BLOOM_BITS // 64))  # v1-era state
+
+        def update(self, value):  # pragma: no cover — must not be reached
+            raise AssertionError("state updated despite version mismatch")
+
+    import pandas as pd
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["a"],
+            "fingerprint": ["f"],
+            "_shard": [0],
+            "_slots": [np.arange(sd.BLOOM_HASHES, dtype=np.int64)],
+        }
+    )
+    with pytest.raises(ValueError, match="slot derivation v1"):
+        list(sd._emit_bloom_unseen((0,), iter([batch]), _StubState()))
