@@ -849,20 +849,27 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty signal. High values of either flag disfluent/outlier text;
     CCNet buckets a web corpus by exactly this kind of LM score.
 
-    Plan: one explode pass feeds BOTH count aggregations (bigram grain
-    and context grain, partial-agged map-side), then the scored slice
-    joins counts back on the bigram/ctx keys. At 100 TB: the count
-    tables are Zipf-skewed — AQE's skew split handles the head keys —
-    and a production variant would min-count-prune the model and
-    broadcast it (the model is vocabulary-sized, not corpus-sized);
-    training on a hash-mod sample instead of the full corpus drops the
-    count pass to O(sample). The doc_id<50 reporting slice prunes the
-    scoring join only — counts stay corpus-wide, exactly like
-    ``tfidf_top_terms``'s df side."""
+    Plan: the exploded (doc, bigram, ctx) frame is persisted ONCE and
+    feeds all three consumers — the bigram-grain count, the ctx-grain
+    count, and the scoring slice (differently-keyed aggregations can't
+    share a map stage via ReuseExchange, so without the persist the
+    corpus explode would run 3×). At 100 TB the persist-vs-recompute
+    choice is storage economics — MEMORY_AND_DISK spills the exploded
+    corpus rather than re-shingling it; the count tables are
+    Zipf-skewed (AQE's skew split handles the head keys) and a
+    production variant would min-count-prune the model and broadcast it
+    (the model is vocabulary-sized, not corpus-sized); training on a
+    hash-mod sample instead of the full corpus drops the count pass to
+    O(sample). The doc_id<50 reporting slice prunes the scoring join
+    only — counts stay corpus-wide, exactly like ``tfidf_top_terms``'s
+    df side."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.minhash import shingles_from_words
+    from .catalog import track_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    bigr = (
+    bigr = track_persist(
         docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
         .select(
             "doc_id",
@@ -870,7 +877,8 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shingles_from_words(F.col("_w"), 2, distinct=False)
             ).alias("bigram"),
         )
-        .withColumn("ctx", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("ctx", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))),
+        StorageLevel.MEMORY_AND_DISK,
     )
     cb = bigr.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_big"))
     cc = bigr.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
