@@ -516,6 +516,71 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_sample_by_quality",
+    extra=True,  # sampling family's driver row is stratified_sample_by_lang
+    tags=("sampling", "curation", "quality"),
+    oracle="""
+WITH scored AS (
+  SELECT source, doc_id, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         t -> regexp_full_match(t, '[a-z]+'))) AS n_alpha
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS docs_in,
+       CAST(SUM(CASE WHEN bucket * n_tokens < 100 * n_alpha THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept,
+       CAST(SUM(CASE WHEN bucket * n_tokens < 100 * n_alpha THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_kept,
+       ROUND(100.0 * SUM(CASE WHEN bucket * n_tokens < 100 * n_alpha THEN 1 ELSE 0 END)
+             / COUNT(*), 2) AS kept_pct
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+)
+def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc importance sampling with keep-probability equal to the
+    doc's quality weight — here the alphabetic-token fraction — via the
+    same auditable md5-bucket mechanism as ``deterministic_sample``:
+    keep iff ``bucket·n_tokens < 100·n_alpha``, an ALL-INTEGER
+    cross-multiplication, so the decision is bit-exact across engines
+    (no float weight ever materializes) and re-derivable forever from
+    (doc_id, text) alone. This is how a quality-weighted training mix
+    downsamples at 100 TB: ``rand() < w`` can't be audited or replayed,
+    a content-hash threshold can. The whole scoring is a map-side
+    projection (split + filter-lambda + hash, whole-stage codegen);
+    the only shuffle is the per-source rollup."""
+    from ..operators.simhash import token_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "source",
+        "n_chars",
+        (token_hash60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).alias("n_alpha"),
+    )
+    keep = F.col("bucket") * F.col("n_tokens") < 100 * F.col("n_alpha")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(keep.cast("long")).alias("docs_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+            F.round(
+                F.lit(100.0) * F.sum(keep.cast("long")) / F.count(F.lit(1)), 2
+            ).alias("kept_pct"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Capstone: the full curation funnel as ONE lazy DAG.
 # ---------------------------------------------------------------------------
