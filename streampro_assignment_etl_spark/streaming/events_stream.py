@@ -157,6 +157,31 @@ def run_stream_to_parquet(
     q.awaitTermination(timeout_s)
 
 
+def read_update_sink(spark: SparkSession, out_dir: str, key_cols: list[str]) -> DataFrame:
+    """Correct reader for an UPDATE-mode foreachBatch sink: when a
+    stream runs more than one micro-batch, an aggregate key updated in a
+    later batch exists in BOTH its old ``batch_id=N`` partition and the
+    new one — a naive ``read.parquet(out_dir)`` double-counts it. This
+    keeps the LATEST batch's row per key (window by key, max batch_id).
+
+    One shuffle on the key set; at scale, compact periodically instead
+    of re-winnowing ever-more batch partitions per read (the batch_id
+    partition column means old batches prune away after compaction).
+    The availableNow driver queries dodge this by draining in a single
+    batch (or emitting disjoint keys per batch, as the dedup sink does)
+    — this reader is the general contract for long-running update-mode
+    sinks."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def enriched_events_stream(
     events: DataFrame,
     dim: DataFrame,

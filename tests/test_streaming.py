@@ -467,3 +467,51 @@ def test_bloom_state_version_mismatch_fails_loudly():
     )
     with pytest.raises(ValueError, match="slot derivation v1"):
         list(sd._emit_bloom_unseen((0,), iter([batch]), _StubState()))
+
+
+def test_read_update_sink_keeps_latest_batch_per_key(spark, tmp_path):
+    """Two update-mode micro-batches where an hour window spans both:
+    the window's updated aggregate lands in batch_id=1 while its stale
+    batch-0 row remains — a naive read double-counts it. read_update_sink
+    winnows to the latest batch per key and matches the batch recompute."""
+    import os as _os
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming import read_update_sink
+
+    landing = pathlib.Path(tmp_path / "upd_landing")
+    landing.mkdir()
+    b0 = [_event(0, "2024-01-01 10:05:00", 1, "view", 1.0)]
+    b1 = [
+        _event(1, "2024-01-01 10:40:00", 1, "view", 2.0),  # same 10:00 window
+        _event(2, "2024-01-01 12:10:00", 2, "view", 4.0),  # new window
+    ]
+    for i, rows in enumerate((b0, b1)):
+        f = landing / f"ev{i}.jsonl"
+        f.write_text("\n".join(json.dumps(e) for e in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    stream = windowed_event_counts(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .withColumn("ts_event", F.to_timestamp("ts"))
+    )
+    out, ckpt = str(tmp_path / "upd_out"), str(tmp_path / "upd_ckpt")
+    run_stream_to_parquet(stream, out, ckpt, mode="update")
+
+    naive = spark.read.option("basePath", out).parquet(out)
+    assert naive.count() == 3  # stale 10:00 row still present in batch 0
+
+    got = sorted(
+        tuple(r)
+        for r in read_update_sink(spark, out, ["window_start", "event_type"])
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in windowed_event_counts(_batch_events(spark, str(landing))).collect()
+    )
+    assert got == batch
+    assert any(r[2] == 2 and r[3] == 3.0 for r in got)  # merged 10:00 window
