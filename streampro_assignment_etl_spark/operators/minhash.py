@@ -224,9 +224,14 @@ def fuzzy_dup_pairs(
       before this operator even builds its own, and then reports the
       AQE-coalesced post-shuffle count — which would mis-read a
       multi-TB shuffled frame as "narrow" exactly where the pruned plan
-      matters. Size estimates are upper-boundish for filtered scans
-      (pre-filter bytes), which errs toward the scale-safe plan. Both
-      plans stay parity-pinned regardless of the default.
+      matters. The estimate is only ACCURATE for file-backed plans;
+      RDD-backed/in-memory frames (``createDataFrame``) report the
+      ``spark.sql.defaultSizeInBytes`` sentinel (Long.MaxValue) and
+      join outputs multiply estimates — both overshoot, so unknown or
+      inflated sizes deliberately select the PRUNED plan: the
+      conservative direction (strictly less total work; only small-
+      scale stage overlap is lost, never correctness or scale safety).
+      Both plans stay parity-pinned regardless of the default.
     """
     if prune_verification is None:
         est = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()

@@ -263,14 +263,22 @@ class RawToTrustedProcessor(BaseProcessor):
     def _post_process(self, load_result: ProcessingResult) -> None:
         """Register trusted outputs as temp views (≙ the reference's
         DuckDB view bootstrap, duckdb_client.py:308-348 — but lazy: a
-        temp view over parquet scans nothing until queried). For a
+        temp view over parquet scans nothing until queried). Views are
+        registered for EVERY registry table whose trusted zone holds
+        data, not just this run's ``tables_created`` — a view covers the
+        whole trusted table, so a table skipped THIS date (no raw file —
+        e.g. a weekly-delivered feed, or the final date of a backfill)
+        must still be queryable over its earlier dates. For a
         non-Spark-readable lake the trusted subtree stages back in
         through the fs seam; those views read the staged copy and live
         until ``cleanup()``/process exit."""
         if not self.register_views:
             return
-        for name in load_result.tables_created:
-            schema = self.registry[name]
+        for name, schema in self.registry.items():
+            if name not in load_result.tables_created and not self.lake.exists(
+                f"{TRUSTED_PREFIX}/{schema.suffix}"
+            ):
+                continue
             if self.lake.spark_readable:
                 path = self.lake.trusted_path(schema.suffix)
             else:

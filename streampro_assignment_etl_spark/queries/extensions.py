@@ -564,7 +564,12 @@ def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (token_hash60(F.col("doc_id").cast("string")) % 100).alias("bucket"),
         F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).alias("n_alpha"),
+        # \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline,
+        # so a token like 'hello\n' would count as alphabetic on the
+        # Spark side but fail DuckDB's regexp_full_match — flipping the
+        # integer keep decision on corpora with embedded newlines. \z
+        # anchors at absolute end in Java, matching RE2's full-match.
+        F.size(F.filter(toks, lambda t: t.rlike(r"\A[a-z]+\z"))).alias("n_alpha"),
     )
     keep = F.col("bucket") * F.col("n_tokens") < 100 * F.col("n_alpha")
     return (

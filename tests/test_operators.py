@@ -113,6 +113,20 @@ def test_fuzzy_dup_pairs_auto_selects_pruned_plan_on_wide_input(docs, monkeypatc
     assert 0 < est < minhash._PRUNE_AUTO_BYTES  # sanity: fixture is "narrow"
     monkeypatch.setattr(minhash, "_PRUNE_AUTO_BYTES", est - 1)
     assert "LeftSemi" in plan(docs)
+    monkeypatch.undo()
+
+    # In-memory frames report the defaultSizeInBytes SENTINEL (unknown
+    # size ⇒ Long.MaxValue), which deliberately lands on the pruned plan
+    # — the conservative direction for un-estimable inputs.
+    mem = docs.sparkSession.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    assert (
+        int(mem._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        > minhash._PRUNE_AUTO_BYTES
+    )
+    assert "LeftSemi" in plan(mem)
 
 
 # -- SimHash ---------------------------------------------------------------

@@ -814,6 +814,36 @@ def test_cli_backfill_date_range(spark, tmp_path):
     assert users.count() == 6
 
 
+def test_backfill_registers_views_for_tables_absent_on_final_date(spark, tmp_path):
+    """Round-6 review finding: backfill registers views only on the
+    final date, so a table whose raw file is missing on that date (a
+    weekly-delivered feed) silently lost its view even though earlier
+    dates populated its trusted zone. Views now cover every registry
+    table with trusted data regardless of which date created it."""
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    # users delivered on date 1 only; videos delivered on BOTH dates so
+    # the final date still succeeds with work to do.
+    (data / "users_2025-09-09.csv").write_text(USERS_CSV)
+    (data / "videos_2025-09-09.csv").write_text(VIDEOS_CSV)
+    (data / "videos_2025-09-10.csv").write_text(VIDEOS_CSV)
+    lake_root = str(tmp_path / "wflake")
+    rc = main(
+        [
+            "pipeline",
+            "--lake-root", lake_root,
+            "--backfill", "2025-09-09:2025-09-10",
+            "--data-dir", str(data),
+        ]
+    )
+    assert rc == 0
+    # The weekly table's view exists and serves its date-1 data.
+    assert spark.sql("SELECT COUNT(*) FROM trusted_users").collect()[0][0] == 3
+    assert spark.sql("SELECT COUNT(*) FROM trusted_videos").collect()[0][0] == 4
+
+
 def test_compact_parquet_flat_and_partitioned(spark, tmp_path):
     from streampro_assignment_etl_spark.pipeline.writers import compact_parquet
 

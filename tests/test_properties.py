@@ -290,3 +290,32 @@ def test_norm_carried_cosine_is_bit_identical(spark, vectors):
         assert bits(r["inline"]) == bits(r["carried"]), (r["id_a"], r["id_b"])
         # Driver-side norm replica matches the JVM fold bit-for-bit.
         assert bits(_py_norm(vectors[r["id_a"]])) == bits(r["na"])
+
+
+def test_alpha_token_regex_newline_parity(spark):
+    """Round-6 review finding: Java's $ matches BEFORE a trailing
+    newline, RE2's full-match does not — a token 'hello\\n' counted as
+    alphabetic only on the Spark side, able to flip
+    weighted_sample_by_quality's integer keep decision. The \\A..\\z
+    anchors pin absolute-end semantics; this test plants the newline
+    token and checks both engines agree (and that ^$ would not)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    text = "hello\n world zz9"
+    toks = F.split(F.col("text"), " ")
+    got = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(
+            F.size(F.filter(toks, lambda t: t.rlike(r"\A[a-z]+\z"))).alias("fixed"),
+            F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).alias("dollar"),
+        )
+        .first()
+    )
+    duck = duckdb.sql(
+        "SELECT len(list_filter(string_split('hello' || chr(10) || ' world zz9', ' '),"
+        " t -> regexp_full_match(t, '[a-z]+')))"
+    ).fetchone()[0]
+    assert got["fixed"] == duck
+    assert got["dollar"] != duck  # the quirk this test exists to remember
