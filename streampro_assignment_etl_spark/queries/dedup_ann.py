@@ -27,7 +27,7 @@ from .catalog import query
 # ---------------------------------------------------------------------------
 # MinHash-LSH fuzzy dedup (n-gram Jaccard verified).
 # ---------------------------------------------------------------------------
-_JACCARD_CTES = """s AS (
+_SHINGLES_CTE = """s AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
@@ -35,7 +35,9 @@ _JACCARD_CTES = """s AS (
                 string_split(text,' ')[i+1] || ' ' ||
                 string_split(text,' ')[i+2])) AS sh
   FROM documents
-),
+)"""
+
+_JACCARD_CTES = _SHINGLES_CTE + """,
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -103,6 +105,114 @@ def dedup_fuzzy_minhash_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=8,
             prune_verification=True,
         )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: asymmetric |A∩B| / min(|A|,|B|) — sub-document /
+# boilerplate-wrap duplication that symmetric Jaccard misses (a short
+# doc fully quoted inside a long one has high containment, low Jaccard).
+# Candidates block on RARE shingles: a contained doc shares ALL its
+# shingles with its container, so any rare shingle it owns co-buckets
+# the pair — an equi-join bounded by O(Σ df²) over df≤K shingles,
+# never all-pairs.
+# ---------------------------------------------------------------------------
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+srows AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+dfc AS (SELECT shingle, COUNT(*) AS df FROM srows GROUP BY shingle),
+rare AS (SELECT shingle FROM dfc WHERE df BETWEEN 2 AND 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM srows a
+  JOIN srows b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
+),
+v AS (
+  SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / least(len(sa.sh), len(sb.sh)), 4) AS containment,
+         ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.id_a
+  JOIN s sb ON sb.doc_id = c.id_b
+)
+SELECT doc_a, doc_b, containment, jaccard
+FROM v
+WHERE containment >= 0.9
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_containment_rare_shingle",
+    extra=True,  # dedup family's driver rows: minhash/simhash/clusters
+    tags=("dedup", "containment", "ngram", "blocking"),
+    oracle=_CONTAINMENT_ORACLE,
+)
+def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-sub-document pairs at 3-gram containment ≥ 0.9, candidates
+    blocked on rare shingles (corpus df in [2, 4]). Containment
+    C = |A∩B|/min(|A|,|B|) ≥ Jaccard always, so this surfaces the
+    quote-inclusion/boilerplate-wrap pairs the symmetric threshold
+    misses. Recall rationale for the blocking: a contained doc shares
+    ALL its shingles with its container, so the pair co-buckets iff the
+    contained doc owns ≥1 rare shingle — true for natural text (most
+    3-grams are rare by Zipf); corpora wrapped in heavy boilerplate
+    raise K. The oracle replays the identical blocked plan in SQL, so
+    the hash gate certifies both the verification math and the
+    candidate set; at 100 TB the df table is one partial-agged shuffle
+    and candidate volume is O(Σ_{{df≤K}} df²), never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = (
+        docs.select(F.col("doc_id").alias("_id"), F.split(F.col("text"), " ").alias("_w"))
+        .select("_id", minhash.shingles_from_words(F.col("_w"), 3).alias("sh"))
+    )
+    rows = shingled.select("_id", F.explode("sh").alias("shingle"))
+    dfc = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfc.filter((F.col("df") >= 2) & (F.col("df") <= 4)).select("shingle")
+    buckets = (
+        rows.join(rare, "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + F.lit(2), F.size(F.col("ids")) - i - 1
+                            ),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = shingled.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(inter / F.least(F.size("sh_a"), F.size("sh_b")), 4).alias(
+                "containment"
+            ),
+            F.round(inter / F.size(F.array_union("sh_a", "sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.9)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -648,3 +648,43 @@ def test_asof_forward_edges(spark):
         "after_all": None,    # nothing later
         "other_key": 300.0,   # per-key isolation
     }
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """The asymmetric operator's reason to exist: a short doc fully
+    quoted inside a much longer one has containment 1.0 but Jaccard
+    well under the 0.8 fuzzy threshold — fuzzy_dup_pairs misses it,
+    the rare-shingle-blocked containment query finds it."""
+    from streampro_assignment_etl_spark.queries.dedup_ann import (
+        dedup_containment_rare_shingle,
+    )
+    from streampro_assignment_etl_spark.queries import EXTRAS, release_persisted
+
+    short = "quick zephyr vexes jumbled gnomes daily"
+    filler = " ".join(f"w{i} common filler token" for i in range(20))
+    rows = [
+        (0, short),
+        (1, f"{filler} {short} {filler}"),  # contains doc 0 verbatim
+        (2, "totally unrelated prose about mundane things entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    import streampro_assignment_etl_spark.queries.dedup_ann as da
+
+    # Route load_table to the in-memory corpus for this call.
+    orig = da.load_table
+    da.load_table = lambda s, sf, name: df
+    try:
+        got = {(r["doc_a"], r["doc_b"]): r for r in
+               dedup_containment_rare_shingle(spark, "unused").collect()}
+    finally:
+        da.load_table = orig
+    assert (0, 1) in got
+    assert got[(0, 1)]["containment"] == 1.0
+    assert got[(0, 1)]["jaccard"] < 0.8  # symmetric threshold would miss it
+
+    from streampro_assignment_etl_spark.operators import minhash as mh
+
+    fuzzy = mh.fuzzy_dup_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    release_persisted()
+    assert not any({r["doc_a"], r["doc_b"]} == {0, 1} for r in fuzzy)
