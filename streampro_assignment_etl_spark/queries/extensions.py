@@ -517,6 +517,40 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitters_terms",
+    extra=True,  # approximate family's anchors live in tests/test_approx.py
+    tags=("sketch", "misra-gries", "heavy-hitters", "mapInPandas"),
+    oracle="""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM t),
+c AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term)
+SELECT term, CAST(cnt AS BIGINT) AS cnt
+FROM c, tot
+WHERE cnt * 200 > n
+ORDER BY cnt DESC, term
+""",
+)
+def heavy_hitters_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms above 1/200 of all token occurrences via Misra-Gries
+    candidate pruning + one exact count pass
+    (``functions/approx.heavy_hitters_exact``). The sketch only PRUNES
+    — MG's superset guarantee means every true heavy hitter reaches the
+    exact recount — so the result is bit-identical to the oracle's full
+    GROUP BY, while the Spark side shuffles candidate terms only
+    (≤ k·partitions rows) instead of every distinct term. This is the
+    heavy-hitter shape at 100 TB: the full-term shuffle IS the cost,
+    and the Zipf tail (the overwhelming majority of distinct terms)
+    never leaves its scan partition."""
+    from ..functions.approx import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    return heavy_hitters_exact(terms, "term", k=200)
+
+
+@query(
     "weighted_sample_by_quality",
     extra=True,  # sampling family's driver row is stratified_sample_by_lang
     tags=("sampling", "curation", "quality"),

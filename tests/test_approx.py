@@ -48,3 +48,20 @@ def test_approx_distinct_close_to_exact(spark):
     }
     for et, d in exact.items():
         assert abs(approx[et] - d) <= max(3, 0.1 * d), (et, approx[et], d)
+
+
+def test_heavy_hitters_exact_superset_guarantee(spark):
+    """Adversarial MG check: a term sitting just above the N/k
+    threshold, diluted evenly across partitions among a sea of
+    distinct filler terms, must still reach the exact recount (the
+    candidate set is a SUPERSET of true heavy hitters), and the
+    output counts are exact — nothing below threshold leaks in."""
+    from streampro_assignment_etl_spark.functions.approx import heavy_hitters_exact
+
+    k = 50
+    filler = [(f"f{i}_{j}",) for i in range(30) for j in range(95)]  # 2850 uniques
+    hot = [("hot",)] * 60  # N = 2910, N/k = 58.2 < 60
+    warm = [("warm",)] * 50  # below threshold: 50*k = 2500 < N
+    df = spark.createDataFrame(hot + filler + warm, ["term"]).repartition(8)
+    got = {(r["term"], r["cnt"]) for r in heavy_hitters_exact(df, "term", k).collect()}
+    assert got == {("hot", 60)}
