@@ -319,3 +319,28 @@ def test_alpha_token_regex_newline_parity(spark):
     ).fetchone()[0]
     assert got["fixed"] == duck
     assert got["dollar"] != duck  # the quirk this test exists to remember
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]),
+        min_size=1,
+        max_size=400,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_heavy_hitters_exact_equals_full_groupby(spark, terms, k):
+    """Property: Misra-Gries candidate pruning + exact recount equals
+    the straight exact GROUP BY heavy-hitter set for ANY term stream
+    and counter budget — the superset guarantee is the whole proof
+    obligation; a single missed candidate would show up here."""
+    from collections import Counter
+
+    from streampro_assignment_etl_spark.functions.approx import heavy_hitters_exact
+
+    df = spark.createDataFrame([(t,) for t in terms], ["term"]).repartition(4)
+    got = {(r["term"], r["cnt"]) for r in heavy_hitters_exact(df, "term", k).collect()}
+    n = len(terms)
+    expect = {(t, c) for t, c in Counter(terms).items() if c * k > n}
+    assert got == expect
