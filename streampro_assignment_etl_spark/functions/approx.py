@@ -90,8 +90,14 @@ def heavy_hitters_exact(df: DataFrame, term_col: str, k: int) -> DataFrame:
     SUPERSET, the output equals the exact heavy-hitter set — no
     approximation reaches the result, only the candidate pruning.
     The exact alternative shuffles every distinct term; this shuffles
-    candidates only. N is one map-side count job."""
-    terms = df.select(term_col)
+    candidates only. N is one map-side count job.
+
+    NULL terms are excluded consistently — from the candidates (pandas
+    value_counts skips NaN), from the recount, AND from N — so the
+    contract is "heavy hitters among non-null terms"; a plain groupBy
+    would instead keep a null group, and silently counting nulls in N
+    but never in the output would be neither semantics."""
+    terms = df.select(term_col).filter(F.col(term_col).isNotNull())
     cand = mg_candidates(terms, term_col, k).distinct()
     total = terms.count()
     return (

@@ -140,6 +140,30 @@ def band_key_rows(
     )
 
 
+def pairs_from_sorted_ids(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Distinct ordered (id_a, id_b) pairs from a frame holding a SORTED
+    id-array column: each bucket contributes its in-bucket cross
+    (i < j positions ⇒ id_a < id_b). Shared by every bucket-blocked
+    candidate generator (LSH bands, rare-shingle blocking) so the pair
+    arithmetic lives in exactly one place."""
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col(ids_col),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col(ids_col), i + F.lit(2), F.size(F.col(ids_col)) - i - 1
+                        ),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -163,22 +187,7 @@ def candidate_pairs(
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + F.lit(2), F.size(F.col("ids")) - i - 1
-                        ),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    return pairs_from_sorted_ids(buckets)
 
 
 def fuzzy_dup_pairs(

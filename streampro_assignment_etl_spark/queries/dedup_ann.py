@@ -164,40 +164,29 @@ def dedup_containment_rare_shingle(spark: SparkSession, sf_dir: str) -> DataFram
     raise K. The oracle replays the identical blocked plan in SQL, so
     the hash gate certifies both the verification math and the
     candidate set; at 100 TB the df table is one partial-agged shuffle
-    and candidate volume is O(Σ_{{df≤K}} df²), never all-pairs."""
+    and candidate volume is O(Σ df² over df≤K shingles), never
+    all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
+    # Repartition before shingling for the same reason as
+    # fuzzy_dup_pairs: test-scale corpora arrive as one parquet split
+    # and the shingle transform is the expensive per-row step.
+    n_part = spark.sparkContext.defaultParallelism
     shingled = (
-        docs.select(F.col("doc_id").alias("_id"), F.split(F.col("text"), " ").alias("_w"))
+        docs.repartition(n_part)
+        .select(F.col("doc_id").alias("_id"), F.split(F.col("text"), " ").alias("_w"))
         .select("_id", minhash.shingles_from_words(F.col("_w"), 3).alias("sh"))
     )
     rows = shingled.select("_id", F.explode("sh").alias("shingle"))
     dfc = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfc.filter((F.col("df") >= 2) & (F.col("df") <= 4)).select("shingle")
+    # No size>1 bucket filter needed: df >= 2 already guarantees every
+    # surviving shingle groups at least two docs.
     buckets = (
         rows.join(rare, "shingle")
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"), i + F.lit(2), F.size(F.col("ids")) - i - 1
-                            ),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    pairs = minhash.pairs_from_sorted_ids(buckets)
     a = shingled.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -60,8 +60,8 @@ def test_heavy_hitters_exact_superset_guarantee(spark):
 
     k = 50
     filler = [(f"f{i}_{j}",) for i in range(30) for j in range(95)]  # 2850 uniques
-    hot = [("hot",)] * 60  # N = 2910, N/k = 58.2 < 60
-    warm = [("warm",)] * 50  # below threshold: 50*k = 2500 < N
+    hot = [("hot",)] * 60  # N = 60+2850+50 = 2960, N/k = 59.2 < 60
+    warm = [("warm",)] * 50  # below threshold: 50*k = 2500 < N = 2960
     df = spark.createDataFrame(hot + filler + warm, ["term"]).repartition(8)
     got = {(r["term"], r["cnt"]) for r in heavy_hitters_exact(df, "term", k).collect()}
     assert got == {("hot", 60)}

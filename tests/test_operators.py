@@ -658,7 +658,7 @@ def test_containment_catches_subdocument_jaccard_misses(spark):
     from streampro_assignment_etl_spark.queries.dedup_ann import (
         dedup_containment_rare_shingle,
     )
-    from streampro_assignment_etl_spark.queries import EXTRAS, release_persisted
+    from streampro_assignment_etl_spark.queries import release_persisted
 
     short = "quick zephyr vexes jumbled gnomes daily"
     filler = " ".join(f"w{i} common filler token" for i in range(20))
