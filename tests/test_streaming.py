@@ -515,3 +515,81 @@ def test_read_update_sink_keeps_latest_batch_per_key(spark, tmp_path):
     )
     assert got == batch
     assert any(r[2] == 2 and r[3] == 3.0 for r in got)  # merged 10:00 window
+
+
+def test_trending_terms_stream_superset_and_bounded_state(spark, tmp_path):
+    """Streaming MG: two micro-batches of terms through sharded
+    summaries in state. The FINAL summary per shard must (a) hold every
+    term whose total count beats N/k — the survivor guarantee across
+    the batch boundary — (b) stay within k counters per shard, and
+    (c) compose with an exact recount to the exact heavy-hitter set."""
+    import os as _os
+    import pathlib
+    from collections import Counter
+
+    from streampro_assignment_etl_spark.streaming import trending_terms_stream
+
+    landing = pathlib.Path(tmp_path / "hh_landing")
+    landing.mkdir()
+    # hot crosses N/k only when BOTH batches count (k=5; N=40 → N/k=8;
+    # hot appears 5 + 5 = 10 times, 5 in each batch).
+    b0 = ["hot"] * 5 + [f"a{i}" for i in range(15)]
+    b1 = ["hot"] * 5 + [f"b{i}" for i in range(15)]
+    for i, terms in enumerate((b0, b1)):
+        f = landing / f"t{i}.jsonl"
+        f.write_text("\n".join(json.dumps({"term": t}) for t in terms) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    k, n_shards = 5, 2
+    stream = trending_terms_stream(
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing)),
+        k=k,
+        n_shards=n_shards,
+    )
+    out, ckpt = str(tmp_path / "hh_out"), str(tmp_path / "hh_ckpt")
+
+    def write_batch(df, batch_id):
+        df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sink = spark.read.option("basePath", out).parquet(out)
+    # Latest summary per shard (a shard's batch-1 emission supersedes
+    # its batch-0 one entirely).
+    from pyspark.sql.window import Window
+
+    latest = (
+        sink.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .withColumn("_maxb", F.max("batch_id").over(Window.partitionBy("shard")))
+        .filter(F.col("batch_id") == F.col("_maxb"))
+    )
+    final = latest.select("shard", "term", "est").collect()
+    all_terms = b0 + b1
+    n = len(all_terms)
+    true_heavy = {t for t, c in Counter(all_terms).items() if c * k > n}
+    cand = {r["term"] for r in final}
+    assert true_heavy <= cand  # survivor guarantee crossed the batches
+    per_shard = Counter(r["shard"] for r in final)
+    assert all(v <= k for v in per_shard.values())  # bounded state
+
+    # Exactness by composition: recount candidates in batch, filter.
+    exact = {
+        (t, c)
+        for t, c in Counter(all_terms).items()
+        if t in cand and c * k > n
+    }
+    assert exact == {(t, c) for t, c in Counter(all_terms).items() if c * k > n}
