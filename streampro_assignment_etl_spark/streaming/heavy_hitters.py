@@ -76,7 +76,9 @@ def trending_terms_stream(
     """(shard, term, est) per micro-batch: each shard's full refreshed
     MG summary. ``est`` underestimates the true count by at most the
     shard's row count / (k+1) and is 0-truncated — it ranks and prunes;
-    exact values come from a batch recount of the candidates."""
+    exact values come from a batch recount of the candidates. NULL
+    terms are ignored (same contract as ``heavy_hitters_exact``:
+    pandas value_counts skips NaN)."""
     shard = F.abs(F.xxhash64("term")) % n_shards
     return (
         term_stream.withColumn("_shard", shard)
