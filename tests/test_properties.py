@@ -344,3 +344,27 @@ def test_heavy_hitters_exact_equals_full_groupby(spark, terms, k):
     n = len(terms)
     expect = {(t, c) for t, c in Counter(terms).items() if c * k > n}
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=6, unique=True),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_pairs_from_sorted_ids_equals_combinations(spark, buckets):
+    """Property for the shared bucket-to-pairs expansion (used by both
+    the LSH and rare-shingle blockers): the distinct pair set equals
+    the union of itertools.combinations over each sorted bucket."""
+    from itertools import combinations
+
+    from streampro_assignment_etl_spark.operators.minhash import pairs_from_sorted_ids
+
+    df = spark.createDataFrame(
+        [(sorted(b),) for b in buckets], "ids: array<long>"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs_from_sorted_ids(df).collect()}
+    expect = {p for b in buckets for p in combinations(sorted(b), 2)}
+    assert got == expect
