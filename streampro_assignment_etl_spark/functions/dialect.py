@@ -166,9 +166,11 @@ def rewrite_date_add_interval(sql: str) -> str:
         args = _split_top_level(body, ",")
         iv = re.fullmatch(r"\s*INTERVAL\s+(\d+)\s+DAYS?\s*", args[-1], re.IGNORECASE)
         if iv is None:
-            # Already Spark-form date_add(d, n); leave untouched but keep
-            # scanning past it.
-            pos = close_idx + 1
+            # Already Spark-form date_add(d, n); leave untouched — but
+            # advance only past the match token (not the closing paren)
+            # so a nested DuckDB-form DATE_ADD inside the arguments is
+            # still scanned and rewritten.
+            pos = m.end()
             continue
         out = (
             out[: m.start()]

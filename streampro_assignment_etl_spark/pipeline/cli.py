@@ -160,11 +160,18 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 register_views=(d == dates[-1]),
             )
             rc = _report(proc.run())
+            if rc:
+                # Nothing references either staging on the failure path:
+                # the failed run registered no views, and the previous
+                # date was intermediate (only the FINAL date registers
+                # views) — release both instead of leaking mkdtemp dirs.
+                proc.cleanup()
+                if prev_proc is not None:
+                    prev_proc.cleanup()
+                return rc
             if prev_proc is not None:
                 prev_proc.cleanup()
             prev_proc = proc
-            if rc:
-                return rc
     return rc
 
 

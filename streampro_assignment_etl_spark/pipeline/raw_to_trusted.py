@@ -286,9 +286,33 @@ class RawToTrustedProcessor(BaseProcessor):
                     f"{TRUSTED_PREFIX}/{schema.suffix}",
                     self._staging_dir() / "views",
                 )
-            reader = (
-                self.spark.read.orc
-                if self.trusted_format == "orc"
-                else self.spark.read.parquet
-            )
-            reader(path).createOrReplaceTempView(name)
+            # Per-table format detection: a trusted zone can mix tables
+            # written by earlier runs in the OTHER format (orc vs
+            # parquet), so the current run's trusted_format must not
+            # decide how every table is read. Sniff the part-file
+            # extensions actually present under the table's prefix and
+            # fall back to this run's format only when ambiguous.
+            exts = {
+                k.rsplit(".", 1)[-1].lower()
+                for k in self.lake.list_objects(f"{TRUSTED_PREFIX}/{schema.suffix}")
+                if "." in k.rsplit("/", 1)[-1]
+            }
+            if "orc" in exts and "parquet" not in exts:
+                fmt = "orc"
+            elif "parquet" in exts and "orc" not in exts:
+                fmt = "parquet"
+            else:
+                fmt = self.trusted_format
+            reader = self.spark.read.orc if fmt == "orc" else self.spark.read.parquet
+            try:
+                reader(path).createOrReplaceTempView(name)
+            except Exception:  # noqa: BLE001 — one unreadable table (e.g.
+                # a leftover empty suffix dir that passes lake.exists)
+                # must not fail an otherwise-successful run; the view is
+                # a convenience, the trusted data is already written.
+                logging.getLogger("streampro.raw_to_trusted").warning(
+                    "skipping view registration for %s: unreadable at %s",
+                    name,
+                    path,
+                    exc_info=True,
+                )

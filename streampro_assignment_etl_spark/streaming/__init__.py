@@ -14,6 +14,7 @@ from .events_stream import (
     click_view_interval_join,
     enriched_events_stream,
     read_events_stream,
+    compact_update_sink,
     read_update_sink,
     run_stream_to_parquet,
     sessionized_stream,
@@ -36,6 +37,7 @@ __all__ = [
     "enriched_events_stream",
     "fuzzy_dedup_stream",
     "read_events_stream",
+    "compact_update_sink",
     "read_update_sink",
     "run_bloom_dedup_stream",
     "run_dedup_stream",

@@ -164,9 +164,16 @@ def read_update_sink(spark: SparkSession, out_dir: str, key_cols: list[str]) -> 
     new one — a naive ``read.parquet(out_dir)`` double-counts it. This
     keeps the LATEST batch's row per key (window by key, max batch_id).
 
-    One shuffle on the key set; at scale, compact periodically instead
-    of re-winnowing ever-more batch partitions per read (the batch_id
-    partition column means old batches prune away after compaction).
+    Contract: assumes each key emits AT MOST ONE row per batch (true of
+    windowed/keyed aggregates in update mode). For multi-row-per-key
+    emissions — e.g. the streaming heavy-hitter MG summaries, where one
+    shard emits its whole candidate set — this reader silently discards
+    rows; filter to the key's max batch_id instead.
+
+    One shuffle on the key set; at scale, run ``compact_update_sink``
+    periodically instead of re-winnowing ever-more batch partitions per
+    read (the batch_id partition column means old batches prune away
+    after compaction).
     The availableNow driver queries dodge this by draining in a single
     batch (or emitting disjoint keys per batch, as the dedup sink does)
     — this reader is the general contract for long-running update-mode
@@ -180,6 +187,53 @@ def read_update_sink(spark: SparkSession, out_dir: str, key_cols: list[str]) -> 
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def compact_update_sink(
+    spark: SparkSession,
+    out_dir: str,
+    key_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact an update-mode foreachBatch sink: winnow once to the
+    latest row per key (exactly ``read_update_sink``'s view) and rewrite
+    the sink with superseded rows — and their now-empty ``batch_id=N``
+    partitions — dropped.
+
+    Rows KEEP their original batch_id, so ``read_update_sink`` returns a
+    bit-identical frame before and after compaction, and a stream
+    resumed from its checkpoint (whose batch counter only grows) slots
+    new ``batch_id`` partitions above the surviving ones. The rewrite
+    goes through the same crash-safe staged swap as
+    ``writers.compact_parquet`` — readers racing the compaction see the
+    old sink or the new one, never a mix.
+
+    Returns ``{"files_before", "files_after", "rows"}``.
+    """
+    import math
+    import uuid
+    from pathlib import Path
+
+    from ..pipeline.writers import _staged_swap
+
+    root = Path(out_dir)
+    part_files = [p for p in root.rglob("*.parquet") if p.is_file()]
+    total_bytes = sum(p.stat().st_size for p in part_files)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    latest = read_update_sink(spark, out_dir, key_cols)
+    staging = root.parent / f".{root.name}.compact-{uuid.uuid4().hex[:8]}"
+    (
+        latest.repartition(n_files, "batch_id")
+        .sortWithinPartitions("batch_id")
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(str(staging))
+    )
+    _staged_swap(root, staging)
+    after = sum(1 for p in root.rglob("*.parquet") if p.is_file())
+    rows = spark.read.option("basePath", str(root)).parquet(str(root)).count()
+    return {"files_before": len(part_files), "files_after": after, "rows": rows}
 
 
 def enriched_events_stream(

@@ -14,9 +14,13 @@ vocabulary; exactness, when needed, comes from recounting the (tiny)
 candidate set in batch — the same sketch-only-prunes design as the
 batch operator.
 
-Downstream reads take the LATEST summary per shard (each batch's
-emission supersedes the shard's previous one — ``read_update_sink``
-keyed by shard, or filter to the shard's max batch_id).
+Downstream reads take the LATEST summary per shard: filter each
+shard's rows to its max batch_id (as the tests do). Do NOT use
+``read_update_sink`` here — it keeps exactly ONE row per key, so
+keying by shard would discard all but one term of the summary, and
+keying by (shard, term) would keep stale rows for terms a later
+summary dropped. ``read_update_sink`` assumes each key emits at most
+one row per batch, which MG summaries violate.
 
 Same vectorized MG core as ``approx.mg_candidates``: value_counts
 merge + subtract-(k+1)th-largest trim, no per-row Python loop.

@@ -40,6 +40,14 @@ def test_rewrite_date_add_interval():
     assert out == "CAST(CAST(date_add(CAST(d AS DATE), 3) AS TIMESTAMP) AS STRING)"
     # Spark-form date_add untouched
     assert rewrite_date_add_interval("date_add(d, 3)") == "date_add(d, 3)"
+    # A DuckDB-form DATE_ADD nested INSIDE a Spark-form call's arguments
+    # is still rewritten (the skip path advances past the match token
+    # only, not past the outer call's closing paren).
+    nested = "DATE_ADD(DATE_ADD(d, INTERVAL 2 DAY), 5)"
+    assert (
+        rewrite_date_add_interval(nested)
+        == "DATE_ADD(CAST(date_add(d, 2) AS TIMESTAMP), 5)"
+    )
 
 
 def test_rewrite_handles_nested_and_multiple():

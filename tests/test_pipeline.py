@@ -332,6 +332,39 @@ def test_raw_to_trusted_orc_format(spark, lake: LakeStorage):
     # Views registered by _post_process read the ORC output.
     assert spark.sql("SELECT COUNT(*) FROM trusted_events").collect()[0][0] == 2
 
+
+def test_view_registration_survives_mixed_format_trusted_zone(
+    spark, lake: LakeStorage, tmp_path
+):
+    """A trusted zone holding tables written earlier in the OTHER format
+    must not fail view registration: per-table format is sniffed from
+    the part-file extensions, not assumed from the current run's
+    trusted_format. Day 1 writes everything as parquet; day 2 delivers
+    only users and runs with trusted_format='orc' — events/videos/
+    devices are still pure parquet and their views must register and be
+    queryable, and the run must succeed even though the users table is
+    now format-mixed (its view is skipped with a warning, not fatal)."""
+    d2 = "2025-09-10"
+    assert LandingToRawProcessor(lake, DATE).run().is_success
+    assert RawToTrustedProcessor(spark, lake, DATE).run().is_success  # parquet
+
+    (tmp_path / "d2").mkdir()
+    (tmp_path / "d2" / f"users_{d2}.csv").write_text(USERS_CSV)
+    lake.seed_landing(tmp_path / "d2")
+    assert LandingToRawProcessor(lake, d2).run().is_success
+    result = RawToTrustedProcessor(spark, lake, d2, trusted_format="orc").run()
+    assert result.is_success, result.error  # pre-fix: eager orc read of
+    # the parquet-only events table raised and failed the whole run
+
+    # Pure-parquet tables from day 1 registered despite the orc run.
+    assert spark.sql("SELECT COUNT(*) FROM trusted_events").collect()[0][0] == 2
+    assert spark.sql("SELECT COUNT(*) FROM trusted_videos").collect()[0][0] == 2
+
+
+def test_raw_to_trusted_orc_pushdown(spark, lake: LakeStorage):
+    assert LandingToRawProcessor(lake, DATE).run().is_success
+    assert RawToTrustedProcessor(spark, lake, DATE, trusted_format="orc").run().is_success
+    users = spark.read.orc(lake.trusted_path("users"))
     # Filters push into the ORC scan like parquet (footer stats real).
     plan = (
         users.filter(F.col("user_id") == "user_1")
@@ -842,6 +875,48 @@ def test_backfill_registers_views_for_tables_absent_on_final_date(spark, tmp_pat
     # The weekly table's view exists and serves its date-1 data.
     assert spark.sql("SELECT COUNT(*) FROM trusted_users").collect()[0][0] == 3
     assert spark.sql("SELECT COUNT(*) FROM trusted_videos").collect()[0][0] == 4
+
+
+def test_cli_backfill_failure_cleans_staging_dirs(spark, tmp_path):
+    """A mid-backfill failure must not leak mkdtemp staging dirs: the
+    failed date's staging (it registered no views) AND the previous
+    intermediate date's staging (only the final date registers views)
+    are both released before the nonzero rc returns. The in-memory lake
+    forces the staging bridge, so leaks would be real directories."""
+    import glob
+    import tempfile
+
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    d1, d2 = "2025-09-09", "2025-09-10"
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / f"videos_{d1}.csv").write_text(VIDEOS_CSV)
+    (data / f"videos_{d2}.csv").write_text(
+        VIDEOS_CSV + "video_9,Broken,Action,not_a_number,patent_9\n"
+    )
+
+    before = set(glob.glob(f"{tempfile.gettempdir()}/streampro_stage_*"))
+    memlake = LakeStorage("bucket/lake", filesystem=pafs._MockFileSystem())
+    rc = main(
+        [
+            "pipeline",
+            "--lake-root", "memory://bucket/lake",
+            "--backfill", f"{d1}:{d2}",
+            "--data-dir", str(data),
+        ],
+        lake_factory=lambda root: memlake,
+    )
+    assert rc != 0  # FAILFAST on the malformed d2 row
+    after = set(glob.glob(f"{tempfile.gettempdir()}/streampro_stage_*"))
+    assert after == before  # no staging dirs leaked by the failure path
+    # Day 1's trusted output survived the day-2 failure.
+    assert any(
+        k.startswith(f"trusted/videos/ingestion_date={d1}/")
+        for k in memlake.list_objects("trusted/videos")
+    )
 
 
 def test_compact_parquet_flat_and_partitioned(spark, tmp_path):

@@ -517,6 +517,62 @@ def test_read_update_sink_keeps_latest_batch_per_key(spark, tmp_path):
     assert any(r[2] == 2 and r[3] == 3.0 for r in got)  # merged 10:00 window
 
 
+def test_compact_update_sink_read_equivalent_and_fewer_files(spark, tmp_path):
+    """compact_update_sink winnows an update-mode sink to the latest row
+    per key once: read_update_sink returns a bit-identical frame
+    (including each row's original batch_id) before and after, the
+    superseded stale row is physically gone (naive read == winnowed
+    read), and the file count shrinks."""
+    import os as _os
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming import (
+        compact_update_sink,
+        read_update_sink,
+    )
+
+    landing = pathlib.Path(tmp_path / "cmp_landing")
+    landing.mkdir()
+    b0 = [_event(0, "2024-01-01 10:05:00", 1, "view", 1.0)]
+    b1 = [
+        _event(1, "2024-01-01 10:40:00", 1, "view", 2.0),  # updates 10:00 key
+        _event(2, "2024-01-01 12:10:00", 2, "view", 4.0),
+    ]
+    for i, rows in enumerate((b0, b1)):
+        f = landing / f"ev{i}.jsonl"
+        f.write_text("\n".join(json.dumps(e) for e in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    stream = windowed_event_counts(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .withColumn("ts_event", F.to_timestamp("ts"))
+    )
+    out, ckpt = str(tmp_path / "cmp_out"), str(tmp_path / "cmp_ckpt")
+    run_stream_to_parquet(stream, out, ckpt, mode="update")
+
+    keys = ["window_start", "event_type"]
+    before = sorted(tuple(r) for r in read_update_sink(spark, out, keys).collect())
+    files_before = sum(1 for p in pathlib.Path(out).rglob("*.parquet"))
+    assert spark.read.option("basePath", out).parquet(out).count() == 3  # stale row
+
+    stats = compact_update_sink(spark, out, keys)
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] < files_before
+    assert stats["rows"] == 2  # stale batch-0 row physically dropped
+
+    after = sorted(tuple(r) for r in read_update_sink(spark, out, keys).collect())
+    assert after == before  # bit-identical winnowed view, batch_id included
+    naive = sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", out).parquet(out)
+        .select(*read_update_sink(spark, out, keys).columns)
+        .collect()
+    )
+    assert naive == before  # post-compaction, even a naive read is correct
+
+
 def test_trending_terms_stream_superset_and_bounded_state(spark, tmp_path):
     """Streaming MG: two micro-batches of terms through sharded
     summaries in state. The FINAL summary per shard must (a) hold every
