@@ -190,6 +190,15 @@ def candidate_pairs(
     return pairs_from_sorted_ids(buckets)
 
 
+def _plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's optimizedPlan size estimate in bytes — the pure
+    driver-side plan-stats lookup the auto-select below keys on (see
+    ``fuzzy_dup_pairs`` for why this and not ``rdd.getNumPartitions``).
+    Isolated so tests can stub the estimate and pin the decision
+    independently of Catalyst's estimation behavior."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def fuzzy_dup_pairs(
     docs: DataFrame,
     id_col: str,
@@ -243,8 +252,7 @@ def fuzzy_dup_pairs(
       Both plans stay parity-pinned regardless of the default.
     """
     if prune_verification is None:
-        est = docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        prune_verification = int(est) > _PRUNE_AUTO_BYTES
+        prune_verification = _plan_size_estimate(docs) > _PRUNE_AUTO_BYTES
     # Repartition the RAW docs before shingling: test-scale corpora
     # arrive as one parquet split, and the shingle transform is the most
     # expensive per-row step — it must run wide. The words array gets

@@ -67,8 +67,9 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # headline: bench times the full micro-batch drain (stage JSONL →
     # 2 ordered micro-batches through the state store → read-back), so
     # a state-path throughput regression is visible round-over-round
-    # (round-5 VERDICT #5). ~3.9 s at sf0.1 — dominated by streaming
-    # machinery (checkpoint + state store), not row volume.
+    # (round-5 VERDICT #5). r6: 3.98 s (fine-grained state, 8 state
+    # partitions); r7: sharded-exact state + 16 partitions (see the
+    # measurements at the run_dedup_stream call below).
     headline=True,
     tags=("streaming", "stateful", "dedup", "applyInPandasWithState"),
     oracle=r"""
@@ -123,12 +124,23 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copyfile(part, dst)
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
     out, ckpt = str(lake.root / "dedup_out"), str(lake.root / "dedup_ckpt")
-    # 8 state partitions: sized to the fixture's distinct-key volume —
-    # each micro-batch pays one state-store commit per partition, and
-    # the session's 32 would be pure commit overhead here (state layout
-    # freezes at first checkpoint; see run_dedup_stream docstring).
+    # Sharded-exact state (n_shards=64): the fine-grained operator pays
+    # one Python call per distinct fingerprint per batch (~62k calls ≈
+    # 2 s of pure interpreter overhead at sf0.1), the sharded form pays
+    # 64 vectorized calls for the identical output (equivalence pinned
+    # by test_sharded_exact_dedup_matches_fine_grained). 16 state
+    # partitions measured best at this key volume (r7: sp=4 → 5.7-8.0 s,
+    # sp=8 → 3.9-4.9 s, sp=16 → 2.9-3.8 s fine-grained; sharded 64/16
+    # → 2.0-2.6 s). State layout freezes at the first checkpoint — see
+    # run_dedup_stream docstring.
     run_dedup_stream(
-        spark, str(landing), out, ckpt, max_files_per_trigger=1, shuffle_partitions=8
+        spark,
+        str(landing),
+        out,
+        ckpt,
+        max_files_per_trigger=1,
+        shuffle_partitions=16,
+        n_shards=64,
     )
     return (
         spark.read.parquet(out)

@@ -129,6 +129,33 @@ def test_fuzzy_dup_pairs_auto_selects_pruned_plan_on_wide_input(docs, monkeypatc
     assert "LeftSemi" in plan(mem)
 
 
+def test_fuzzy_dup_pairs_auto_select_pins_both_branches_on_stubbed_estimate(
+    docs, monkeypatch
+):
+    """Catalyst-independent pin of the auto-select decision itself: with
+    the size estimate STUBBED (not the threshold), an estimate one byte
+    over _PRUNE_AUTO_BYTES must pick the cohort-pruned plan and one byte
+    under must pick the overlapped 3-pass plan — so a Catalyst
+    estimation change can shift WHERE real corpora land but can never
+    silently invert the decision function."""
+    from streampro_assignment_etl_spark.queries import release_persisted
+
+    def plan(frame):
+        out = minhash.fuzzy_dup_pairs(frame, "doc_id", "text", threshold=0.8)
+        s = out._jdf.queryExecution().optimizedPlan().toString()
+        release_persisted()
+        return s
+
+    monkeypatch.setattr(
+        minhash, "_plan_size_estimate", lambda df: minhash._PRUNE_AUTO_BYTES + 1
+    )
+    assert "LeftSemi" in plan(docs)
+    monkeypatch.setattr(
+        minhash, "_plan_size_estimate", lambda df: minhash._PRUNE_AUTO_BYTES - 1
+    )
+    assert "LeftSemi" not in plan(docs)
+
+
 # -- SimHash ---------------------------------------------------------------
 def test_simhash_identical_and_perturbed(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

@@ -436,6 +436,52 @@ def test_bloom_dedup_across_batches(spark, tmp_path):
     assert 11 in got2 and 10 not in got2  # state crossed the restart
 
 
+def test_sharded_exact_dedup_matches_fine_grained(spark, tmp_path):
+    """The sharded-exact operator (64 vectorized state calls per batch)
+    must produce bit-identical output to the fine-grained per-fingerprint
+    operator across micro-batches: same min-doc_id-per-batch pick for
+    in-batch duplicates, same first-batch-wins across the boundary. This
+    is the pin that lets the bench headline run the sharded form."""
+    import os as _os
+
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import (
+        run_dedup_stream,
+    )
+
+    batches = [
+        [
+            {"doc_id": 5, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "Alpha  beta GAMMA"},  # in-batch dup, LOWER id
+            {"doc_id": 3, "text": "delta epsilon"},
+        ],
+        [
+            {"doc_id": 10, "text": "delta  epsilon"},  # cross-batch dup
+            {"doc_id": 11, "text": "brand new document"},
+        ],
+    ]
+    outs = {}
+    for tag, kw in (("fine", {}), ("sharded", {"n_shards": 8})):
+        landing = tmp_path / f"{tag}_landing"
+        landing.mkdir()
+        for i, rows in enumerate(batches):
+            f = landing / f"b{i}.jsonl"
+            f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+            _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+        out, ckpt = str(tmp_path / f"{tag}_out"), str(tmp_path / f"{tag}_ckpt")
+        run_dedup_stream(
+            spark, str(landing), out, ckpt, max_files_per_trigger=1, **kw
+        )
+        outs[tag] = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "text", "fingerprint")
+            .collect()
+        )
+    assert outs["sharded"] == outs["fine"]
+    kept_ids = {t[0] for t in outs["sharded"]}
+    assert kept_ids == {2, 3, 11}  # min-id in-batch pick + cross-batch drop
+
+
 def test_bloom_state_version_mismatch_fails_loudly():
     """Round-6 review finding: the slot derivation changed (md5 windows
     → xxhash64+pmod) and an old checkpoint would have resumed silently
