@@ -17,3 +17,4 @@ from . import streaming_q  # noqa: F401,E402
 from . import setops  # noqa: F401,E402
 from . import tpch_q  # noqa: F401,E402
 from . import reshape  # noqa: F401,E402
+from . import corpus_ops  # noqa: F401,E402

@@ -1,0 +1,300 @@
+"""Corpus-preparation operators beyond the dedup/ANN families: span-level
+dedup with document reconstruction, inverted-index construction, the
+deterministic epoch shuffle a trainer consumes, and cross-source
+vocabulary drift — the remaining verbs of a training-data pipeline that
+the existing extensions (document-level dedup, quality, sampling,
+packing) don't cover.
+
+All four are EXTRAS: their operator families already have driver-window
+representatives, so they ride the local differential harness
+(tests/test_oracle_parity.py, REGISTRY ∪ EXTRAS) with full DuckDB
+oracles instead of spending driver slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .catalog import query
+
+_SPAN_WORDS = 8
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup + document reconstruction (C4/RefinedWeb-style).
+# ---------------------------------------------------------------------------
+@query(
+    "span_dedup_reconstruct",
+    extra=True,
+    tags=("dedup", "span", "llm-pipeline"),
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[(i*{_SPAN_WORDS}+1):(i*{_SPAN_WORDS}+{_SPAN_WORDS})], ' ') AS span
+  FROM w, UNNEST(generate_series(0, CAST(ceil(len(w)/{_SPAN_WORDS}.0) AS BIGINT) - 1)) AS t(i)
+),
+kept AS (
+  SELECT doc_id, pos, span FROM spans
+  QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS kept_spans,
+       string_agg(span, ' ' ORDER BY pos) AS text_dedup
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def span_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: cut every document into fixed 8-word spans,
+    keep each distinct span's globally FIRST occurrence (ordered by
+    (doc_id, pos)), and reassemble documents from their surviving spans
+    in order — the C4/RefinedWeb "remove repeated passages" operator
+    that document-level fingerprints can't express (a doc that shares
+    half its content survives with the shared half cut, instead of
+    being kept or dropped whole). Documents whose every span was seen
+    earlier disappear entirely — on both engines.
+
+    Scale shape: explode to one row per span (rows ≈ words/8, each row
+    ~8 words wide — the corpus roughly once over the wire), ONE shuffle
+    on the span string for the first-occurrence window, one shuffle back
+    on doc_id to reassemble. The span-keyed window is the same key
+    profile as exact fingerprint dedup (dominated by near-unique keys);
+    repeated boilerplate spans are the skewed tail and AQE absorbs them.
+    At 100 TB, hash the span (xxhash64) for the window key instead of
+    carrying the raw string twice — kept verbatim here because the
+    oracle compares reconstructed text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SPAN_WORDS
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' '))/{k}.0) as int) - 1),"
+                f" i -> array_join(slice(split(text, ' '), i*{k}+1, {k}), ' '))"
+            )
+        ).alias("pos", "span"),
+    )
+    first = Window.partitionBy("span").orderBy("doc_id", "pos")
+    kept = (
+        spans.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .select("doc_id", "kept_spans", "text_dedup")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (term -> document frequency + ordered posting list).
+# ---------------------------------------------------------------------------
+@query(
+    "inverted_index_postings",
+    extra=True,
+    tags=("index", "text", "llm-pipeline"),
+    oracle="""
+WITH terms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM terms
+GROUP BY term
+ORDER BY term
+""",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index search/decontamination tooling reads:
+    term → document frequency + doc_id posting list (ascending,
+    comma-joined so the cross-engine hash compares strings, not
+    engine-specific array dtypes).
+
+    Scale shape: ``array_distinct`` BEFORE the explode collapses
+    within-document repeats map-side (a term repeated 50× in one doc
+    ships once), then ONE term-keyed shuffle builds postings. Stopword-
+    class terms make postings lists corpus-sized — real deployments cap
+    or drop df > N% terms (they carry no selectivity); kept uncapped
+    here because the oracle needs the full index.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + worker interleave.
+# ---------------------------------------------------------------------------
+_SHUFFLE_SEED = "42"
+_N_WORKERS = 8
+
+
+@query(
+    "training_shuffle_interleave",
+    extra=True,
+    tags=("shuffle", "training", "llm-pipeline"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}') AS hkey
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT) AS pos,
+       doc_id,
+       CAST((row_number() OVER (ORDER BY hkey, doc_id) - 1) % {_N_WORKERS} AS BIGINT)
+         AS worker_shard
+FROM h
+ORDER BY pos
+""",
+)
+def training_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch shuffle a trainer consumes: a deterministic,
+    seed-keyed global permutation (md5 of doc_id + seed — identical
+    bytes on any engine, any partitioning, any run) with round-robin
+    worker assignment, so every data-loader rank can independently
+    compute exactly which documents it owns in which order. Changing
+    the seed string re-permutes the corpus for the next epoch.
+
+    Scale shape: ONE range-partitioned sort on the hash key (Spark
+    samples the key space, so ranges balance even though md5 output is
+    uniform anyway) — no collect, no driver-side permutation table. The
+    global ``row_number`` over the full order is the one genuinely
+    serial construct; at 100 TB replace it with (range-partition id,
+    within-partition offset) + a broadcast of per-partition counts —
+    kept as the literal window here so the oracle can replay it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + _SHUFFLE_SEED))).alias(
+            "hkey"
+        ),
+    )
+    w = Window.orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "pos",
+            "doc_id",
+            (F.col("pos") % _N_WORKERS).cast("long").alias("worker_shard"),
+        )
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap (corpus-mixing drift diagnostic).
+# ---------------------------------------------------------------------------
+@query(
+    "source_vocab_overlap",
+    extra=True,
+    tags=("vocab", "drift", "llm-pipeline"),
+    oracle="""
+WITH vocab AS (
+  SELECT DISTINCT source, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms FROM vocab GROUP BY source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       ROUND(CAST(i.n_common AS DOUBLE)
+             / (sa.n_terms + sb.n_terms - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+""",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every pair of sources — the cheap
+    drift diagnostic run before mixing corpora (a source whose
+    vocabulary barely overlaps the rest is a different register or a
+    different language mislabeled; one that overlaps ~1.0 is probably a
+    re-crawl of an existing source and a dedup candidate).
+
+    Scale shape: the corpus collapses to DISTINCT (source, term) first
+    — output is vocabulary-sized, not corpus-sized — then the pair
+    expansion joins vocab to itself on term: candidate volume is
+    Σ_term df(term)², the same blocking bound as the rare-shingle
+    containment dedup, NOT n_sources² × corpus. Jaccard is rounded to 6
+    places because it divides two exact ints — the division is the one
+    float op, performed identically on both engines, and the round
+    guards the hash against formatting-of-double drift only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_terms").alias("_na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_terms").alias("_nb")
+    )
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
