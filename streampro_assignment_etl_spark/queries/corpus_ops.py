@@ -215,6 +215,68 @@ def training_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new arrivals against an existing corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_dedup_against_corpus",
+    extra=True,
+    tags=("dedup", "incremental", "llm-pipeline"),
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE CAST(substr(source, 4) AS INT) < 10),
+batch AS (
+  SELECT MIN(doc_id) AS doc_id, fingerprint
+  FROM fp WHERE CAST(substr(source, 4) AS INT) >= 10
+  GROUP BY fingerprint
+)
+SELECT b.doc_id, b.fingerprint
+FROM batch b LEFT JOIN corpus c USING (fingerprint)
+WHERE c.fingerprint IS NULL
+ORDER BY b.doc_id
+""",
+)
+def incremental_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup mode the batch operators don't model: a NEW
+    delivery deduped against the already-ingested corpus without
+    re-deduping the corpus itself — within-batch collapse (min doc_id
+    per fingerprint) then an anti-join against the corpus fingerprint
+    set. Sources src0–src9 stand in for the corpus, src10+ for the
+    arrival batch.
+
+    Scale shape: cost ∝ batch + corpus KEYS, never corpus text — the
+    corpus side is its 16-byte fingerprint column only (in production a
+    maintained fingerprint table, bucketed on fingerprint so the
+    anti-join co-locates without shuffling the corpus side; here it's
+    derived in-query so the oracle can replay it). The anti-join is the
+    same plan Spark gives `LEFT ANTI`; AQE broadcasts the batch side
+    when it's small.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.substring("source", 4, 10).cast("int").alias("_src_n"),
+        F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+    corpus = fp.filter(F.col("_src_n") < 10).select("fingerprint").distinct()
+    batch = (
+        fp.filter(F.col("_src_n") >= 10)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        batch.join(corpus, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-source vocabulary overlap (corpus-mixing drift diagnostic).
 # ---------------------------------------------------------------------------
 @query(

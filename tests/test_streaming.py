@@ -481,6 +481,30 @@ def test_sharded_exact_dedup_matches_fine_grained(spark, tmp_path):
     kept_ids = {t[0] for t in outs["sharded"]}
     assert kept_ids == {2, 3, 11}  # min-id in-batch pick + cross-batch drop
 
+    # Restart: a third batch through the SAME sharded checkpoint — the
+    # array<string> seen-sets must restore across process-level restart
+    # semantics (new query, same checkpoint), dropping a dup of batch 0
+    # while passing a genuinely new doc.
+    landing = tmp_path / "sharded_landing"
+    f = landing / "b2.jsonl"
+    f.write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 20, "text": "ALPHA beta   gamma"},  # dup of batch 0
+                {"doc_id": 21, "text": "omega psi chi"},
+            ]
+        )
+        + "\n"
+    )
+    _os.utime(f, (1_000_000_300,) * 2)
+    out, ckpt = str(tmp_path / "sharded_out"), str(tmp_path / "sharded_ckpt")
+    run_dedup_stream(
+        spark, str(landing), out, ckpt, max_files_per_trigger=1, n_shards=8
+    )
+    after = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 21 in after and 20 not in after
+
 
 def test_bloom_state_version_mismatch_fails_loudly():
     """Round-6 review finding: the slot derivation changed (md5 windows
