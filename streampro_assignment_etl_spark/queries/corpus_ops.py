@@ -70,12 +70,16 @@ def span_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     k = _SPAN_WORDS
-    spans = docs.select(
+    # Split once into its own projection — referencing split(text) in
+    # both the sequence bound and the slice would tokenize every row
+    # twice (codegen does not CSE across the lambda boundary).
+    words = docs.select("doc_id", F.split("text", " ").alias("_w"))
+    spans = words.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, cast(ceil(size(split(text, ' '))/{k}.0) as int) - 1),"
-                f" i -> array_join(slice(split(text, ' '), i*{k}+1, {k}), ' '))"
+                f"transform(sequence(0, cast(ceil(size(_w)/{k}.0) as int) - 1),"
+                f" i -> array_join(slice(_w, i*{k}+1, {k}), ' '))"
             )
         ).alias("pos", "span"),
     )
@@ -322,10 +326,22 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     float op, performed identically on both engines, and the round
     guards the hash against formatting-of-double drift only.
     """
+    from pyspark import StorageLevel
+
+    from .catalog import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    vocab = docs.select(
-        "source", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
-    ).distinct()
+    # Persist the distinct (source, term) frame: it is VOCABULARY-sized
+    # (tiny relative to the corpus) and feeds three consumers (both
+    # join sides + the size table) — without the persist each consumer
+    # re-scans and re-explodes the whole corpus (measured: 4 scans / 11
+    # exchanges → 1 scan path reused).
+    vocab = track_persist(
+        docs.select(
+            "source", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+        ).distinct(),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
     a, b = vocab.alias("a"), vocab.alias("b")
     inter = (
