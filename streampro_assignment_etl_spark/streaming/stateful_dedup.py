@@ -86,6 +86,65 @@ def dedup_stream(doc_stream: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TTL variant: recency-horizon dedup with state EVICTION.
+# ---------------------------------------------------------------------------
+def _make_emit_unseen_ttl(ttl_ms: int):
+    """Fine-grained dedup state with a processing-time TTL: a
+    fingerprint's state is EVICTED after ``ttl_ms`` without arrivals, so
+    total state is bounded by the distinct-key volume of the horizon,
+    not of the stream's lifetime. A duplicate arriving inside the
+    horizon refreshes it (last-seen semantics — hot boilerplate stays
+    suppressed for as long as it keeps arriving); one arriving after
+    eviction is re-admitted as new, which is the contract: "dedup
+    against the last T of stream", the bounded-state policy that stays
+    EXACT inside its horizon (the bloom variant is the complementary
+    trade: unbounded horizon, approximate membership)."""
+
+    def emit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Timeout invocations carry no data rows; drop the key.
+            state.remove()
+            return
+        if state.exists:
+            state.setTimeoutDuration(ttl_ms)  # refresh the horizon
+            return
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cand = pdf.nsmallest(1, "doc_id")
+            if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+                best = cand
+        if best is not None:
+            state.update((1,))
+            state.setTimeoutDuration(ttl_ms)
+            yield best[["doc_id", "text", "fingerprint"]]
+
+    return emit
+
+
+def dedup_stream_ttl(doc_stream: DataFrame, ttl_seconds: int) -> DataFrame:
+    """Streaming exact dedup bounded by a recency horizon: same output
+    contract as ``dedup_stream`` inside the horizon, state evicted via
+    ``ProcessingTimeTimeout`` after ``ttl_seconds`` without arrivals.
+    Timeouts fire at micro-batch boundaries for keys WITHOUT data in
+    that batch, so eviction latency is horizon + one batch."""
+    return (
+        fingerprinted(doc_stream)
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            _make_emit_unseen_ttl(ttl_seconds * 1000),
+            outputStructType=DOC_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sharded EXACT state variant: vectorize away the per-key Python call.
 # ---------------------------------------------------------------------------
 _SHARD_EXACT_STATE_SCHEMA = T.StructType(
@@ -160,6 +219,7 @@ def run_dedup_stream(
     max_files_per_trigger: int | None = None,
     shuffle_partitions: int | None = None,
     n_shards: int | None = None,
+    ttl_seconds: int | None = None,
 ) -> None:
     """Drain a landing dir of docs JSONL through the stateful dedup into
     parquet (availableNow; re-runs resume the fingerprint state). Each
@@ -187,16 +247,37 @@ def run_dedup_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.json(landing_dir)
-    # n_shards selects the sharded-exact operator (same output, pinned
-    # by test); None keeps per-fingerprint state.
-    deduped = (
-        dedup_stream(stream)
-        if n_shards is None
-        else dedup_stream_sharded(stream, n_shards=n_shards)
-    )
+    # n_shards selects the sharded-exact operator, ttl_seconds the
+    # TTL-evicting one (same output inside its horizon); both pinned by
+    # tests, mutually exclusive. None/None keeps per-fingerprint state.
+    if n_shards is not None and ttl_seconds is not None:
+        raise ValueError("n_shards and ttl_seconds are mutually exclusive")
+    if n_shards is not None:
+        deduped = dedup_stream_sharded(stream, n_shards=n_shards)
+    elif ttl_seconds is not None:
+        deduped = dedup_stream_ttl(stream, ttl_seconds=ttl_seconds)
+    else:
+        deduped = dedup_stream(stream)
+
+    skip_empty = ttl_seconds is not None
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if not skip_empty:
+            batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            return
+        # TTL mode runs zero-row "cleaning up state" batches (see the
+        # drain loop below); don't litter the sink with empty subtrees.
+        # Persist around the two actions — a foreachBatch frame
+        # re-executes its plan per action, and the emptiness probe must
+        # not run the stateful operator a second time.
+        batch_df.persist()
+        try:
+            if not batch_df.isEmpty():
+                batch_df.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch_id={batch_id}"
+                )
+        finally:
+            batch_df.unpersist()
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -209,7 +290,32 @@ def run_dedup_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        if ttl_seconds is None:
+            q.awaitTermination(timeout_s)
+        else:
+            # With ProcessingTimeTimeout an availableNow query never
+            # terminates: after the data drains it loops "No new data
+            # but cleaning up state" batches forever, standing by to
+            # service future timeouts. Drain-until-idle instead: once a
+            # zero-input batch has run with no data available, the real
+            # data (and every ALREADY-EXPIRED timeout — the engine
+            # services expired keys in each batch, including the data
+            # batches) has been processed; stop the query. Not-yet-
+            # expired timeouts are serviced by the next drain's batches.
+            import time as _t
+
+            deadline = _t.time() + timeout_s
+            while _t.time() < deadline:
+                lp = q.lastProgress
+                if (
+                    lp is not None
+                    and lp["numInputRows"] == 0
+                    and not q.status["isDataAvailable"]
+                ):
+                    break
+                _t.sleep(0.2)
+            q.stop()
+            q.awaitTermination(timeout_s)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
