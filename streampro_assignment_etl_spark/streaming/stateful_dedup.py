@@ -86,6 +86,31 @@ def dedup_stream(doc_stream: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Built-in counterpart: event-time-bounded dedup via watermark.
+# ---------------------------------------------------------------------------
+def dedup_stream_watermarked(
+    doc_stream: DataFrame, ts_col: str, delay: str = "1 hour"
+) -> DataFrame:
+    """The BUILT-IN horizon-bounded dedup, for streams that carry an
+    event-time column: ``withWatermark(ts) + dropDuplicatesWithinWatermark``
+    — state for a fingerprint is evicted once the watermark passes its
+    event time + delay, entirely JVM-side (no Python state function at
+    all; prefer this whenever the data has event time). The custom
+    operators in this module exist for what it can't express: dedup on
+    CONTENT irrespective of time with unbounded (``dedup_stream``),
+    wall-clock-bounded (``dedup_stream_ttl``), sharded-exact, or
+    bloom-bounded state, min-doc_id in-batch selection, and emit-once
+    "first ever seen" semantics rather than "no duplicate within the
+    watermark delay"."""
+    fp = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")))
+    return (
+        doc_stream.withColumn("fingerprint", fp)  # keep ts_col for the watermark
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # TTL variant: recency-horizon dedup with state EVICTION.
 # ---------------------------------------------------------------------------
 def _make_emit_unseen_ttl(ttl_ms: int):

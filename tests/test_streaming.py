@@ -506,6 +506,73 @@ def test_sharded_exact_dedup_matches_fine_grained(spark, tmp_path):
     assert 21 in after and 20 not in after
 
 
+def test_watermarked_dedup_builtin_counterpart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is the built-in event-time-bounded
+    dedup: a duplicate within the watermark delay is dropped; once the
+    watermark passes a fingerprint's event time + delay its state is
+    evicted JVM-side and a much-later duplicate is re-admitted. Pins the
+    built-in's horizon semantics next to the custom TTL operator's."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import (
+        dedup_stream_watermarked,
+    )
+
+    landing = tmp_path / "wm_landing"
+    landing.mkdir()
+    batches = [
+        [
+            {"doc_id": 1, "ts": "2024-01-01 10:00:00", "text": "alpha beta"},
+            {"doc_id": 2, "ts": "2024-01-01 10:20:00", "text": "ALPHA  beta"},  # in-delay dup
+        ],
+        # Advances the watermark to 21:00 - 1h = 20:00 > 11:00 …
+        [{"doc_id": 5, "ts": "2024-01-01 21:00:00", "text": "gamma delta"}],
+        # … but the watermark computed from a batch applies from the
+        # NEXT batch, and expired state is swept at that batch's END —
+        # so this spacer batch is the one that evicts alpha-beta's
+        # 10:00 entry (wm now 20:00), and the re-admission probe goes
+        # in the batch after it.
+        [{"doc_id": 6, "ts": "2024-01-01 21:30:00", "text": "epsilon zeta"}],
+        [{"doc_id": 9, "ts": "2024-01-01 21:40:00", "text": "alpha   beta"}],  # re-admitted
+    ]
+    for i, rows in enumerate(batches):
+        f = landing / f"b{i}.jsonl"
+        f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .withColumn("ts_event", F.to_timestamp("ts"))
+    )
+    dd = dedup_stream_watermarked(stream, "ts_event", "1 hour")
+    out, ckpt = str(tmp_path / "wm_out"), str(tmp_path / "wm_ckpt")
+    q = (
+        dd.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(
+                f"{out}/batch_id={bid}"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 5, 6, 9]  # dup-in-delay dropped, post-eviction re-admitted
+
+
 def test_ttl_dedup_evicts_state_after_horizon(spark, tmp_path):
     """TTL dedup: inside the horizon duplicates are dropped; a key idle
     past ttl_seconds is EVICTED (its timeout fires on the next batch it
