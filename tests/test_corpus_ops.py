@@ -1,0 +1,102 @@
+"""Corpus-op edge cases beyond the sf0.01 differential (which runs in
+test_oracle_parity.py): adversarial text shapes for the span-dedup
+reconstruction, where Spark and DuckDB string semantics could plausibly
+diverge (empty docs, boundary span counts, multi-space runs, trailing
+separators, whole-doc and within-doc repeats)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from streampro_assignment_etl_spark.queries import EXTRAS
+
+# Exactly _SPAN_WORDS-aligned and ragged word counts, built on the
+# operator's k=8.
+W8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+ADVERSARIAL_DOCS = [
+    (0, W8 + " " + W8.replace("w", "x")),          # exactly 2 spans
+    (1, W8 + " tail1 tail2"),                      # ragged 2-word tail; first span dup of doc 0's
+    (2, W8 + " " + W8.replace("w", "x")),          # whole-doc repeat of doc 0 → disappears
+    (3, "solo"),                                   # < k words, one tiny span
+    (4, W8.replace("w", "y") + " " + W8.replace("w", "y")),  # repeats ITS OWN first span (pos 1 cut)
+    (5, ""),                                       # empty text → single "" span
+    (6, ""),                                       # second empty doc → disappears
+    (7, "a  b   c"),                               # multi-space runs (empty-string words)
+    (8, "a b c "),                                 # trailing separator
+    (9, "  leading"),                              # leading separators
+]
+
+
+def _value_hash(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+    return hashlib.md5(
+        "\n".join(
+            sorted(repr(tuple(r)) for r in pdf.itertuples(index=False, name=None))
+        ).encode()
+    ).hexdigest()
+
+
+@pytest.fixture()
+def adversarial_sf(spark, tmp_path):
+    """A documents.parquet of adversarial texts shaped like the
+    testdata table, usable as an sf_dir by builders and as a DuckDB
+    view by oracles."""
+    # Sources straddle the incremental-dedup corpus/batch split
+    # (src<10 = corpus, src>=10 = arrival batch).
+    df = spark.createDataFrame(
+        [
+            (doc_id, text, "en", "src2" if doc_id < 5 else "src12", len(text))
+            for doc_id, text in ADVERSARIAL_DOCS
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_span_dedup_cross_engine_on_adversarial_text(spark, adversarial_sf):
+    spec = EXTRAS["span_dedup_reconstruct"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_sf}/documents.parquet/*.parquet')"
+    )
+    sdf = spec.builder(spark, adversarial_sf).toPandas()
+    odf = con.execute(spec.oracle).df()
+    assert _value_hash(sdf) == _value_hash(odf)
+
+    got = {int(r.doc_id): (int(r.kept_spans), r.text_dedup) for r in sdf.itertuples()}
+    # Whole-doc repeat and the second empty doc vanish entirely.
+    assert 2 not in got and 6 not in got
+    # Doc 0 keeps both spans verbatim.
+    assert got[0] == (2, W8 + " " + W8.replace("w", "x"))
+    # Doc 1's first span was already claimed by doc 0; the ragged tail
+    # survives alone.
+    assert got[1] == (1, "tail1 tail2")
+    # Doc 4's self-repeated span is cut once.
+    assert got[4] == (1, W8.replace("w", "y"))
+    # One of the two empty docs holds the "" span.
+    assert got[5] == (1, "")
+    # Separator runs reconstruct exactly (empty-string words preserved).
+    assert got[7][1] == "a  b   c"
+    assert got[8][1] == "a b c "
+    assert got[9][1] == "  leading"
+
+
+def test_incremental_dedup_cross_engine_on_adversarial_text(spark, adversarial_sf):
+    """The incremental dedup's fingerprint normalization (whitespace
+    collapse + lower) must agree across engines on the same adversarial
+    shapes — multi-space docs 7/8 normalize to DIFFERENT fingerprints
+    ('a b c' vs 'a b c ' keeps its trailing space collapsed to one)."""
+    spec = EXTRAS["incremental_dedup_against_corpus"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_sf}/documents.parquet/*.parquet')"
+    )
+    sdf = spec.builder(spark, adversarial_sf).toPandas()
+    odf = con.execute(spec.oracle).df()
+    assert _value_hash(sdf) == _value_hash(odf)
