@@ -290,11 +290,19 @@ class RawToTrustedProcessor(BaseProcessor):
             # written by earlier runs in the OTHER format (orc vs
             # parquet), so the current run's trusted_format must not
             # decide how every table is read. Sniff the part-file
-            # extensions actually present under the table's prefix and
-            # fall back to this run's format only when ambiguous.
+            # extensions actually present and fall back to this run's
+            # format only when ambiguous. Listing is BOUNDED: try this
+            # run's own date partition first (one date's files), and
+            # only a table with no data for this date pays a full-prefix
+            # listing — at warehouse scale the real fix is a format
+            # column in a catalog, not ever-larger listings.
+            table_prefix = f"{TRUSTED_PREFIX}/{schema.suffix}"
+            keys = self.lake.list_objects(
+                f"{table_prefix}/ingestion_date={self.ingestion_date}"
+            ) or self.lake.list_objects(table_prefix)
             exts = {
                 k.rsplit(".", 1)[-1].lower()
-                for k in self.lake.list_objects(f"{TRUSTED_PREFIX}/{schema.suffix}")
+                for k in keys
                 if "." in k.rsplit("/", 1)[-1]
             }
             if "orc" in exts and "parquet" not in exts:
