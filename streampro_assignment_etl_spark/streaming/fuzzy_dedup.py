@@ -105,10 +105,14 @@ def _bucket_matcher(threshold: float):
     def match_bucket(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
+        if state.exists and len(state.get[0]):
             ids = np.asarray(state.get[0], dtype=np.int64)
             sigs = np.asarray([list(s) for s in state.get[1]], dtype=np.int64)
         else:
+            # Also the restore path for a persisted EMPTY cohort (every
+            # pdf chunk empty when it was written): sigs must stay None,
+            # not np.asarray([]) — an (0,)-shaped array would break the
+            # (m, k) vstack when real rows arrive.
             ids = np.empty(0, dtype=np.int64)
             sigs = None  # (0, k) with k unknown until the first rows land
         parts: list[pd.DataFrame] = []

@@ -368,3 +368,164 @@ def test_pairs_from_sorted_ids_equals_combinations(spark, buckets):
     got = {(r["id_a"], r["id_b"]) for r in pairs_from_sorted_ids(df).collect()}
     expect = {p for b in buckets for p in combinations(sorted(b), 2)}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Vectorized state functions vs scalar references (no Spark needed —
+# the state ops are plain Python functions over pandas + a state stub).
+# ---------------------------------------------------------------------------
+class _MemState:
+    """Minimal GroupState stand-in: exists/get/update (+ never timed out)."""
+
+    hasTimedOut = False
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _scalar_bucket_matcher(threshold):
+    """The pre-round-7 per-row implementation, kept verbatim as the
+    semantic reference for the vectorized matcher."""
+
+    def match_bucket(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, sigs = list(state.get[0]), [list(s) for s in state.get[1]]
+        else:
+            ids, sigs = [], []
+        out = []
+        for pdf in pdfs:
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                doc_id, sig = int(doc_id), [int(x) for x in sig]
+                for prior_id, prior_sig in zip(ids, sigs):
+                    if prior_id == doc_id:
+                        continue
+                    est = sum(a == b for a, b in zip(sig, prior_sig)) / len(sig)
+                    if est >= threshold:
+                        out.append((min(doc_id, prior_id), max(doc_id, prior_id), est))
+                ids.append(doc_id)
+                sigs.append(sig)
+        state.update((ids, sigs))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_a", "doc_b", "est_jaccard"])
+
+    return match_bucket
+
+
+_SIG = st.lists(st.integers(min_value=0, max_value=2), min_size=4, max_size=4)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(  # a stream of micro-batches …
+        st.lists(  # … each a list of (doc_id, 4-slot signature) rows
+            st.tuples(st.integers(min_value=0, max_value=9), _SIG),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+)
+def test_vectorized_bucket_matcher_equals_scalar(batches, threshold):
+    """Round-7 refactor pin: the numpy matrix matcher emits exactly the
+    scalar reference's pairs (same batches, same estimates) and leaves
+    identical state, over adversarial streams incl. repeated doc_ids,
+    empty batches, and threshold edge values. The tiny slot alphabet
+    forces frequent partial agreements so >=threshold edges are dense."""
+    import pandas as pd
+
+    from streampro_assignment_etl_spark.streaming.fuzzy_dedup import _bucket_matcher
+
+    vec_state, ref_state = _MemState(), _MemState()
+    vec_fn, ref_fn = _bucket_matcher(threshold), _scalar_bucket_matcher(threshold)
+    for rows in batches:
+        pdf = pd.DataFrame(
+            {"doc_id": [d for d, _ in rows], "sig": [s for _, s in rows]}
+        )
+        # Exercise the multi-chunk iterator path: split each batch into
+        # two pdf chunks (applyInPandasWithState may deliver several).
+        chunks = [pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]]
+
+        def emitted(fn, state):
+            out = list(fn(None, iter(chunks), state))
+            if not out:
+                return []
+            cat = pd.concat(out, ignore_index=True)
+            return sorted(
+                (int(a), int(b), round(float(e), 9))
+                for a, b, e in zip(cat["doc_a"], cat["doc_b"], cat["est_jaccard"])
+            )
+
+        assert emitted(vec_fn, vec_state) == emitted(ref_fn, ref_state)
+    assert list(vec_state.get[0]) == list(ref_state.get[0])
+    assert [list(s) for s in vec_state.get[1]] == [list(s) for s in ref_state.get[1]]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),
+                st.sampled_from(["fa", "fb", "fc", "fd"]),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sharded_emit_equals_per_key_composition(batches):
+    """The sharded-exact state function (one call per shard) must keep
+    exactly the rows the fine-grained per-fingerprint function keeps
+    when composed over the batch's fingerprints — min doc_id per
+    fingerprint per batch, first batch wins."""
+    import pandas as pd
+
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import (
+        _emit_first_unseen,
+        _emit_shard_unseen,
+    )
+
+    shard_state = _MemState()
+    fine_states: dict[str, _MemState] = {}
+    for rows in batches:
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in rows],
+                "text": [f"t{d}" for d, _ in rows],
+                "fingerprint": [f for _, f in rows],
+            }
+        )
+        shard_out = list(_emit_shard_unseen(None, iter([pdf]), shard_state))
+        shard_kept = sorted(
+            (int(r.doc_id), r.fingerprint)
+            for o in shard_out
+            for r in o.itertuples()
+        )
+        fine_kept = []
+        for f in sorted({f for _, f in rows}):
+            sub = pdf[pdf["fingerprint"] == f]
+            stt = fine_states.setdefault(f, _MemState())
+            for o in _emit_first_unseen(None, iter([sub]), stt):
+                fine_kept += [(int(r.doc_id), r.fingerprint) for r in o.itertuples()]
+        assert shard_kept == sorted(fine_kept)
+    # State parity: the shard's seen-set equals the union of fine keys.
+    assert sorted(shard_state.get[0]) == sorted(
+        f for f, s in fine_states.items() if s.exists
+    )
