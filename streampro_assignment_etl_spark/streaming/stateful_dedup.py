@@ -17,6 +17,14 @@ before" has no horizon. For 100 TB key spaces the sharded BLOOM
 variant below (``dedup_stream_bloom``) bounds total state to
 n_shards fixed-size filters at a small false-positive cost — same
 operator shape, different state schema.
+
+API note: Spark 4's successor API (``transformWithStateInPandas`` —
+typed ValueState/ListState/MapState, native state TTL, timers) is the
+forward path for these operators, but its Python driver worker needs
+``google.protobuf`` (absent here; probed — the runner crashes importing
+StateMessage_pb2) and mandates the RocksDB state-store provider, so
+this module stays on ``applyInPandasWithState``, which expresses the
+same semantics on the default provider with no extra deps.
 """
 
 from __future__ import annotations
