@@ -22,7 +22,7 @@ from .events_stream import (
     write_stream_to_trusted,
 )
 from .fuzzy_dedup import fuzzy_dedup_stream, run_fuzzy_dedup_stream
-from .heavy_hitters import trending_terms_stream
+from .heavy_hitters import read_mg_sink, trending_terms_stream
 from .stateful_dedup import (
     dedup_stream,
     dedup_stream_bloom,
@@ -44,6 +44,7 @@ __all__ = [
     "run_fuzzy_dedup_stream",
     "run_stream_to_parquet",
     "sessionized_stream",
+    "read_mg_sink",
     "trending_terms_stream",
     "windowed_event_counts",
     "write_stream_to_trusted",

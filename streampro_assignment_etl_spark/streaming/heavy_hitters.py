@@ -14,8 +14,8 @@ vocabulary; exactness, when needed, comes from recounting the (tiny)
 candidate set in batch — the same sketch-only-prunes design as the
 batch operator.
 
-Downstream reads take the LATEST summary per shard: filter each
-shard's rows to its max batch_id (as the tests do). Do NOT use
+Downstream reads take the LATEST summary per shard — use
+``read_mg_sink`` (all rows of each shard's max batch_id). Do NOT use
 ``read_update_sink`` here — it keeps exactly ONE row per key, so
 keying by shard would discard all but one term of the summary, and
 keying by (shard, term) would keep stale rows for terms a later
@@ -94,4 +94,25 @@ def trending_terms_stream(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def read_mg_sink(spark, out_dir: str) -> DataFrame:
+    """The CORRECT reader for a ``trending_terms_stream`` foreachBatch
+    sink: each shard's LATEST full summary — all rows of the shard's max
+    batch_id, terms a later summary dropped excluded. This is the
+    multi-row-per-key winnow that ``read_update_sink`` cannot express
+    (it keeps one row per key; see its contract note): rank whole
+    BATCHES per shard, not rows per (shard, term).
+
+    One shuffle on (shard): the same window shape as ``read_update_sink``
+    but keyed a level higher."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    w = Window.partitionBy("shard")
+    return (
+        df.withColumn("_maxb", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("_maxb"))
+        .drop("_maxb")
     )

@@ -807,22 +807,12 @@ def test_trending_terms_stream_superset_and_bounded_state(spark, tmp_path):
     )
     q.awaitTermination(300)
 
-    sink = spark.read.option("basePath", out).parquet(out)
     # Latest summary per shard (a shard's batch-1 emission supersedes
-    # its batch-0 one entirely).
-    from pyspark.sql.window import Window
+    # its batch-0 one entirely) — the dedicated multi-row-per-key
+    # winnow; read_update_sink would silently truncate (its contract).
+    from streampro_assignment_etl_spark.streaming import read_mg_sink
 
-    latest = (
-        sink.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("shard").orderBy(F.col("batch_id").desc())
-            ),
-        )
-        .withColumn("_maxb", F.max("batch_id").over(Window.partitionBy("shard")))
-        .filter(F.col("batch_id") == F.col("_maxb"))
-    )
-    final = latest.select("shard", "term", "est").collect()
+    final = read_mg_sink(spark, out).select("shard", "term", "est").collect()
     all_terms = b0 + b1
     n = len(all_terms)
     true_heavy = {t for t, c in Counter(all_terms).items() if c * k > n}
