@@ -219,6 +219,92 @@ def training_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-style model filter).
+# ---------------------------------------------------------------------------
+_CLS_BUCKETS = 64
+# Stand-in "trained" weights: integer weights in [-10, 10], derived
+# deterministically so both engines inline the identical literal model.
+_CLS_WEIGHTS = [((j * 37) % 21) - 10 for j in range(_CLS_BUCKETS)]
+
+
+def _cls_weight_values() -> str:
+    return ", ".join(f"({j}, {w})" for j, w in enumerate(_CLS_WEIGHTS))
+
+
+@query(
+    "quality_classifier_scores",
+    extra=True,
+    tags=("quality", "classifier", "llm-pipeline"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+b AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % {_CLS_BUCKETS} AS bkt
+  FROM tok
+),
+wt AS (SELECT * FROM (VALUES {_cls_weight_values()}) AS t(bkt, wgt)),
+s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(wgt) AS BIGINT) AS wsum
+  FROM b JOIN wt USING (bkt)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_terms,
+       ROUND(CAST(wsum AS DOUBLE) / (11.0 * n_terms), 6) AS quality_score,
+       wsum > 0 AS keep
+FROM s
+ORDER BY doc_id
+""",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the CCNet/RefinedWeb fasttext
+    pattern: hash each token into a weight bucket, score the document
+    with a LINEAR model over its bag of words, keep above threshold.
+    The "model" here is a literal 64-bucket integer weight vector so
+    the oracle replays the identical arithmetic — the accumulation is
+    an exact integer sum (float sums are partition-order-dependent and
+    would flake the cross-engine hash), with ONE deterministic division
+    into the normalized score and the keep decision made on the integer
+    sum itself.
+
+    Scale shape: the model rides in the plan as a literal array —
+    scoring is map-side (explode → element_at → doc-keyed agg), no
+    join, no broadcast, no Python. A real trained model (2^20 hashed
+    buckets) ships as a broadcast array or a weight-table join keyed by
+    bucket; the plan shape per document is unchanged.
+    """
+    from ..operators.simhash import token_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    wvec = F.array(*[F.lit(w) for w in _CLS_WEIGHTS])
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("_w")
+    ).select(
+        "doc_id",
+        F.element_at(
+            wvec, (token_hash60(F.col("_w")) % _CLS_BUCKETS).cast("int") + 1
+        ).alias("_wgt"),
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("_wgt").alias("_wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(
+                F.col("_wsum").cast("double") / (11.0 * F.col("n_terms")), 6
+            ).alias("quality_score"),
+            (F.col("_wsum") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: new arrivals against an existing corpus.
 # ---------------------------------------------------------------------------
 @query(
