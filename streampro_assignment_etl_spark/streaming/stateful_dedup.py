@@ -337,14 +337,24 @@ def run_dedup_stream(
             # expired timeouts are serviced by the next drain's batches.
             import time as _t
 
-            deadline = _t.time() + timeout_s
+            start = _t.time()
+            deadline = start + timeout_s
+            seen_data = False
             while _t.time() < deadline:
                 lp = q.lastProgress
-                if (
+                if lp is not None and lp["numInputRows"] > 0:
+                    seen_data = True
+                idle = (
                     lp is not None
                     and lp["numInputRows"] == 0
                     and not q.status["isDataAvailable"]
-                ):
+                )
+                # Don't trust an idle report until a data batch has run
+                # (or a grace period passed): under load the engine can
+                # emit a zero-row batch BEFORE source listing finds the
+                # new files, and stopping there would drop the drain's
+                # real data on the floor.
+                if idle and (seen_data or _t.time() - start > 10):
                     break
                 _t.sleep(0.2)
             q.stop()
