@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import dec_sum
 from ..sources.testdata import load_table
 from .catalog import query
 
@@ -367,3 +368,49 @@ def json_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("k_bucket").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — the reshape inverse of the pivot above.
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_returnflag_metrics",
+    extra=True,  # reshape family driver row is pivot_event_type_daily
+    tags=("reshape", "unpivot", "melt"),
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc,
+         CAST(COUNT(*) AS DOUBLE) AS n_items
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'n_items', n_items FROM agg
+)
+ORDER BY l_returnflag, metric
+""",
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt via the native ``DataFrame.unpivot`` (Spark's
+    UNPIVOT clause — plans as an Expand node, one pass, NOT a
+    self-union that would rescan the input once per metric; the oracle's
+    UNION ALL over a CTE is the portable spelling of the same result).
+    Decimal sums keep the melted values order-independent; every metric
+    is cast to one common DOUBLE type because UNPIVOT requires (and a
+    long format implies) a single value column type."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity", 2).alias("sum_qty"),
+        dec_sum("l_discount", 2).alias("sum_disc"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_disc", "n_items"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")
