@@ -19,6 +19,33 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     assert not problems, "\n".join(str(p) for p in problems)
 
 
+# Heavier extras whose candidate generation / key skew only becomes
+# non-trivial above toy scale: re-verify at the driver's sf0.01 (the
+# full REGISTRY∪EXTRAS sweep above stays at sf0.001 for suite speed —
+# the DRIVER gate covers REGISTRY at sf0.01, this covers the extras
+# that would otherwise never see that scale in CI).
+SCALE_UP_EXTRAS = [
+    "dedup_containment_rare_shingle",
+    "lm_bigram_perplexity",
+    "heavy_hitters_terms",
+    "span_dedup_reconstruct",
+    "inverted_index_postings",
+    "incremental_dedup_against_corpus",
+    "quality_classifier_scores",
+    "source_vocab_overlap",
+    "training_shuffle_interleave",
+]
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in SCALE_UP_EXTRAS if n in ALL_QUERIES and ALL_QUERIES[n].oracle]
+)
+def test_extra_matches_oracle_at_driver_scale(spark, sf_correct, name):
+    results = run_differential(spark, sf_correct, names=[name])
+    problems = results[name]
+    assert not problems, "\n".join(str(p) for p in problems)
+
+
 def test_rows_only_queries_run(spark, sf_smoke):
     """Queries without an oracle must at least execute and return a
     stable schema."""
