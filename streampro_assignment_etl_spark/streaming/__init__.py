@@ -17,6 +17,7 @@ from .events_stream import (
     compact_update_sink,
     read_update_sink,
     run_stream_to_parquet,
+    run_stream_upsert,
     sessionized_stream,
     windowed_event_counts,
     write_stream_to_trusted,
@@ -43,6 +44,7 @@ __all__ = [
     "run_dedup_stream",
     "run_fuzzy_dedup_stream",
     "run_stream_to_parquet",
+    "run_stream_upsert",
     "sessionized_stream",
     "read_mg_sink",
     "trending_terms_stream",

@@ -236,6 +236,61 @@ def compact_update_sink(
     return {"files_before": len(part_files), "files_after": after, "rows": rows}
 
 
+def run_stream_upsert(
+    result: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    timeout_s: int = 300,
+) -> None:
+    """Streaming keyed SCD-1 sink: each micro-batch ``merge_upsert``s
+    into ONE parquet table — same-key rows replaced, new keys appended —
+    so readers get latest-per-key directly, with none of the
+    ``batch_id=N`` winnowing the plain update-mode sink needs
+    (``read_update_sink``) and no unbounded batch-partition growth.
+
+    Exactly-once under checkpoint retries because the merge is
+    idempotent: replaying batch N merges the same rows into a table
+    that already reflects them, converging to the same state (batch 0
+    bootstraps the table with a plain write). Each batch costs one
+    key-anti-join + staged-swap rewrite of the target (or its touched
+    partitions) — right for modest aggregate tables updated by a
+    stream; for corpus-scale targets keep the plain batch_id sink and
+    compact instead. Batches with duplicate keys are collapsed
+    arbitrarily by ``merge_upsert``; feed it keyed aggregates (one row
+    per key per batch) for deterministic results."""
+    from pathlib import Path
+
+    from ..pipeline.writers import merge_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: merge_upsert runs several actions over the batch
+        # frame, which would otherwise re-execute its plan each time.
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            if not Path(target_path).exists():
+                batch_df.dropDuplicates(list(keys)).write.mode("overwrite").parquet(
+                    target_path
+                )
+            else:
+                merge_upsert(
+                    batch_df.sparkSession, target_path, batch_df, tuple(keys)
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        result.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def enriched_events_stream(
     events: DataFrame,
     dim: DataFrame,

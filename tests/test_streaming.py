@@ -706,6 +706,55 @@ def test_read_update_sink_keeps_latest_batch_per_key(spark, tmp_path):
     assert any(r[2] == 2 and r[3] == 3.0 for r in got)  # merged 10:00 window
 
 
+def test_stream_upsert_sink_latest_per_key_without_winnowing(spark, tmp_path):
+    """run_stream_upsert merges each micro-batch into ONE keyed parquet
+    table: after a two-batch drain where an hour window spans both
+    batches, a NAIVE read of the target equals the batch recompute —
+    no batch_id winnowing, no stale rows. A replayed drain over the
+    same checkpoint is a no-op (idempotent merge)."""
+    import os as _os
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming import run_stream_upsert
+
+    landing = pathlib.Path(tmp_path / "ups_landing")
+    landing.mkdir()
+    b0 = [_event(0, "2024-01-01 10:05:00", 1, "view", 1.0)]
+    b1 = [
+        _event(1, "2024-01-01 10:40:00", 1, "view", 2.0),  # updates 10:00 key
+        _event(2, "2024-01-01 12:10:00", 2, "view", 4.0),
+    ]
+    for i, rows in enumerate((b0, b1)):
+        f = landing / f"ev{i}.jsonl"
+        f.write_text("\n".join(json.dumps(e) for e in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    def stream():
+        return windowed_event_counts(
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+            .withColumn("ts_event", F.to_timestamp("ts"))
+        )
+
+    target, ckpt = str(tmp_path / "ups_target"), str(tmp_path / "ups_ckpt")
+    keys = ["window_start", "event_type"]
+    run_stream_upsert(stream(), target, ckpt, keys)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    batch = sorted(
+        tuple(r)
+        for r in windowed_event_counts(_batch_events(spark, str(landing))).collect()
+    )
+    assert got == batch  # naive read IS latest-per-key
+    assert any(r[2] == 2 and r[3] == 3.0 for r in got)  # merged 10:00 window
+
+    # Replay over the same checkpoint: no new data, table unchanged.
+    run_stream_upsert(stream(), target, ckpt, keys)
+    again = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert again == got
+
+
 def test_compact_update_sink_read_equivalent_and_fewer_files(spark, tmp_path):
     """compact_update_sink winnows an update-mode sink to the latest row
     per key once: read_update_sink returns a bit-identical frame
