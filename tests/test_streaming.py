@@ -577,9 +577,12 @@ def test_ttl_dedup_evicts_state_after_horizon(spark, tmp_path):
     """TTL dedup: inside the horizon duplicates are dropped; a key idle
     past ttl_seconds is EVICTED (its timeout fires on the next batch it
     has no data in) and a later duplicate is re-admitted as new — the
-    bounded-state-by-recency contract. Three drains over one checkpoint:
-    b0 admits A; b1 (after sleeping past the TTL) carries only B, firing
-    A's timeout; b2 re-admits A."""
+    bounded-state-by-recency contract. Two independent streams because
+    the two behaviors race each other on one checkpoint under scheduler
+    load: a LONG-horizon control (suppression can never be disturbed by
+    eviction) and a short-horizon eviction stream (b0 admits A; b1 after
+    sleeping past the TTL carries only B, firing A's timeout; b2
+    re-admits A)."""
     import os as _os
     import time as _time
 
@@ -587,42 +590,52 @@ def test_ttl_dedup_evicts_state_after_horizon(spark, tmp_path):
         run_dedup_stream,
     )
 
-    landing = tmp_path / "ttl_landing"
-    landing.mkdir()
-    out, ckpt = str(tmp_path / "ttl_out"), str(tmp_path / "ttl_ckpt")
+    def mkdrain(tag, ttl):
+        landing = tmp_path / f"{tag}_landing"
+        landing.mkdir()
+        out, ckpt = str(tmp_path / f"{tag}_out"), str(tmp_path / f"{tag}_ckpt")
 
-    def drain_with(i, rows):
-        f = landing / f"b{i}.jsonl"
-        f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
-        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
-        run_dedup_stream(
-            spark, str(landing), out, ckpt,
-            max_files_per_trigger=1, ttl_seconds=2,
-        )
-        return sorted(
-            (r["doc_id"], r["fingerprint"])
-            for r in spark.read.parquet(out).collect()
-        )
+        def drain(i, rows):
+            f = landing / f"b{i}.jsonl"
+            f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+            _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+            run_dedup_stream(
+                spark, str(landing), out, ckpt,
+                max_files_per_trigger=1, ttl_seconds=ttl,
+            )
+            return sorted(
+                (r["doc_id"], r["fingerprint"])
+                for r in spark.read.parquet(out).collect()
+            )
 
-    got0 = drain_with(0, [
+        return drain
+
+    # Control stream: a horizon far longer than the test, so timing
+    # noise can never evict — a cross-batch duplicate MUST be
+    # suppressed. (Kept on its own checkpoint: on the short-TTL stream
+    # this assertion would race the eviction sweep of whatever idle
+    # gap scheduler load inserts between drains.)
+    ctl = mkdrain("ttlctl", 300)
+    assert [d for d, _ in ctl(0, [{"doc_id": 1, "text": "alpha beta gamma"}])] == [1]
+    got_ctl = ctl(1, [{"doc_id": 4, "text": "ALPHA  beta gamma"}])
+    assert [d for d, _ in got_ctl] == [1]  # suppressed inside the horizon
+
+    # Eviction stream: 2 s horizon, 4 s idle — the timeout must fire.
+    ev = mkdrain("ttlev", 2)
+    got0 = ev(0, [
         {"doc_id": 1, "text": "alpha beta gamma"},
         {"doc_id": 2, "text": "Alpha  beta GAMMA"},  # in-batch dup
     ])
     assert [d for d, _ in got0] == [1]
 
     _time.sleep(4)  # idle past the 2 s horizon
-    got1 = drain_with(1, [{"doc_id": 5, "text": "delta epsilon"}])
+    got1 = ev(1, [{"doc_id": 5, "text": "delta epsilon"}])
     assert [d for d, _ in got1] == [1, 5]  # A's timeout fired this batch
 
-    got2 = drain_with(2, [{"doc_id": 9, "text": "alpha  beta gamma"}])
+    got2 = ev(2, [{"doc_id": 9, "text": "alpha  beta gamma"}])
     # A evicted → its duplicate is re-admitted as new.
     assert [d for d, _ in got2] == [1, 5, 9]
     assert got2[0][1] == got2[2][1]  # same fingerprint, admitted twice
-
-    # Control: WITHOUT an idle gap a duplicate stays suppressed (the
-    # b2 arrival refreshed A's horizon moments ago).
-    got3 = drain_with(3, [{"doc_id": 12, "text": "ALPHA beta gamma"}])
-    assert [d for d, _ in got3] == [1, 5, 9]
 
 
 def test_bloom_state_version_mismatch_fails_loudly():
