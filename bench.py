@@ -59,7 +59,11 @@ def main() -> None:
     warm.builder(spark, sf_dir).count()
     release_persisted()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Default 5 reps (median): at sub-2 s per query this box shows ~2×
+    # median-of-3 swings between runs (r6 join_dims_rollup postmortem,
+    # SCALE.md "Bench-variance postmortems"); median-of-5 costs ~30 s
+    # more per round and roughly halves the run-to-run spread.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         samples = []
