@@ -1,11 +1,13 @@
 """Corpus-preparation operators beyond the dedup/ANN families: span-level
 dedup with document reconstruction, inverted-index construction, the
-deterministic epoch shuffle a trainer consumes, and cross-source
-vocabulary drift — the remaining verbs of a training-data pipeline that
-the existing extensions (document-level dedup, quality, sampling,
-packing) don't cover.
+deterministic epoch shuffle a trainer consumes, model-based quality
+filtering, incremental dedup against an existing corpus, cross-source
+vocabulary drift, embedding-coverage auditing, and per-source dedup
+diagnostics — the remaining verbs of a training-data pipeline that the
+existing extensions (document-level dedup, quality, sampling, packing)
+don't cover.
 
-All four are EXTRAS: their operator families already have driver-window
+All are EXTRAS: their operator families already have driver-window
 representatives, so they ride the local differential harness
 (tests/test_oracle_parity.py, REGISTRY ∪ EXTRAS) with full DuckDB
 oracles instead of spending driver slots.
@@ -461,4 +463,124 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-coverage referential audit (documents <-> embeddings).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_coverage_audit",
+    extra=True,
+    tags=("audit", "referential", "llm-pipeline"),
+    oracle="""
+SELECT 'docs_total' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+UNION ALL
+SELECT 'docs_without_embedding',
+       CAST(COUNT(*) AS BIGINT)
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE e.vec_id IS NULL
+UNION ALL
+SELECT 'orphan_embeddings',
+       CAST(COUNT(*) AS BIGINT)
+FROM embeddings e LEFT JOIN documents d ON e.vec_id = d.doc_id
+WHERE d.doc_id IS NULL
+ORDER BY metric
+""",
+)
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The referential-integrity audit a text+embedding pipeline runs
+    before training: documents missing their embedding row (the embed
+    job's backlog — these can't enter similarity dedup or ANN recall
+    and silently shrink those ops' coverage) and orphan embeddings
+    whose document was deleted or re-keyed (stale vectors that WOULD
+    surface in ANN results). Expressed as anti-joins on the id key —
+    at 100 TB both sides shuffle 8-byte keys only (column pruning
+    drops text and vectors before the exchange), and with both tables
+    bucketed on the id the audit is shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    d_ids = docs.select("doc_id")
+    e_ids = emb.select("vec_id")
+    rows = [
+        d_ids.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("docs_total").alias("metric"), "n"
+        ),
+        d_ids.join(e_ids, d_ids.doc_id == e_ids.vec_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("docs_without_embedding").alias("metric"), "n"),
+        e_ids.join(d_ids, e_ids.vec_id == d_ids.doc_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("orphan_embeddings").alias("metric"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# Dedup diagnostics: which source pollutes the corpus?
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_rate_by_source",
+    extra=True,
+    tags=("dedup", "diagnostics", "llm-pipeline"),
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+dup AS (
+  SELECT fingerprint, COUNT(*) AS n_occ FROM fp GROUP BY fingerprint
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN d.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       ROUND(CAST(SUM(CASE WHEN d.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate
+FROM fp f JOIN dup d USING (fingerprint)
+GROUP BY f.source
+ORDER BY f.source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rates — the diagnostic that decides WHERE
+    to point the dedup budget (a source with dup_rate ~1.0 is a
+    re-crawl or a mirror; drop it at ingest instead of paying
+    corpus-wide LSH for it). A doc counts as duplicated when its
+    fingerprint occurs more than once ANYWHERE in the corpus, so
+    cross-source mirrors are charged to both sources.
+
+    Scale shape: one fingerprint-keyed aggregate (16-byte keys) builds
+    the occurrence table, one join back on fingerprint, one source
+    aggregate — the df table is distinct-fingerprint-sized and the
+    exact integer counts keep the rate division deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+    occ = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_flag = F.when(F.col("n_occ") > 1, 1).otherwise(0)
+    return (
+        fp.join(occ, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(dup_flag).alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "docs",
+            "dup_docs",
+            F.round(F.col("dup_docs").cast("double") / F.col("docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
     )
