@@ -1180,3 +1180,29 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     assert extent_sum(zdir, "y") <= 8 * side, extent_sum(zdir, "y")
 
     assert spark.read.parquet(str(zdir)).count() == n
+
+
+def test_observed_quality_metrics_free_accounting(spark, tmp_path):
+    """Observation metrics ride the one action that already runs (the
+    write) — rows + per-column null counts with no second scan — and
+    the gate flags columns over their null budget."""
+    from streampro_assignment_etl_spark.pipeline.observability import (
+        observed_quality,
+        quality_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], ["id", "v"]
+    )
+    observed, obs = observed_quality(df, null_cols=["v", "id"])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "obs_out"))
+
+    m = obs.get
+    assert m["rows"] == 4 and m["nulls_v"] == 2 and m["nulls_id"] == 0
+    # The metrics describe the data the WRITE saw — no re-count ran.
+    assert spark.read.parquet(str(tmp_path / "obs_out")).count() == 4
+
+    assert quality_gate(m, 0.25, ["id", "v"]) == [
+        "v: 2/4 null rows exceeds 25.0%"
+    ]
+    assert quality_gate(m, 0.5, ["id", "v"]) == []
