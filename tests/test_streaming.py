@@ -890,3 +890,63 @@ def test_trending_terms_stream_superset_and_bounded_state(spark, tmp_path):
         if t in cand and c * k > n
     }
     assert exact == {(t, c) for t, c in Counter(all_terms).items() if c * k > n}
+
+
+def test_observed_metrics_on_streaming_query(spark, tmp_path):
+    """The observe API's streaming half (pipeline/observability.py
+    docstring): df.observe(name, *exprs) on a streaming frame surfaces
+    per-batch metrics in StreamingQueryProgress.observedMetrics — free
+    in-flight accounting for streams, composable with quality_gate."""
+    import os as _os
+    import pathlib
+
+    from pyspark.sql import types as T
+
+    from streampro_assignment_etl_spark.pipeline.observability import quality_gate
+
+    landing = pathlib.Path(tmp_path / "obs_landing")
+    landing.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "gamma"},
+    ]
+    (landing / "b0.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(landing))
+        .observe(
+            "quality",
+            F.count(F.lit(1)).alias("rows"),
+            F.count(F.when(F.col("text").isNull(), 1)).alias("nulls_text"),
+        )
+    )
+    out, ckpt = str(tmp_path / "obs_out"), str(tmp_path / "obs_ckpt")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, bid: df.write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    observed = [
+        p["observedMetrics"]["quality"]
+        for p in q.recentProgress
+        if "quality" in (p.get("observedMetrics") or {})
+    ]
+    assert observed, "no batch surfaced observed metrics"
+    m = observed[0]
+    assert m["rows"] == 3 and m["nulls_text"] == 1
+    # The same pure gate evaluates streaming metrics rows (Row.asDict).
+    assert quality_gate(m.asDict(), 0.25, ["text"]) == [
+        "text: 1/3 null rows exceeds 25.0%"
+    ]
+    assert quality_gate(m.asDict(), 0.5, ["text"]) == []
