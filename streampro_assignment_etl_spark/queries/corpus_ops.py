@@ -15,6 +15,7 @@ oracles instead of spending driver slots.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -168,6 +169,96 @@ _SHUFFLE_SEED = "42"
 _N_WORKERS = 8
 
 
+def epoch_shuffle_positions(
+    keyed: DataFrame,
+    *,
+    n_workers: int = _N_WORKERS,
+    n_partitions: int = 32,
+    use_global_window: bool = False,
+) -> DataFrame:
+    """Global permutation rank over ``(hkey, doc_id)`` → ``(pos, doc_id,
+    worker_shard)``, where ``pos`` is the 0-based rank of the row in the
+    total order and ``worker_shard = pos % n_workers``.
+
+    Default (scale-safe) shape — NO global window anywhere in the plan:
+
+    1. ``repartitionByRange(n_partitions, hkey, doc_id)`` — Spark samples
+       the key space so range partition *i* holds exactly the rows ranked
+       below every row of partition *i+1* (total order is strict because
+       ``doc_id`` is unique, so equal-key straddling can't misrank).
+    2. One tiny aggregate (``groupBy(pid).count()``, ``n_partitions``
+       rows) collected to the driver — bounded by contract — and turned
+       into a literal cumulative-offset map inlined into the plan.
+    3. Per-partition local rank via ``Window.partitionBy(pid)`` — every
+       window group is ONE range partition (≈ corpus/n_partitions rows),
+       sorted independently in parallel; ``pos = offset[pid] + local``.
+
+    Cost: the range shuffle + one hash shuffle on ``pid`` (whole
+    partitions move as units) + the n_partitions-row count agg. Every
+    stage is bounded by partition size, so the plan survives 100 TB —
+    unlike the unpartitioned ``Window.orderBy`` (``use_global_window=
+    True``), a single-task sort of the entire corpus that is kept ONLY
+    as the oracle anchor (it is what DuckDB's ``row_number() OVER
+    (ORDER BY …)`` replays) and is property-pinned bit-equal to this
+    builder in tests/test_corpus_ops.py.
+    """
+    if use_global_window:
+        w = Window.orderBy("hkey", "doc_id")
+        return (
+            keyed.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .select(
+                "pos",
+                "doc_id",
+                (F.col("pos") % n_workers).cast("long").alias("worker_shard"),
+            )
+            .orderBy("pos")
+        )
+
+    from .catalog import track_persist
+
+    # Persist is CORRECTNESS-load-bearing, not an optimization:
+    # repartitionByRange re-samples range boundaries per action, so
+    # without it the count pass and the rank pass could see different
+    # pid→range assignments and the offsets would misalign.
+    ranged = track_persist(
+        keyed.repartitionByRange(n_partitions, "hkey", "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    # Bounded collect: exactly one row per range partition.
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(counts):  # range partitions are ordered by pid
+        offsets[pid] = running
+        running += counts[pid]
+    # Empty frame → no offsets; create_map() with zero args types as
+    # map<void,void> and fails analysis, so skip the lookup (no rows
+    # exist to rank anyway).
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(v) for pid_off in sorted(offsets.items()) for v in pid_off]
+        )
+        pos_expr = offset_map[F.col("pid")] + F.col("lrank")
+    else:
+        pos_expr = F.col("lrank")
+    local = Window.partitionBy("pid").orderBy("hkey", "doc_id")
+    return (
+        ranged.withColumn("lrank", (F.row_number().over(local) - 1).cast("long"))
+        .withColumn("pos", pos_expr)
+        .select(
+            "pos",
+            "doc_id",
+            (F.col("pos") % n_workers).cast("long").alias("worker_shard"),
+        )
+        .orderBy("pos")
+    )
+
+
 @query(
     "training_shuffle_interleave",
     extra=True,
@@ -193,13 +284,10 @@ def training_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute exactly which documents it owns in which order. Changing
     the seed string re-permutes the corpus for the next epoch.
 
-    Scale shape: ONE range-partitioned sort on the hash key (Spark
-    samples the key space, so ranges balance even though md5 output is
-    uniform anyway) — no collect, no driver-side permutation table. The
-    global ``row_number`` over the full order is the one genuinely
-    serial construct; at 100 TB replace it with (range-partition id,
-    within-partition offset) + a broadcast of per-partition counts —
-    kept as the literal window here so the oracle can replay it.
+    Runs the rank-computable ``epoch_shuffle_positions`` builder — range
+    partitioning + per-partition offsets, no global window — which is
+    bit-equal (property-pinned) to the single ``row_number() OVER
+    (ORDER BY hkey, doc_id)`` the DuckDB oracle replays.
     """
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select(
@@ -208,16 +296,7 @@ def training_shuffle_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hkey"
         ),
     )
-    w = Window.orderBy("hkey", "doc_id")
-    return (
-        h.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-        .select(
-            "pos",
-            "doc_id",
-            (F.col("pos") % _N_WORKERS).cast("long").alias("worker_shard"),
-        )
-        .orderBy("pos")
-    )
+    return epoch_shuffle_positions(h)
 
 
 # ---------------------------------------------------------------------------

@@ -100,3 +100,79 @@ def test_incremental_dedup_cross_engine_on_adversarial_text(spark, adversarial_s
     sdf = spec.builder(spark, adversarial_sf).toPandas()
     odf = con.execute(spec.oracle).df()
     assert _value_hash(sdf) == _value_hash(odf)
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle: rank-computable builder ≡ global-window oracle anchor.
+# ---------------------------------------------------------------------------
+def _keyed(spark, n, seed="42"):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{seed}"))).alias("hkey"),
+    )
+
+
+@pytest.mark.parametrize("n,n_partitions", [(500, 32), (500, 7), (500, 1), (3, 8), (0, 4)])
+def test_epoch_shuffle_scale_safe_equals_global_window(spark, n, n_partitions):
+    """The partition-offset builder must be BIT-EQUAL to the literal
+    ``row_number() OVER (ORDER BY hkey, doc_id)`` it replaces — across
+    n_partitions shapes including n_partitions=1, more partitions than
+    rows (empty ranges), and the empty frame."""
+    from streampro_assignment_etl_spark.queries.catalog import release_persisted
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        epoch_shuffle_positions,
+    )
+
+    keyed = _keyed(spark, n)
+    try:
+        fast = epoch_shuffle_positions(keyed, n_partitions=n_partitions).collect()
+        anchor = epoch_shuffle_positions(keyed, use_global_window=True).collect()
+    finally:
+        release_persisted()
+    assert fast == anchor
+    # pos is a permutation 0..n-1 and the shard is round-robin.
+    assert [r["pos"] for r in fast] == list(range(n))
+    assert all(r["worker_shard"] == r["pos"] % 8 for r in fast)
+
+
+def test_epoch_shuffle_query_matches_literal_window_on_adversarial_docs(
+    spark, adversarial_sf
+):
+    """The registered extra (scale-safe default) still replays the
+    DuckDB global-window oracle bit-for-bit on a fixture frame."""
+    spec = EXTRAS["training_shuffle_interleave"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_sf}/documents.parquet/*.parquet')"
+    )
+    from streampro_assignment_etl_spark.queries.catalog import release_persisted
+
+    try:
+        sdf = spec.builder(spark, adversarial_sf).toPandas()
+    finally:
+        release_persisted()
+    odf = con.execute(spec.oracle).df()
+    assert _value_hash(sdf) == _value_hash(odf)
+
+
+def test_epoch_shuffle_plan_has_no_global_window(spark):
+    """The scale guarantee itself: every Window node in the default
+    plan is partitioned by pid — no single-task whole-corpus sort."""
+    import re
+
+    from streampro_assignment_etl_spark.queries.catalog import release_persisted
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        epoch_shuffle_positions,
+    )
+
+    try:
+        df = epoch_shuffle_positions(_keyed(spark, 100), n_partitions=8)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_persisted()
+    windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert windows, "expected a per-partition window in the plan"
+    assert all(spec.lstrip().startswith("pid") for spec in windows), plan
