@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import logging
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,6 +58,7 @@ class RawToTrustedProcessor(BaseProcessor):
         bad_rows: str = "fail",
         trusted_format: str = "parquet",
         register_views: bool = True,
+        max_null_fraction: float | None = None,
     ):
         """``trusted_format`` selects the columnar sink for the trusted
         zone: ``"parquet"`` (default, reference parity) or ``"orc"``
@@ -68,7 +70,15 @@ class RawToTrustedProcessor(BaseProcessor):
         registration — for backfill loops, where only the FINAL date's
         views matter and, on a non-Spark-readable lake, each
         registration would re-download the whole trusted subtree
-        (quadratic transfer over the backfill)."""
+        (quadratic transfer over the backfill).
+
+        ``max_null_fraction`` arms the in-flight quality gate
+        (``observability.quality_gate``): per-table row + null counts
+        ride the trusted write itself via ``Observation`` (no second
+        scan) and land in ``ProcessingResult.metadata["observed"]``;
+        any column whose null fraction exceeds the budget is recorded
+        in ``metadata["quality_violations"]``. ``None`` (default)
+        still collects the metrics, just never flags."""
         super().__init__(
             "raw_to_trusted_processor",
             "Parse raw CSV/JSONL into typed, partitioned trusted parquet",
@@ -84,6 +94,7 @@ class RawToTrustedProcessor(BaseProcessor):
         self.bad_rows = bad_rows
         self.trusted_format = trusted_format
         self.register_views = register_views
+        self.max_null_fraction = max_null_fraction
         # Local staging bridge, created lazily iff the lake's filesystem
         # is not Spark-readable (injected non-local fs without scheme):
         # raw bytes stage in through the pyarrow.fs seam for Spark to
@@ -220,8 +231,12 @@ class RawToTrustedProcessor(BaseProcessor):
 
     # -- load --------------------------------------------------------------
     def _load(self, transformed: dict[str, DataFrame]) -> ProcessingResult:
+        from .observability import observed_quality, quality_gate
+
         created, failed = [], []
         quarantined: dict[str, int] = {}
+        observed: dict[str, dict] = {}
+        violations: dict[str, list[str]] = {}
         for name, df in transformed.items():
             schema = self.registry[name]
             try:
@@ -238,7 +253,19 @@ class RawToTrustedProcessor(BaseProcessor):
                     df = df.filter(F.col("_corrupt_record").isNull()).drop(
                         "_corrupt_record"
                     )
-                self._write_trusted(df, schema)
+                # In-flight accounting: row/null counts ride the write
+                # action itself (Observation — no second scan; see
+                # observability.py), then feed the optional null gate.
+                qcols = [f.name for f in schema.struct.fields]
+                obs_df, obs = observed_quality(df, qcols, name=f"quality_{name}")
+                self._write_trusted(obs_df, schema)
+                observed[name] = dict(obs.get)
+                if self.max_null_fraction is not None:
+                    probs = quality_gate(
+                        observed[name], self.max_null_fraction, qcols
+                    )
+                    if probs:
+                        violations[name] = probs
                 created.append(name)
             except Exception as exc:  # noqa: BLE001 — per-table isolation, like the reference
                 failed.append({"table": name, "error": str(exc)})
@@ -254,6 +281,8 @@ class RawToTrustedProcessor(BaseProcessor):
                 "format": self.trusted_format.upper(),
                 "compression": "SNAPPY",
                 "partitioned": True,
+                "observed": observed,
+                "quality_violations": violations,
             },
             rows_processed=len(created),
             tables_created=created,
@@ -314,10 +343,22 @@ class RawToTrustedProcessor(BaseProcessor):
             reader = self.spark.read.orc if fmt == "orc" else self.spark.read.parquet
             try:
                 reader(path).createOrReplaceTempView(name)
-            except Exception:  # noqa: BLE001 — one unreadable table (e.g.
-                # a leftover empty suffix dir that passes lake.exists)
-                # must not fail an otherwise-successful run; the view is
-                # a convenience, the trusted data is already written.
+            except Exception as exc:  # noqa: BLE001 — re-raised unless known-benign
+                # Only the two failure shapes this shield exists for
+                # stay a warning: schema inference over an empty/
+                # leftover suffix dir (AnalysisException) and the
+                # mixed-format footer error, which surfaces as a raw
+                # Py4JJavaError with the FAILED_READ_FILE error class
+                # and can hit even a table THIS run wrote (today's orc
+                # next to yesterday's parquet). Anything else — wrong
+                # staging path, permissions — propagates instead of
+                # silently reporting success with missing views.
+                benign = isinstance(exc, AnalysisException) or any(
+                    marker in str(exc)
+                    for marker in ("FAILED_READ_FILE", "CANNOT_READ_FILE_FOOTER")
+                )
+                if not benign:
+                    raise
                 logging.getLogger("streampro.raw_to_trusted").warning(
                     "skipping view registration for %s: unreadable at %s",
                     name,

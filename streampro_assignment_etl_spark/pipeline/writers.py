@@ -17,6 +17,28 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 
 
+def require_local_path(path: str, what: str) -> Path:
+    """Loudly reject object-store URIs on pathlib-based maintenance ops.
+
+    The staged-swap writers (this module) and the update-sink utilities
+    (streaming/events_stream.py) do their listing/rename bookkeeping
+    through ``pathlib`` — on an ``s3://`` URI those calls don't error,
+    they silently see an empty filesystem (rglob finds nothing,
+    ``Path.exists()`` is always False), which turns "compact" into
+    "collapse to one file" and "upsert" into "overwrite every batch".
+    Remote targets must go through the ``pipeline.lake`` staging seam
+    (write locally, ``DataLake.stage_out``); this guard makes the wrong
+    route fail instead of corrupting."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"{what} requires a local filesystem path, got {path!r} "
+            f"(scheme {scheme!r}); route object-store targets through "
+            "pipeline.lake staging instead"
+        )
+    return Path(path.split("://", 1)[1] if scheme == "file" else path)
+
+
 def _staged_swap(root: Path, staging: Path) -> None:
     """Swap ``staging`` into ``root``'s place via rename, crash-aware.
 

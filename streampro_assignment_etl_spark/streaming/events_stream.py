@@ -208,23 +208,50 @@ def compact_update_sink(
     ``writers.compact_parquet`` — readers racing the compaction see the
     old sink or the new one, never a mix.
 
+    Guards: local paths only (the pathlib bookkeeping silently sees an
+    empty filesystem on ``s3://`` — route remote sinks through
+    ``pipeline.lake`` staging), and update-mode sinks only — a sink with
+    >1 row per (key, batch_id), e.g. the Misra-Gries SUMMARY sink that
+    ``read_mg_sink`` owns, would be permanently winnowed down to one
+    arbitrary row per key, so that shape raises instead of compacting.
+
     Returns ``{"files_before", "files_after", "rows"}``.
     """
     import math
     import uuid
-    from pathlib import Path
 
-    from ..pipeline.writers import _staged_swap
+    from ..pipeline.writers import _staged_swap, require_local_path
 
-    root = Path(out_dir)
+    root = require_local_path(out_dir, "compact_update_sink")
     part_files = [p for p in root.rglob("*.parquet") if p.is_file()]
     total_bytes = sum(p.stat().st_size for p in part_files)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
 
+    df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    dup = (
+        df.groupBy(*key_cols, "batch_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"compact_update_sink: {out_dir!r} has multiple rows per "
+            f"({', '.join(key_cols)}, batch_id) — this is a summary-style "
+            "sink (e.g. Misra-Gries, read via read_mg_sink), not an "
+            "update-mode sink; compacting it would drop summary rows"
+        )
+
     latest = read_update_sink(spark, out_dir, key_cols)
     staging = root.parent / f".{root.name}.compact-{uuid.uuid4().hex[:8]}"
     (
-        latest.repartition(n_files, "batch_id")
+        # Range-partition on (batch_id, keys): each task holds a
+        # contiguous batch range, so the byte target is honored even
+        # when distinct batch_ids < n_files (a plain
+        # repartition(n, 'batch_id') would collapse to one file per
+        # surviving batch regardless of size).
+        latest.repartitionByRange(n_files, "batch_id", *key_cols)
         .sortWithinPartitions("batch_id")
         .write.mode("overwrite")
         .partitionBy("batch_id")
@@ -252,16 +279,25 @@ def run_stream_upsert(
     Exactly-once under checkpoint retries because the merge is
     idempotent: replaying batch N merges the same rows into a table
     that already reflects them, converging to the same state (batch 0
-    bootstraps the table with a plain write). Each batch costs one
+    bootstraps the table through the same staged write + rename as
+    ``merge_upsert``, so a crash mid-bootstrap never leaves a
+    half-written target — readers see nothing or the full table).
+    Local paths only (loud ValueError otherwise): the existence check
+    and staged renames are pathlib, which on ``s3://`` would silently
+    report "missing" every batch and overwrite instead of merging;
+    remote targets go through ``pipeline.lake`` staging. Each batch
+    costs one
     key-anti-join + staged-swap rewrite of the target (or its touched
     partitions) — right for modest aggregate tables updated by a
     stream; for corpus-scale targets keep the plain batch_id sink and
     compact instead. Batches with duplicate keys are collapsed
     arbitrarily by ``merge_upsert``; feed it keyed aggregates (one row
     per key per batch) for deterministic results."""
-    from pathlib import Path
+    import uuid
 
-    from ..pipeline.writers import merge_upsert
+    from ..pipeline.writers import merge_upsert, require_local_path
+
+    root = require_local_path(target_path, "run_stream_upsert")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # persist: merge_upsert runs several actions over the batch
@@ -270,10 +306,17 @@ def run_stream_upsert(
         try:
             if batch_df.isEmpty():
                 return
-            if not Path(target_path).exists():
+            if not root.exists():
+                # Bootstrap through the same staged-write + rename dance
+                # as merge_upsert/compact_parquet: a crash mid-write
+                # leaves only the hidden staging dir, never a partial
+                # target.
+                staging = root.parent / f".{root.name}.boot-{uuid.uuid4().hex[:8]}"
                 batch_df.dropDuplicates(list(keys)).write.mode("overwrite").parquet(
-                    target_path
+                    str(staging)
                 )
+                root.parent.mkdir(parents=True, exist_ok=True)
+                staging.rename(root)
             else:
                 merge_upsert(
                     batch_df.sparkSession, target_path, batch_df, tuple(keys)

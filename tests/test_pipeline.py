@@ -1206,3 +1206,63 @@ def test_observed_quality_metrics_free_accounting(spark, tmp_path):
         "v: 2/4 null rows exceeds 25.0%"
     ]
     assert quality_gate(m, 0.5, ["id", "v"]) == []
+
+
+def test_observed_quality_metrics_ride_the_trusted_write(spark, lake):
+    """In-flight accounting (ADVICE r7): row + null counts collected by
+    Observation on the trusted write itself — no second scan — land in
+    metadata['observed'], and the armed null gate flags the events
+    table's 50%-null value column without failing the run."""
+    assert LandingToRawProcessor(lake, DATE).run().is_success
+    result = RawToTrustedProcessor(spark, lake, DATE, max_null_fraction=0.4).run()
+    assert result.is_success, result.error
+
+    obs = result.metadata["observed"]
+    assert obs["trusted_users"]["rows"] == 3
+    assert obs["trusted_users"]["nulls_user_id"] == 0
+    assert obs["trusted_events"]["rows"] == 2
+    assert obs["trusted_events"]["nulls_value"] == 1  # one play event, no value
+
+    viol = result.metadata["quality_violations"]
+    assert list(viol) == ["trusted_events"]
+    assert viol["trusted_events"][0].startswith("value:")
+
+    # Unarmed gate: metrics still collected, nothing flagged.
+    result2 = RawToTrustedProcessor(spark, lake, DATE).run()
+    assert result2.metadata["observed"]["trusted_events"]["rows"] == 2
+    assert result2.metadata["quality_violations"] == {}
+
+
+def test_view_registration_propagates_unexpected_errors(spark, lake, monkeypatch):
+    """The view-registration shield only swallows the benign shapes
+    (empty dir, mixed-format footer); a genuine misconfiguration —
+    here a reader blowing up with a permissions-style error — must
+    fail the run instead of warning."""
+    assert LandingToRawProcessor(lake, DATE).run().is_success
+    proc = RawToTrustedProcessor(spark, lake, DATE)
+    result = proc.run()
+    assert result.is_success, result.error
+
+    class _BoomReader:
+        def __getattr__(self, name):
+            def _raise(path):
+                raise RuntimeError("Permission denied: /mnt/wrong-root")
+
+            return _raise
+
+    # Surgical: re-run ONLY the view-registration step with a reader
+    # that blows up — the narrowed shield must re-raise, not warn.
+    monkeypatch.setattr(
+        type(proc.spark), "read", property(lambda self: _BoomReader()), raising=False
+    )
+    from streampro_assignment_etl_spark.pipeline.base import ProcessingResult
+
+    with pytest.raises(RuntimeError, match="Permission denied"):
+        proc._post_process(
+            ProcessingResult(
+                success=True,
+                message="",
+                metadata={},
+                tables_created=["trusted_users"],
+            )
+        )

@@ -950,3 +950,87 @@ def test_observed_metrics_on_streaming_query(spark, tmp_path):
         "text: 1/3 null rows exceeds 25.0%"
     ]
     assert quality_gate(m.asDict(), 0.5, ["text"]) == []
+
+
+def test_update_sink_utilities_reject_object_store_uris(spark, tmp_path):
+    """compact_update_sink / run_stream_upsert do pathlib bookkeeping
+    that silently sees an empty filesystem on s3:// (rglob → nothing,
+    Path.exists → False): both must fail loudly instead, pointing at
+    the lake staging seam."""
+    from streampro_assignment_etl_spark.streaming import (
+        compact_update_sink,
+        run_stream_upsert,
+    )
+
+    with pytest.raises(ValueError, match="local filesystem path"):
+        compact_update_sink(spark, "s3://bucket/sink", ["k"])
+    with pytest.raises(ValueError, match="local filesystem path"):
+        run_stream_upsert(None, "s3://bucket/target", str(tmp_path / "ck"), ["k"])
+
+
+def test_compact_update_sink_refuses_summary_shaped_sink(spark, tmp_path):
+    """A sink with >1 row per (key, batch_id) — the MG summary shape —
+    must raise instead of being winnowed down to one arbitrary row per
+    key (permanent data loss)."""
+    from streampro_assignment_etl_spark.streaming import compact_update_sink
+
+    out = str(tmp_path / "mg_like")
+    spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 0), ("b", 5, 0)], ["term", "est", "batch_id"]
+    ).write.partitionBy("batch_id").parquet(out)
+    with pytest.raises(ValueError, match="summary-style"):
+        compact_update_sink(spark, out, ["term"])
+
+
+def test_compact_update_sink_honors_byte_target_with_one_batch(spark, tmp_path):
+    """With ONE surviving batch_id and a tiny target_file_bytes, the
+    rewrite must still split into multiple files (the old
+    repartition(n, 'batch_id') collapsed to |distinct batch_id| files
+    regardless of the byte target)."""
+    from streampro_assignment_etl_spark.streaming import (
+        compact_update_sink,
+        read_update_sink,
+    )
+    import pathlib
+
+    out = str(tmp_path / "one_batch")
+    spark.range(2000).selectExpr(
+        "id AS k", "repeat(uuid(), 8) AS payload", "CAST(0 AS LONG) AS batch_id"
+    ).coalesce(1).write.partitionBy("batch_id").parquet(out)
+
+    before = read_update_sink(spark, out, ["k"]).count()
+    stats = compact_update_sink(spark, out, ["k"], target_file_bytes=16 * 1024)
+    assert stats["rows"] == before
+    files = [p for p in pathlib.Path(out).rglob("*.parquet")]
+    assert len(files) > 1, "byte target ignored: single-batch sink collapsed to 1 file"
+
+
+def test_run_stream_upsert_bootstrap_leaves_no_staging_debris(spark, tmp_path):
+    """The staged bootstrap must end with exactly the target dir — no
+    hidden .boot-* staging siblings left behind on the happy path."""
+    import os as _os
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming import run_stream_upsert
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        windowed_event_counts,
+    )
+
+    landing = pathlib.Path(tmp_path / "boot_landing")
+    landing.mkdir()
+    f = landing / "ev0.jsonl"
+    f.write_text(json.dumps(_event(0, "2024-01-01 10:05:00", 1, "view", 1.0)) + "\n")
+    _os.utime(f, (1_000_000_000,) * 2)
+
+    stream = windowed_event_counts(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .json(str(landing))
+        .withColumn("ts_event", F.to_timestamp("ts"))
+    )
+    target = tmp_path / "boot_target"
+    run_stream_upsert(
+        stream, str(target), str(tmp_path / "boot_ckpt"), ["window_start", "event_type"]
+    )
+    assert target.exists() and spark.read.parquet(str(target)).count() == 1
+    debris = [p.name for p in target.parent.iterdir() if p.name.startswith(".boot_target.boot-")]
+    assert debris == []
