@@ -112,6 +112,55 @@ def span_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Inverted index (term -> document frequency + ordered posting list).
 # ---------------------------------------------------------------------------
+_MAX_DF_FRACTION = 0.5
+
+
+def build_inverted_index(
+    docs: DataFrame, max_df_fraction: float | None = _MAX_DF_FRACTION
+) -> DataFrame:
+    """term → (df, ascending comma-joined doc_id postings).
+
+    ``max_df_fraction`` (the DEFAULT) drops terms whose document
+    frequency exceeds ``floor(frac · n_docs)`` BEFORE the posting lists
+    are built — stopword-class terms otherwise produce corpus-sized
+    ``collect_list`` rows on one reducer (the round-7 watch item), and
+    they carry no selectivity for the search/decontamination consumers
+    anyway. The df pre-pass costs one extra term-keyed count aggregate;
+    the posting build then only ever materializes bounded rows.
+    ``None`` keeps the full index — the oracle anchor.
+
+    Scale shape either way: ``array_distinct`` before the explode
+    collapses within-document repeats map-side (a term repeated 50× in
+    one doc ships once), then term-keyed shuffles do the rest.
+    """
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    if max_df_fraction is not None:
+        cap = int(max_df_fraction * docs.count())
+        kept_terms = (
+            terms.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= cap)
+            .select("term")
+        )
+        terms = terms.join(kept_terms, "term")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
 @query(
     "inverted_index_postings",
     extra=True,
@@ -135,31 +184,44 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined so the cross-engine hash compares strings, not
     engine-specific array dtypes).
 
-    Scale shape: ``array_distinct`` BEFORE the explode collapses
-    within-document repeats map-side (a term repeated 50× in one doc
-    ships once), then ONE term-keyed shuffle builds postings. Stopword-
-    class terms make postings lists corpus-sized — real deployments cap
-    or drop df > N% terms (they carry no selectivity); kept uncapped
-    here because the oracle needs the full index.
+    This is the UNCAPPED oracle anchor (``max_df_fraction=None`` —
+    DuckDB replays the full index); production callers get
+    ``build_inverted_index``'s capped default, oracle-checked by the
+    ``inverted_index_capped`` extra.
     """
     docs = load_table(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
-    )
-    return (
-        terms.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("doc_id")),
-                    lambda d: d.cast("string"),
-                ),
-                ",",
-            ).alias("postings"),
-        )
-        .orderBy("term")
-    )
+    return build_inverted_index(docs, max_df_fraction=None)
+
+
+@query(
+    "inverted_index_capped",
+    extra=True,
+    tags=("index", "text", "llm-pipeline"),
+    oracle=f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+),
+kept AS (
+  SELECT term FROM terms GROUP BY term
+  HAVING COUNT(*) <= (SELECT CAST(floor({_MAX_DF_FRACTION} * COUNT(*)) AS BIGINT)
+                      FROM documents)
+)
+SELECT t.term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+FROM terms t JOIN kept USING (term)
+GROUP BY t.term
+ORDER BY t.term
+""",
+)
+def inverted_index_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale DEFAULT: df-capped inverted index — terms in more than
+    ``floor(0.5 · n_docs)`` documents are dropped before any posting
+    list is built, so no reducer ever materializes a corpus-sized
+    ``collect_list`` row (see ``build_inverted_index``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return build_inverted_index(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,28 @@ def _fresh_lake(sf_dir: str, tag: str) -> LakeStorage:
     return lake
 
 
+def _assert_object_ops(lake: LakeStorage, key: str, local_src: Path) -> None:
+    """S8 drive-through (upload/download/URL/copy/delete) asserted
+    INSIDE the driver-graded roundtrip, so the object-op surface gets a
+    driver correctness row without spending a window slot: any breakage
+    here raises and turns pipeline_file_roundtrips red."""
+    dl = Path(tempfile.mkdtemp(prefix="s8_")) / "dl.bin"
+    lake.download_file(key, dl)
+    if dl.read_bytes() != Path(local_src).read_bytes():
+        raise AssertionError(f"S8 download_file({key}) bytes != uploaded source")
+    url = lake.get_object_url(key)
+    fname = key.rsplit("/", 1)[-1]
+    if not url or fname not in url:
+        raise AssertionError(f"S8 get_object_url({key}) -> {url!r} lacks {fname!r}")
+    scratch = f"tmp/{fname}.s8"
+    lake.copy_object(key, scratch)
+    if not lake.exists(scratch):
+        raise AssertionError(f"S8 copy_object -> {scratch} missing")
+    if not lake.delete_object(scratch) or lake.exists(scratch):
+        raise AssertionError(f"S8 delete_object({scratch}) did not remove the object")
+    shutil.rmtree(dl.parent, ignore_errors=True)
+
+
 def _stage_single_file(df: DataFrame, staging: Path, writer: str, **options) -> Path:
     """Write df as ONE landing file via Spark (coalesce(1)) and return it.
 
@@ -267,6 +289,7 @@ def pipeline_file_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     part = _stage_single_file(customer, lake_c.root, "csv", header=True)
     lake_c.upload_file(part, f"landing/customer_{INGESTION_DATE}.csv")
+    _assert_object_ops(lake_c, f"landing/customer_{INGESTION_DATE}.csv", part)
     trusted_c = _run_pipeline(spark, lake_c, "customer")
     csv_rollup = (
         trusted_c.groupBy("c_mktsegment", "ingestion_date")

@@ -176,3 +176,24 @@ def test_epoch_shuffle_plan_has_no_global_window(spark):
     windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert windows, "expected a per-partition window in the plan"
     assert all(spec.lstrip().startswith("pid") for spec in windows), plan
+
+
+def test_inverted_index_max_df_cap_bounds_posting_rows(spark):
+    """A stopword present in EVERY doc must be dropped by the capped
+    builder before its corpus-sized posting row exists, while rarer
+    terms keep identical postings to the uncapped index."""
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the term{i} shared") for i in range(10)], ["doc_id", "text"]
+    )  # 'the' + 'shared' in 10/10 docs, each termN in 1
+    capped = {r["term"]: r for r in build_inverted_index(docs).collect()}
+    full = {r["term"]: r for r in build_inverted_index(docs, None).collect()}
+
+    assert "the" in full and full["the"]["df"] == 10
+    assert "the" not in capped and "shared" not in capped  # df 10 > floor(0.5*10)=5
+    assert max(r["df"] for r in capped.values()) <= 5
+    for t in capped:
+        assert capped[t]["postings"] == full[t]["postings"]
