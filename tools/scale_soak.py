@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""10× scale soak (round-7 VERDICT #4): run the bench headliners plus
+the heavy extras once at an sf1-equivalent dir produced by
+``tools/make_scaled_testdata.py``, and print per-query seconds plus the
+ratio to a reference BENCH json (default BENCH_r07 at sf0.1) — the
+scaling exponent readout. Ratio ≈ 10 means linear in rows; ratios well
+above the data ratio flag a super-linear operator worth a postmortem.
+
+Usage:
+  python tools/make_scaled_testdata.py 10
+  python tools/scale_soak.py [SF_DIR] [--reps N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from streampro_assignment_etl_spark.queries import (  # noqa: E402
+    EXTRAS,
+    REGISTRY,
+    release_persisted,
+)
+from streampro_assignment_etl_spark.session import get_spark  # noqa: E402
+
+HEAVY_EXTRAS = ("span_dedup_reconstruct", "heavy_hitters_terms")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/tmp/sf1"
+    reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 1
+    ref_path = os.environ.get("SOAK_REF_BENCH", "/root/repo/BENCH_r07.json")
+    ref = {}
+    try:
+        doc = json.load(open(ref_path))
+        ref = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        pass
+
+    spark = get_spark("streampro-scale-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    targets = {n: s for n, s in REGISTRY.items() if s.headline}
+    targets.update({n: EXTRAS[n] for n in HEAVY_EXTRAS})
+
+    # Warmup on the cheapest headliner.
+    targets["pricing_summary"].builder(spark, sf_dir).count()
+    release_persisted()
+
+    out: dict[str, dict] = {}
+    for name, spec in targets.items():
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+            release_persisted()
+        sec = round(statistics.median(samples), 3)
+        entry = {"sec": sec}
+        if name in ref and ref[name]:
+            entry["x_vs_sf0.1"] = round(sec / ref[name], 1)
+        out[name] = entry
+        print(f"{name}: {sec}s" + (f"  ({entry.get('x_vs_sf0.1', '?')}x vs sf0.1)" if name in ref else ""))
+
+    print(json.dumps({"sf_dir": sf_dir, "reps": reps, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
