@@ -67,11 +67,30 @@ def span_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id to reassemble. The span-keyed window is the same key
     profile as exact fingerprint dedup (dominated by near-unique keys);
     repeated boilerplate spans are the skewed tail and AQE absorbs them.
-    At 100 TB, hash the span (xxhash64) for the window key instead of
-    carrying the raw string twice — kept verbatim here because the
-    oracle compares reconstructed text.
+    This anchor keys the window on the verbatim span string (what the
+    oracle replays); production callers get ``build_span_dedup``'s
+    ``hash_span_key=True`` default — xxhash64 of the span as the
+    shuffle/sort key — property-pinned identical.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return build_span_dedup(docs, hash_span_key=False)
+
+
+def build_span_dedup(docs: DataFrame, hash_span_key: bool = True) -> DataFrame:
+    """Span-level dedup + reconstruction (see ``span_dedup_reconstruct``).
+
+    ``hash_span_key=True`` (the scale default) keys the first-occurrence
+    window on ``xxhash64(span)`` instead of the raw span string: the
+    window's shuffle partitioning and per-group sort then compare
+    8-byte longs instead of ~50-byte UTF-8 strings (the span itself
+    still rides the row once for reconstruction — the saving is the
+    KEY, which Spark materializes again in the exchange and sort). A
+    64-bit collision merges two distinct spans (the later one is
+    wrongly cut) with probability ~n²/2⁶⁵ — at 10¹² spans that is ~3%
+    of one span corpus-wide, the standard fingerprint-dedup trade. The
+    string-keyed form (``False``) is the oracle anchor; equality is
+    property-pinned in tests/test_corpus_ops.py.
+    """
     k = _SPAN_WORDS
     # Split once into its own projection — referencing split(text) in
     # both the sequence bound and the slice would tokenize every row
@@ -86,11 +105,15 @@ def span_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "span"),
     )
-    first = Window.partitionBy("span").orderBy("doc_id", "pos")
+    if hash_span_key:
+        spans = spans.withColumn("_sk", F.xxhash64("span"))
+        first = Window.partitionBy("_sk").orderBy("doc_id", "pos")
+    else:
+        first = Window.partitionBy("span").orderBy("doc_id", "pos")
     kept = (
         spans.withColumn("_rn", F.row_number().over(first))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", *(["_sk"] if hash_span_key else []))
     )
     return (
         kept.groupBy("doc_id")
@@ -414,21 +437,46 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the model rides in the plan as a literal array —
     scoring is map-side (explode → element_at → doc-keyed agg), no
     join, no broadcast, no Python. A real trained model (2^20 hashed
-    buckets) ships as a broadcast array or a weight-table join keyed by
-    bucket; the plan shape per document is unchanged.
+    buckets) won't inline as a literal; ``build_quality_scores``'s
+    ``broadcast_model=True`` ships it as a broadcast weight-table
+    join instead — bit-equal, plan-pinned BroadcastHashJoin.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return build_quality_scores(docs, _CLS_WEIGHTS)
+
+
+def build_quality_scores(
+    docs: DataFrame, weights: list[int], broadcast_model: bool = False
+) -> DataFrame:
+    """Hashed linear quality scoring (see ``quality_classifier_scores``).
+
+    ``broadcast_model=False`` (right for toy models) inlines the weight
+    vector as a plan literal — zero joins, pure map-side ``element_at``.
+    ``broadcast_model=True`` is the 2^20-bucket path: the weights become
+    a (bkt, wgt) frame broadcast-joined on the token's bucket — the
+    model ships to each executor ONCE per job instead of being
+    serialized into every task's plan (literal arrays above ~a few MB
+    bloat task binaries and codegen); scoring stays one hash + one
+    broadcast probe per token, still no shuffle before the doc-keyed
+    aggregate. Both paths are bit-equal (integer arithmetic) and pinned
+    against each other in tests/test_corpus_ops.py.
     """
     from ..operators.simhash import token_hash60
 
-    docs = load_table(spark, sf_dir, "documents")
-    wvec = F.array(*[F.lit(w) for w in _CLS_WEIGHTS])
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("_w")
-    ).select(
-        "doc_id",
-        F.element_at(
-            wvec, (token_hash60(F.col("_w")) % _CLS_BUCKETS).cast("int") + 1
-        ).alias("_wgt"),
-    )
+    n_buckets = len(weights)
+    bkt = (token_hash60(F.col("_w")) % n_buckets).cast("int")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("_w"))
+    if broadcast_model:
+        spark = docs.sparkSession
+        wtab = spark.createDataFrame(
+            list(enumerate(weights)), ["_bkt", "_wgt"]
+        )
+        tok = tok.select("doc_id", bkt.alias("_bkt")).join(
+            F.broadcast(wtab), "_bkt"
+        )
+    else:
+        wvec = F.array(*[F.lit(w) for w in weights])
+        tok = tok.select("doc_id", F.element_at(wvec, bkt + 1).alias("_wgt"))
     return (
         tok.groupBy("doc_id")
         .agg(
@@ -502,6 +550,31 @@ def incremental_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("doc_id"))
     )
+    return (
+        batch.join(corpus, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+def incremental_dedup_vs_bucketed_corpus(
+    spark: SparkSession, batch: DataFrame, corpus_table: str = "corpus_fingerprints"
+) -> DataFrame:
+    """The co-located production path the in-query form above only
+    described: anti-join the arrival batch against a MAINTAINED corpus
+    fingerprint table written bucketed on ``fingerprint``
+    (``catalog_ops.save_bucketed_table(corpus_fps, table,
+    ["fingerprint"], n)``). The bucketed scan already satisfies the
+    join's hash distribution, so the 100 TB corpus side reads WITHOUT
+    an exchange every delivery — only the (small) batch side shuffles
+    to the bucket count. Plan-pinned in tests/test_corpus_ops.py:
+    corpus-side scan selects buckets, zero Exchange above it.
+
+    ``batch`` must already be collapsed to one row per fingerprint
+    (``doc_id``, ``fingerprint``) as in
+    ``incremental_dedup_against_corpus``.
+    """
+    corpus = spark.table(corpus_table).select("fingerprint")
     return (
         batch.join(corpus, "fingerprint", "left_anti")
         .select("doc_id", "fingerprint")

@@ -197,3 +197,96 @@ def test_inverted_index_max_df_cap_bounds_posting_rows(spark):
     assert max(r["df"] for r in capped.values()) <= 5
     for t in capped:
         assert capped[t]["postings"] == full[t]["postings"]
+
+
+# ---------------------------------------------------------------------------
+# Scale-path variants pinned against their oracle-anchored forms.
+# ---------------------------------------------------------------------------
+def test_hashed_span_key_equals_string_key(spark, adversarial_sf):
+    """build_span_dedup(hash_span_key=True) — xxhash64 window key — must
+    reproduce the string-keyed anchor bit-for-bit on the adversarial
+    fixture AND the sf0.001 documents."""
+    from streampro_assignment_etl_spark.queries.corpus_ops import build_span_dedup
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    for docs in (
+        spark.read.parquet(f"{adversarial_sf}/documents.parquet"),
+        load_table(spark, "/root/testdata/sf0.001", "documents"),
+    ):
+        hashed = build_span_dedup(docs, hash_span_key=True).collect()
+        anchor = build_span_dedup(docs, hash_span_key=False).collect()
+        assert hashed == anchor
+
+
+def test_broadcast_model_classifier_equals_literal_and_broadcasts(spark):
+    """build_quality_scores(broadcast_model=True) — the 2^20-bucket
+    weight-table path — is bit-equal to the literal-array form, and its
+    plan joins via BroadcastHashJoin (model ships once per executor,
+    no shuffle before the doc aggregate)."""
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        _CLS_WEIGHTS,
+        build_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma" * (i % 3 + 1)) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    bcast = build_quality_scores(docs, _CLS_WEIGHTS, broadcast_model=True)
+    lit = build_quality_scores(docs, _CLS_WEIGHTS, broadcast_model=False)
+    assert bcast.collect() == lit.collect()
+
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_bucketed_corpus_scan_has_no_exchange(spark, tmp_path):
+    """The co-located incremental dedup: the corpus fingerprint table is
+    bucketed on fingerprint, so its scan satisfies the anti-join's
+    distribution — ONLY the batch side exchanges. Results equal the
+    plain anti-join."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.pipeline import catalog_ops as C
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        incremental_dedup_vs_bucketed_corpus,
+    )
+
+    corpus_fps = spark.createDataFrame(
+        [(f"fp{i:03d}",) for i in range(200)], ["fingerprint"]
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"fp{i:03d}") for i in range(150, 250)],
+        ["doc_id", "fingerprint"],
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        C.save_bucketed_table(corpus_fps, "corpus_fps_t", ["fingerprint"], 4,
+                              sort_cols=["fingerprint"])
+        got = incremental_dedup_vs_bucketed_corpus(spark, batch, "corpus_fps_t")
+        plain = (
+            batch.join(corpus_fps, "fingerprint", "left_anti")
+            .select("doc_id", "fingerprint")
+            .orderBy("doc_id")
+        )
+        assert got.collect() == plain.collect()
+        assert got.count() == 50  # fp200..fp249 are new
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # AQE renders the final AND the initial plan; assert on the
+        # final section only.
+        plan = plan.split("== Initial Plan ==")[0]
+        # Exactly ONE data exchange (the batch side); the bucketed scan
+        # reads its 4 buckets directly. (The top-level orderBy adds a
+        # rangepartitioning exchange — excluded by counting only
+        # hashpartitioning exchanges.)
+        import re
+
+        hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+        assert len(hash_exchanges) == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS corpus_fps_t")
