@@ -798,3 +798,157 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap (domain over-representation control).
+# ---------------------------------------------------------------------------
+_SOURCE_CAP = 20
+
+
+def per_source_topn(
+    docs: DataFrame, n: int = _SOURCE_CAP, scale_safe: bool = True
+) -> DataFrame:
+    """Keep at most ``n`` documents per source, preferring the longest
+    (``n_chars`` DESC, ``doc_id`` tie-break) — the C4/RefinedWeb-style
+    over-representation control that stops one crawl domain from
+    dominating the mix. Returns the kept (doc_id, source, n_chars) rows.
+
+    ``scale_safe=True`` (default) is the two-phase top-N: a FIRST
+    window over ``(source, spark_partition_id())`` prunes each input
+    partition to its local top-n — group size is bounded by one
+    partition's share of one source, so a mega-source (half the corpus
+    behind one domain) never sorts in a single task — then the global
+    per-source window ranks only the ≤ n·n_partitions survivors.
+    ``False`` is the literal single-window form the oracle replays;
+    bit-equality is pinned in tests/test_corpus_ops.py (the two phases
+    keep identical rows because the final ranking's comparator is a
+    prefix of the local one's).
+    """
+    ranked_cols = [F.col("n_chars").desc(), F.col("doc_id")]
+    if scale_safe:
+        local = Window.partitionBy("source", F.spark_partition_id()).orderBy(
+            *ranked_cols
+        )
+        docs = (
+            docs.withColumn("_lrn", F.row_number().over(local))
+            .filter(F.col("_lrn") <= n)
+            .drop("_lrn")
+        )
+    final = Window.partitionBy("source").orderBy(*ranked_cols)
+    return (
+        docs.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= n)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@query(
+    "per_source_cap",
+    extra=True,
+    tags=("curation", "sampling", "llm-pipeline"),
+    oracle=f"""
+WITH kept AS (
+  SELECT doc_id, source, n_chars
+  FROM documents
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id) <= {_SOURCE_CAP}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM kept
+GROUP BY source
+ORDER BY source
+""",
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at its top-20 longest documents and report the
+    surviving per-source footprint — see ``per_source_topn`` for the
+    skew-safe two-phase ranking this runs by default."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = per_source_topn(docs)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate by source (tokenizer-coverage / vocab-drift diagnostic).
+# ---------------------------------------------------------------------------
+_OOV_VOCAB_K = 50
+
+
+@query(
+    "oov_rate_by_source",
+    extra=True,
+    tags=("vocab", "quality", "llm-pipeline"),
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM tok GROUP BY term
+  ORDER BY COUNT(*) DESC, term LIMIT {_OOV_VOCAB_K}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (term)
+GROUP BY source
+ORDER BY source
+""",
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus-global
+    top-50 vocabulary (count DESC, term tie-break) — the
+    tokenizer-coverage question asked before adding a new source to the
+    mix: how much of it falls outside the vocabulary the model already
+    spends its merges on.
+
+    Scale shape: one term-keyed count aggregate builds the vocab; the
+    top-k is a TakeOrdered (k rows to the driver, never the full term
+    table), and k vocab rows broadcast-join back onto the token stream
+    (Spark picks broadcast on its own for a 50-row side) feeding one
+    source-keyed aggregate. Tokens shuffle once (the count agg); the
+    scoring join is map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), "term")
+        .limit(_OOV_VOCAB_K)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tok.join(vocab, "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -290,3 +290,19 @@ def test_incremental_dedup_bucketed_corpus_scan_has_no_exchange(spark, tmp_path)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS corpus_fps_t")
+
+
+def test_per_source_topn_two_phase_equals_single_window(spark):
+    """The skew-safe two-phase top-N must keep EXACTLY the rows of the
+    literal per-source window — including under ties on n_chars and a
+    mega-source spread across many input partitions."""
+    from streampro_assignment_etl_spark.queries.corpus_ops import per_source_topn
+
+    rows = [(i, "mega", 100 - (i % 7)) for i in range(500)]  # heavy ties
+    rows += [(1000 + i, f"s{i % 5}", 50 + i) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"]).repartition(16)
+
+    fast = sorted(tuple(r) for r in per_source_topn(docs, n=10).collect())
+    anchor = sorted(tuple(r) for r in per_source_topn(docs, n=10, scale_safe=False).collect())
+    assert fast == anchor
+    assert sum(1 for r in fast if r[1] == "mega") == 10
