@@ -346,14 +346,20 @@ class RawToTrustedProcessor(BaseProcessor):
             except Exception as exc:  # noqa: BLE001 — re-raised unless known-benign
                 # Only the two failure shapes this shield exists for
                 # stay a warning: schema inference over an empty/
-                # leftover suffix dir (AnalysisException) and the
+                # leftover suffix dir (AnalysisException class
+                # UNABLE_TO_INFER_SCHEMA — probed; NOT all
+                # AnalysisExceptions: a wrong path raises
+                # PATH_NOT_FOUND and MUST propagate) and the
                 # mixed-format footer error, which surfaces as a raw
                 # Py4JJavaError with the FAILED_READ_FILE error class
                 # and can hit even a table THIS run wrote (today's orc
                 # next to yesterday's parquet). Anything else — wrong
                 # staging path, permissions — propagates instead of
                 # silently reporting success with missing views.
-                benign = isinstance(exc, AnalysisException) or any(
+                benign = (
+                    isinstance(exc, AnalysisException)
+                    and (exc.getErrorClass() or "") == "UNABLE_TO_INFER_SCHEMA"
+                ) or any(
                     marker in str(exc)
                     for marker in ("FAILED_READ_FILE", "CANNOT_READ_FILE_FOOTER")
                 )

@@ -147,11 +147,16 @@ def compact_parquet(
     (write new, move old out, move new in) so readers never observe a
     half-written table.
 
+    Local paths only (``require_local_path``): the file listing and
+    staged rename are pathlib — on an object store the listing silently
+    returns nothing and the compaction would collapse the table to one
+    file before failing the rename.
+
     Returns ``{"files_before", "files_after", "bytes"}``.
     """
     import math
 
-    root = Path(path)
+    root = require_local_path(path, "compact_parquet")
     part_files = [p for p in root.rglob("*.parquet") if p.is_file()]
     total_bytes = sum(p.stat().st_size for p in part_files)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
@@ -205,7 +210,7 @@ def merge_upsert(
     # updated/inserted accounting below.
     updates = updates.dropDuplicates(list(keys))
 
-    root = Path(target_path)
+    root = require_local_path(target_path, "merge_upsert")
     target = spark.read.parquet(str(root))
     if partition_col is not None:
         touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
@@ -312,7 +317,7 @@ def incremental_rollup(
             for out, (func, src) in aggs.items()
         ]
     )
-    root = Path(rollup_path)
+    root = require_local_path(rollup_path, "incremental_rollup")
     if root.exists():
         existing = spark.read.parquet(str(root))
         combined = (

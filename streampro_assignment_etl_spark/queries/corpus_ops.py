@@ -154,12 +154,19 @@ def build_inverted_index(
 
     Scale shape either way: ``array_distinct`` before the explode
     collapses within-document repeats map-side (a term repeated 50× in
-    one doc ships once), then term-keyed shuffles do the rest.
+    one doc ships once), then term-keyed shuffles do the rest. The
+    capped path persists the tokenized frame — the df pre-pass and the
+    posting build both consume it, and without the persist the
+    split/distinct/explode (the most expensive map stage) would run
+    twice. ``docs.count()`` is parquet-metadata-cheap by comparison.
     """
     terms = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
     )
     if max_df_fraction is not None:
+        from .catalog import track_persist
+
+        terms = track_persist(terms, StorageLevel.MEMORY_AND_DISK)
         cap = int(max_df_fraction * docs.count())
         kept_terms = (
             terms.groupBy("term")

@@ -227,36 +227,51 @@ def compact_update_sink(
     total_bytes = sum(p.stat().st_size for p in part_files)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
 
-    df = spark.read.option("basePath", out_dir).parquet(out_dir)
-    dup = (
-        df.groupBy(*key_cols, "batch_id")
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"compact_update_sink: {out_dir!r} has multiple rows per "
-            f"({', '.join(key_cols)}, batch_id) — this is a summary-style "
-            "sink (e.g. Misra-Gries, read via read_mg_sink), not an "
-            "update-mode sink; compacting it would drop summary rows"
+    # Persist the raw sink ONCE: the dup guard, repartitionByRange's
+    # range-sampling job, and the rewrite would otherwise each re-scan
+    # the sink from disk (3× read for a maintenance op whose input is
+    # the largest thing it touches).
+    df = spark.read.option("basePath", out_dir).parquet(out_dir).persist()
+    try:
+        dup = (
+            df.groupBy(*key_cols, "batch_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
         )
+        if dup:
+            raise ValueError(
+                f"compact_update_sink: {out_dir!r} has multiple rows per "
+                f"({', '.join(key_cols)}, batch_id) — this is a summary-style "
+                "sink (e.g. Misra-Gries, read via read_mg_sink), not an "
+                "update-mode sink; compacting it would drop summary rows"
+            )
 
-    latest = read_update_sink(spark, out_dir, key_cols)
-    staging = root.parent / f".{root.name}.compact-{uuid.uuid4().hex[:8]}"
-    (
-        # Range-partition on (batch_id, keys): each task holds a
-        # contiguous batch range, so the byte target is honored even
-        # when distinct batch_ids < n_files (a plain
-        # repartition(n, 'batch_id') would collapse to one file per
-        # surviving batch regardless of size).
-        latest.repartitionByRange(n_files, "batch_id", *key_cols)
-        .sortWithinPartitions("batch_id")
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(str(staging))
-    )
+        # read_update_sink's winnow, inlined over the persisted frame.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        staging = root.parent / f".{root.name}.compact-{uuid.uuid4().hex[:8]}"
+        (
+            # Range-partition on (batch_id, keys): each task holds a
+            # contiguous batch range, so the byte target is honored even
+            # when distinct batch_ids < n_files (a plain
+            # repartition(n, 'batch_id') would collapse to one file per
+            # surviving batch regardless of size).
+            latest.repartitionByRange(n_files, "batch_id", *key_cols)
+            .sortWithinPartitions("batch_id")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(str(staging))
+        )
+    finally:
+        df.unpersist()
     _staged_swap(root, staging)
     after = sum(1 for p in root.rglob("*.parquet") if p.is_file())
     rows = spark.read.option("basePath", str(root)).parquet(str(root)).count()
@@ -310,7 +325,14 @@ def run_stream_upsert(
                 # Bootstrap through the same staged-write + rename dance
                 # as merge_upsert/compact_parquet: a crash mid-write
                 # leaves only the hidden staging dir, never a partial
-                # target.
+                # target. A crashed earlier bootstrap's .boot-* dir is
+                # reclaimed here (the replayed batch rewrites the same
+                # rows, so dropping stale staging is always safe).
+                import shutil
+
+                if root.parent.exists():
+                    for stale in root.parent.glob(f".{root.name}.boot-*"):
+                        shutil.rmtree(stale, ignore_errors=True)
                 staging = root.parent / f".{root.name}.boot-{uuid.uuid4().hex[:8]}"
                 batch_df.dropDuplicates(list(keys)).write.mode("overwrite").parquet(
                     str(staging)
@@ -318,8 +340,12 @@ def run_stream_upsert(
                 root.parent.mkdir(parents=True, exist_ok=True)
                 staging.rename(root)
             else:
+                # str(root), not target_path: require_local_path
+                # normalized a file:// URI to a plain path — the raw
+                # URI would reach merge_upsert's pathlib bookkeeping as
+                # a relative 'file:/...' path and rename into nowhere.
                 merge_upsert(
-                    batch_df.sparkSession, target_path, batch_df, tuple(keys)
+                    batch_df.sparkSession, str(root), batch_df, tuple(keys)
                 )
         finally:
             batch_df.unpersist()

@@ -1034,3 +1034,61 @@ def test_run_stream_upsert_bootstrap_leaves_no_staging_debris(spark, tmp_path):
     assert target.exists() and spark.read.parquet(str(target)).count() == 1
     debris = [p.name for p in target.parent.iterdir() if p.name.startswith(".boot_target.boot-")]
     assert debris == []
+
+
+def test_run_stream_upsert_accepts_file_uri(spark, tmp_path):
+    """A file:// target URI must normalize once and keep working across
+    the bootstrap AND merge batches (review find: the raw URI reached
+    merge_upsert's pathlib bookkeeping as a relative 'file:/...'
+    path)."""
+    import os as _os
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming import run_stream_upsert
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        windowed_event_counts,
+    )
+
+    landing = pathlib.Path(tmp_path / "uri_landing")
+    landing.mkdir()
+    b0 = [_event(0, "2024-01-01 10:05:00", 1, "view", 1.0)]
+    b1 = [_event(1, "2024-01-01 10:40:00", 1, "view", 2.0)]
+    for i, rows in enumerate((b0, b1)):
+        f = landing / f"ev{i}.jsonl"
+        f.write_text("\n".join(json.dumps(e) for e in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    stream = windowed_event_counts(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .withColumn("ts_event", F.to_timestamp("ts"))
+    )
+    target = tmp_path / "uri_target"
+    run_stream_upsert(
+        stream,
+        f"file://{target}",
+        str(tmp_path / "uri_ckpt"),
+        ["window_start", "event_type"],
+    )
+    rows = spark.read.parquet(str(target)).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 2  # both batches merged
+
+
+def test_writers_reject_object_store_uris(spark, tmp_path):
+    """The staged-swap writers own the pathlib hazard themselves now:
+    direct calls with an object-store URI fail loudly instead of
+    silently compacting-to-one-file / overwriting."""
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        compact_parquet,
+        incremental_rollup,
+        merge_upsert,
+    )
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="local filesystem path"):
+        compact_parquet(spark, "s3://bucket/table")
+    with pytest.raises(ValueError, match="local filesystem path"):
+        merge_upsert(spark, "hdfs://nn/table", df, ("id",))
+    with pytest.raises(ValueError, match="local filesystem path"):
+        incremental_rollup(spark, "s3://bucket/rollup", df, ("id",), {"n": ("count", "id")})

@@ -57,6 +57,17 @@ def scale_table(src: Path, out: Path, name: str, n: int) -> int:
     if name in SINGLE_COPY:
         pq.write_table(table, out / f"{name}.parquet")
         return table.num_rows
+    # Strides must dominate the source's key space, or copy i's keys
+    # collide with copy i+1's (e.g. chaining the tool on its own sf1
+    # output) — corrupting every dedup/join soak with no error.
+    for col, stride in OFFSETS[name].items():
+        mx = pc.max(table.column(col)).as_py()
+        if mx is not None and mx >= stride:
+            raise ValueError(
+                f"{name}.{col}: max key {mx} >= per-copy stride {stride}; "
+                "source already scaled? raise the stride or rescale from "
+                "the original sf dir"
+            )
     copies = []
     for i in range(n):
         t = table
