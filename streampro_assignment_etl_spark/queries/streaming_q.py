@@ -11,7 +11,7 @@ comparison exact and deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
@@ -197,4 +197,226 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness profile (the number that SIZES a watermark).
+# ---------------------------------------------------------------------------
+_LATENESS_BLOCK = 1000
+
+
+@query(
+    "watermark_lateness_profile",
+    extra=True,
+    tags=("streaming", "watermark", "diagnostic"),
+    oracle="""
+WITH o AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_max
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN run_max > ts THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(SUM(CASE WHEN run_max > ts THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS late_rate,
+       CAST(MAX((epoch_us(run_max) - epoch_us(ts)) // 1000000) AS BIGINT) AS max_lateness_sec,
+       CAST(SUM((epoch_us(run_max) - epoch_us(ts)) // 1000000) AS BIGINT) AS total_lateness_sec
+FROM o
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How LATE does each event arrive relative to the stream's
+    high-water mark? Lateness(e) = max(ts of any event arriving before
+    e) − ts(e), with arrival order = ``event_id``. This is the profile
+    that sizes ``withWatermark``: the max (or p99) lateness IS the
+    delay bound below which the windowed/stateful operators above drop
+    nothing — guessing it instead of measuring it silently loses data.
+
+    Scale shape — the naive form is a GLOBAL running max (one-task
+    window, the same anti-pattern the epoch shuffle removed); this
+    builder decomposes it exactly, the block two-level trick:
+
+    1. block = ``event_id div B`` — per-block running max via a window
+       PARTITIONED by block (groups of ≤ B rows, fully parallel).
+    2. block maxes (n/B rows) get a running max over the PRIOR blocks
+       via one more window on the aggregated frame — pick B ≈ √n so
+       both levels are √n-sized (B=1000 here; at 10¹² events B=10⁶
+       keeps both windows ≤ 10⁶ rows; a third level generalizes).
+    3. lateness = greatest(prior-block max, within-block running max)
+       − ts; the decomposition is exact because arrival order sorts
+       (block, event_id) lexicographically.
+
+    The DuckDB oracle replays the literal global window.
+    """
+    events = load_table(spark, sf_dir, "events")
+    b = (F.col("event_id") / _LATENESS_BLOCK).cast("long").alias("_b")
+    e = events.select("event_id", "event_type", "ts", b)
+    in_block = Window.partitionBy("_b").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = e.withColumn("_bmax", F.max("ts").over(in_block))
+    block_prior = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # n/B-row frame: the one remaining unpartitioned window runs over
+    # block maxes only (see docstring for the B sizing rule).
+    prior = (
+        e.groupBy("_b")
+        .agg(F.max("ts").alias("_blk_max"))
+        .withColumn("_prior_max", F.max("_blk_max").over(block_prior))
+        .select("_b", "_prior_max")
+    )
+    run_max = F.greatest(
+        F.coalesce(F.col("_prior_max"), F.col("_bmax")), F.col("_bmax")
+    )
+    # Exact integer micros → floor-div seconds (timestampdiff and
+    # DuckDB's date_diff disagree on sub-second boundaries; session tz
+    # is UTC so the ntz→timestamp cast is instant-preserving).
+    lateness = F.floor(
+        (
+            F.unix_micros(F.col("_run_max").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        / 1_000_000
+    )
+    return (
+        e.join(prior, "_b")
+        .withColumn("_run_max", run_max)
+        .withColumn("_late_s", lateness)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("_run_max") > F.col("ts"), 1).otherwise(0)
+            ).alias("n_late"),
+            F.max("_late_s").alias("max_lateness_sec"),
+            F.sum("_late_s").alias("total_lateness_sec"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            F.round(
+                F.col("n_late").cast("double") / F.col("n_events"), 6
+            ).alias("late_rate"),
+            "max_lateness_sec",
+            "total_lateness_sec",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (30-min inactivity), derived from raw events.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "gap_sessionize",
+    extra=True,
+    tags=("sessionization", "events", "diagnostic"),
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {_SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_idx
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sess_idx, COUNT(*) AS n,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur
+  FROM sess GROUP BY user_id, sess_idx
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS max_session_events,
+       CAST(SUM(dur) AS BIGINT) AS total_duration_sec
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive sessions from raw events by the classic inactivity rule
+    (> 30 min gap starts a new session) — the batch counterpart of
+    streaming ``session_window``, and the operator behind every
+    retention/engagement metric when the client doesn't ship session
+    ids. Ties on (user_id, ts) break on event_id in BOTH engines so the
+    lag/cumsum agree bit-for-bit.
+
+    Scale shape: both windows partition by ``user_id`` (lag, then the
+    running session counter), so work parallelizes per user and the
+    hottest user bounds the longest task — the same key profile as the
+    sp_q1–q3 session analytics, absorbed by AQE skew handling there and
+    here.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("_prev").cast("timestamp"))
+                    > _SESSION_GAP_S * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    sess = flagged.withColumn(
+        "_sess_idx",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "_sess_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        # Exact integer micros → floor-div seconds: timestampdiff and
+        # DuckDB's date_diff disagree on sub-second boundaries
+        # (truncated-elapsed vs boundary-crossing counts); both engines
+        # run the identical integer arithmetic instead. Session tz is
+        # UTC, so the ntz→timestamp cast is instant-preserving.
+        F.floor(
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            )
+            / 1_000_000
+        ).alias("dur"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_session_events"),
+            F.sum("dur").alias("total_duration_sec"),
+        )
+        .orderBy("user_id")
     )

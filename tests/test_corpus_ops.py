@@ -306,3 +306,70 @@ def test_per_source_topn_two_phase_equals_single_window(spark):
     anchor = sorted(tuple(r) for r in per_source_topn(docs, n=10, scale_safe=False).collect())
     assert fast == anchor
     assert sum(1 for r in fast if r[1] == "mega") == 10
+
+
+def test_lateness_block_decomposition_equals_global_window(spark):
+    """watermark_lateness_profile's two-level running max must equal the
+    literal global window on a frame engineered so late events straddle
+    block boundaries (the case the decomposition could get wrong)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # 5000 events, ts mostly increasing but every 13th event arrives
+    # ~2 blocks worth of ids late; _LATENESS_BLOCK=1000 → 5 blocks.
+    rows = []
+    for i in range(5000):
+        ts_off = i - (2500 if i % 13 == 0 else 0)
+        rows.append((i, "e%d" % (i % 3), ts_off))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "off"]).select(
+        "event_id",
+        "event_type",
+        F.expr("timestampadd(SECOND, off, TIMESTAMP_NTZ'2024-01-01 00:00:00')").alias(
+            "ts"
+        ),
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="lateness_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    from streampro_assignment_etl_spark.queries.streaming_q import (
+        watermark_lateness_profile,
+    )
+
+    got = {r["event_type"]: tuple(r) for r in watermark_lateness_profile(spark, d).collect()}
+
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    lat = F.floor(
+        (
+            F.unix_micros(F.max("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        / 1_000_000
+    )
+    anchor_df = (
+        df.withColumn("_run_max", F.max("ts").over(w))
+        .withColumn("_late_s", lat)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("_run_max") > F.col("ts"), 1).otherwise(0)).alias(
+                "n_late"
+            ),
+            F.max("_late_s").alias("max_lateness_sec"),
+            F.sum("_late_s").alias("total_lateness_sec"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            F.round(F.col("n_late").cast("double") / F.col("n_events"), 6).alias(
+                "late_rate"
+            ),
+            "max_lateness_sec",
+            "total_lateness_sec",
+        )
+    )
+    anchor = {r["event_type"]: tuple(r) for r in anchor_df.collect()}
+    assert got == anchor
+    assert sum(r[2] for r in got.values()) > 300  # the planted late events
