@@ -608,3 +608,223 @@ def lsh_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half) — the 10^9-vector path.
+# ---------------------------------------------------------------------------
+PQCodebooks = list[list[tuple[int, list[float]]]]  # [subspace][(code_id, codeword)]
+
+
+def pq_codebooks(
+    emb: DataFrame, id_col: str, vec_col: str, m: int = 4, n_codes: int = 16
+) -> PQCodebooks:
+    """Deterministic per-subspace codebooks: the ``n_codes`` lowest-id
+    vectors, sliced into ``m`` equal subvectors — the same id-seeding
+    trick as ``seed_centroids``, so the DuckDB oracle can replay the
+    identical codebooks (``kmeans_centroids`` per subspace is the
+    drop-in at real scale). Bounded collect by contract
+    (n_codes rows)."""
+    rows = (
+        emb.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col), _as_double(vec_col))
+        .collect()
+    )
+    dim = len(rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [(int(r[0]), list(r[1][j * sub : (j + 1) * sub])) for r in rows]
+        for j in range(m)
+    ]
+
+
+def _sq_l2_lit(a: Column, w: list[float]) -> Column:
+    """Squared L2 between an array column and a literal codeword, in the
+    EXPANSION form ⟨a,a⟩ − 2⟨a,w⟩ + ⟨w,w⟩ with sequential left-to-right
+    dot folds — the exact operation sequence DuckDB's
+    ``list_dot_product`` arithmetic runs, so both engines produce
+    bit-identical doubles and the argmin tie-break never diverges
+    ((x−y)² summed is algebraically equal but NOT float-equal)."""
+    b = F.array(*[F.lit(float(x)) for x in w])
+    aa = F.aggregate(
+        F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    ab = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    ww = 0.0
+    for x in w:
+        ww += float(x) * float(x)
+    return aa - F.lit(2.0) * ab + F.lit(ww)
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: PQCodebooks, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, _code0.._code{m-1}): per-subspace argmin codeword INDEX
+    (first minimum = lowest-id codeword, the tie rule the oracle's
+    ``ORDER BY dist, code`` replays). Entirely JVM-side: the codebooks
+    ride the plan as literals, so encoding is one map-side projection —
+    8 bytes of codes replace the vector, the ~16-64× compression that
+    lets a 10^9-vector index live in memory."""
+    sub = len(codebooks[0][0][1])
+    out = emb.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    for j, cb in enumerate(codebooks):
+        s = F.slice(F.col("_v"), j * sub + 1, sub)
+        d = F.array(*[_sq_l2_lit(s, w) for _, w in cb])
+        out = out.withColumn(
+            f"_code{j}", (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        )
+    return out.drop("_v")
+
+
+def _lut_int(qv: list[float], cb: list[tuple[int, list[float]]]) -> list[int]:
+    """Integer-microdistance LUT row for one (query, subspace):
+    d = ⟨qs,qs⟩ − 2⟨qs,w⟩ + ⟨w,w⟩ with sequential float64 sums (the
+    order both engines use), then floor(d·10⁶ + 0.5) — integerized so
+    the ADC sum is EXACT in both engines (a float SUM over a GROUP BY
+    has engine-chosen addend order; integer sums don't care)."""
+    import math
+
+    out = []
+    for _, w in cb:
+        qq = 0.0
+        qw = 0.0
+        ww = 0.0
+        for a, b in zip(qv, w):
+            qq += a * a
+            qw += a * b
+            ww += b * b
+        out.append(int(math.floor((qq - 2.0 * qw + ww) * 1_000_000 + 0.5)))
+    return out
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    codebooks: PQCodebooks | None = None,
+) -> DataFrame:
+    """PQ top-k by asymmetric distance (ADC):
+    (query_id, neighbor_id, rank, adc_dist).
+
+    The compression half of IVF-PQ: the corpus is encoded ONCE into m
+    small codes (``pq_encode``, map-side), each query precomputes an
+    m×n_codes lookup table of integer micro-distances to every
+    codeword, and a candidate's approximate distance is m table probes
+    + an integer sum — no vector arithmetic per pair at query time. At
+    10^9 vectors this is what makes exhaustive scoring affordable
+    (compose with IVF cells to also bound the scanned fraction; here
+    the corpus fits, so ADC scans it all).
+
+    One corpus pass total: every query's distance expression rides the
+    same projection (array-of-structs explode), then a per-query top-k
+    window. Queries are bounded by contract (collected to build the
+    LUT literals). ``adc_dist`` is the integer micro-distance — exact
+    cross-engine, no float-sum order hazard."""
+    from functools import reduce
+    from operator import add
+
+    cbs = codebooks or pq_codebooks(emb, id_col, vec_col, m, n_codes)
+    sub = len(cbs[0][0][1])
+    enc = pq_encode(emb, cbs, id_col, vec_col)
+    qrows = queries.select(F.col(id_col), _as_double(vec_col)).collect()
+
+    per_query = []
+    for qid, qv in qrows:
+        luts = [_lut_int(list(qv[j * sub : (j + 1) * sub]), cbs[j]) for j in range(len(cbs))]
+        dist = reduce(
+            add,
+            [
+                F.element_at(
+                    F.array(*[F.lit(v) for v in luts[j]]), F.col(f"_code{j}") + 1
+                )
+                for j in range(len(cbs))
+            ],
+        )
+        per_query.append(
+            F.struct(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                dist.cast("long").alias("adc_dist"),
+            )
+        )
+
+    scored = (
+        enc.select(F.col(id_col).alias("neighbor_id"), F.explode(F.array(*per_query)).alias("_s"))
+        .select("_s.query_id", "neighbor_id", "_s.adc_dist")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_topk_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 4,
+    n_codes: int = 16,
+    codebooks: PQCodebooks | None = None,
+) -> DataFrame:
+    """PQ-ADC shortlist + exact re-rank — how IVF-PQ is actually served:
+    the cheap integer ADC pass picks ``shortlist`` candidates per query
+    (table probes only, no vector math), then ONLY those rows pay an
+    exact squared-L2 against the query (integer micro-distance, exact
+    cross-engine) for the final top-``k``. Query cost: n·m table probes
+    + shortlist exact distances — the recall of exact search at ~1/40th
+    of its arithmetic here (shortlist/corpus), and the ratio improves
+    with corpus size. (query_id, neighbor_id, rank, l2sq_micro)."""
+    short = pq_topk(
+        emb, queries, id_col, vec_col, k=shortlist, m=m, n_codes=n_codes,
+        codebooks=codebooks,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    )
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv"))
+    aa = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_qv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    ab = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    bb = F.aggregate(
+        F.zip_with(F.col("_cv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    # Same expansion-form + integerization discipline as the LUTs, so
+    # the oracle's rerank ordering is bit-identical.
+    l2sq_micro = F.floor((aa - F.lit(2.0) * ab + bb) * 1_000_000 + F.lit(0.5)).cast(
+        "long"
+    )
+    exact = (
+        short.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", l2sq_micro.alias("l2sq_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq_micro"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2sq_micro")
+        .orderBy("query_id", "rank")
+    )

@@ -873,3 +873,125 @@ def multimodal_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ/ADC ANN (product quantization — IVF-PQ's compression half).
+# The oracle replays the identical deterministic pipeline: id-seeded
+# per-subspace codebooks (first 16 vectors, sliced), float argmin encode
+# (bit-identical expansion-form arithmetic both engines), integerized
+# per-query LUTs (floor(d·10⁶ + 0.5)) so the ADC sum is an exact
+# integer in both engines.
+# ---------------------------------------------------------------------------
+_PQ_ORACLE = """
+WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cw AS (
+  SELECT t.j, ct.vec_id AS code, ct.v[t.j*16+1 : (t.j+1)*16] AS w
+  FROM corp ct, UNNEST([0,1,2,3]) AS t(j)
+  WHERE ct.vec_id < 16
+),
+sub AS (
+  SELECT c.vec_id, t.j, c.v[t.j*16+1 : (t.j+1)*16] AS s
+  FROM corp c, UNNEST([0,1,2,3]) AS t(j)
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, cw.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, cw.w)
+                      + list_dot_product(cw.w, cw.w),
+                      cw.code) AS rn
+    FROM sub s JOIN cw ON s.j = cw.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cw.j, cw.code,
+         CAST(floor((list_dot_product(q.s, q.s) - 2*list_dot_product(q.s, cw.w)
+                     + list_dot_product(cw.w, cw.w)) * 1000000 + 0.5) AS BIGINT) AS d
+  FROM (SELECT * FROM sub WHERE vec_id < 5) q JOIN cw ON q.j = cw.j
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+  WHERE l.query_id <> e.vec_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, adc_dist
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rn
+  FROM adc
+)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+_PQ_RERANK_ORACLE = _PQ_ORACLE[: _PQ_ORACLE.index("SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, adc_dist")] + """
+, short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= 100
+),
+exact AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         CAST(floor((list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, c.v)
+                     + list_dot_product(c.v, c.v)) * 1000000 + 0.5) AS BIGINT)
+           AS l2sq_micro
+  FROM short sh
+  JOIN corp q ON q.vec_id = sh.query_id
+  JOIN corp c ON c.vec_id = sh.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, l2sq_micro
+FROM (
+  SELECT query_id, neighbor_id, l2sq_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2sq_micro, neighbor_id) AS rn
+  FROM exact
+)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "similarity_ann_pq",
+    extra=True,  # ANN family driver rows: similarity_ann_ivf / _lsh
+    tags=("similarity", "ann", "pq"),
+    oracle=_PQ_ORACLE,
+)
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 for the 5 lowest-id queries: the
+    corpus encoded once into 4 subspace codes (16 codewords each — here
+    the dim-64 vectors compress 64× to 4 bytes), queries scored via ADC
+    lookup-table sums (integer micro-distances, exact cross-engine).
+    The compression half of IVF-PQ — compose with the IVF cells above
+    to also bound the scanned fraction at 10^9 vectors. Recall vs
+    brute-force cosine is pinned in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, m=4, n_codes=16
+    )
+
+
+@query(
+    "similarity_ann_pq_rerank",
+    extra=True,
+    tags=("similarity", "ann", "pq", "rerank"),
+    oracle=_PQ_RERANK_ORACLE,
+)
+def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC shortlist (top-100 by integer table-lookup distance) +
+    exact L2 re-rank of only those candidates — the serving shape of
+    IVF-PQ: near-exact recall at shortlist/corpus of exact search's
+    arithmetic. The oracle replays the full two-stage pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk_rerank(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, shortlist=100
+    )

@@ -715,3 +715,68 @@ def test_containment_catches_subdocument_jaccard_misses(spark):
     fuzzy = mh.fuzzy_dup_pairs(df, "doc_id", "text", threshold=0.8).collect()
     release_persisted()
     assert not any({r["doc_a"], r["doc_b"]} == {0, 1} for r in fuzzy)
+
+
+# -- PQ / ADC ANN -----------------------------------------------------------
+def test_pq_rerank_recall_and_duplicate_optimality(emb, spark):
+    """Three pins for the PQ family:
+    1. A planted exact duplicate of a query achieves the GLOBAL minimum
+       ADC distance (its codes equal the query's argmin codes, and the
+       self-distance is the sum of per-subspace minima), so it ranks 1.
+    2. ADC-only recall@5 vs exact L2 is the crude-codebook floor
+       (isotropic corpus, 16 id-seeded codewords) — assert the
+       measured band so a silent arithmetic break is visible.
+    3. The +rerank path recovers >= 0.8 recall@5 at shortlist=100
+       (5% of this worst-case isotropic corpus; clustered real corpora
+       need far less).
+    """
+    from pyspark.sql.window import Window
+
+    from streampro_assignment_etl_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    # 1: plant a duplicate of query 0 under a fresh id.
+    dup = queries.filter(F.col("vec_id") == 0).select(
+        F.lit(990001).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionByName(dup)
+    pq = similarity.pq_topk(planted, queries.filter(F.col("vec_id") == 0), k=1)
+    top = pq.collect()[0]
+    assert top["neighbor_id"] == 990001 and top["rank"] == 1
+
+    # exact-L2 truth for 2 and 3
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = queries.select(F.col("vec_id").alias("qid"), v.alias("qv"))
+    c = emb.select(F.col("vec_id").alias("nid"), v.alias("cv"))
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("s"), F.asc("nid"))
+    truth = {
+        (r["qid"], r["nid"])
+        for r in F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", l2.alias("s"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(emb, queries, k=5).collect()
+    }
+    adc_recall = len(adc & truth) / len(truth)
+    assert 0.1 <= adc_recall < 0.8, f"ADC-only recall@5={adc_recall}"
+
+    rr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk_rerank(emb, queries, k=5, shortlist=100).collect()
+    }
+    rr_recall = len(rr & truth) / len(truth)
+    assert rr_recall >= 0.8, f"reranked recall@5={rr_recall}"
+    assert rr_recall > adc_recall
