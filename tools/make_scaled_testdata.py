@@ -57,6 +57,14 @@ def scale_table(src: Path, out: Path, name: str, n: int) -> int:
     if name in SINGLE_COPY:
         pq.write_table(table, out / f"{name}.parquet")
         return table.num_rows
+    # Row-group sizing is the PARALLELISM of every downstream scan: a
+    # single-row-group file (the driver testdata's layout) can only be
+    # read by one task no matter what maxPartitionBytes says — the
+    # round-8 soak initially measured serial reads because of this.
+    # ~256 groups spreads any of these tables across local[32] with
+    # room for skew, floored so tiny tables don't fragment.
+    n_total = table.num_rows * n
+    row_group_size = max(4096, n_total // 256)
     # Strides must dominate the source's key space, or copy i's keys
     # collide with copy i+1's (e.g. chaining the tool on its own sf1
     # output) — corrupting every dedup/join soak with no error.
@@ -77,7 +85,7 @@ def scale_table(src: Path, out: Path, name: str, n: int) -> int:
             t = t.set_column(idx, t.schema.field(idx), shifted)
         copies.append(t)
     combined = pa.concat_tables(copies)
-    pq.write_table(combined, out / f"{name}.parquet")
+    pq.write_table(combined, out / f"{name}.parquet", row_group_size=row_group_size)
     return combined.num_rows
 
 

@@ -44,6 +44,15 @@ def main() -> None:
 
     spark = get_spark("streampro-scale-soak")
     spark.sparkContext.setLogLevel("ERROR")
+    # Scan-layout parallelism: the scaled tables are written with ~256
+    # row groups (make_scaled_testdata), but a scan only fans out when
+    # maxPartitionBytes byte-ranges are smaller than the file — at the
+    # default 128 MB every soak table is ONE task wide regardless of
+    # row groups (the round-8 soak's first numbers measured serial
+    # reads; see SCALE.md). 2 MB ranges ≈ 8-75 tasks per table here;
+    # at real warehouse scale many-file layouts make this moot.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
 
     targets = {n: s for n, s in REGISTRY.items() if s.headline}
     targets.update({n: EXTRAS[n] for n in HEAVY_EXTRAS})
