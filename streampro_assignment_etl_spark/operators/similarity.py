@@ -649,16 +649,10 @@ def _sq_l2_lit(a: Column, w: list[float]) -> Column:
     bit-identical doubles and the argmin tie-break never diverges
     ((x−y)² summed is algebraically equal but NOT float-equal)."""
     b = F.array(*[F.lit(float(x)) for x in w])
-    aa = F.aggregate(
-        F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    ab = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
     ww = 0.0
     for x in w:
         ww += float(x) * float(x)
-    return aa - F.lit(2.0) * ab + F.lit(ww)
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + F.lit(ww)
 
 
 def pq_encode(
@@ -668,7 +662,7 @@ def pq_encode(
     (first minimum = lowest-id codeword, the tie rule the oracle's
     ``ORDER BY dist, code`` replays). Entirely JVM-side: the codebooks
     ride the plan as literals, so encoding is one map-side projection —
-    8 bytes of codes replace the vector, the ~16-64× compression that
+    m one-byte codes (4 bytes at the default m=4) replace the vector, the ~16-64× compression that
     lets a 10^9-vector index live in memory."""
     sub = len(codebooks[0][0][1])
     out = emb.select(F.col(id_col), _as_double(vec_col).alias("_v"))
@@ -736,6 +730,12 @@ def pq_topk(
     sub = len(cbs[0][0][1])
     enc = pq_encode(emb, cbs, id_col, vec_col)
     qrows = queries.select(F.col(id_col), _as_double(vec_col)).collect()
+    if not qrows:
+        # F.array() of zero structs types as VOID and breaks the
+        # explode; an empty query set is a valid call → empty result.
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc_dist long"
+        )
 
     per_query = []
     for qid, qv in qrows:
@@ -744,7 +744,11 @@ def pq_topk(
             add,
             [
                 F.element_at(
-                    F.array(*[F.lit(v) for v in luts[j]]), F.col(f"_code{j}") + 1
+                    # long literals: int32 LUT sums overflow past 2^31 on
+                    # unnormalized corpora (ANSI mode crashes, non-ANSI
+                    # silently wraps); the oracle sums BIGINT.
+                    F.array(*[F.lit(v).cast("long") for v in luts[j]]),
+                    F.col(f"_code{j}") + 1,
                 )
                 for j in range(len(cbs))
             ],
@@ -797,23 +801,15 @@ def pq_topk_rerank(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
     )
     cv = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv"))
-    aa = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_qv"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    ab = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    bb = F.aggregate(
-        F.zip_with(F.col("_cv"), F.col("_cv"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    # Same expansion-form + integerization discipline as the LUTs, so
-    # the oracle's rerank ordering is bit-identical.
-    l2sq_micro = F.floor((aa - F.lit(2.0) * ab + bb) * 1_000_000 + F.lit(0.5)).cast(
-        "long"
-    )
+    # Same expansion-form + integerization discipline as the LUTs
+    # (dot() is the module's sequential-fold primitive — the one place
+    # the DuckDB bit-parity contract lives), so the oracle's rerank
+    # ordering is bit-identical.
+    qv_, cv_ = F.col("_qv"), F.col("_cv")
+    l2sq_micro = F.floor(
+        (dot(qv_, qv_) - F.lit(2.0) * dot(qv_, cv_) + dot(cv_, cv_)) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
     exact = (
         short.join(qv, "query_id")
         .join(cv, "neighbor_id")

@@ -780,3 +780,28 @@ def test_pq_rerank_recall_and_duplicate_optimality(emb, spark):
     rr_recall = len(rr & truth) / len(truth)
     assert rr_recall >= 0.8, f"reranked recall@5={rr_recall}"
     assert rr_recall > adc_recall
+
+
+def test_pq_topk_empty_queries_and_large_magnitude_overflow(emb, spark):
+    """Review pins: (1) an empty query set returns an empty typed frame
+    (F.array() of zero structs is VOID and used to break the explode);
+    (2) unnormalized large-magnitude vectors don't overflow the ADC sum
+    (int32 literals used to wrap/crash past 2^31 under ANSI)."""
+    from streampro_assignment_etl_spark.operators import similarity
+
+    none = similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 0), k=5)
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "adc_dist",
+    ]
+
+    big = spark.createDataFrame(
+        [(i, [float(1000 + i)] * 64) for i in range(20)]
+        + [(100, [5000.0] * 64)],  # distant query → ADC dist ≈ 4000²·64·10⁶
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.pq_topk(big, big.filter(F.col("vec_id") == 100), k=3)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["adc_dist"] >= 0 for r in rows)  # wrapped int32 would go negative
+    assert min(r["adc_dist"] for r in rows) > 2**31  # genuinely exercises long range
