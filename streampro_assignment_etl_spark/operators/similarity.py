@@ -824,3 +824,114 @@ def pq_topk_rerank(
         .select("query_id", "neighbor_id", "rank", "l2sq_micro")
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = DEFAULT_CENTROIDS,
+    probes: int = DEFAULT_PROBES,
+    m: int = 4,
+    n_codes: int = 16,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Full IVF-PQ: cell-probed candidates × ADC shortlist × exact
+    re-rank — the complete 10^9-vector serving pipeline, assembled from
+    the pieces above. Per query: scanned fraction ≈ probes/n_centroids
+    (IVF), per-candidate cost = m table probes + an integer sum (PQ/ADC,
+    no vector math), exact arithmetic only on the ``shortlist``
+    survivors. Returns (query_id, neighbor_id, rank, l2sq_micro).
+
+    The ADC here is relational (melt candidate codes → broadcast-join
+    the per-query LUT table → integer sum) rather than pq_topk's
+    literal-expression form, because candidates now carry query_id as
+    DATA (many queries × probed cells in one frame) — the join shape is
+    what a 10^5-query batch lookup would use anyway. Both the candidate
+    restriction and the LUT arithmetic are replayed verbatim by the
+    DuckDB oracle."""
+    cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
+    cbs = pq_codebooks(emb, id_col, vec_col, m, n_codes)
+    sub = len(cbs[0][0][1])
+
+    cells = assign_cells(emb, cents, id_col, vec_col)
+    enc = pq_encode(emb, cbs, id_col, vec_col)
+    cellenc = cells.select(F.col(id_col).alias("neighbor_id"), "cell").join(
+        enc.select(
+            F.col(id_col).alias("neighbor_id"), *[f"_code{j}" for j in range(m)]
+        ),
+        "neighbor_id",
+    )
+    probed = probe_cells(queries, cents, id_col, vec_col, probes)
+    cand = (
+        probed.select("query_id", "cell")
+        .join(cellenc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+    melted = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"_code{j}").alias("code")
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("query_id", "neighbor_id", "_s.j", "_s.code")
+
+    qrows = queries.select(F.col(id_col), _as_double(vec_col)).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, l2sq_micro long"
+        )
+    lut_rows = [
+        (int(qid), j, c, _lut_int(list(qv[j * sub : (j + 1) * sub]), cbs[j])[c])
+        for qid, qv in qrows
+        for j in range(m)
+        for c in range(len(cbs[j]))
+    ]
+    lut_df = emb.sparkSession.createDataFrame(
+        lut_rows, "query_id long, j int, code int, d long"
+    )
+    adc = (
+        melted.join(F.broadcast(lut_df), ["query_id", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    short = (
+        adc.withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+    qv_frame = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    )
+    cv_frame = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
+    )
+    qv_, cv_ = F.col("_qv"), F.col("_cv")
+    l2sq_micro = F.floor(
+        (dot(qv_, qv_) - F.lit(2.0) * dot(qv_, cv_) + dot(cv_, cv_)) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    exact = (
+        short.join(qv_frame, "query_id")
+        .join(cv_frame, "neighbor_id")
+        .select("query_id", "neighbor_id", l2sq_micro.alias("l2sq_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2sq_micro"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2sq_micro")
+        .orderBy("query_id", "rank")
+    )

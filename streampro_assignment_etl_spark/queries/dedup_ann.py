@@ -995,3 +995,124 @@ def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_rerank(
         emb, queries, id_col="vec_id", vec_col="embedding", k=5, shortlist=100
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF-PQ: cell-probed candidates × ADC shortlist × exact rerank.
+# ---------------------------------------------------------------------------
+_IVFPQ_ORACLE = """
+WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS centroid FROM corp WHERE vec_id < 16
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM corp c CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, ct.centroid)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM (SELECT * FROM corp WHERE vec_id < 5) q CROSS JOIN cent ct
+  ) WHERE rn <= 4
+),
+cw AS (
+  SELECT t.j, ct.vec_id AS code, ct.v[t.j*16+1 : (t.j+1)*16] AS w
+  FROM corp ct, UNNEST([0,1,2,3]) AS t(j)
+  WHERE ct.vec_id < 16
+),
+sub AS (
+  SELECT c.vec_id, t.j, c.v[t.j*16+1 : (t.j+1)*16] AS s
+  FROM corp c, UNNEST([0,1,2,3]) AS t(j)
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, cw.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, cw.w)
+                      + list_dot_product(cw.w, cw.w),
+                      cw.code) AS rn
+    FROM sub s JOIN cw ON s.j = cw.j
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cw.j, cw.code,
+         CAST(floor((list_dot_product(q.s, q.s) - 2*list_dot_product(q.s, cw.w)
+                     + list_dot_product(cw.w, cw.w)) * 1000000 + 0.5) AS BIGINT) AS d
+  FROM (SELECT * FROM sub WHERE vec_id < 5) q JOIN cw ON q.j = cw.j
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.code = e.code
+  GROUP BY c.query_id, c.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= 100
+),
+exact AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         CAST(floor((list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, c.v)
+                     + list_dot_product(c.v, c.v)) * 1000000 + 0.5) AS BIGINT)
+           AS l2sq_micro
+  FROM short sh
+  JOIN corp q ON q.vec_id = sh.query_id
+  JOIN corp c ON c.vec_id = sh.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, l2sq_micro
+FROM (
+  SELECT query_id, neighbor_id, l2sq_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2sq_micro, neighbor_id) AS rn
+  FROM exact
+)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "similarity_ann_ivfpq",
+    extra=True,
+    tags=("similarity", "ann", "ivf", "pq"),
+    oracle=_IVFPQ_ORACLE,
+)
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF-PQ pipeline: candidates bounded to the 4 probed
+    cells of 16 (IVF — scanned fraction ≈ P/C), scored by integer ADC
+    table lookups over 4-byte codes (PQ — no per-pair vector math),
+    exact L2 only on the top-100 shortlist. The oracle replays every
+    stage: cosine cell assignment/probing, expansion-form argmin
+    encoding, integerized LUTs, the candidate restriction, and the
+    two-stage ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=5, n_centroids=16, probes=4, m=4, n_codes=16, shortlist=100,
+    )
