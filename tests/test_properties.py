@@ -529,3 +529,85 @@ def test_sharded_emit_equals_per_key_composition(batches):
     assert sorted(shard_state.get[0]) == sorted(
         f for f, s in fine_states.items() if s.exists
     )
+
+
+# -- gap sessionization vs a scalar Python reference ------------------------
+@settings(**HYP)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user_id
+            st.integers(0, 8000),         # offset seconds (gaps straddle 1800)
+            st.integers(0, 999_999),      # microsecond fraction (sub-second ties)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gap_sessionize_matches_scalar_reference(spark, events):
+    """The windowed sessionizer (lag + cumsum, integer-microsecond gap
+    test) must agree with an obviously-correct per-user scalar fold —
+    including duplicate timestamps (event_id tie-break) and gaps landing
+    exactly ON the 1800 s boundary (> , not >=)."""
+    import datetime as dt
+
+    from streampro_assignment_etl_spark.queries.streaming_q import (
+        _SESSION_GAP_S,
+        gap_sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=off, microseconds=us),
+            uid,
+            "view",
+            1.0,
+            "{}",
+        )
+        for i, (uid, off, us) in enumerate(events)
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gap_prop_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["user_id"]: (
+            r["n_sessions"], r["n_events"], r["max_session_events"],
+            r["total_duration_sec"],
+        )
+        for r in gap_sessionize(spark, d).collect()
+    }
+
+    # Scalar reference: per user, sort by (ts, event_id), split on
+    # gap > 1800s using exact integer microseconds.
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid, ts, uid, *_ in rows:
+        per_user[uid].append((ts, eid))
+    want = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        sessions = []
+        for ts, _ in evs:
+            # tz-independent exact integer micros since epoch (naive ts)
+            us = (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+            if not sessions or us - sessions[-1][-1] > _SESSION_GAP_S * 1_000_000:
+                sessions.append([us])
+            else:
+                sessions[-1].append(us)
+        durs = [(s[-1] - s[0]) // 1_000_000 for s in sessions]
+        want[uid] = (
+            len(sessions),
+            sum(len(s) for s in sessions),
+            max(len(s) for s in sessions),
+            sum(durs),
+        )
+    assert got == want
