@@ -1092,3 +1092,39 @@ def test_writers_reject_object_store_uris(spark, tmp_path):
         merge_upsert(spark, "hdfs://nn/table", df, ("id",))
     with pytest.raises(ValueError, match="local filesystem path"):
         incremental_rollup(spark, "s3://bucket/rollup", df, ("id",), {"n": ("count", "id")})
+
+
+def test_run_stream_upsert_reclaims_crashed_bootstrap_debris(spark, tmp_path):
+    """A .boot-* staging dir left by a crash between the staging write
+    and the rename must be reclaimed by the next bootstrap (replay
+    rewrites the same rows, so dropping stale staging is always safe)."""
+    import os as _os
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming import run_stream_upsert
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        windowed_event_counts,
+    )
+
+    landing = pathlib.Path(tmp_path / "crash_landing")
+    landing.mkdir()
+    f = landing / "ev0.jsonl"
+    f.write_text(json.dumps(_event(0, "2024-01-01 10:05:00", 1, "view", 1.0)) + "\n")
+    _os.utime(f, (1_000_000_000,) * 2)
+
+    target = tmp_path / "crash_target"
+    # Simulated crash artifact: a half-written staging dir.
+    stale = tmp_path / ".crash_target.boot-deadbeef"
+    stale.mkdir()
+    (stale / "part-orphan.parquet").write_bytes(b"not parquet")
+
+    stream = windowed_event_counts(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .json(str(landing))
+        .withColumn("ts_event", F.to_timestamp("ts"))
+    )
+    run_stream_upsert(
+        stream, str(target), str(tmp_path / "crash_ckpt"), ["window_start", "event_type"]
+    )
+    assert target.exists() and spark.read.parquet(str(target)).count() == 1
+    assert not stale.exists()  # debris reclaimed
