@@ -255,7 +255,20 @@ def watermark_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle replays the literal global window.
     """
     events = load_table(spark, sf_dir, "events")
-    b = (F.col("event_id") / _LATENESS_BLOCK).cast("long").alias("_b")
+    return build_lateness_profile(events)
+
+
+def build_lateness_profile(events: DataFrame, block: int = _LATENESS_BLOCK) -> DataFrame:
+    """The block-decomposed lateness profile (see
+    ``watermark_lateness_profile``). ``block`` is the two-level sizing
+    dial: level 1 windows over ≤ ``block`` rows, level 2 over
+    ``n/block`` block maxes — B ≈ √n balances them (10⁶ covers 10¹²
+    events at ≤ 10⁶ rows per level; a third level would extend to
+    10¹⁸, unneeded this side of physics). The result is B-INVARIANT —
+    pinned across block sizes incl. one-row and whole-corpus blocks in
+    tests/test_corpus_ops.py — so mis-sizing costs time, never
+    correctness."""
+    b = (F.col("event_id") / block).cast("long").alias("_b")
     e = events.select("event_id", "event_type", "ts", b)
     in_block = Window.partitionBy("_b").orderBy("event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -373,3 +373,29 @@ def test_lateness_block_decomposition_equals_global_window(spark):
     anchor = {r["event_type"]: tuple(r) for r in anchor_df.collect()}
     assert got == anchor
     assert sum(r[2] for r in got.values()) > 300  # the planted late events
+
+
+@pytest.mark.parametrize("block", [1, 37, 1000, 10**9])
+def test_lateness_profile_block_invariant(spark, block):
+    """build_lateness_profile must give identical results for ANY block
+    size — one-row blocks, odd sizes, and a single whole-corpus block
+    (which degenerates to the literal global window)."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.queries.streaming_q import (
+        build_lateness_profile,
+    )
+
+    rows = [
+        (i, "e%d" % (i % 2), i - (700 if i % 11 == 0 else 0)) for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "off"]).select(
+        "event_id",
+        "event_type",
+        F.expr("timestampadd(SECOND, off, TIMESTAMP_NTZ'2024-01-01 00:00:00')").alias(
+            "ts"
+        ),
+    )
+    got = sorted(tuple(r) for r in build_lateness_profile(df, block=block).collect())
+    anchor = sorted(tuple(r) for r in build_lateness_profile(df, block=10**9).collect())
+    assert got == anchor
