@@ -22,6 +22,7 @@ from .events_stream import (
     windowed_event_counts,
     write_stream_to_trusted,
 )
+from .embedding_dedup import embedding_dedup_stream, run_embedding_dedup_stream
 from .fuzzy_dedup import fuzzy_dedup_stream, run_fuzzy_dedup_stream
 from .heavy_hitters import read_mg_sink, trending_terms_stream
 from .stateful_dedup import (
@@ -36,12 +37,14 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_bloom",
     "enriched_events_stream",
+    "embedding_dedup_stream",
     "fuzzy_dedup_stream",
     "read_events_stream",
     "compact_update_sink",
     "read_update_sink",
     "run_bloom_dedup_stream",
     "run_dedup_stream",
+    "run_embedding_dedup_stream",
     "run_fuzzy_dedup_stream",
     "run_stream_to_parquet",
     "run_stream_upsert",

@@ -1128,3 +1128,87 @@ def test_run_stream_upsert_reclaims_crashed_bootstrap_debris(spark, tmp_path):
     )
     assert target.exists() and spark.read.parquet(str(target)).count() == 1
     assert not stale.exists()  # debris reclaimed
+
+
+def test_streaming_embedding_dedup_across_batches_and_parity(spark, tmp_path):
+    """Embedding near-dup pairs (exact cosine >= τ over SRP bucket
+    cohorts): detected in-batch AND across micro-batches/restarts;
+    unrelated vectors never pair; the full pair set equals a batch
+    reference applying the identical collision rule (bucket sets
+    intersect ⇔ base buckets within Hamming 2) + exact cosine."""
+    import math
+    import random
+
+    from streampro_assignment_etl_spark.operators.similarity import hyperplanes
+    from streampro_assignment_etl_spark.streaming.embedding_dedup import (
+        run_embedding_dedup_stream,
+    )
+
+    rng = random.Random(7)
+    dim, n_planes, tau = 16, 6, 0.95
+
+    def rand_vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    def perturb(v, eps=0.05):
+        return [x + rng.gauss(0, eps) for x in v]
+
+    base_vecs = {i: rand_vec() for i in range(8)}
+    batch0 = [
+        {"vec_id": i, "embedding": base_vecs[i]} for i in range(8)
+    ] + [{"vec_id": 100, "embedding": perturb(base_vecs[0])}]  # in-batch dup of 0
+    batch1 = [
+        {"vec_id": 200, "embedding": perturb(base_vecs[3])},  # cross-batch dup of 3
+        {"vec_id": 201, "embedding": rand_vec()},
+    ]
+
+    landing = tmp_path / "edup_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "edup_out"), str(tmp_path / "edup_ckpt")
+    (landing / "a.jsonl").write_text(
+        "\n".join(json.dumps(d) for d in batch0) + "\n"
+    )
+    run_embedding_dedup_stream(
+        spark, str(landing), out, ckpt, threshold=tau, n_planes=n_planes, dim=dim
+    )
+    got1 = {(r["vec_a"], r["vec_b"]) for r in spark.read.parquet(out).collect()}
+    assert (0, 100) in got1
+
+    (landing / "b.jsonl").write_text(
+        "\n".join(json.dumps(d) for d in batch1) + "\n"
+    )
+    run_embedding_dedup_stream(
+        spark, str(landing), out, ckpt, threshold=tau, n_planes=n_planes, dim=dim
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in spark.read.parquet(out).collect()}
+    assert (3, 200) in got  # bucket cohort survived the batch boundary + restart
+
+    # Batch reference with the IDENTICAL collision + cosine rule.
+    planes = hyperplanes(dim, n_planes)
+    every = {d["vec_id"]: d["embedding"] for d in batch0 + batch1}
+
+    def bucket(v):
+        b = 0
+        for j, w in enumerate(planes):
+            acc = 0.0
+            for x, y in zip(v, w):
+                acc += x * y
+            if acc >= 0:
+                b |= 1 << j
+        return b
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    expect = set()
+    items = sorted(every)
+    for i, a in enumerate(items):
+        for b in items[i + 1 :]:
+            ham = bin(bucket(every[a]) ^ bucket(every[b])).count("1")
+            if ham > 2:
+                continue
+            ua, ub = unit(every[a]), unit(every[b])
+            if sum(x * y for x, y in zip(ua, ub)) >= tau:
+                expect.add((a, b))
+    assert got == expect
