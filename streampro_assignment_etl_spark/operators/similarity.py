@@ -655,6 +655,24 @@ def _sq_l2_lit(a: Column, w: list[float]) -> Column:
     return dot(a, a) - F.lit(2.0) * dot(a, b) + F.lit(ww)
 
 
+def _finite_vec(c: Column) -> Column:
+    """True iff every component is finite: NaN/inf poison both the
+    argmin encode (NaN distances) and the driver-side LUT build
+    (int(NaN) raises). Zero vectors stay — PQ distance is L2, where a
+    zero vector is perfectly valid (unlike the cosine paths' 
+    ``_finite_positive``)."""
+    n = norm(c)
+    return ~F.isnan(n) & (n < F.lit(float("inf")))
+
+
+def _collect_finite_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-collected (id, double-vector) rows with NaN/inf rows
+    DROPPED map-side — a failed embed job's poison row must not kill
+    the whole query batch in ``_lut_int``."""
+    v = _as_double(vec_col)
+    return queries.select(F.col(id_col), v).filter(_finite_vec(v)).collect()
+
+
 def pq_encode(
     emb: DataFrame, codebooks: PQCodebooks, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -665,7 +683,10 @@ def pq_encode(
     m one-byte codes (4 bytes at the default m=4) replace the vector, the ~16-64× compression that
     lets a 10^9-vector index live in memory."""
     sub = len(codebooks[0][0][1])
-    out = emb.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    # Preserve the input's other columns (minus the raw vector): the
+    # composed IVF-PQ feeds assign_cells output through here so cell +
+    # codes come out of ONE map-side projection with no glue join.
+    out = emb.withColumn("_v", _as_double(vec_col)).drop(vec_col)
     for j, cb in enumerate(codebooks):
         s = F.slice(F.col("_v"), j * sub + 1, sub)
         d = F.array(*[_sq_l2_lit(s, w) for _, w in cb])
@@ -729,10 +750,11 @@ def pq_topk(
     cbs = codebooks or pq_codebooks(emb, id_col, vec_col, m, n_codes)
     sub = len(cbs[0][0][1])
     enc = pq_encode(emb, cbs, id_col, vec_col)
-    qrows = queries.select(F.col(id_col), _as_double(vec_col)).collect()
+    qrows = _collect_finite_queries(queries, id_col, vec_col)
     if not qrows:
         # F.array() of zero structs types as VOID and breaks the
-        # explode; an empty query set is a valid call → empty result.
+        # explode; an empty (or all-poison) query set is a valid call
+        # → empty result.
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, adc_dist long"
         )
@@ -774,6 +796,43 @@ def pq_topk(
     )
 
 
+def _exact_rerank(
+    short: DataFrame,
+    queries: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact integer-micro L2 re-rank of a (query_id, neighbor_id)
+    shortlist — the ONE copy of the rerank bit-parity contract (same
+    expansion form + integerization as the LUTs; ``dot`` is the
+    sequential-fold primitive the DuckDB oracle replays)."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
+    )
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv"))
+    qv_, cv_ = F.col("_qv"), F.col("_cv")
+    l2sq_micro = F.floor(
+        (dot(qv_, qv_) - F.lit(2.0) * dot(qv_, cv_) + dot(cv_, cv_)) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    exact = (
+        short.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", l2sq_micro.alias("l2sq_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2sq_micro"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2sq_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
 def pq_topk_rerank(
     emb: DataFrame,
     queries: DataFrame,
@@ -797,33 +856,7 @@ def pq_topk_rerank(
         emb, queries, id_col, vec_col, k=shortlist, m=m, n_codes=n_codes,
         codebooks=codebooks,
     ).select("query_id", "neighbor_id")
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
-    )
-    cv = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv"))
-    # Same expansion-form + integerization discipline as the LUTs
-    # (dot() is the module's sequential-fold primitive — the one place
-    # the DuckDB bit-parity contract lives), so the oracle's rerank
-    # ordering is bit-identical.
-    qv_, cv_ = F.col("_qv"), F.col("_cv")
-    l2sq_micro = F.floor(
-        (dot(qv_, qv_) - F.lit(2.0) * dot(qv_, cv_) + dot(cv_, cv_)) * 1_000_000
-        + F.lit(0.5)
-    ).cast("long")
-    exact = (
-        short.join(qv, "query_id")
-        .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", l2sq_micro.alias("l2sq_micro"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("l2sq_micro"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "l2sq_micro")
-        .orderBy("query_id", "rank")
-    )
+    return _exact_rerank(short, queries, emb, id_col, vec_col, k)
 
 
 def ivfpq_topk(
@@ -856,13 +889,14 @@ def ivfpq_topk(
     cbs = pq_codebooks(emb, id_col, vec_col, m, n_codes)
     sub = len(cbs[0][0][1])
 
+    # ONE fused map-side projection for the index: assign_cells emits
+    # (id, vec, cell) with zero shuffles, and pq_encode preserves the
+    # cell column while adding the codes — no corpus-wide glue join
+    # between two projections of the same frame (that exchange would
+    # dominate the 10^9-vector build this models).
     cells = assign_cells(emb, cents, id_col, vec_col)
-    enc = pq_encode(emb, cbs, id_col, vec_col)
-    cellenc = cells.select(F.col(id_col).alias("neighbor_id"), "cell").join(
-        enc.select(
-            F.col(id_col).alias("neighbor_id"), *[f"_code{j}" for j in range(m)]
-        ),
-        "neighbor_id",
+    cellenc = pq_encode(cells, cbs, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", *[f"_code{j}" for j in range(m)]
     )
     probed = probe_cells(queries, cents, id_col, vec_col, probes)
     cand = (
@@ -886,17 +920,16 @@ def ivfpq_topk(
         ).alias("_s"),
     ).select("query_id", "neighbor_id", "_s.j", "_s.code")
 
-    qrows = queries.select(F.col(id_col), _as_double(vec_col)).collect()
+    qrows = _collect_finite_queries(queries, id_col, vec_col)
     if not qrows:
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, l2sq_micro long"
         )
-    lut_rows = [
-        (int(qid), j, c, _lut_int(list(qv[j * sub : (j + 1) * sub]), cbs[j])[c])
-        for qid, qv in qrows
-        for j in range(m)
-        for c in range(len(cbs[j]))
-    ]
+    lut_rows = []
+    for qid, qv in qrows:
+        for j in range(m):
+            row = _lut_int(list(qv[j * sub : (j + 1) * sub]), cbs[j])
+            lut_rows.extend((int(qid), j, c, d) for c, d in enumerate(row))
     lut_df = emb.sparkSession.createDataFrame(
         lut_rows, "query_id long, j int, code int, d long"
     )
@@ -912,26 +945,4 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    qv_frame = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv")
-    )
-    cv_frame = emb.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
-    )
-    qv_, cv_ = F.col("_qv"), F.col("_cv")
-    l2sq_micro = F.floor(
-        (dot(qv_, qv_) - F.lit(2.0) * dot(qv_, cv_) + dot(cv_, cv_)) * 1_000_000
-        + F.lit(0.5)
-    ).cast("long")
-    exact = (
-        short.join(qv_frame, "query_id")
-        .join(cv_frame, "neighbor_id")
-        .select("query_id", "neighbor_id", l2sq_micro.alias("l2sq_micro"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("l2sq_micro"), F.asc("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "l2sq_micro")
-        .orderBy("query_id", "rank")
-    )
+    return _exact_rerank(short, queries, emb, id_col, vec_col, k)

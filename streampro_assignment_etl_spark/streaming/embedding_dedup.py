@@ -32,14 +32,11 @@ two-stage contract as every batch dedup in this repo.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from ..operators.similarity import (
     DEFAULT_PLANES,
@@ -67,73 +64,23 @@ _STATE_SCHEMA = T.StructType(
 
 
 def _cohort_matcher(threshold: float):
-    """Per-bucket vectorized cosine matcher: cohort unit vectors as an
-    ``(m, d)`` float64 matrix, each batch's ``(n, d)`` block scored with
-    ONE matrix product. Row i pairs with every cohort member plus every
-    EARLIER row of the same batch (strict lower triangle) whose cosine
-    reaches ``threshold``, skipping id-equal rows — the exact shape of
-    ``fuzzy_dedup._bucket_matcher`` with agreement-fraction replaced by
-    exact cosine."""
+    """Per-bucket exact-cosine matcher: cohort unit vectors as an
+    ``(m, d)`` float64 matrix, each batch's ``(n, d)`` block scored
+    with ONE matrix product (unit vectors ⇒ dot IS cosine). The
+    stateful shape lives once in ``_cohort.make_cohort_matcher``
+    (shared with the MinHash fuzzy dedup)."""
+    from ._cohort import make_cohort_matcher
 
-    def match_bucket(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists and len(state.get[0]):
-            ids = np.asarray(state.get[0], dtype=np.int64)
-            vecs = np.asarray([list(v) for v in state.get[1]], dtype=np.float64)
-        else:
-            ids = np.empty(0, dtype=np.int64)
-            vecs = None  # (0, d) with d unknown until the first rows land
-        parts: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            b_vecs = np.asarray([list(v) for v in pdf["unit"]], dtype=np.float64)
-            n = len(b_ids)
-            if vecs is not None and len(ids):
-                cos = b_vecs @ vecs.T  # (n, m) — unit vectors, so dot IS cosine
-                hit = (cos >= threshold) & (b_ids[:, None] != ids[None, :])
-                bi, ci = np.nonzero(hit)
-                if len(bi):
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "vec_a": np.minimum(b_ids[bi], ids[ci]),
-                                "vec_b": np.maximum(b_ids[bi], ids[ci]),
-                                "cos_sim": cos[bi, ci],
-                            }
-                        )
-                    )
-            if n > 1:
-                cos_b = b_vecs @ b_vecs.T
-                hit_b = (
-                    (cos_b >= threshold)
-                    & (b_ids[:, None] != b_ids[None, :])
-                    & np.tri(n, k=-1, dtype=bool)
-                )
-                bi, ji = np.nonzero(hit_b)
-                if len(bi):
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "vec_a": np.minimum(b_ids[bi], b_ids[ji]),
-                                "vec_b": np.maximum(b_ids[bi], b_ids[ji]),
-                                "cos_sim": cos_b[bi, ji],
-                            }
-                        )
-                    )
-            ids = np.concatenate([ids, b_ids])
-            vecs = b_vecs if vecs is None else np.vstack([vecs, b_vecs])
-        # builtin types only: numpy scalars poison the state pickle.
-        state.update((ids.tolist(), vecs.tolist() if vecs is not None else []))
-        if parts:
-            out = pd.concat(parts, ignore_index=True)
-            out["vec_a"] = out["vec_a"].astype("int64")
-            out["vec_b"] = out["vec_b"].astype("int64")
-            yield out
-
-    return match_bucket
+    return make_cohort_matcher(
+        id_field="vec_id",
+        payload_field="unit",
+        payload_dtype=np.float64,
+        score=lambda A, B: A @ B.T,
+        threshold=threshold,
+        out_a="vec_a",
+        out_b="vec_b",
+        out_score="cos_sim",
+    )
 
 
 def embedding_dedup_stream(

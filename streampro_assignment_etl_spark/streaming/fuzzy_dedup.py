@@ -28,14 +28,11 @@ state.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 
 from ..operators.minhash import (
     DEFAULT_BANDS,
@@ -92,83 +89,24 @@ def band_hash_array(
 
 
 def _bucket_matcher(threshold: float):
-    """Vectorized per-bucket cohort matcher. The state op must be Python
-    (``applyInPandasWithState``), but the arithmetic need not be: cohort
-    signatures live as an ``(m, k)`` int64 matrix and each batch's
-    ``(n, k)`` signature block is compared against it with ONE
-    broadcasted ``==`` + ``mean`` — no Python loop over rows, cohort
-    members, or signature slots. Semantics are identical to the scalar
-    form it replaced: row i pairs with every cohort member plus every
-    EARLIER row of the same batch (strict lower triangle) whose
-    agreement fraction reaches ``threshold``, skipping id-equal rows."""
+    """Vectorized per-bucket cohort matcher: cohort signatures as an
+    ``(m, k)`` int64 matrix, each batch's ``(n, k)`` block scored with
+    ONE broadcasted ``==`` + ``mean`` (agreement fraction ≈ Jaccard).
+    The stateful shape — restore edge, arrival-order pair rule, state
+    pickle discipline — lives once in ``_cohort.make_cohort_matcher``
+    (shared with the embedding dedup)."""
+    from ._cohort import make_cohort_matcher
 
-    def match_bucket(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists and len(state.get[0]):
-            ids = np.asarray(state.get[0], dtype=np.int64)
-            sigs = np.asarray([list(s) for s in state.get[1]], dtype=np.int64)
-        else:
-            # Also the restore path for a persisted EMPTY cohort (every
-            # pdf chunk empty when it was written): sigs must stay None,
-            # not np.asarray([]) — an (0,)-shaped array would break the
-            # (m, k) vstack when real rows arrive.
-            ids = np.empty(0, dtype=np.int64)
-            sigs = None  # (0, k) with k unknown until the first rows land
-        parts: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            b_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            b_sigs = np.asarray([list(s) for s in pdf["sig"]], dtype=np.int64)
-            n = len(b_ids)
-            # Batch rows vs the accumulated cohort: (n, m) agreement.
-            if sigs is not None and len(ids):
-                agree = (b_sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-                hit = (agree >= threshold) & (b_ids[:, None] != ids[None, :])
-                bi, ci = np.nonzero(hit)
-                if len(bi):
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "doc_a": np.minimum(b_ids[bi], ids[ci]),
-                                "doc_b": np.maximum(b_ids[bi], ids[ci]),
-                                "est_jaccard": agree[bi, ci],
-                            }
-                        )
-                    )
-            # Batch rows vs EARLIER batch rows (arrival order): strict
-            # lower triangle of the (n, n) self-agreement matrix.
-            if n > 1:
-                agree_b = (b_sigs[:, None, :] == b_sigs[None, :, :]).mean(axis=2)
-                hit_b = (
-                    (agree_b >= threshold)
-                    & (b_ids[:, None] != b_ids[None, :])
-                    & np.tri(n, k=-1, dtype=bool)
-                )
-                bi, ji = np.nonzero(hit_b)
-                if len(bi):
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "doc_a": np.minimum(b_ids[bi], b_ids[ji]),
-                                "doc_b": np.maximum(b_ids[bi], b_ids[ji]),
-                                "est_jaccard": agree_b[bi, ji],
-                            }
-                        )
-                    )
-            ids = np.concatenate([ids, b_ids])
-            sigs = b_sigs if sigs is None else np.vstack([sigs, b_sigs])
-        # Plain-int everything: numpy scalars poison the state pickle on
-        # the JVM side — .tolist() yields builtin ints.
-        state.update((ids.tolist(), sigs.tolist() if sigs is not None else []))
-        if parts:
-            out = pd.concat(parts, ignore_index=True)
-            out["doc_a"] = out["doc_a"].astype("int64")
-            out["doc_b"] = out["doc_b"].astype("int64")
-            yield out
-
-    return match_bucket
+    return make_cohort_matcher(
+        id_field="doc_id",
+        payload_field="sig",
+        payload_dtype=np.int64,
+        score=lambda A, B: (A[:, None, :] == B[None, :, :]).mean(axis=2),
+        threshold=threshold,
+        out_a="doc_a",
+        out_b="doc_b",
+        out_score="est_jaccard",
+    )
 
 
 def fuzzy_dedup_stream(

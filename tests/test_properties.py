@@ -568,22 +568,26 @@ def test_gap_sessionize_matches_scalar_reference(spark, events):
         )
         for i, (uid, off, us) in enumerate(events)
     ]
+    import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix="gap_prop_")
-    spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
-        "value double, props string",
-    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
 
-    got = {
-        r["user_id"]: (
-            r["n_sessions"], r["n_events"], r["max_session_events"],
-            r["total_duration_sec"],
-        )
-        for r in gap_sessionize(spark, d).collect()
-    }
+        got = {
+            r["user_id"]: (
+                r["n_sessions"], r["n_events"], r["max_session_events"],
+                r["total_duration_sec"],
+            )
+            for r in gap_sessionize(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
     # Scalar reference: per user, sort by (ts, event_id), split on
     # gap > 1800s using exact integer microseconds.
