@@ -959,3 +959,66 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (tokenizer-training prep).
+# ---------------------------------------------------------------------------
+_BPE_TOP = 50
+
+
+@query(
+    "bpe_pair_counts",
+    extra=True,
+    tags=("tokenizer", "bpe", "llm-pipeline"),
+    oracle=f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP}
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide counts
+    of adjacent symbol pairs (character bigrams within words), the
+    statistic whose argmax becomes the first merge rule. Runs the real
+    algorithm's efficiency trick — aggregate to DISTINCT words with
+    frequencies FIRST (vocab-sized frame), then explode each unique
+    word's bigrams once and weight by frequency — so the expensive
+    explode touches |vocab| rows, not |corpus| (on a Zipf corpus that
+    is orders of magnitude less; subsequent merge iterations would
+    rewrite the same weighted-vocab frame).
+
+    Scale shape: one word-keyed count shuffle, a vocab-sized explode,
+    one pair-keyed partial/final aggregate, TakeOrdered top-50.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
