@@ -4,15 +4,38 @@ vectors).
 
 Both operators are the SAME stateful shape — restore the bucket's
 (ids, payload-matrix) cohort, score each arriving batch block against
-the cohort and against its own earlier rows (strict lower triangle),
-emit threshold hits, append, persist — and that shape carries the
-subtle parts: the None-vs-empty restore edge (a persisted EMPTY cohort
-must restore payloads as ``None``, not a (0,)-shaped array that breaks
-the later vstack; found by a hypothesis property in round 7), the
-builtin-types-only ``state.update`` discipline (numpy scalars poison
-the state pickle), and the arrival-order pair rule. One factory keeps
-those fixed once; the operators differ only in payload dtype and the
-vectorized score function.
+the cohort and against the batch's own earlier rows (strict lower
+triangle), emit threshold hits, append, persist — and that shape
+carries the subtle parts: the None-vs-empty restore edge (a persisted
+EMPTY cohort must restore payloads as ``None``, not a (0,)-shaped
+array that breaks the later vstack; found by a hypothesis property in
+round 7), the builtin-types-only ``state.update`` discipline (numpy
+scalars poison the state pickle), and the arrival-order pair rule.
+One factory keeps those fixed once; the operators differ only in
+payload dtype and the vectorized score function.
+
+State-bounding policy hooks (round 9, closing the round-8 ``weak``:
+"every vector persists n_planes+1 full copies forever"):
+
+- ``store_field``: asymmetric store-once probing. When set, only rows
+  whose boolean ``store_field`` is true enter the persisted cohort;
+  the rest are PROBE rows — they score against the cohort (and
+  against the batch's stored rows, see the in-batch rule below) but
+  never persist, and a bucket visited only by probe rows creates NO
+  state entry at all. The caller stores each item once (its base
+  bucket) and widens the PROBE ring instead — state per item drops
+  from ring-size× to 1× with identical pair semantics when the probe
+  ring covers the old symmetric collision distance. In-batch pairs
+  additionally require at least one side stored in this bucket, so
+  in-batch and cross-batch collision rules are the same predicate
+  ("one side's base bucket is in the other side's probe ring"), not
+  an accidental wider probe∩probe rule.
+- ``ttl_ms``: whole-cohort eviction via ``ProcessingTimeTimeout`` —
+  a bucket idle for ``ttl_ms`` drops its cohort (the caller must pass
+  ``timeoutConf=GroupStateTimeout.ProcessingTimeTimeout``), bounding
+  total state by the distinct-bucket volume of the horizon instead of
+  the stream's lifetime; any arrival refreshes the bucket's horizon
+  (same last-seen semantics as ``stateful_dedup.dedup_stream_ttl``).
 """
 
 from __future__ import annotations
@@ -35,27 +58,47 @@ def make_cohort_matcher(
     out_a: str,
     out_b: str,
     out_score: str,
+    store_field: str | None = None,
+    ttl_ms: int | None = None,
 ):
     """Build an ``applyInPandasWithState`` function: row i pairs with
     every cohort member plus every EARLIER row of the same batch whose
     ``score`` (an (n, m) matrix from two payload blocks) reaches
-    ``threshold``, skipping id-equal rows."""
+    ``threshold``, skipping id-equal rows. With ``store_field`` set,
+    only flagged rows persist, and in-batch pairs require a flagged
+    side (see module docstring)."""
 
     def match_bucket(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # Timeout invocations carry no data rows; drop the cohort.
+            state.remove()
+            return
         if state.exists and len(state.get[0]):
             ids = np.asarray(state.get[0], dtype=np.int64)
             payload = np.asarray([list(v) for v in state.get[1]], dtype=payload_dtype)
         else:
             ids = np.empty(0, dtype=np.int64)
             payload = None  # (0, k) with k unknown until the first rows land
+        # Materialize the bucket's whole batch slice before scoring:
+        # chunk-at-a-time scoring breaks under store-once (a probe row
+        # chunked BEFORE its partner's stored row would never see it,
+        # because probe rows don't enter the cohort between chunks).
+        frames = [pdf for pdf in pdfs if len(pdf)]
         parts: list[pd.DataFrame] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            b_ids = pdf[id_field].to_numpy(dtype=np.int64)
-            b_pay = np.asarray([list(v) for v in pdf[payload_field]], dtype=payload_dtype)
+        stored_new = 0
+        if frames:
+            block = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            b_ids = block[id_field].to_numpy(dtype=np.int64)
+            b_pay = np.asarray(
+                [list(v) for v in block[payload_field]], dtype=payload_dtype
+            )
+            keep = (
+                block[store_field].to_numpy(dtype=bool)
+                if store_field is not None
+                else np.ones(len(b_ids), dtype=bool)
+            )
             n = len(b_ids)
             if payload is not None and len(ids):
                 sc = score(b_pay, payload)  # (n, m)
@@ -77,6 +120,10 @@ def make_cohort_matcher(
                     (sc_b >= threshold)
                     & (b_ids[:, None] != b_ids[None, :])
                     & np.tri(n, k=-1, dtype=bool)
+                    # In-batch pairs need a stored side: two probe rows
+                    # co-visiting a bucket is a wider collision rule
+                    # than the cross-batch one and must not emit.
+                    & (keep[:, None] | keep[None, :])
                 )
                 bi, ji = np.nonzero(hit_b)
                 if len(bi):
@@ -89,10 +136,18 @@ def make_cohort_matcher(
                             }
                         )
                     )
-            ids = np.concatenate([ids, b_ids])
-            payload = b_pay if payload is None else np.vstack([payload, b_pay])
-        # builtin types only: numpy scalars poison the state pickle.
-        state.update((ids.tolist(), payload.tolist() if payload is not None else []))
+            if keep.any():
+                stored_new = int(keep.sum())
+                k_ids, k_pay = b_ids[keep], b_pay[keep]
+                ids = np.concatenate([ids, k_ids])
+                payload = k_pay if payload is None else np.vstack([payload, k_pay])
+        # Probe-only buckets must not mint state entries — under
+        # store-once, most visited buckets hold nothing.
+        if state.exists or stored_new:
+            # builtin types only: numpy scalars poison the state pickle.
+            state.update((ids.tolist(), payload.tolist() if payload is not None else []))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # any arrival refreshes
         if parts:
             out = pd.concat(parts, ignore_index=True)
             out[out_a] = out[out_a].astype("int64")

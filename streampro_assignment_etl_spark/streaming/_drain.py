@@ -1,0 +1,46 @@
+"""Shared availableNow drain for stateful streams.
+
+Plain ``Trigger.AvailableNow`` queries terminate on their own once the
+source drains — ``awaitTermination`` is enough. A query holding
+``ProcessingTimeTimeout`` state does NOT: after the data drains it
+loops "No new data but cleaning up state" batches forever, standing by
+to service future timeouts. For those, drain-until-idle: once a
+zero-input batch has run with no data available, the real data (and
+every ALREADY-EXPIRED timeout — the engine services expired keys in
+each batch, including the data batches) has been processed; stop the
+query. Not-yet-expired timeouts are serviced by the next drain's
+batches. The idle heuristic is deliberately conservative: under load
+the engine can emit a zero-row batch BEFORE source listing finds new
+files, so an idle report is only trusted after a data batch has run
+(or a grace period passed).
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def drain_available_now(q, timeout_s: int, *, ttl: bool) -> None:
+    """Block until the availableNow query ``q`` finishes its drain.
+    ``ttl=False`` → plain awaitTermination; ``ttl=True`` → the
+    drain-until-idle loop above, then stop."""
+    if not ttl:
+        q.awaitTermination(timeout_s)
+        return
+    start = time.time()
+    deadline = start + timeout_s
+    seen_data = False
+    while time.time() < deadline:
+        lp = q.lastProgress
+        if lp is not None and lp["numInputRows"] > 0:
+            seen_data = True
+        idle = (
+            lp is not None
+            and lp["numInputRows"] == 0
+            and not q.status["isDataAvailable"]
+        )
+        if idle and (seen_data or time.time() - start > 10):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(timeout_s)

@@ -13,24 +13,44 @@ there; an arrival is compared only against its cohort — one numpy
 matrix product per bucket per batch, no Python loop over rows or
 cohort members.
 
-Multiprobe recall: each vector is STORED under its own bucket and
-every 1-bit flip (n_planes+1 rows), so a pair collides iff their base
-buckets are within Hamming distance 2 — the same symmetric-multiprobe
-trade as the batch cell blocking (`near_dup_pairs_cells`), with
-recall quantified there. A pair that collides through several shared
-buckets is emitted in each; the runner's batch-local
-``dropDuplicates`` makes output exactly-once (the second vector's one
-arrival batch is the only batch that can emit the pair).
+Store-once asymmetric multiprobe (round 9; the round-8 design stored
+every vector under its bucket AND all 1-bit flips — n_planes+1 full
+float64 copies per vector, forever): each vector is persisted under
+its BASE bucket only, and recall comes from widening the PROBE ring
+instead — an arrival visits every bucket within Hamming distance
+``probe_radius`` of its base (radius 2 ⇒ 1 + n + n(n-1)/2 transient
+probe rows) but only the base row updates state. A pair is emitted
+iff one side's base bucket lies in the other side's probe ring, i.e.
+base buckets within Hamming ``probe_radius`` — for the default
+radius 2 that is EXACTLY the old symmetric-1-flip collision rule
+(Hamming(a,b) ≤ 2), same recall, 1/(n_planes+1) the state. Probe rows
+are shuffle cost, not state cost. ``probe_radius=1`` trades recall
+(Hamming ≤ 1 collisions only) for an (n_planes+1)/(1+n+C(n,2))×
+smaller shuffle; the measured recall gap is in SCALE.md.
 
-Scale: state per bucket = its cohort of unit vectors (near-dup
-neighborhoods only — 2^n_planes-sparse buckets); the stream shuffles
-n_planes+1 (bucket, id, vector) rows per vector. Cosine is computed
-EXACTLY on the stored vectors (not an LSH estimate): the bucket bound
-is the candidate filter, the emission predicate is exact — same
-two-stage contract as every batch dedup in this repo.
+State size, exactly: one (vec_id, 64-dim float64 unit vector) row per
+finite-norm vector ever seen — ~520 B/vector, so 10⁹ vectors ≈ 0.5 TB
+across the state store (vs 3.6 TB for the round-8 symmetric layout).
+For a bounded-state deployment pass ``ttl_seconds``: bucket cohorts
+idle for the horizon are EVICTED via ``ProcessingTimeTimeout``
+(shared machinery with ``stateful_dedup.dedup_stream_ttl``), bounding
+state by the horizon's distinct-bucket volume — the "dedup against
+the last T of stream" contract, exact inside its horizon.
+
+A pair that collides through both orientations of the probe rule is
+emitted in each bucket; the runner's batch-local ``dropDuplicates``
+makes output exactly-once (the second vector's one arrival batch is
+the only batch that can emit the pair).
+
+Cosine is computed EXACTLY on the stored float64 vectors (not an LSH
+estimate): the bucket bound is the candidate filter, the emission
+predicate is exact — same two-stage contract as every batch dedup in
+this repo.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -63,12 +83,28 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _cohort_matcher(threshold: float):
+def probe_masks(n_planes: int, probe_radius: int) -> list[int]:
+    """XOR masks for the Hamming ball of ``probe_radius`` around a
+    bucket: [0] ∪ single bits ∪ bit pairs ∪ … — 1 + C(n,1) + …
+    + C(n,radius) masks, all distinct, so a vector visits each probe
+    bucket exactly once."""
+    if not 0 <= probe_radius <= n_planes:
+        raise ValueError(f"probe_radius must be in [0, {n_planes}]")
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        masks.extend(
+            sum(1 << j for j in bits) for bits in combinations(range(n_planes), r)
+        )
+    return masks
+
+
+def _cohort_matcher(threshold: float, ttl_ms: int | None = None):
     """Per-bucket exact-cosine matcher: cohort unit vectors as an
     ``(m, d)`` float64 matrix, each batch's ``(n, d)`` block scored
     with ONE matrix product (unit vectors ⇒ dot IS cosine). The
-    stateful shape lives once in ``_cohort.make_cohort_matcher``
-    (shared with the MinHash fuzzy dedup)."""
+    stateful shape — and the store-once / TTL policy hooks — live once
+    in ``_cohort.make_cohort_matcher`` (shared with the MinHash fuzzy
+    dedup)."""
     from ._cohort import make_cohort_matcher
 
     return make_cohort_matcher(
@@ -80,6 +116,8 @@ def _cohort_matcher(threshold: float):
         out_a="vec_a",
         out_b="vec_b",
         out_score="cos_sim",
+        store_field="is_base",
+        ttl_ms=ttl_ms,
     )
 
 
@@ -88,18 +126,36 @@ def embedding_dedup_stream(
     threshold: float = 0.9,
     n_planes: int = DEFAULT_PLANES,
     dim: int = 64,
+    probe_radius: int = 2,
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Streaming near-dup pair detector over embeddings:
     (vec_a, vec_b, cos_sim) whenever an incoming vector's EXACT cosine
     against any previously-seen cohort vector reaches ``threshold``.
     One stateful hop: map-side unit-normalize + SRP bucket (JVM
-    expressions) → explode own bucket + 1-bit flips → per-bucket cohort
-    state. Zero/NaN/inf-norm vectors are dropped map-side, like every
-    batch similarity path."""
+    expressions) → explode the Hamming-``probe_radius`` probe ring
+    (only the radius-0 row persists, see module docstring) →
+    per-bucket cohort state. Zero/NaN/inf-norm vectors are dropped
+    map-side, like every batch similarity path; a row whose embedding
+    LENGTH differs from ``dim`` fails the query loudly (``zip_with``
+    against the hyperplanes would otherwise null-pad every plane dot
+    and silently funnel the whole stream into bucket 0's cohort)."""
     planes = hyperplanes(dim, n_planes)
     v = _as_double("embedding")
+    # The dim guard lives INSIDE the load-bearing norm expression (an
+    # unused assert_true column would be pruned by Catalyst and never
+    # evaluated): a mis-sized row hits raise_error instead of letting
+    # zip_with null-pad every plane dot to bucket 0.
+    guarded_norm = F.when(F.size("embedding") == dim, norm(v)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding length != dim={dim} for vec_id "),
+                F.col("vec_id").cast("string"),
+            )
+        )
+    )
     base = (
-        vec_stream.select("vec_id", v.alias("_v"), norm(v).alias("_n"))
+        vec_stream.select("vec_id", v.alias("_v"), guarded_norm.alias("_n"))
         .filter(_finite_positive(F.col("_n")))
         .select(
             "vec_id",
@@ -107,20 +163,29 @@ def embedding_dedup_stream(
             srp_bucket(F.col("_v"), planes).alias("_b"),
         )
     )
-    flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(n_planes)])
+    flips = F.array(*[F.lit(m) for m in probe_masks(n_planes, probe_radius)])
     rows = base.select(
         "vec_id",
         "unit",
         F.explode(
-            F.transform(flips, lambda f: F.col("_b").bitwiseXOR(f))
-        ).alias("bucket"),
+            F.transform(flips, lambda f: F.struct(
+                F.col("_b").bitwiseXOR(f).alias("bucket"), (f == 0).alias("is_base")
+            ))
+        ).alias("_p"),
+    ).select("vec_id", "unit", "_p.bucket", "_p.is_base")
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_seconds is None
+        else GroupStateTimeout.ProcessingTimeTimeout
     )
     return rows.groupBy("bucket").applyInPandasWithState(
-        _cohort_matcher(threshold),
+        _cohort_matcher(
+            threshold, ttl_ms=None if ttl_seconds is None else ttl_seconds * 1000
+        ),
         outputStructType=PAIR_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -132,6 +197,8 @@ def run_embedding_dedup_stream(
     threshold: float = 0.9,
     n_planes: int = DEFAULT_PLANES,
     dim: int = 64,
+    probe_radius: int = 2,
+    ttl_seconds: int | None = None,
     timeout_s: int = 300,
 ) -> None:
     """Drain a landing dir of vector JSONL ({vec_id, embedding:[...]})
@@ -139,7 +206,12 @@ def run_embedding_dedup_stream(
     surface a pair through several shared buckets, always in the ONE
     batch where its second vector arrives — batch-local dropDuplicates
     makes pair output exactly-once; the batch_id-keyed overwrite keeps
-    checkpoint retries idempotent."""
+    checkpoint retries idempotent. With ``ttl_seconds`` the query
+    drains until idle instead of awaiting termination (a
+    ProcessingTimeTimeout availableNow query never self-terminates —
+    same machinery as ``stateful_dedup.run_dedup_stream``)."""
+    from ._drain import drain_available_now
+
     src_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -148,13 +220,29 @@ def run_embedding_dedup_stream(
     )
     stream = spark.readStream.schema(src_schema).json(landing_dir)
     pairs = embedding_dedup_stream(
-        stream, threshold=threshold, n_planes=n_planes, dim=dim
+        stream,
+        threshold=threshold,
+        n_planes=n_planes,
+        dim=dim,
+        probe_radius=probe_radius,
+        ttl_seconds=ttl_seconds,
     )
 
+    skip_empty = ttl_seconds is not None
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.dropDuplicates(["vec_a", "vec_b"]).write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={batch_id}"
-        )
+        out = batch_df.dropDuplicates(["vec_a", "vec_b"])
+        if not skip_empty:
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            return
+        # TTL mode runs zero-row state-cleanup batches; don't litter
+        # the sink. Persist around the two actions (probe + write).
+        out.persist()
+        try:
+            if not out.isEmpty():
+                out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        finally:
+            out.unpersist()
 
     q = (
         pairs.writeStream.outputMode("update")
@@ -163,4 +251,4 @@ def run_embedding_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    drain_available_now(q, timeout_s, ttl=ttl_seconds is not None)

@@ -17,13 +17,18 @@ Signature parity: the map-side expression computes EXACTLY the batch
 and stream agree on what a near-duplicate is, and a corpus can be
 bootstrapped in batch then guarded by the stream.
 
-Scale notes: state per bucket is the bucket's cohort (near-dup
-neighborhoods only — buckets are 2^64-sparse, cohorts are small unless
-documents genuinely collide); the stream shuffles one (band_hash,
-doc_id, signature) row per band per doc. Pair emission happens at the
-SECOND document's single arrival batch, so one batch-local
-``dropDuplicates`` makes pairs exactly-once without cross-batch pair
-state.
+Scale notes: per bucket, state is that bucket's cohort (buckets are
+2^64-sparse, so cohorts are small unless documents genuinely collide)
+— but TOTAL state is bands × one (doc_id, k-int signature) row per
+document ever seen (~bands × k × 8 B per doc, every doc resident in
+all its band buckets forever under the default NoTimeout). Band keys
+live in disjoint per-band hash spaces, so the embedding dedup's
+store-once/asymmetric-probe bounding does not apply; pass
+``ttl_seconds`` to bound state to a recency horizon instead (idle
+cohorts evicted). The stream shuffles one (band_hash, doc_id,
+signature) row per band per doc. Pair emission happens at the SECOND
+document's single arrival batch, so one batch-local ``dropDuplicates``
+makes pairs exactly-once without cross-batch pair state.
 """
 
 from __future__ import annotations
@@ -88,13 +93,22 @@ def band_hash_array(
     )
 
 
-def _bucket_matcher(threshold: float):
+def _bucket_matcher(threshold: float, ttl_ms: int | None = None):
     """Vectorized per-bucket cohort matcher: cohort signatures as an
     ``(m, k)`` int64 matrix, each batch's ``(n, k)`` block scored with
     ONE broadcasted ``==`` + ``mean`` (agreement fraction ≈ Jaccard).
     The stateful shape — restore edge, arrival-order pair rule, state
-    pickle discipline — lives once in ``_cohort.make_cohort_matcher``
-    (shared with the embedding dedup)."""
+    pickle discipline, and the TTL eviction hook — lives once in
+    ``_cohort.make_cohort_matcher`` (shared with the embedding dedup).
+
+    State-size note: the signature persists once per band (bands×
+    amplification of the k-int payload — ~bands × k × 8 B per doc).
+    The embedding dedup's store-once trick does NOT apply here: band
+    keys live in disjoint per-band hash spaces (band j's key is seeded
+    by j), so there is no "probe another band's bucket" — a doc must
+    be resident in every band to be findable through any of them. The
+    bounded-state lever for banded MinHash is ``ttl_ms`` (state ∝
+    horizon), or fewer/coarser bands."""
     from ._cohort import make_cohort_matcher
 
     return make_cohort_matcher(
@@ -106,6 +120,7 @@ def _bucket_matcher(threshold: float):
         out_a="doc_a",
         out_b="doc_b",
         out_score="est_jaccard",
+        ttl_ms=ttl_ms,
     )
 
 
@@ -115,12 +130,16 @@ def fuzzy_dedup_stream(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = DEFAULT_SHINGLE_N,
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Streaming near-dup pair detector: (doc_a, doc_b, est_jaccard)
     whenever an incoming document's estimated Jaccard (signature
     agreement) against ANY previously-seen same-bucket document reaches
     ``threshold``. One stateful hop: map-side signature + band keys →
-    explode bands → groupBy(band_hash) with per-bucket cohort state."""
+    explode bands → groupBy(band_hash) with per-bucket cohort state.
+    ``ttl_seconds`` bounds state to a recency horizon (idle bucket
+    cohorts evicted via ProcessingTimeTimeout — see ``_bucket_matcher``
+    for why TTL, not store-once, is banded MinHash's bounding lever)."""
     # Shingle-less docs (< n words) can match nothing: drop them BEFORE
     # the signature, whose slots would otherwise be all-NULL array_min
     # of an empty array (size(sig) is k either way, so filter on the
@@ -138,12 +157,19 @@ def fuzzy_dedup_stream(
             ),
         )
     )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_seconds is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return banded.groupBy("band_hash").applyInPandasWithState(
-        _bucket_matcher(threshold),
+        _bucket_matcher(
+            threshold, ttl_ms=None if ttl_seconds is None else ttl_seconds * 1000
+        ),
         outputStructType=PAIR_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -153,23 +179,36 @@ def run_fuzzy_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.8,
+    ttl_seconds: int | None = None,
     timeout_s: int = 300,
 ) -> None:
     """Drain a landing dir of docs JSONL through the streaming fuzzy
     dedup into parquet. A pair can surface through several shared
     buckets, always in the ONE batch where its second document arrives,
     so the batch-local dropDuplicates makes pair output exactly-once;
-    the batch_id-keyed overwrite keeps checkpoint retries idempotent."""
+    the batch_id-keyed overwrite keeps checkpoint retries idempotent.
+    With ``ttl_seconds``, drain-until-idle (see ``_drain``)."""
+    from ._drain import drain_available_now
+
     src_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
     stream = spark.readStream.schema(src_schema).json(landing_dir)
-    pairs = fuzzy_dedup_stream(stream, threshold=threshold)
+    pairs = fuzzy_dedup_stream(stream, threshold=threshold, ttl_seconds=ttl_seconds)
+
+    skip_empty = ttl_seconds is not None
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.dropDuplicates(["doc_a", "doc_b"]).write.mode("overwrite").parquet(
-            f"{out_dir}/batch_id={batch_id}"
-        )
+        out = batch_df.dropDuplicates(["doc_a", "doc_b"])
+        if not skip_empty:
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            return
+        out.persist()
+        try:
+            if not out.isEmpty():
+                out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        finally:
+            out.unpersist()
 
     q = (
         pairs.writeStream.outputMode("update")
@@ -178,4 +217,4 @@ def run_fuzzy_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    drain_available_now(q, timeout_s, ttl=ttl_seconds is not None)

@@ -323,42 +323,11 @@ def run_dedup_stream(
             .trigger(availableNow=True)
             .start()
         )
-        if ttl_seconds is None:
-            q.awaitTermination(timeout_s)
-        else:
-            # With ProcessingTimeTimeout an availableNow query never
-            # terminates: after the data drains it loops "No new data
-            # but cleaning up state" batches forever, standing by to
-            # service future timeouts. Drain-until-idle instead: once a
-            # zero-input batch has run with no data available, the real
-            # data (and every ALREADY-EXPIRED timeout — the engine
-            # services expired keys in each batch, including the data
-            # batches) has been processed; stop the query. Not-yet-
-            # expired timeouts are serviced by the next drain's batches.
-            import time as _t
+        # TTL queries never self-terminate (ProcessingTimeTimeout keeps
+        # servicing state-cleanup batches); the shared drain handles both.
+        from ._drain import drain_available_now
 
-            start = _t.time()
-            deadline = start + timeout_s
-            seen_data = False
-            while _t.time() < deadline:
-                lp = q.lastProgress
-                if lp is not None and lp["numInputRows"] > 0:
-                    seen_data = True
-                idle = (
-                    lp is not None
-                    and lp["numInputRows"] == 0
-                    and not q.status["isDataAvailable"]
-                )
-                # Don't trust an idle report until a data batch has run
-                # (or a grace period passed): under load the engine can
-                # emit a zero-row batch BEFORE source listing finds the
-                # new files, and stopping there would drop the drain's
-                # real data on the floor.
-                if idle and (seen_data or _t.time() - start > 10):
-                    break
-                _t.sleep(0.2)
-            q.stop()
-            q.awaitTermination(timeout_s)
+        drain_available_now(q, timeout_s, ttl=ttl_seconds is not None)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)

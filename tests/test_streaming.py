@@ -1212,3 +1212,138 @@ def test_streaming_embedding_dedup_across_batches_and_parity(spark, tmp_path):
             if sum(x * y for x, y in zip(ua, ub)) >= tau:
                 expect.add((a, b))
     assert got == expect
+
+    # Round-9 state accounting (the round-8 weak's fix): store-once
+    # probing persists each finite vector EXACTLY once — one state row
+    # under its base bucket, zero under the probe ring. Read the state
+    # store back from the checkpoint and count.
+    state = spark.read.format("statestore").load(ckpt)
+    stored = [
+        i for r in state.collect() for i in r["value"]["groupState"]["ids"]
+    ]
+    assert sorted(stored) == sorted(every)  # 1 row per vector, none missing
+
+
+def test_embedding_dedup_probe_radius_one_narrows_recall(spark, tmp_path):
+    """probe_radius=1 trades recall for a 3× smaller probe ring: the
+    emitted pair set is exactly the Hamming-≤1 + exact-cosine rule
+    (strictly contained in the default radius-2 rule)."""
+    import math
+    import random
+
+    from streampro_assignment_etl_spark.operators.similarity import hyperplanes
+    from streampro_assignment_etl_spark.streaming.embedding_dedup import (
+        run_embedding_dedup_stream,
+    )
+
+    rng = random.Random(11)
+    dim, n_planes, tau = 16, 6, 0.9
+
+    vecs = {}
+    for i in range(10):
+        vecs[i] = [rng.gauss(0, 1) for _ in range(dim)]
+        # a close-but-perturbed twin: high cosine, bucket may drift 1-2 bits
+        vecs[100 + i] = [x + rng.gauss(0, 0.12) for x in vecs[i]]
+
+    landing = tmp_path / "edup1_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "edup1_out"), str(tmp_path / "edup1_ckpt")
+    (landing / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps({"vec_id": k, "embedding": v}) for k, v in vecs.items()
+        )
+        + "\n"
+    )
+    run_embedding_dedup_stream(
+        spark, str(landing), out, ckpt,
+        threshold=tau, n_planes=n_planes, dim=dim, probe_radius=1,
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in spark.read.parquet(out).collect()}
+
+    planes = hyperplanes(dim, n_planes)
+
+    def bucket(v):
+        b = 0
+        for j, w in enumerate(planes):
+            if sum(x * y for x, y in zip(v, w)) >= 0:
+                b |= 1 << j
+        return b
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    def rule(max_ham):
+        items = sorted(vecs)
+        return {
+            (a, b)
+            for i, a in enumerate(items)
+            for b in items[i + 1 :]
+            if bin(bucket(vecs[a]) ^ bucket(vecs[b])).count("1") <= max_ham
+            and cos(vecs[a], vecs[b]) >= tau
+        }
+
+    assert got == rule(1)
+    assert rule(1) <= rule(2)  # the recall trade is one-directional
+    # The fixture must actually exercise the gap, or this test is vacuous.
+    assert rule(1) and rule(2) - rule(1), (rule(1), rule(2))
+
+
+def test_embedding_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
+    """ttl_seconds bounds state to a recency horizon: a cohort idle past
+    the TTL is EVICTED at the next batch that doesn't touch it — the
+    state store afterwards holds only the live bucket."""
+    import time
+
+    from streampro_assignment_etl_spark.streaming.embedding_dedup import (
+        run_embedding_dedup_stream,
+    )
+
+    dim = 8
+    landing = tmp_path / "ettl_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "ettl_out"), str(tmp_path / "ettl_ckpt")
+    (landing / "a.jsonl").write_text(
+        json.dumps({"vec_id": 1, "embedding": [1.0] + [0.0] * (dim - 1)}) + "\n"
+    )
+    run_embedding_dedup_stream(
+        spark, str(landing), out, ckpt, dim=dim, ttl_seconds=2
+    )
+    time.sleep(2.5)  # let vec 1's horizon lapse
+    # A batch touching a DIFFERENT bucket services vec 1's expired
+    # timeout (timeouts fire for keys without data in the batch).
+    (landing / "b.jsonl").write_text(
+        json.dumps({"vec_id": 2, "embedding": [0.0] * (dim - 1) + [-1.0]}) + "\n"
+    )
+    run_embedding_dedup_stream(
+        spark, str(landing), out, ckpt, dim=dim, ttl_seconds=2
+    )
+    stored = [
+        i
+        for r in spark.read.format("statestore").load(ckpt).collect()
+        for i in r["value"]["groupState"]["ids"]
+    ]
+    assert stored == [2]  # vec 1's cohort evicted, vec 2's live
+
+
+def test_embedding_dedup_dim_mismatch_fails_loudly(spark, tmp_path):
+    """A row whose embedding length differs from ``dim`` must fail the
+    query (assert_true), not silently null-pad every plane dot and
+    funnel the whole stream into bucket 0."""
+    import pytest
+
+    from streampro_assignment_etl_spark.streaming.embedding_dedup import (
+        run_embedding_dedup_stream,
+    )
+
+    landing = tmp_path / "edim_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "edim_out"), str(tmp_path / "edim_ckpt")
+    (landing / "a.jsonl").write_text(
+        json.dumps({"vec_id": 7, "embedding": [1.0, 2.0, 3.0]}) + "\n"
+    )
+    with pytest.raises(Exception, match="embedding length != dim"):
+        run_embedding_dedup_stream(
+            spark, str(landing), out, ckpt, dim=16, timeout_s=60
+        )
