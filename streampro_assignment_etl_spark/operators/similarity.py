@@ -620,15 +620,21 @@ def pq_codebooks(
     emb: DataFrame, id_col: str, vec_col: str, m: int = 4, n_codes: int = 16
 ) -> PQCodebooks:
     """Deterministic per-subspace codebooks: the ``n_codes`` lowest-id
-    vectors, sliced into ``m`` equal subvectors — the same id-seeding
-    trick as ``seed_centroids``, so the DuckDB oracle can replay the
-    identical codebooks (``kmeans_centroids`` per subspace is the
-    drop-in at real scale). Bounded collect by contract
-    (n_codes rows)."""
+    FINITE vectors, sliced into ``m`` equal subvectors — the same
+    id-seeding trick as ``seed_centroids``, so the DuckDB oracle can
+    replay the identical codebooks (``pq_codebooks_kmeans`` is the
+    trained form for real corpora). Bounded collect by contract
+    (n_codes rows). Non-finite rows are dropped BEFORE the id cut,
+    mirroring ``_collect_finite_queries``: one poison embed row among
+    the seeds would otherwise flow into ``_lut_int`` where
+    ``floor(nan)`` kills every PQ query batch (the oracles apply the
+    same isfinite guard to their seed CTE)."""
+    v = _as_double(vec_col)
     rows = (
-        emb.orderBy(id_col)
+        emb.select(F.col(id_col), v)
+        .filter(_finite_vec(v))
+        .orderBy(id_col)
         .limit(n_codes)
-        .select(F.col(id_col), _as_double(vec_col))
         .collect()
     )
     dim = len(rows[0][1])
@@ -639,6 +645,81 @@ def pq_codebooks(
         [(int(r[0]), list(r[1][j * sub : (j + 1) * sub])) for r in rows]
         for j in range(m)
     ]
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    n_codes: int = 16,
+    sample_pct: int = 20,
+    iters: int = 10,
+    max_sample_rows: int = 100_000,
+) -> PQCodebooks:
+    """Trained per-subspace codebooks: plain-L2 Lloyd k-means run
+    independently on each of the ``m`` subvector slices of the SAME
+    deterministic hash-bucket sample ``kmeans_centroids`` trains on
+    (md5-bucket selection, hash-ordered ``max_sample_rows`` cap via
+    TakeOrderedAndProject — a corpus fraction never reaches the
+    driver). This is the codebook PQ actually ships at scale: id-seeded
+    codewords are arbitrary corpus points, while per-subspace k-means
+    places codewords at subvector density modes, cutting quantization
+    error and raising ADC recall (pinned ≥ id-seeded on the clustered
+    fixture in tests/test_operators.py). Distance is L2, not cosine —
+    PQ quantizes raw subvectors, which are not unit vectors even when
+    the full vectors are.
+
+    Initialization is farthest-first from the sample's first vector
+    per subspace (deterministic); empty cells keep their previous
+    codeword, exactly like the spherical trainer. Code ids are
+    0..n_codes-1 in training order — ``pq_encode``/``_lut_int`` only
+    use list position, so the id-vs-index distinction is invisible
+    downstream. The id-seeded ``pq_codebooks`` remains the
+    oracle-replayable anchor (a k-means fit is not SQL-replayable);
+    every ``pq_topk``/``pq_topk_rerank``/``ivfpq_topk`` call accepts
+    the trained books through their existing ``codebooks=`` hook."""
+    import numpy as np
+
+    from .simhash import token_hash60
+
+    v = _as_double(vec_col)
+    frame = emb.select(F.col(id_col).alias("_id"), v.alias("_v")).filter(
+        _finite_vec(F.col("_v"))
+    )
+    hash_key = token_hash60(F.col("_id").cast("string"))
+    if sample_pct < 100:
+        frame = frame.filter(hash_key % 100 < sample_pct)
+    rows = frame.orderBy(hash_key, "_id").limit(max_sample_rows).collect()
+    if len(rows) < n_codes:
+        raise ValueError(f"sample of {len(rows)} rows cannot seed {n_codes} codewords")
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: PQCodebooks = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        # Farthest-first init on L2: start at sample row 0, repeatedly
+        # add the point farthest from its nearest chosen codeword.
+        chosen = [0]
+        d2 = ((S - S[0]) ** 2).sum(axis=1)
+        for _ in range(1, n_codes):
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
+        C = S[chosen].copy()
+        for _ in range(iters):
+            # ||s-c||² = ||s||² - 2<s,c> + ||c||²; ||s||² constant per row
+            dist = (C**2).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            assign = dist.argmin(axis=1)
+            for c in range(n_codes):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([(c, C[c].tolist()) for c in range(n_codes)])
+    return books
 
 
 def _sq_l2_lit(a: Column, w: list[float]) -> Column:

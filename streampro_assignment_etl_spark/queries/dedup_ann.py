@@ -886,9 +886,13 @@ def multimodal_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_ORACLE = """
 WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cw AS (
+  -- lowest-id FINITE seeds, mirroring pq_codebooks' _finite_vec guard
+  -- (a poison embed row among the seeds must not shift the codebooks)
   SELECT t.j, ct.vec_id AS code, ct.v[t.j*16+1 : (t.j+1)*16] AS w
-  FROM corp ct, UNNEST([0,1,2,3]) AS t(j)
-  WHERE ct.vec_id < 16
+  FROM (SELECT * FROM corp
+        WHERE isfinite(list_dot_product(v, v))
+        ORDER BY vec_id LIMIT 16) ct,
+       UNNEST([0,1,2,3]) AS t(j)
 ),
 sub AS (
   SELECT c.vec_id, t.j, c.v[t.j*16+1 : (t.j+1)*16] AS s
@@ -1030,9 +1034,13 @@ probed AS (
   ) WHERE rn <= 4
 ),
 cw AS (
+  -- lowest-id FINITE seeds, mirroring pq_codebooks' _finite_vec guard
+  -- (a poison embed row among the seeds must not shift the codebooks)
   SELECT t.j, ct.vec_id AS code, ct.v[t.j*16+1 : (t.j+1)*16] AS w
-  FROM corp ct, UNNEST([0,1,2,3]) AS t(j)
-  WHERE ct.vec_id < 16
+  FROM (SELECT * FROM corp
+        WHERE isfinite(list_dot_product(v, v))
+        ORDER BY vec_id LIMIT 16) ct,
+       UNNEST([0,1,2,3]) AS t(j)
 ),
 sub AS (
   SELECT c.vec_id, t.j, c.v[t.j*16+1 : (t.j+1)*16] AS s

@@ -841,3 +841,107 @@ def test_ivfpq_recall_vs_brute_force(emb, spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.8, f"ivfpq recall@5={recall}"
+
+
+def test_pq_codebooks_skip_poison_seed_rows(spark):
+    """A NaN/inf component in one of the lowest-id vectors must not
+    poison the codebooks (floor(nan) in _lut_int used to kill every PQ
+    query batch): the seed cut happens AFTER the finiteness filter, so
+    the poison row is skipped and the next finite id takes its slot."""
+    from streampro_assignment_etl_spark.operators import similarity
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(20)]
+    rows[3] = (3, [float("nan")] * 8)
+    rows[7] = (7, [1.0, float("inf")] + [0.0] * 6)
+    bad = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cbs = similarity.pq_codebooks(bad, "vec_id", "embedding", m=4, n_codes=16)
+    seed_ids = [code for code, _ in cbs[0]]
+    assert 3 not in seed_ids and 7 not in seed_ids
+    assert seed_ids == [i for i in range(18) if i not in (3, 7)]
+
+    # End-to-end: the query batch survives (poison corpus rows are
+    # encoded but a finite query scores normally).
+    out = similarity.pq_topk(bad, bad.filter(F.col("vec_id") == 0), k=3)
+    assert out.count() == 3
+
+
+def _clustered_emb(spark, dim=16, n_clusters=4, members=30):
+    """The kmeans fixture generator (same construction as
+    test_kmeans_centroids_recover_clusters): well-separated cluster
+    centers, deterministic jitter, ids grouped by cluster — so the 16
+    lowest ids all live in cluster 0 and id-seeded codebooks quantize
+    the other clusters badly."""
+    import hashlib
+
+    def hvec(seed):
+        return [
+            (int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:8], 16) % 2000)
+            / 1000.0
+            - 1.0
+            for i in range(dim)
+        ]
+
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        base = hvec(f"cluster{c}")
+        for m in range(members):
+            member = [x + 0.02 * ((c + m + i) % 5 - 2) for i, x in enumerate(base)]
+            rows.append((vid, member))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_kmeans_codebooks_beat_id_seeding(spark):
+    """Trained per-subspace codebooks (pq_codebooks_kmeans) reach ADC
+    recall@5 at least as high as the id-seeded oracle anchor on the
+    clustered fixture — where the 16 lowest ids all come from ONE
+    cluster, so id-seeded codewords can't represent the others. Both
+    books flow through the same codebooks= hook; determinism pinned by
+    retraining."""
+    from pyspark.sql.window import Window
+
+    from streampro_assignment_etl_spark.operators import similarity
+
+    emb = _clustered_emb(spark)
+    queries = emb.filter(F.col("vec_id").isin([0, 35, 70, 105]))  # one per cluster
+
+    v = F.col("embedding")
+    q = queries.select(F.col("vec_id").alias("qid"), v.alias("qv"))
+    c = emb.select(F.col("vec_id").alias("nid"), v.alias("cv"))
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("s"), F.asc("nid"))
+    truth = {
+        (r["qid"], r["nid"])
+        for r in F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", l2.alias("s"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+
+    def recall(cbs):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.pq_topk(emb, queries, k=5, codebooks=cbs).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    seeded = recall(similarity.pq_codebooks(emb, "vec_id", "embedding", m=4))
+    trained_books = similarity.pq_codebooks_kmeans(
+        emb, "vec_id", "embedding", m=4, sample_pct=100, iters=10
+    )
+    trained = recall(trained_books)
+    assert trained >= seeded, (trained, seeded)
+    assert trained >= 0.8, trained  # codewords at density modes → near-exact
+
+    again = similarity.pq_codebooks_kmeans(
+        emb, "vec_id", "embedding", m=4, sample_pct=100, iters=10
+    )
+    assert again == trained_books  # fully deterministic training

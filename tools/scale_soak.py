@@ -28,7 +28,16 @@ from streampro_assignment_etl_spark.queries import (  # noqa: E402
 )
 from streampro_assignment_etl_spark.session import get_spark  # noqa: E402
 
-HEAVY_EXTRAS = ("span_dedup_reconstruct", "heavy_hitters_terms")
+HEAVY_EXTRAS = (
+    "span_dedup_reconstruct",
+    "heavy_hitters_terms",
+    # round-9 additions (VERDICT r8 #5): the PQ family + the new
+    # serial-construct decompositions.
+    "similarity_ann_pq",
+    "similarity_ann_ivfpq",
+    "training_shuffle_interleave",
+    "per_source_cap",
+)
 
 
 def main() -> None:
@@ -57,8 +66,9 @@ def main() -> None:
     targets = {n: s for n, s in REGISTRY.items() if s.headline}
     targets.update({n: EXTRAS[n] for n in HEAVY_EXTRAS})
 
-    # Warmup on the cheapest headliner.
-    targets["pricing_summary"].builder(spark, sf_dir).count()
+    # Warmup on the first target (don't hardcode a name — a renamed
+    # headliner must not KeyError the soak before it measures anything).
+    next(iter(targets.values())).builder(spark, sf_dir).count()
     release_persisted()
 
     out: dict[str, dict] = {}
