@@ -306,3 +306,68 @@ def test_runtime_bloom_filter_engages(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# -- PQ family (round 9): fused index projection + LUT broadcast join --------
+def test_pq_encode_is_map_side_projection(spark):
+    """PQ encoding must be a pure projection — codebooks ride the plan
+    as literals, m byte-codes replace the vector, and no corpus byte
+    crosses an Exchange for the argmin."""
+    from streampro_assignment_etl_spark.operators import similarity
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, n_codes=16)
+    enc = similarity.pq_encode(emb, cbs, "vec_id", "embedding")
+    assert shuffle_count(enc) == 0, "PQ encode must not shuffle"
+    assert parquet_scan_count(enc) == 1
+
+
+def test_ivfpq_index_build_is_one_fused_projection(spark):
+    """The composed IVF-PQ index (cell + m codes) must come out of ONE
+    map-side projection over ONE corpus scan — the corpus-wide glue
+    join between assign_cells and pq_encode outputs that a naive
+    composition pays would dominate a 10^9-vector build."""
+    from streampro_assignment_etl_spark.operators import similarity
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, n_codes=16)
+    cents = similarity.collect_centroids(
+        similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+    )
+    fused = similarity.pq_encode(
+        similarity.assign_cells(emb, cents, "vec_id", "embedding"),
+        cbs,
+        "vec_id",
+        "embedding",
+    )
+    assert shuffle_count(fused) == 0
+    assert parquet_scan_count(fused) == 1
+
+
+def test_pq_topk_one_scan_two_shuffles(spark):
+    """ADC scoring rides the encode projection (LUTs are literal
+    arrays): the whole query is 1 corpus scan + exactly the top-k
+    window shuffle and the final orderBy — nothing else is wide."""
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    df = EXTRAS["similarity_ann_pq"].builder(spark, SF)
+    assert parquet_scan_count(df) == 1
+    assert shuffle_count(df) <= 2
+
+
+def test_ivfpq_adc_is_broadcast_lut_join_no_nested_loop(spark):
+    """The composed pipeline's relational ADC must join the per-query
+    LUT table as a BROADCAST (it is q×m×n_codes rows by contract) and
+    never degenerate to a nested-loop/cartesian anywhere; total wide
+    ops stay at 3 shuffles (ADC groupBy + shortlist window + rerank
+    window/orderBy chain)."""
+    from streampro_assignment_etl_spark.plans import plan_string
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    df = EXTRAS["similarity_ann_ivfpq"].builder(spark, SF)
+    p = plan_string(df)
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 3
