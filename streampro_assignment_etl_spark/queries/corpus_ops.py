@@ -1022,3 +1022,162 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE iterated merges (the tokenizer-training loop proper).
+# ---------------------------------------------------------------------------
+_BPE_MERGE_STEPS = 4
+# The oracle replays each merge with SQL replace() over a bracket-wrapped
+# symbol string: every symbol rides as \x1f sym \x1e, so "merge (a,b)"
+# is replace('\x1f a \x1e\x1f b \x1e' -> '\x1f ab \x1e') — replace() is
+# left-to-right non-overlapping, which is EXACTLY BPE's one-pass apply
+# semantics, and the brackets make matches boundary-aligned (a pair can
+# never match inside a longer symbol). \x1e/\x1f are control-range
+# separators that cannot appear in the space-split ASCII corpus words.
+_BPE_OPEN, _BPE_CLOSE = chr(31), chr(30)
+
+
+def _bpe_merges_oracle(k: int) -> str:
+    o, c = _BPE_OPEN, _BPE_CLOSE
+    parts = [
+        f"""
+WITH vocab0 AS (
+  SELECT regexp_replace(w, '(.)', '{o}\\1{c}', 'g') AS r,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+)"""
+    ]
+    for s in range(k):
+        parts.append(
+            f""", syms{s} AS (
+  SELECT regexp_extract_all(r, '{o}([^{c}]*){c}', 1) AS ss, freq FROM vocab{s}
+), pairs{s} AS (
+  SELECT ss[i] AS l, ss[i + 1] AS rgt, freq
+  FROM syms{s}, UNNEST(generate_series(1, len(ss) - 1)) AS t(i)
+), best{s} AS (
+  SELECT {s + 1} AS step, l, rgt, CAST(SUM(freq) AS BIGINT) AS n
+  FROM pairs{s} GROUP BY l, rgt
+  ORDER BY n DESC, l, rgt LIMIT 1
+), vocab{s + 1} AS (
+  SELECT replace(r,
+           (SELECT '{o}' || l || '{c}{o}' || rgt || '{c}' FROM best{s}),
+           (SELECT '{o}' || l || rgt || '{c}' FROM best{s})) AS r,
+         freq
+  FROM vocab{s}
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM best{s}" for s in range(k))
+    parts.append(
+        f"""
+SELECT CAST(step AS INT) AS step, l AS left_sym, rgt AS right_sym,
+       l || rgt AS merged, n
+FROM ({union})
+ORDER BY step
+"""
+    )
+    return "".join(parts)
+
+
+def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
+    """Run ``k`` BPE merge iterations over the corpus and return the
+    learned merge rules (step, left_sym, right_sym, merged, n).
+
+    Each iteration is the same vocab-sized dataflow as
+    ``bpe_pair_counts`` — the weighted-distinct-word frame, never the
+    corpus: (1) explode each unique word's adjacent symbol pairs
+    weighted by frequency and aggregate (one pair-keyed shuffle over a
+    |vocab|-sized frame); (2) collect the argmax pair (ONE row, tie →
+    lexicographic smallest, the rule both the oracle and the scalar
+    hypothesis reference replay); (3) rewrite every word's symbol array
+    map-side with a left-to-right fold over plan-literal (left, right)
+    — a freshly merged token can never re-merge in the same pass
+    because left+right ≠ left (right is non-empty), so the fold equals
+    the textbook scan (hypothesis-pinned). The new vocab is persisted
+    and the old released, keeping plan depth O(1) per step instead of
+    O(k). At 100 TB the vocab frame is the Zipf-distinct word set —
+    orders of magnitude below corpus — and the per-iteration cost is
+    one aggregate + one projection over it (measured in SCALE.md).
+
+    ≙ reference: none (north-star extension; the reference has no
+    tokenizer surface).
+    """
+    spark = docs.sparkSession
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    prev = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(chars.alias("ss"), "freq")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rules: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(1, k + 1):
+            pair_structs = F.expr(
+                "transform(sequence(1, size(ss) - 1),"
+                " i -> struct(element_at(ss, i) AS l, element_at(ss, i + 1) AS rgt))"
+            )
+            top = (
+                # size >= 2: sequence(1, size-1) DESCENDS to [1, 0] on a
+                # fully-merged single-symbol word and element_at(ss, 2)
+                # raises under ANSI (hypothesis-found).
+                prev.filter(F.size("ss") >= 2)
+                .select(F.explode(pair_structs).alias("p"), "freq")
+                .groupBy("p.l", "p.rgt")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), "l", "rgt")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # vocab fully merged / no multi-symbol words left
+            a, b, n = top[0]["l"], top[0]["rgt"], int(top[0]["n"])
+            rules.append((step, a, b, a + b, n))
+            # Left-to-right one-pass apply as an array fold. The empty-acc
+            # branch comes FIRST so element_at(acc, -1) is never evaluated
+            # on an empty array (CaseWhen evaluates branches lazily).
+            merged = F.aggregate(
+                F.col("ss"),
+                F.expr("array()").cast("array<string>"),
+                lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+                    F.when(
+                        (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(F.lit(a + b)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x)))
+                ),
+            )
+            nxt = prev.select(merged.alias("ss"), "freq").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            nxt.count()  # materialize before releasing the parent
+            prev.unpersist()
+            prev = nxt
+    finally:
+        prev.unpersist()
+    return spark.createDataFrame(
+        rules, "step int, left_sym string, right_sym string, merged string, n long"
+    )
+
+
+@query(
+    "bpe_merges",
+    extra=True,
+    tags=("tokenizer", "bpe", "llm-pipeline"),
+    oracle=_bpe_merges_oracle(_BPE_MERGE_STEPS),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training loop: ``_BPE_MERGE_STEPS`` iterations
+    of count-pairs → argmax → apply-merge over the weighted-distinct
+    vocab frame (see ``bpe_merge_table``). Output is the learned merge
+    table — the artifact a tokenizer pipeline persists. The DuckDB
+    oracle unrolls the same k stages in SQL, replaying each merge as a
+    boundary-bracketed string replace (left-to-right non-overlapping,
+    BPE's exact apply rule) with the identical argmax tie-break."""
+    return bpe_merge_table(load_table(spark, sf_dir, "documents"), _BPE_MERGE_STEPS)

@@ -742,3 +742,58 @@ def test_probe_masks_cover_hamming_ball_exactly_once():
     assert len(probe_masks(6, 1)) == 7
     with _pytest.raises(ValueError):
         probe_masks(6, 7)
+
+
+# -- BPE merge loop vs a scalar Python reference -----------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=2, max_size=6),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bpe_merges_match_scalar_reference(spark, words, k):
+    """bpe_merge_table's fold-based one-pass apply must equal the
+    textbook left-to-right scan (including overlapping pairs like 'aaa'
+    under merge (a,a)), and its argmax tie-break (max n, then
+    lexicographic smallest pair) must match the scalar fold — over
+    adversarial tiny-alphabet vocabularies where ties and self-pairs
+    are dense."""
+    from collections import Counter
+
+    from streampro_assignment_etl_spark.queries.corpus_ops import bpe_merge_table
+
+    docs = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["n"])
+        for r in bpe_merge_table(docs, k).collect()
+    ]
+
+    freq = Counter(w for w in words if len(w) >= 2)
+    vocab = [(list(w), f) for w, f in freq.items()]
+    want = []
+    for step in range(1, k + 1):
+        counts: Counter = Counter()
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, a, b, a + b, n))
+
+        def apply(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        vocab = [(apply(s), f) for s, f in vocab]
+    assert got == want
