@@ -51,6 +51,16 @@ def main() -> None:
     spark = get_spark("streampro-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Optional scan fan-out override for multi-row-group layouts
+    # (tools/repack_testdata.py): the driver's own sf* files are
+    # single-row-group so the default 128 MB ranges are moot there, but
+    # a repacked run needs ranges smaller than the file to fan out
+    # (SCALE.md "Scan layout"). Unset → driver contract unchanged.
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
 
     # Warmup: run the cheapest headline query once to absorb JVM +
