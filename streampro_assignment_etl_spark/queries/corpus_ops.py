@@ -1181,3 +1181,95 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary-bracketed string replace (left-to-right non-overlapping,
     BPE's exact apply rule) with the identical argmax tie-break."""
     return bpe_merge_table(load_table(spark, sf_dir, "documents"), _BPE_MERGE_STEPS)
+
+
+_BPE_TOKEN_TOP = 50
+
+
+def _bpe_token_counts_oracle(k: int) -> str:
+    """Token counts under the learned merges: reuse the k-stage merge
+    replay (same CTE chain as ``bpe_merges``) and unnest the FINAL
+    vocab's symbols, weighted by word frequency."""
+    o, c = _BPE_OPEN, _BPE_CLOSE
+    base = _bpe_merges_oracle(k)
+    head = base[: base.rindex("\nSELECT CAST(step AS INT)")]
+    return (
+        head
+        + f"""
+, final_syms AS (
+  SELECT unnest(regexp_extract_all(r, '{o}([^{c}]*){c}', 1)) AS token, freq
+  FROM vocab{k}
+)
+SELECT token, CAST(SUM(freq) AS BIGINT) AS n
+FROM final_syms
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {_BPE_TOKEN_TOP}
+"""
+    )
+
+
+def bpe_apply_merges(docs: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize the weighted-distinct vocab under learned BPE merges:
+    apply the rules IN LEARNING ORDER as ``k`` chained map-side folds
+    over each word's symbol array — one projection, no shuffle, no
+    per-step action (the rules are plan literals; contrast the learning
+    loop, which needs an argmax collect per step). Returns
+    (ss array<string>, freq) — the tokenized vocab frame downstream
+    token accounting aggregates."""
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(chars.alias("ss"), "freq")
+    )
+    def fold_step(a: str, b: str):
+        # A closure factory, not default-arg capture — PySpark counts a
+        # lambda's ENTIRE parameter list when building the HOF.
+        def step(acc, x):
+            return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+                F.when(
+                    (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+            )
+
+        return step
+
+    ss = F.col("ss")
+    for a, b in rules:
+        ss = F.aggregate(ss, F.expr("array()").cast("array<string>"), fold_step(a, b))
+    return vocab.select(ss.alias("ss"), "freq")
+
+
+@query(
+    "bpe_token_counts",
+    extra=True,
+    tags=("tokenizer", "bpe", "llm-pipeline"),
+    oracle=_bpe_token_counts_oracle(_BPE_MERGE_STEPS),
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer loop closed end-to-end: learn ``_BPE_MERGE_STEPS``
+    merges (``bpe_merge_table``), APPLY them in learning order to the
+    vocab frame (``bpe_apply_merges`` — one map-side projection of k
+    chained folds), and report the top token frequencies the resulting
+    vocabulary induces — the table a token-budget planner reads. The
+    oracle replays the identical k merge stages and counts the final
+    wrapped-symbol strings' tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    learned = bpe_merge_table(docs, _BPE_MERGE_STEPS)
+    rules = [(r["left_sym"], r["right_sym"]) for r in learned.collect()]
+    tokens = bpe_apply_merges(docs, rules).select(
+        F.explode("ss").alias("token"), "freq"
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_BPE_TOKEN_TOP)
+    )
