@@ -637,6 +637,12 @@ def pq_codebooks(
         .limit(n_codes)
         .collect()
     )
+    if len(rows) < n_codes:
+        # Loud, like the kmeans trainer — a silently undersized codebook
+        # degrades every downstream LUT/encode with no diagnostic.
+        raise ValueError(
+            f"only {len(rows)} finite vectors available to seed {n_codes} codewords"
+        )
     dim = len(rows[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -1004,12 +1004,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pair-keyed partial/final aggregate, TakeOrdered top-50.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    words = _bpe_word_freq(docs)
     pairs = words.select(
         F.explode(
             F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
@@ -1062,9 +1057,15 @@ WITH vocab0 AS (
   FROM pairs{s} GROUP BY l, rgt
   ORDER BY n DESC, l, rgt LIMIT 1
 ), vocab{s + 1} AS (
+  -- coalesce: if merges exhaust before step {s + 1} (best{s} empty),
+  -- replace(r, NULL, NULL) would NULL-wipe every word; chr(1) never
+  -- occurs in the wrapped repr, so the replace becomes a no-op and
+  -- later stages see the unchanged vocab (matching the Spark side's
+  -- early break).
   SELECT replace(r,
-           (SELECT '{o}' || l || '{c}{o}' || rgt || '{c}' FROM best{s}),
-           (SELECT '{o}' || l || rgt || '{c}' FROM best{s})) AS r,
+           coalesce((SELECT '{o}' || l || '{c}{o}' || rgt || '{c}' FROM best{s}),
+                    chr(1)),
+           coalesce((SELECT '{o}' || l || rgt || '{c}' FROM best{s}), '')) AS r,
          freq
   FROM vocab{s}
 )"""
@@ -1081,7 +1082,52 @@ ORDER BY step
     return "".join(parts)
 
 
-def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
+def _bpe_word_freq(docs: DataFrame) -> DataFrame:
+    """The weighted-distinct vocab frame (w, freq) — BPE's efficiency
+    trick in one shared home: the ONE corpus-wide explode + word count;
+    every BPE stage (pair counts, merge learning, tokenize-apply)
+    aggregates this |vocab|-sized frame, never the corpus again."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(ss array<string>, freq): each distinct word split to single-char
+    symbols — the merge loop's working frame."""
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    return _bpe_word_freq(docs).select(chars.alias("ss"), "freq")
+
+
+def _bpe_fold_merge(ss, a: str, b: str):
+    """One BPE merge (a,b)→a+b applied to a symbol-array column as a
+    left-to-right fold — THE one copy of the apply rule (learning loop
+    and tokenize-apply both use it). The empty-acc branch comes FIRST so
+    element_at(acc, -1) is never evaluated on an empty array (CaseWhen
+    evaluates branches lazily; ANSI would raise). A freshly merged token
+    can never re-merge in the same pass because a+b ≠ a (b non-empty),
+    so the fold equals the textbook scan (hypothesis-pinned)."""
+
+    def step(acc, x):
+        return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        )
+
+    return F.aggregate(ss, F.expr("array()").cast("array<string>"), step)
+
+
+def bpe_merge_table(
+    docs: DataFrame, k: int, vocab: DataFrame | None = None
+) -> DataFrame:
     """Run ``k`` BPE merge iterations over the corpus and return the
     learned merge rules (step, left_sym, right_sym, merged, n).
 
@@ -1101,19 +1147,18 @@ def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
     orders of magnitude below corpus — and the per-iteration cost is
     one aggregate + one projection over it (measured in SCALE.md).
 
+    ``vocab`` lets a caller that already built (and persisted) the
+    ``_bpe_vocab`` frame share it — e.g. ``bpe_token_counts``, which
+    needs the same frame again for the apply stage; a caller-owned
+    frame is never unpersisted here.
+
     ≙ reference: none (north-star extension; the reference has no
     tokenizer surface).
     """
     spark = docs.sparkSession
-    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    prev = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(chars.alias("ss"), "freq")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    base = vocab if vocab is not None else _bpe_vocab(docs)
+    owned = vocab is None
+    prev = base.persist(StorageLevel.MEMORY_AND_DISK) if owned else base
     rules: list[tuple[int, str, str, str, int]] = []
     try:
         for step in range(1, k + 1):
@@ -1137,30 +1182,16 @@ def bpe_merge_table(docs: DataFrame, k: int) -> DataFrame:
                 break  # vocab fully merged / no multi-symbol words left
             a, b, n = top[0]["l"], top[0]["rgt"], int(top[0]["n"])
             rules.append((step, a, b, a + b, n))
-            # Left-to-right one-pass apply as an array fold. The empty-acc
-            # branch comes FIRST so element_at(acc, -1) is never evaluated
-            # on an empty array (CaseWhen evaluates branches lazily).
-            merged = F.aggregate(
-                F.col("ss"),
-                F.expr("array()").cast("array<string>"),
-                lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
-                    F.when(
-                        (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-                        F.concat(
-                            F.slice(acc, F.lit(1), F.size(acc) - 1),
-                            F.array(F.lit(a + b)),
-                        ),
-                    ).otherwise(F.concat(acc, F.array(x)))
-                ),
-            )
-            nxt = prev.select(merged.alias("ss"), "freq").persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            nxt = prev.select(
+                _bpe_fold_merge(F.col("ss"), a, b).alias("ss"), "freq"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             nxt.count()  # materialize before releasing the parent
-            prev.unpersist()
+            if prev is not base or owned:
+                prev.unpersist()
             prev = nxt
     finally:
-        prev.unpersist()
+        if prev is not base or owned:
+            prev.unpersist()
     return spark.createDataFrame(
         rules, "step int, left_sym string, right_sym string, merged string, n long"
     )
@@ -1209,42 +1240,26 @@ LIMIT {_BPE_TOKEN_TOP}
     )
 
 
-def bpe_apply_merges(docs: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+def bpe_apply_merges(
+    docs: DataFrame,
+    rules: list[tuple[str, str]],
+    vocab: DataFrame | None = None,
+) -> DataFrame:
     """Tokenize the weighted-distinct vocab under learned BPE merges:
     apply the rules IN LEARNING ORDER as ``k`` chained map-side folds
-    over each word's symbol array — one projection, no shuffle, no
-    per-step action (the rules are plan literals; contrast the learning
-    loop, which needs an argmax collect per step). Returns
-    (ss array<string>, freq) — the tokenized vocab frame downstream
-    token accounting aggregates."""
-    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(chars.alias("ss"), "freq")
-    )
-    def fold_step(a: str, b: str):
-        # A closure factory, not default-arg capture — PySpark counts a
-        # lambda's ENTIRE parameter list when building the HOF.
-        def step(acc, x):
-            return F.when(F.size(acc) == 0, F.array(x)).otherwise(
-                F.when(
-                    (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1),
-                        F.array(F.lit(a + b)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x)))
-            )
-
-        return step
-
+    (``_bpe_fold_merge``) over each word's symbol array — one
+    projection, no shuffle, no per-step action (the rules are plan
+    literals; contrast the learning loop, which needs an argmax collect
+    per step). Returns (ss array<string>, freq) — the tokenized vocab
+    frame downstream token accounting aggregates. Pass ``vocab`` to
+    reuse an already-built ``_bpe_vocab`` frame (the corpus-wide
+    explode+count is the expensive stage; a caller that just learned
+    the rules has it in hand)."""
+    base = vocab if vocab is not None else _bpe_vocab(docs)
     ss = F.col("ss")
     for a, b in rules:
-        ss = F.aggregate(ss, F.expr("array()").cast("array<string>"), fold_step(a, b))
-    return vocab.select(ss.alias("ss"), "freq")
+        ss = _bpe_fold_merge(ss, a, b)
+    return base.select(ss.alias("ss"), "freq")
 
 
 @query(
@@ -1260,11 +1275,17 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained folds), and report the top token frequencies the resulting
     vocabulary induces — the table a token-budget planner reads. The
     oracle replays the identical k merge stages and counts the final
-    wrapped-symbol strings' tokens."""
+    wrapped-symbol strings' tokens. The ``_bpe_vocab`` frame — the one
+    corpus-wide explode+count — is built ONCE and shared between the
+    learning loop and the apply stage (tracked-persisted; the harness
+    releases it after the run)."""
+    from .catalog import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    learned = bpe_merge_table(docs, _BPE_MERGE_STEPS)
+    vocab = track_persist(_bpe_vocab(docs), StorageLevel.MEMORY_AND_DISK)
+    learned = bpe_merge_table(docs, _BPE_MERGE_STEPS, vocab=vocab)
     rules = [(r["left_sym"], r["right_sym"]) for r in learned.collect()]
-    tokens = bpe_apply_merges(docs, rules).select(
+    tokens = bpe_apply_merges(docs, rules, vocab=vocab).select(
         F.explode("ss").alias("token"), "freq"
     )
     return (

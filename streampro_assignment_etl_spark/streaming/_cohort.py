@@ -142,12 +142,19 @@ def make_cohort_matcher(
                 ids = np.concatenate([ids, k_ids])
                 payload = k_pay if payload is None else np.vstack([payload, k_pay])
         # Probe-only buckets must not mint state entries — under
-        # store-once, most visited buckets hold nothing.
-        if state.exists or stored_new:
+        # store-once, most visited buckets hold nothing. And a
+        # probe-only visit to an EXISTING bucket must not rewrite the
+        # unchanged cohort either (O(cohort) pickle+store-write per
+        # probe per batch, pure waste) — unless a TTL horizon needs
+        # refreshing, the store is only touched when something was
+        # stored.
+        if stored_new:
             # builtin types only: numpy scalars poison the state pickle.
             state.update((ids.tolist(), payload.tolist() if payload is not None else []))
             if ttl_ms is not None:
-                state.setTimeoutDuration(ttl_ms)  # any arrival refreshes
+                state.setTimeoutDuration(ttl_ms)
+        elif ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(ttl_ms)  # any arrival refreshes the horizon
         if parts:
             out = pd.concat(parts, ignore_index=True)
             out[out_a] = out[out_a].astype("int64")

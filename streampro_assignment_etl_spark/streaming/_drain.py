@@ -20,6 +20,32 @@ from __future__ import annotations
 import time
 
 
+def make_pair_sink_writer(out_dir: str, keys: list[str], *, skip_empty: bool):
+    """foreachBatch writer shared by the near-dup pair streams: batch-
+    local dropDuplicates on ``keys`` (a pair can surface through several
+    shared buckets, always in its second item's ONE arrival batch, so
+    this makes output exactly-once) + batch_id-keyed overwrite (idempotent
+    under checkpoint retry). ``skip_empty`` is the TTL-mode policy —
+    zero-row state-cleanup batches must not litter the sink; the frame
+    is persisted around the two actions (emptiness probe + write)
+    because a foreachBatch plan re-executes per action and the probe
+    must not run the stateful operator twice."""
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        out = batch_df.dropDuplicates(keys)
+        if not skip_empty:
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+            return
+        out.persist()
+        try:
+            if not out.isEmpty():
+                out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        finally:
+            out.unpersist()
+
+    return write_batch
+
+
 def drain_available_now(q, timeout_s: int, *, ttl: bool) -> None:
     """Block until the availableNow query ``q`` finishes its drain.
     ``ttl=False`` → plain awaitTermination; ``ttl=True`` → the
@@ -31,6 +57,8 @@ def drain_available_now(q, timeout_s: int, *, ttl: bool) -> None:
     deadline = start + timeout_s
     seen_data = False
     while time.time() < deadline:
+        if not q.isActive:
+            break  # query died — surface its exception NOW, not at deadline
         lp = q.lastProgress
         if lp is not None and lp["numInputRows"] > 0:
             seen_data = True

@@ -145,8 +145,13 @@ def embedding_dedup_stream(
     # The dim guard lives INSIDE the load-bearing norm expression (an
     # unused assert_true column would be pruned by Catalyst and never
     # evaluated): a mis-sized row hits raise_error instead of letting
-    # zip_with null-pad every plane dot to bucket 0.
-    guarded_norm = F.when(F.size("embedding") == dim, norm(v)).otherwise(
+    # zip_with null-pad every plane dot to bucket 0. A NULL embedding
+    # (missing field / PERMISSIVE-parse debris) is NOT a dim error —
+    # it flows to norm(NULL)=NULL and the finite filter drops it, same
+    # as before; only a genuinely mis-sized ARRAY fails the query.
+    guarded_norm = F.when(
+        F.col("embedding").isNull() | (F.size("embedding") == dim), norm(v)
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"embedding length != dim={dim} for vec_id "),
@@ -210,7 +215,7 @@ def run_embedding_dedup_stream(
     drains until idle instead of awaiting termination (a
     ProcessingTimeTimeout availableNow query never self-terminates —
     same machinery as ``stateful_dedup.run_dedup_stream``)."""
-    from ._drain import drain_available_now
+    from ._drain import drain_available_now, make_pair_sink_writer
 
     src_schema = T.StructType(
         [
@@ -228,25 +233,13 @@ def run_embedding_dedup_stream(
         ttl_seconds=ttl_seconds,
     )
 
-    skip_empty = ttl_seconds is not None
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df.dropDuplicates(["vec_a", "vec_b"])
-        if not skip_empty:
-            out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-            return
-        # TTL mode runs zero-row state-cleanup batches; don't litter
-        # the sink. Persist around the two actions (probe + write).
-        out.persist()
-        try:
-            if not out.isEmpty():
-                out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        finally:
-            out.unpersist()
-
     q = (
         pairs.writeStream.outputMode("update")
-        .foreachBatch(write_batch)
+        .foreachBatch(
+            make_pair_sink_writer(
+                out_dir, ["vec_a", "vec_b"], skip_empty=ttl_seconds is not None
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

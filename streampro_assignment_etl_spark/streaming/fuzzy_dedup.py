@@ -188,7 +188,7 @@ def run_fuzzy_dedup_stream(
     so the batch-local dropDuplicates makes pair output exactly-once;
     the batch_id-keyed overwrite keeps checkpoint retries idempotent.
     With ``ttl_seconds``, drain-until-idle (see ``_drain``)."""
-    from ._drain import drain_available_now
+    from ._drain import drain_available_now, make_pair_sink_writer
 
     src_schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
@@ -196,23 +196,13 @@ def run_fuzzy_dedup_stream(
     stream = spark.readStream.schema(src_schema).json(landing_dir)
     pairs = fuzzy_dedup_stream(stream, threshold=threshold, ttl_seconds=ttl_seconds)
 
-    skip_empty = ttl_seconds is not None
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df.dropDuplicates(["doc_a", "doc_b"])
-        if not skip_empty:
-            out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-            return
-        out.persist()
-        try:
-            if not out.isEmpty():
-                out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        finally:
-            out.unpersist()
-
     q = (
         pairs.writeStream.outputMode("update")
-        .foreachBatch(write_batch)
+        .foreachBatch(
+            make_pair_sink_writer(
+                out_dir, ["doc_a", "doc_b"], skip_empty=ttl_seconds is not None
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
