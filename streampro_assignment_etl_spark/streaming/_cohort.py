@@ -159,6 +159,9 @@ def make_cohort_matcher(
             out = pd.concat(parts, ignore_index=True)
             out[out_a] = out[out_a].astype("int64")
             out[out_b] = out[out_b].astype("int64")
+            # Quantized payloads score in their narrow dtype; the output
+            # schema is double either way.
+            out[out_score] = out[out_score].astype("float64")
             yield out
 
     return match_bucket

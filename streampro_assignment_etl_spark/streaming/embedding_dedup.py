@@ -31,21 +31,26 @@ smaller shuffle; the measured recall gap is in SCALE.md.
 State size, exactly: one (vec_id, 64-dim float64 unit vector) row per
 finite-norm vector ever seen — ~520 B/vector, so 10⁹ vectors ≈ 0.5 TB
 across the state store (vs 3.6 TB for the round-8 symmetric layout).
-For a bounded-state deployment pass ``ttl_seconds``: bucket cohorts
-idle for the horizon are EVICTED via ``ProcessingTimeTimeout``
-(shared machinery with ``stateful_dedup.dedup_stream_ttl``), bounding
-state by the horizon's distinct-bucket volume — the "dedup against
-the last T of stream" contract, exact inside its horizon.
+Two further bounding levers compose with store-once:
+``quantize_state=True`` halves the payload (float32 state — the
+emission predicate becomes cosine-of-quantized-vectors, see
+``_STATE_SCHEMA_F32`` for the exact trade), and ``ttl_seconds``
+EVICTS bucket cohorts idle past the horizon via
+``ProcessingTimeTimeout`` (shared machinery with
+``stateful_dedup.dedup_stream_ttl``), bounding state by the horizon's
+distinct-bucket volume — the "dedup against the last T of stream"
+contract, exact inside its horizon.
 
 A pair that collides through both orientations of the probe rule is
 emitted in each bucket; the runner's batch-local ``dropDuplicates``
 makes output exactly-once (the second vector's one arrival batch is
 the only batch that can emit the pair).
 
-Cosine is computed EXACTLY on the stored float64 vectors (not an LSH
+Cosine is computed EXACTLY on the stored vectors (not an LSH
 estimate): the bucket bound is the candidate filter, the emission
 predicate is exact — same two-stage contract as every batch dedup in
-this repo.
+this repo. (Exact-float64 under the default; ``quantize_state`` keeps
+the same two-stage structure with float32-quantized stored vectors.)
 """
 
 from __future__ import annotations
@@ -82,6 +87,21 @@ _STATE_SCHEMA = T.StructType(
     ]
 )
 
+# quantize_state=True stores unit vectors as float32 — half the state
+# bytes again on top of store-once (~260 B/vector at dim 64). The trade:
+# cosine is then computed on float32-quantized vectors, so the emission
+# predicate moves from exact-float64 cosine to cosine-within-~1e-6 —
+# a pair whose true cosine sits within ~2⁻²³·√d of the threshold can
+# flip relative to the batch reference. Pick it when state size is the
+# binding constraint and the threshold has slack; the float64 default
+# keeps the exact-emission contract.
+_STATE_SCHEMA_F32 = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("vecs", T.ArrayType(T.ArrayType(T.FloatType()))),
+    ]
+)
+
 
 def probe_masks(n_planes: int, probe_radius: int) -> list[int]:
     """XOR masks for the Hamming ball of ``probe_radius`` around a
@@ -98,10 +118,13 @@ def probe_masks(n_planes: int, probe_radius: int) -> list[int]:
     return masks
 
 
-def _cohort_matcher(threshold: float, ttl_ms: int | None = None):
-    """Per-bucket exact-cosine matcher: cohort unit vectors as an
-    ``(m, d)`` float64 matrix, each batch's ``(n, d)`` block scored
-    with ONE matrix product (unit vectors ⇒ dot IS cosine). The
+def _cohort_matcher(
+    threshold: float, ttl_ms: int | None = None, payload_dtype: type = np.float64
+):
+    """Per-bucket cosine matcher: cohort unit vectors as an ``(m, d)``
+    matrix, each batch's ``(n, d)`` block scored with ONE matrix
+    product (unit vectors ⇒ dot IS cosine). ``payload_dtype=float32``
+    is the quantized-state option (see ``_STATE_SCHEMA_F32``). The
     stateful shape — and the store-once / TTL policy hooks — live once
     in ``_cohort.make_cohort_matcher`` (shared with the MinHash fuzzy
     dedup)."""
@@ -110,7 +133,7 @@ def _cohort_matcher(threshold: float, ttl_ms: int | None = None):
     return make_cohort_matcher(
         id_field="vec_id",
         payload_field="unit",
-        payload_dtype=np.float64,
+        payload_dtype=payload_dtype,
         score=lambda A, B: A @ B.T,
         threshold=threshold,
         out_a="vec_a",
@@ -128,6 +151,7 @@ def embedding_dedup_stream(
     dim: int = 64,
     probe_radius: int = 2,
     ttl_seconds: int | None = None,
+    quantize_state: bool = False,
 ) -> DataFrame:
     """Streaming near-dup pair detector over embeddings:
     (vec_a, vec_b, cos_sim) whenever an incoming vector's EXACT cosine
@@ -185,10 +209,12 @@ def embedding_dedup_stream(
     )
     return rows.groupBy("bucket").applyInPandasWithState(
         _cohort_matcher(
-            threshold, ttl_ms=None if ttl_seconds is None else ttl_seconds * 1000
+            threshold,
+            ttl_ms=None if ttl_seconds is None else ttl_seconds * 1000,
+            payload_dtype=np.float32 if quantize_state else np.float64,
         ),
         outputStructType=PAIR_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA_F32 if quantize_state else _STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
     )
@@ -204,6 +230,7 @@ def run_embedding_dedup_stream(
     dim: int = 64,
     probe_radius: int = 2,
     ttl_seconds: int | None = None,
+    quantize_state: bool = False,
     timeout_s: int = 300,
 ) -> None:
     """Drain a landing dir of vector JSONL ({vec_id, embedding:[...]})
@@ -231,6 +258,7 @@ def run_embedding_dedup_stream(
         dim=dim,
         probe_radius=probe_radius,
         ttl_seconds=ttl_seconds,
+        quantize_state=quantize_state,
     )
 
     q = (

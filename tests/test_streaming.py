@@ -1347,3 +1347,43 @@ def test_embedding_dedup_dim_mismatch_fails_loudly(spark, tmp_path):
         run_embedding_dedup_stream(
             spark, str(landing), out, ckpt, dim=16, timeout_s=60
         )
+
+
+def test_embedding_dedup_quantized_state_same_pairs_half_bytes(spark, tmp_path):
+    """quantize_state=True stores float32 unit vectors (state schema is
+    array<float>, half the payload bytes) and — on a fixture whose
+    cosine margins dwarf the ~1e-6 quantization error — emits exactly
+    the same pair set as the float64 default."""
+    import random
+
+    from streampro_assignment_etl_spark.streaming.embedding_dedup import (
+        run_embedding_dedup_stream,
+    )
+
+    rng = random.Random(3)
+    dim, tau = 16, 0.95
+    base_vecs = {i: [rng.gauss(0, 1) for _ in range(dim)] for i in range(6)}
+    rows = [{"vec_id": i, "embedding": v} for i, v in base_vecs.items()] + [
+        {"vec_id": 100 + i, "embedding": [x + rng.gauss(0, 0.03) for x in v]}
+        for i, v in base_vecs.items()
+    ]
+    landing = tmp_path / "eq_landing"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+
+    got = {}
+    for tag, quant in (("f64", False), ("f32", True)):
+        out, ckpt = str(tmp_path / f"eq_out_{tag}"), str(tmp_path / f"eq_ckpt_{tag}")
+        run_embedding_dedup_stream(
+            spark, str(landing), out, ckpt,
+            threshold=tau, dim=dim, quantize_state=quant,
+        )
+        got[tag] = {(r["vec_a"], r["vec_b"]) for r in spark.read.parquet(out).collect()}
+
+    assert got["f64"] == got["f32"]
+    assert got["f64"], got  # fixture must actually produce pairs
+
+    # The quantized checkpoint's state schema really is float32.
+    st = spark.read.format("statestore").load(str(tmp_path / "eq_ckpt_f32"))
+    vec_type = st.schema["value"].dataType["groupState"].dataType["vecs"].dataType
+    assert vec_type.elementType.elementType.typeName() == "float", vec_type
