@@ -797,3 +797,110 @@ def test_bpe_merges_match_scalar_reference(spark, words, k):
 
         vocab = [(apply(s), f) for s, f in vocab]
     assert got == want
+
+
+def _scalar_store_once_matcher(threshold):
+    """Obviously-correct scalar reference for the store-once rule:
+    row i pairs with every STORED cohort member and with every earlier
+    same-batch row when at least one side is stored here; only stored
+    rows join the cohort; a bucket that stores nothing mints no state."""
+
+    def match_bucket(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids = list(state.get[0])
+            vecs = [list(v) for v in state.get[1]]
+        else:
+            ids, vecs = [], []
+        out = []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(i), [float(x) for x in v], bool(s))
+                for i, v, s in zip(pdf["vec_id"], pdf["unit"], pdf["is_base"])
+            )
+        for i, (rid, rv, rs) in enumerate(rows):
+            for pid, pv in zip(ids, vecs):
+                if pid == rid:
+                    continue
+                sc = sum(a * b for a, b in zip(rv, pv))
+                if sc >= threshold:
+                    out.append((min(rid, pid), max(rid, pid), sc))
+            for qid, qv, qs in (r for r in rows[:i]):
+                if qid == rid or not (rs or qs):
+                    continue
+                sc = sum(a * b for a, b in zip(rv, qv))
+                if sc >= threshold:
+                    out.append((min(rid, qid), max(rid, qid), sc))
+        stored = [(rid, rv) for rid, rv, rs in rows if rs]
+        if state.exists or stored:
+            state.update(
+                (ids + [r for r, _ in stored], vecs + [v for _, v in stored])
+            )
+        if out:
+            yield pd.DataFrame(out, columns=["vec_a", "vec_b", "cos_sim"])
+
+    return match_bucket
+
+
+_VEC2 = st.tuples(
+    st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+    st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(  # stream of micro-batches …
+        st.lists(  # … of (vec_id, 2d payload, is_base) rows
+            st.tuples(st.integers(min_value=0, max_value=9), _VEC2, st.booleans()),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from([-0.6, 0.0, 0.5, 1.0]),
+)
+def test_store_once_matcher_equals_scalar(batches, threshold):
+    """The vectorized store-once matcher emits exactly the scalar
+    reference's pairs and leaves identical state over adversarial
+    streams: repeated vec_ids, probe/base mixes, empty batches,
+    negative thresholds (every cross pair scores), chunked iterators."""
+    import pandas as pd
+
+    from streampro_assignment_etl_spark.streaming.embedding_dedup import (
+        _cohort_matcher,
+    )
+
+    vec_state, ref_state = _MemState(), _MemState()
+    vec_fn = _cohort_matcher(threshold)
+    ref_fn = _scalar_store_once_matcher(threshold)
+    for rows in batches:
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "unit": [list(r[1]) for r in rows],
+                "is_base": [r[2] for r in rows],
+            }
+        )
+        chunks = [pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]]
+
+        def emitted(fn, state):
+            outs = list(fn(None, iter(chunks), state))
+            if not outs:
+                return []
+            cat = pd.concat(outs, ignore_index=True)
+            return sorted(
+                (int(a), int(b), round(float(s), 9))
+                for a, b, s in zip(cat["vec_a"], cat["vec_b"], cat["cos_sim"])
+            )
+
+        assert emitted(vec_fn, vec_state) == emitted(ref_fn, ref_state)
+    assert vec_state.exists == ref_state.exists
+    if vec_state.exists:
+        assert list(vec_state.get[0]) == list(ref_state.get[0])
+        assert [list(v) for v in vec_state.get[1]] == [
+            list(v) for v in ref_state.get[1]
+        ]
