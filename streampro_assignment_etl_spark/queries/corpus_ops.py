@@ -1185,7 +1185,13 @@ def bpe_merge_table(
             nxt = prev.select(
                 _bpe_fold_merge(F.col("ss"), a, b).alias("ss"), "freq"
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()  # materialize before releasing the parent
+            try:
+                nxt.count()  # materialize before releasing the parent
+            except Exception:
+                # A failed materialization must not leak the freshly
+                # pinned block (finally below only releases prev).
+                nxt.unpersist()
+                raise
             if prev is not base or owned:
                 prev.unpersist()
             prev = nxt

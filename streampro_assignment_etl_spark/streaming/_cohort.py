@@ -142,12 +142,14 @@ def make_cohort_matcher(
                 ids = np.concatenate([ids, k_ids])
                 payload = k_pay if payload is None else np.vstack([payload, k_pay])
         # Probe-only buckets must not mint state entries — under
-        # store-once, most visited buckets hold nothing. And a
-        # probe-only visit to an EXISTING bucket must not rewrite the
-        # unchanged cohort either (O(cohort) pickle+store-write per
-        # probe per batch, pure waste) — unless a TTL horizon needs
-        # refreshing, the store is only touched when something was
-        # stored.
+        # store-once, most visited buckets hold nothing. A probe-only
+        # visit to an EXISTING bucket also skips state.update, which in
+        # NoTimeout mode saves the JVM-side store write of the
+        # unchanged cohort. (Scope honestly: the Python worker still
+        # ships the cohort both ways for every invoked group regardless
+        # of update, and with a TTL the setTimeoutDuration refresh
+        # below dirties the row anyway — the saving is the store write,
+        # and only without a TTL.)
         if stored_new:
             # builtin types only: numpy scalars poison the state pickle.
             state.update((ids.tolist(), payload.tolist() if payload is not None else []))
