@@ -1387,3 +1387,35 @@ def test_embedding_dedup_quantized_state_same_pairs_half_bytes(spark, tmp_path):
     st = spark.read.format("statestore").load(str(tmp_path / "eq_ckpt_f32"))
     vec_type = st.schema["value"].dataType["groupState"].dataType["vecs"].dataType
     assert vec_type.elementType.elementType.typeName() == "float", vec_type
+
+
+def test_fuzzy_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
+    """The TTL hook works through the fuzzy stream too (same shared
+    factory as the embedding dedup): a band cohort idle past the
+    horizon is evicted at the next batch that doesn't touch it."""
+    import time
+
+    from streampro_assignment_etl_spark.streaming.fuzzy_dedup import (
+        run_fuzzy_dedup_stream,
+    )
+
+    a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen")
+    landing = tmp_path / "fttl_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "fttl_out"), str(tmp_path / "fttl_ckpt")
+
+    (landing / "a.jsonl").write_text(json.dumps({"doc_id": 1, "text": a}) + "\n")
+    run_fuzzy_dedup_stream(spark, str(landing), out, ckpt, ttl_seconds=2)
+    time.sleep(2.5)  # let doc 1's horizon lapse
+    (landing / "b.jsonl").write_text(json.dumps({"doc_id": 2, "text": other}) + "\n")
+    run_fuzzy_dedup_stream(spark, str(landing), out, ckpt, ttl_seconds=2)
+
+    stored = {
+        i
+        for r in spark.read.format("statestore").load(ckpt).collect()
+        for i in r["value"]["groupState"]["ids"]
+    }
+    assert stored == {2}  # doc 1's band cohorts evicted, doc 2's live
