@@ -1038,7 +1038,11 @@ def _bpe_merges_oracle(k: int) -> str:
     parts = [
         f"""
 WITH vocab0 AS (
-  SELECT regexp_replace(w, '(.)', '{o}\\1{c}', 'g') AS r,
+  -- (?s): RE2 '.' excludes newline by default; a word containing \\n
+  -- (space-split keeps it) must wrap ALL its chars or the oracle's
+  -- symbol stream silently drops one and pair counts diverge from the
+  -- Spark side's substring() symbols.
+  SELECT regexp_replace(w, '(?s)(.)', '{o}\\1{c}', 'g') AS r,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE len(w) >= 2
@@ -1125,11 +1129,14 @@ def _bpe_fold_merge(ss, a: str, b: str):
     return F.aggregate(ss, F.expr("array()").cast("array<string>"), step)
 
 
-def bpe_merge_table(
+def _bpe_learn_rules(
     docs: DataFrame, k: int, vocab: DataFrame | None = None
-) -> DataFrame:
+) -> list[tuple[int, str, str, str, int]]:
     """Run ``k`` BPE merge iterations over the corpus and return the
-    learned merge rules (step, left_sym, right_sym, merged, n).
+    learned merge rules as a driver-resident list of
+    (step, left_sym, right_sym, merged, n) — callers that apply the
+    rules (``bpe_token_counts``) consume the list directly;
+    ``bpe_merge_table`` is the thin DataFrame wrapper.
 
     Each iteration is the same vocab-sized dataflow as
     ``bpe_pair_counts`` — the weighted-distinct-word frame, never the
@@ -1198,8 +1205,15 @@ def bpe_merge_table(
     finally:
         if prev is not base or owned:
             prev.unpersist()
-    return spark.createDataFrame(
-        rules, "step int, left_sym string, right_sym string, merged string, n long"
+    return rules
+
+
+def bpe_merge_table(
+    docs: DataFrame, k: int, vocab: DataFrame | None = None
+) -> DataFrame:
+    return docs.sparkSession.createDataFrame(
+        _bpe_learn_rules(docs, k, vocab=vocab),
+        "step int, left_sym string, right_sym string, merged string, n long",
     )
 
 
@@ -1289,8 +1303,8 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = track_persist(_bpe_vocab(docs), StorageLevel.MEMORY_AND_DISK)
-    learned = bpe_merge_table(docs, _BPE_MERGE_STEPS, vocab=vocab)
-    rules = [(r["left_sym"], r["right_sym"]) for r in learned.collect()]
+    learned = _bpe_learn_rules(docs, _BPE_MERGE_STEPS, vocab=vocab)
+    rules = [(left, right) for _, left, right, _, _ in learned]
     tokens = bpe_apply_merges(docs, rules, vocab=vocab).select(
         F.explode("ss").alias("token"), "freq"
     )

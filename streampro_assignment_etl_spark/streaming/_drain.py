@@ -20,19 +20,23 @@ from __future__ import annotations
 import time
 
 
-def make_pair_sink_writer(out_dir: str, keys: list[str], *, skip_empty: bool):
-    """foreachBatch writer shared by the near-dup pair streams: batch-
-    local dropDuplicates on ``keys`` (a pair can surface through several
-    shared buckets, always in its second item's ONE arrival batch, so
-    this makes output exactly-once) + batch_id-keyed overwrite (idempotent
-    under checkpoint retry). ``skip_empty`` is the TTL-mode policy —
-    zero-row state-cleanup batches must not litter the sink; the frame
-    is persisted around the two actions (emptiness probe + write)
-    because a foreachBatch plan re-executes per action and the probe
-    must not run the stateful operator twice."""
+def make_pair_sink_writer(
+    out_dir: str, keys: list[str] | None = None, *, skip_empty: bool
+):
+    """foreachBatch writer shared by the stateful-dedup sinks:
+    batch-local dropDuplicates on ``keys`` when given (a near-dup pair
+    can surface through several shared buckets, always in its second
+    item's ONE arrival batch, so this makes pair output exactly-once;
+    the exact-dedup streams emit unique rows already and pass None) +
+    batch_id-keyed overwrite (idempotent under checkpoint retry).
+    ``skip_empty`` is the TTL-mode policy — zero-row state-cleanup
+    batches must not litter the sink; the frame is persisted around the
+    two actions (emptiness probe + write) because a foreachBatch plan
+    re-executes per action and the probe must not run the stateful
+    operator twice."""
 
     def write_batch(batch_df, batch_id: int) -> None:
-        out = batch_df.dropDuplicates(keys)
+        out = batch_df.dropDuplicates(keys) if keys else batch_df
         if not skip_empty:
             out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
             return

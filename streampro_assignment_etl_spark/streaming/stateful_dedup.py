@@ -292,25 +292,14 @@ def run_dedup_stream(
     else:
         deduped = dedup_stream(stream)
 
-    skip_empty = ttl_seconds is not None
+    from ._drain import make_pair_sink_writer
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not skip_empty:
-            batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-            return
-        # TTL mode runs zero-row "cleaning up state" batches (see the
-        # drain loop below); don't litter the sink with empty subtrees.
-        # Persist around the two actions — a foreachBatch frame
-        # re-executes its plan per action, and the emptiness probe must
-        # not run the stateful operator a second time.
-        batch_df.persist()
-        try:
-            if not batch_df.isEmpty():
-                batch_df.write.mode("overwrite").parquet(
-                    f"{out_dir}/batch_id={batch_id}"
-                )
-        finally:
-            batch_df.unpersist()
+    # Rows are already unique per batch (one per never-before-seen
+    # fingerprint), so no dedup keys; skip-empty applies in TTL mode
+    # (zero-row state-cleanup batches must not litter the sink).
+    write_batch = make_pair_sink_writer(
+        out_dir, None, skip_empty=ttl_seconds is not None
+    )
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
