@@ -64,6 +64,74 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# Extension → (kind, mime) for the binaryFile ingest; anything else
+# lands as ("binary", "application/octet-stream") and flows through the
+# featurize/sample operators untouched (they only branch on kind).
+_EXT_KIND_MIME = {
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"),
+    "mp4": ("video", "video/mp4"),
+    "webm": ("video", "video/webm"),
+}
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    width: int = 8,
+    height: int = 4,
+    frame_bytes: int = 8,
+    glob: str | None = None,
+) -> DataFrame:
+    """Ingest a directory of RAW media files into the ``MEDIA_SCHEMA``
+    frame via Spark's built-in ``binaryFile`` source — the real-file
+    counterpart of ``synthesize_media``. Each file becomes one row:
+    ``media_id`` = xxhash64 of the file path (stable across runs and
+    partitionings), ``kind``/``meta.mime`` from the extension table
+    above, ``payload`` = the file bytes, ``meta.n_frames`` =
+    ceil(length / frame_bytes) so ``sample_frames`` works out of the
+    box. Dimensions aren't parsed from headers (no codec libs in this
+    container — same stub boundary as ``_decode_stub``); callers with
+    real decoders overwrite ``width``/``height`` downstream.
+
+    Scale notes: ``binaryFile`` streams file contents straight into
+    executor rows (one task per file split; payloads never touch the
+    driver), pushes ``pathGlobFilter`` down to the listing, and caps
+    per-row size by ``spark.sql.sources.binaryFile.maxLength``. For
+    billions of small objects prefer packing into parquet/sequence
+    containers first — the listing, not the bytes, becomes the
+    bottleneck; this reader is the landing-zone ingest that produces
+    exactly those packed parquet media tables.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)  # (path, modificationTime, length, content)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind_map = F.create_map(
+        *[x for e, (k, _) in _EXT_KIND_MIME.items() for x in (F.lit(e), F.lit(k))]
+    )
+    mime_map = F.create_map(
+        *[x for e, (_, m) in _EXT_KIND_MIME.items() for x in (F.lit(e), F.lit(m))]
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.coalesce(kind_map[ext], F.lit("binary")).alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(frame_bytes).alias("frame_bytes"),
+            F.ceil(F.col("length") / frame_bytes).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fake media table (testdata ships no binary columns):
     payload bytes derived from sha2 of the id — stable across runs,

@@ -1124,3 +1124,70 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, id_col="vec_id", vec_col="embedding",
         k=5, n_centroids=16, probes=4, m=4, n_codes=16, shortlist=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-novelty scoring: how much of each document is unique corpus-wide.
+# ---------------------------------------------------------------------------
+_NOVELTY_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+srows AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+dfc AS (SELECT shingle, COUNT(*) AS df FROM srows GROUP BY shingle)
+SELECT sr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_shingles,
+       (10000 * CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS novelty_bp
+FROM srows sr JOIN dfc d ON sr.shingle = d.shingle
+GROUP BY sr.doc_id
+ORDER BY sr.doc_id
+"""
+
+
+@query(
+    "shingle_novelty_by_doc",
+    extra=True,  # dedup/diagnostics family driver rows: fingerprints/rates
+    tags=("dedup", "novelty", "ngram", "llm-pipeline"),
+    oracle=_NOVELTY_ORACLE,
+)
+def shingle_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's DISTINCT 3-word
+    shingles that appear in NO other document — the self-information
+    diagnostic a curriculum/sampling policy reads (novelty ~0 means the
+    doc is assembled from corpus-common passages; dedup_rate_by_source
+    says where duplication lives, this says how much of each DOCUMENT
+    is new). ``novelty_bp`` is basis points via INTEGER floor division
+    — exact cross-engine, no double-rounding hazard (SURVEY §7.2 F6).
+
+    Scale shape: one shingle-keyed shuffle for document frequencies,
+    one shingle-keyed join back (co-partitioned with the df aggregate —
+    AQE reuses the exchange), one doc-keyed aggregate. Shingles are
+    deduped per-doc map-side (``array_distinct``) so within-doc repeats
+    never ship. At 100 TB the df table is vocab-like (Zipf head tiny,
+    long unique tail) — the join's build side prunes to nothing under
+    a df=1 pre-filter if only the novel flag is needed; kept general
+    here because n_shingles rides the same join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(minhash.word_shingles(F.col("text"), 3))
+        ).alias("shingle"),
+    )
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("novel_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "novel_shingles",
+            F.expr("(10000 * novel_shingles) div n_shingles").alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )
