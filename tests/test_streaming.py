@@ -1291,9 +1291,16 @@ def test_embedding_dedup_probe_radius_one_narrows_recall(spark, tmp_path):
 
 
 def test_embedding_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
-    """ttl_seconds bounds state to a recency horizon: a cohort idle past
-    the TTL is EVICTED at the next batch that doesn't touch it — the
-    state store afterwards holds only the live bucket."""
+    """ttl_seconds bounds state to a recency horizon, asserted
+    BEHAVIORALLY (a short-TTL drain's own cleanup batches can evict at
+    any point — the engine schedules a state-cleanup batch at the
+    earliest timeout expiry, so a state-store read between runs races
+    it): a vector seen before the horizon lapsed does NOT pair with
+    later copies (its cohort was evicted), while the later batch's
+    in-batch pairing still works — the matcher ran and matched, and
+    the only thing missing was the evicted state. A no-TTL control on
+    the identical replay pairs across the same gap, pinning the
+    eviction to the TTL rather than to the gap."""
     import time
 
     from streampro_assignment_etl_spark.streaming.embedding_dedup import (
@@ -1304,27 +1311,49 @@ def test_embedding_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
     landing = tmp_path / "ettl_landing"
     landing.mkdir()
     out, ckpt = str(tmp_path / "ettl_out"), str(tmp_path / "ettl_ckpt")
-    (landing / "a.jsonl").write_text(
-        json.dumps({"vec_id": 1, "embedding": [1.0] + [0.0] * (dim - 1)}) + "\n"
-    )
+    v = [1.0] + [0.0] * (dim - 1)
+
+    (landing / "a.jsonl").write_text(json.dumps({"vec_id": 1, "embedding": v}) + "\n")
     run_embedding_dedup_stream(
         spark, str(landing), out, ckpt, dim=dim, ttl_seconds=2
     )
     time.sleep(2.5)  # let vec 1's horizon lapse
-    # A batch touching a DIFFERENT bucket services vec 1's expired
-    # timeout (timeouts fire for keys without data in the batch).
+    # Service the expired timeout DETERMINISTICALLY: a batch with data
+    # only for OTHER buckets fires timeouts for keys without data. The
+    # exact opposite vector's SRP bucket is the bitwise complement —
+    # Hamming n_planes=6 from vec 1's, outside even the radius-2 probe
+    # ring, so nothing about this arrival touches (or refreshes) vec
+    # 1's cohort.
+    neg = [-x for x in v]
     (landing / "b.jsonl").write_text(
-        json.dumps({"vec_id": 2, "embedding": [0.0] * (dim - 1) + [-1.0]}) + "\n"
+        json.dumps({"vec_id": 50, "embedding": neg}) + "\n"
     )
     run_embedding_dedup_stream(
         spark, str(landing), out, ckpt, dim=dim, ttl_seconds=2
     )
-    stored = [
-        i
-        for r in spark.read.format("statestore").load(ckpt).collect()
-        for i in r["value"]["groupState"]["ids"]
-    ]
-    assert stored == [2]  # vec 1's cohort evicted, vec 2's live
+    # Copies of vec 1 arrive: they pair with each other (in-batch) but
+    # not with the evicted vec 1.
+    (landing / "c.jsonl").write_text(
+        "\n".join(json.dumps({"vec_id": i, "embedding": v}) for i in (99, 100))
+        + "\n"
+    )
+    run_embedding_dedup_stream(
+        spark, str(landing), out, ckpt, dim=dim, ttl_seconds=2
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in spark.read.parquet(out).collect()}
+    assert (99, 100) in pairs  # matcher alive and matching in-batch
+    assert not any(1 in p for p in pairs), pairs  # evicted: no cross-drain pair
+
+    # No-TTL control: identical replay across the same gap DOES pair.
+    out2, ckpt2 = str(tmp_path / "ettl_out2"), str(tmp_path / "ettl_ckpt2")
+    land2 = tmp_path / "ettl_landing2"
+    land2.mkdir()
+    (land2 / "a.jsonl").write_text(json.dumps({"vec_id": 1, "embedding": v}) + "\n")
+    run_embedding_dedup_stream(spark, str(land2), out2, ckpt2, dim=dim)
+    (land2 / "b.jsonl").write_text(json.dumps({"vec_id": 99, "embedding": v}) + "\n")
+    run_embedding_dedup_stream(spark, str(land2), out2, ckpt2, dim=dim)
+    pairs2 = {(r["vec_a"], r["vec_b"]) for r in spark.read.parquet(out2).collect()}
+    assert (1, 99) in pairs2
 
 
 def test_embedding_dedup_dim_mismatch_fails_loudly(spark, tmp_path):
@@ -1410,12 +1439,22 @@ def test_fuzzy_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
     (landing / "a.jsonl").write_text(json.dumps({"doc_id": 1, "text": a}) + "\n")
     run_fuzzy_dedup_stream(spark, str(landing), out, ckpt, ttl_seconds=2)
     time.sleep(2.5)  # let doc 1's horizon lapse
+    # Service the expired timeout deterministically: an UNRELATED doc's
+    # batch has no data for doc 1's band buckets, so their expired
+    # timeouts fire there (a near-dup arriving directly would land IN
+    # those buckets and refresh instead of evicting — last-seen TTL
+    # semantics, same as dedup_stream_ttl).
     (landing / "b.jsonl").write_text(json.dumps({"doc_id": 2, "text": other}) + "\n")
     run_fuzzy_dedup_stream(spark, str(landing), out, ckpt, ttl_seconds=2)
-
-    stored = {
-        i
-        for r in spark.read.format("statestore").load(ckpt).collect()
-        for i in r["value"]["groupState"]["ids"]
-    }
-    assert stored == {2}  # doc 1's band cohorts evicted, doc 2's live
+    # Near-dups of doc 1 arrive: they pair with each other (in-batch)
+    # but not with the evicted doc 1.
+    (landing / "c.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": a + " phi"}) for i in (10, 11)
+        )
+        + "\n"
+    )
+    run_fuzzy_dedup_stream(spark, str(landing), out, ckpt, ttl_seconds=2)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
+    assert (10, 11) in pairs
+    assert not any(1 in p for p in pairs), pairs  # evicted: no cross-drain pair
