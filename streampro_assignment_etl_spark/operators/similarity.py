@@ -734,12 +734,23 @@ def _sq_l2_lit(a: Column, w: list[float]) -> Column:
     dot folds — the exact operation sequence DuckDB's
     ``list_dot_product`` arithmetic runs, so both engines produce
     bit-identical doubles and the argmin tie-break never diverges
-    ((x−y)² summed is algebraically equal but NOT float-equal)."""
-    b = F.array(*[F.lit(float(x)) for x in w])
+    ((x−y)² summed is algebraically equal but NOT float-equal). The
+    codeword rides in as ONE parsed SQL array literal — element-wise
+    ``F.lit`` costs a py4j round-trip per component, and PQ builds
+    m × n_codes of these (the dominant fixed cost of a PQ query batch
+    before this; same technique as the IVF centroid literals)."""
+    b = F.expr(_double_array_sql(w))
     ww = 0.0
     for x in w:
         ww += float(x) * float(x)
     return dot(a, a) - F.lit(2.0) * dot(a, b) + F.lit(ww)
+
+
+def _long_array_sql(xs: list[int]) -> str:
+    """SQL literal for array<bigint> — the integer twin of
+    ``_double_array_sql`` (exact by construction; ``L`` suffix keeps
+    every element BIGINT so LUT sums can't overflow int32)."""
+    return "array(" + ",".join(f"{int(x)}L" for x in xs) + ")"
 
 
 def _finite_vec(c: Column) -> Column:
@@ -768,15 +779,35 @@ def pq_encode(
     ``ORDER BY dist, code`` replays). Entirely JVM-side: the codebooks
     ride the plan as literals, so encoding is one map-side projection —
     m one-byte codes (4 bytes at the default m=4) replace the vector, the ~16-64× compression that
-    lets a 10^9-vector index live in memory."""
+    lets a 10^9-vector index live in memory.
+
+    The per-subspace distance array is ONE ``transform`` lambda over a
+    nested array literal (the ``_ranked_cells`` technique): inlining
+    n_codes copies of the expansion-form tree made plan compile time —
+    not row work — the dominant cost of a PQ query batch. Same floats:
+    ⟨w,w⟩ moves from a Python-side sequential sum to the same
+    sequential ``dot`` fold in the JVM, identical IEEE result (pinned
+    by the cross-engine oracles)."""
     sub = len(codebooks[0][0][1])
     # Preserve the input's other columns (minus the raw vector): the
     # composed IVF-PQ feeds assign_cells output through here so cell +
     # codes come out of ONE map-side projection with no glue join.
     out = emb.withColumn("_v", _as_double(vec_col)).drop(vec_col)
+
+    def expansion_dist(s):
+        # Closure factory, not default-arg capture: a 2-param lambda
+        # would be read by transform as (element, index).
+        def f(w):
+            return dot(s, s) - F.lit(2.0) * dot(s, w) + dot(w, w)
+
+        return f
+
     for j, cb in enumerate(codebooks):
         s = F.slice(F.col("_v"), j * sub + 1, sub)
-        d = F.array(*[_sq_l2_lit(s, w) for _, w in cb])
+        cws = F.expr(
+            "array(" + ",".join(_double_array_sql(w) for _, w in cb) + ")"
+        )
+        d = F.transform(cws, expansion_dist(s))
         out = out.withColumn(
             f"_code{j}", (F.array_position(d, F.array_min(d)) - 1).cast("int")
         )
@@ -853,10 +884,12 @@ def pq_topk(
             add,
             [
                 F.element_at(
-                    # long literals: int32 LUT sums overflow past 2^31 on
-                    # unnormalized corpora (ANSI mode crashes, non-ANSI
-                    # silently wraps); the oracle sums BIGINT.
-                    F.array(*[F.lit(v).cast("long") for v in luts[j]]),
+                    # BIGINT literals (the L suffix): int32 LUT sums
+                    # overflow past 2^31 on unnormalized corpora (ANSI
+                    # mode crashes, non-ANSI silently wraps); the
+                    # oracle sums BIGINT. One parsed array per
+                    # (query, subspace), not n_codes py4j lit calls.
+                    F.expr(_long_array_sql(luts[j])),
                     F.col(f"_code{j}") + 1,
                 )
                 for j in range(len(cbs))
