@@ -179,6 +179,9 @@ def run_fuzzy_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = DEFAULT_SHINGLE_N,
     ttl_seconds: int | None = None,
     timeout_s: int = 300,
 ) -> None:
@@ -194,7 +197,14 @@ def run_fuzzy_dedup_stream(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
     stream = spark.readStream.schema(src_schema).json(landing_dir)
-    pairs = fuzzy_dedup_stream(stream, threshold=threshold, ttl_seconds=ttl_seconds)
+    pairs = fuzzy_dedup_stream(
+        stream,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        ttl_seconds=ttl_seconds,
+    )
 
     q = (
         pairs.writeStream.outputMode("update")
