@@ -43,7 +43,7 @@ HEAVY_EXTRAS = (
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/tmp/sf1"
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 1
-    ref_path = os.environ.get("SOAK_REF_BENCH", "/root/repo/BENCH_r07.json")
+    ref_path = os.environ.get("SOAK_REF_BENCH", "/root/repo/BENCH_r08.json")
     ref = {}
     try:
         doc = json.load(open(ref_path))
