@@ -728,24 +728,6 @@ def pq_codebooks_kmeans(
     return books
 
 
-def _sq_l2_lit(a: Column, w: list[float]) -> Column:
-    """Squared L2 between an array column and a literal codeword, in the
-    EXPANSION form ⟨a,a⟩ − 2⟨a,w⟩ + ⟨w,w⟩ with sequential left-to-right
-    dot folds — the exact operation sequence DuckDB's
-    ``list_dot_product`` arithmetic runs, so both engines produce
-    bit-identical doubles and the argmin tie-break never diverges
-    ((x−y)² summed is algebraically equal but NOT float-equal). The
-    codeword rides in as ONE parsed SQL array literal — element-wise
-    ``F.lit`` costs a py4j round-trip per component, and PQ builds
-    m × n_codes of these (the dominant fixed cost of a PQ query batch
-    before this; same technique as the IVF centroid literals)."""
-    b = F.expr(_double_array_sql(w))
-    ww = 0.0
-    for x in w:
-        ww += float(x) * float(x)
-    return dot(a, a) - F.lit(2.0) * dot(a, b) + F.lit(ww)
-
-
 def _long_array_sql(xs: list[int]) -> str:
     """SQL literal for array<bigint> — the integer twin of
     ``_double_array_sql`` (exact by construction; ``L`` suffix keeps
@@ -784,9 +766,12 @@ def pq_encode(
     The per-subspace distance array is ONE ``transform`` lambda over a
     nested array literal (the ``_ranked_cells`` technique): inlining
     n_codes copies of the expansion-form tree made plan compile time —
-    not row work — the dominant cost of a PQ query batch. Same floats:
-    ⟨w,w⟩ moves from a Python-side sequential sum to the same
-    sequential ``dot`` fold in the JVM, identical IEEE result (pinned
+    not row work — the dominant cost of a PQ query batch. The distance
+    is the EXPANSION form ⟨s,s⟩ − 2⟨s,w⟩ + ⟨w,w⟩ with sequential
+    left-to-right ``dot`` folds — the exact operation sequence DuckDB's
+    ``list_dot_product`` arithmetic runs, so both engines produce
+    bit-identical doubles and the argmin tie-break never diverges
+    ((s−w)² summed is algebraically equal but NOT float-equal; pinned
     by the cross-engine oracles)."""
     sub = len(codebooks[0][0][1])
     # Preserve the input's other columns (minus the raw vector): the

@@ -19,6 +19,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.components import _truncate_lineage
 from ..sources.testdata import load_table
 from .catalog import query
 
@@ -1196,18 +1197,25 @@ def _bpe_learn_rules(
             # k=16 under persist. Checkpointing (local blocks; reliable
             # when SPARK_CHECKPOINT_DIR is set, same switch as
             # connected components) keeps each step's plan one fold
-            # deep — flat per-iteration cost.
-            from ..operators.components import _truncate_lineage
-
+            # deep — flat per-iteration cost. Lifetime trade, stated
+            # honestly: checkpointed frames have no cache entry to
+            # unpersist, so intermediate vocab blocks are reclaimed by
+            # ContextCleaner on GC rather than deterministically per
+            # step (and a reliable checkpoint recomputes its write job
+            # and leaves files until the dir is cleaned — the same
+            # accepted trade as dedup_clusters). The vocab frame is the
+            # SMALLEST object in this pipeline by construction, which
+            # is why the bounded-lifetime trade is taken for the
+            # quadratic-analysis fix rather than the reverse.
             nxt = _truncate_lineage(
                 prev.select(_bpe_fold_merge(F.col("ss"), a, b).alias("ss"), "freq")
             )
-            if prev is not base or owned:
-                prev.unpersist()
+            if prev is base and owned:
+                prev.unpersist()  # only the base persist has a cache entry
             prev = nxt
     finally:
-        if prev is not base or owned:
-            prev.unpersist()
+        if prev is base and owned:
+            prev.unpersist()  # checkpointed intermediates have no cache entry
     return rules
 
 

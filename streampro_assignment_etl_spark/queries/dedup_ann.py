@@ -1171,9 +1171,9 @@ def shingle_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(minhash.word_shingles(F.col("text"), 3))
-        ).alias("shingle"),
+        # word_shingles already ends in array_distinct (distinct=True
+        # default) — no second distinct pass.
+        F.explode(minhash.word_shingles(F.col("text"), 3)).alias("shingle"),
     )
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
