@@ -111,7 +111,12 @@ def read_media_dir(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)  # (path, modificationTime, length, content)
-    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    # Extension = last '.'-segment of the BASENAME, not the full path:
+    # an extension-less file inside a dotted directory (/data.v2/clip)
+    # must fall to the binary default, not inherit "v2/clip" as its
+    # "extension".
+    basename = F.element_at(F.split(F.col("path"), "/"), -1)
+    ext = F.lower(F.element_at(F.split(basename, r"\."), -1))
     kind_map = F.create_map(
         *[x for e, (k, _) in _EXT_KIND_MIME.items() for x in (F.lit(e), F.lit(k))]
     )

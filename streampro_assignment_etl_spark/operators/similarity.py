@@ -708,10 +708,22 @@ def pq_codebooks_kmeans(
     for j in range(m):
         S = X[:, j * sub : (j + 1) * sub]
         # Farthest-first init on L2: start at sample row 0, repeatedly
-        # add the point farthest from its nearest chosen codeword.
+        # add the point farthest from its nearest chosen codeword. A
+        # sample can hold >= n_codes ROWS but fewer DISTINCT points in
+        # this subspace — then d2 goes all-zero and argmax would keep
+        # picking index 0, silently seeding duplicate codewords. Fail
+        # loudly instead, matching the undersized-sample guard above
+        # (Lloyd iterations can never split a duplicated codeword, so
+        # the degradation would be permanent and invisible).
         chosen = [0]
         d2 = ((S - S[0]) ** 2).sum(axis=1)
         for _ in range(1, n_codes):
+            if d2.max() == 0.0:
+                raise ValueError(
+                    f"subspace {j}: only {len(chosen)} distinct sample points "
+                    f"available to seed {n_codes} codewords — lower n_codes or "
+                    "widen the sample"
+                )
             nxt = int(np.argmax(d2))
             chosen.append(nxt)
             d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))

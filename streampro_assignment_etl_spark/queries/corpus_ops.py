@@ -1241,7 +1241,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the artifact a tokenizer pipeline persists. The DuckDB
     oracle unrolls the same k stages in SQL, replaying each merge as a
     boundary-bracketed string replace (left-to-right non-overlapping,
-    BPE's exact apply rule) with the identical argmax tie-break."""
+    BPE's exact apply rule) with the identical argmax tie-break.
+
+    Cross-engine precondition: the corpus words are assumed printable
+    ASCII (the fixture generator's contract). The oracle's \\x1e/\\x1f
+    bracket separators must not occur inside words, and its
+    per-CODEPOINT regexp split vs Spark's ``substring`` (UTF-16 code
+    units) agree only inside the BMP — words carrying control chars or
+    astral-plane characters would silently diverge the two engines.
+    The Spark-side semantics themselves are well-defined for any BMP
+    text; only the ORACLE comparison narrows to ASCII."""
     return bpe_merge_table(load_table(spark, sf_dir, "documents"), _BPE_MERGE_STEPS)
 
 

@@ -81,15 +81,27 @@ def make_cohort_matcher(
         else:
             ids = np.empty(0, dtype=np.int64)
             payload = None  # (0, k) with k unknown until the first rows land
-        # Materialize the bucket's whole batch slice before scoring:
-        # chunk-at-a-time scoring breaks under store-once (a probe row
-        # chunked BEFORE its partner's stored row would never see it,
-        # because probe rows don't enter the cohort between chunks).
-        frames = [pdf for pdf in pdfs if len(pdf)]
+        # Store-once materializes the bucket's whole batch slice before
+        # scoring: chunk-at-a-time breaks there (a probe row chunked
+        # BEFORE its partner's stored row would never see it, because
+        # probe rows don't enter the cohort between chunks) — the
+        # peak-memory bound is the bucket's batch slice plus its
+        # cohort. Store-all (store_field=None) keeps the chunked path:
+        # every row enters the cohort, so a chunk scoring against the
+        # so-far cohort sees all earlier batch rows, and peak memory is
+        # one Arrow chunk plus the cohort.
+        if store_field is not None:
+            frames = [pdf for pdf in pdfs if len(pdf)]
+            blocks = (
+                [pd.concat(frames, ignore_index=True)]
+                if len(frames) > 1
+                else frames
+            )
+        else:
+            blocks = (pdf for pdf in pdfs if len(pdf))
         parts: list[pd.DataFrame] = []
         stored_new = 0
-        if frames:
-            block = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        for block in blocks:
             b_ids = block[id_field].to_numpy(dtype=np.int64)
             b_pay = np.asarray(
                 [list(v) for v in block[payload_field]], dtype=payload_dtype
@@ -137,7 +149,7 @@ def make_cohort_matcher(
                         )
                     )
             if keep.any():
-                stored_new = int(keep.sum())
+                stored_new += int(keep.sum())
                 k_ids, k_pay = b_ids[keep], b_pay[keep]
                 ids = np.concatenate([ids, k_ids])
                 payload = k_pay if payload is None else np.vstack([payload, k_pay])
