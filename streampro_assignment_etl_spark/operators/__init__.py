@@ -9,9 +9,12 @@ so they stay JVM-side and shuffle-bounded:
   candidate generation (near-dup at fixed bit distance).
 * ``similarity`` — IVF-Flat approximate nearest neighbors (centroid
   partitioning + multiprobe), validated against brute-force cosine.
+* ``ann_index`` — the persisted IVF-PQ index (build once / serve many):
+  encoded corpus partitioned by cell + JSON model artifact, queried via
+  partition-pruned scans; bit-equal to the composed in-memory path.
 * ``multimodal`` — binary media columns + typed metadata with
   Arrow-batched mapInPandas featurize/resize/frame-sample operators
   (codec step stubbed; plumbing real).
 """
 
-from . import minhash, multimodal, simhash, similarity  # noqa: F401
+from . import ann_index, minhash, multimodal, simhash, similarity  # noqa: F401

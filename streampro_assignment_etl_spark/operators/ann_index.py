@@ -1,0 +1,211 @@
+"""Persisted IVF-PQ index: build once, serve many.
+
+``similarity.ivfpq_topk`` composes the full pipeline in memory — it
+re-derives centroids/codebooks and re-encodes the ENTIRE corpus on
+every call. Correct, but at 10⁹ vectors the encode pass alone dominates
+any query batch; the serving shape every production ANN system uses is
+a persisted index:
+
+* ``build_ivfpq_index`` runs the expensive corpus pass ONCE — cell
+  assignment + PQ encoding as the same fused zero-shuffle projection as
+  the composed path — and writes:
+  - ``<path>/encoded``: (neighbor_id, _code0.._code{m-1}) parquet,
+    **partitioned by cell**, so a query batch's scan prunes to its
+    probed cells at the file listing (the pruning-to-scan pattern of
+    `pipeline/catalog_ops` external tables);
+  - ``<path>/model``: the centroid list + per-subspace codebooks as one
+    JSON document (Python ``json`` round-trips finite doubles
+    bit-exactly — shortest-repr emit, exact parse — so a reloaded model
+    probes/encodes on the IDENTICAL floats the build used).
+* ``ivfpq_topk_over_index`` answers a query batch by loading the model
+  (small by contract: C centroids + m·n_codes codewords), scanning ONLY
+  the probed-cell partitions of the encoded corpus, and running the
+  SAME relational ADC shortlist + exact re-rank code the composed path
+  uses (``similarity._adc_shortlist`` / ``similarity._exact_rerank``)
+  — results are bit-equal to ``ivfpq_topk`` by construction (pinned in
+  tests/test_operators.py, and the driver-shape oracle re-passes over
+  the index in queries/dedup_ann.similarity_ann_ivfpq_index).
+
+Scale notes: the index holds m bytes of codes per vector (plus the id)
+— ~12 B/row at m=4 vs ~520 B for the raw float64 vector, so a 10⁹-row
+index is ~12 GB of parquet across C partitions, and a P-of-C probe
+batch reads ~P/C of that. The exact re-rank fetches raw vectors for
+only the ``shortlist`` survivors via an id-equi-join against the
+corpus table — the point-lookup pattern (at warehouse scale, back that
+table by a bucketed-by-id layout so the fetch is also pruned). Writing
+one partition dir per cell is the right layout while C ≤ O(10³); for
+C beyond the file-listing sweet spot, bucket by cell instead.
+
+≙ reference: none (north-star extension; the reference has no vector
+surface). Composition/citations: similarity.py's IVF/PQ operators.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import (
+    CentroidList,
+    PQCodebooks,
+    _adc_shortlist,
+    _exact_rerank,
+    assign_cells,
+    collect_centroids,
+    pq_codebooks,
+    pq_encode,
+    probe_cells,
+    seed_centroids,
+)
+
+ENCODED_DIR = "encoded"
+MODEL_DIR = "model"
+_MODEL_VERSION = 1
+
+
+@dataclass(frozen=True)
+class IvfPqModel:
+    """The driver-resident half of a persisted index: everything needed
+    to probe cells and build ADC LUTs without touching the corpus."""
+
+    centroids: CentroidList
+    codebooks: PQCodebooks
+    n_centroids: int
+    m: int
+    n_codes: int
+    dim: int
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    centroids: CentroidList | None = None,
+    codebooks: PQCodebooks | None = None,
+) -> IvfPqModel:
+    """One corpus pass → persisted index at ``path`` (overwrites).
+
+    Centroids/codebooks default to the deterministic id-seeded model
+    (oracle-replayable); pass ``kmeans_centroids`` /
+    ``pq_codebooks_kmeans`` output for trained indexes — the layout and
+    query path are identical. The encoded corpus write is the fused
+    assign+encode projection (zero shuffles before the partitioned
+    write's own exchange)."""
+    cents = centroids or collect_centroids(
+        seed_centroids(emb, id_col, vec_col, n_centroids)
+    )
+    cbs = codebooks or pq_codebooks(emb, id_col, vec_col, m, n_codes)
+    dim = len(cents[0][1])
+
+    cells = assign_cells(emb, cents, id_col, vec_col)
+    enc = pq_encode(cells, cbs, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell", *[f"_code{j}" for j in range(m)]
+    )
+    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{ENCODED_DIR}")
+
+    doc = {
+        "version": _MODEL_VERSION,
+        "n_centroids": len(cents),
+        "m": m,
+        "n_codes": n_codes,
+        "dim": dim,
+        "centroids": [[int(cid), list(map(float, v))] for cid, v in cents],
+        "codebooks": [
+            [[int(code), list(map(float, w))] for code, w in book] for book in cbs
+        ],
+    }
+    # One-row text write through Spark, not open(): the index path may
+    # be any Hadoop-compatible FS (s3a://...), same contract as the
+    # parquet half.
+    emb.sparkSession.createDataFrame(
+        [(json.dumps(doc),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/{MODEL_DIR}")
+    return IvfPqModel(
+        centroids=cents,
+        codebooks=cbs,
+        n_centroids=len(cents),
+        m=m,
+        n_codes=n_codes,
+        dim=dim,
+    )
+
+
+def load_ivfpq_model(spark: SparkSession, path: str) -> IvfPqModel:
+    """Read back the model artifact. Loud on version mismatch — codes
+    written under one model are meaningless probed under another (same
+    failure mode as the bloom slot-version guard)."""
+    rows = spark.read.text(f"{path}/{MODEL_DIR}").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"index model at {path}/{MODEL_DIR} has {len(rows)} rows, expected 1"
+        )
+    doc = json.loads(rows[0]["value"])
+    if doc.get("version") != _MODEL_VERSION:
+        raise ValueError(
+            f"index model version {doc.get('version')} != code version "
+            f"{_MODEL_VERSION}: rebuild the index"
+        )
+    return IvfPqModel(
+        centroids=[(int(cid), [float(x) for x in v]) for cid, v in doc["centroids"]],
+        codebooks=[
+            [(int(code), [float(x) for x in w]) for code, w in book]
+            for book in doc["codebooks"]
+        ],
+        n_centroids=int(doc["n_centroids"]),
+        m=int(doc["m"]),
+        n_codes=int(doc["n_codes"]),
+        dim=int(doc["dim"]),
+    )
+
+
+def ivfpq_topk_over_index(
+    emb: DataFrame,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probes: int = 4,
+    shortlist: int = 100,
+) -> DataFrame:
+    """IVF-PQ top-k served from a persisted index: probe cells from the
+    loaded model, scan ONLY those cell partitions of the encoded
+    corpus (a literal IN filter on the partition column — static
+    pruning at the file listing, pinned in tests/test_plans.py), ADC
+    shortlist, exact re-rank against ``emb`` (the raw-vector store; an
+    id-equi-join point lookup over ``shortlist`` ids per query).
+    Bit-equal to ``similarity.ivfpq_topk`` with the same model — both
+    paths share ``_adc_shortlist``/``_exact_rerank``."""
+    spark = emb.sparkSession
+    model = load_ivfpq_model(spark, path)
+    enc = spark.read.parquet(f"{path}/{ENCODED_DIR}")
+
+    probed = probe_cells(queries, model.centroids, id_col, vec_col, probes)
+    # The probed cell set is Q×P ints, bounded by contract (queries are
+    # a batch, not a stream) — collect it so the scan filter is LITERAL
+    # and prunes partitions statically, not via a runtime DPP subquery.
+    cell_rows = probed.select("cell").distinct().collect()
+    cell_ids = sorted(r["cell"] for r in cell_rows)
+    if not cell_ids:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, l2sq_micro long"
+        )
+    pruned = enc.filter(F.col("cell").isin(cell_ids))
+    cand = (
+        probed.select("query_id", "cell")
+        .join(pruned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    short = _adc_shortlist(cand, queries, model.codebooks, id_col, vec_col, shortlist)
+    if short is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, l2sq_micro long"
+        )
+    return _exact_rerank(short, queries, emb, id_col, vec_col, k)

@@ -1004,7 +1004,6 @@ def ivfpq_topk(
     DuckDB oracle."""
     cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
     cbs = pq_codebooks(emb, id_col, vec_col, m, n_codes)
-    sub = len(cbs[0][0][1])
 
     # ONE fused map-side projection for the index: assign_cells emits
     # (id, vec, cell) with zero shuffles, and pq_encode preserves the
@@ -1022,6 +1021,32 @@ def ivfpq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
 
+    short = _adc_shortlist(cand, queries, cbs, id_col, vec_col, shortlist)
+    if short is None:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, l2sq_micro long"
+        )
+    return _exact_rerank(short, queries, emb, id_col, vec_col, k)
+
+
+def _adc_shortlist(
+    cand: DataFrame,
+    queries: DataFrame,
+    cbs: PQCodebooks,
+    id_col: str,
+    vec_col: str,
+    shortlist: int,
+) -> DataFrame | None:
+    """Relational ADC over a candidate frame carrying PQ codes — THE
+    one copy of the melt → LUT-join → integer-sum → top-``shortlist``
+    stage, shared by the in-memory composed ``ivfpq_topk`` and the
+    persisted-index ``ann_index.ivfpq_topk_over_index`` so the two
+    serving shapes are bit-equal by construction. ``cand`` columns:
+    (query_id, neighbor_id, _code0.._code{m-1}). Returns the
+    (query_id, neighbor_id) shortlist, or None when the query set is
+    empty/all-poison (callers emit their typed empty frame)."""
+    m = len(cbs)
+    sub = len(cbs[0][0][1])
     melted = cand.select(
         "query_id",
         "neighbor_id",
@@ -1039,15 +1064,13 @@ def ivfpq_topk(
 
     qrows = _collect_finite_queries(queries, id_col, vec_col)
     if not qrows:
-        return emb.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, l2sq_micro long"
-        )
+        return None
     lut_rows = []
     for qid, qv in qrows:
         for j in range(m):
             row = _lut_int(list(qv[j * sub : (j + 1) * sub]), cbs[j])
             lut_rows.extend((int(qid), j, c, d) for c, d in enumerate(row))
-    lut_df = emb.sparkSession.createDataFrame(
+    lut_df = cand.sparkSession.createDataFrame(
         lut_rows, "query_id long, j int, code int, d long"
     )
     adc = (
@@ -1056,10 +1079,8 @@ def ivfpq_topk(
         .agg(F.sum("d").alias("adc_dist"))
     )
     ws = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    short = (
+    return (
         adc.withColumn("_rn", F.row_number().over(ws))
         .filter(F.col("_rn") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-
-    return _exact_rerank(short, queries, emb, id_col, vec_col, k)

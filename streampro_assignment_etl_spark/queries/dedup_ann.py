@@ -1126,6 +1126,50 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-lifetime cache of built index paths keyed by corpus dir: the
+# point of the persisted index is build-once/serve-many, so a harness
+# that calls the query entry repeatedly (parity test + local sweep)
+# pays the corpus encode exactly once per sf_dir.
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+@query(
+    "similarity_ann_ivfpq_index",
+    extra=True,
+    tags=("similarity", "ann", "ivf", "pq", "index"),
+    oracle=_IVFPQ_ORACLE,
+)
+def similarity_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from the PERSISTED index
+    (operators/ann_index.py): the corpus encode (cell + 4-byte codes)
+    is written once, partitioned by cell; the query batch probes 4 of
+    16 cells and its scan prunes to those partitions at the file
+    listing — the build-once/serve-many shape that makes 10⁹-vector
+    serving affordable (the composed ``similarity_ann_ivfpq`` above
+    re-encodes the corpus per call). Same oracle verbatim: results are
+    bit-equal to the composed path by construction (shared ADC/rerank
+    code), so the driver-shape hash gate covers the index build, the
+    model round-trip, and the pruned query path end to end."""
+    import tempfile
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        ann_index.build_ivfpq_index(
+            emb, path, id_col="vec_id", vec_col="embedding",
+            n_centroids=16, m=4, n_codes=16,
+        )
+        _IVFPQ_INDEX_CACHE[sf_dir] = path
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_index.ivfpq_topk_over_index(
+        emb, queries, path, id_col="vec_id", vec_col="embedding",
+        k=5, probes=4, shortlist=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingle-novelty scoring: how much of each document is unique corpus-wide.
 # ---------------------------------------------------------------------------

@@ -945,3 +945,76 @@ def test_pq_kmeans_codebooks_beat_id_seeding(spark):
         emb, "vec_id", "embedding", m=4, sample_pct=100, iters=10
     )
     assert again == trained_books  # fully deterministic training
+
+
+# -- Persisted IVF-PQ index (operators/ann_index.py) ------------------------
+def test_ivfpq_index_bit_equal_and_pruned(emb, spark, tmp_path):
+    """The persisted index answers bit-identically to the composed
+    in-memory path (shared ADC/rerank code + exact model round-trip),
+    and the query-side scan statically prunes to the probed cell
+    partitions."""
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    path = str(tmp_path / "idx")
+    built = ann_index.build_ivfpq_index(
+        emb, path, n_centroids=16, m=4, n_codes=16
+    )
+    loaded = ann_index.load_ivfpq_model(spark, path)
+    assert loaded == built  # floats bit-equal through the JSON artifact
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    composed = similarity.ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, probes=4, m=4, n_codes=16,
+        shortlist=100,
+    ).collect()
+    served = ann_index.ivfpq_topk_over_index(
+        emb, queries, path, k=5, probes=4, shortlist=100
+    )
+    assert served.collect() == composed
+
+    # Serve-many: a second query batch reuses the same index files.
+    one = emb.filter(F.col("vec_id") == 7)
+    again = ann_index.ivfpq_topk_over_index(
+        emb, one, path, k=3, probes=2, shortlist=50
+    )
+    assert len(again.collect()) == 3
+
+    # Plan pin: the encoded-corpus scan carries a LITERAL partition
+    # filter on cell (static pruning at the file listing, not DPP).
+    plan = again._jdf.queryExecution().executedPlan().toString()
+    enc_scan = next(
+        ln for ln in plan.splitlines()
+        # (the Location string may truncate the tmp path, so match the
+        # filter itself — only the encoded scan has a cell partition)
+        if "FileScan" in ln and "PartitionFilters: [cast(cell" in ln
+    )
+    import re
+
+    in_list = re.search(r"IN \(([-0-9,]+)\)", enc_scan).group(1)
+    # one query x probes=2 -> exactly 2 cells survive the listing
+    assert len(in_list.split(",")) == 2, enc_scan
+
+
+def test_ivfpq_index_version_guard_and_empty_queries(emb, spark, tmp_path):
+    """A model artifact from another version fails loudly; an
+    empty/all-poison query batch returns the typed empty frame."""
+    import json
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb, path)
+
+    none = emb.filter(F.col("vec_id") < 0)
+    out = ann_index.ivfpq_topk_over_index(emb, none, path)
+    assert out.columns == ["query_id", "neighbor_id", "rank", "l2sq_micro"]
+    assert out.count() == 0
+
+    rows = spark.read.text(f"{path}/{ann_index.MODEL_DIR}").collect()
+    doc = json.loads(rows[0]["value"])
+    doc["version"] = 999
+    spark.createDataFrame([(json.dumps(doc),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/{ann_index.MODEL_DIR}")
+    with pytest.raises(ValueError, match="version"):
+        ann_index.load_ivfpq_model(spark, path)
