@@ -36,6 +36,25 @@ State-bounding policy hooks (round 9, closing the round-8 ``weak``:
   total state by the distinct-bucket volume of the horizon instead of
   the stream's lifetime; any arrival refreshes the bucket's horizon
   (same last-seen semantics as ``stateful_dedup.dedup_stream_ttl``).
+- ``ttl_event_ms`` + ``ts_field``: PER-MEMBER eviction on an EVENT-time
+  horizon (the caller must watermark ``ts_field``, pass
+  ``EventTimeTimeout``, and grow its state schema by a ``lasts``
+  ARRAY<BIGINT> column — one event timestamp per member). A wall-clock
+  horizon evicts nothing meaningful under backfill replay (a month of
+  history reprocessed in an hour sits entirely inside any realistic
+  wall horizon); the event horizon replays identically. Unlike the
+  wall lever's whole-cohort last-seen rule, each member expires by its
+  OWN event age: every visit prunes members whose event time + ttl is
+  behind the WATERMARK before scoring (not after the timeout fires —
+  firing lags a batch), so an arrival can never pair with an expired
+  member, in any replay batching. Probe rows do not extend member
+  lifetimes. The registered timeout is max(member lasts) + ttl — the
+  moment the whole cohort is dead — so an unvisited bucket's state
+  still drops without waiting for traffic. Physical state may retain
+  already-expired members of a PARTIALLY-live cohort until the
+  bucket's next visit (they are invisible to scoring — the prune runs
+  before every read); the LIVE view (members within the horizon of the
+  final watermark) is replay-deterministic, pinned in tests.
 """
 
 from __future__ import annotations
@@ -60,24 +79,45 @@ def make_cohort_matcher(
     out_score: str,
     store_field: str | None = None,
     ttl_ms: int | None = None,
+    ttl_event_ms: int | None = None,
+    ts_field: str | None = None,
 ):
     """Build an ``applyInPandasWithState`` function: row i pairs with
     every cohort member plus every EARLIER row of the same batch whose
     ``score`` (an (n, m) matrix from two payload blocks) reaches
     ``threshold``, skipping id-equal rows. With ``store_field`` set,
     only flagged rows persist, and in-batch pairs require a flagged
-    side (see module docstring)."""
+    side (see module docstring). ``ttl_ms`` / ``ttl_event_ms`` are the
+    wall-clock / event-time horizon levers (mutually exclusive; the
+    event one needs ``ts_field`` and a third ``last_ms`` state
+    column)."""
+    if ttl_ms is not None and ttl_event_ms is not None:
+        raise ValueError("ttl_ms and ttl_event_ms are mutually exclusive")
+    if (ttl_event_ms is None) != (ts_field is None):
+        raise ValueError("ttl_event_ms and ts_field go together")
 
     def match_bucket(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if ttl_ms is not None and state.hasTimedOut:
+        if (ttl_ms is not None or ttl_event_ms is not None) and state.hasTimedOut:
             # Timeout invocations carry no data rows; drop the cohort.
             state.remove()
             return
+        lasts = np.empty(0, dtype=np.int64)  # per-member event ms (event mode)
+        pruned = False
         if state.exists and len(state.get[0]):
             ids = np.asarray(state.get[0], dtype=np.int64)
             payload = np.asarray([list(v) for v in state.get[1]], dtype=payload_dtype)
+            if ttl_event_ms is not None:
+                lasts = np.asarray(state.get[2], dtype=np.int64)
+                # Per-member prune BEFORE scoring: a member whose event
+                # horizon is behind the watermark is dead even if the
+                # cohort's timeout (max member + ttl) hasn't fired.
+                alive = lasts + ttl_event_ms > state.getCurrentWatermarkMs()
+                if not alive.all():
+                    pruned = True
+                    ids, lasts = ids[alive], lasts[alive]
+                    payload = payload[alive] if alive.any() else None
         else:
             ids = np.empty(0, dtype=np.int64)
             payload = None  # (0, k) with k unknown until the first rows land
@@ -102,6 +142,15 @@ def make_cohort_matcher(
         parts: list[pd.DataFrame] = []
         stored_new = 0
         for block in blocks:
+            if ts_field is not None:
+                # Per-row event ms; the datetime64[ms] hop is exact for
+                # any Arrow resolution the batch arrives in.
+                b_ts = (
+                    block[ts_field]
+                    .to_numpy()
+                    .astype("datetime64[ms]")
+                    .astype(np.int64)
+                )
             b_ids = block[id_field].to_numpy(dtype=np.int64)
             b_pay = np.asarray(
                 [list(v) for v in block[payload_field]], dtype=payload_dtype
@@ -153,6 +202,8 @@ def make_cohort_matcher(
                 k_ids, k_pay = b_ids[keep], b_pay[keep]
                 ids = np.concatenate([ids, k_ids])
                 payload = k_pay if payload is None else np.vstack([payload, k_pay])
+                if ts_field is not None:
+                    lasts = np.concatenate([lasts, b_ts[keep]])
         # Probe-only buckets must not mint state entries — under
         # store-once, most visited buckets hold nothing. A probe-only
         # visit to an EXISTING bucket also skips state.update, which in
@@ -162,7 +213,28 @@ def make_cohort_matcher(
         # of update, and with a TTL the setTimeoutDuration refresh
         # below dirties the row anyway — the saving is the store write,
         # and only without a TTL.)
-        if stored_new:
+        if ttl_event_ms is not None:
+            # Event-horizon bookkeeping: rewrite state only when the
+            # membership changed (new stored rows, or members pruned) —
+            # a probe-only visit to an unchanged cohort neither extends
+            # member lifetimes nor dirties the state row, and the
+            # registered timeout (max member + ttl) is still correct.
+            if stored_new or pruned:
+                if len(ids):
+                    state.update(
+                        (
+                            ids.tolist(),
+                            payload.tolist() if payload is not None else [],
+                            lasts.tolist(),
+                        )
+                    )
+                    # Alive members have last + ttl > watermark, and
+                    # new rows arrive above the watermark (late rows
+                    # are engine-filtered), so this is always settable.
+                    state.setTimeoutTimestamp(int(lasts.max()) + ttl_event_ms)
+                elif state.exists:
+                    state.remove()  # fully-expired cohort visited — drop
+        elif stored_new:
             # builtin types only: numpy scalars poison the state pickle.
             state.update((ids.tolist(), payload.tolist() if payload is not None else []))
             if ttl_ms is not None:

@@ -39,7 +39,11 @@ EVICTS bucket cohorts idle past the horizon via
 ``ProcessingTimeTimeout`` (shared machinery with
 ``stateful_dedup.dedup_stream_ttl``), bounding state by the horizon's
 distinct-bucket volume — the "dedup against the last T of stream"
-contract, exact inside its horizon.
+contract, exact inside its horizon. ``ttl_event_seconds`` is the same
+horizon in EVENT time (per-member eviction against the watermark over
+``ts_col`` — the variant that still means "last T of stream" when a
+month of history is replayed at full throughput; see the ``_cohort``
+module docstring for the replay-determinism contract).
 
 A pair that collides through both orientations of the probe rule is
 emitted in each bucket; the runner's batch-local ``dropDuplicates``
@@ -103,6 +107,19 @@ _STATE_SCHEMA_F32 = T.StructType(
 )
 
 
+def _state_schema(quantize_state: bool, event_ttl: bool) -> T.StructType:
+    """Event-horizon mode rides each member's event time in the state
+    value (``lasts``, parallel to ``ids``) — the per-member expiry
+    prune must read the horizons back on every visit; the registered
+    timeout timestamp alone isn't visible to the state function."""
+    base = _STATE_SCHEMA_F32 if quantize_state else _STATE_SCHEMA
+    if not event_ttl:
+        return base
+    return T.StructType(
+        [*base.fields, T.StructField("lasts", T.ArrayType(T.LongType()))]
+    )
+
+
 def probe_masks(n_planes: int, probe_radius: int) -> list[int]:
     """XOR masks for the Hamming ball of ``probe_radius`` around a
     bucket: [0] ∪ single bits ∪ bit pairs ∪ … — 1 + C(n,1) + …
@@ -119,7 +136,11 @@ def probe_masks(n_planes: int, probe_radius: int) -> list[int]:
 
 
 def _cohort_matcher(
-    threshold: float, ttl_ms: int | None = None, payload_dtype: type = np.float64
+    threshold: float,
+    ttl_ms: int | None = None,
+    ttl_event_ms: int | None = None,
+    ts_field: str | None = None,
+    payload_dtype: type = np.float64,
 ):
     """Per-bucket cosine matcher: cohort unit vectors as an ``(m, d)``
     matrix, each batch's ``(n, d)`` block scored with ONE matrix
@@ -141,6 +162,8 @@ def _cohort_matcher(
         out_score="cos_sim",
         store_field="is_base",
         ttl_ms=ttl_ms,
+        ttl_event_ms=ttl_event_ms,
+        ts_field=ts_field,
     )
 
 
@@ -151,6 +174,9 @@ def embedding_dedup_stream(
     dim: int = 64,
     probe_radius: int = 2,
     ttl_seconds: int | None = None,
+    ttl_event_seconds: int | None = None,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
     quantize_state: bool = False,
 ) -> DataFrame:
     """Streaming near-dup pair detector over embeddings:
@@ -163,7 +189,17 @@ def embedding_dedup_stream(
     map-side, like every batch similarity path; a row whose embedding
     LENGTH differs from ``dim`` fails the query loudly (``zip_with``
     against the hyperplanes would otherwise null-pad every plane dot
-    and silently funnel the whole stream into bucket 0's cohort)."""
+    and silently funnel the whole stream into bucket 0's cohort).
+
+    Horizon levers (mutually exclusive): ``ttl_seconds`` is the
+    wall-clock cohort TTL (``ProcessingTimeTimeout``);
+    ``ttl_event_seconds`` is the EVENT-time horizon over ``ts_col``
+    (watermarked with ``watermark_delay``) — the one that still means
+    "last T of stream" under backfill replay, with replay-deterministic
+    surviving state (see ``_cohort`` module docstring)."""
+    if ttl_seconds is not None and ttl_event_seconds is not None:
+        raise ValueError("ttl_seconds and ttl_event_seconds are mutually exclusive")
+    event_mode = ttl_event_seconds is not None
     planes = hyperplanes(dim, n_planes)
     v = _as_double("embedding")
     # The dim guard lives INSIDE the load-bearing norm expression (an
@@ -183,13 +219,19 @@ def embedding_dedup_stream(
             )
         )
     )
+    src = vec_stream
+    ts_cols: list[str] = []
+    if event_mode:
+        src = src.withWatermark(ts_col, watermark_delay)
+        ts_cols = [ts_col]
     base = (
-        vec_stream.select("vec_id", v.alias("_v"), guarded_norm.alias("_n"))
+        src.select("vec_id", v.alias("_v"), guarded_norm.alias("_n"), *ts_cols)
         .filter(_finite_positive(F.col("_n")))
         .select(
             "vec_id",
             F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("unit"),
             srp_bucket(F.col("_v"), planes).alias("_b"),
+            *ts_cols,
         )
     )
     flips = F.array(*[F.lit(m) for m in probe_masks(n_planes, probe_radius)])
@@ -201,20 +243,24 @@ def embedding_dedup_stream(
                 F.col("_b").bitwiseXOR(f).alias("bucket"), (f == 0).alias("is_base")
             ))
         ).alias("_p"),
-    ).select("vec_id", "unit", "_p.bucket", "_p.is_base")
-    timeout = (
-        GroupStateTimeout.NoTimeout
-        if ttl_seconds is None
-        else GroupStateTimeout.ProcessingTimeTimeout
-    )
+        *ts_cols,
+    ).select("vec_id", "unit", "_p.bucket", "_p.is_base", *ts_cols)
+    if event_mode:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif ttl_seconds is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return rows.groupBy("bucket").applyInPandasWithState(
         _cohort_matcher(
             threshold,
             ttl_ms=None if ttl_seconds is None else ttl_seconds * 1000,
+            ttl_event_ms=None if ttl_event_seconds is None else ttl_event_seconds * 1000,
+            ts_field=ts_col if event_mode else None,
             payload_dtype=np.float32 if quantize_state else np.float64,
         ),
         outputStructType=PAIR_SCHEMA,
-        stateStructType=_STATE_SCHEMA_F32 if quantize_state else _STATE_SCHEMA,
+        stateStructType=_state_schema(quantize_state, event_mode),
         outputMode="update",
         timeoutConf=timeout,
     )
@@ -230,27 +276,33 @@ def run_embedding_dedup_stream(
     dim: int = 64,
     probe_radius: int = 2,
     ttl_seconds: int | None = None,
+    ttl_event_seconds: int | None = None,
     quantize_state: bool = False,
     timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain a landing dir of vector JSONL ({vec_id, embedding:[...]})
     through the streaming embedding dedup into parquet. Multiprobe can
     surface a pair through several shared buckets, always in the ONE
     batch where its second vector arrives — batch-local dropDuplicates
     makes pair output exactly-once; the batch_id-keyed overwrite keeps
-    checkpoint retries idempotent. With ``ttl_seconds`` the query
-    drains until idle instead of awaiting termination (a
-    ProcessingTimeTimeout availableNow query never self-terminates —
-    same machinery as ``stateful_dedup.run_dedup_stream``)."""
+    checkpoint retries idempotent. With ``ttl_seconds`` (wall horizon)
+    or ``ttl_event_seconds`` (event horizon over a ``ts`` field in the
+    JSONL) the query drains until idle instead of awaiting termination
+    (same machinery as ``stateful_dedup.run_dedup_stream``)."""
     from ._drain import drain_available_now, make_pair_sink_writer
 
-    src_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
-        ]
-    )
-    stream = spark.readStream.schema(src_schema).json(landing_dir)
+    fields = [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+    if ttl_event_seconds is not None:
+        fields.append(T.StructField("ts", T.TimestampType()))
+    src_schema = T.StructType(fields)
+    reader = spark.readStream.schema(src_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(landing_dir)
     pairs = embedding_dedup_stream(
         stream,
         threshold=threshold,
@@ -258,18 +310,18 @@ def run_embedding_dedup_stream(
         dim=dim,
         probe_radius=probe_radius,
         ttl_seconds=ttl_seconds,
+        ttl_event_seconds=ttl_event_seconds,
         quantize_state=quantize_state,
     )
 
+    any_ttl = ttl_seconds is not None or ttl_event_seconds is not None
     q = (
         pairs.writeStream.outputMode("update")
         .foreachBatch(
-            make_pair_sink_writer(
-                out_dir, ["vec_a", "vec_b"], skip_empty=ttl_seconds is not None
-            )
+            make_pair_sink_writer(out_dir, ["vec_a", "vec_b"], skip_empty=any_ttl)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
-    drain_available_now(q, timeout_s, ttl=ttl_seconds is not None)
+    drain_available_now(q, timeout_s, ttl=any_ttl)

@@ -178,6 +178,113 @@ def dedup_stream_ttl(doc_stream: DataFrame, ttl_seconds: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EVENT-time TTL variant: the horizon that survives backfill replay.
+# ---------------------------------------------------------------------------
+_EVENT_TTL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen", T.IntegerType()),
+        T.StructField("last_ms", T.LongType()),  # max event time seen, epoch ms
+    ]
+)
+
+
+def _pdf_max_event_ms(pdf: pd.DataFrame, ts_col: str) -> int:
+    """Max event time of a pandas batch slice as epoch ms.
+    ``pd.Timestamp.value`` is nanoseconds regardless of the frame's
+    datetime64 resolution, so this is Arrow-resolution-proof."""
+    return int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
+
+
+def _make_emit_unseen_event_ttl(ttl_ms: int, ts_col: str):
+    """Dedup state bounded by an EVENT-time horizon: a fingerprint is a
+    duplicate iff its stored max-event-time + ttl is still ahead of the
+    WATERMARK — wall-clock plays no part, so replaying a month of
+    history at full throughput (the 100 TB backfill recovery mode)
+    reproduces the same admit/suppress decisions as the original run.
+    Decisions key off the watermark directly, not off whether the
+    timeout has FIRED yet (firing lags one batch): an arrival whose
+    stored horizon the watermark has already passed is re-admitted as
+    new even if the eviction sweep hasn't reached the key — that is
+    what makes one-batch and many-batch replays of the same files
+    converge to the same state (pinned in tests)."""
+
+    def emit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Watermark passed the stored horizon and the key had no
+            # data this batch: evict.
+            state.remove()
+            return
+        best: pd.DataFrame | None = None
+        max_ms: int | None = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = _pdf_max_event_ms(pdf, ts_col)
+            max_ms = m if max_ms is None else max(max_ms, m)
+            cand = pdf.nsmallest(1, "doc_id")
+            if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+                best = cand
+        if best is None or max_ms is None:
+            return
+        wm = state.getCurrentWatermarkMs()
+        if state.exists and int(state.get[1]) + ttl_ms > wm:
+            # Inside the horizon: duplicate. Refresh to the max event
+            # time EVER seen (a late-but-valid row must not shrink the
+            # horizon).
+            new_last = max(int(state.get[1]), max_ms)
+            state.update((1, new_last))
+            state.setTimeoutTimestamp(new_last + ttl_ms)
+            return
+        # Never seen — or stored horizon already behind the watermark
+        # (expired-on-paper even if the timeout hasn't fired): admit as
+        # new. The watermark filter drops rows at-or-below wm before
+        # they reach this function, so max_ms > wm and the new timeout
+        # is always settable (> watermark).
+        state.update((1, max_ms))
+        state.setTimeoutTimestamp(max_ms + ttl_ms)
+        yield best[["doc_id", "text", "fingerprint"]]
+
+    return emit
+
+
+def dedup_stream_event_ttl(
+    doc_stream: DataFrame,
+    ts_col: str,
+    ttl_event_seconds: int,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming exact dedup bounded by an EVENT-time horizon:
+    "duplicate of anything whose event time is within the last
+    ``ttl_event_seconds`` of stream time", where stream time is the
+    watermark over ``ts_col``. This is the horizon that means something
+    under backfill replay — ``dedup_stream_ttl``'s
+    ``ProcessingTimeTimeout`` is a WALL-CLOCK horizon, and reprocessing
+    a month of history in an hour evicts nothing meaningful (the whole
+    month fits inside any realistic wall horizon), while this variant
+    reproduces the original admit/evict sequence because event time
+    replays identically. ``watermark_delay`` is the out-of-orderness
+    allowance (rows later than that are dropped by the engine before
+    the state function). Eviction latency: a key's state drops on the
+    first batch after the watermark passes last_event + ttl in which
+    the key has no data."""
+    fp = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")))
+    return (
+        doc_stream.withColumn("fingerprint", fp)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            _make_emit_unseen_event_ttl(ttl_event_seconds * 1000, ts_col),
+            outputStructType=DOC_SCHEMA,
+            stateStructType=_EVENT_TTL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sharded EXACT state variant: vectorize away the per-key Python call.
 # ---------------------------------------------------------------------------
 _SHARD_EXACT_STATE_SCHEMA = T.StructType(
@@ -253,6 +360,7 @@ def run_dedup_stream(
     shuffle_partitions: int | None = None,
     n_shards: int | None = None,
     ttl_seconds: int | None = None,
+    ttl_event_seconds: int | None = None,
 ) -> None:
     """Drain a landing dir of docs JSONL through the stateful dedup into
     parquet (availableNow; re-runs resume the fingerprint state). Each
@@ -273,33 +381,44 @@ def run_dedup_stream(
     commit per partition (at toy scale 32 partitions is pure commit
     overhead; at 100 TB key volume you want hundreds). Restored after
     the drain; existing checkpoints ignore it by design."""
-    src_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
-    )
+    fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+    if ttl_event_seconds is not None:
+        fields.append(T.StructField("ts", T.TimestampType()))
+    src_schema = T.StructType(fields)
     reader = spark.readStream.schema(src_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.json(landing_dir)
-    # n_shards selects the sharded-exact operator, ttl_seconds the
-    # TTL-evicting one (same output inside its horizon); both pinned by
-    # tests, mutually exclusive. None/None keeps per-fingerprint state.
-    if n_shards is not None and ttl_seconds is not None:
-        raise ValueError("n_shards and ttl_seconds are mutually exclusive")
+    # n_shards selects the sharded-exact operator, ttl_seconds /
+    # ttl_event_seconds the TTL-evicting ones (wall-clock vs event-time
+    # horizons — see dedup_stream_event_ttl for when each is right);
+    # all pinned by tests, mutually exclusive. All-None keeps
+    # per-fingerprint NoTimeout state.
+    if sum(x is not None for x in (n_shards, ttl_seconds, ttl_event_seconds)) > 1:
+        raise ValueError(
+            "n_shards, ttl_seconds, and ttl_event_seconds are mutually exclusive"
+        )
     if n_shards is not None:
         deduped = dedup_stream_sharded(stream, n_shards=n_shards)
     elif ttl_seconds is not None:
         deduped = dedup_stream_ttl(stream, ttl_seconds=ttl_seconds)
+    elif ttl_event_seconds is not None:
+        deduped = dedup_stream_event_ttl(
+            stream, "ts", ttl_event_seconds=ttl_event_seconds
+        )
     else:
         deduped = dedup_stream(stream)
 
     from ._drain import make_pair_sink_writer
 
     # Rows are already unique per batch (one per never-before-seen
-    # fingerprint), so no dedup keys; skip-empty applies in TTL mode
-    # (zero-row state-cleanup batches must not litter the sink).
-    write_batch = make_pair_sink_writer(
-        out_dir, None, skip_empty=ttl_seconds is not None
-    )
+    # fingerprint), so no dedup keys; skip-empty applies in both TTL
+    # modes (zero-row state-cleanup batches must not litter the sink).
+    any_ttl = ttl_seconds is not None or ttl_event_seconds is not None
+    write_batch = make_pair_sink_writer(out_dir, None, skip_empty=any_ttl)
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -312,11 +431,14 @@ def run_dedup_stream(
             .trigger(availableNow=True)
             .start()
         )
-        # TTL queries never self-terminate (ProcessingTimeTimeout keeps
-        # servicing state-cleanup batches); the shared drain handles both.
+        # ProcessingTimeTimeout queries never self-terminate (they keep
+        # servicing state-cleanup batches); EventTimeTimeout ones
+        # normally do once the watermark stops advancing, but the
+        # drain-until-idle loop is safe for both (it breaks the moment
+        # the query goes inactive), so both TTL modes share it.
         from ._drain import drain_available_now
 
-        drain_available_now(q, timeout_s, ttl=ttl_seconds is not None)
+        drain_available_now(q, timeout_s, ttl=any_ttl)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)

@@ -1458,3 +1458,196 @@ def test_fuzzy_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
     pairs = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
     assert (10, 11) in pairs
     assert not any(1 in p for p in pairs), pairs  # evicted: no cross-drain pair
+
+
+def test_event_ttl_dedup_evicts_by_event_time_and_replays_deterministically(
+    spark, tmp_path
+):
+    """EVENT-time TTL dedup (dedup_stream_event_ttl): the horizon is
+    watermark time, so eviction is driven by the DATA — no sleeps
+    anywhere in this test — and a backfill replay of the same files
+    converges to the same surviving state whether it runs as one
+    micro-batch or many. 1 h horizon: a duplicate 10 min later is
+    suppressed; after other docs advance the watermark 2 h, the same
+    fingerprint is re-admitted as new; a fingerprint seen only at T0
+    is evicted by watermark passage in BOTH replay shapes."""
+    import os as _os
+
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import (
+        run_dedup_stream,
+    )
+
+    landing = tmp_path / "ev_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "ev_out"), str(tmp_path / "ev_ckpt")
+
+    batches = [
+        [
+            {"doc_id": 1, "text": "alpha beta gamma", "ts": "2026-01-01T00:00:00"},
+            {"doc_id": 7, "text": "omega psi", "ts": "2026-01-01T00:00:00"},
+        ],
+        [
+            # duplicate inside the horizon (wm = T0 during this batch)
+            {"doc_id": 2, "text": "ALPHA  beta gamma", "ts": "2026-01-01T00:10:00"},
+            # advances the watermark 2 h for the NEXT batch
+            {"doc_id": 3, "text": "delta epsilon", "ts": "2026-01-01T02:00:00"},
+        ],
+        [
+            # same content again: stored last_event+1h is now BEHIND the
+            # watermark -> re-admitted as new (event-time eviction)
+            {"doc_id": 9, "text": "alpha beta  GAMMA", "ts": "2026-01-01T02:05:00"},
+        ],
+    ]
+
+    def write(i, rows):
+        f = landing / f"b{i}.jsonl"
+        f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    def emitted(o):
+        return sorted(r["doc_id"] for r in spark.read.parquet(o).collect())
+
+    write(0, batches[0])
+    run_dedup_stream(
+        spark, str(landing), out, ckpt,
+        max_files_per_trigger=1, ttl_event_seconds=3600,
+    )
+    assert emitted(out) == [1, 7]
+
+    write(1, batches[1])
+    run_dedup_stream(
+        spark, str(landing), out, ckpt,
+        max_files_per_trigger=1, ttl_event_seconds=3600,
+    )
+    assert emitted(out) == [1, 3, 7]  # doc 2 suppressed inside horizon
+
+    write(2, batches[2])
+    run_dedup_stream(
+        spark, str(landing), out, ckpt,
+        max_files_per_trigger=1, ttl_event_seconds=3600,
+    )
+    assert emitted(out) == [1, 3, 7, 9]  # re-admitted after event-time horizon
+
+    def surviving_state(c):
+        st = spark.read.format("statestore").load(c)
+        return sorted(
+            (r["key"]["fingerprint"], tuple(r["value"]["groupState"]))
+            for r in st.collect()
+        )
+
+    multi = surviving_state(ckpt)
+    # omega (seen only at T0) was evicted by watermark passage; alpha
+    # and delta survive with their max event times.
+    assert len(multi) == 2
+
+    # Replay determinism: the SAME files in ONE batch on a fresh
+    # checkpoint -> identical surviving state (fingerprint + last_ms).
+    out2, ckpt2 = str(tmp_path / "ev_out2"), str(tmp_path / "ev_ckpt2")
+    run_dedup_stream(spark, str(landing), out2, ckpt2, ttl_event_seconds=3600)
+    assert surviving_state(ckpt2) == multi
+
+
+def test_embedding_dedup_event_ttl_per_member_eviction_and_replay(spark, tmp_path):
+    """EVENT-time cohort horizon (ttl_event_seconds): members expire by
+    their OWN event age against the watermark — no sleeps anywhere. A
+    near-dup arriving 10 min after its twin pairs; the same content
+    arriving after other traffic advanced the watermark past the
+    cohort's horizon pairs with NOTHING (the expired members are pruned
+    before scoring, even though their timeout only fires later), and
+    the physical state for the visited bucket holds only the fresh
+    member. Replay determinism: emissions inside one giant backfill
+    batch are watermark-granular (a single batch sees watermark 0, so
+    it can emit pairs the original cadence suppressed — same lag as
+    the fingerprint variant), but the surviving LIVE state (members
+    within the horizon of the final watermark) is identical between
+    one-batch and many-batch replays of the same files."""
+    import os as _os
+
+    from streampro_assignment_etl_spark.streaming.embedding_dedup import (
+        run_embedding_dedup_stream,
+    )
+
+    dim = 8
+    base_vec = [1.0] + [0.0] * (dim - 1)
+
+    def perturb(eps):
+        v = list(base_vec)
+        v[1] = eps
+        return v
+
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    batches = [
+        [{"vec_id": 1, "embedding": base_vec, "ts": "2026-01-01T00:00:00"}],
+        [
+            {"vec_id": 2, "embedding": perturb(0.05), "ts": "2026-01-01T00:10:00"},
+            # advances the watermark 2 h for the NEXT batch
+            {"vec_id": 100, "embedding": ortho, "ts": "2026-01-01T02:00:00"},
+        ],
+        [{"vec_id": 3, "embedding": perturb(0.08), "ts": "2026-01-01T02:05:00"}],
+    ]
+
+    landing = tmp_path / "cev_landing"
+    landing.mkdir()
+
+    def write(i, rows):
+        f = landing / f"b{i}.jsonl"
+        f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    def drain(tag, mfpt):
+        out, ckpt = str(tmp_path / f"{tag}_out"), str(tmp_path / f"{tag}_ckpt")
+        run_embedding_dedup_stream(
+            spark, str(landing), out, ckpt, threshold=0.9, dim=dim,
+            ttl_event_seconds=3600, max_files_per_trigger=mfpt,
+        )
+        try:
+            pairs = sorted(
+                (r["vec_a"], r["vec_b"])
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            pairs = []
+        return pairs, ckpt
+
+    write(0, batches[0])
+    pairs, ckpt = drain("m", 1)
+    assert pairs == []
+    write(1, batches[1])
+    pairs, _ = drain("m", 1)
+    assert pairs == [(1, 2)]  # inside the horizon
+    write(2, batches[2])
+    pairs, _ = drain("m", 1)
+    # vec 3's twins are beyond the event horizon -> no new pair, and
+    # the visited bucket's physical state was pruned to the fresh
+    # member only.
+    assert pairs == [(1, 2)]
+
+    def state_rows(c):
+        st = spark.read.format("statestore").load(c)
+        return [
+            (
+                r["key"]["bucket"],
+                list(r["value"]["groupState"]["ids"]),
+                list(r["value"]["groupState"]["lasts"]),
+            )
+            for r in st.collect()
+        ]
+
+    multi = state_rows(ckpt)
+    assert sorted(ids for _, ids, _ in multi) == [[3], [100]]
+
+    # One-batch backfill replay on a fresh checkpoint.
+    _, ckpt1 = drain("one", None)
+
+    ttl_ms = 3600 * 1000
+    final_wm = 1767233100000  # 2026-01-01T02:05:00 epoch ms
+
+    def live(rows):
+        return {
+            (bucket, i, last)
+            for bucket, ids, lasts in rows
+            for i, last in zip(ids, lasts)
+            if last + ttl_ms > final_wm
+        }
+
+    assert live(state_rows(ckpt1)) == live(multi)
