@@ -93,7 +93,12 @@ def band_hash_array(
     )
 
 
-def _bucket_matcher(threshold: float, ttl_ms: int | None = None):
+def _bucket_matcher(
+    threshold: float,
+    ttl_ms: int | None = None,
+    ttl_event_ms: int | None = None,
+    ts_field: str | None = None,
+):
     """Vectorized per-bucket cohort matcher: cohort signatures as an
     ``(m, k)`` int64 matrix, each batch's ``(n, k)`` block scored with
     ONE broadcasted ``==`` + ``mean`` (agreement fraction ≈ Jaccard).
@@ -121,6 +126,8 @@ def _bucket_matcher(threshold: float, ttl_ms: int | None = None):
         out_b="doc_b",
         out_score="est_jaccard",
         ttl_ms=ttl_ms,
+        ttl_event_ms=ttl_event_ms,
+        ts_field=ts_field,
     )
 
 
@@ -131,43 +138,69 @@ def fuzzy_dedup_stream(
     bands: int = 8,
     shingle_n: int = DEFAULT_SHINGLE_N,
     ttl_seconds: int | None = None,
+    ttl_event_seconds: int | None = None,
+    ts_col: str = "ts",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming near-dup pair detector: (doc_a, doc_b, est_jaccard)
     whenever an incoming document's estimated Jaccard (signature
     agreement) against ANY previously-seen same-bucket document reaches
     ``threshold``. One stateful hop: map-side signature + band keys →
     explode bands → groupBy(band_hash) with per-bucket cohort state.
-    ``ttl_seconds`` bounds state to a recency horizon (idle bucket
-    cohorts evicted via ProcessingTimeTimeout — see ``_bucket_matcher``
-    for why TTL, not store-once, is banded MinHash's bounding lever)."""
+    ``ttl_seconds`` bounds state to a wall-clock recency horizon (idle
+    bucket cohorts evicted via ProcessingTimeTimeout — see
+    ``_bucket_matcher`` for why TTL, not store-once, is banded
+    MinHash's bounding lever); ``ttl_event_seconds`` is the EVENT-time
+    per-member horizon over ``ts_col`` (the one that survives backfill
+    replay — see the ``_cohort`` module docstring)."""
+    if ttl_seconds is not None and ttl_event_seconds is not None:
+        raise ValueError("ttl_seconds and ttl_event_seconds are mutually exclusive")
+    event_mode = ttl_event_seconds is not None
+    src = doc_stream
+    ts_cols: list[str] = []
+    if event_mode:
+        src = src.withWatermark(ts_col, watermark_delay)
+        ts_cols = [ts_col]
     # Shingle-less docs (< n words) can match nothing: drop them BEFORE
     # the signature, whose slots would otherwise be all-NULL array_min
     # of an empty array (size(sig) is k either way, so filter on the
     # shingle count, not the signature).
-    shingled = doc_stream.select(
-        "doc_id", word_shingles(F.col("text"), shingle_n).alias("_sh")
+    shingled = src.select(
+        "doc_id", word_shingles(F.col("text"), shingle_n).alias("_sh"), *ts_cols
     ).filter(F.size("_sh") > 0)
     banded = (
-        shingled.select("doc_id", signature_array(F.col("_sh"), num_hashes).alias("sig"))
+        shingled.select(
+            "doc_id", signature_array(F.col("_sh"), num_hashes).alias("sig"), *ts_cols
+        )
         .select(
             "doc_id",
             "sig",
             F.explode(band_hash_array(F.col("sig"), num_hashes, bands)).alias(
                 "band_hash"
             ),
+            *ts_cols,
         )
     )
-    timeout = (
-        GroupStateTimeout.NoTimeout
-        if ttl_seconds is None
-        else GroupStateTimeout.ProcessingTimeTimeout
-    )
+    if event_mode:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        state_schema = T.StructType(
+            [*_STATE_SCHEMA.fields, T.StructField("lasts", T.ArrayType(T.LongType()))]
+        )
+    elif ttl_seconds is not None:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+        state_schema = _STATE_SCHEMA
+    else:
+        timeout = GroupStateTimeout.NoTimeout
+        state_schema = _STATE_SCHEMA
     return banded.groupBy("band_hash").applyInPandasWithState(
         _bucket_matcher(
-            threshold, ttl_ms=None if ttl_seconds is None else ttl_seconds * 1000
+            threshold,
+            ttl_ms=None if ttl_seconds is None else ttl_seconds * 1000,
+            ttl_event_ms=None if ttl_event_seconds is None else ttl_event_seconds * 1000,
+            ts_field=ts_col if event_mode else None,
         ),
         outputStructType=PAIR_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=timeout,
     )
@@ -183,20 +216,31 @@ def run_fuzzy_dedup_stream(
     bands: int = 8,
     shingle_n: int = DEFAULT_SHINGLE_N,
     ttl_seconds: int | None = None,
+    ttl_event_seconds: int | None = None,
     timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain a landing dir of docs JSONL through the streaming fuzzy
     dedup into parquet. A pair can surface through several shared
     buckets, always in the ONE batch where its second document arrives,
     so the batch-local dropDuplicates makes pair output exactly-once;
     the batch_id-keyed overwrite keeps checkpoint retries idempotent.
-    With ``ttl_seconds``, drain-until-idle (see ``_drain``)."""
+    With either TTL lever (wall ``ttl_seconds`` / event
+    ``ttl_event_seconds`` over a ``ts`` field), drain-until-idle (see
+    ``_drain``)."""
     from ._drain import drain_available_now, make_pair_sink_writer
 
-    src_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
-    )
-    stream = spark.readStream.schema(src_schema).json(landing_dir)
+    fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+    if ttl_event_seconds is not None:
+        fields.append(T.StructField("ts", T.TimestampType()))
+    src_schema = T.StructType(fields)
+    reader = spark.readStream.schema(src_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(landing_dir)
     pairs = fuzzy_dedup_stream(
         stream,
         threshold=threshold,
@@ -204,17 +248,17 @@ def run_fuzzy_dedup_stream(
         bands=bands,
         shingle_n=shingle_n,
         ttl_seconds=ttl_seconds,
+        ttl_event_seconds=ttl_event_seconds,
     )
 
+    any_ttl = ttl_seconds is not None or ttl_event_seconds is not None
     q = (
         pairs.writeStream.outputMode("update")
         .foreachBatch(
-            make_pair_sink_writer(
-                out_dir, ["doc_a", "doc_b"], skip_empty=ttl_seconds is not None
-            )
+            make_pair_sink_writer(out_dir, ["doc_a", "doc_b"], skip_empty=any_ttl)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
-    drain_available_now(q, timeout_s, ttl=ttl_seconds is not None)
+    drain_available_now(q, timeout_s, ttl=any_ttl)

@@ -1651,3 +1651,47 @@ def test_embedding_dedup_event_ttl_per_member_eviction_and_replay(spark, tmp_pat
         }
 
     assert live(state_rows(ckpt1)) == live(multi)
+
+
+def test_fuzzy_dedup_event_ttl_prunes_members_by_event_age(spark, tmp_path):
+    """Event-horizon lever on the MinHash cohort (same factory contract
+    as the embedding test): a near-dup inside the horizon pairs; after
+    other documents advance the watermark past the stored member's
+    event age, the same near-dup content pairs with nothing — member
+    pruned before scoring, no sleeps."""
+    import os as _os
+
+    from streampro_assignment_etl_spark.streaming.fuzzy_dedup import (
+        run_fuzzy_dedup_stream,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely different content about distributed query engines " * 3
+    batches = [
+        [{"doc_id": 1, "text": body, "ts": "2026-01-01T00:00:00"}],
+        [
+            {"doc_id": 2, "text": body + "tail", "ts": "2026-01-01T00:10:00"},
+            {"doc_id": 50, "text": other, "ts": "2026-01-01T02:00:00"},
+        ],
+        [{"doc_id": 3, "text": body + "coda", "ts": "2026-01-01T02:05:00"}],
+    ]
+    landing = tmp_path / "fev_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "fev_out"), str(tmp_path / "fev_ckpt")
+
+    expected = []
+    for i, rows in enumerate(batches):
+        f = landing / f"b{i}.jsonl"
+        f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+        run_fuzzy_dedup_stream(
+            spark, str(landing), out, ckpt, threshold=0.5,
+            ttl_event_seconds=3600, max_files_per_trigger=1,
+        )
+        if i == 1:
+            expected = [(1, 2)]
+        got = sorted(
+            {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
+        ) if (tmp_path / "fev_out").exists() else []
+        assert got == expected, (i, got)
+    # doc 3 found nothing: docs 1 and 2 were beyond the event horizon.
