@@ -1334,3 +1334,263 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(_BPE_TOKEN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode-to-ids: documents → token-ID sequences (the training feed).
+# ---------------------------------------------------------------------------
+def bpe_word_token_map(docs: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """(w, ss): every DISTINCT corpus word tokenized under the learned
+    merges — the k chained map-side folds of ``bpe_apply_merges``, but
+    keyed by the word so documents can join to their token streams.
+    Unlike the TRAINING vocab (``_bpe_vocab``, length >= 2 — one-char
+    words cannot pair so they never influence learning), encoding
+    covers length-1 words too: they are single-symbol tokens the
+    documents still contain. Empty strings (split debris) are dropped
+    on both engines."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+    )
+    ss = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    for a, b in rules:
+        ss = _bpe_fold_merge(ss, a, b)
+    return words.select("w", ss.alias("ss"))
+
+
+def bpe_token_id_table(
+    docs: DataFrame, rules: list[tuple[str, str]], wmap: DataFrame | None = None
+) -> DataFrame:
+    """(token, tid, n): deterministic token-ID assignment — rank by
+    corpus token frequency (count weighted by word occurrences over
+    ALL words), ties broken lexicographically, ids dense from 0. The
+    ranking window is global — right for this artifact: only the token
+    VOCABULARY flows through it (bounded by the tokenizer's vocab-size
+    contract, 10⁴-10⁵ rows — the same driver-scale object every
+    tokenizer ships as its vocab file), never the corpus."""
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    wm = wmap if wmap is not None else bpe_word_token_map(docs, rules)
+    freq = (
+        wm.join(wc, "w")
+        .select(F.explode("ss").alias("token"), "wn")
+        .groupBy("token")
+        .agg(F.sum("wn").alias("n"))
+    )
+    rank = Window.orderBy(F.desc("n"), F.asc("token"))
+    return freq.select(
+        "token", (F.row_number().over(rank) - 1).cast("int").alias("tid"), "n"
+    )
+
+
+def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, token_ids array<int>): every document as its token-ID
+    sequence under the learned merges — what a training pipeline feeds
+    the packer. Dataflow: tokenize the DISTINCT-word map once (vocab-
+    sized fold, not corpus-sized), attach ids per token (vocab-keyed
+    join), then one word-keyed join from the exploded documents and an
+    ordered flatten back to (doc_id, ids) — the corpus is touched by
+    exactly one explode + join + collect, all standard shuffles on
+    word/doc keys; no Python row work anywhere. Documents with no
+    encodable word (empty text) produce no row.
+
+    ≙ reference: none (north-star extension; the reference has no
+    tokenizer surface)."""
+    wm = bpe_word_token_map(docs, rules)
+    ids = bpe_token_id_table(docs, rules, wmap=wm)
+    wids = (
+        wm.select("w", F.posexplode("ss").alias("tp", "token"))
+        .join(ids.select("token", "tid"), "token")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids")
+        )
+    )
+    dwords = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("wp", "w")
+    ).filter(F.length("w") >= 1)
+    return (
+        dwords.join(wids, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wp", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+
+
+def _bpe_encode_pack_oracle(k: int) -> str:
+    """Replay the full encode→pack pipeline in SQL: the k-stage merge
+    chain (reused from ``_bpe_merges_oracle``), a parallel replace
+    chain over the DISTINCT all-words map (the training chain loses the
+    word key), frequency-ranked id assignment, per-doc position-indexed
+    token streams, and the md5-shard prefix-sum packing of
+    ``sequence_packing`` — with an order-pinning positional checksum."""
+    o, c = _BPE_OPEN, _BPE_CLOSE
+    base = _bpe_merges_oracle(k)
+    head = base[: base.rindex("\nSELECT CAST(step AS INT)")]
+    parts = [
+        head,
+        f""", wmap0 AS (
+  SELECT w, regexp_replace(w, '(?s)(.)', '{o}\\1{c}', 'g') AS r
+  FROM (SELECT DISTINCT w
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 1)
+)""",
+    ]
+    for s in range(k):
+        parts.append(
+            f""", wmap{s + 1} AS (
+  SELECT w, replace(r,
+           coalesce((SELECT '{o}' || l || '{c}{o}' || rgt || '{c}' FROM best{s}),
+                    chr(1)),
+           coalesce((SELECT '{o}' || l || rgt || '{c}' FROM best{s}), '')) AS r
+  FROM wmap{s}
+)"""
+        )
+    parts.append(
+        f""", wtoks AS (
+  SELECT w, regexp_extract_all(r, '{o}([^{c}]*){c}', 1) AS ss FROM wmap{k}
+),
+wcount AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wn
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 1
+  GROUP BY w
+),
+tokfreq AS (
+  SELECT t.ss[u.tp] AS token, CAST(SUM(c.wn) AS BIGINT) AS n
+  FROM wtoks t
+  JOIN wcount c USING (w),
+       UNNEST(generate_series(1, len(t.ss))) AS u(tp)
+  GROUP BY t.ss[u.tp]
+),
+tokid AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS INT) AS tid
+  FROM tokfreq
+),
+dwords AS (
+  SELECT d.doc_id, string_split(d.text, ' ')[u.wp] AS w, u.wp
+  FROM documents d, UNNEST(generate_series(1, len(string_split(d.text, ' ')))) AS u(wp)
+  WHERE len(string_split(d.text, ' ')[u.wp]) >= 1
+),
+dtoks AS (
+  SELECT d.doc_id, d.wp, u.tp, m.ss[u.tp] AS token
+  FROM dwords d
+  JOIN wtoks m USING (w),
+       UNNEST(generate_series(1, len(m.ss))) AS u(tp)
+),
+seq AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wp, tp) AS idx,
+         i.tid
+  FROM dtoks JOIN tokid i USING (token)
+),
+dstats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(idx * tid) AS BIGINT) AS checksum
+  FROM seq GROUP BY doc_id
+),
+sharded AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8
+           AS shard,
+         n_tokens, checksum
+  FROM dstats
+),
+pref AS (
+  SELECT doc_id, shard, n_tokens, checksum,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM sharded
+)
+SELECT shard, CAST(floor(start_tok / 2048.0) AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(SUM(checksum) AS BIGINT) AS ids_checksum
+FROM pref
+GROUP BY shard, CAST(floor(start_tok / 2048.0) AS BIGINT)
+ORDER BY shard, pack_id
+"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "bpe_encode_pack",
+    extra=True,
+    tags=("tokenizer", "bpe", "packing", "llm-pipeline"),
+    oracle=_bpe_encode_pack_oracle(_BPE_MERGE_STEPS),
+)
+def bpe_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer pipeline closed all the way to the trainer's
+    input: learn ``_BPE_MERGE_STEPS`` merges, ENCODE every document to
+    its token-ID sequence (``bpe_encode`` — frequency-ranked dense
+    ids), and pack the sequences into 2048-token shard-parallel packs
+    using the REAL tokenized lengths (``sequence_packing`` fed
+    synthetic whitespace counts; this is the composed production
+    shape). ``ids_checksum`` is the per-pack sum of position-weighted
+    token ids (Σ idx·tid, idx from 1 in document order) — an
+    order-sensitive integer pin on the exact ID sequences, exact
+    cross-engine. Same ASCII-corpus oracle precondition as
+    ``bpe_merges``."""
+    from .catalog import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = track_persist(_bpe_vocab(docs), StorageLevel.MEMORY_AND_DISK)
+    learned = _bpe_learn_rules(docs, _BPE_MERGE_STEPS, vocab=vocab)
+    rules = [(left, right) for _, left, right, _, _ in learned]
+    enc = bpe_encode(docs, rules)
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("token_ids"),
+            F.sequence(F.lit(1), F.size("token_ids")),
+            lambda t, i: t.cast("long") * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    from ..operators.simhash import token_hash60
+
+    stats = enc.select(
+        "doc_id",
+        (token_hash60(F.col("doc_id").cast("string")) % 8).alias("shard"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        checksum.alias("checksum"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = stats.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        pref.withColumn(
+            "pack_id", F.floor(F.col("start_tok") / 2048.0).cast("bigint")
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.sum("checksum").alias("ids_checksum"),
+        )
+        .orderBy("shard", "pack_id")
+    )

@@ -399,3 +399,37 @@ def test_lateness_profile_block_invariant(spark, block):
     got = sorted(tuple(r) for r in build_lateness_profile(df, block=block).collect())
     anchor = sorted(tuple(r) for r in build_lateness_profile(df, block=10**9).collect())
     assert got == anchor
+
+
+def test_bpe_encode_ids_exact(spark):
+    """bpe_encode on a tiny corpus: ids are frequency-ranked (dense
+    from 0, ties lexicographic), sequences follow document word order,
+    and one-char words — excluded from TRAINING (they cannot pair) —
+    still encode as single-symbol tokens."""
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        _bpe_learn_rules,
+        bpe_encode,
+        bpe_token_id_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab a"), (2, "ab abab")], "doc_id long, text string"
+    )
+    learned = _bpe_learn_rules(docs, 1)
+    # pair (a,b) dominates: freq(abab)=2 contributes 2 each + freq(ab)=3
+    assert [(r[1], r[2]) for r in learned] == [("a", "b")]
+    rules = [(r[1], r[2]) for r in learned]
+
+    ids = {
+        r["token"]: (r["tid"], r["n"])
+        for r in bpe_token_id_table(docs, rules).collect()
+    }
+    # token counts over ALL words: ab appears 2x alone + 2x2 inside
+    # abab = 6; a alone once.
+    assert ids["ab"] == (0, 6)
+    assert ids["a"] == (1, 1)
+
+    enc = {
+        r["doc_id"]: list(r["token_ids"]) for r in bpe_encode(docs, rules).collect()
+    }
+    assert enc == {1: [0, 0, 0, 1], 2: [0, 0, 0]}
