@@ -1235,3 +1235,121 @@ def shingle_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-file media ingest (binaryFile) → featurize, oracle-checked via
+# the same hex-regeneration trick as multimodal_feature_stats: every
+# file's bytes are unhex(repeat(sha256(i), 1+i%4)), so DuckDB rebuilds
+# payloads and histograms from first principles — no filesystem access
+# on the oracle side, while the Spark side genuinely lists, reads, and
+# ingests files through the binaryFile source (extension→kind mapping
+# included; the extension-less files pin the binary fallback).
+# ---------------------------------------------------------------------------
+_MEDIA_INGEST_N = 48
+_MEDIA_INGEST_ORACLE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_MEDIA_INGEST_N - 1})) AS id),
+m AS (
+  SELECT id,
+         CASE CAST(id % 4 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' WHEN 2 THEN 'video'
+              ELSE 'binary' END AS kind,
+         repeat(sha256(CAST(id AS VARCHAR)), CAST(id % 4 + 1 AS INT)) AS hx
+  FROM ids
+),
+bins AS (
+  SELECT id, kind, CAST(length(hx) // 2 AS BIGINT) AS n_bytes,
+         CAST('0x' || substr(hx, CAST(2 * i - 1 AS INT), 1) AS INT) AS bin
+  FROM m, UNNEST(generate_series(1, length(hx) // 2)) AS t(i)
+),
+feat AS (
+  SELECT id, kind, n_bytes,
+         1.0 AS mass,
+         AVG(CAST(bin AS DOUBLE)) AS mean_bin
+  FROM bins
+  GROUP BY id, kind, n_bytes
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(mass), 4) AS avg_feature_mass,
+       ROUND(AVG(mean_bin), 4) AS avg_mean_bin
+FROM feat
+GROUP BY kind
+ORDER BY kind
+"""
+
+# Session-lifetime cache of the generated media dir (same
+# build-once/serve-many convention as the IVF-PQ index cache).
+_MEDIA_DIR_CACHE: list[str] = []
+
+
+def _generate_media_dir() -> str:
+    """Write {_MEDIA_INGEST_N} deterministic media files: i.jpg / i.wav
+    / i.mp4 / clip{i} (extension-less → the binary fallback), bytes =
+    unhex(repeat(sha256(str(i)), 1 + i%4)) — exactly what the oracle
+    regenerates."""
+    import hashlib
+    import os
+    import tempfile
+
+    if _MEDIA_DIR_CACHE:
+        return _MEDIA_DIR_CACHE[0]
+    d = tempfile.mkdtemp(prefix="media_ingest_")
+    exts = ["jpg", "wav", "mp4", None]
+    for i in range(_MEDIA_INGEST_N):
+        hx = hashlib.sha256(str(i).encode()).hexdigest() * (1 + i % 4)
+        ext = exts[i % 4]
+        name = f"{i}.{ext}" if ext else f"clip{i}"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(bytes.fromhex(hx))
+    _MEDIA_DIR_CACHE.append(d)
+    return d
+
+
+@query(
+    "media_ingest_feature_stats",
+    extra=True,  # multimodal family driver row: multimodal_feature_stats
+    tags=("multimodal", "binaryFile", "mapInPandas"),
+    oracle=_MEDIA_INGEST_ORACLE,
+)
+def media_ingest_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-file half of the multimodal path under the hash gate:
+    generate a deterministic media directory, ingest it through
+    ``read_media_dir`` (Spark's binaryFile source — listing, payload
+    streaming, extension→kind/mime mapping, the binary fallback for
+    extension-less files), run the Arrow-batched byte-histogram
+    featurizer, and roll up per kind exactly like
+    ``multimodal_feature_stats``. The oracle regenerates every payload
+    from sha256 hex text, so a hash match covers the ingest schema, the
+    kind mapping, AND the featurizer's float32 output end to end."""
+    from ..operators import multimodal as MM
+
+    media = MM.read_media_dir(spark, _generate_media_dir())
+    feats = MM.extract_features(media)
+    fd = F.transform(F.col("feature"), lambda x: x.cast("double"))
+    mean_bin = F.aggregate(
+        F.zip_with(
+            fd,
+            F.sequence(F.lit(0), F.lit(MM.N_HIST_BINS - 1)),
+            lambda f, i: f * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        feats.select(
+            "kind",
+            "n_bytes",
+            F.aggregate(fd, F.lit(0.0), lambda a, x: a + x).alias("mass"),
+            mean_bin.alias("mean_bin"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("mass"), 4).alias("avg_feature_mass"),
+            F.round(F.avg("mean_bin"), 4).alias("avg_mean_bin"),
+        )
+        .orderBy("kind")
+    )
