@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Persisted-index serving soak (round-10 VERDICT #1): at a given SF
+dir, time the IVF-PQ query batch three ways —
+
+  composed   similarity.ivfpq_topk (re-derives model + re-encodes the
+             corpus EVERY call — the round-9 shape),
+  build      build_ivfpq_index once (the amortized corpus pass),
+  served     ivfpq_topk_over_index per call (model load + pruned scan
+             + shared ADC/rerank — the serve-many shape),
+
+and print per-phase seconds plus the served/composed ratio. The point
+at scale: 'composed' grows with the corpus (encode pass), 'served'
+grows with probed cells × cell size; the index build amortizes over
+every future batch.
+
+Usage: python tools/index_soak.py [SF_DIR] [--reps N]
+Defaults: SF_DIR=/tmp/sf1, reps=3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from streampro_assignment_etl_spark.operators import ann_index, similarity  # noqa: E402
+from streampro_assignment_etl_spark.session import get_spark  # noqa: E402
+from streampro_assignment_etl_spark.sources.testdata import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1 and not sys.argv[1].startswith("-")
+        else "/tmp/sf1"
+    )
+    reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 3
+
+    spark = get_spark("streampro-index-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def med(fn):
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples), 3)
+
+    composed = med(
+        lambda: similarity.ivfpq_topk(
+            emb, queries, k=5, n_centroids=16, probes=4, m=4, n_codes=16,
+            shortlist=100,
+        ).count()
+    )
+
+    path = tempfile.mkdtemp(prefix="ivfpq_soak_")
+    t0 = time.perf_counter()
+    ann_index.build_ivfpq_index(emb, path, n_centroids=16, m=4, n_codes=16)
+    build = round(time.perf_counter() - t0, 3)
+
+    served = med(
+        lambda: ann_index.ivfpq_topk_over_index(
+            emb, queries, path, k=5, probes=4, shortlist=100
+        ).count()
+    )
+
+    out = {
+        "sf_dir": sf_dir,
+        "reps": reps,
+        "composed_sec": composed,
+        "index_build_sec": build,
+        "served_sec": served,
+        "served_over_composed": round(served / composed, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ above the data ratio flag a super-linear operator worth a postmortem.
 
 Usage:
   python tools/make_scaled_testdata.py 10
-  python tools/scale_soak.py [SF_DIR] [--reps N]
+  python tools/scale_soak.py [SF_DIR] [--reps N] [--only a,b,c]
 """
 
 from __future__ import annotations
@@ -40,6 +40,21 @@ HEAVY_EXTRAS = (
 )
 
 
+def _bpe_merges_k8(spark, sf_dir):
+    """Soak-only target (round-10 VERDICT #4): the BPE merge loop at
+    k=8 — twice the registered entry's depth, exercising the per-step
+    lineage checkpointing under scale."""
+    from streampro_assignment_etl_spark.queries.corpus_ops import bpe_merge_table
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    return bpe_merge_table(load_table(spark, sf_dir, "documents"), 8)
+
+
+# Name → builder(spark, sf_dir): soak targets that are parameterized
+# variants of registry entries rather than registry entries themselves.
+CUSTOM_TARGETS = {"bpe_merges_k8": _bpe_merges_k8}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/tmp/sf1"
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 1
@@ -65,6 +80,19 @@ def main() -> None:
 
     targets = {n: s for n, s in REGISTRY.items() if s.headline}
     targets.update({n: EXTRAS[n] for n in HEAVY_EXTRAS})
+
+    class _Custom:
+        def __init__(self, builder):
+            self.builder = builder
+
+    targets.update({n: _Custom(b) for n, b in CUSTOM_TARGETS.items()})
+
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(targets)
+        if unknown:
+            raise SystemExit(f"unknown soak targets: {sorted(unknown)}")
+        targets = {n: s for n, s in targets.items() if n in only}
 
     # Warmup on the first target (don't hardcode a name — a renamed
     # headliner must not KeyError the soak before it measures anything).
