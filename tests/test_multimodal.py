@@ -174,3 +174,21 @@ def test_read_media_dir_binary_file_ingest(spark, tmp_path):
     # pathGlobFilter pushes down to the listing.
     only_png = MM.read_media_dir(spark, str(d), glob="*.png").collect()
     assert len(only_png) == 1 and only_png[0]["kind"] == "image"
+
+
+def test_read_media_dir_extensionless_in_dotted_dir(spark, tmp_path):
+    """Advisor finding (round 9): the extension must come from the
+    BASENAME — an extension-less file inside a dotted directory
+    (/data.v2/clip) previously derived junk like 'v2/clip' from the
+    full path. Safe either way (the binary fallback caught it), but
+    the intent is the basename's suffix: a real extension inside a
+    dotted dir must still map, and no-extension must stay binary."""
+    d = tmp_path / "data.v2"
+    d.mkdir()
+    (d / "clip").write_bytes(b"raw-bytes")
+    (d / "pic.png").write_bytes(b"not-a-real-png")
+
+    rows = {r["kind"]: r for r in MM.read_media_dir(spark, str(d)).collect()}
+    assert set(rows) == {"binary", "image"}
+    assert rows["binary"]["meta"]["mime"] == "application/octet-stream"
+    assert rows["image"]["meta"]["mime"] == "image/png"

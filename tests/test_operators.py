@@ -1018,3 +1018,21 @@ def test_ivfpq_index_version_guard_and_empty_queries(emb, spark, tmp_path):
     ).write.mode("overwrite").text(f"{path}/{ann_index.MODEL_DIR}")
     with pytest.raises(ValueError, match="version"):
         ann_index.load_ivfpq_model(spark, path)
+
+
+def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):
+    """Advisor finding (round 9): a sample with >= n_codes ROWS but
+    fewer DISTINCT points in some subspace made farthest-first init
+    silently seed duplicate codewords (d2 all-zero -> argmax pins 0;
+    Lloyd can never split them). Now loud."""
+    rows = [
+        # subspace 0 (components 0-1) is CONSTANT across the corpus;
+        # the rest varies, so only subspace 0 is degenerate.
+        (i, [1.0, 2.0] + [float(i + j) for j in range(6)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="distinct sample points"):
+        similarity.pq_codebooks_kmeans(
+            emb, "vec_id", "embedding", m=4, n_codes=16, sample_pct=100
+        )
