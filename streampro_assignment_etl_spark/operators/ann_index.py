@@ -9,14 +9,17 @@ a persisted index:
 * ``build_ivfpq_index`` runs the expensive corpus pass ONCE — cell
   assignment + PQ encoding as the same fused zero-shuffle projection as
   the composed path — and writes:
-  - ``<path>/encoded``: (neighbor_id, _code0.._code{m-1}) parquet,
-    **partitioned by cell**, so a query batch's scan prunes to its
-    probed cells at the file listing (the pruning-to-scan pattern of
-    `pipeline/catalog_ops` external tables);
+  - ``<path>/encoded-<token>``: (neighbor_id, _code0.._code{m-1})
+    parquet, **partitioned by cell**, so a query batch's scan prunes to
+    its probed cells at the file listing (the pruning-to-scan pattern
+    of `pipeline/catalog_ops` external tables); a fresh dir per build,
   - ``<path>/model``: the centroid list + per-subspace codebooks as one
     JSON document (Python ``json`` round-trips finite doubles
     bit-exactly — shortest-repr emit, exact parse — so a reloaded model
-    probes/encodes on the IDENTICAL floats the build used).
+    probes/encodes on the IDENTICAL floats the build used), plus the
+    NAME of the encoded dir holding this model's codes — the manifest
+    write is the rebuild's atomic commit point (pointer swap, see
+    ``build_ivfpq_index``).
 * ``ivfpq_topk_over_index`` answers a query batch by loading the model
   (small by contract: C centroids + m·n_codes codewords), scanning ONLY
   the probed-cell partitions of the encoded corpus, and running the
@@ -43,6 +46,7 @@ surface). Composition/citations: similarity.py's IVF/PQ operators.
 from __future__ import annotations
 
 import json
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,7 +65,7 @@ from .similarity import (
     seed_centroids,
 )
 
-ENCODED_DIR = "encoded"
+ENCODED_DIR = "encoded"  # legacy fixed layout; new builds use encoded-<token>
 MODEL_DIR = "model"
 _MODEL_VERSION = 1
 
@@ -69,7 +73,9 @@ _MODEL_VERSION = 1
 @dataclass(frozen=True)
 class IvfPqModel:
     """The driver-resident half of a persisted index: everything needed
-    to probe cells and build ADC LUTs without touching the corpus."""
+    to probe cells and build ADC LUTs without touching the corpus.
+    ``encoded_dir`` is the manifest pointer — the model names WHICH
+    encoded snapshot its codes live in (see ``build_ivfpq_index``)."""
 
     centroids: CentroidList
     codebooks: PQCodebooks
@@ -77,6 +83,7 @@ class IvfPqModel:
     m: int
     n_codes: int
     dim: int
+    encoded_dir: str = ENCODED_DIR
 
 
 def build_ivfpq_index(
@@ -90,25 +97,43 @@ def build_ivfpq_index(
     centroids: CentroidList | None = None,
     codebooks: PQCodebooks | None = None,
 ) -> IvfPqModel:
-    """One corpus pass → persisted index at ``path`` (overwrites).
+    """One corpus pass → persisted index at ``path``.
 
     Centroids/codebooks default to the deterministic id-seeded model
     (oracle-replayable); pass ``kmeans_centroids`` /
     ``pq_codebooks_kmeans`` output for trained indexes — the layout and
-    query path are identical. The encoded corpus write is the fused
-    assign+encode projection (zero shuffles before the partitioned
-    write's own exchange)."""
+    query path are identical (``m``/``n_codes`` are derived from a
+    caller-supplied ``codebooks``, so a geometry mismatch between the
+    two is impossible by construction). The encoded corpus write is the
+    fused assign+encode projection (zero shuffles before the
+    partitioned write's own exchange).
+
+    Rebuild atomicity (snapshot-pointer pattern): each build writes its
+    codes to a FRESH ``encoded-<token>`` dir, then commits by
+    overwriting the one-row model manifest that names that dir. A crash
+    between the two writes leaves the OLD manifest pointing at the OLD
+    (intact) snapshot — readers never see new codes under old
+    centroids, the failure mode a fixed in-place ``encoded/`` overwrite
+    cannot avoid. Superseded snapshot dirs are garbage, not hazard;
+    sweep them by retention (any dir the current manifest doesn't
+    name), same as table-format snapshot expiry."""
     cents = centroids or collect_centroids(
         seed_centroids(emb, id_col, vec_col, n_centroids)
     )
     cbs = codebooks or pq_codebooks(emb, id_col, vec_col, m, n_codes)
+    # The codebooks ARE the geometry: a trained book with m=8 passed
+    # alongside the default m=4 must not silently persist half the
+    # subspaces (and n_centroids only seeds the default centroid draw).
+    m = len(cbs)
+    n_codes = len(cbs[0])
     dim = len(cents[0][1])
+    encoded_dir = f"{ENCODED_DIR}-{uuid.uuid4().hex[:12]}"
 
     cells = assign_cells(emb, cents, id_col, vec_col)
     enc = pq_encode(cells, cbs, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "cell", *[f"_code{j}" for j in range(m)]
     )
-    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{ENCODED_DIR}")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{encoded_dir}")
 
     doc = {
         "version": _MODEL_VERSION,
@@ -116,6 +141,7 @@ def build_ivfpq_index(
         "m": m,
         "n_codes": n_codes,
         "dim": dim,
+        "encoded_dir": encoded_dir,
         "centroids": [[int(cid), list(map(float, v))] for cid, v in cents],
         "codebooks": [
             [[int(code), list(map(float, w))] for code, w in book] for book in cbs
@@ -123,7 +149,7 @@ def build_ivfpq_index(
     }
     # One-row text write through Spark, not open(): the index path may
     # be any Hadoop-compatible FS (s3a://...), same contract as the
-    # parquet half.
+    # parquet half. This write is the commit point.
     emb.sparkSession.createDataFrame(
         [(json.dumps(doc),)], "value string"
     ).coalesce(1).write.mode("overwrite").text(f"{path}/{MODEL_DIR}")
@@ -134,6 +160,7 @@ def build_ivfpq_index(
         m=m,
         n_codes=n_codes,
         dim=dim,
+        encoded_dir=encoded_dir,
     )
 
 
@@ -162,6 +189,8 @@ def load_ivfpq_model(spark: SparkSession, path: str) -> IvfPqModel:
         m=int(doc["m"]),
         n_codes=int(doc["n_codes"]),
         dim=int(doc["dim"]),
+        # Pre-snapshot manifests (no key) point at the legacy fixed dir.
+        encoded_dir=str(doc.get("encoded_dir", ENCODED_DIR)),
     )
 
 
@@ -185,7 +214,10 @@ def ivfpq_topk_over_index(
     paths share ``_adc_shortlist``/``_exact_rerank``."""
     spark = emb.sparkSession
     model = load_ivfpq_model(spark, path)
-    enc = spark.read.parquet(f"{path}/{ENCODED_DIR}")
+    # The manifest names the snapshot its codes live in — reading the
+    # dir it points at (not a fixed path) is what makes a half-finished
+    # rebuild invisible to queries.
+    enc = spark.read.parquet(f"{path}/{model.encoded_dir}")
 
     probed = probe_cells(queries, model.centroids, id_col, vec_col, probes)
     # The probed cell set is Q×P ints, bounded by contract (queries are

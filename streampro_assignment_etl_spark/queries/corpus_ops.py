@@ -1401,7 +1401,13 @@ def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
 
     ≙ reference: none (north-star extension; the reference has no
     tokenizer surface)."""
-    wm = bpe_word_token_map(docs, rules)
+    from .catalog import track_persist
+
+    # The distinct-word fold chain is the CPU-dominant stage and feeds
+    # the final plan TWICE (id frequencies via bpe_token_id_table, and
+    # the per-word id arrays below); Catalyst does not dedupe common
+    # subplans, so persist the vocab-sized map once.
+    wm = track_persist(bpe_word_token_map(docs, rules), StorageLevel.MEMORY_AND_DISK)
     ids = bpe_token_id_table(docs, rules, wmap=wm)
     wids = (
         wm.select("w", F.posexplode("ss").alias("tp", "token"))

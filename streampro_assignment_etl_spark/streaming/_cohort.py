@@ -64,7 +64,46 @@ from typing import Callable
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
+
+_UTC_ZONES = frozenset({"UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Z", "+00:00"})
+
+
+def require_utc_session(spark) -> None:
+    """Event-horizon math needs a UTC session timezone — loudly.
+
+    ``applyInPandasWithState`` delivers TimestampType to the worker as
+    tz-NAIVE datetimes rendered in ``spark.sql.session.timeZone``, but
+    ``GroupState.getCurrentWatermarkMs`` / ``setTimeoutTimestamp`` speak
+    true epoch ms. The naive→epoch hop the event-TTL paths do is exact
+    only when those two frames coincide (session tz = UTC); under any
+    other zone the horizon is off by the offset — west-of-UTC kills the
+    query (timeout below watermark), east-of-UTC silently widens every
+    member's horizon. A general inverse doesn't exist (DST folds map two
+    instants to one wall time), so the contract is pinned instead:
+    refuse to build an event-horizon stream on a non-UTC session.
+    ``session.get_spark`` already pins UTC; this guards caller-provided
+    sessions."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_ZONES:
+        raise ValueError(
+            f"event-time TTL requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the state function's naive-timestamp→epoch-ms "
+            f"conversion is only exact under UTC"
+        )
+
+
+def with_member_horizons(schema: T.StructType) -> T.StructType:
+    """Grow a cohort state schema by the event-horizon bookkeeping
+    column: ``lasts`` ARRAY<BIGINT>, one event-time ms per member,
+    parallel to ``ids`` — appended LAST because ``make_cohort_matcher``
+    reads it back as ``state.get[2]``. The one place the layout
+    contract lives; both near-dup streams build their event-mode state
+    schema through it."""
+    return T.StructType(
+        [*schema.fields, T.StructField("lasts", T.ArrayType(T.LongType()))]
+    )
 
 
 def make_cohort_matcher(
@@ -144,7 +183,10 @@ def make_cohort_matcher(
         for block in blocks:
             if ts_field is not None:
                 # Per-row event ms; the datetime64[ms] hop is exact for
-                # any Arrow resolution the batch arrives in.
+                # any Arrow resolution the batch arrives in, GIVEN the
+                # UTC session the builders enforce (require_utc_session)
+                # — naive timestamps in any other zone would land off
+                # the watermark's epoch frame by the zone offset.
                 b_ts = (
                     block[ts_field]
                     .to_numpy()

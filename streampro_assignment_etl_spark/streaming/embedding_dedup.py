@@ -111,13 +111,16 @@ def _state_schema(quantize_state: bool, event_ttl: bool) -> T.StructType:
     """Event-horizon mode rides each member's event time in the state
     value (``lasts``, parallel to ``ids``) — the per-member expiry
     prune must read the horizons back on every visit; the registered
-    timeout timestamp alone isn't visible to the state function."""
+    timeout timestamp alone isn't visible to the state function. The
+    layout (name, type, position read back as ``state.get[2]``) is
+    ``_cohort.with_member_horizons``'s contract, shared with
+    ``fuzzy_dedup``."""
     base = _STATE_SCHEMA_F32 if quantize_state else _STATE_SCHEMA
     if not event_ttl:
         return base
-    return T.StructType(
-        [*base.fields, T.StructField("lasts", T.ArrayType(T.LongType()))]
-    )
+    from ._cohort import with_member_horizons
+
+    return with_member_horizons(base)
 
 
 def probe_masks(n_planes: int, probe_radius: int) -> list[int]:
@@ -200,6 +203,10 @@ def embedding_dedup_stream(
     if ttl_seconds is not None and ttl_event_seconds is not None:
         raise ValueError("ttl_seconds and ttl_event_seconds are mutually exclusive")
     event_mode = ttl_event_seconds is not None
+    if event_mode:
+        from ._cohort import require_utc_session
+
+        require_utc_session(vec_stream.sparkSession)
     planes = hyperplanes(dim, n_planes)
     v = _as_double("embedding")
     # The dim guard lives INSIDE the load-bearing norm expression (an

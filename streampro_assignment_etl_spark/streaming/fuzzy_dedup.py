@@ -156,6 +156,10 @@ def fuzzy_dedup_stream(
     if ttl_seconds is not None and ttl_event_seconds is not None:
         raise ValueError("ttl_seconds and ttl_event_seconds are mutually exclusive")
     event_mode = ttl_event_seconds is not None
+    if event_mode:
+        from ._cohort import require_utc_session
+
+        require_utc_session(doc_stream.sparkSession)
     src = doc_stream
     ts_cols: list[str] = []
     if event_mode:
@@ -182,10 +186,10 @@ def fuzzy_dedup_stream(
         )
     )
     if event_mode:
+        from ._cohort import with_member_horizons
+
         timeout = GroupStateTimeout.EventTimeTimeout
-        state_schema = T.StructType(
-            [*_STATE_SCHEMA.fields, T.StructField("lasts", T.ArrayType(T.LongType()))]
-        )
+        state_schema = with_member_horizons(_STATE_SCHEMA)
     elif ttl_seconds is not None:
         timeout = GroupStateTimeout.ProcessingTimeTimeout
         state_schema = _STATE_SCHEMA

@@ -191,7 +191,10 @@ _EVENT_TTL_STATE_SCHEMA = T.StructType(
 def _pdf_max_event_ms(pdf: pd.DataFrame, ts_col: str) -> int:
     """Max event time of a pandas batch slice as epoch ms.
     ``pd.Timestamp.value`` is nanoseconds regardless of the frame's
-    datetime64 resolution, so this is Arrow-resolution-proof."""
+    datetime64 resolution, so this is Arrow-resolution-proof. Exact
+    only under the UTC session ``dedup_stream_event_ttl`` enforces —
+    the worker sees tz-naive timestamps rendered in the session zone,
+    and the watermark/timeout APIs speak true epoch ms."""
     return int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
 
 
@@ -269,6 +272,9 @@ def dedup_stream_event_ttl(
     the state function). Eviction latency: a key's state drops on the
     first batch after the watermark passes last_event + ttl in which
     the key has no data."""
+    from ._cohort import require_utc_session
+
+    require_utc_session(doc_stream.sparkSession)
     fp = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")))
     return (
         doc_stream.withColumn("fingerprint", fp)

@@ -1020,6 +1020,44 @@ def test_ivfpq_index_version_guard_and_empty_queries(emb, spark, tmp_path):
         ann_index.load_ivfpq_model(spark, path)
 
 
+def test_ivfpq_index_geometry_from_codebooks_and_snapshot_rebuild(
+    emb, spark, tmp_path
+):
+    """Review findings (round 10): (a) a caller-supplied codebook's
+    geometry WINS over the m/n_codes defaults — an m=8 trained book
+    passed without m=8 must not persist a truncated 4-subspace index;
+    (b) a rebuild writes a FRESH encoded-<token> snapshot and commits
+    it via the manifest pointer, leaving the previous snapshot intact —
+    a crash between the two writes can only ever lose the NEW build."""
+    import os
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    path = str(tmp_path / "idx")
+    books8 = similarity.pq_codebooks(emb, "vec_id", "embedding", m=8, n_codes=8)
+    built = ann_index.build_ivfpq_index(emb, path, codebooks=books8)  # no m=
+    assert (built.m, built.n_codes) == (8, 8)
+    loaded = ann_index.load_ivfpq_model(spark, path)
+    assert (loaded.m, loaded.n_codes) == (8, 8)
+    enc = spark.read.parquet(f"{path}/{loaded.encoded_dir}")
+    assert sorted(c for c in enc.columns if c.startswith("_code")) == [
+        f"_code{j}" for j in range(8)
+    ]
+    q = emb.filter(F.col("vec_id") == 3)
+    assert len(
+        ann_index.ivfpq_topk_over_index(emb, q, path, k=3).collect()
+    ) == 3  # serving runs end to end on the derived geometry
+
+    rebuilt = ann_index.build_ivfpq_index(emb, path)  # default m=4 book
+    assert rebuilt.encoded_dir != built.encoded_dir
+    reloaded = ann_index.load_ivfpq_model(spark, path)
+    assert reloaded.encoded_dir == rebuilt.encoded_dir
+    assert (reloaded.m, reloaded.n_codes) == (4, 16)
+    # The superseded snapshot is garbage, not gone: readers holding the
+    # old manifest keep a consistent (codes, model) view.
+    assert os.path.isdir(os.path.join(path, built.encoded_dir))
+
+
 def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):
     """Advisor finding (round 9): a sample with >= n_codes ROWS but
     fewer DISTINCT points in some subspace made farthest-first init

@@ -1695,3 +1695,37 @@ def test_fuzzy_dedup_event_ttl_prunes_members_by_event_age(spark, tmp_path):
         ) if (tmp_path / "fev_out").exists() else []
         assert got == expected, (i, got)
     # doc 3 found nothing: docs 1 and 2 were beyond the event horizon.
+
+
+def test_event_ttl_builders_require_utc_session(spark):
+    """Review finding (round 10): the event-horizon state functions
+    convert Arrow-delivered tz-NAIVE timestamps straight to epoch ms,
+    which only matches the watermark/timeout epoch frame under a UTC
+    session timezone — on any other zone the horizon is off by the
+    offset (westward zones kill the query, eastward zones silently
+    widen every member's horizon). All three event-TTL builders must
+    refuse a non-UTC session loudly, at build time."""
+    from streampro_assignment_etl_spark.streaming.embedding_dedup import (
+        embedding_dedup_stream,
+    )
+    from streampro_assignment_etl_spark.streaming.fuzzy_dedup import (
+        fuzzy_dedup_stream,
+    )
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import (
+        dedup_stream_event_ttl,
+    )
+
+    df = spark.createDataFrame([(1,)], "x int")  # guard fires pre-plan
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            dedup_stream_event_ttl(df, "ts", ttl_event_seconds=60)
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            fuzzy_dedup_stream(df, ttl_event_seconds=60)
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            embedding_dedup_stream(df, dim=4, ttl_event_seconds=60)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    # The pinned-UTC session builds fine (no stream started here).
+    assert spark.conf.get("spark.sql.session.timeZone") == old == "UTC"
