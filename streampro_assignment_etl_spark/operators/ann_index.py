@@ -20,6 +20,10 @@ a persisted index:
     NAME of the encoded dir holding this model's codes — the manifest
     write is the rebuild's atomic commit point (pointer swap, see
     ``build_ivfpq_index``).
+* ``append_to_ivfpq_index`` is the incremental-ingest half: a new
+  batch is encoded under the RESIDENT model (batch-linear, corpus
+  untouched) and appended into the manifest's snapshot — bit-equal to
+  a full rebuild over the union under the same model.
 * ``ivfpq_topk_over_index`` answers a query batch by loading the model
   (small by contract: C centroids + m·n_codes codewords), scanning ONLY
   the probed-cell partitions of the encoded corpus, and running the
@@ -162,6 +166,45 @@ def build_ivfpq_index(
         dim=dim,
         encoded_dir=encoded_dir,
     )
+
+
+def append_to_ivfpq_index(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqModel:
+    """Incremental ingest: encode ONLY the new batch under the index's
+    EXISTING model and append its (neighbor_id, cell, codes) rows into
+    the manifest's current snapshot — the daily-ingest shape. Cost is
+    one map-side assign+encode projection over the BATCH; the resident
+    corpus is never touched, which is the whole point at 10⁹ vectors
+    (a 10⁶-row day lands in seconds regardless of corpus size).
+
+    Consistency: the model is unchanged, so appended codes are mutually
+    consistent with resident ones by construction — serving after an
+    append is bit-equal to a full rebuild over the union under the same
+    model (pinned in tests). The append commits through the job-level
+    output committer: a failed append leaves staging debris, never
+    half-visible codes, and the manifest needs no rewrite (it names the
+    dir, and the dir's contents grew under the same model). Caller
+    contract: batch ids are NEW ids — the index stores rows, not keys;
+    run the incremental-dedup ops upstream. When drift accumulates
+    (appended mass pulling cell occupancy away from the trained
+    centroids' balance), retrain via ``build_ivfpq_index`` — the
+    snapshot-pointer rebuild swaps atomically under live readers."""
+    spark = new_emb.sparkSession
+    model = load_ivfpq_model(spark, path)
+    cells = assign_cells(new_emb, model.centroids, id_col, vec_col)
+    enc = pq_encode(cells, model.codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        *[f"_code{j}" for j in range(model.m)],
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/{model.encoded_dir}"
+    )
+    return model
 
 
 def load_ivfpq_model(spark: SparkSession, path: str) -> IvfPqModel:

@@ -1170,6 +1170,53 @@ def similarity_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_APPEND_CACHE: dict[str, str] = {}
+
+
+@query(
+    "similarity_ann_ivfpq_append",
+    extra=True,
+    tags=("similarity", "ann", "ivf", "pq", "index", "incremental"),
+    oracle=_IVFPQ_ORACLE,
+)
+def similarity_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest serving: the index is built over HALF the
+    corpus (even vec_ids) and the other half arrives later via
+    ``append_to_ivfpq_index`` — encoded under the resident model,
+    batch-linear, corpus untouched. The model is id-seeded from the
+    FULL table (what a production pipeline does: train once on a
+    representative sample, then ingest forever), so serving after the
+    append is bit-equal to the one-shot full build — the SAME oracle
+    verbatim hash-gates the grown index."""
+    import tempfile
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _IVFPQ_APPEND_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivfpq_append_")
+        cents = similarity.collect_centroids(
+            similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+        )
+        cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, n_codes=16)
+        ann_index.build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path,
+            id_col="vec_id", vec_col="embedding",
+            centroids=cents, codebooks=cbs,
+        )
+        ann_index.append_to_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 1), path,
+            id_col="vec_id", vec_col="embedding",
+        )
+        _IVFPQ_APPEND_CACHE[sf_dir] = path
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_index.ivfpq_topk_over_index(
+        emb, queries, path, id_col="vec_id", vec_col="embedding",
+        k=5, probes=4, shortlist=100,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingle-novelty scoring: how much of each document is unique corpus-wide.
 # ---------------------------------------------------------------------------

@@ -1058,6 +1058,42 @@ def test_ivfpq_index_geometry_from_codebooks_and_snapshot_rebuild(
     assert os.path.isdir(os.path.join(path, built.encoded_dir))
 
 
+def test_ivfpq_index_incremental_append_bit_equal(emb, spark, tmp_path):
+    """append_to_ivfpq_index encodes ONLY the new batch under the
+    resident model, so serving over (build half-A, append half-B) must
+    be bit-equal to a full build over A∪B under the SAME model — the
+    daily-ingest contract: corpus-size-independent incremental cost
+    with no result drift."""
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    cents = similarity.collect_centroids(
+        similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+    )
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, n_codes=16)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    built = ann_index.build_ivfpq_index(half_a, inc, centroids=cents, codebooks=cbs)
+    model = ann_index.append_to_ivfpq_index(half_b, inc)
+    assert model.encoded_dir == built.encoded_dir  # grew in place
+
+    full = str(tmp_path / "full")
+    ann_index.build_ivfpq_index(emb, full, centroids=cents, codebooks=cbs)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = ann_index.ivfpq_topk_over_index(
+        emb, q, inc, k=5, probes=4, shortlist=100
+    ).collect()
+    want = ann_index.ivfpq_topk_over_index(
+        emb, q, full, k=5, probes=4, shortlist=100
+    ).collect()
+    assert got == want
+    assert (
+        spark.read.parquet(f"{inc}/{model.encoded_dir}").count() == emb.count()
+    )  # every appended row landed in the manifest's snapshot
+
+
 def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):
     """Advisor finding (round 9): a sample with >= n_codes ROWS but
     fewer DISTINCT points in some subspace made farthest-first init
