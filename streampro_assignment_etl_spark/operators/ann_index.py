@@ -139,24 +139,7 @@ def build_ivfpq_index(
     )
     enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{encoded_dir}")
 
-    doc = {
-        "version": _MODEL_VERSION,
-        "n_centroids": len(cents),
-        "m": m,
-        "n_codes": n_codes,
-        "dim": dim,
-        "encoded_dir": encoded_dir,
-        "centroids": [[int(cid), list(map(float, v))] for cid, v in cents],
-        "codebooks": [
-            [[int(code), list(map(float, w))] for code, w in book] for book in cbs
-        ],
-    }
-    # One-row text write through Spark, not open(): the index path may
-    # be any Hadoop-compatible FS (s3a://...), same contract as the
-    # parquet half. This write is the commit point.
-    emb.sparkSession.createDataFrame(
-        [(json.dumps(doc),)], "value string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/{MODEL_DIR}")
+    _commit_manifest(emb.sparkSession, path, cents, cbs, dim, encoded_dir)
     return IvfPqModel(
         centroids=cents,
         codebooks=cbs,
@@ -165,6 +148,67 @@ def build_ivfpq_index(
         n_codes=n_codes,
         dim=dim,
         encoded_dir=encoded_dir,
+    )
+
+
+def _commit_manifest(
+    spark: SparkSession,
+    path: str,
+    cents: CentroidList,
+    cbs: PQCodebooks,
+    dim: int,
+    encoded_dir: str,
+) -> None:
+    """Overwrite the one-row model manifest — the atomic commit point
+    for builds AND compactions. One-row text write through Spark, not
+    ``open()``: the index path may be any Hadoop-compatible FS
+    (s3a://...), same contract as the parquet half."""
+    doc = {
+        "version": _MODEL_VERSION,
+        "n_centroids": len(cents),
+        "m": len(cbs),
+        "n_codes": len(cbs[0]),
+        "dim": dim,
+        "encoded_dir": encoded_dir,
+        "centroids": [[int(cid), list(map(float, v))] for cid, v in cents],
+        "codebooks": [
+            [[int(code), list(map(float, w))] for code, w in book] for book in cbs
+        ],
+    }
+    spark.createDataFrame([(json.dumps(doc),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/{MODEL_DIR}")
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> IvfPqModel:
+    """Rewrite the index's snapshot with one file per cell partition and
+    pointer-swap the manifest — the OPTIMIZE step an append-heavy index
+    needs. Every ``append_to_ivfpq_index`` lands one file per (append,
+    cell); after a year of daily ingest a probed cell's scan opens ~365
+    files whose per-file overhead (open + footer + tiny row groups)
+    dwarfs the code bytes. Compaction is pure IO — read the current
+    snapshot, ``repartition("cell")`` so each cell's rows land in one
+    task → ONE file per cell dir, write a fresh snapshot, commit the
+    manifest (same model, new dir). No re-encode, no result change
+    (bit-equal pinned in tests); the swap is atomic under the same
+    snapshot-pointer rule as rebuilds, so live readers finish on the
+    old snapshot. Single-writer contract: don't run concurrent
+    appends/compactions against one index path — last manifest wins."""
+    model = load_ivfpq_model(spark, path)
+    enc = spark.read.parquet(f"{path}/{model.encoded_dir}")
+    new_dir = f"{ENCODED_DIR}-{uuid.uuid4().hex[:12]}"
+    enc.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/{new_dir}"
+    )
+    _commit_manifest(spark, path, model.centroids, model.codebooks, model.dim, new_dir)
+    return IvfPqModel(
+        centroids=model.centroids,
+        codebooks=model.codebooks,
+        n_centroids=model.n_centroids,
+        m=model.m,
+        n_codes=model.n_codes,
+        dim=model.dim,
+        encoded_dir=new_dir,
     )
 
 
@@ -246,6 +290,7 @@ def ivfpq_topk_over_index(
     k: int = 5,
     probes: int = 4,
     shortlist: int = 100,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k served from a persisted index: probe cells from the
     loaded model, scan ONLY those cell partitions of the encoded
@@ -254,7 +299,19 @@ def ivfpq_topk_over_index(
     shortlist, exact re-rank against ``emb`` (the raw-vector store; an
     id-equi-join point lookup over ``shortlist`` ids per query).
     Bit-equal to ``similarity.ivfpq_topk`` with the same model — both
-    paths share ``_adc_shortlist``/``_exact_rerank``."""
+    paths share ``_adc_shortlist``/``_exact_rerank``.
+
+    ``allowed`` is FILTERED search — the metadata-filter feature every
+    production vector store ships (tenant / label / freshness
+    predicates): a frame whose ``id_col`` lists the eligible neighbor
+    ids; candidates are restricted by a semi-join BEFORE ADC scoring,
+    so the shortlist is spent entirely on eligible vectors (top-k
+    *among the filtered set*, not a post-filter of the unfiltered
+    top-k, which under-fills k whenever the filter is selective).
+    Scale note: a semi-join is the right shape while the filter is a
+    query-time set; a filter used on EVERY query (e.g. tenant id)
+    belongs in the index rows themselves — add it as a column next to
+    the codes and it pushes into the pruned scan for free."""
     spark = emb.sparkSession
     model = load_ivfpq_model(spark, path)
     # The manifest names the snapshot its codes live in — reading the
@@ -278,6 +335,12 @@ def ivfpq_topk_over_index(
         .join(pruned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    if allowed is not None:
+        cand = cand.join(
+            allowed.select(F.col(id_col).alias("neighbor_id")).distinct(),
+            "neighbor_id",
+            "left_semi",
+        )
     short = _adc_shortlist(cand, queries, model.codebooks, id_col, vec_col, shortlist)
     if short is None:
         return spark.createDataFrame(

@@ -1170,6 +1170,27 @@ def similarity_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Filtered search: the SAME replay with the candidate set restricted to
+# label-3 vectors BEFORE ADC scoring — top-k among the eligible set, not
+# a post-filter of the unfiltered top-k (which under-fills k whenever
+# the filter is selective). One CTE changes; everything downstream
+# (ADC, shortlist, exact re-rank) is verbatim.
+_IVFPQ_FILTERED_ORACLE = _IVFPQ_ORACLE.replace(
+    """cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id
+),""",
+    """cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probed p JOIN assigned a ON p.cell = a.cell
+  JOIN embeddings nl ON nl.vec_id = a.vec_id AND nl.label = 3
+  WHERE p.query_id <> a.vec_id
+),""",
+)
+assert _IVFPQ_FILTERED_ORACLE != _IVFPQ_ORACLE  # replace anchor must hold
+
+
 _IVFPQ_APPEND_CACHE: dict[str, str] = {}
 
 
@@ -1214,6 +1235,36 @@ def similarity_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ivfpq_topk_over_index(
         emb, queries, path, id_col="vec_id", vec_col="embedding",
         k=5, probes=4, shortlist=100,
+    )
+
+
+@query(
+    "similarity_ann_ivfpq_filtered",
+    extra=True,
+    tags=("similarity", "ann", "ivf", "pq", "index", "filtered"),
+    oracle=_IVFPQ_FILTERED_ORACLE,
+)
+def similarity_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the persisted index — the metadata
+    predicate every production vector store serves (tenant / label /
+    freshness): top-k among label-3 vectors only. The eligible-id set
+    semi-joins the candidates BEFORE ADC scoring, so the shortlist is
+    spent entirely on eligible vectors — correct top-k *within the
+    filter*, where post-filtering the unfiltered top-k would under-fill
+    k for any selective predicate. Reuses the ``similarity_ann_ivfpq_
+    index`` build (session-cached), so this entry also pins that one
+    index serves many predicates."""
+    from ..operators import ann_index
+
+    # Reuse (or build) the session-cached index from the _index entry.
+    similarity_ann_ivfpq_index(spark, sf_dir)
+    path = _IVFPQ_INDEX_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_index.ivfpq_topk_over_index(
+        emb, queries, path, id_col="vec_id", vec_col="embedding",
+        k=5, probes=4, shortlist=100,
+        allowed=emb.filter(F.col("label") == 3),
     )
 
 

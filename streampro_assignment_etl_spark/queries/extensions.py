@@ -308,6 +308,109 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_label_agreement",
+    extra=True,  # QA diagnostic over the pinned brute-force top-k
+    tags=("similarity", "quality", "llm-pipeline"),
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 100
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, q.qlabel, c.neighbor_id, c.nlabel,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, qlabel, nlabel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qlabel AS label,
+       CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+       (10000 * CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT))
+         // (CAST(COUNT(DISTINCT query_id) AS BIGINT) * 5) AS agreement_bp
+FROM ranked
+WHERE rank <= 5
+GROUP BY qlabel
+ORDER BY label
+""",
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality QA: for each of the first 100 vectors, how
+    often do its 5 exact-cosine nearest neighbors share its label? Low
+    agreement for a label means that region of embedding space doesn't
+    separate — the metric an embedding-model upgrade is gated on before
+    the pipeline trusts the vectors for near-dup and retrieval. Exact
+    integer scoring (matches, basis points via integer division) — no
+    float-aggregation drift between engines; the cosine ranking reuses
+    the hoisted-norm form pinned bit-identical to the oracle's inline
+    cosine (tests/test_properties.py). At 100 TB the same two-stage
+    shape runs over an ANN top-k instead of the brute-force scorer —
+    agreement is then a lower bound, which is the conservative
+    direction for a quality gate."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double("embedding").alias("qv"),
+        F.sqrt(dot(as_double("embedding"), as_double("embedding"))).alias("_qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        as_double("embedding").alias("cv"),
+        F.sqrt(dot(as_double("embedding"), as_double("embedding"))).alias("_cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "nlabel",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    return (
+        top.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            ).alias("matches"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "matches",
+            F.expr("(10000 * matches) div (n_queries * 5)").alias("agreement_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "embedding_label_stats",
     extra=True,  # plain agg family amply covered by driver rows
     tags=("similarity",),

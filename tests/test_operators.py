@@ -1094,6 +1094,43 @@ def test_ivfpq_index_incremental_append_bit_equal(emb, spark, tmp_path):
     )  # every appended row landed in the manifest's snapshot
 
 
+def test_ivfpq_index_compaction_one_file_per_cell(emb, spark, tmp_path):
+    """compact_ivfpq_index rewrites the snapshot to ONE file per cell
+    dir (append-heavy indexes accumulate one file per append per cell
+    — the small-files scan tax), pointer-swaps the manifest, changes
+    no results, and leaves the old snapshot for in-flight readers."""
+    import glob
+    import os
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    def cell_files(p, d):
+        return {
+            c: len(glob.glob(os.path.join(p, d, c, "*.parquet")))
+            for c in os.listdir(os.path.join(p, d))
+            if c.startswith("cell=")
+        }
+
+    path = str(tmp_path / "idx")
+    thirds = [emb.filter(F.col("vec_id") % 3 == r) for r in range(3)]
+    before = ann_index.build_ivfpq_index(thirds[0], path)
+    ann_index.append_to_ivfpq_index(thirds[1], path)
+    ann_index.append_to_ivfpq_index(thirds[2], path)
+    frag = cell_files(path, before.encoded_dir)
+    assert max(frag.values()) >= 2  # appends fragmented at least one cell
+
+    q = emb.filter(F.col("vec_id") < 5)
+    want = ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect()
+
+    compacted = ann_index.compact_ivfpq_index(spark, path)
+    assert compacted.encoded_dir != before.encoded_dir
+    tidy = cell_files(path, compacted.encoded_dir)
+    assert set(tidy) == set(frag) and set(tidy.values()) == {1}
+    assert ann_index.load_ivfpq_model(spark, path).encoded_dir == compacted.encoded_dir
+    assert ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect() == want
+    assert os.path.isdir(os.path.join(path, before.encoded_dir))  # old snapshot kept
+
+
 def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):
     """Advisor finding (round 9): a sample with >= n_codes ROWS but
     fewer DISTINCT points in some subspace made farthest-first init
