@@ -13,6 +13,11 @@ at scale: 'composed' grows with the corpus (encode pass), 'served'
 grows with probed cells × cell size; the index build amortizes over
 every future batch.
 
+Round-10 additions: the incremental-ingest cycle — append a 10%
+batch of fresh ids (cost should track the BATCH, not the corpus),
+measure the snapshot's file fragmentation, compact, and re-serve
+(compaction's payoff is scan-side: one file per cell).
+
 Usage: python tools/index_soak.py [SF_DIR] [--reps N]
 Defaults: SF_DIR=/tmp/sf1, reps=3.
 """
@@ -76,6 +81,35 @@ def main() -> None:
         ).count()
     )
 
+    # Incremental ingest: a 10% batch under FRESH ids (an append must
+    # never reuse ids — contract) — cost should be ~batch-linear, i.e.
+    # well under the full build.
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    batch = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(int(max_id) + 1)
+    )
+    t0 = time.perf_counter()
+    model = ann_index.append_to_ivfpq_index(batch, path)
+    append = round(time.perf_counter() - t0, 3)
+
+    def snapshot_files(enc_dir):
+        n = 0
+        for _root, _dirs, files in os.walk(os.path.join(path, enc_dir)):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
+    files_before = snapshot_files(model.encoded_dir)
+    t0 = time.perf_counter()
+    compacted = ann_index.compact_ivfpq_index(spark, path)
+    compact = round(time.perf_counter() - t0, 3)
+    files_after = snapshot_files(compacted.encoded_dir)
+
+    served_compacted = med(
+        lambda: ann_index.ivfpq_topk_over_index(
+            emb, queries, path, k=5, probes=4, shortlist=100
+        ).count()
+    )
+
     out = {
         "sf_dir": sf_dir,
         "reps": reps,
@@ -83,6 +117,12 @@ def main() -> None:
         "index_build_sec": build,
         "served_sec": served,
         "served_over_composed": round(served / composed, 2),
+        "append_10pct_sec": append,
+        "append_over_build": round(append / build, 2),
+        "files_before_compact": files_before,
+        "compact_sec": compact,
+        "files_after_compact": files_after,
+        "served_after_compact_sec": served_compacted,
     }
     print(json.dumps(out))
 
