@@ -1094,6 +1094,30 @@ def test_ivfpq_index_incremental_append_bit_equal(emb, spark, tmp_path):
     )  # every appended row landed in the manifest's snapshot
 
 
+def test_ivfpq_index_filtered_search_semi_join_broadcasts(emb, spark, tmp_path):
+    """Filtered search: every returned neighbor satisfies the metadata
+    predicate, k still fills from WITHIN the filtered set, and the
+    eligible-id restriction is a broadcast LEFT-SEMI join on the
+    candidate side (the id set is query-time small by contract; the
+    big side — probed-cell codes — never shuffles for it)."""
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb, path)
+    q = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("label") == 3)
+    out = ann_index.ivfpq_topk_over_index(emb, q, path, k=3, allowed=allowed)
+
+    allowed_ids = {r["vec_id"] for r in allowed.select("vec_id").collect()}
+    rows = out.collect()
+    assert rows and all(r["neighbor_id"] in allowed_ids for r in rows)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "BroadcastHashJoin" in ln and "LeftSemi" in ln for ln in plan.splitlines()
+    ), plan
+
+
 def test_ivfpq_index_compaction_one_file_per_cell(emb, spark, tmp_path):
     """compact_ivfpq_index rewrites the snapshot to ONE file per cell
     dir (append-heavy indexes accumulate one file per append per cell
