@@ -509,8 +509,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plan (seeded centroids -> top-P cells per vector -> same-cell pair
 # join), the same strategy as the IVF ANN oracle above.
 # ---------------------------------------------------------------------------
-_NEAR_DUP_CELLS_ORACLE = """
-WITH cent AS (
+# Shared cell-blocking replay: rank each vector's 4 nearest of the 16
+# id-seeded centroid cells (the zero-shuffle projection of
+# similarity.assign/probe) — reused by the pair miner below and by the
+# SemDeDup-style apply entry.
+_CELL_BLOCKED_CTE = """cent AS (
   SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
   FROM embeddings WHERE vec_id < 16
 ),
@@ -528,7 +531,10 @@ blocked AS (
                       ct.centroid_id) AS rn
     FROM corp c CROSS JOIN cent ct
   ) WHERE rn <= 4
-)
+)"""
+
+_NEAR_DUP_CELLS_ORACLE = f"""
+WITH {_CELL_BLOCKED_CTE}
 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
@@ -560,6 +566,81 @@ def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs_cells(
         emb, "vec_id", "embedding", threshold=0.4, n_centroids=16, probes=4
     ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: near-dup pairs mined in EMBEDDING
+# space, resolved to clusters, one canonical kept per cluster.
+# ---------------------------------------------------------------------------
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH RECURSIVE
+{_CELL_BLOCKED_CTE},
+dup AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM blocked a JOIN blocked b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION SELECT doc_b, doc_a FROM dup),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+tagged AS (
+  SELECT d.source, d.doc_id,
+         COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN doc_id = canonical_id THEN 1 END) AS n_kept,
+       COUNT(CASE WHEN doc_id <> canonical_id THEN 1 END) AS n_removed
+FROM tagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "semantic_dedup_apply",
+    extra=True,  # dedup family driver rows: dedup_clusters / dedup_apply_clusters
+    tags=("dedup", "similarity", "connected-components", "llm-pipeline"),
+    oracle=_SEMANTIC_DEDUP_ORACLE,
+)
+def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023, public): the
+    same pairs→components→canonical-keep pipeline as
+    ``dedup_apply_clusters``, but with the pairs mined in EMBEDDING
+    space (IVF-cell-blocked cosine, never all-pairs) instead of lexical
+    shingles — the pass that catches paraphrases, translations, and
+    templated rewrites MinHash cannot see, run as a complement to
+    lexical dedup in a curation funnel. Documents and vectors are 1:1
+    by the fixture contract (vec_id == doc_id). Everything after the
+    miner is the proven cluster machinery: large-star/small-star
+    components over the (tiny) dup-pair set, canonical = min id,
+    retention audited per source. The cosine threshold is the
+    semantic-aggressiveness dial; 0.4 on these isotropic synthetic
+    vectors plays the role 0.95+ plays on real sentence embeddings."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.near_dup_pairs_cells(
+        emb, "vec_id", "embedding", threshold=0.4, n_centroids=16, probes=4
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labeled = components.canonical_docs(docs, pairs, "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(labeled, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("is_canonical"), 1)).alias("n_kept"),
+            F.count(F.when(~F.col("is_canonical"), 1)).alias("n_removed"),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------
