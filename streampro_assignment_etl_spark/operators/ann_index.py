@@ -119,8 +119,9 @@ def build_ivfpq_index(
     (intact) snapshot — readers never see new codes under old
     centroids, the failure mode a fixed in-place ``encoded/`` overwrite
     cannot avoid. Superseded snapshot dirs are garbage, not hazard;
-    sweep them by retention (any dir the current manifest doesn't
-    name), same as table-format snapshot expiry."""
+    ``expire_ivfpq_snapshots`` sweeps them by retention (any dir the
+    current manifest doesn't name), same as table-format snapshot
+    expiry."""
     cents = centroids or collect_centroids(
         seed_centroids(emb, id_col, vec_col, n_centroids)
     )
@@ -210,6 +211,42 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> IvfPqModel:
         dim=model.dim,
         encoded_dir=new_dir,
     )
+
+
+def expire_ivfpq_snapshots(spark: SparkSession, path: str) -> list[str]:
+    """Retention sweep: delete every encoded snapshot dir the CURRENT
+    manifest does not name — the garbage rebuilds and compactions leave
+    behind by design (their write order makes the swap atomic; see
+    ``build_ivfpq_index``). Returns the deleted dir names, sorted.
+
+    Same grace-period discipline as table-format snapshot expiry: a
+    reader that loaded the manifest BEFORE the latest swap may still be
+    scanning a superseded dir, so at scale this runs on a schedule with
+    a horizon comfortably above the longest query job (e.g. daily,
+    deleting snapshots superseded for >24 h), not inline after every
+    rebuild. Filesystem access goes through ``pyarrow.fs`` — the same
+    local/S3/HDFS seam as ``pipeline/lake.py``."""
+    import pyarrow.fs as pafs
+
+    model = load_ivfpq_model(spark, path)
+    if "://" in path:
+        fs, base = pafs.FileSystem.from_uri(path)
+    else:
+        fs, base = pafs.LocalFileSystem(), path
+    infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    doomed = sorted(
+        i.base_name
+        for i in infos
+        if i.type == pafs.FileType.Directory
+        and (
+            i.base_name.startswith(f"{ENCODED_DIR}-")
+            or i.base_name == ENCODED_DIR  # legacy fixed layout
+        )
+        and i.base_name != model.encoded_dir
+    )
+    for d in doomed:
+        fs.delete_dir(f"{base}/{d}")
+    return doomed
 
 
 def append_to_ivfpq_index(

@@ -1154,6 +1154,14 @@ def test_ivfpq_index_compaction_one_file_per_cell(emb, spark, tmp_path):
     assert ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect() == want
     assert os.path.isdir(os.path.join(path, before.encoded_dir))  # old snapshot kept
 
+    # Retention sweep: every dir the manifest doesn't name goes; the
+    # live snapshot stays and still serves the same results.
+    gone = ann_index.expire_ivfpq_snapshots(spark, path)
+    assert gone == [before.encoded_dir]
+    assert not os.path.isdir(os.path.join(path, before.encoded_dir))
+    assert ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect() == want
+    assert ann_index.expire_ivfpq_snapshots(spark, path) == []  # idempotent
+
 
 def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):
     """Advisor finding (round 9): a sample with >= n_codes ROWS but
