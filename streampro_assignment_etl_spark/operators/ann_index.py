@@ -10,20 +10,29 @@ a persisted index:
   assignment + PQ encoding as the same fused zero-shuffle projection as
   the composed path — and writes:
   - ``<path>/encoded-<token>``: (neighbor_id, _code0.._code{m-1})
-    parquet, **partitioned by cell**, so a query batch's scan prunes to
-    its probed cells at the file listing (the pruning-to-scan pattern
-    of `pipeline/catalog_ops` external tables); a fresh dir per build,
-  - ``<path>/model``: the centroid list + per-subspace codebooks as one
-    JSON document (Python ``json`` round-trips finite doubles
-    bit-exactly — shortest-repr emit, exact parse — so a reloaded model
-    probes/encodes on the IDENTICAL floats the build used), plus the
-    NAME of the encoded dir holding this model's codes — the manifest
-    write is the rebuild's atomic commit point (pointer swap, see
-    ``build_ivfpq_index``).
+    parquet, **partitioned by (ingest, cell)** — ``cell`` so a query
+    batch's scan prunes to its probed cells at the file listing (the
+    pruning-to-scan pattern of `pipeline/catalog_ops` external tables),
+    ``ingest`` so each incremental append owns a subtree it can
+    OVERWRITE idempotently (the streaming-replay contract, see
+    ``append_to_ivfpq_index``); a fresh dir per build,
+  - ``<path>/model-<epoch>-<token>``: the centroid list + per-subspace
+    codebooks as one JSON document (Python ``json`` round-trips finite
+    doubles bit-exactly — shortest-repr emit, exact parse — so a
+    reloaded model probes/encodes on the IDENTICAL floats the build
+    used), the NAME of the encoded dir holding this model's codes, the
+    build-time per-cell occupancy (the drift reference for
+    ``index_occupancy_stats``), and the manifest EPOCH. Each manifest
+    is a fresh write-once artifact; readers pick the latest COMPLETE
+    one (highest epoch with ``_SUCCESS``), so a crash mid-commit can
+    never leave the index unreadable and a reader racing a commit sees
+    either the old or the new manifest, never a torn one.
 * ``append_to_ivfpq_index`` is the incremental-ingest half: a new
   batch is encoded under the RESIDENT model (batch-linear, corpus
-  untouched) and appended into the manifest's snapshot — bit-equal to
-  a full rebuild over the union under the same model.
+  untouched) and lands in its own ``ingest=<id>`` subtree of the
+  manifest's snapshot — bit-equal to a full rebuild over the union
+  under the same model, and replay-idempotent when the caller supplies
+  the ingest id (``streaming/index_ingest.py`` does).
 * ``ivfpq_topk_over_index`` answers a query batch by loading the model
   (small by contract: C centroids + m·n_codes codewords), scanning ONLY
   the probed-cell partitions of the encoded corpus, and running the
@@ -35,13 +44,24 @@ a persisted index:
 
 Scale notes: the index holds m bytes of codes per vector (plus the id)
 — ~12 B/row at m=4 vs ~520 B for the raw float64 vector, so a 10⁹-row
-index is ~12 GB of parquet across C partitions, and a P-of-C probe
-batch reads ~P/C of that. The exact re-rank fetches raw vectors for
-only the ``shortlist`` survivors via an id-equi-join against the
-corpus table — the point-lookup pattern (at warehouse scale, back that
-table by a bucketed-by-id layout so the fetch is also pruned). Writing
-one partition dir per cell is the right layout while C ≤ O(10³); for
-C beyond the file-listing sweet spot, bucket by cell instead.
+index is ~12 GB of parquet across C×(1+appends) partition dirs, and a
+P-of-C probe batch reads ~P/C of that. The exact re-rank fetches raw
+vectors for only the ``shortlist`` survivors via an id-equi-join
+against the corpus table — the point-lookup pattern (at warehouse
+scale, back that table by a bucketed-by-id layout so the fetch is also
+pruned). Writing one partition dir per (ingest, cell) is the right
+layout while C·ingests ≤ O(10⁴) — ``compact_ivfpq_index`` folds the
+ingest axis back to one subtree; for C beyond the file-listing sweet
+spot, bucket by cell instead.
+
+Concurrency contract: one writer at a time (appends, compactions,
+rebuilds). That contract is FENCED, not honor-system: every commit
+carries an epoch, and a writer whose loaded epoch is no longer current
+at commit time aborts loudly instead of silently dropping the other
+writer's work (``_commit_manifest``). Detection, not locking — a true
+simultaneous double-commit at the same epoch is still last-listed-wins,
+but any sequential interleave (the realistic cron-overlap failure)
+raises.
 
 ≙ reference: none (north-star extension; the reference has no vector
 surface). Composition/citations: similarity.py's IVF/PQ operators.
@@ -50,6 +70,7 @@ surface). Composition/citations: similarity.py's IVF/PQ operators.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -70,7 +91,9 @@ from .similarity import (
 )
 
 ENCODED_DIR = "encoded"  # legacy fixed layout; new builds use encoded-<token>
-MODEL_DIR = "model"
+MODEL_DIR = "model"  # legacy Spark-text manifest dir (pre-epoch layout)
+MODEL_PREFIX = "model-"  # epoch-fenced manifests: model-<epoch:012d>-<token>
+BASE_INGEST = "base"  # the build's (and compaction's) ingest partition value
 _MODEL_VERSION = 1
 
 
@@ -79,7 +102,10 @@ class IvfPqModel:
     """The driver-resident half of a persisted index: everything needed
     to probe cells and build ADC LUTs without touching the corpus.
     ``encoded_dir`` is the manifest pointer — the model names WHICH
-    encoded snapshot its codes live in (see ``build_ivfpq_index``)."""
+    encoded snapshot its codes live in; ``epoch`` is the fencing token
+    every writer echoes at commit; ``occupancy`` is the build-time
+    per-cell row distribution (``index_occupancy_stats``'s drift
+    reference), carried forward verbatim by appends/compactions."""
 
     centroids: CentroidList
     codebooks: PQCodebooks
@@ -88,6 +114,122 @@ class IvfPqModel:
     n_codes: int
     dim: int
     encoded_dir: str = ENCODED_DIR
+    epoch: int = 0
+    occupancy: tuple[tuple[int, int], ...] | None = None
+
+
+def _fs_base(path: str):
+    """(pyarrow filesystem, base path) for a local path or FS URI — the
+    same local/S3/HDFS seam as ``pipeline/lake.py``."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _list_manifests(fs, base) -> list[tuple[int, str]]:
+    """COMPLETE manifest artifacts under ``base`` as (epoch, dirname),
+    ascending. Complete = the committer's ``_SUCCESS`` marker exists —
+    a crash mid-write leaves an incomplete dir that readers skip and
+    ``expire_ivfpq_snapshots`` eventually sweeps."""
+    import pyarrow.fs as pafs
+
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    out = []
+    for i in infos:
+        if i.type != pafs.FileType.Directory or not i.base_name.startswith(
+            MODEL_PREFIX
+        ):
+            continue
+        try:
+            epoch = int(i.base_name[len(MODEL_PREFIX) :].split("-", 1)[0])
+        except ValueError:
+            continue
+        ok = fs.get_file_info(f"{base}/{i.base_name}/_SUCCESS")
+        if ok.type == pafs.FileType.File:
+            out.append((epoch, i.base_name))
+    return sorted(out)
+
+
+def _current_epoch(path: str) -> int:
+    """Latest committed epoch at ``path`` (0 = no epoch-fenced manifest
+    yet — fresh index, or a legacy Spark-text ``model/`` dir)."""
+    fs, base = _fs_base(path)
+    manifests = _list_manifests(fs, base)
+    return manifests[-1][0] if manifests else 0
+
+
+def _commit_manifest(
+    spark: SparkSession,
+    path: str,
+    cents: CentroidList,
+    cbs: PQCodebooks,
+    dim: int,
+    encoded_dir: str,
+    occupancy: tuple[tuple[int, int], ...] | None,
+    expect_epoch: int,
+) -> int:
+    """Fence, then commit: write the manifest as a FRESH write-once
+    ``model-<epoch+1>-<token>`` artifact (readers pick the latest
+    complete one, so the commit is the ``_SUCCESS`` marker the text
+    committer drops last — never a delete-then-write window). The fence
+    re-reads the current epoch immediately before writing and aborts
+    loudly if it moved since the caller loaded the model — the
+    append-vs-compact interleave that would otherwise silently drop the
+    earlier writer's rows. Returns the committed epoch.
+
+    One-row text write through Spark, not ``open()``: the index path
+    may be any Hadoop-compatible FS (s3a://...), same contract as the
+    parquet half."""
+    current = _current_epoch(path)
+    if current != expect_epoch:
+        raise RuntimeError(
+            f"index at {path} moved from epoch {expect_epoch} to {current} "
+            f"since this writer loaded it — a concurrent append/compact/"
+            f"rebuild committed first. Aborting instead of overwriting its "
+            f"work; reload and retry. (Single-writer contract; this fence "
+            f"detects sequential interleaves, it is not a lock.)"
+        )
+    new_epoch = expect_epoch + 1
+    doc = {
+        "version": _MODEL_VERSION,
+        "epoch": new_epoch,
+        "n_centroids": len(cents),
+        "m": len(cbs),
+        "n_codes": len(cbs[0]),
+        "dim": dim,
+        "encoded_dir": encoded_dir,
+        "occupancy": [[int(c), int(n)] for c, n in occupancy]
+        if occupancy is not None
+        else None,
+        "centroids": [[int(cid), list(map(float, v))] for cid, v in cents],
+        "codebooks": [
+            [[int(code), list(map(float, w))] for code, w in book] for book in cbs
+        ],
+    }
+    name = f"{MODEL_PREFIX}{new_epoch:012d}-{uuid.uuid4().hex[:12]}"
+    spark.createDataFrame([(json.dumps(doc),)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/{name}")
+    return new_epoch
+
+
+def _snapshot_occupancy(spark: SparkSession, snapshot: str) -> tuple[tuple[int, int], ...]:
+    """Per-cell row counts of an encoded snapshot, as a sorted tuple.
+    One groupBy over the partition column — the scan reads no data
+    columns, so at 10⁹ rows this is parquet-footer metadata plus the
+    listing, not a code read."""
+    rows = (
+        spark.read.parquet(snapshot)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return tuple(sorted((int(r["cell"]), int(r["n"])) for r in rows))
 
 
 def build_ivfpq_index(
@@ -110,18 +252,20 @@ def build_ivfpq_index(
     caller-supplied ``codebooks``, so a geometry mismatch between the
     two is impossible by construction). The encoded corpus write is the
     fused assign+encode projection (zero shuffles before the
-    partitioned write's own exchange).
+    partitioned write's own exchange), landing under ``ingest=base``.
 
     Rebuild atomicity (snapshot-pointer pattern): each build writes its
-    codes to a FRESH ``encoded-<token>`` dir, then commits by
-    overwriting the one-row model manifest that names that dir. A crash
-    between the two writes leaves the OLD manifest pointing at the OLD
-    (intact) snapshot — readers never see new codes under old
-    centroids, the failure mode a fixed in-place ``encoded/`` overwrite
-    cannot avoid. Superseded snapshot dirs are garbage, not hazard;
-    ``expire_ivfpq_snapshots`` sweeps them by retention (any dir the
-    current manifest doesn't name), same as table-format snapshot
-    expiry."""
+    codes to a FRESH ``encoded-<token>`` dir, then commits by writing a
+    FRESH ``model-<epoch>-<token>`` manifest naming that dir. A crash
+    anywhere leaves the previous (complete) manifest as the latest —
+    readers never see new codes under old centroids and never hit a
+    missing-manifest window (the failure modes an in-place overwrite
+    cannot avoid). Superseded snapshot/manifest dirs are garbage, not
+    hazard; ``expire_ivfpq_snapshots`` sweeps them by retention with a
+    min-age grace. Rebuilding an EXISTING index is epoch-fenced like
+    every other write: if another writer committed between this build's
+    model load and its commit, the commit raises."""
+    expect_epoch = _current_epoch(path)
     cents = centroids or collect_centroids(
         seed_centroids(emb, id_col, vec_col, n_centroids)
     )
@@ -136,11 +280,19 @@ def build_ivfpq_index(
 
     cells = assign_cells(emb, cents, id_col, vec_col)
     enc = pq_encode(cells, cbs, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell", *[f"_code{j}" for j in range(m)]
+        F.col(id_col).alias("neighbor_id"),
+        F.lit(BASE_INGEST).alias("ingest"),
+        "cell",
+        *[f"_code{j}" for j in range(m)],
     )
-    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{encoded_dir}")
+    enc.write.mode("overwrite").partitionBy("ingest", "cell").parquet(
+        f"{path}/{encoded_dir}"
+    )
+    occ = _snapshot_occupancy(emb.sparkSession, f"{path}/{encoded_dir}")
 
-    _commit_manifest(emb.sparkSession, path, cents, cbs, dim, encoded_dir)
+    epoch = _commit_manifest(
+        emb.sparkSession, path, cents, cbs, dim, encoded_dir, occ, expect_epoch
+    )
     return IvfPqModel(
         centroids=cents,
         codebooks=cbs,
@@ -149,59 +301,50 @@ def build_ivfpq_index(
         n_codes=n_codes,
         dim=dim,
         encoded_dir=encoded_dir,
+        epoch=epoch,
+        occupancy=occ,
     )
-
-
-def _commit_manifest(
-    spark: SparkSession,
-    path: str,
-    cents: CentroidList,
-    cbs: PQCodebooks,
-    dim: int,
-    encoded_dir: str,
-) -> None:
-    """Overwrite the one-row model manifest — the atomic commit point
-    for builds AND compactions. One-row text write through Spark, not
-    ``open()``: the index path may be any Hadoop-compatible FS
-    (s3a://...), same contract as the parquet half."""
-    doc = {
-        "version": _MODEL_VERSION,
-        "n_centroids": len(cents),
-        "m": len(cbs),
-        "n_codes": len(cbs[0]),
-        "dim": dim,
-        "encoded_dir": encoded_dir,
-        "centroids": [[int(cid), list(map(float, v))] for cid, v in cents],
-        "codebooks": [
-            [[int(code), list(map(float, w))] for code, w in book] for book in cbs
-        ],
-    }
-    spark.createDataFrame([(json.dumps(doc),)], "value string").coalesce(
-        1
-    ).write.mode("overwrite").text(f"{path}/{MODEL_DIR}")
 
 
 def compact_ivfpq_index(spark: SparkSession, path: str) -> IvfPqModel:
-    """Rewrite the index's snapshot with one file per cell partition and
+    """Rewrite the index's snapshot with one file per cell and
     pointer-swap the manifest — the OPTIMIZE step an append-heavy index
-    needs. Every ``append_to_ivfpq_index`` lands one file per (append,
-    cell); after a year of daily ingest a probed cell's scan opens ~365
-    files whose per-file overhead (open + footer + tiny row groups)
-    dwarfs the code bytes. Compaction is pure IO — read the current
-    snapshot, ``repartition("cell")`` so each cell's rows land in one
-    task → ONE file per cell dir, write a fresh snapshot, commit the
-    manifest (same model, new dir). No re-encode, no result change
+    needs. Every ``append_to_ivfpq_index`` lands one ``ingest=<id>``
+    subtree with one file per cell it touches; after a year of daily
+    ingest a probed cell's scan opens ~365 files whose per-file
+    overhead (open + footer + tiny row groups) dwarfs the code bytes.
+    Compaction is pure IO — read the current snapshot, fold every
+    ingest back into ``ingest=base``, ``repartition("cell")`` so each
+    cell's rows land in one task → ONE file per cell, write a fresh
+    snapshot, commit a fresh manifest (same model, same build-time
+    occupancy, new dir, next epoch). No re-encode, no result change
     (bit-equal pinned in tests); the swap is atomic under the same
-    snapshot-pointer rule as rebuilds, so live readers finish on the
-    old snapshot. Single-writer contract: don't run concurrent
-    appends/compactions against one index path — last manifest wins."""
+    latest-complete-manifest rule as rebuilds, so live readers finish
+    on the old snapshot. The commit is epoch-fenced: a compaction that
+    raced an append aborts loudly instead of publishing a snapshot
+    missing the appended rows."""
     model = load_ivfpq_model(spark, path)
     enc = spark.read.parquet(f"{path}/{model.encoded_dir}")
+    if "ingest" in enc.columns:
+        enc = enc.drop("ingest")
     new_dir = f"{ENCODED_DIR}-{uuid.uuid4().hex[:12]}"
-    enc.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/{new_dir}"
+    (
+        enc.withColumn("ingest", F.lit(BASE_INGEST))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("ingest", "cell")
+        .parquet(f"{path}/{new_dir}")
     )
-    _commit_manifest(spark, path, model.centroids, model.codebooks, model.dim, new_dir)
+    epoch = _commit_manifest(
+        spark,
+        path,
+        model.centroids,
+        model.codebooks,
+        model.dim,
+        new_dir,
+        model.occupancy,
+        expect_epoch=model.epoch,
+    )
     return IvfPqModel(
         centroids=model.centroids,
         codebooks=model.codebooks,
@@ -210,43 +353,61 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> IvfPqModel:
         n_codes=model.n_codes,
         dim=model.dim,
         encoded_dir=new_dir,
+        epoch=epoch,
+        occupancy=model.occupancy,
     )
 
 
-def expire_ivfpq_snapshots(spark: SparkSession, path: str) -> list[str]:
+def expire_ivfpq_snapshots(
+    spark: SparkSession, path: str, min_age_seconds: float = 0.0
+) -> list[str]:
     """Retention sweep: delete every encoded snapshot dir the CURRENT
-    manifest does not name — the garbage rebuilds and compactions leave
-    behind by design (their write order makes the swap atomic; see
-    ``build_ivfpq_index``). Returns the deleted dir names, sorted.
+    manifest does not name, every superseded manifest artifact (epoch
+    below the current one, plus the legacy ``model/`` dir once an
+    epoch-fenced manifest exists), and any incomplete manifest debris —
+    the garbage rebuilds and compactions leave behind by design (their
+    write order makes the swap atomic; see ``build_ivfpq_index``).
+    Returns the deleted dir names, sorted.
 
-    Same grace-period discipline as table-format snapshot expiry: a
-    reader that loaded the manifest BEFORE the latest swap may still be
-    scanning a superseded dir, so at scale this runs on a schedule with
-    a horizon comfortably above the longest query job (e.g. daily,
-    deleting snapshots superseded for >24 h), not inline after every
-    rebuild. Filesystem access goes through ``pyarrow.fs`` — the same
-    local/S3/HDFS seam as ``pipeline/lake.py``."""
+    ``min_age_seconds`` is the grace horizon of table-format snapshot
+    expiry, ENFORCED: a candidate whose mtime is younger than the
+    horizon is skipped, so (a) a reader that loaded the manifest before
+    the latest swap finishes its scan of the superseded dir, and (b) an
+    uncommitted ``encoded-<token>`` from a build in progress is never
+    swept mid-write. Wire this into a schedule with a horizon
+    comfortably above the longest query job (e.g. daily with 24 h);
+    the 0 default is for tests and offline maintenance windows where no
+    reader or writer can be in flight. Filesystem access goes through
+    ``pyarrow.fs`` — the same local/S3/HDFS seam as
+    ``pipeline/lake.py``."""
     import pyarrow.fs as pafs
 
     model = load_ivfpq_model(spark, path)
-    if "://" in path:
-        fs, base = pafs.FileSystem.from_uri(path)
-    else:
-        fs, base = pafs.LocalFileSystem(), path
+    fs, base = _fs_base(path)
+    current_manifest = {name for _, name in _list_manifests(fs, base)[-1:]}
+    now = time.time()
     infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
-    doomed = sorted(
-        i.base_name
-        for i in infos
-        if i.type == pafs.FileType.Directory
-        and (
-            i.base_name.startswith(f"{ENCODED_DIR}-")
-            or i.base_name == ENCODED_DIR  # legacy fixed layout
+    doomed = []
+    for i in infos:
+        if i.type != pafs.FileType.Directory:
+            continue
+        n = i.base_name
+        superseded = (
+            (
+                (n.startswith(f"{ENCODED_DIR}-") or n == ENCODED_DIR)
+                and n != model.encoded_dir
+            )
+            or (n.startswith(MODEL_PREFIX) and n not in current_manifest)
+            or (n == MODEL_DIR and bool(current_manifest))
         )
-        and i.base_name != model.encoded_dir
-    )
-    for d in doomed:
+        if not superseded:
+            continue
+        if i.mtime is not None and now - i.mtime.timestamp() < min_age_seconds:
+            continue  # inside the grace horizon — maybe still read/written
+        doomed.append(n)
+    for d in sorted(doomed):
         fs.delete_dir(f"{base}/{d}")
-    return doomed
+    return sorted(doomed)
 
 
 def append_to_ivfpq_index(
@@ -254,48 +415,98 @@ def append_to_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ingest_id: str | None = None,
 ) -> IvfPqModel:
     """Incremental ingest: encode ONLY the new batch under the index's
-    EXISTING model and append its (neighbor_id, cell, codes) rows into
-    the manifest's current snapshot — the daily-ingest shape. Cost is
-    one map-side assign+encode projection over the BATCH; the resident
-    corpus is never touched, which is the whole point at 10⁹ vectors
-    (a 10⁶-row day lands in seconds regardless of corpus size).
+    EXISTING model and land its (neighbor_id, cell, codes) rows in an
+    ``ingest=<id>`` subtree of the manifest's current snapshot — the
+    daily-ingest shape. Cost is one map-side assign+encode projection
+    over the BATCH; the resident corpus is never touched, which is the
+    whole point at 10⁹ vectors (a 10⁶-row day lands in seconds
+    regardless of corpus size).
+
+    ``ingest_id`` names the subtree; the write is an OVERWRITE of that
+    subtree, so re-running the same append is idempotent — the replay
+    contract ``streaming/index_ingest.py`` builds on (a retried
+    micro-batch re-lands its own rows, never duplicates them). Omit it
+    for ad-hoc batch appends and a fresh unique id is generated. The id
+    must not collide with ``base`` (the build's subtree) or a previous
+    append's id unless a replacement is intended.
 
     Consistency: the model is unchanged, so appended codes are mutually
     consistent with resident ones by construction — serving after an
     append is bit-equal to a full rebuild over the union under the same
-    model (pinned in tests). The append commits through the job-level
-    output committer: a failed append leaves staging debris, never
-    half-visible codes, and the manifest needs no rewrite (it names the
-    dir, and the dir's contents grew under the same model). Caller
-    contract: batch ids are NEW ids — the index stores rows, not keys;
-    run the incremental-dedup ops upstream. When drift accumulates
-    (appended mass pulling cell occupancy away from the trained
-    centroids' balance), retrain via ``build_ivfpq_index`` — the
+    model (pinned in tests). The subtree write commits through the
+    job-level output committer (a failed append leaves staging debris,
+    never half-visible codes); the append then bumps the manifest epoch
+    — same model, same dir — which is what FENCES it against a
+    concurrent compaction (the compaction's commit sees the moved epoch
+    and aborts instead of publishing a snapshot missing these rows);
+    symmetrically, if a compaction committed mid-append, the append's
+    own bump raises and the caller retries against the new snapshot
+    (the rows it wrote landed in the superseded dir — debris for the
+    retention sweep, not duplicates). Caller contract: batch ids are
+    NEW ids — the index stores rows, not keys; run the incremental-
+    dedup ops upstream. When drift accumulates (``index_occupancy_
+    stats`` past threshold), retrain via ``build_ivfpq_index`` — the
     snapshot-pointer rebuild swaps atomically under live readers."""
     spark = new_emb.sparkSession
     model = load_ivfpq_model(spark, path)
+    if ingest_id is None:
+        ingest_id = f"u{uuid.uuid4().hex[:12]}"
+    if ingest_id == BASE_INGEST:
+        raise ValueError(
+            f"ingest_id {BASE_INGEST!r} is reserved for the build's subtree"
+        )
     cells = assign_cells(new_emb, model.centroids, id_col, vec_col)
     enc = pq_encode(cells, model.codebooks, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         "cell",
         *[f"_code{j}" for j in range(model.m)],
     )
-    enc.write.mode("append").partitionBy("cell").parquet(
-        f"{path}/{model.encoded_dir}"
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/{model.encoded_dir}/ingest={ingest_id}"
     )
-    return model
+    epoch = _commit_manifest(
+        spark,
+        path,
+        model.centroids,
+        model.codebooks,
+        model.dim,
+        model.encoded_dir,
+        model.occupancy,
+        expect_epoch=model.epoch,
+    )
+    return IvfPqModel(
+        centroids=model.centroids,
+        codebooks=model.codebooks,
+        n_centroids=model.n_centroids,
+        m=model.m,
+        n_codes=model.n_codes,
+        dim=model.dim,
+        encoded_dir=model.encoded_dir,
+        epoch=epoch,
+        occupancy=model.occupancy,
+    )
 
 
 def load_ivfpq_model(spark: SparkSession, path: str) -> IvfPqModel:
-    """Read back the model artifact. Loud on version mismatch — codes
-    written under one model are meaningless probed under another (same
-    failure mode as the bloom slot-version guard)."""
-    rows = spark.read.text(f"{path}/{MODEL_DIR}").collect()
+    """Read back the latest COMPLETE model artifact (highest epoch with
+    a ``_SUCCESS`` marker; falls back to the legacy ``model/`` dir for
+    pre-epoch indexes). Loud on version mismatch — codes written under
+    one model are meaningless probed under another (same failure mode
+    as the bloom slot-version guard)."""
+    fs, base = _fs_base(path)
+    manifests = _list_manifests(fs, base)
+    if manifests:
+        epoch, name = manifests[-1]
+        rows = spark.read.text(f"{path}/{name}").collect()
+    else:
+        # Legacy layout: Spark-text dir at <path>/model (epoch 0).
+        rows = spark.read.text(f"{path}/{MODEL_DIR}").collect()
     if len(rows) != 1:
         raise ValueError(
-            f"index model at {path}/{MODEL_DIR} has {len(rows)} rows, expected 1"
+            f"index model at {path} has {len(rows)} manifest rows, expected 1"
         )
     doc = json.loads(rows[0]["value"])
     if doc.get("version") != _MODEL_VERSION:
@@ -303,6 +514,7 @@ def load_ivfpq_model(spark: SparkSession, path: str) -> IvfPqModel:
             f"index model version {doc.get('version')} != code version "
             f"{_MODEL_VERSION}: rebuild the index"
         )
+    occ = doc.get("occupancy")
     return IvfPqModel(
         centroids=[(int(cid), [float(x) for x in v]) for cid, v in doc["centroids"]],
         codebooks=[
@@ -315,7 +527,52 @@ def load_ivfpq_model(spark: SparkSession, path: str) -> IvfPqModel:
         dim=int(doc["dim"]),
         # Pre-snapshot manifests (no key) point at the legacy fixed dir.
         encoded_dir=str(doc.get("encoded_dir", ENCODED_DIR)),
+        epoch=int(doc.get("epoch", 0)),
+        occupancy=tuple((int(c), int(n)) for c, n in occ)
+        if occ is not None
+        else None,
     )
+
+
+def index_occupancy_stats(spark: SparkSession, path: str) -> dict:
+    """Cell-occupancy drift: compare the snapshot's CURRENT per-cell
+    row distribution against the BUILD-time distribution stored in the
+    manifest — the retrain signal ``append_to_ivfpq_index``'s contract
+    points at. Appends encode under frozen centroids; if the incoming
+    data's distribution shifts, mass piles into cells the centroids no
+    longer describe well — probes scan more rows for the same recall.
+    The drift statistic is total-variation distance between the two
+    normalized distributions (0 = identical shape, 1 = disjoint):
+    same-distribution growth keeps it near 0 regardless of VOLUME,
+    which is exactly the property a retrain trigger needs (don't
+    retrain because the index grew; retrain because its SHAPE moved).
+    Rule of thumb: alert at 0.1, retrain by 0.25 — but gate on your own
+    recall soak. Cost: one groupBy over the partition column (parquet
+    footer metadata, no code bytes read)."""
+    model = load_ivfpq_model(spark, path)
+    if model.occupancy is None:
+        raise ValueError(
+            f"index at {path} has no build-time occupancy in its manifest "
+            f"(built before occupancy tracking): rebuild to enable drift stats"
+        )
+    current = _snapshot_occupancy(spark, f"{path}/{model.encoded_dir}")
+    built = dict(model.occupancy)
+    cur = dict(current)
+    bt = sum(built.values()) or 1
+    ct = sum(cur.values()) or 1
+    cells = sorted(set(built) | set(cur))
+    tv = 0.5 * sum(
+        abs(built.get(c, 0) / bt - cur.get(c, 0) / ct) for c in cells
+    )
+    return {
+        "built_total": sum(built.values()),
+        "current_total": sum(cur.values()),
+        "per_cell": [
+            {"cell": c, "built_n": built.get(c, 0), "current_n": cur.get(c, 0)}
+            for c in cells
+        ],
+        "tv_drift": tv,
+    }
 
 
 def ivfpq_topk_over_index(
@@ -355,6 +612,10 @@ def ivfpq_topk_over_index(
     # dir it points at (not a fixed path) is what makes a half-finished
     # rebuild invisible to queries.
     enc = spark.read.parquet(f"{path}/{model.encoded_dir}")
+    if "ingest" in enc.columns:
+        # The ingest axis is a write-idempotency partition, not data —
+        # serving reads the union of all ingests.
+        enc = enc.drop("ingest")
 
     probed = probe_cells(queries, model.centroids, id_col, vec_col, probes)
     # The probed cell set is Q×P ints, bounded by contract (queries are

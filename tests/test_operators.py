@@ -1010,14 +1010,30 @@ def test_ivfpq_index_version_guard_and_empty_queries(emb, spark, tmp_path):
     assert out.columns == ["query_id", "neighbor_id", "rank", "l2sq_micro"]
     assert out.count() == 0
 
-    rows = spark.read.text(f"{path}/{ann_index.MODEL_DIR}").collect()
-    doc = json.loads(rows[0]["value"])
+    # Corrupt by committing a HIGHER-epoch manifest with a foreign
+    # version: readers pick the latest complete artifact, so the guard
+    # must fire on it.
+    import glob as _glob
+    import os as _os
+
+    latest = sorted(_glob.glob(f"{path}/{ann_index.MODEL_PREFIX}*"))[-1]
+    part = next(
+        p for p in _os.listdir(latest) if p.startswith("part-") and p.endswith(".txt")
+    )
+    with open(f"{latest}/{part}") as f:
+        doc = json.loads(f.read())
     doc["version"] = 999
     spark.createDataFrame([(json.dumps(doc),)], "value string").coalesce(
         1
-    ).write.mode("overwrite").text(f"{path}/{ann_index.MODEL_DIR}")
+    ).write.mode("overwrite").text(
+        f"{path}/{ann_index.MODEL_PREFIX}999999999999-poison"
+    )
     with pytest.raises(ValueError, match="version"):
         ann_index.load_ivfpq_model(spark, path)
+    # An INCOMPLETE higher-epoch artifact (no _SUCCESS — a crashed
+    # commit) is invisible: readers fall back to the latest complete one.
+    _os.remove(f"{path}/{ann_index.MODEL_PREFIX}999999999999-poison/_SUCCESS")
+    assert ann_index.load_ivfpq_model(spark, path).m == 4
 
 
 def test_ivfpq_index_geometry_from_codebooks_and_snapshot_rebuild(
@@ -1129,11 +1145,13 @@ def test_ivfpq_index_compaction_one_file_per_cell(emb, spark, tmp_path):
     from streampro_assignment_etl_spark.operators import ann_index
 
     def cell_files(p, d):
-        return {
-            c: len(glob.glob(os.path.join(p, d, c, "*.parquet")))
-            for c in os.listdir(os.path.join(p, d))
-            if c.startswith("cell=")
-        }
+        # The snapshot is partitioned (ingest, cell): count files per
+        # CELL across all ingest subtrees — that's what a probe scans.
+        out: dict[str, int] = {}
+        for f in glob.glob(os.path.join(p, d, "ingest=*", "cell=*", "*.parquet")):
+            c = os.path.basename(os.path.dirname(f))
+            out[c] = out.get(c, 0) + 1
+        return out
 
     path = str(tmp_path / "idx")
     thirds = [emb.filter(F.col("vec_id") % 3 == r) for r in range(3)]
@@ -1154,13 +1172,142 @@ def test_ivfpq_index_compaction_one_file_per_cell(emb, spark, tmp_path):
     assert ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect() == want
     assert os.path.isdir(os.path.join(path, before.encoded_dir))  # old snapshot kept
 
-    # Retention sweep: every dir the manifest doesn't name goes; the
-    # live snapshot stays and still serves the same results.
+    # Retention sweep: every snapshot/manifest dir the current manifest
+    # epoch doesn't name goes (superseded snapshot + the manifests the
+    # build/appends/compaction superseded); the live pair stays and
+    # still serves the same results.
     gone = ann_index.expire_ivfpq_snapshots(spark, path)
-    assert gone == [before.encoded_dir]
+    assert before.encoded_dir in gone
     assert not os.path.isdir(os.path.join(path, before.encoded_dir))
+    assert os.path.isdir(os.path.join(path, compacted.encoded_dir))
     assert ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect() == want
     assert ann_index.expire_ivfpq_snapshots(spark, path) == []  # idempotent
+
+
+def test_ivfpq_index_epoch_fence_detects_append_compact_interleave(
+    emb, spark, tmp_path, monkeypatch
+):
+    """Writer fencing (round-10 watch item): a compaction that loaded
+    the model, then lost a race to a concurrent append, must ABORT at
+    its commit instead of publishing a snapshot missing the appended
+    rows (last-manifest-wins silently dropped them before). The
+    interleave is forced deterministically: the append runs inside the
+    compaction's model load, i.e. after compact pinned its epoch but
+    before its commit."""
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+
+    late = emb.filter(F.col("vec_id") % 2 == 1)
+    real_load = ann_index.load_ivfpq_model
+    raced = [False]
+
+    def load_then_append(s, p):
+        model = real_load(s, p)
+        if not raced[0]:
+            raced[0] = True  # guard: the nested append loads too
+            ann_index.append_to_ivfpq_index(late, p)
+        return model
+
+    monkeypatch.setattr(ann_index, "load_ivfpq_model", load_then_append)
+    with pytest.raises(RuntimeError, match="moved from epoch"):
+        ann_index.compact_ivfpq_index(spark, path)
+    monkeypatch.undo()
+
+    # Nothing lost: the manifest still points at the dir holding BOTH
+    # halves, and the compaction's orphaned snapshot is mere debris.
+    model = ann_index.load_ivfpq_model(spark, path)
+    assert (
+        spark.read.parquet(f"{path}/{model.encoded_dir}").count() == emb.count()
+    )
+    # A clean retry (no concurrent writer) succeeds.
+    compacted = ann_index.compact_ivfpq_index(spark, path)
+    assert (
+        spark.read.parquet(f"{path}/{compacted.encoded_dir}").count() == emb.count()
+    )
+
+
+def test_ivfpq_index_expiry_min_age_grace(emb, spark, tmp_path):
+    """Age-guarded retention (advisor + round-10 watch item): a
+    just-superseded snapshot survives a sweep with a nonzero horizon
+    (an in-flight reader that loaded the old manifest may still be
+    scanning it) and is reaped once aged past it."""
+    import os
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    path = str(tmp_path / "idx")
+    first = ann_index.build_ivfpq_index(emb, path)
+    second = ann_index.build_ivfpq_index(emb, path)  # supersedes first
+
+    assert ann_index.expire_ivfpq_snapshots(spark, path, min_age_seconds=3600) == []
+    assert os.path.isdir(os.path.join(path, first.encoded_dir))
+
+    # Age every superseded dir past the horizon; the sweep reaps them
+    # (old snapshot + the build's superseded manifest), never the live
+    # pair.
+    live_manifest = next(
+        d
+        for d in os.listdir(path)
+        if d.startswith(ann_index.MODEL_PREFIX)
+        and int(d[len(ann_index.MODEL_PREFIX) :].split("-")[0]) == second.epoch
+    )
+    old = (1_000_000_000, 1_000_000_000)
+    for d in os.listdir(path):
+        if d not in (second.encoded_dir, live_manifest):
+            os.utime(os.path.join(path, d), old)
+
+    gone = ann_index.expire_ivfpq_snapshots(spark, path, min_age_seconds=3600)
+    assert first.encoded_dir in gone
+    assert live_manifest not in gone
+    assert os.path.isdir(os.path.join(path, second.encoded_dir))
+    q = emb.filter(F.col("vec_id") < 3)
+    assert ann_index.ivfpq_topk_over_index(emb, q, path, k=3).count() == 9
+
+
+def test_ivfpq_index_occupancy_drift_signals_retrain(spark, tmp_path):
+    """index_occupancy_stats: appends drawn from the build's own
+    distribution keep total-variation drift near 0 (growth alone must
+    not trigger a retrain), while a shifted distribution — all mass
+    landing in a few cells the centroids no longer describe — pushes
+    it past the alert threshold."""
+    import random
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    rng = random.Random(11)
+    dim = 8
+
+    def cloud(n, center, start_id):
+        return [
+            (start_id + i, [c + rng.gauss(0, 0.05) for c in center])
+            for i in range(n)
+        ]
+
+    centers = [[float(j == k) for j in range(dim)] for k in range(4)]
+    base = [r for k, c in enumerate(centers) for r in cloud(30, c, 1000 * k)]
+    emb8 = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb8, path, n_centroids=4, m=2, n_codes=8)
+
+    same = spark.createDataFrame(
+        [r for k, c in enumerate(centers) for r in cloud(30, c, 50_000 + 1000 * k)],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.append_to_ivfpq_index(same, path)
+    balanced = ann_index.index_occupancy_stats(spark, path)
+    assert balanced["current_total"] == 2 * balanced["built_total"]
+    assert balanced["tv_drift"] < 0.1, balanced
+
+    shifted = spark.createDataFrame(
+        cloud(240, centers[0], 90_000), "vec_id long, embedding array<double>"
+    )
+    ann_index.append_to_ivfpq_index(shifted, path)
+    drifted = ann_index.index_occupancy_stats(spark, path)
+    assert drifted["tv_drift"] > 0.25, drifted
+    assert drifted["tv_drift"] > balanced["tv_drift"]
 
 
 def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):

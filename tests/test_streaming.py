@@ -1729,3 +1729,110 @@ def test_event_ttl_builders_require_utc_session(spark):
         spark.conf.set("spark.sql.session.timeZone", old)
     # The pinned-UTC session builds fine (no stream started here).
     assert spark.conf.get("spark.sql.session.timeZone") == old == "UTC"
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest into the persisted IVF-PQ index (index_ingest.py).
+# ---------------------------------------------------------------------------
+def test_index_append_stream_bit_equal_and_replay_idempotent(spark, tmp_path):
+    """The continuously-fresh-index loop: a stream of embedding batches
+    appended via foreachBatch must leave the index BIT-EQUAL to one
+    batch append of the union (same resident model -> same codes, same
+    served results), and replays must never duplicate rows — (a) a
+    restarted drain over the same checkpoint is a no-op, (b) a retried
+    micro-batch is skipped by its marker, and (c) even with the marker
+    gone (the crash window between append and marker) the subtree
+    overwrite re-lands the same rows in place."""
+    import glob
+    import os
+
+    from streampro_assignment_etl_spark.operators import ann_index, similarity
+    from streampro_assignment_etl_spark.streaming import index_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.collect_centroids(
+        similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+    )
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, n_codes=16)
+    resident = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    # Landing dir: 3 parquet files = 3 micro-batches at mfpt=1.
+    landing = str(tmp_path / "landing")
+    arriving.repartition(3).write.parquet(landing)
+    assert len(glob.glob(os.path.join(landing, "*.parquet"))) == 3
+
+    streamed = str(tmp_path / "streamed")
+    ann_index.build_ivfpq_index(
+        resident, streamed, centroids=cents, codebooks=cbs
+    )
+    ckpt = str(tmp_path / "ckpt")
+    index_ingest.run_index_append_stream_from_dir(
+        spark, landing, streamed, ckpt,
+        vec_element="float", max_files_per_trigger=1,
+    )
+
+    batched = str(tmp_path / "batched")
+    ann_index.build_ivfpq_index(
+        resident, batched, centroids=cents, codebooks=cbs
+    )
+    ann_index.append_to_ivfpq_index(arriving, batched)
+
+    def snapshot_rows(path):
+        m = ann_index.load_ivfpq_model(spark, path)
+        df = spark.read.parquet(f"{path}/{m.encoded_dir}").drop("ingest")
+        return sorted(tuple(r) for r in df.collect())
+
+    assert snapshot_rows(streamed) == snapshot_rows(batched)  # bit-equal codes
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = ann_index.ivfpq_topk_over_index(emb, q, streamed, k=5).collect()
+    want = ann_index.ivfpq_topk_over_index(emb, q, batched, k=5).collect()
+    assert got == want and len(got) == 25
+
+    n_before = len(snapshot_rows(streamed))
+
+    # (a) Restarted drain, same checkpoint, no new files: no-op.
+    index_ingest.run_index_append_stream_from_dir(
+        spark, landing, streamed, ckpt,
+        vec_element="float", max_files_per_trigger=1,
+    )
+    assert len(snapshot_rows(streamed)) == n_before
+
+    # (b) A retried micro-batch (same batch_id, data already applied)
+    # is skipped by its marker — no re-encode, no new rows.
+    writer = index_ingest.make_index_append_writer(streamed)
+    replay = spark.read.parquet(landing).limit(40)
+    writer(replay, 0)
+    assert len(snapshot_rows(streamed)) == n_before
+
+    # (c) Marker lost in the crash window: the replayed batch must
+    # OVERWRITE its own ingest subtree, not append to it. Replay batch
+    # 1 with the exact rows it originally carried.
+    fs, base = ann_index._fs_base(streamed)
+    marker = index_ingest._marker_path(base, "ingest", 1)
+    os.remove(marker)
+    m = ann_index.load_ivfpq_model(spark, streamed)
+    sub = f"{streamed}/{m.encoded_dir}/ingest=ingest-b{1:012d}"
+    original = (
+        spark.read.parquet(sub).select("neighbor_id").withColumnRenamed(
+            "neighbor_id", "vec_id"
+        )
+    )
+    batch1 = arriving.join(original, "vec_id")
+    writer(batch1, 1)
+    assert len(snapshot_rows(streamed)) == n_before
+    assert index_ingest._marker_exists(streamed, "ingest", 1)  # re-marked
+    assert (
+        ann_index.ivfpq_topk_over_index(emb, q, streamed, k=5).collect() == want
+    )
+
+    # Compaction folds the stream's subtrees; markers survive it, so a
+    # late replay of an already-folded batch stays a no-op.
+    compacted = ann_index.compact_ivfpq_index(spark, streamed)
+    writer(batch1, 1)
+    assert len(snapshot_rows(streamed)) == n_before
+    assert (
+        spark.read.parquet(f"{streamed}/{compacted.encoded_dir}").count()
+        == n_before
+    )
