@@ -1207,11 +1207,38 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Session-lifetime cache of built index paths keyed by corpus dir: the
-# point of the persisted index is build-once/serve-many, so a harness
-# that calls the query entry repeatedly (parity test + local sweep)
-# pays the corpus encode exactly once per sf_dir.
+# Session-lifetime cache of built index paths: the point of the
+# persisted index is build-once/serve-many, so a harness that calls the
+# query entry repeatedly (parity test + local sweep) pays the corpus
+# encode exactly once per corpus. Keyed by a corpus FINGERPRINT, not
+# just sf_dir (advisor finding, round 10): a fixture regenerated at the
+# same path within one session misses the cache and rebuilds instead of
+# serving a stale index. Temp dirs are registered for interpreter-exit
+# cleanup.
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _embeddings_cache_key(sf_dir: str) -> str:
+    """sf_dir + the embeddings fixture's (mtime_ns, size) — cheap stat,
+    changes whenever the corpus file is rewritten."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        return f"{p}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return p
+
+
+def _session_tmpdir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @query(
@@ -1231,19 +1258,18 @@ def similarity_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equal to the composed path by construction (shared ADC/rerank
     code), so the driver-shape hash gate covers the index build, the
     model round-trip, and the pruned query path end to end."""
-    import tempfile
-
     from ..operators import ann_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    key = _embeddings_cache_key(sf_dir)
+    path = _IVFPQ_INDEX_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="ivfpq_index_")
+        path = _session_tmpdir("ivfpq_index_")
         ann_index.build_ivfpq_index(
             emb, path, id_col="vec_id", vec_col="embedding",
             n_centroids=16, m=4, n_codes=16,
         )
-        _IVFPQ_INDEX_CACHE[sf_dir] = path
+        _IVFPQ_INDEX_CACHE[key] = path
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_index.ivfpq_topk_over_index(
         emb, queries, path, id_col="vec_id", vec_col="embedding",
@@ -1269,7 +1295,14 @@ _IVFPQ_FILTERED_ORACLE = _IVFPQ_ORACLE.replace(
   WHERE p.query_id <> a.vec_id
 ),""",
 )
-assert _IVFPQ_FILTERED_ORACLE != _IVFPQ_ORACLE  # replace anchor must hold
+if _IVFPQ_FILTERED_ORACLE == _IVFPQ_ORACLE:
+    # ValueError, not assert (advisor, round 10): under ``python -O``
+    # a bare assert is stripped and a drifted cand CTE would silently
+    # register the filtered entry with the UNFILTERED oracle.
+    raise ValueError(
+        "_IVFPQ_FILTERED_ORACLE replace anchor drifted: the cand CTE in "
+        "_IVFPQ_ORACLE no longer matches the replacement target"
+    )
 
 
 _IVFPQ_APPEND_CACHE: dict[str, str] = {}
@@ -1290,14 +1323,13 @@ def similarity_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative sample, then ingest forever), so serving after the
     append is bit-equal to the one-shot full build — the SAME oracle
     verbatim hash-gates the grown index."""
-    import tempfile
-
     from ..operators import ann_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _IVFPQ_APPEND_CACHE.get(sf_dir)
+    key = _embeddings_cache_key(sf_dir)
+    path = _IVFPQ_APPEND_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="ivfpq_append_")
+        path = _session_tmpdir("ivfpq_append_")
         cents = similarity.collect_centroids(
             similarity.seed_centroids(emb, "vec_id", "embedding", 16)
         )
@@ -1311,7 +1343,7 @@ def similarity_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.filter(F.col("vec_id") % 2 == 1), path,
             id_col="vec_id", vec_col="embedding",
         )
-        _IVFPQ_APPEND_CACHE[sf_dir] = path
+        _IVFPQ_APPEND_CACHE[key] = path
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_index.ivfpq_topk_over_index(
         emb, queries, path, id_col="vec_id", vec_col="embedding",
@@ -1339,13 +1371,165 @@ def similarity_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # Reuse (or build) the session-cached index from the _index entry.
     similarity_ann_ivfpq_index(spark, sf_dir)
-    path = _IVFPQ_INDEX_CACHE[sf_dir]
+    path = _IVFPQ_INDEX_CACHE[_embeddings_cache_key(sf_dir)]
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_index.ivfpq_topk_over_index(
         emb, queries, path, id_col="vec_id", vec_col="embedding",
         k=5, probes=4, shortlist=100,
         allowed=emb.filter(F.col("label") == 3),
+    )
+
+
+_IVFPQ_STREAM_CACHE: dict[str, str] = {}
+
+
+@query(
+    "similarity_ann_ivfpq_stream",
+    extra=True,
+    tags=("similarity", "ann", "ivf", "pq", "index", "streaming"),
+    oracle=_IVFPQ_ORACLE,
+)
+def similarity_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuously-fresh-index loop under the hash gate: the index
+    is built over HALF the corpus (even vec_ids) and the other half
+    arrives as a STREAM — three parquet landing files drained one
+    micro-batch each through ``streaming/index_ingest.py``
+    (``foreachBatch`` → ``append_to_ivfpq_index`` into batch-owned
+    ``ingest=`` subtrees, replay markers beside the manifest). The
+    model is trained on the FULL table (train once on a representative
+    sample, then ingest forever), so serving the stream-grown index is
+    bit-equal to the one-shot full build — the SAME oracle verbatim
+    hash-gates ingest encoding, subtree layout, marker bookkeeping, and
+    the pruned query path end to end."""
+    from ..operators import ann_index
+    from ..streaming import index_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _embeddings_cache_key(sf_dir)
+    path = _IVFPQ_STREAM_CACHE.get(key)
+    if path is None:
+        root = _session_tmpdir("ivfpq_stream_")
+        path = f"{root}/idx"
+        cents = similarity.collect_centroids(
+            similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+        )
+        cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=4, n_codes=16)
+        ann_index.build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path,
+            id_col="vec_id", vec_col="embedding",
+            centroids=cents, codebooks=cbs,
+        )
+        landing = f"{root}/landing"
+        (
+            emb.filter(F.col("vec_id") % 2 == 1)
+            .select("vec_id", "embedding")
+            .repartition(3)
+            .write.parquet(landing)
+        )
+        index_ingest.run_index_append_stream_from_dir(
+            spark, landing, path, f"{root}/ckpt",
+            vec_element="float", max_files_per_trigger=1,
+        )
+        _IVFPQ_STREAM_CACHE[key] = path
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_index.ivfpq_topk_over_index(
+        emb, queries, path, id_col="vec_id", vec_col="embedding",
+        k=5, probes=4, shortlist=100,
+    )
+
+
+# kNN label-agreement QA over the SERVED ANN index: the full IVF-PQ
+# replay widened to the first 100 queries, wrapped in the same exact
+# integer agreement aggregation as the brute-force gate
+# (extensions.knn_label_agreement). Denominator is the HIT count, not
+# n_queries*k, so an under-filled query (selective probes) scores the
+# neighbors it actually returned.
+_KNN_ANN_HITS = _IVFPQ_ORACLE.replace("vec_id < 5", "vec_id < 100")
+if _KNN_ANN_HITS.count("vec_id < 100") != 2:
+    raise ValueError(
+        "knn_label_agreement_ann oracle anchor drifted: expected the probed "
+        "and lut CTEs of _IVFPQ_ORACLE to filter queries by 'vec_id < 5'"
+    )
+_KNN_ANN_ORACLE = f"""
+WITH hits AS ({_KNN_ANN_HITS})
+SELECT ql.label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS matches,
+       (10000 * CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                     AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS agreement_bp
+FROM hits h
+JOIN embeddings ql ON ql.vec_id = h.query_id
+JOIN embeddings nl ON nl.vec_id = h.neighbor_id
+GROUP BY ql.label
+ORDER BY label
+"""
+
+
+@query(
+    "knn_label_agreement_ann",
+    extra=True,
+    tags=("similarity", "quality", "ann", "index", "llm-pipeline"),
+    oracle=_KNN_ANN_ORACLE,
+)
+def knn_label_agreement_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality QA over the SERVED index (closes the
+    brute-force gate's "at 100 TB run it over ANN top-k" note,
+    extensions.knn_label_agreement): for the first 100 vectors, how
+    often do the 5 nearest neighbors *the persisted IVF-PQ index
+    actually returns* share the query's label? Where labels correlate
+    with geometry, an ANN miss substitutes a farther (likelier
+    other-label) vector, so agreement here is a conservative LOWER
+    BOUND of the exact gate — the direction a quality gate wants
+    (pinned ≤ with a recall-style floor on a label-informative fixture
+    in tests; on label-random data like the sf tables the two gates
+    read ~1/n_labels and the direction is noise). Exact integer scoring (matches,
+    basis points by integer division over the hit count); the oracle
+    replays the ENTIRE pipeline — IVF probing, PQ encode, integer ADC,
+    exact re-rank — for all 100 queries, then the label join. Scale
+    shape: this runs at query cost (P/C of ~12 B/row codes per query
+    batch), so the QA gate can run daily over a sampled query set
+    where the brute-force gate cannot."""
+    from ..operators import ann_index
+
+    # Reuse (or build) the session-cached index from the _index entry.
+    similarity_ann_ivfpq_index(spark, sf_dir)
+    path = _IVFPQ_INDEX_CACHE[_embeddings_cache_key(sf_dir)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    hits = ann_index.ivfpq_topk_over_index(
+        emb, queries, path, id_col="vec_id", vec_col="embedding",
+        k=5, probes=4, shortlist=100,
+    )
+    labels = emb.select("vec_id", "label")
+    return (
+        hits.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "query_id")).withColumnRenamed(
+                "label", "qlabel"
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.withColumnRenamed("vec_id", "neighbor_id")
+            ).withColumnRenamed("label", "nlabel"),
+            "neighbor_id",
+        )
+        .groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum(F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)).alias(
+                "matches"
+            ),
+        )
+        .select(
+            "label",
+            "n_hits",
+            "matches",
+            F.expr("(10000 * matches) div n_hits").alias("agreement_bp"),
+        )
+        .orderBy("label")
     )
 
 
@@ -1470,11 +1654,10 @@ def _generate_media_dir() -> str:
     regenerates."""
     import hashlib
     import os
-    import tempfile
 
     if _MEDIA_DIR_CACHE:
         return _MEDIA_DIR_CACHE[0]
-    d = tempfile.mkdtemp(prefix="media_ingest_")
+    d = _session_tmpdir("media_ingest_")
     exts = ["jpg", "wav", "mp4", None]
     for i in range(_MEDIA_INGEST_N):
         hx = hashlib.sha256(str(i).encode()).hexdigest() * (1 + i % 4)

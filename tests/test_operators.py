@@ -1326,3 +1326,102 @@ def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):
         similarity.pq_codebooks_kmeans(
             emb, "vec_id", "embedding", m=4, n_codes=16, sample_pct=100
         )
+
+
+def test_knn_label_agreement_ann_lower_bound_on_label_informative_fixture(
+    spark, tmp_path
+):
+    """The served-gate contract: agreement over ANN top-k is a
+    conservative LOWER bound of the exact gate — but only where the
+    bound means anything, i.e. when labels correlate with geometry (an
+    exact neighbor is likelier same-label than the farther vector an
+    ANN miss substitutes). The sf fixture's labels are deliberately
+    ~independent of the embedding space (both gates read ~1/n_labels
+    there, direction pure noise), so this pins the claim on a
+    label-informative fixture: four Gaussian clouds, label = cloud.
+    Exact agreement is ~1; the served gate must be ≤ it and within a
+    recall-style floor of it."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    rng = random.Random(7)
+    dim = 8
+    centers = [[4.0 * float(j == k) for j in range(dim)] for k in range(4)]
+    rows = [
+        (1000 * k + i, [c + rng.gauss(0, 0.3) for c in center], k)
+        for k, center in enumerate(centers)
+        for i in range(40)
+    ]
+    emb8 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb8, path, n_centroids=8, m=2, n_codes=16)
+    queries = emb8.filter(F.col("vec_id") % 5 == 0)
+
+    def agreement(hits):
+        labels = emb8.select("vec_id", "label")
+        joined = (
+            hits.join(
+                labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                    "label", "qlabel"
+                ),
+                "query_id",
+            )
+            .join(
+                labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                    "label", "nlabel"
+                ),
+                "neighbor_id",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+                ).alias("m"),
+            )
+            .first()
+        )
+        return joined["m"] / joined["n"]
+
+    served = agreement(
+        ann_index.ivfpq_topk_over_index(
+            emb8, queries, path, k=5, probes=2, shortlist=50
+        )
+    )
+
+    # Exact top-5 by the same L2 metric the index serves.
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb8.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact_hits = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "d",
+            dot(F.col("qv"), F.col("qv"))
+            - 2 * dot(F.col("qv"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    exact = agreement(exact_hits)
+
+    assert exact > 0.9, exact  # the fixture IS label-informative
+    assert served <= exact + 1e-9, (served, exact)
+    assert served >= 0.8 * exact, (served, exact)
