@@ -16,7 +16,13 @@ fingerprint dedup); keys never expire (NoTimeout) because "seen
 before" has no horizon. For 100 TB key spaces the sharded BLOOM
 variant below (``dedup_stream_bloom``) bounds total state to
 n_shards fixed-size filters at a small false-positive cost — same
-operator shape, different state schema.
+operator shape, different state schema. Every layout now has a
+horizon lever: fine-grained wall-clock (``dedup_stream_ttl``) and
+event-time (``dedup_stream_event_ttl``), sharded event-time
+(``dedup_stream_sharded_event_ttl``, exact per-member horizons), and
+bloom event-time (``dedup_stream_bloom_event_ttl``, generational
+rotation) — event horizons are the ones that survive backfill
+replay; see each builder.
 
 API note: Spark 4's successor API (``transformWithStateInPandas`` —
 typed ValueState/ListState/MapState, native state TTL, timers) is the
@@ -356,6 +362,281 @@ def dedup_stream_sharded(doc_stream: DataFrame, n_shards: int = 64) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# Sharded EXACT state with an EVENT-time horizon: the firehose shape
+# with the horizon that survives backfill replay.
+# ---------------------------------------------------------------------------
+_SHARD_EVENT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("fps", T.ArrayType(T.StringType())),
+        T.StructField("lasts", T.ArrayType(T.LongType())),  # per-member max event ms
+    ]
+)
+
+
+def _batch_event_ms(batch: pd.DataFrame, ts_col: str) -> pd.Series:
+    """Event times of a pandas batch as epoch ms, vectorized and
+    Arrow-resolution-proof (datetime64[us] deliveries are upcast to ns
+    before the integer view). Exact only under the UTC session the
+    event-TTL builders enforce — same contract as ``_pdf_max_event_ms``."""
+    return (
+        pd.to_datetime(batch[ts_col]).astype("datetime64[ns]").astype("int64")
+        // 1_000_000
+    )
+
+
+def _make_emit_shard_unseen_event_ttl(ttl_ms: int, ts_col: str):
+    """Sharded seen-set with PER-MEMBER event-time horizons: each
+    fingerprint carries its max event time; every visit prunes members
+    whose time + ttl is behind the WATERMARK before the membership
+    test, so admit/suppress decisions replay identically whether a
+    backfill runs as one batch or many (the wall-clock sharded operator
+    evicts nothing meaningful under replay — the whole history fits any
+    realistic wall horizon). Decisions key off the watermark directly,
+    not off whether the shard's timeout has fired (firing lags a
+    batch): an arrival whose stored twin is expired-on-paper re-admits
+    as new — the same convergence rule as the fine-grained
+    ``dedup_stream_event_ttl``, whose in-horizon semantics this matches
+    bit-for-bit (min doc_id per batch, first batch wins, duplicates
+    refresh to the max event time ever seen; pinned in tests). The
+    shard's registered timeout is max(member horizons) — the moment the
+    WHOLE cohort is dead — so an unvisited shard's state still drops."""
+
+    def emit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Watermark passed every member's horizon and the shard had
+            # no data this batch: drop the whole seen-set.
+            state.remove()
+            return
+        if state.exists:
+            fps = list(state.get[0])
+            lasts = [int(x) for x in state.get[1]]
+        else:
+            fps, lasts = [], []
+        wm = state.getCurrentWatermarkMs()
+        live = [i for i, last in enumerate(lasts) if last + ttl_ms > wm]
+        if len(live) != len(fps):
+            fps = [fps[i] for i in live]
+            lasts = [lasts[i] for i in live]
+
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if fps:
+                state.update((fps, lasts))
+                state.setTimeoutTimestamp(max(lasts) + ttl_ms)
+            else:
+                state.remove()
+            return
+        batch = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        batch = batch.assign(_ms=_batch_event_ms(batch, ts_col))
+        fp_max = batch.groupby("fingerprint", sort=False)["_ms"].max()
+        firsts = batch.sort_values("doc_id", kind="stable").drop_duplicates(
+            "fingerprint", keep="first"
+        )
+        idx = {f: i for i, f in enumerate(fps)}
+        dup_mask = firsts["fingerprint"].isin(idx)
+        for f in firsts.loc[dup_mask, "fingerprint"]:
+            i = idx[f]
+            # A late-but-valid row must not shrink the horizon.
+            lasts[i] = max(lasts[i], int(fp_max[f]))
+        fresh = firsts[~dup_mask]
+        for f in fresh["fingerprint"]:
+            fps.append(str(f))
+            lasts.append(int(fp_max[f]))
+        state.update((fps, lasts))
+        # Every live member's horizon is > wm (pruned above) and fresh
+        # ones carry max_ms > wm (the engine drops rows at-or-below the
+        # watermark), so the timeout is always settable.
+        state.setTimeoutTimestamp(max(lasts) + ttl_ms)
+        if len(fresh):
+            yield fresh[["doc_id", "text", "fingerprint"]]
+
+    return emit
+
+
+def dedup_stream_sharded_event_ttl(
+    doc_stream: DataFrame,
+    ts_col: str,
+    ttl_event_seconds: int,
+    n_shards: int = 64,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming exact dedup with SHARDED state AND an EVENT-time
+    horizon — the combination the 100 TB firehose actually needs: the
+    sharded layout amortizes the per-key Python call (one vectorized
+    state call per shard per batch, ``dedup_stream_sharded``), and the
+    event horizon bounds state by the distinct-key volume of the
+    horizon in STREAM time, so a month-long backfill replayed in an
+    hour reproduces the original admit/evict sequence instead of
+    peaking at full-history state (the round-10 watch item: both
+    firehose-shaped operators had no horizon lever at all). Same
+    output contract as ``dedup_stream_event_ttl`` (pinned equivalent
+    in tests); state is (fps, lasts) parallel arrays per shard —
+    ~(md5-string + long) per live member."""
+    from ._cohort import require_utc_session
+
+    require_utc_session(doc_stream.sparkSession)
+    fp = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")))
+    shard = F.abs(F.xxhash64("fingerprint")) % n_shards
+    return (
+        doc_stream.withColumn("fingerprint", fp)
+        .withWatermark(ts_col, watermark_delay)
+        .withColumn("_shard", shard)
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _make_emit_shard_unseen_event_ttl(ttl_event_seconds * 1000, ts_col),
+            outputStructType=DOC_SCHEMA,
+            stateStructType=_SHARD_EVENT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom state with an EVENT-time horizon: generational rotation.
+# ---------------------------------------------------------------------------
+_BLOOM_EVENT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("slot_version", T.IntegerType()),
+        T.StructField("gen_start_ms", T.LongType()),
+        T.StructField("bits_cur", T.ArrayType(T.LongType())),
+        T.StructField("bits_prev", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_emit_bloom_unseen_event_ttl(ttl_ms: int, ts_col: str):
+    """Rotating-generation bloom: bloom bits are not attributable to
+    members, so per-member eviction is impossible — the bounded-state
+    answer is the classic TWO-generation rotation (one filter per
+    ``ttl`` band of stream time; membership = current OR previous;
+    inserts go to current; when the watermark crosses a band boundary,
+    previous is dropped, current becomes previous). The horizon is
+    therefore approximate BY DESIGN: a duplicate within ``ttl`` of
+    stream time is always suppressed (modulo the bloom FP rate), an
+    item older than ``2·ttl`` is always re-admitted, and in between it
+    depends on where the band boundary fell — the standard trade for
+    O(1) state per shard (2 × 4 KiB here) with a horizon. Wholly-idle
+    shards drop via a timeout at the end of the second band."""
+
+    def emit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_words = BLOOM_BITS // 64
+        if state.hasTimedOut:
+            # Two full bands passed with no data: both filters stale.
+            state.remove()
+            return
+        wm = state.getCurrentWatermarkMs()
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        batch = None
+        if frames:
+            batch = (
+                pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            )
+        if state.exists:
+            stored_version = state.get[0]
+            if stored_version != _BLOOM_SLOT_VERSION:
+                raise ValueError(
+                    f"bloom state written under slot derivation "
+                    f"v{stored_version}, code is v{_BLOOM_SLOT_VERSION}: "
+                    "start a fresh checkpoint."
+                )
+            gen_start = int(state.get[1])
+            cur = np.array(state.get[2], dtype=np.int64).view(np.uint64).copy()
+            prev = np.array(state.get[3], dtype=np.int64).view(np.uint64).copy()
+            if wm >= gen_start + 2 * ttl_ms:
+                # Both generations predate the horizon: hard reset,
+                # re-anchor the band grid at the watermark.
+                cur = np.zeros(n_words, dtype=np.uint64)
+                prev = np.zeros(n_words, dtype=np.uint64)
+                gen_start = (wm // ttl_ms) * ttl_ms
+            elif wm >= gen_start + ttl_ms:
+                prev, cur = cur, np.zeros(n_words, dtype=np.uint64)
+                gen_start += ttl_ms
+        else:
+            if batch is None:
+                return  # nothing to anchor a fresh shard's band grid on
+            # The watermark LAGS one batch (it is 0 on the very first),
+            # so a fresh shard anchors its band grid on the later of the
+            # watermark and the batch's own max event time — anchoring
+            # on a lagging wm would register a timeout the next
+            # watermark advance immediately fires, wiping the filter.
+            anchor = max(wm, int(_batch_event_ms(batch, ts_col).max()))
+            gen_start = (anchor // ttl_ms) * ttl_ms
+            cur = np.zeros(n_words, dtype=np.uint64)
+            prev = np.zeros(n_words, dtype=np.uint64)
+
+        if batch is not None:
+            batch = batch[~batch.duplicated("fingerprint")]
+            slots = np.stack(batch["_slots"].to_numpy())  # (n, k)
+            words, offs = slots // 64, (slots % 64).astype(np.uint64)
+            union = cur | prev
+            seen = ((union[words] >> offs) & np.uint64(1)).all(axis=1)
+            kept = batch[~seen]
+            if len(kept):
+                ks = slots[~seen]
+                np.bitwise_or.at(
+                    cur, ks // 64, np.uint64(1) << (ks % 64).astype(np.uint64)
+                )
+        else:
+            kept = None  # pure rotation/bookkeeping visit
+        state.update(
+            (
+                _BLOOM_SLOT_VERSION,
+                int(gen_start),
+                cur.view(np.int64).tolist(),
+                prev.view(np.int64).tolist(),
+            )
+        )
+        state.setTimeoutTimestamp(gen_start + 2 * ttl_ms)
+        if kept is not None and len(kept):
+            yield kept[["doc_id", "text", "fingerprint"]]
+
+    return emit
+
+
+def dedup_stream_bloom_event_ttl(
+    doc_stream: DataFrame,
+    ts_col: str,
+    ttl_event_seconds: int,
+    n_shards: int = 64,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state and an EVENT-time horizon:
+    ``dedup_stream_bloom``'s fixed-size shard filters, rotated in
+    ``ttl`` bands of watermark time (see the state function). State is
+    2 × 512 longs per shard FOREVER — the only dedup variant whose
+    state is constant in both key volume and horizon length — at the
+    cost of (a) the bloom FP rate and (b) a [ttl, 2·ttl) suppression
+    window instead of an exact horizon. Pick it when the distinct-key
+    volume inside the horizon would blow even the sharded-exact
+    layout's budget; pick ``dedup_stream_sharded_event_ttl`` when the
+    horizon must be exact."""
+    from ._cohort import require_utc_session
+
+    require_utc_session(doc_stream.sparkSession)
+    fp = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\r\f\x0B]+", " ")))
+    shard = F.abs(F.xxhash64("fingerprint")) % n_shards
+    return (
+        doc_stream.withColumn("fingerprint", fp)
+        .withWatermark(ts_col, watermark_delay)
+        .withColumn("_shard", shard)
+        .withColumn("_slots", bloom_slot_array(F.col("fingerprint")))
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            _make_emit_bloom_unseen_event_ttl(ttl_event_seconds * 1000, ts_col),
+            outputStructType=DOC_SCHEMA,
+            stateStructType=_BLOOM_EVENT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_dedup_stream(
     spark: Any,
     landing_dir: str,
@@ -401,13 +682,22 @@ def run_dedup_stream(
     # n_shards selects the sharded-exact operator, ttl_seconds /
     # ttl_event_seconds the TTL-evicting ones (wall-clock vs event-time
     # horizons — see dedup_stream_event_ttl for when each is right);
-    # all pinned by tests, mutually exclusive. All-None keeps
-    # per-fingerprint NoTimeout state.
-    if sum(x is not None for x in (n_shards, ttl_seconds, ttl_event_seconds)) > 1:
+    # n_shards COMPOSES with ttl_event_seconds (the firehose shape with
+    # the replay-safe horizon, dedup_stream_sharded_event_ttl);
+    # ttl_seconds composes with nothing. All-None keeps per-fingerprint
+    # NoTimeout state. All combinations pinned by tests.
+    if ttl_seconds is not None and (
+        n_shards is not None or ttl_event_seconds is not None
+    ):
         raise ValueError(
-            "n_shards, ttl_seconds, and ttl_event_seconds are mutually exclusive"
+            "ttl_seconds (wall-clock horizon) is mutually exclusive with "
+            "n_shards and ttl_event_seconds"
         )
-    if n_shards is not None:
+    if n_shards is not None and ttl_event_seconds is not None:
+        deduped = dedup_stream_sharded_event_ttl(
+            stream, "ts", ttl_event_seconds=ttl_event_seconds, n_shards=n_shards
+        )
+    elif n_shards is not None:
         deduped = dedup_stream_sharded(stream, n_shards=n_shards)
     elif ttl_seconds is not None:
         deduped = dedup_stream_ttl(stream, ttl_seconds=ttl_seconds)
@@ -569,19 +859,35 @@ def dedup_stream_bloom(doc_stream: DataFrame, n_shards: int = 64) -> DataFrame:
 
 
 def run_bloom_dedup_stream(
-    spark: Any, landing_dir: str, out_dir: str, checkpoint_dir: str, timeout_s: int = 300
+    spark: Any,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+    ttl_event_seconds: int | None = None,
 ) -> None:
     """Drain docs JSONL through the bloom-state dedup (availableNow,
-    idempotent batch_id-keyed sink like ``run_dedup_stream``)."""
-    src_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
-    )
-    stream = spark.readStream.schema(src_schema).json(landing_dir)
-    deduped = dedup_stream_bloom(stream)
+    idempotent batch_id-keyed sink like ``run_dedup_stream``).
+    ``ttl_event_seconds`` selects the generational event-horizon
+    variant (``dedup_stream_bloom_event_ttl``; rows then carry ``ts``)."""
+    fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+    if ttl_event_seconds is not None:
+        fields.append(T.StructField("ts", T.TimestampType()))
+    stream = spark.readStream.schema(T.StructType(fields)).json(landing_dir)
+    if ttl_event_seconds is not None:
+        deduped = dedup_stream_bloom_event_ttl(
+            stream, "ts", ttl_event_seconds=ttl_event_seconds
+        )
+    else:
+        deduped = dedup_stream_bloom(stream)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+    from ._drain import drain_available_now, make_pair_sink_writer
 
+    ttl_mode = ttl_event_seconds is not None
+    write_batch = make_pair_sink_writer(out_dir, None, skip_empty=ttl_mode)
     q = (
         deduped.writeStream.outputMode("update")
         .foreachBatch(write_batch)
@@ -589,4 +895,4 @@ def run_bloom_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    drain_available_now(q, timeout_s, ttl=ttl_mode)

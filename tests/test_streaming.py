@@ -1836,3 +1836,139 @@ def test_index_append_stream_bit_equal_and_replay_idempotent(spark, tmp_path):
         spark.read.parquet(f"{streamed}/{compacted.encoded_dir}").count()
         == n_before
     )
+
+
+def test_sharded_event_ttl_matches_fine_grained_and_replays(spark, tmp_path):
+    """dedup_stream_sharded_event_ttl (the firehose layout with the
+    replay-safe horizon — round-10 watch item): same emitted sequence
+    as the fine-grained event-TTL operator on the same files
+    (duplicate inside the horizon suppressed, re-admitted once the
+    watermark passes its horizon, min-doc_id-per-batch), and the LIVE
+    member view (fp, last) within the final watermark's horizon is
+    identical whether the backfill replays as one micro-batch or many.
+    Physical state may differ (a dead member inside a still-live shard
+    lingers until the shard's next visit — invisible to scoring, same
+    contract as the cohort operators), which is why the pin is on the
+    live view."""
+    import os as _os
+
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import (
+        run_dedup_stream,
+    )
+
+    landing = tmp_path / "sev_landing"
+    landing.mkdir()
+
+    batches = [
+        [
+            {"doc_id": 1, "text": "alpha beta gamma", "ts": "2026-01-01T00:00:00"},
+            {"doc_id": 7, "text": "omega psi", "ts": "2026-01-01T00:00:00"},
+        ],
+        [
+            {"doc_id": 2, "text": "ALPHA  beta gamma", "ts": "2026-01-01T00:10:00"},
+            {"doc_id": 3, "text": "delta epsilon", "ts": "2026-01-01T02:00:00"},
+        ],
+        [{"doc_id": 9, "text": "alpha beta  GAMMA", "ts": "2026-01-01T02:05:00"}],
+    ]
+    for i, rows in enumerate(batches):
+        f = landing / f"b{i}.jsonl"
+        f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    def emitted(o):
+        return sorted(r["doc_id"] for r in spark.read.parquet(o).collect())
+
+    TTL_MS = 3600 * 1000
+    # Final watermark = the max event time across the files.
+    WM_FINAL = int(
+        __import__("pandas").Timestamp("2026-01-01T02:05:00").value // 1_000_000
+    )
+
+    def live_members(ckpt):
+        st = spark.read.format("statestore").load(ckpt)
+        out = set()
+        for r in st.collect():
+            gs = r["value"]["groupState"]
+            for fp, last in zip(gs["fps"], gs["lasts"]):
+                if last + TTL_MS > WM_FINAL:
+                    out.add((fp, int(last)))
+        return out
+
+    # Many-batch replay (one file per micro-batch).
+    out_m, ckpt_m = str(tmp_path / "sev_out_m"), str(tmp_path / "sev_ckpt_m")
+    run_dedup_stream(
+        spark, str(landing), out_m, ckpt_m,
+        max_files_per_trigger=1, n_shards=4, ttl_event_seconds=3600,
+    )
+    # Same admit/suppress sequence as dedup_stream_event_ttl's pin: 2
+    # suppressed inside the horizon, 9 re-admitted past it.
+    assert emitted(out_m) == [1, 3, 7, 9]
+
+    # One-batch replay on a fresh checkpoint: identical live view.
+    out_o, ckpt_o = str(tmp_path / "sev_out_o"), str(tmp_path / "sev_ckpt_o")
+    run_dedup_stream(
+        spark, str(landing), out_o, ckpt_o, n_shards=4, ttl_event_seconds=3600,
+    )
+    live_m, live_o = live_members(ckpt_m), live_members(ckpt_o)
+    assert live_m == live_o
+    # alpha (refreshed to its max event time 02:05) and delta (02:00)
+    # are live at the final watermark; omega (00:00) is not.
+    assert {last for _, last in live_m} == {
+        WM_FINAL,
+        int(__import__("pandas").Timestamp("2026-01-01T02:00:00").value // 1_000_000),
+    }
+
+
+def test_bloom_event_ttl_generational_rotation(spark, tmp_path):
+    """dedup_stream_bloom_event_ttl: O(1)-state horizon via rotating
+    generations — a duplicate within the ttl of stream time is
+    suppressed, the same content is re-admitted once the watermark has
+    advanced 2·ttl past it (both filters rotated away), and every
+    surviving shard's state is re-anchored at the current band (stale
+    shards drop via the end-of-second-band timeout). Event-driven: no
+    sleeps."""
+    import os as _os
+
+    from streampro_assignment_etl_spark.streaming.stateful_dedup import (
+        run_bloom_dedup_stream,
+    )
+
+    landing = tmp_path / "bev_landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "bev_out"), str(tmp_path / "bev_ckpt")
+
+    def write(i, rows):
+        f = landing / f"b{i}.jsonl"
+        f.write_text("\n".join(json.dumps(d) for d in rows) + "\n")
+        _os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    def emitted(o):
+        return sorted(r["doc_id"] for r in spark.read.parquet(o).collect())
+
+    write(0, [{"doc_id": 1, "text": "alpha beta gamma", "ts": "2026-01-01T00:00:00"}])
+    run_bloom_dedup_stream(spark, str(landing), out, ckpt, ttl_event_seconds=3600)
+    assert emitted(out) == [1]
+
+    # Duplicate inside the horizon + a watermark-advancer 2.5 h out.
+    write(1, [
+        {"doc_id": 2, "text": "ALPHA  beta gamma", "ts": "2026-01-01T00:10:00"},
+        {"doc_id": 3, "text": "delta epsilon", "ts": "2026-01-01T02:30:00"},
+    ])
+    run_bloom_dedup_stream(spark, str(landing), out, ckpt, ttl_event_seconds=3600)
+    assert emitted(out) == [1, 3]  # 2 suppressed by the current filter
+
+    # Same content again, with the watermark now ≥ 2·ttl past its
+    # insertion band: both generations rotated away → re-admitted.
+    write(2, [{"doc_id": 9, "text": "alpha beta  GAMMA", "ts": "2026-01-01T02:35:00"}])
+    run_bloom_dedup_stream(spark, str(landing), out, ckpt, ttl_event_seconds=3600)
+    assert emitted(out) == [1, 3, 9]
+
+    # Surviving shard state is anchored at the current band: visited
+    # shards were hard-reset to the watermark's band; unvisited shards'
+    # end-of-second-band timeouts fired during the drains.
+    st = spark.read.format("statestore").load(ckpt)
+    band = int(
+        __import__("pandas").Timestamp("2026-01-01T02:00:00").value // 1_000_000
+    )
+    gens = [int(r["value"]["groupState"]["gen_start_ms"]) for r in st.collect()]
+    assert gens and all(g == band for g in gens), gens
