@@ -1439,6 +1439,67 @@ def similarity_ann_ivfpq_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Occupancy drift surface: the manifest's build-time per-cell counts
+# (even vec_ids — the append entry's build half) against the grown
+# snapshot's current counts (all ids), replayed in SQL from the same
+# deterministic cell assignment the _IVFPQ_ORACLE uses.
+_OCCUPANCY_ORACLE = """
+WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS centroid FROM corp WHERE vec_id < 16
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM corp c CROSS JOIN cent ct
+  ) WHERE rn = 1
+)
+SELECT CAST(cell AS INTEGER) AS cell,
+       CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS built_n,
+       CAST(COUNT(*) AS BIGINT) AS current_n
+FROM assigned
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+@query(
+    "ann_index_occupancy",
+    extra=True,
+    tags=("similarity", "ann", "index", "monitoring"),
+    oracle=_OCCUPANCY_ORACLE,
+)
+def ann_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain-signal surface under the hash gate: per-cell row
+    counts of the grown index (built over even vec_ids, odd half
+    appended — the ``similarity_ann_ivfpq_append`` lifecycle) against
+    the BUILD-time distribution persisted in the manifest. The oracle
+    replays the deterministic cell assignment for both populations, so
+    a hash match pins (a) the manifest round-trip of the occupancy
+    table, (b) the snapshot-side metadata count, and (c) that appends
+    landed in exactly the cells the model assigns. The scalar
+    total-variation drift lives on ``index_occupancy_stats`` (floats
+    stay out of the integer hash surface)."""
+    from ..operators import ann_index
+
+    similarity_ann_ivfpq_append(spark, sf_dir)
+    path = _IVFPQ_APPEND_CACHE[_embeddings_cache_key(sf_dir)]
+    stats = ann_index.index_occupancy_stats(spark, path)
+    rows = [
+        (int(c["cell"]), int(c["built_n"]), int(c["current_n"]))
+        for c in stats["per_cell"]
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, built_n bigint, current_n bigint"
+    ).orderBy("cell")
+
+
 # kNN label-agreement QA over the SERVED ANN index: the full IVF-PQ
 # replay widened to the first 100 queries, wrapped in the same exact
 # integer agreement aggregation as the brute-force gate

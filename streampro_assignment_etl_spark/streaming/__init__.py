@@ -25,9 +25,15 @@ from .events_stream import (
 from .embedding_dedup import embedding_dedup_stream, run_embedding_dedup_stream
 from .fuzzy_dedup import fuzzy_dedup_stream, run_fuzzy_dedup_stream
 from .heavy_hitters import read_mg_sink, trending_terms_stream
+from .index_ingest import run_index_append_stream, run_index_append_stream_from_dir
 from .stateful_dedup import (
     dedup_stream,
     dedup_stream_bloom,
+    dedup_stream_bloom_event_ttl,
+    dedup_stream_event_ttl,
+    dedup_stream_sharded,
+    dedup_stream_sharded_event_ttl,
+    dedup_stream_ttl,
     run_bloom_dedup_stream,
     run_dedup_stream,
 )
@@ -36,6 +42,11 @@ __all__ = [
     "click_view_interval_join",
     "dedup_stream",
     "dedup_stream_bloom",
+    "dedup_stream_bloom_event_ttl",
+    "dedup_stream_event_ttl",
+    "dedup_stream_sharded",
+    "dedup_stream_sharded_event_ttl",
+    "dedup_stream_ttl",
     "enriched_events_stream",
     "embedding_dedup_stream",
     "fuzzy_dedup_stream",
@@ -46,6 +57,8 @@ __all__ = [
     "run_dedup_stream",
     "run_embedding_dedup_stream",
     "run_fuzzy_dedup_stream",
+    "run_index_append_stream",
+    "run_index_append_stream_from_dir",
     "run_stream_to_parquet",
     "run_stream_upsert",
     "sessionized_stream",

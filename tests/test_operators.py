@@ -1010,29 +1010,26 @@ def test_ivfpq_index_version_guard_and_empty_queries(emb, spark, tmp_path):
     assert out.columns == ["query_id", "neighbor_id", "rank", "l2sq_micro"]
     assert out.count() == 0
 
-    # Corrupt by committing a HIGHER-epoch manifest with a foreign
-    # version: readers pick the latest complete artifact, so the guard
+    # Corrupt by committing a HIGHER-epoch manifest file with a foreign
+    # version: readers pick the latest committed artifact, so the guard
     # must fire on it.
     import glob as _glob
     import os as _os
 
-    latest = sorted(_glob.glob(f"{path}/{ann_index.MODEL_PREFIX}*"))[-1]
-    part = next(
-        p for p in _os.listdir(latest) if p.startswith("part-") and p.endswith(".txt")
-    )
-    with open(f"{latest}/{part}") as f:
+    latest = sorted(_glob.glob(f"{path}/{ann_index.MODEL_PREFIX}*.json"))[-1]
+    with open(latest) as f:
         doc = json.loads(f.read())
     doc["version"] = 999
-    spark.createDataFrame([(json.dumps(doc),)], "value string").coalesce(
-        1
-    ).write.mode("overwrite").text(
-        f"{path}/{ann_index.MODEL_PREFIX}999999999999-poison"
-    )
+    poison = f"{path}/{ann_index.MODEL_PREFIX}999999999999-poison.json"
+    with open(poison, "w") as f:
+        f.write(json.dumps(doc))
     with pytest.raises(ValueError, match="version"):
         ann_index.load_ivfpq_model(spark, path)
-    # An INCOMPLETE higher-epoch artifact (no _SUCCESS — a crashed
-    # commit) is invisible: readers fall back to the latest complete one.
-    _os.remove(f"{path}/{ann_index.MODEL_PREFIX}999999999999-poison/_SUCCESS")
+    _os.remove(poison)
+    # A crashed commit's STAGING file (never renamed) is invisible to
+    # readers — the rename IS the commit.
+    with open(f"{path}/.tmp-crashed", "w") as f:
+        f.write("{not even json")
     assert ann_index.load_ivfpq_model(spark, path).m == 4
 
 

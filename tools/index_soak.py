@@ -124,6 +124,32 @@ def main() -> None:
         "files_after_compact": files_after,
         "served_after_compact_sec": served_compacted,
     }
+
+    # Round-11 (VERDICT #8): filtered-search selectivity sweep — the
+    # pre-ADC broadcast semi-join's cost should stay ~flat as the
+    # `allowed` set shrinks (the filter is applied to candidates the
+    # probe already pruned, and the smaller set only SHRINKS downstream
+    # ADC work), while every query still fills k from WITHIN the
+    # filter. A post-filter design would get faster too — by
+    # under-filling k; results_per_query is the honesty column.
+    k = 5
+    for pct, pred in (
+        (100, F.lit(True)),
+        (10, F.col("vec_id") % 10 == 0),
+        (1, F.col("vec_id") % 100 == 0),
+    ):
+        allowed = emb.filter(pred)
+        sec = med(
+            lambda a=allowed: ann_index.ivfpq_topk_over_index(
+                emb, queries, path, k=k, probes=4, shortlist=100, allowed=a
+            ).count()
+        )
+        n = ann_index.ivfpq_topk_over_index(
+            emb, queries, path, k=k, probes=4, shortlist=100, allowed=allowed
+        ).count()
+        nq = queries.count()
+        out[f"filtered_{pct}pct_sec"] = sec
+        out[f"filtered_{pct}pct_results_per_query"] = round(n / nq, 2)
     print(json.dumps(out))
 
 
