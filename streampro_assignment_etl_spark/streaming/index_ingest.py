@@ -69,6 +69,34 @@ def _write_marker(path: str, stream_name: str, batch_id: int) -> None:
         pass  # empty file; its existence is the record
 
 
+def prune_applied_markers(
+    path: str, stream_name: str = "ingest", keep_last: int = 1000
+) -> list[str]:
+    """Marker retention: keep only the ``keep_last`` highest batch-id
+    markers, delete the rest. Markers are one empty file per
+    micro-batch — harmless for months, but a years-long minutely
+    stream accumulates O(10⁵) listing entries. Safe bound: Spark only
+    ever replays the latest uncommitted batch of a checkpoint, so any
+    marker more than a handful of batches behind the newest can never
+    be consulted again; ``keep_last`` is generous headroom, run it on
+    the compaction cadence. Returns the deleted marker names."""
+    import pyarrow.fs as pafs
+
+    fs, base = ann_index._fs_base(path)
+    sel = pafs.FileSelector(f"{base}/{APPLIED_DIR}/{stream_name}", recursive=False)
+    try:
+        infos = fs.get_file_info(sel)
+    except (FileNotFoundError, OSError):
+        return []
+    names = sorted(
+        i.base_name for i in infos if i.type == pafs.FileType.File
+    )
+    doomed = names[:-keep_last] if keep_last > 0 else names
+    for n in doomed:
+        fs.delete_file(f"{base}/{APPLIED_DIR}/{stream_name}/{n}")
+    return doomed
+
+
 def make_index_append_writer(
     path: str,
     id_col: str = "vec_id",

@@ -1972,3 +1972,20 @@ def test_bloom_event_ttl_generational_rotation(spark, tmp_path):
     )
     gens = [int(r["value"]["groupState"]["gen_start_ms"]) for r in st.collect()]
     assert gens and all(g == band for g in gens), gens
+
+
+def test_index_append_marker_pruning(spark, tmp_path):
+    """prune_applied_markers keeps the newest keep_last markers (the
+    only ones a checkpoint replay could ever consult) and deletes the
+    rest; an unknown stream name is a no-op."""
+    from streampro_assignment_etl_spark.streaming import index_ingest
+
+    path = str(tmp_path / "idx")
+    for b in range(7):
+        index_ingest._write_marker(path, "ingest", b)
+    gone = index_ingest.prune_applied_markers(path, keep_last=3)
+    assert gone == [f"b{b:012d}" for b in range(4)]
+    assert not index_ingest._marker_exists(path, "ingest", 0)
+    for b in (4, 5, 6):
+        assert index_ingest._marker_exists(path, "ingest", b)
+    assert index_ingest.prune_applied_markers(path, stream_name="nope") == []
