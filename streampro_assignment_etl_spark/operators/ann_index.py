@@ -467,6 +467,8 @@ def append_to_ivfpq_index(
     dedup ops upstream. When drift accumulates (``index_occupancy_
     stats`` past threshold), retrain via ``build_ivfpq_index`` — the
     snapshot-pointer rebuild swaps atomically under live readers."""
+    import pyarrow.fs as pafs
+
     spark = new_emb.sparkSession
     model = load_ivfpq_model(spark, path)
     if ingest_id is None:
@@ -474,6 +476,20 @@ def append_to_ivfpq_index(
     if ingest_id == BASE_INGEST:
         raise ValueError(
             f"ingest_id {BASE_INGEST!r} is reserved for the build's subtree"
+        )
+    # A pre-ingest-layout snapshot has bare cell=* dirs at its root;
+    # landing an ingest=<id> subtree next to them would give the
+    # partition discovery two different depths and break every
+    # subsequent read — refuse loudly instead.
+    fs, base = _fs_base(f"{path}/{model.encoded_dir}")
+    top = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    if any(
+        i.type == pafs.FileType.Directory and i.base_name.startswith("cell=")
+        for i in top
+    ):
+        raise ValueError(
+            f"snapshot {model.encoded_dir} uses the legacy single-level "
+            f"cell layout; rebuild the index before appending"
         )
     cells = assign_cells(new_emb, model.centroids, id_col, vec_col)
     enc = pq_encode(cells, model.codebooks, id_col, vec_col).select(

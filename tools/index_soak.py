@@ -150,6 +150,35 @@ def main() -> None:
         nq = queries.count()
         out[f"filtered_{pct}pct_sec"] = sec
         out[f"filtered_{pct}pct_results_per_query"] = round(n / nq, 2)
+
+    # Round-11: streaming-ingest steady state. Ten 1% batches of fresh
+    # ids drained one per micro-batch through the continuously-fresh-
+    # index loop; per-batch cost = batch-linear encode + constant
+    # commit/marker overhead, so splitting the same 10% of rows into 10
+    # batches shows the per-batch constant directly against the single
+    # 10% append above.
+    from streampro_assignment_etl_spark.streaming import index_ingest
+
+    stream_root = tempfile.mkdtemp(prefix="ivfpq_stream_soak_")
+    landing = f"{stream_root}/landing"
+    base_id = int(max_id) * 3
+    for b in range(10):
+        (
+            emb.filter(F.col("vec_id") % 100 == b)
+            .withColumn("vec_id", F.col("vec_id") + F.lit(base_id + b))
+            .select("vec_id", "embedding")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(landing)
+        )
+    t0 = time.perf_counter()
+    index_ingest.run_index_append_stream_from_dir(
+        spark, landing, path, f"{stream_root}/ckpt",
+        vec_element="float", max_files_per_trigger=1,
+    )
+    stream_total = round(time.perf_counter() - t0, 3)
+    out["stream_10x1pct_total_sec"] = stream_total
+    out["stream_per_batch_sec"] = round(stream_total / 10, 3)
     print(json.dumps(out))
 
 
