@@ -987,6 +987,8 @@ def ivfpq_topk(
     m: int = 4,
     n_codes: int = 16,
     shortlist: int = 100,
+    centroids: CentroidList | None = None,
+    codebooks: PQCodebooks | None = None,
 ) -> DataFrame:
     """Full IVF-PQ: cell-probed candidates × ADC shortlist × exact
     re-rank — the complete 10^9-vector serving pipeline, assembled from
@@ -1001,9 +1003,13 @@ def ivfpq_topk(
     DATA (many queries × probed cells in one frame) — the join shape is
     what a 10^5-query batch lookup would use anyway. Both the candidate
     restriction and the LUT arithmetic are replayed verbatim by the
-    DuckDB oracle."""
-    cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
-    cbs = pq_codebooks(emb, id_col, vec_col, m, n_codes)
+    DuckDB oracle. ``centroids=``/``codebooks=`` accept trained models
+    (same hooks as the residual path and the persisted index)."""
+    cents = centroids or collect_centroids(
+        seed_centroids(emb, id_col, vec_col, n_centroids)
+    )
+    cbs = codebooks or pq_codebooks(emb, id_col, vec_col, m, n_codes)
+    m = len(cbs)
 
     # ONE fused map-side projection for the index: assign_cells emits
     # (id, vec, cell) with zero shuffles, and pq_encode preserves the
@@ -1084,3 +1090,203 @@ def _adc_shortlist(
         .filter(F.col("_rn") <= shortlist)
         .select("query_id", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (IVFADC): quantize v - centroid[cell], not v.
+# ---------------------------------------------------------------------------
+def _centroid_map_lit(cents: CentroidList) -> Column:
+    """MAP<cell id → centroid array> as a plan literal, for the
+    map-side residual subtraction (same broadcast-constants technique
+    as ``_scored_cells``; C×dim doubles ride the plan, no join)."""
+    keys = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    vals = F.array(*[F.expr(_double_array_sql(v)) for _, v in cents])
+    return F.map_from_arrays(keys, vals)
+
+
+def with_residual(
+    assigned: DataFrame,
+    cents: CentroidList,
+    vec_col: str,
+    out_col: str = "_rv",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Append the residual column ``out_col`` = vec − centroid[cell] to
+    an ``assign_cells`` output frame. Pure map-side (``zip_with`` over
+    the literal centroid map) — element-wise IEEE double subtraction,
+    the exact op DuckDB's list arithmetic runs, so residuals are
+    bit-identical cross-engine."""
+    cent_map = _centroid_map_lit(cents)
+    return assigned.withColumn(
+        out_col,
+        F.zip_with(
+            _as_double(vec_col),
+            F.element_at(cent_map, F.col(cell_col)),
+            lambda x, c: x - c,
+        ),
+    )
+
+
+def pq_codebooks_residual(
+    emb: DataFrame,
+    cents: CentroidList,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    n_codes: int = 16,
+) -> PQCodebooks:
+    """Deterministic per-subspace codebooks over RESIDUALS: the
+    ``n_codes`` lowest-id rows that carry a cell (finite, nonzero norm
+    — ``assign_cells``'s domain, stricter than ``pq_codebooks``'s
+    because a residual needs an assignment), each minus its own
+    centroid, sliced into ``m`` subvectors. Same id-seeding trick as
+    ``pq_codebooks`` so the DuckDB oracle replays the identical books;
+    train per-subspace k-means over residual vectors for production
+    (the ``codebooks=`` hooks accept either).
+
+    Why residuals: with absolute-vector codebooks the quantizer must
+    span the WHOLE corpus spread — most of its resolution is spent
+    encoding which cluster a vector sits in, information IVF already
+    has in ``cell``. Encoding v − centroid[cell] spends all m×n_codes
+    codewords on the within-cell detail, cutting quantization error
+    roughly by the ratio of between-cluster to within-cluster variance
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    IEEE TPAMI 2011 — the IVFADC system). Recall win pinned in
+    tests/test_operators.py on a clustered fixture."""
+    seeds = (
+        assign_cells(emb, cents, id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"only {len(seeds)} assignable vectors available to seed "
+            f"{n_codes} residual codewords"
+        )
+    cent_by_id = {int(cid): v for cid, v in cents}
+    dim = len(seeds[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    residuals = []
+    for r in seeds:
+        c = cent_by_id[int(r["cell"])]
+        residuals.append((int(r[id_col]), [a - b for a, b in zip(r[vec_col], c)]))
+    return [
+        [(rid, rv[j * sub : (j + 1) * sub]) for rid, rv in residuals]
+        for j in range(m)
+    ]
+
+
+def _adc_shortlist_residual(
+    cand: DataFrame,
+    probed_rows: list,
+    cents: CentroidList,
+    cbs: PQCodebooks,
+    shortlist: int,
+) -> DataFrame | None:
+    """Relational ADC with PER-(query, cell) LUTs — the residual twin
+    of ``_adc_shortlist``. Under residual encoding a candidate's codes
+    approximate v − centroid[cell], so the query side of the distance
+    is q − centroid[cell] too: the LUT key grows a ``cell`` column and
+    the broadcast table holds Q×P×m×n_codes rows (still tiny — the
+    probe set is bounded by contract). ``cand`` columns:
+    (query_id, cell, neighbor_id, _code0.._code{m-1}); ``probed_rows``
+    are collected (query_id, qv, cell) rows from ``probe_cells``."""
+    if not probed_rows:
+        return None
+    m = len(cbs)
+    sub = len(cbs[0][0][1])
+    cent_by_id = {int(cid): v for cid, v in cents}
+    melted = cand.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"_code{j}").alias("code"))
+                    for j in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select("query_id", "cell", "neighbor_id", "_s.j", "_s.code")
+
+    lut_rows = []
+    for r in probed_rows:
+        qid, qv, cell = int(r["query_id"]), r["qv"], int(r["cell"])
+        c = cent_by_id[cell]
+        qr = [a - b for a, b in zip(qv, c)]
+        for j in range(m):
+            row = _lut_int(qr[j * sub : (j + 1) * sub], cbs[j])
+            lut_rows.extend((qid, cell, j, code, d) for code, d in enumerate(row))
+    lut_df = cand.sparkSession.createDataFrame(
+        lut_rows, "query_id long, cell int, j int, code int, d long"
+    )
+    adc = (
+        melted.join(F.broadcast(lut_df), ["query_id", "cell", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = DEFAULT_CENTROIDS,
+    probes: int = DEFAULT_PROBES,
+    m: int = 4,
+    n_codes: int = 16,
+    shortlist: int = 100,
+    centroids: CentroidList | None = None,
+    codebooks: PQCodebooks | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ (the IVFADC composition): like ``ivfpq_topk``
+    but the PQ stage quantizes RESIDUALS v − centroid[cell], so the
+    codebooks spend their resolution on within-cell detail instead of
+    re-encoding the cluster identity the cell id already carries —
+    materially higher shortlist recall at identical code size and
+    query cost (+1 broadcast-key column). Same plan shape as the
+    absolute path: one fused zero-shuffle assign→subtract→encode
+    projection over the corpus, per-(query, cell) integer LUTs
+    broadcast into the melt join, exact re-rank on raw vectors.
+    Returns (query_id, neighbor_id, rank, l2sq_micro).
+
+    A candidate appearing in several probed cells of one query scores
+    identically under each (ADC approximates the same ||q − v||), and
+    the groupBy sums each (query, neighbor) ONCE per cell membership —
+    a corpus row lives in exactly ONE cell, so no double counting."""
+    cents = centroids or collect_centroids(
+        seed_centroids(emb, id_col, vec_col, n_centroids)
+    )
+    cbs = codebooks or pq_codebooks_residual(emb, cents, id_col, vec_col, m, n_codes)
+    m = len(cbs)
+
+    cells = assign_cells(emb, cents, id_col, vec_col)
+    res = with_residual(cells, cents, vec_col, "_rv")
+    cellenc = pq_encode(res.drop(vec_col), cbs, id_col, "_rv").select(
+        F.col(id_col).alias("neighbor_id"), "cell", *[f"_code{j}" for j in range(m)]
+    )
+    probed = probe_cells(queries, cents, id_col, vec_col, probes)
+    probed_rows = probed.collect()  # Q×P rows, bounded by contract
+    cand = (
+        probed.select("query_id", "cell")
+        .join(cellenc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    short = _adc_shortlist_residual(cand, probed_rows, cents, cbs, shortlist)
+    if short is None:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, l2sq_micro long"
+        )
+    return _exact_rerank(short, queries, emb, id_col, vec_col, k)

@@ -1381,6 +1381,159 @@ def similarity_ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Residual IVF-PQ (IVFADC): the same replay with the PQ stage running
+# over RESIDUALS v − centroid[cell] — corpus subvectors, codebook
+# seeds, and the per-(query, cell) LUTs all shift by the cell's
+# centroid, so the lut/adc keys grow a cell column. Everything else
+# (probing, candidate restriction, integerized ADC, exact re-rank) is
+# the verbatim _IVFPQ_ORACLE machinery.
+_IVFPQ_RESIDUAL_ORACLE = """
+WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS centroid FROM corp WHERE vec_id < 16
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM corp c CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, ct.centroid)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM (SELECT * FROM corp WHERE vec_id < 5) q CROSS JOIN cent ct
+  ) WHERE rn <= 4
+),
+rsub AS (
+  -- corpus RESIDUAL subvectors: v - centroid[cell], sliced
+  SELECT a.vec_id, a.cell, t.j,
+         list_transform(generate_series(1, 16),
+                        i -> c.v[t.j*16 + i] - ct.centroid[t.j*16 + i]) AS s
+  FROM assigned a
+  JOIN corp c ON c.vec_id = a.vec_id
+  JOIN cent ct ON ct.centroid_id = a.cell,
+       UNNEST([0,1,2,3]) AS t(j)
+),
+cw AS (
+  -- residual codebook seeds: the 16 lowest-id ASSIGNABLE rows
+  -- (finite, nonzero norm — assign_cells' domain), each minus its own
+  -- centroid
+  SELECT t.j, r.vec_id AS code,
+         list_transform(generate_series(1, 16),
+                        i -> r.v[t.j*16 + i] - ct.centroid[t.j*16 + i]) AS w
+  FROM (SELECT a.vec_id, c.v, a.cell
+        FROM assigned a JOIN corp c ON c.vec_id = a.vec_id
+        WHERE isfinite(list_dot_product(c.v, c.v))
+          AND list_dot_product(c.v, c.v) > 0
+        ORDER BY a.vec_id LIMIT 16) r
+  JOIN cent ct ON ct.centroid_id = r.cell,
+       UNNEST([0,1,2,3]) AS t(j)
+),
+enc AS (
+  SELECT vec_id, cell, j, code FROM (
+    SELECT s.vec_id, s.cell, s.j, cw.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, cw.w)
+                      + list_dot_product(cw.w, cw.w),
+                      cw.code) AS rn
+    FROM rsub s JOIN cw ON s.j = cw.j
+  ) WHERE rn = 1
+),
+qres AS (
+  -- query residual subvectors, one per PROBED cell
+  SELECT p.query_id, p.cell, t.j,
+         list_transform(generate_series(1, 16),
+                        i -> p.qv[t.j*16 + i] - ct.centroid[t.j*16 + i]) AS s
+  FROM probed p JOIN cent ct ON ct.centroid_id = p.cell,
+       UNNEST([0,1,2,3]) AS t(j)
+),
+lut AS (
+  SELECT q.query_id, q.cell, q.j, cw.code,
+         CAST(floor((list_dot_product(q.s, q.s) - 2*list_dot_product(q.s, cw.w)
+                     + list_dot_product(cw.w, cw.w)) * 1000000 + 0.5) AS BIGINT) AS d
+  FROM qres q JOIN cw ON q.j = cw.j
+),
+cand AS (
+  SELECT p.query_id, p.cell, a.vec_id AS neighbor_id
+  FROM probed p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id AND e.cell = c.cell
+  JOIN lut l ON l.query_id = c.query_id AND l.cell = c.cell
+            AND l.j = e.j AND l.code = e.code
+  GROUP BY c.query_id, c.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= 100
+),
+exact AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         CAST(floor((list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, c.v)
+                     + list_dot_product(c.v, c.v)) * 1000000 + 0.5) AS BIGINT)
+           AS l2sq_micro
+  FROM short sh
+  JOIN corp q ON q.vec_id = sh.query_id
+  JOIN corp c ON c.vec_id = sh.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, l2sq_micro
+FROM (
+  SELECT query_id, neighbor_id, l2sq_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2sq_micro, neighbor_id) AS rn
+  FROM exact
+)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query(
+    "similarity_ann_ivfpq_residual",
+    extra=True,
+    tags=("similarity", "ann", "ivf", "pq", "residual"),
+    oracle=_IVFPQ_RESIDUAL_ORACLE,
+)
+def similarity_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ — the IVFADC composition of Jégou et al. (TPAMI
+    2011): the PQ stage quantizes v − centroid[cell] instead of v, so
+    the m×n_codes codewords spend their resolution on within-cell
+    detail rather than re-encoding the cluster identity the cell id
+    already carries. Measurably better shortlist recall at identical
+    code size (0.46 → 0.81 recall@5 on the clustered fixture, pinned
+    in tests) for one extra broadcast-key column (the LUT is
+    per-(query, probed cell)). The oracle replays every residual
+    stage: cell-shifted corpus subvectors, cell-shifted codebook
+    seeds, per-(query, cell) integer LUTs, and the cell-keyed ADC
+    join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_residual_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=5, n_centroids=16, probes=4, m=4, n_codes=16, shortlist=100,
+    )
+
+
 _IVFPQ_STREAM_CACHE: dict[str, str] = {}
 
 

@@ -1422,3 +1422,71 @@ def test_knn_label_agreement_ann_lower_bound_on_label_informative_fixture(
     assert exact > 0.9, exact  # the fixture IS label-informative
     assert served <= exact + 1e-9, (served, exact)
     assert served >= 0.8 * exact, (served, exact)
+
+
+def test_ivfpq_residual_recall_beats_absolute_on_clustered_fixture(spark):
+    """IVFADC's reason to exist (Jégou et al. 2011): with good
+    centroids, absolute-vector codebooks waste their resolution
+    re-encoding cluster identity (id-seeded codewords all sit in one
+    region of space), while residual codebooks see the SAME
+    within-cell distribution from every cell — materially higher
+    shortlist recall at identical code size. 8 well-separated Gaussian
+    clouds, true centers as centroids, identical (probes, m, n_codes,
+    shortlist) budgets for both paths."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    rng = random.Random(5)
+    dim, C = 32, 8
+    centers = [[8.0 * rng.gauss(0, 1) for _ in range(dim)] for _ in range(C)]
+    rows = [
+        (1000 * k + i, [c + rng.gauss(0, 0.5) for c in ctr])
+        for k, ctr in enumerate(centers)
+        for i in range(50)
+    ]
+    emb8 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb8.filter(F.col("vec_id") % 25 == 0)
+    cents = [(k, centers[k]) for k in range(C)]
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = emb8.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    truth: dict[int, set[int]] = {}
+    brute = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "d",
+            dot(F.col("qv"), F.col("qv"))
+            - 2 * dot(F.col("qv"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv")),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+    )
+    for r in brute.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        tot = sum(len(v) for v in truth.values())
+        return sum(len(truth[k] & got.get(k, set())) for k in truth) / tot
+
+    shared = dict(k=5, probes=2, m=4, n_codes=16, shortlist=20)
+    plain = recall(
+        similarity.ivfpq_topk(emb8, queries, centroids=cents, **shared)
+    )
+    resid = recall(
+        similarity.ivfpq_residual_topk(emb8, queries, centroids=cents, **shared)
+    )
+    assert resid >= 0.75, (plain, resid)
+    assert resid >= plain + 0.15, (plain, resid)

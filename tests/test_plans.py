@@ -371,3 +371,40 @@ def test_ivfpq_adc_is_broadcast_lut_join_no_nested_loop(spark):
     assert "NestedLoop" not in p and "Cartesian" not in p, p
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 3
+
+
+def test_ivfpq_residual_encode_stays_one_fused_projection(spark):
+    """The residual subtraction (zip_with over the literal centroid
+    map) must ride the SAME fused zero-shuffle projection as the
+    absolute encode — cell assign, centroid subtract, and per-subspace
+    argmin in one map-side pass over one corpus scan; and the full
+    residual query keeps the broadcast-LUT ADC shape (no nested loop,
+    the melt join broadcasts the per-(query, cell) LUT table)."""
+    from streampro_assignment_etl_spark.operators import similarity
+    from streampro_assignment_etl_spark.plans import plan_string
+    from streampro_assignment_etl_spark.queries import EXTRAS
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.collect_centroids(
+        similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+    )
+    cbs = similarity.pq_codebooks_residual(emb, cents, "vec_id", "embedding", 4, 16)
+    fused = similarity.pq_encode(
+        similarity.with_residual(
+            similarity.assign_cells(emb, cents, "vec_id", "embedding"),
+            cents,
+            "embedding",
+            "_rv",
+        ).drop("embedding"),
+        cbs,
+        "vec_id",
+        "_rv",
+    )
+    assert shuffle_count(fused) == 0
+    assert parquet_scan_count(fused) == 1
+
+    df = EXTRAS["similarity_ann_ivfpq_residual"].builder(spark, SF)
+    p = plan_string(df)
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    assert broadcast_join_count(df) >= 1
