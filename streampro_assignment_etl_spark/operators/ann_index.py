@@ -81,13 +81,16 @@ from .similarity import (
     CentroidList,
     PQCodebooks,
     _adc_shortlist,
+    _adc_shortlist_residual,
     _exact_rerank,
     assign_cells,
     collect_centroids,
     pq_codebooks,
+    pq_codebooks_residual,
     pq_encode,
     probe_cells,
     seed_centroids,
+    with_residual,
 )
 
 ENCODED_DIR = "encoded"  # legacy fixed layout; new builds use encoded-<token>
@@ -116,6 +119,10 @@ class IvfPqModel:
     encoded_dir: str = ENCODED_DIR
     epoch: int = 0
     occupancy: tuple[tuple[int, int], ...] | None = None
+    # True = codes quantize RESIDUALS v − centroid[cell] (IVFADC); the
+    # flag travels with the model because codes are meaningless scored
+    # under the wrong LUT convention — serving reads it, never guesses.
+    residual: bool = False
 
 
 def _fs_base(path: str):
@@ -178,6 +185,7 @@ def _commit_manifest(
     encoded_dir: str,
     occupancy: tuple[tuple[int, int], ...] | None,
     expect_epoch: int,
+    residual: bool = False,
 ) -> int:
     """Fence, then commit: write the manifest as a FRESH write-once
     ``model-<epoch+1>-<token>.json`` artifact — staged under a
@@ -208,6 +216,7 @@ def _commit_manifest(
     doc = {
         "version": _MODEL_VERSION,
         "epoch": new_epoch,
+        "residual": residual,
         "n_centroids": len(cents),
         "m": len(cbs),
         "n_codes": len(cbs[0]),
@@ -256,8 +265,16 @@ def build_ivfpq_index(
     n_codes: int = 16,
     centroids: CentroidList | None = None,
     codebooks: PQCodebooks | None = None,
+    residual: bool = False,
 ) -> IvfPqModel:
     """One corpus pass → persisted index at ``path``.
+
+    ``residual=True`` builds the IVFADC form: codes quantize
+    v − centroid[cell] (``similarity.ivfpq_residual_topk``'s encoding —
+    materially better recall at identical code size; the default
+    codebooks are then ``pq_codebooks_residual``, and a caller-supplied
+    book must be trained on residuals). The flag is persisted in the
+    manifest and drives the serving path's LUT convention.
 
     Centroids/codebooks default to the deterministic id-seeded model
     (oracle-replayable); pass ``kmeans_centroids`` /
@@ -283,7 +300,12 @@ def build_ivfpq_index(
     cents = centroids or collect_centroids(
         seed_centroids(emb, id_col, vec_col, n_centroids)
     )
-    cbs = codebooks or pq_codebooks(emb, id_col, vec_col, m, n_codes)
+    if codebooks is not None:
+        cbs = codebooks
+    elif residual:
+        cbs = pq_codebooks_residual(emb, cents, id_col, vec_col, m, n_codes)
+    else:
+        cbs = pq_codebooks(emb, id_col, vec_col, m, n_codes)
     # The codebooks ARE the geometry: a trained book with m=8 passed
     # alongside the default m=4 must not silently persist half the
     # subspaces (and n_centroids only seeds the default centroid draw).
@@ -292,8 +314,7 @@ def build_ivfpq_index(
     dim = len(cents[0][1])
     encoded_dir = f"{ENCODED_DIR}-{uuid.uuid4().hex[:12]}"
 
-    cells = assign_cells(emb, cents, id_col, vec_col)
-    enc = pq_encode(cells, cbs, id_col, vec_col).select(
+    enc = _encode_batch(emb, cents, cbs, id_col, vec_col, residual).select(
         F.col(id_col).alias("neighbor_id"),
         F.lit(BASE_INGEST).alias("ingest"),
         "cell",
@@ -305,7 +326,15 @@ def build_ivfpq_index(
     occ = _snapshot_occupancy(emb.sparkSession, f"{path}/{encoded_dir}")
 
     epoch = _commit_manifest(
-        emb.sparkSession, path, cents, cbs, dim, encoded_dir, occ, expect_epoch
+        emb.sparkSession,
+        path,
+        cents,
+        cbs,
+        dim,
+        encoded_dir,
+        occ,
+        expect_epoch,
+        residual=residual,
     )
     return IvfPqModel(
         centroids=cents,
@@ -317,7 +346,31 @@ def build_ivfpq_index(
         encoded_dir=encoded_dir,
         epoch=epoch,
         occupancy=occ,
+        residual=residual,
     )
+
+
+def _encode_batch(
+    emb: DataFrame,
+    cents: CentroidList,
+    cbs: PQCodebooks,
+    id_col: str,
+    vec_col: str,
+    residual: bool,
+) -> DataFrame:
+    """The ONE copy of the frame-side encode both build and append use:
+    assign cells, optionally shift by the cell's centroid (residual
+    mode — still the same fused zero-shuffle projection; the subtract
+    is a ``zip_with`` over a literal centroid map), PQ-encode."""
+    cells = assign_cells(emb, cents, id_col, vec_col)
+    if residual:
+        return pq_encode(
+            with_residual(cells, cents, vec_col, "_rv").drop(vec_col),
+            cbs,
+            id_col,
+            "_rv",
+        )
+    return pq_encode(cells, cbs, id_col, vec_col)
 
 
 def compact_ivfpq_index(spark: SparkSession, path: str) -> IvfPqModel:
@@ -358,6 +411,7 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> IvfPqModel:
         new_dir,
         model.occupancy,
         expect_epoch=model.epoch,
+        residual=model.residual,
     )
     return IvfPqModel(
         centroids=model.centroids,
@@ -369,6 +423,7 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> IvfPqModel:
         encoded_dir=new_dir,
         epoch=epoch,
         occupancy=model.occupancy,
+        residual=model.residual,
     )
 
 
@@ -491,8 +546,9 @@ def append_to_ivfpq_index(
             f"snapshot {model.encoded_dir} uses the legacy single-level "
             f"cell layout; rebuild the index before appending"
         )
-    cells = assign_cells(new_emb, model.centroids, id_col, vec_col)
-    enc = pq_encode(cells, model.codebooks, id_col, vec_col).select(
+    enc = _encode_batch(
+        new_emb, model.centroids, model.codebooks, id_col, vec_col, model.residual
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         "cell",
         *[f"_code{j}" for j in range(model.m)],
@@ -509,6 +565,7 @@ def append_to_ivfpq_index(
         model.encoded_dir,
         model.occupancy,
         expect_epoch=model.epoch,
+        residual=model.residual,
     )
     return IvfPqModel(
         centroids=model.centroids,
@@ -520,6 +577,7 @@ def append_to_ivfpq_index(
         encoded_dir=model.encoded_dir,
         epoch=epoch,
         occupancy=model.occupancy,
+        residual=model.residual,
     )
 
 
@@ -566,6 +624,7 @@ def load_ivfpq_model(spark: SparkSession, path: str) -> IvfPqModel:
         occupancy=tuple((int(c), int(n)) for c, n in occ)
         if occ is not None
         else None,
+        residual=bool(doc.get("residual", False)),
     )
 
 
@@ -628,7 +687,11 @@ def ivfpq_topk_over_index(
     shortlist, exact re-rank against ``emb`` (the raw-vector store; an
     id-equi-join point lookup over ``shortlist`` ids per query).
     Bit-equal to ``similarity.ivfpq_topk`` with the same model — both
-    paths share ``_adc_shortlist``/``_exact_rerank``.
+    paths share ``_adc_shortlist``/``_exact_rerank``. A manifest with
+    ``residual: true`` switches the LUT convention to the IVFADC form
+    (per-(query, probed cell) tables over q − centroid[cell], shared
+    ``_adc_shortlist_residual``) — bit-equal to
+    ``ivfpq_residual_topk`` likewise.
 
     ``allowed`` is FILTERED search — the metadata-filter feature every
     production vector store ships (tenant / label / freshness
@@ -653,11 +716,13 @@ def ivfpq_topk_over_index(
         enc = enc.drop("ingest")
 
     probed = probe_cells(queries, model.centroids, id_col, vec_col, probes)
-    # The probed cell set is Q×P ints, bounded by contract (queries are
-    # a batch, not a stream) — collect it so the scan filter is LITERAL
-    # and prunes partitions statically, not via a runtime DPP subquery.
-    cell_rows = probed.select("cell").distinct().collect()
-    cell_ids = sorted(r["cell"] for r in cell_rows)
+    # The probed rows are Q×P, bounded by contract (queries are a
+    # batch, not a stream) — collect them so the scan filter is LITERAL
+    # and prunes partitions statically, not via a runtime DPP subquery
+    # (residual mode additionally derives its per-(query, cell) LUTs
+    # from the same collected rows).
+    probed_rows = probed.collect()
+    cell_ids = sorted({int(r["cell"]) for r in probed_rows})
     if not cell_ids:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, l2sq_micro long"
@@ -674,7 +739,14 @@ def ivfpq_topk_over_index(
             "neighbor_id",
             "left_semi",
         )
-    short = _adc_shortlist(cand, queries, model.codebooks, id_col, vec_col, shortlist)
+    if model.residual:
+        short = _adc_shortlist_residual(
+            cand, probed_rows, model.centroids, model.codebooks, shortlist
+        )
+    else:
+        short = _adc_shortlist(
+            cand, queries, model.codebooks, id_col, vec_col, shortlist
+        )
     if short is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, l2sq_micro long"

@@ -1534,6 +1534,46 @@ def similarity_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_IVFPQ_RESIDUAL_INDEX_CACHE: dict[str, str] = {}
+
+
+@query(
+    "similarity_ann_ivfpq_residual_index",
+    extra=True,
+    tags=("similarity", "ann", "ivf", "pq", "residual", "index"),
+    oracle=_IVFPQ_RESIDUAL_ORACLE,
+)
+def similarity_ann_ivfpq_residual_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual IVF-PQ served from the PERSISTED index: the manifest
+    carries ``residual: true`` so serving derives per-(query, probed
+    cell) LUTs instead of guessing the LUT convention from the codes —
+    bit-equal to the composed ``ivfpq_residual_topk`` by construction
+    (shared encode + residual ADC), so the SAME residual oracle
+    verbatim hash-gates the flag round-trip, the cell-shifted encode
+    in the snapshot, and the cell-keyed serve path. This is the
+    production recall upgrade: same ~12 B/row codes, same pruned scan,
+    materially better shortlist recall."""
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _embeddings_cache_key(sf_dir)
+    path = _IVFPQ_RESIDUAL_INDEX_CACHE.get(key)
+    if path is None:
+        path = _session_tmpdir("ivfpq_residx_")
+        ann_index.build_ivfpq_index(
+            emb, path, id_col="vec_id", vec_col="embedding",
+            n_centroids=16, m=4, n_codes=16, residual=True,
+        )
+        _IVFPQ_RESIDUAL_INDEX_CACHE[key] = path
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_index.ivfpq_topk_over_index(
+        emb, queries, path, id_col="vec_id", vec_col="embedding",
+        k=5, probes=4, shortlist=100,
+    )
+
+
 _IVFPQ_STREAM_CACHE: dict[str, str] = {}
 
 

@@ -1490,3 +1490,56 @@ def test_ivfpq_residual_recall_beats_absolute_on_clustered_fixture(spark):
     )
     assert resid >= 0.75, (plain, resid)
     assert resid >= plain + 0.15, (plain, resid)
+
+
+def test_ivfpq_residual_index_lifecycle_bit_equal(emb, spark, tmp_path):
+    """The persisted index in RESIDUAL mode: the manifest carries the
+    flag, the build encodes residuals through the same fused
+    projection, serving is bit-equal to the composed
+    ``ivfpq_residual_topk`` under the same model, an append grows it
+    bit-equal to a full residual build over the union, and filtered
+    search serves within the predicate."""
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    cents = similarity.collect_centroids(
+        similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+    )
+    rbooks = similarity.pq_codebooks_residual(
+        emb, cents, "vec_id", "embedding", m=4, n_codes=16
+    )
+    path = str(tmp_path / "ridx")
+    built = ann_index.build_ivfpq_index(
+        emb, path, centroids=cents, codebooks=rbooks, residual=True
+    )
+    loaded = ann_index.load_ivfpq_model(spark, path)
+    assert loaded == built and loaded.residual
+
+    q = emb.filter(F.col("vec_id") < 5)
+    composed = similarity.ivfpq_residual_topk(
+        emb, q, k=5, probes=4, shortlist=100,
+        centroids=cents, codebooks=rbooks,
+    ).collect()
+    served = ann_index.ivfpq_topk_over_index(
+        emb, q, path, k=5, probes=4, shortlist=100
+    ).collect()
+    assert served == composed and len(served) == 25
+
+    # Incremental: half-build + append == full build, same model.
+    inc = str(tmp_path / "rinc")
+    ann_index.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), inc,
+        centroids=cents, codebooks=rbooks, residual=True,
+    )
+    ann_index.append_to_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), inc)
+    got = ann_index.ivfpq_topk_over_index(
+        emb, q, inc, k=5, probes=4, shortlist=100
+    ).collect()
+    assert got == served
+
+    # Filtered residual search: top-k within the predicate.
+    allowed = emb.filter(F.col("label") == 3)
+    out = ann_index.ivfpq_topk_over_index(
+        emb, q, path, k=3, probes=4, shortlist=100, allowed=allowed
+    ).collect()
+    allowed_ids = {r["vec_id"] for r in allowed.select("vec_id").collect()}
+    assert out and all(r["neighbor_id"] in allowed_ids for r in out)
