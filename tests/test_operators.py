@@ -1543,3 +1543,84 @@ def test_ivfpq_residual_index_lifecycle_bit_equal(emb, spark, tmp_path):
     ).collect()
     allowed_ids = {r["vec_id"] for r in allowed.select("vec_id").collect()}
     assert out and all(r["neighbor_id"] in allowed_ids for r in out)
+
+
+def test_trained_residual_codebooks_compose_and_beat_seeding(spark):
+    """The trained-residual path is pure COMPOSITION — no new trainer:
+    ``pq_codebooks_kmeans`` over the residual frame
+    (assign_cells → with_residual) plugs into
+    ``ivfpq_residual_topk(codebooks=)`` and beats the id-seeded
+    residual books on the clustered fixture (codewords move to residual
+    density modes instead of sitting at arbitrary cluster-0 residual
+    points). Same fixture and budgets as the residual-vs-absolute pin:
+    seeded residual reads 0.81 there; trained ~0.89."""
+    import random
+
+    rng = random.Random(5)
+    dim, C = 32, 8
+    centers = [[8.0 * rng.gauss(0, 1) for _ in range(dim)] for _ in range(C)]
+    rows = [
+        (1000 * k + i, [c + rng.gauss(0, 0.5) for c in ctr])
+        for k, ctr in enumerate(centers)
+        for i in range(50)
+    ]
+    emb8 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb8.filter(F.col("vec_id") % 25 == 0)
+    cents = [(k, centers[k]) for k in range(C)]
+
+    res_frame = similarity.with_residual(
+        similarity.assign_cells(emb8, cents, "vec_id", "embedding"),
+        cents,
+        "embedding",
+        "_rv",
+    ).select("vec_id", "_rv")
+    trained = similarity.pq_codebooks_kmeans(
+        res_frame, "vec_id", "_rv", m=4, n_codes=16, sample_pct=100
+    )
+    seeded = similarity.pq_codebooks_residual(
+        emb8, cents, "vec_id", "embedding", m=4, n_codes=16
+    )
+
+    from pyspark.sql.window import Window
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    q = emb8.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb8.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    truth: dict[int, set[int]] = {}
+    brute = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "d",
+            dot(F.col("qv"), F.col("qv"))
+            - 2 * dot(F.col("qv"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv")),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+    )
+    for r in brute.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(books):
+        df = similarity.ivfpq_residual_topk(
+            emb8, queries, k=5, probes=2, m=4, n_codes=16, shortlist=20,
+            centroids=cents, codebooks=books,
+        )
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        tot = sum(len(v) for v in truth.values())
+        return sum(len(truth[k] & got.get(k, set())) for k in truth) / tot
+
+    r_seed, r_train = recall(seeded), recall(trained)
+    assert r_train >= r_seed, (r_seed, r_train)
+    assert r_train >= 0.85, (r_seed, r_train)

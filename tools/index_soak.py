@@ -179,6 +179,22 @@ def main() -> None:
     stream_total = round(time.perf_counter() - t0, 3)
     out["stream_10x1pct_total_sec"] = stream_total
     out["stream_per_batch_sec"] = round(stream_total / 10, 3)
+
+    # Round-11: residual (IVFADC) index — same code size, same pruned
+    # scan; the serve-side delta is only the per-(query, cell) LUT
+    # broadcast (P× more LUT rows). Build + served timings alongside
+    # the absolute path's.
+    rpath = tempfile.mkdtemp(prefix="ivfpq_soak_res_")
+    t0 = time.perf_counter()
+    ann_index.build_ivfpq_index(
+        emb, rpath, n_centroids=16, m=4, n_codes=16, residual=True
+    )
+    out["residual_build_sec"] = round(time.perf_counter() - t0, 3)
+    out["residual_served_sec"] = med(
+        lambda: ann_index.ivfpq_topk_over_index(
+            emb, queries, rpath, k=5, probes=4, shortlist=100
+        ).count()
+    )
     print(json.dumps(out))
 
 
