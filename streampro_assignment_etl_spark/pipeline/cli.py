@@ -67,6 +67,40 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("name", help="Query name from the registry (or 'list')")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--debug", action="store_true")
+
+    ix = sub.add_parser(
+        "index",
+        help="Persisted IVF-PQ index maintenance (operators/ann_index.py): "
+        "the cron surface for the build/ingest/compact/expire/monitor loop",
+    )
+    ix.add_argument(
+        "action", choices=["build", "append", "compact", "expire", "occupancy"]
+    )
+    ix.add_argument("--path", required=True, help="Index root dir/URI")
+    ix.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="Embeddings source table dir (build/append)",
+    )
+    ix.add_argument(
+        "--where", help="SQL predicate over the embeddings table (build/append source)"
+    )
+    ix.add_argument(
+        "--residual",
+        action="store_true",
+        help="Build the IVFADC form (codes quantize v - centroid[cell])",
+    )
+    ix.add_argument("--n-centroids", type=int, default=16)
+    ix.add_argument("--m", type=int, default=4)
+    ix.add_argument("--n-codes", type=int, default=16)
+    ix.add_argument(
+        "--min-age-seconds",
+        type=float,
+        default=86400.0,
+        help="Expiry grace horizon (default 24 h; see expire_ivfpq_snapshots)",
+    )
+    ix.add_argument("--ingest-id", help="Idempotency key for append (replays overwrite)")
+    ix.add_argument("--debug", action="store_true")
     return p
 
 
@@ -93,6 +127,57 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         format="%(asctime)s %(levelname)-7s %(name)s %(message)s",
         stream=sys.stdout,
     )
+
+    if args.command == "index":
+        import json as _json
+
+        from ..operators import ann_index
+        from ..session import get_spark
+        from ..sources.testdata import load_table
+
+        spark = get_spark("streampro-index")
+        if args.action in ("build", "append"):
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            if args.where:
+                emb = emb.filter(args.where)
+        if args.action == "build":
+            model = ann_index.build_ivfpq_index(
+                emb,
+                args.path,
+                n_centroids=args.n_centroids,
+                m=args.m,
+                n_codes=args.n_codes,
+                residual=args.residual,
+            )
+        elif args.action == "append":
+            model = ann_index.append_to_ivfpq_index(
+                emb, args.path, ingest_id=args.ingest_id
+            )
+        elif args.action == "compact":
+            model = ann_index.compact_ivfpq_index(spark, args.path)
+        elif args.action == "expire":
+            gone = ann_index.expire_ivfpq_snapshots(
+                spark, args.path, min_age_seconds=args.min_age_seconds
+            )
+            print(_json.dumps({"expired": gone}))
+            return 0
+        else:  # occupancy
+            print(_json.dumps(ann_index.index_occupancy_stats(spark, args.path)))
+            return 0
+        print(
+            _json.dumps(
+                {
+                    "action": args.action,
+                    "epoch": model.epoch,
+                    "encoded_dir": model.encoded_dir,
+                    "residual": model.residual,
+                    "n_centroids": model.n_centroids,
+                    "m": model.m,
+                    "n_codes": model.n_codes,
+                }
+            )
+        )
+        return 0
 
     if args.command == "query":
         from ..queries import EXTRAS, REGISTRY

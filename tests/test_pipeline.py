@@ -467,6 +467,46 @@ def test_cli_pipeline_end_to_end(spark, tmp_path, capsys):
     assert main(["query", "definitely_not_a_query"]) == 2
 
 
+def test_cli_index_lifecycle(spark, tmp_path, capsys):
+    """The `index` subcommand drives the full persisted-IVF-PQ loop —
+    build → filtered append → occupancy → compact → expire — and each
+    stage prints one JSON line an operator's cron wrapper can parse."""
+    from streampro_assignment_etl_spark.operators.ann_index import load_ivfpq_model
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    ix = str(tmp_path / "ix")
+    sf = "/root/testdata/sf0.001"
+    assert main(["index", "build", "--path", ix, "--sf-dir", sf]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["epoch"] == 1 and built["residual"] is False
+
+    rc = main(
+        [
+            "index", "append", "--path", ix, "--sf-dir", sf,
+            "--where", "vec_id % 10 = 0", "--ingest-id", "d1",
+        ]
+    )
+    assert rc == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["epoch"] == 2
+    assert appended["encoded_dir"] == built["encoded_dir"]  # same snapshot
+
+    assert main(["index", "occupancy", "--path", ix]) == 0
+    occ = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert occ["current_total"] > occ["built_total"]
+
+    assert main(["index", "compact", "--path", ix]) == 0
+    compacted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert compacted["epoch"] == 3
+    assert compacted["encoded_dir"] != built["encoded_dir"]  # new snapshot
+
+    assert main(["index", "expire", "--path", ix, "--min-age-seconds", "0"]) == 0
+    gone = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["expired"]
+    assert built["encoded_dir"] in gone  # superseded snapshot reaped
+    model = load_ivfpq_model(spark, ix)
+    assert model.epoch == 3 and model.encoded_dir == compacted["encoded_dir"]
+
+
 def test_cli_pipeline_end_to_end_on_memory_filesystem(spark, tmp_path):
     """VERDICT r5 #3: the FULL pipeline CLI path (seed → landing→raw
     copy → raw→trusted Spark parse → trusted parquet → query over the
