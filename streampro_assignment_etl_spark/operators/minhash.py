@@ -21,7 +21,7 @@ this is the scale path the training-data workload needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -307,4 +307,133 @@ def fuzzy_dup_pairs(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """(_id, sh) shingle frame with the hot-path layout every consumer
+    here wants: repartition the RAW docs wide, split once into a
+    materialized words column, then shingle without the distinct pass
+    (set-semantic downstream — see ``shingles_from_words``)."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_part)
+        .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w"))
+        .select(
+            "_id",
+            shingles_from_words(F.col("_w"), shingle_n, distinct=False).alias("sh"),
+        )
+    )
+
+
+def signature_store(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH band rows for a corpus — the
+    PERSISTED side of incremental fuzzy dedup. In production this frame
+    is written once per corpus (bands × rows, 3 longs each — ~48 B/row
+    vs the corpus's kilobytes of text), maintained by appending each
+    accepted batch's rows, and ideally bucketed on ``band_hash`` so the
+    incremental probe join co-locates without shuffling the store (the
+    same contract as ``incremental_dedup_vs_bucketed_corpus``'s
+    fingerprint table). Text never enters the store: verification
+    re-reads matched docs only (see ``incremental_fuzzy_matches``)."""
+    sh = _shingled(docs, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(sh, "_id", "sh", num_hashes)
+    return band_key_rows(sigs, "_id", num_hashes, bands).select(
+        F.col("_id").alias(id_col), "band_id", "band_hash"
+    )
+
+
+def incremental_fuzzy_matches(
+    batch_docs: DataFrame,
+    corpus_docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against an already-signed
+    corpus: the production dedup mode where the corpus is never
+    re-shingled wholesale. Returns (id, dup_of, jaccard) — one row per
+    batch doc with >= 1 verified match, keeping the BEST match
+    (highest exact Jaccard, ties to the lowest corpus id).
+
+    Scale shape (the reason this exists next to ``fuzzy_dup_pairs``):
+
+    * the corpus contributes ONLY its persisted ``signature_store``
+      rows to candidate generation — one equi-join on
+      (band_id, band_hash), cost ∝ batch bands + store keys, never
+      corpus text;
+    * exact-Jaccard verification re-reads corpus TEXT for just the
+      candidate ids (left-semi point lookup, the same cohort-prune
+      plan as ``fuzzy_dup_pairs(prune_verification=True)``) — at
+      100 TB that is thousands of docs, not the corpus;
+    * batch-side shingles are likewise pruned to batch docs that
+      produced a candidate.
+
+    ``store`` must have been built with the same (num_hashes, bands,
+    shingle_n) — band hashes are seed-dependent, so a geometry mismatch
+    silently yields zero candidates; callers persist the geometry next
+    to the store. No broadcast hint on the candidate-id sets: they
+    scale with the batch's dup rate, and AQE broadcasts at runtime
+    when small (same argument as ``fuzzy_dup_pairs``)."""
+    from ..queries.catalog import track_persist
+
+    batch_sh = _shingled(batch_docs, id_col, text_col, shingle_n)
+    batch_bands = band_key_rows(
+        minhash_signatures(batch_sh, "_id", "sh", num_hashes), "_id", num_hashes, bands
+    )
+    cand = track_persist(
+        batch_bands.join(
+            store.select(
+                F.col(id_col).alias("_dup_of"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("_id", "_dup_of")
+        .distinct(),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    corp_sh = _shingled(
+        corpus_docs.join(
+            cand.select(F.col("_dup_of").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        id_col,
+        text_col,
+        shingle_n,
+    ).select(F.col("_id").alias("_dup_of"), F.col("sh").alias("sh_c"))
+    batch_ver = batch_sh.join(
+        cand.select("_id").distinct(), "_id", "left_semi"
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh", "sh_c")).cast("double")
+        / F.size(F.array_union("sh", "sh_c")),
+        4,
+    )
+    verified = (
+        cand.join(batch_ver, "_id")
+        .join(corp_sh, "_dup_of")
+        .select("_id", "_dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("jaccard").desc(), F.col("_dup_of"))
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_dup_of").alias("dup_of"),
+            "jaccard",
+        )
     )

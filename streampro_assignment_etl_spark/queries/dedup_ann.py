@@ -110,6 +110,75 @@ def dedup_fuzzy_minhash_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental fuzzy dedup against a persisted LSH signature store: the
+# production arrival-batch mode (exact counterpart:
+# corpus_ops.incremental_dedup_against_corpus). The oracle is all
+# CROSS-split pairs at exact Jaccard >= threshold with the same
+# best-match selection — a hash match certifies the banded store probe
+# missed no cross-split near-dup on this corpus.
+# ---------------------------------------------------------------------------
+_INCR_FUZZY_ORACLE = """
+WITH s AS (
+  SELECT doc_id, CAST(substring(source, 4) AS INT) AS src_n,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+           i -> string_split(text,' ')[i] || ' ' ||
+                string_split(text,' ')[i+1] || ' ' ||
+                string_split(text,' ')[i+2])) AS sh
+  FROM documents
+),
+v AS (
+  SELECT b.doc_id AS doc_id, a.doc_id AS dup_of,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+  FROM s a JOIN s b ON a.src_n < 10 AND b.src_n >= 10
+)
+SELECT doc_id, dup_of, jaccard
+FROM v
+WHERE jaccard >= 0.8
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY jaccard DESC, dup_of) = 1
+ORDER BY doc_id
+"""
+
+
+@query(
+    "incremental_fuzzy_dedup_vs_store",
+    extra=True,  # dedup family's driver rows: minhash/simhash/clusters
+    tags=("dedup", "minhash", "lsh", "incremental", "signature-store"),
+    oracle=_INCR_FUZZY_ORACLE,
+)
+def incremental_fuzzy_dedup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-batch fuzzy dedup without re-shingling the corpus:
+    sources src0–src9 stand in for the already-ingested corpus whose
+    LSH band rows live in a persisted ``signature_store`` (derived
+    in-query here so the oracle can replay it; in production a
+    maintained table bucketed on band_hash), src10+ for the new batch.
+    Candidates come from one (band_id, band_hash) equi-join of batch
+    bands against the store; exact-Jaccard verification point-looks-up
+    corpus text for candidate ids only. Returns each batch doc's best
+    verified match (jaccard desc, lowest corpus id) — the decision row
+    an ingest job turns into drop-or-keep. Oracle is all cross-split
+    pairs, so the hash gate certifies zero LSH misses at this
+    threshold (detection 1-(1-J^4)^8 ≈ 0.9998 at the planted pairs'
+    J >= 0.9; fixed data ⇒ deterministic).
+
+    Same k=32/b=8 config as ``dedup_fuzzy_minhash`` (the within-corpus
+    sibling); reference has no fuzzy dedup — north-star operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_n = F.substring("source", 4, 10).cast("int")
+    corpus = docs.filter(src_n < 10)
+    batch = docs.filter(src_n >= 10)
+    store = minhash.signature_store(
+        corpus, "doc_id", "text", num_hashes=32, bands=8
+    )
+    return minhash.incremental_fuzzy_matches(
+        batch, corpus, store, "doc_id", "text",
+        threshold=0.8, num_hashes=32, bands=8,
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Containment dedup: asymmetric |A∩B| / min(|A|,|B|) — sub-document /
 # boilerplate-wrap duplication that symmetric Jaccard misses (a short
 # doc fully quoted inside a long one has high containment, low Jaccard).

@@ -156,6 +156,53 @@ def test_fuzzy_dup_pairs_auto_select_pins_both_branches_on_stubbed_estimate(
     assert "LeftSemi" not in plan(docs)
 
 
+def test_incremental_fuzzy_matches_vs_signature_store(spark):
+    """Arrival-batch fuzzy dedup against a persisted LSH store: a batch
+    doc that near-duplicates a corpus doc matches it (best match by
+    jaccard desc, lowest corpus id), an exact mirror scores 1.0, a
+    novel doc produces no row — and the corpus contributes only its
+    band rows to candidate generation (text re-read is LeftSemi-pruned
+    to candidate ids, pinned on the optimized plan)."""
+    from streampro_assignment_etl_spark.queries import release_persisted
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base.replace("alpha", "omega")), (3, "completely different words here " * 5)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base.replace("gamma", "jinx", 1)),  # near-dup of 1 (and 2)
+            (102, base.replace("alpha", "omega")),    # exact mirror of 2
+            (103, "nothing shared with any corpus document at all " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    store = minhash.signature_store(corpus, "doc_id", "text", num_hashes=32, bands=8)
+    out = minhash.incremental_fuzzy_matches(
+        batch, corpus, store, "doc_id", "text",
+        threshold=0.7, num_hashes=32, bands=8,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 2  # both verification sides pruned
+    rows = {r["doc_id"]: r for r in out.collect()}
+    release_persisted()
+    assert set(rows) == {101, 102}  # novel doc 103 produces no row
+    assert rows[102]["dup_of"] == 2 and rows[102]["jaccard"] == 1.0
+    assert rows[101]["dup_of"] in (1, 2) and 0.7 <= rows[101]["jaccard"] < 1.0
+
+    # Geometry contract: a store built under different (num_hashes,
+    # bands) hashes into disjoint buckets — zero candidates, loud in
+    # effect (callers persist geometry next to the store).
+    store16 = minhash.signature_store(corpus, "doc_id", "text", num_hashes=32, bands=16)
+    none = minhash.incremental_fuzzy_matches(
+        batch, corpus, store16, "doc_id", "text",
+        threshold=0.7, num_hashes=32, bands=8,
+    ).count()
+    release_persisted()
+    assert none == 0
+
+
 # -- SimHash ---------------------------------------------------------------
 def test_simhash_identical_and_perturbed(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4

@@ -31,6 +31,7 @@ SCALE_UP_EXTRAS = [
     "span_dedup_reconstruct",
     "inverted_index_postings",
     "incremental_dedup_against_corpus",
+    "incremental_fuzzy_dedup_vs_store",
     "quality_classifier_scores",
     "source_vocab_overlap",
     "training_shuffle_interleave",
