@@ -1121,6 +1121,155 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): fit hashed-unigram
+# bag-of-words models over a TARGET domain and the RAW corpus, weight
+# each doc by its log-likelihood ratio, and resample via Gumbel-top-k.
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_resample",
+    extra=True,  # curation family's driver row is curation_pipeline
+    tags=("curation", "importance-sampling", "dsir", "llm-pipeline"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS is_t,
+         CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)
+              AS BIGINT) % {_DSIR_BUCKETS} AS bkt
+  FROM documents
+),
+cnt AS (
+  SELECT bkt, COUNT(*) AS n_raw, SUM(is_t) AS n_tgt
+  FROM tok GROUP BY bkt
+),
+tot AS (
+  SELECT SUM(n_raw) AS r_tot, SUM(n_tgt) AS t_tot FROM cnt
+),
+model AS (
+  SELECT bkt,
+         CAST(ROUND(log10(
+               ((CAST(n_tgt AS DOUBLE) + 1.0)
+                * (CAST(r_tot AS DOUBLE) + {_DSIR_BUCKETS}))
+             / ((CAST(n_raw AS DOUBLE) + 1.0)
+                * (CAST(t_tot AS DOUBLE) + {_DSIR_BUCKETS}))), 6)
+              AS DECIMAL(18,6)) AS llr
+  FROM cnt CROSS JOIN tot
+),
+perdoc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(m.llr) AS sum_llr
+  FROM tok t JOIN model m USING (bkt)
+  GROUP BY t.doc_id
+),
+g AS (
+  SELECT doc_id, n_tokens, sum_llr,
+         CAST(ROUND(-log10(-log10(
+               (CAST('0x' || substr(md5(doc_id || ':dsir'), 1, 15)
+                     AS BIGINT) % 1000000 + 1) / 1000002.0)), 6)
+              AS DECIMAL(18,6)) AS gumbel
+  FROM perdoc
+),
+sc AS (SELECT *, sum_llr + gumbel AS score FROM g),
+thr AS (
+  SELECT MIN(score) AS kth FROM (
+    SELECT score FROM sc ORDER BY score DESC
+    LIMIT (SELECT CAST(ceil(COUNT(*) / 4.0) AS BIGINT) FROM documents)
+  )
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_llr AS DOUBLE) AS sum_llr,
+       CAST(gumbel AS DOUBLE) AS gumbel,
+       CAST(score AS DOUBLE) AS score,
+       score >= (SELECT kth FROM thr) AS sampled
+FROM sc
+ORDER BY doc_id
+""",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR), the published
+    recipe for "give me raw-web docs that look like my target domain":
+    hashed-unigram bag-of-words models are fitted to the TARGET slice
+    (``lang = 'en'`` stands in for the curated domain) and the RAW
+    corpus; each doc scores the sum of per-token bucket log-likelihood
+    ratios (add-one smoothing); selection is Gumbel-top-k — a
+    deterministic md5-derived uniform per doc feeds the Gumbel
+    perturbation, so sampling probability tracks the importance weight
+    while the draw stays replayable. ``sampled`` marks the top quarter
+    by perturbed score (ties included by both engines' shared
+    >=-threshold rule).
+
+    Scale shape: the model FIT is one token pass into a
+    ``_DSIR_BUCKETS``-row aggregate (map-side combined; the bucket
+    count table is KB-sized at any corpus size) joined back broadcast
+    onto the token stream — scoring is map-side, one doc-keyed
+    aggregate shuffles. The selection threshold is a TakeOrdered top-K
+    (never a global sort); the only driver values are the doc count and
+    the 1-row Kth score. Per-bucket LLRs are rounded to DECIMAL(18,6)
+    before summation so the cross-engine hash is exact (same discipline
+    as ``lm_bigram_perplexity``)."""
+    from ..operators.simhash import token_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    B = _DSIR_BUCKETS
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).cast("int").alias("is_t"),
+        F.explode(F.split("text", " ")).alias("_w"),
+    ).select("doc_id", "is_t", (token_hash60(F.col("_w")) % B).cast("int").alias("bkt"))
+    cnt = tok.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n_raw"), F.sum("is_t").alias("n_tgt")
+    )
+    tot = cnt.agg(F.sum("n_raw").alias("r_tot"), F.sum("n_tgt").alias("t_tot"))
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            F.log10(
+                ((F.col("n_tgt").cast("double") + 1.0) * (F.col("r_tot").cast("double") + B))
+                / ((F.col("n_raw").cast("double") + 1.0) * (F.col("t_tot").cast("double") + B))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("llr"),
+    )
+    perdoc = (
+        tok.join(F.broadcast(model), "bkt")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("llr").alias("sum_llr"))
+    )
+    u = (
+        token_hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir")))
+        % 1000000
+        + 1
+    ) / F.lit(1000002.0)
+    scored = perdoc.withColumn(
+        "gumbel", F.round(-F.log10(-F.log10(u)), 6).cast("decimal(18,6)")
+    ).withColumn("score", F.col("sum_llr") + F.col("gumbel"))
+    # Bounded driver values: the doc count (an int) and the Kth score
+    # (1 row off a TakeOrdered top-K — never a global sort).
+    k = -(-docs.count() // 4)
+    thr = (
+        scored.orderBy(F.col("score").desc())
+        .limit(k)
+        .agg(F.min("score").alias("kth"))
+        .collect()[0]["kth"]
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.col("sum_llr").cast("double").alias("sum_llr"),
+        F.col("gumbel").cast("double").alias("gumbel"),
+        F.col("score").cast("double").alias("score"),
+        (F.col("score") >= F.lit(thr)).alias("sampled"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Custom aggregate via pandas GROUPED_AGG UDAF (Arrow-batched) — the
 # escape hatch for aggregations Spark's built-ins can't express.
 # ---------------------------------------------------------------------------
