@@ -107,3 +107,78 @@ def heavy_hitters_exact(df: DataFrame, term_col: str, k: int) -> DataFrame:
         .filter(F.col("cnt") * k > F.lit(total))
         .orderBy(F.desc("cnt"), term_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: a deterministic, ENGINE-PORTABLE HLL whose
+# register table is plain rows — unlike approx_count_distinct's opaque
+# binary sketch (not oracle-hashable, see module docstring), this one
+# replays bit-exactly in DuckDB SQL, so the NDV pipeline itself can sit
+# behind the differential gate. Flajolet et al. 2007 geometry: p=6 →
+# m=64 registers, rho over the remaining 54 hash bits, sigma ≈ 1.04/√64
+# ≈ 13%.
+# ---------------------------------------------------------------------------
+HLL_M = 64  # registers (p = 6)
+_HLL_FIELD = 54  # rho field: the 60-bit md5 hash minus 6 bucket bits
+_HLL_ALPHA = 0.709  # alpha_64
+
+
+def hll_register_rows(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """(group_cols..., j, r): per-group HLL registers as PLAIN ROWS —
+    the persistable, MERGEABLE sketch form. r is the max first-1-bit
+    rank of the 54-bit suffix of ``token_hash60(value)`` among values
+    landing in register j; merging two register tables (same value
+    universe or not) is ``groupBy(group, j).agg(max(r))`` — the 100 TB
+    shape: per-partition/per-day sketches are m-row tables merged
+    without re-scanning, and the group×64-row result is KB-sized at
+    any corpus size. The max aggregate is map-side combined, so the
+    shuffle carries at most m rows per group per task.
+
+    The rank uses ``length(bin(x))`` for bit-length — identical
+    minimal-width semantics in Spark and DuckDB — so an oracle replays
+    registers bit-exactly (the whole point vs approx_count_distinct)."""
+    from ..operators.simhash import token_hash60
+
+    h = token_hash60(F.col(value_col))
+    h2 = F.shiftright(h, 6)  # exact integer >> — never a double divide
+    rho = F.when(h2 == 0, F.lit(_HLL_FIELD + 1)).otherwise(
+        _HLL_FIELD + 1 - F.length(F.bin(h2))
+    )
+    return (
+        df.select(*group_cols, (h % HLL_M).cast("int").alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., hll_ndv): the HLL estimate from a register table.
+
+    All-integer until the last step: the harmonic sum is
+    SUM(1 << (55 - r)) + V·(1 << 55) — exact BIGINT (max 64·2^55 =
+    2^61), never a float sum whose addition ORDER could differ between
+    engines — and only the final alpha·m²·2^55/isum division goes
+    through doubles. Small-range correction (linear counting
+    m·ln(m/V) when E ≤ 2.5m and V > 0) per the paper."""
+    one = F.lit(1).cast("long")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_present"),
+        # shiftleft's amount arg must be a plan-time int in the Python
+        # API; the per-row shift goes through SQL text instead
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_FIELD + 1} - r)")
+        ).alias("_s"),
+    )
+    v = HLL_M - F.col("_present")
+    isum = F.col("_s") + v.cast("long") * F.shiftleft(one, _HLL_FIELD + 1)
+    e_raw = (
+        F.lit(_HLL_ALPHA * HLL_M * HLL_M)
+        * F.shiftleft(one, _HLL_FIELD + 1).cast("double")
+        / isum.cast("double")
+    )
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (v > 0), F.lit(float(HLL_M)) * F.log(HLL_M / v)
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, est.alias("hll_ndv"))

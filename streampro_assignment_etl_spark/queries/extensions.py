@@ -1121,6 +1121,105 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable HyperLogLog NDV (functions/approx.py): register-table HLL
+# whose sketch replays bit-exactly in SQL — the oracle-hashable sketch
+# the opaque approx_count_distinct can't be.
+# ---------------------------------------------------------------------------
+_HLL_SQL_COMMON = """
+tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT source,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+      FROM tok),
+rr AS (SELECT source, CAST(hv % 64 AS INT) AS j,
+              CASE WHEN (hv >> 6) = 0 THEN 55
+                   ELSE 55 - length(bin(hv >> 6)) END AS rho
+       FROM h),
+reg AS (SELECT source, j, MAX(rho) AS r FROM rr GROUP BY source, j),
+regall AS (SELECT '__all__' AS source, j, MAX(r) AS r FROM reg GROUP BY j),
+allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM regall),
+agg AS (SELECT source, COUNT(*) AS n_present,
+               CAST(SUM(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s
+        FROM allreg GROUP BY source),
+raw AS (SELECT source, 64 - n_present AS v,
+               0.709 * 64 * 64 * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+               / CAST(s + (64 - n_present) * (CAST(1 AS BIGINT) << 55)
+                      AS DOUBLE) AS e_raw
+        FROM agg),
+fin AS (SELECT source,
+               CASE WHEN e_raw <= 160.0 AND v > 0
+                    THEN 64.0 * ln(64.0 / v) ELSE e_raw END AS est
+        FROM raw),
+ex AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct
+       FROM tok GROUP BY source
+       UNION ALL
+       SELECT '__all__', CAST(COUNT(DISTINCT w) AS BIGINT) FROM tok)
+"""
+
+
+@query(
+    "hll_distinct_tokens_by_source",
+    extra=True,  # sketch family; token_stats_by_source holds the driver row
+    tags=("sketch", "hll", "ndv", "mergeable", "llm-pipeline"),
+    oracle=f"""
+WITH {_HLL_SQL_COMMON}
+SELECT f.source, e.exact_distinct,
+       ROUND(f.est, 4) AS hll_ndv,
+       ROUND((f.est - e.exact_distinct) / e.exact_distinct, 4) AS rel_err
+FROM fin f JOIN ex e USING (source)
+ORDER BY f.source
+""",
+)
+def hll_distinct_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token NDV per source via a PORTABLE HyperLogLog
+    (functions/approx.py): registers are plain (source, j, r) rows from
+    a deterministic md5-derived hash, so the DuckDB oracle replays the
+    ENTIRE sketch pipeline bit-exactly — unlike
+    ``approx_count_distinct``, whose opaque binary sketch can only be
+    tolerance-tested. The ``__all__`` row is the mergeability claim
+    made executable: it is computed by MERGING the per-source register
+    tables (max per register — never re-scanning tokens), exactly how
+    per-day/per-partition sketches compose at 100 TB. ``exact_distinct``
+    and ``rel_err`` ride along as the error audit (σ ≈ 13% at m=64;
+    the exact side exists at fixture scale only — production keeps just
+    the KB-sized register tables).
+
+    All-integer harmonic sum (exact BIGINT, no order-dependent float
+    accumulation) with linear-counting small-range correction — see
+    ``hll_estimate``."""
+    from ..functions.approx import hll_estimate, hll_register_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    reg = hll_register_rows(tok, ["source"], "w")
+    regall = reg.groupBy("j").agg(F.max("r").alias("r")).select(
+        F.lit("__all__").alias("source"), "j", "r"
+    )
+    est = hll_estimate(reg.unionByName(regall), ["source"])
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("w").alias("exact_distinct")
+    ).unionByName(
+        tok.agg(
+            F.lit("__all__").alias("source"),
+            F.countDistinct("w").alias("exact_distinct"),
+        )
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.round("hll_ndv", 4).alias("hll_ndv"),
+            F.round(
+                (F.col("hll_ndv") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling"): fit hashed-unigram
 # bag-of-words models over a TARGET domain and the RAW corpus, weight
