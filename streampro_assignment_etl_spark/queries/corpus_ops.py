@@ -1437,13 +1437,13 @@ def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
     )
 
 
-def _bpe_encode_pack_oracle(k: int) -> str:
-    """Replay the full encode→pack pipeline in SQL: the k-stage merge
-    chain (reused from ``_bpe_merges_oracle``), a parallel replace
-    chain over the DISTINCT all-words map (the training chain loses the
-    word key), frequency-ranked id assignment, per-doc position-indexed
-    token streams, and the md5-shard prefix-sum packing of
-    ``sequence_packing`` — with an order-pinning positional checksum."""
+def _bpe_wtoks_ctes(k: int) -> str:
+    """Shared oracle prefix: the k-stage merge chain
+    (``_bpe_merges_oracle``) plus a parallel replace chain over the
+    DISTINCT all-words map (the training chain loses the word key),
+    ending at ``wtoks(w, ss)`` — every corpus word tokenized under the
+    learned merges. Consumed by the encode→pack and fertility
+    oracles."""
     o, c = _BPE_OPEN, _BPE_CLOSE
     base = _bpe_merges_oracle(k)
     head = base[: base.rindex("\nSELECT CAST(step AS INT)")]
@@ -1469,7 +1469,20 @@ def _bpe_encode_pack_oracle(k: int) -> str:
     parts.append(
         f""", wtoks AS (
   SELECT w, regexp_extract_all(r, '{o}([^{c}]*){c}', 1) AS ss FROM wmap{k}
-),
+)"""
+    )
+    return "".join(parts)
+
+
+def _bpe_encode_pack_oracle(k: int) -> str:
+    """Replay the full encode→pack pipeline in SQL: the shared
+    merge+word-map chain (``_bpe_wtoks_ctes``), frequency-ranked id
+    assignment, per-doc position-indexed token streams, and the
+    md5-shard prefix-sum packing of ``sequence_packing`` — with an
+    order-pinning positional checksum."""
+    parts = [
+        _bpe_wtoks_ctes(k),
+        """,
 wcount AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS wn
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1532,8 +1545,8 @@ SELECT shard, CAST(floor(start_tok / 2048.0) AS BIGINT) AS pack_id,
 FROM pref
 GROUP BY shard, CAST(floor(start_tok / 2048.0) AS BIGINT)
 ORDER BY shard, pack_id
-"""
-    )
+""",
+    ]
     return "".join(parts)
 
 
@@ -1600,3 +1613,94 @@ def bpe_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: tokens/word and chars/token by language — the
+# coverage metric that decides whether a tokenizer is fair to a
+# language before training starts.
+# ---------------------------------------------------------------------------
+def _bpe_fertility_oracle(k: int) -> str:
+    """Replay fertility in SQL: the shared merge+word-map chain
+    (``_bpe_wtoks_ctes``) joined to per-(lang, word) occurrence counts;
+    all counts integer-exact, the two ratios rounded last."""
+    return (
+        _bpe_wtoks_ctes(k)
+        + """,
+lwords AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wn
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 1
+  GROUP BY lang, w
+),
+fert AS (
+  SELECT l.lang,
+         CAST(SUM(l.wn) AS BIGINT) AS n_words,
+         CAST(SUM(l.wn * len(t.ss)) AS BIGINT) AS n_tokens,
+         CAST(SUM(l.wn * len(l.w)) AS BIGINT) AS n_chars
+  FROM lwords l JOIN wtoks t USING (w)
+  GROUP BY l.lang
+)
+SELECT lang, n_words, n_tokens, n_chars,
+       ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+FROM fert
+ORDER BY lang
+"""
+    )
+
+
+@query(
+    "bpe_fertility_by_lang",
+    extra=True,
+    tags=("tokenizer", "bpe", "fertility", "coverage", "llm-pipeline"),
+    oracle=_bpe_fertility_oracle(_BPE_MERGE_STEPS),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language under the learned merges:
+    tokens-per-word and chars-per-token — the standard multilingual
+    tokenizer-equity audit (a lang whose fertility is 2× pays 2× the
+    context budget per sentence; merges learned on an en-heavy corpus
+    do exactly this to the tail langs). Companion to
+    ``oov_rate_by_source``'s coverage gate.
+
+    Scale shape: tokenization stays on the DISTINCT-word map
+    (``bpe_word_token_map`` — vocab-sized, k chained map-side folds),
+    joined once to the (lang, word) occurrence table; both sides are
+    vocab-scale, never corpus-scale, and the final aggregate is
+    ~n_langs rows. All counts integer-exact; the two ratios round
+    last."""
+    from .catalog import track_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = track_persist(_bpe_vocab(docs), StorageLevel.MEMORY_AND_DISK)
+    learned = _bpe_learn_rules(docs, _BPE_MERGE_STEPS, vocab=vocab)
+    rules = [(left, right) for _, left, right, _, _ in learned]
+    wmap = bpe_word_token_map(docs, rules)
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    fert = (
+        lw.join(wmap, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("wn").alias("n_words"),
+            F.sum(F.col("wn") * F.size("ss")).alias("n_tokens"),
+            F.sum(F.col("wn") * F.length("w")).alias("n_chars"),
+        )
+    )
+    return fert.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("lang")

@@ -458,3 +458,21 @@ def test_dsir_weights_prefer_target_domain(spark):
     n = len(m)
     assert m["sampled"].sum() >= -(-n // 4)
     assert m[m["sampled"]]["sum_llr"].mean() > m[~m["sampled"]]["sum_llr"].mean()
+
+
+def test_bpe_fertility_merges_compress_every_lang(spark):
+    """Fertility is only meaningful if the learned merges actually
+    compress: with zero merges every char is a token (fertility =
+    chars/word, chars_per_token = 1); after the k learned merges each
+    lang must sit strictly below that ceiling — and the en-trained
+    merges compress en at least as well as the corpus average."""
+    rows = (
+        EXTRAS["bpe_fertility_by_lang"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) == 5  # en/de/es/fr/zh fixture langs
+    for r in rows:
+        assert r["n_tokens"] < r["n_chars"]  # some merge applied
+        assert r["chars_per_token"] > 1.0
+        assert r["fertility"] < r["n_chars"] / r["n_words"]  # below ceiling
