@@ -414,3 +414,82 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_disc", "n_items"], "metric", "value"
     ).orderBy("l_returnflag", "metric")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history from a change log — the warehouse verb
+# the reference's ETL implies but never implements (its MERGE surface
+# is SCD-1 latest-wins; streaming/events_stream.run_stream_upsert is
+# this repo's SCD-1). Consecutive equal values collapse into one
+# validity interval; the current row carries a NULL valid_to.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_user_type_history",
+    extra=True,  # warehouse family; catalog/pipeline rows carry the driver surface
+    tags=("scd2", "dimension", "warehouse", "window"),
+    oracle="""
+WITH src AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts_us,
+         lag(event_type) OVER w AS prev_type
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+starts AS (
+  SELECT user_id, event_type AS status, ts_us AS valid_from_us
+  FROM runs
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, status, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
+       lead(valid_from_us) OVER w2 IS NULL AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)
+ORDER BY user_id, valid_from_us
+""",
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history built in bulk from a change log: each user's
+    event-type stream collapses into validity intervals — a row per
+    RUN of consecutive equal values, ``valid_from``/``valid_to`` as
+    exact epoch microseconds (the integer form that hash-matches
+    across engines; see ``gap_sessionize``), and ``is_current`` on the
+    open interval. This is the initial-load path of a slowly-changing
+    dimension; the per-batch maintenance path is the SCD-1
+    ``run_stream_upsert`` plus this rebuild over affected keys.
+
+    Scale shape: both windows partition by the dimension KEY — no
+    global window anywhere, so every user's history sorts inside its
+    own hash partition (skew = the hottest single key's change count,
+    which is what SCD-2 costs on any engine). The run-start filter
+    drops the change log to interval grain BEFORE the second window,
+    so lead() runs over runs, not raw events."""
+    from pyspark.sql import Window
+
+    # ts is TIMESTAMP_NTZ; the UTC-session cast → unix_micros is the
+    # exact integer-microsecond idiom shared with gap_sessionize.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    starts = runs.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts_us").alias("valid_from_us"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return (
+        starts.withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .orderBy("user_id", "valid_from_us")
+    )
