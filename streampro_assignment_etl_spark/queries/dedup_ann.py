@@ -569,6 +569,98 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster-balanced embedding diversity sampling: cap each IVF cell at a
+# fixed budget under a deterministic md5 order — dense semantic
+# clusters are truncated, sparse ones survive whole, so the sample
+# covers the embedding space instead of mirroring its density (the
+# selection half of the SemDeDup/cluster-curation recipe; the dedup
+# half is semantic_dedup_apply below).
+# ---------------------------------------------------------------------------
+_DIVERSITY_CAP = 24
+
+_DIVERSITY_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < 16
+),
+corp AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_dot_product(c.v, ct.centroid)
+                      / (sqrt(list_dot_product(c.v, c.v))
+                         * sqrt(list_dot_product(ct.centroid, ct.centroid))) DESC,
+                      ct.centroid_id) AS rn
+    FROM corp c CROSS JOIN cent ct
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cell,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY md5(vec_id || ':divsample'), vec_id) AS INT) AS cell_rank,
+         CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+  FROM assigned
+)
+SELECT vec_id, cell, cell_n, cell_rank,
+       cell_rank <= {_DIVERSITY_CAP} AS kept
+FROM ranked
+ORDER BY vec_id
+"""
+
+
+@query(
+    "embedding_diversity_sample",
+    extra=True,  # similarity family's driver rows: ivf/lsh/topk
+    tags=("sampling", "diversity", "embedding", "cluster", "llm-pipeline"),
+    oracle=_DIVERSITY_ORACLE,
+)
+def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling over the embedding space: assign every
+    vector to its nearest of 16 id-seeded centroids (the zero-shuffle
+    ``assign_cells`` projection IVF serving uses), then keep at most
+    ``_DIVERSITY_CAP`` vectors per cell under a deterministic
+    md5-derived order. Dense clusters truncate, sparse clusters survive
+    whole — the coverage-over-density selection step of
+    cluster-balanced curation (SemDeDup-adjacent; its dedup half is
+    ``semantic_dedup_apply``). Every row is returned with its
+    ``kept`` decision and cell population so the sampler is auditable.
+
+    Scale shape: assignment is map-side against literal centroids
+    (zero shuffle); the per-cell rank is a window partitioned by CELL
+    — at C cells the skew bound is the densest cell, and the two-phase
+    local-prune-then-rank rewrite of ``per_source_topn`` applies
+    verbatim if one cell degenerates (documented there; at C=16 the
+    window is the right plan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.seed_centroids(emb, "vec_id", "embedding", 16)
+    assigned = similarity.assign_cells(emb, cents, "vec_id", "embedding").select(
+        "vec_id", "cell"
+    )
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":divsample")))
+    w = Window.partitionBy("cell").orderBy(order_key, "vec_id")
+    wn = Window.partitionBy("cell")
+    return (
+        assigned.withColumn("cell_rank", F.row_number().over(w))
+        .withColumn("cell_n", F.count(F.lit(1)).over(wn))
+        .select(
+            "vec_id",
+            "cell",
+            "cell_n",
+            "cell_rank",
+            (F.col("cell_rank") <= _DIVERSITY_CAP).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs, cell-blocked (the scale path).
 # The all-pairs O(N²) form is NOT a registered query any more — it
 # survives only as this operator's verification anchor in

@@ -1671,3 +1671,22 @@ def test_trained_residual_codebooks_compose_and_beat_seeding(spark):
     r_seed, r_train = recall(seeded), recall(trained)
     assert r_train >= r_seed, (r_seed, r_train)
     assert r_train >= 0.85, (r_seed, r_train)
+
+
+def test_embedding_diversity_sample_flattens_density(spark):
+    """Cluster-balanced sampling invariants at sf0.01: per cell exactly
+    min(cell_n, cap) rows are kept under the deterministic order, so
+    dense cells truncate and the kept sample's cell distribution is
+    strictly flatter than the corpus's."""
+    from streampro_assignment_etl_spark.queries import EXTRAS
+    from streampro_assignment_etl_spark.queries.dedup_ann import _DIVERSITY_CAP
+
+    out = EXTRAS["embedding_diversity_sample"].builder(spark, SF).toPandas()
+    per_cell = out.groupby("cell").agg(
+        n=("vec_id", "size"), kept=("kept", "sum"), cell_n=("cell_n", "first")
+    )
+    assert (per_cell["n"] == per_cell["cell_n"]).all()
+    assert (per_cell["kept"] == per_cell["cell_n"].clip(upper=_DIVERSITY_CAP)).all()
+    assert per_cell["cell_n"].max() > _DIVERSITY_CAP  # the cap binds somewhere
+    spread = lambda s: s.max() / s.min()  # noqa: E731
+    assert spread(per_cell["kept"]) < spread(per_cell["cell_n"])
