@@ -17,7 +17,7 @@ are tolerance tests against the exact anchors (tests/test_approx.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -182,3 +182,59 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         (e_raw <= 2.5 * HLL_M) & (v > 0), F.lit(float(HLL_M)) * F.log(HLL_M / v)
     ).otherwise(e_raw)
     return agg.select(*group_cols, est.alias("hll_ndv"))
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch: the frequency companion to the portable
+# HLL above — d×w integer counters as plain rows, deterministic
+# md5-seeded hashes, so the sketch replays bit-exactly in SQL. Merge is
+# cell-wise SUM (vs the HLL's MAX); estimates upper-bound true counts
+# by construction (Cormode & Muthukrishnan 2005).
+# ---------------------------------------------------------------------------
+CMS_D = 4  # hash rows
+CMS_W = 256  # buckets per row; overestimate ~ 2N/w per row, min over d rows
+
+
+def _cms_bucket(value: Column, i: int) -> Column:
+    """Row-i bucket of a value: md5-derived 60-bit hash under the
+    ':cms:' seed family, mod w — engine-portable like token_hash60."""
+    from ..operators.simhash import token_hash60
+
+    return (token_hash60(F.concat(F.lit(f"{i}:cms:"), value)) % CMS_W).cast("int")
+
+
+def cms_counter_rows(df: DataFrame, value_col: str) -> DataFrame:
+    """(row_i, bucket, c): the count-min counter table as plain rows —
+    at most d·w rows (1024 here) regardless of input size, built by one
+    map-side-combined aggregate over d stacked bucket assignments per
+    occurrence. Persist it per source/day and merge by
+    ``groupBy(row_i, bucket).sum(c)`` — exact associative integer
+    merge, the same compose-without-rescanning contract as
+    ``hll_register_rows``."""
+    stacked = df.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(value_col), i) for i in range(CMS_D)])
+        ).alias("row_i", "bucket")
+    )
+    return stacked.groupBy("row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame, value_col: str) -> DataFrame:
+    """Point-frequency estimates for ``probes[value_col]``: min over the
+    d counter rows each probe hashes into — never below the true count,
+    above it only through hash collisions. The probe side re-derives
+    its d buckets map-side and equi-joins the (≤ d·w)-row counter table
+    (broadcast by AQE), so estimating costs O(probes), not O(corpus)."""
+    probe_rows = probes.select(
+        F.col(value_col),
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(value_col), i) for i in range(CMS_D)])
+        ).alias("row_i", "bucket"),
+    )
+    return (
+        probe_rows.join(counters, ["row_i", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("c").alias("cms_n"))
+    )

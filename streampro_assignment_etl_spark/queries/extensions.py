@@ -1220,6 +1220,84 @@ def hll_distinct_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Portable count-min sketch (functions/approx.py): the frequency
+# companion to the portable HLL — d×w integer counters as rows,
+# estimates never below truth, merge = cell-wise SUM.
+# ---------------------------------------------------------------------------
+@query(
+    "cms_term_frequency_audit",
+    extra=True,  # sketch family; token_stats_by_source holds the driver row
+    tags=("sketch", "count-min", "frequency", "mergeable", "llm-pipeline"),
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+iser AS (SELECT unnest(generate_series(0, 3)) AS i),
+rows_ AS (
+  SELECT CAST(i.i AS INT) AS row_i,
+         CAST(CAST('0x' || substr(md5(i.i || ':cms:' || t.w), 1, 15)
+              AS BIGINT) % 256 AS INT) AS bucket
+  FROM tok t CROSS JOIN iser i
+),
+counters AS (
+  SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM rows_ GROUP BY row_i, bucket
+),
+probes AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM tok GROUP BY w
+  ORDER BY exact_n DESC, w LIMIT 20
+),
+prow AS (
+  SELECT p.w, p.exact_n, CAST(i.i AS INT) AS row_i,
+         CAST(CAST('0x' || substr(md5(i.i || ':cms:' || p.w), 1, 15)
+              AS BIGINT) % 256 AS INT) AS bucket
+  FROM probes p CROSS JOIN iser i
+)
+SELECT p.w AS term, p.exact_n,
+       CAST(MIN(c.c) AS BIGINT) AS cms_n,
+       CAST(MIN(c.c) - p.exact_n AS BIGINT) AS overcount
+FROM prow p JOIN counters c USING (row_i, bucket)
+GROUP BY p.w, p.exact_n
+ORDER BY p.exact_n DESC, term
+""",
+)
+def cms_term_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency audit: build the (4 × 256)-counter
+    sketch over every token occurrence, then estimate the corpus's 20
+    most frequent terms against their exact counts. ``cms_n >=
+    exact_n`` ALWAYS (min over d rows of counters that each saw every
+    occurrence); ``overcount`` is the collision error the w dial
+    buys down. The counter table is ≤ 1024 rows at any corpus size and
+    merges across days/partitions by cell-wise integer SUM — same
+    compose-without-rescanning contract as the portable HLL, exact
+    rather than register-max. The full sketch replays bit-exactly in
+    the DuckDB oracle (why this exists next to the opaque built-ins);
+    the probe list is a TakeOrdered top-k, and estimating costs
+    O(probes) via a broadcast join of the counter table."""
+    from ..functions.approx import cms_counter_rows, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    counters = cms_counter_rows(tok, "w")
+    probes = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "w")
+        .limit(20)
+    )
+    est = cms_estimate(counters, probes.select("w"), "w")
+    return (
+        probes.join(est, "w")
+        .select(
+            F.col("w").alias("term"),
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling"): fit hashed-unigram
 # bag-of-words models over a TARGET domain and the RAW corpus, weight

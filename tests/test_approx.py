@@ -98,3 +98,44 @@ def test_hll_register_rows_mergeable_and_bounded_error(spark):
 
     est = hll_estimate(whole, ["g"]).collect()[0]["hll_ndv"]
     assert abs(est - n) / n < 0.4  # 3σ at m=64; fixed data → deterministic
+
+
+def test_cms_upper_bound_and_merge_by_sum(spark):
+    """Count-min invariants: (1) estimates never undercount — for EVERY
+    distinct term in a skewed stream, cms_n >= exact_n; (2) building
+    one sketch over a union equals merging per-part counter tables by
+    cell-wise SUM, bit-equal (the per-day compose contract)."""
+    from streampro_assignment_etl_spark.functions.approx import (
+        cms_counter_rows,
+        cms_estimate,
+    )
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 50
+        + [(f"tail{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, ["w"]).repartition(8)
+    counters = cms_counter_rows(df, "w")
+    exact = df.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(counters, exact.select("w"), "w")
+    joined = exact.join(est, "w")
+    assert joined.filter(F.col("cms_n") < F.col("exact_n")).count() == 0
+    hot = joined.filter(F.col("w") == "hot").collect()[0]
+    assert hot["cms_n"] >= 500  # and collisions only add
+    # error bound sanity: overcount <= ~2N/w per row (min over 4 rows)
+    n = len(rows)
+    assert joined.select(
+        F.max(F.col("cms_n") - F.col("exact_n")).alias("m")
+    ).collect()[0]["m"] <= 2 * n / 256 * 4
+
+    part_a = df.limit(0).union(spark.createDataFrame(rows[:1000], ["w"]))
+    part_b = spark.createDataFrame(rows[1000:], ["w"])
+    merged = (
+        cms_counter_rows(part_a, "w")
+        .unionByName(cms_counter_rows(part_b, "w"))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    key = lambda r: (r["row_i"], r["bucket"], r["c"])  # noqa: E731
+    assert sorted(map(key, counters.collect())) == sorted(map(key, merged.collect()))
