@@ -178,6 +178,69 @@ def incremental_fuzzy_dedup_vs_store(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("doc_id")
 
 
+# Stream-built store under the same gate: the corpus half is SIGNED
+# through the streaming ingest loop (streaming/fuzzy_store_ingest.py,
+# three landing files drained one micro-batch each) in accept-all mode
+# — threshold > 1 disables dropping since jaccard is bounded by 1, the
+# "sign an existing trusted corpus via the stream machinery" mode — so
+# the grown store is row-equal to the batch `signature_store` and the
+# SAME oracle hash-gates the streamed signing, subtree layout, marker
+# bookkeeping, and the probe path end to end. (Dedup-on-ingest
+# behavior, where the store's own contents gate arrivals, is pinned in
+# tests/test_streaming.py — its batch-sequential semantics are not
+# SQL-replayable.)
+_FUZZY_STREAM_CACHE: dict[str, str] = {}
+
+
+@query(
+    "incremental_fuzzy_dedup_stream_store",
+    extra=True,
+    tags=("dedup", "minhash", "lsh", "incremental", "streaming", "signature-store"),
+    oracle=_INCR_FUZZY_ORACLE,
+)
+def incremental_fuzzy_dedup_stream_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``incremental_fuzzy_dedup_vs_store`` served off a store GROWN BY
+    THE STREAM instead of built in one batch — see the comment above
+    for why the accept-all drain makes the batch oracle apply
+    verbatim."""
+    import os
+
+    from ..streaming import fuzzy_store_ingest as fsi
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_n = F.substring("source", 4, 10).cast("int")
+    corpus = docs.filter(src_n < 10)
+    batch = docs.filter(src_n >= 10)
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        key = sf_dir
+    path = _FUZZY_STREAM_CACHE.get(key)
+    if path is None:
+        root = _session_tmpdir("fuzzy_stream_")
+        path = f"{root}/store"
+        landing = f"{root}/landing"
+        corpus.select("doc_id", "text").repartition(3).write.parquet(landing)
+        fsi.run_fuzzy_store_ingest_from_dir(
+            spark, landing, path, f"{root}/ckpt",
+            max_files_per_trigger=1,
+            threshold=1.5,  # accept-all: signing mode
+            num_hashes=32, bands=8,
+        )
+        _FUZZY_STREAM_CACHE[key] = path
+    store = fsi.read_store_bands(spark, path).select(
+        "doc_id", "band_id", "band_hash"
+    )
+    corpus_docs = fsi.read_store_docs(spark, path).select("doc_id", "text")
+    return minhash.incremental_fuzzy_matches(
+        batch, corpus_docs, store, "doc_id", "text",
+        threshold=0.8, num_hashes=32, bands=8,
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Containment dedup: asymmetric |A∩B| / min(|A|,|B|) — sub-document /
 # boilerplate-wrap duplication that symmetric Jaccard misses (a short

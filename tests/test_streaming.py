@@ -1989,3 +1989,90 @@ def test_index_append_marker_pruning(spark, tmp_path):
     for b in (4, 5, 6):
         assert index_ingest._marker_exists(path, "ingest", b)
     assert index_ingest.prune_applied_markers(path, stream_name="nope") == []
+
+
+# ---------------------------------------------------------------------------
+# Streaming doc ingest through the persisted LSH signature store
+# (streaming/fuzzy_store_ingest.py).
+# ---------------------------------------------------------------------------
+def _w(prefix, n=20):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_fuzzy_store_ingest_stream_dedupes_and_replays_idempotent(spark, tmp_path):
+    """The streaming fuzzy-dedup ingest loop: micro-batches probed
+    against the growing signature store — a near-dup of a doc accepted
+    in an EARLIER stream batch is dropped with the right dup_of (store
+    growth works), exact mirrors score 1.0, within-batch exact copies
+    collapse to the lowest id, novel docs land. Replays never corrupt:
+    a restarted drain is a no-op, a marker-skipped batch does nothing,
+    and with the marker LOST the replayed batch re-probes with its own
+    subtree excluded — so it cannot match itself and drop its own docs
+    — converging to the identical store."""
+    import os
+
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+    from streampro_assignment_etl_spark.streaming.index_ingest import (
+        _marker_exists,
+        _marker_path,
+    )
+    from streampro_assignment_etl_spark.operators.ann_index import _fs_base
+
+    t1, t2, t3, t13, t22 = _w("a"), _w("b"), _w("c"), _w("d"), _w("e")
+    near = lambda t: t.rsplit(" ", 1)[0] + " zz"  # noqa: E731  last word swap, J≈0.71
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "fstore")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def drain(rows, fname):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{landing}/{fname}")
+        fsi.run_fuzzy_store_ingest_from_dir(
+            spark, f"{landing}/*", store, ckpt, threshold=0.7
+        )
+
+    drain([(1, t1), (2, t2), (3, t3), (4, _w("x"))], "f1")
+    drain([(11, near(t2)), (12, t1), (13, t13)], "f2")
+    drain([(21, near(t13)), (22, t22), (23, t22)], "f3")
+
+    docs = fsi.read_store_docs(spark, store)
+    assert {r["doc_id"] for r in docs.collect()} == {1, 2, 3, 4, 13, 22}
+    dec_rows = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in fsi.read_decisions(spark, store).collect()
+    }
+    assert dec_rows[12] == (1, 1.0)  # exact mirror of an earlier batch's doc
+    assert dec_rows[11][0] == 2 and 0.7 <= dec_rows[11][1] < 1.0
+    assert dec_rows[21][0] == 13 and 0.7 <= dec_rows[21][1] < 1.0  # vs batch-2 doc
+    assert set(dec_rows) == {11, 12, 21}  # 23 collapsed silently, never logged
+    bands = fsi.read_store_bands(spark, store)
+    assert bands.count() == 6 * 8  # 8 band rows per accepted doc
+
+    state = sorted(tuple(r) for r in docs.collect())
+
+    # restarted drain over the same checkpoint: no-op
+    fsi.run_fuzzy_store_ingest_from_dir(spark, f"{landing}/*", store, ckpt, threshold=0.7)
+    assert sorted(tuple(r) for r in fsi.read_store_docs(spark, store).collect()) == state
+
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.7)
+    f3 = spark.createDataFrame(
+        [(21, near(t13)), (22, t22), (23, t22)], "doc_id long, text string"
+    )
+    # marker present: skipped
+    writer(f3, 2)
+    assert sorted(tuple(r) for r in fsi.read_store_docs(spark, store).collect()) == state
+
+    # marker LOST (crash window): replay must converge bit-equal —
+    # self-exclusion keeps doc 22 from matching its own store rows
+    fs, base = _fs_base(store)
+    os.remove(_marker_path(base, "ingest", 2))
+    writer(f3, 2)
+    assert sorted(tuple(r) for r in fsi.read_store_docs(spark, store).collect()) == state
+    assert _marker_exists(store, "ingest", 2)
+    redec = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in fsi.read_decisions(spark, store).collect()
+    }
+    assert redec == dec_rows
