@@ -101,6 +101,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ix.add_argument("--ingest-id", help="Idempotency key for append (replays overwrite)")
     ix.add_argument("--debug", action="store_true")
+
+    dd = sub.add_parser(
+        "dedup",
+        help="Fuzzy-dedup signature store (operators/minhash.py + "
+        "streaming/fuzzy_store_ingest.py): sign a corpus, probe an "
+        "arrival batch, or drain a landing dir through the store",
+    )
+    dd.add_argument("action", choices=["build-store", "probe", "ingest"])
+    dd.add_argument("--path", required=True, help="Store root dir/URI")
+    dd.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="Documents source table dir (build-store/probe)",
+    )
+    dd.add_argument(
+        "--where", help="SQL predicate over the documents table (build-store/probe)"
+    )
+    dd.add_argument("--landing", help="Parquet landing dir (ingest)")
+    dd.add_argument("--checkpoint", help="Stream checkpoint dir (ingest)")
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--num-hashes", type=int, default=32)
+    dd.add_argument("--bands", type=int, default=8)
+    dd.add_argument("--debug", action="store_true")
     return p
 
 
@@ -127,6 +150,67 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         format="%(asctime)s %(levelname)-7s %(name)s %(message)s",
         stream=sys.stdout,
     )
+
+    if args.command == "dedup":
+        import json as _json
+
+        from ..operators import minhash
+        from ..session import get_spark
+        from ..sources.testdata import load_table
+        from ..streaming import fuzzy_store_ingest as fsi
+
+        spark = get_spark("streampro-dedup")
+        geom = {"num_hashes": args.num_hashes, "bands": args.bands}
+        if args.action == "ingest":
+            if not (args.landing and args.checkpoint):
+                print("ingest requires --landing and --checkpoint", file=sys.stderr)
+                return 2
+            fsi.run_fuzzy_store_ingest_from_dir(
+                spark, args.landing, args.path, args.checkpoint,
+                threshold=args.threshold, **geom,
+            )
+            print(
+                _json.dumps(
+                    {
+                        "action": "ingest",
+                        "docs": fsi.read_store_docs(spark, args.path).count(),
+                        "decisions": fsi.read_decisions(spark, args.path).count(),
+                    }
+                )
+            )
+            return 0
+        docs = load_table(spark, args.sf_dir, "documents")
+        if args.where:
+            docs = docs.filter(args.where)
+        if args.action == "build-store":
+            # base subtree, layout-compatible with the streaming ingest
+            minhash.signature_store(docs, "doc_id", "text", **geom).write.mode(
+                "overwrite"
+            ).parquet(f"{args.path}/{fsi.STORE_DIR}/ingest=base")
+            docs.select("doc_id", "text").write.mode("overwrite").parquet(
+                f"{args.path}/{fsi.DOCS_DIR}/ingest=base"
+            )
+            print(_json.dumps({"action": "build-store", "signed": docs.count()}))
+            return 0
+        # probe: read-only decision preview for an arrival batch
+        matches = minhash.incremental_fuzzy_matches(
+            docs,
+            fsi.read_store_docs(spark, args.path).select("doc_id", "text"),
+            fsi.read_store_bands(spark, args.path).select(
+                "doc_id", "band_id", "band_hash"
+            ),
+            "doc_id", "text", threshold=args.threshold, **geom,
+        )
+        print(
+            _json.dumps(
+                {
+                    "action": "probe",
+                    "probed": docs.count(),
+                    "matched": matches.count(),
+                }
+            )
+        )
+        return 0
 
     if args.command == "index":
         import json as _json

@@ -507,6 +507,59 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
     assert model.epoch == 3 and model.encoded_dir == compacted["encoded_dir"]
 
 
+def test_cli_dedup_store_lifecycle(spark, tmp_path, capsys):
+    """The `dedup` subcommand: sign a corpus into the store, probe an
+    arrival batch read-only, and drain a landing dir through the
+    streaming ingest — one JSON status line each."""
+    from streampro_assignment_etl_spark.pipeline.cli import main
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    st = str(tmp_path / "store")
+    sf = "/root/testdata/sf0.001"
+    rc = main(
+        [
+            "dedup", "build-store", "--path", st, "--sf-dir", sf,
+            "--where", "substring(source,4,10) < 10",
+        ]
+    )
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["signed"] == 250
+
+    rc = main(
+        [
+            "dedup", "probe", "--path", st, "--sf-dir", sf,
+            "--where", "substring(source,4,10) >= 10",
+        ]
+    )
+    assert rc == 0
+    probed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert probed["probed"] == 250 and probed["matched"] > 0
+
+    landing = str(tmp_path / "landing")
+    (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter("substring(source,4,10) >= 10")
+        .select("doc_id", "text")
+        .coalesce(1)
+        .write.parquet(landing)
+    )
+    rc = main(
+        [
+            "dedup", "ingest", "--path", st, "--landing", landing,
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    ing = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the probed matches were dropped on ingest; survivors joined docs
+    assert ing["decisions"] == probed["matched"]
+    assert ing["docs"] == 250 + 250 - probed["matched"]
+    assert fsi.read_decisions(spark, st).count() == probed["matched"]
+
+    assert main(["dedup", "ingest", "--path", st]) == 2  # missing args
+
+
 def test_cli_pipeline_end_to_end_on_memory_filesystem(spark, tmp_path):
     """VERDICT r5 #3: the FULL pipeline CLI path (seed → landing→raw
     copy → raw→trusted Spark parse → trusted parquet → query over the
