@@ -69,6 +69,30 @@ def main() -> None:
     warm.builder(spark, sf_dir).count()
     release_persisted()
 
+    # Host-calibration anchors (round-11 VERDICT #1): the sandbox host's
+    # speed swings ~2x between sessions, which made r10->r11 deltas
+    # unreadable (untouched queries moved +137%). Two fixed-workload
+    # anchors let future rounds normalize round-over-round deltas by
+    # host speed instead of guessing:
+    #   anchor_spark_sec — median wall time of a constant 10^7-row
+    #     spark.range().sum() (JVM codegen + task-scheduling speed;
+    #     runs AFTER warmup so JVM startup isn't billed).
+    #   anchor_cpu_sec — a fixed pure-Python loop (raw CPU speed,
+    #     independent of the JVM). Both are data-independent constants:
+    #     a query delta that tracks the anchor delta is host noise, one
+    #     that doesn't is a plan change.
+    anchor_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id)").collect()
+        anchor_samples.append(time.perf_counter() - t0)
+    anchor_spark = round(statistics.median(anchor_samples), 4)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    anchor_cpu = round(time.perf_counter() - t0, 4)
+
     # Default 5 reps (median): at sub-2 s per query this box shows ~2×
     # median-of-3 swings between runs (r6 join_dims_rollup postmortem,
     # SCALE.md "Bench-variance postmortems"); median-of-5 costs ~30 s
@@ -104,6 +128,8 @@ def main() -> None:
         ),
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
+        "anchor_spark_sec": anchor_spark,
+        "anchor_cpu_sec": anchor_cpu,
     }
     print(json.dumps(out))
 
