@@ -203,6 +203,95 @@ def test_incremental_fuzzy_matches_vs_signature_store(spark):
     assert none == 0
 
 
+def test_hot_bucket_cap_bounds_degenerate_bucket(spark):
+    """Round-11 VERDICT #2: a degenerate band (all docs share a band
+    hash — web boilerplate) must not cross the full bucket. With a cap,
+    the bucket contributes its cap lowest ids — a bounded, deterministic
+    pair count — and a genuine near-dup pair OUTSIDE the flood (or
+    sharing only some bands with it) still meets via its own buckets."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    flood = [(i, base) for i in range(1, 21)]  # 20 identical docs
+    near = base.replace("gamma", "jinx", 1)
+    rows = flood + [(21, near), (22, near)]  # near-dup pair vs the flood
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    shingled = docs.select(
+        F.col("doc_id").alias("_id"), minhash.word_shingles(F.col("text")).alias("sh")
+    )
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash.candidate_pairs(
+            shingled, "_id", "sh", num_hashes=32, bands=8, max_bucket_size=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash.candidate_pairs(
+            shingled, "_id", "sh", num_hashes=32, bands=8, max_bucket_size=5
+        ).collect()
+    }
+    # Uncapped: the flood cross alone is C(20,2)=190 pairs. Capped: the
+    # flood bucket contributes only ids 1..5 → C(5,2)=10 flood pairs.
+    assert len(uncapped) >= 190
+    flood_pairs = {p for p in capped if p[0] <= 20 and p[1] <= 20}
+    assert flood_pairs == {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    # Multi-band recovery: 21/22 are identical to each other, so every
+    # band they DON'T share with the flood is a size-2 bucket that
+    # survives any cap — the pair is still a candidate.
+    assert (21, 22) in capped
+    assert capped <= uncapped  # the cap only removes pairs, never invents
+
+    stats = minhash.overcap_bucket_stats(
+        shingled, "_id", "sh", num_hashes=32, bands=8, max_bucket_size=5
+    ).collect()[0]
+    assert stats["n_overcap_buckets"] >= 1
+    assert stats["max_bucket_docs"] >= 20
+    assert stats["dropped_id_slots"] >= 15  # ≥ one 20-doc bucket capped at 5
+
+    # End-to-end: fuzzy_dup_pairs under the cap still verifies the
+    # surviving candidates exactly; the flood's capped subset verifies
+    # at jaccard 1.0 and the (21,22) mirror pair is present.
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash.fuzzy_dup_pairs(
+            docs, "doc_id", "text", threshold=0.8,
+            num_hashes=32, bands=8, max_bucket_size=5,
+        ).collect()
+    }
+    assert pairs[(21, 22)] == 1.0
+    assert pairs[(1, 2)] == 1.0
+    assert (6, 7) not in pairs  # capped out of the flood bucket
+
+
+def test_incremental_fuzzy_matches_hot_bucket_cap(spark):
+    """Probe-side hot-bucket guard: a store band bucket holding many
+    corpus ids is capped to its lowest ids before the probe join —
+    bounded join output — and the surviving match equals the uncapped
+    best match (ties already go to the lowest corpus id)."""
+    from streampro_assignment_etl_spark.queries import release_persisted
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(1, 21)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame([(101, base)], ["doc_id", "text"])
+    store = minhash.signature_store(corpus, "doc_id", "text", num_hashes=32, bands=8)
+
+    capped = minhash.incremental_fuzzy_matches(
+        batch, corpus, store, "doc_id", "text",
+        threshold=0.7, num_hashes=32, bands=8, max_bucket_size=3,
+    ).collect()
+    release_persisted()
+    uncapped = minhash.incremental_fuzzy_matches(
+        batch, corpus, store, "doc_id", "text",
+        threshold=0.7, num_hashes=32, bands=8, max_bucket_size=None,
+    ).collect()
+    release_persisted()
+    assert len(capped) == len(uncapped) == 1
+    assert capped[0]["dup_of"] == uncapped[0]["dup_of"] == 1
+    assert capped[0]["jaccard"] == 1.0
+
+
 # -- SimHash ---------------------------------------------------------------
 def test_simhash_identical_and_perturbed(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
