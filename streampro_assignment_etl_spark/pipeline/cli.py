@@ -108,7 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
         "streaming/fuzzy_store_ingest.py): sign a corpus, probe an "
         "arrival batch, or drain a landing dir through the store",
     )
-    dd.add_argument("action", choices=["build-store", "probe", "ingest"])
+    dd.add_argument(
+        "action", choices=["build-store", "probe", "ingest", "compact", "expire"]
+    )
     dd.add_argument("--path", required=True, help="Store root dir/URI")
     dd.add_argument(
         "--sf-dir",
@@ -123,6 +125,17 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--num-hashes", type=int, default=32)
     dd.add_argument("--bands", type=int, default=8)
+    dd.add_argument(
+        "--decisions-keep-seconds",
+        type=float,
+        help="compact: age out decision-audit subtrees older than this",
+    )
+    dd.add_argument(
+        "--min-age-seconds",
+        type=float,
+        default=0.0,
+        help="expire: grace horizon before superseded snapshots are swept",
+    )
     dd.add_argument("--debug", action="store_true")
     return p
 
@@ -161,6 +174,19 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
 
         spark = get_spark("streampro-dedup")
         geom = {"num_hashes": args.num_hashes, "bands": args.bands}
+        if args.action == "compact":
+            out = fsi.compact_fuzzy_store(
+                spark, args.path,
+                decisions_keep_seconds=args.decisions_keep_seconds,
+            )
+            print(_json.dumps({"action": "compact", **out}))
+            return 0
+        if args.action == "expire":
+            gone = fsi.expire_fuzzy_store(
+                spark, args.path, min_age_seconds=args.min_age_seconds
+            )
+            print(_json.dumps({"action": "expire", "expired": gone}))
+            return 0
         if args.action == "ingest":
             if not (args.landing and args.checkpoint):
                 print("ingest requires --landing and --checkpoint", file=sys.stderr)

@@ -557,6 +557,23 @@ def test_cli_dedup_store_lifecycle(spark, tmp_path, capsys):
     assert ing["docs"] == 250 + 250 - probed["matched"]
     assert fsi.read_decisions(spark, st).count() == probed["matched"]
 
+    # maintenance surface: compact (fold subtrees, pointer-swap the
+    # manifest) then expire (sweep superseded dirs) — state invariant
+    rc = main(
+        ["dedup", "compact", "--path", st, "--decisions-keep-seconds", "1e6"]
+    )
+    assert rc == 0
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["epoch"] == 2  # build-store is manifest-less; ingest=1
+    assert fsi.read_store_docs(spark, st).count() == ing["docs"]
+    assert fsi.read_decisions(spark, st).count() == ing["decisions"]
+    rc = main(["dedup", "expire", "--path", st])
+    assert rc == 0
+    exp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"store", "docs", "decisions"} <= set(exp["expired"])  # legacy dirs
+    assert fsi.read_store_docs(spark, st).count() == ing["docs"]
+    assert fsi.read_store_bands(spark, st).count() == ing["docs"] * 8
+
     assert main(["dedup", "ingest", "--path", st]) == 2  # missing args
 
 

@@ -2076,3 +2076,188 @@ def test_fuzzy_store_ingest_stream_dedupes_and_replays_idempotent(spark, tmp_pat
         for r in fsi.read_decisions(spark, store).collect()
     }
     assert redec == dec_rows
+
+
+def _fuzzy_state(spark, fsi, store):
+    """Order-insensitive (docs, bands, decisions) snapshot, ingest col
+    dropped (the fold renames subtrees by design)."""
+    k = lambda df, cols: sorted(tuple(r) for r in df.select(*cols).collect())  # noqa: E731
+    return (
+        k(fsi.read_store_docs(spark, store), ["doc_id", "text"]),
+        k(fsi.read_store_bands(spark, store), ["doc_id", "band_id", "band_hash"]),
+        k(fsi.read_decisions(spark, store), ["doc_id", "dup_of", "jaccard"]),
+    )
+
+
+def test_fuzzy_store_compaction_and_replay_safety(spark, tmp_path):
+    """Round-11 VERDICT #3: the store's ``ingest=`` subtrees fold into
+    single-subtree snapshots behind a rename-committed manifest —
+    bit-equal state, one subtree per kind — and replay stays safe
+    ACROSS the fold in both windows: (a) a stale-checkpoint re-run of
+    committed batches is marker-short-circuited; (b) a batch whose
+    marker was LOST (crashed pre-commit) is NOT folded — its orphan
+    subtrees stay out of the new snapshot, so its replay re-probes
+    with self-exclusion intact and re-lands fresh, converging to the
+    identical store with no self-match and no row loss."""
+    import os
+    import shutil
+
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+    from streampro_assignment_etl_spark.streaming.index_ingest import (
+        _marker_exists,
+        _marker_path,
+    )
+    from streampro_assignment_etl_spark.operators.ann_index import _fs_base
+
+    t1, t2, t3, t13, t22 = _w("a"), _w("b"), _w("c"), _w("d"), _w("e")
+    near = lambda t: t.rsplit(" ", 1)[0] + " zz"  # noqa: E731
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "fstore")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def drain(rows, fname):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{landing}/{fname}")
+        fsi.run_fuzzy_store_ingest_from_dir(
+            spark, f"{landing}/*", store, ckpt, threshold=0.7
+        )
+
+    drain([(1, t1), (2, t2), (3, t3), (4, _w("x"))], "f1")
+    stale_ckpt = str(tmp_path / "ckpt_stale")
+    shutil.copytree(ckpt, stale_ckpt)  # checkpoint BEFORE batch 1
+    drain([(11, near(t2)), (12, t1), (13, t13)], "f2")
+
+    mid = _fuzzy_state(spark, fsi, store)
+    man = fsi.load_store_manifest(store)
+    assert man is not None and man["epoch"] == 2  # one bump per batch
+    assert man["geometry"] == {"num_hashes": 32, "bands": 8, "shingle_n": 3}
+
+    out = fsi.compact_fuzzy_store(spark, store)
+    assert out["epoch"] == 3
+    assert _fuzzy_state(spark, fsi, store) == mid  # bit-equal fold
+    # one folded subtree per kind in the new snapshot dirs
+    for kind, d in out["dirs"].items():
+        subs = [
+            s for s in os.listdir(f"{store}/{d}") if s.startswith("ingest=")
+        ]
+        assert len(subs) == 1 and subs[0].startswith("ingest=base-"), (kind, subs)
+
+    # (a) stale-checkpoint replay of a COMMITTED batch across the fold:
+    # the marker short-circuits batch 1 — store unchanged, epoch
+    # unchanged (skipped batches don't commit manifests), and crucially
+    # the replayed batch never probes the folded copy of its own rows.
+    fsi.run_fuzzy_store_ingest_from_dir(
+        spark, f"{landing}/*", store, stale_ckpt, threshold=0.7
+    )
+    assert _fuzzy_state(spark, fsi, store) == mid
+    assert fsi.load_store_manifest(store)["epoch"] == 3
+
+    # (b) marker LOST (crash between subtree writes and marker): the
+    # orphan batch must NOT fold — its replay re-probes with
+    # self-exclusion intact and converges bit-equal.
+    drain([(21, near(t13)), (22, t22), (23, t22)], "f3")
+    before = _fuzzy_state(spark, fsi, store)
+    fs, base = _fs_base(store)
+    os.remove(_marker_path(base, "ingest", 2))
+    out2 = fsi.compact_fuzzy_store(spark, store)
+    docs_after = {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()}
+    assert docs_after == {1, 2, 3, 4, 13}  # f3's rows await their replay
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.7)
+    f3 = spark.createDataFrame(
+        [(21, near(t13)), (22, t22), (23, t22)], "doc_id long, text string"
+    )
+    writer(f3, 2)
+    assert _marker_exists(store, "ingest", 2)
+    assert _fuzzy_state(spark, fsi, store) == before  # no self-match, no loss
+    assert fsi.load_store_manifest(store)["epoch"] == out2["epoch"] + 1
+
+
+def test_fuzzy_store_epoch_fence_detects_ingest_compact_interleave(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 VERDICT #4 — the index's lost-write race, pre-empted:
+    a compaction that loaded the manifest, then lost the race to an
+    ingest batch, must ABORT at its commit instead of publishing a
+    snapshot missing the batch's rows. Forced deterministically: the
+    ingest runs inside the compaction's manifest load."""
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    store = str(tmp_path / "fstore")
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.7)
+    writer(
+        spark.createDataFrame([(1, _w("a")), (2, _w("b"))], "doc_id long, text string"),
+        0,
+    )
+
+    real_load = fsi.load_store_manifest
+    raced = [False]
+
+    def load_then_ingest(path):
+        manifest = real_load(path)
+        if not raced[0]:
+            raced[0] = True  # the nested writer loads too
+            writer(
+                spark.createDataFrame([(3, _w("c"))], "doc_id long, text string"), 1
+            )
+        return manifest
+
+    monkeypatch.setattr(fsi, "load_store_manifest", load_then_ingest)
+    with pytest.raises(RuntimeError, match="moved from epoch"):
+        fsi.compact_fuzzy_store(spark, store)
+    monkeypatch.undo()
+
+    # Nothing lost: both batches' docs are live; a clean retry folds them.
+    assert {
+        r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()
+    } == {1, 2, 3}
+    fsi.compact_fuzzy_store(spark, store)
+    assert {
+        r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()
+    } == {1, 2, 3}
+
+
+def test_fuzzy_store_retention_and_geometry_fence(spark, tmp_path):
+    """Round-11 VERDICT #8 + the geometry promise: (1) compaction with
+    ``decisions_keep_seconds`` ages the audit log out without touching
+    docs/bands; (2) ``expire_fuzzy_store`` sweeps superseded snapshot
+    dirs and manifests under a min-age grace, and reads survive; (3) a
+    writer constructed under a mismatched LSH geometry fails loudly
+    instead of silently matching nothing."""
+    import os
+
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    store = str(tmp_path / "fstore")
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.7)
+    t = _w("a")
+    writer(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
+    writer(spark.createDataFrame([(2, t)], "doc_id long, text string"), 1)  # dup
+    assert fsi.read_decisions(spark, store).count() == 1
+
+    # grace horizon respected: nothing is old enough to sweep or age out
+    out = fsi.compact_fuzzy_store(spark, store, decisions_keep_seconds=1e6)
+    assert fsi.read_decisions(spark, store).count() == 1
+    assert fsi.expire_fuzzy_store(spark, store, min_age_seconds=1e6) == []
+
+    # age-out + sweep at horizon 0: decisions drop, docs/bands survive,
+    # superseded dirs and manifests are gone, reads still work
+    out2 = fsi.compact_fuzzy_store(spark, store, decisions_keep_seconds=0.0)
+    assert fsi.read_decisions(spark, store).count() == 0
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {1}
+    gone = fsi.expire_fuzzy_store(spark, store, min_age_seconds=0.0)
+    assert set(out["dirs"].values()) <= set(gone)  # first compaction's dirs
+    assert {"store", "docs", "decisions"} <= set(gone)  # legacy fixed dirs
+    assert any(n.startswith(fsi.MANIFEST_PREFIX) for n in gone)
+    live = set(os.listdir(store))
+    # current snapshot kept (decisions dir legitimately absent: the
+    # aged-out fold wrote nothing to carry)
+    assert {out2["dirs"]["store"], out2["dirs"]["docs"]} <= live
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {1}
+    assert fsi.read_store_bands(spark, store).count() == 8
+
+    # geometry fence: band hashes are seed-dependent — refuse to mix
+    bad = fsi.make_fuzzy_ingest_writer(store, threshold=0.7, bands=16, num_hashes=32)
+    with pytest.raises(ValueError, match="geometry"):
+        bad(spark.createDataFrame([(9, _w("z"))], "doc_id long, text string"), 7)
