@@ -74,7 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
         "the cron surface for the build/ingest/compact/expire/monitor loop",
     )
     ix.add_argument(
-        "action", choices=["build", "append", "compact", "expire", "occupancy"]
+        "action",
+        choices=["build", "append", "compact", "expire", "occupancy", "maintain"],
     )
     ix.add_argument("--path", required=True, help="Index root dir/URI")
     ix.add_argument(
@@ -100,6 +101,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="Expiry grace horizon (default 24 h; see expire_ivfpq_snapshots)",
     )
     ix.add_argument("--ingest-id", help="Idempotency key for append (replays overwrite)")
+    ix.add_argument(
+        "--drift-threshold",
+        type=float,
+        default=0.25,
+        help="maintain: occupancy TV-distance that triggers a retrain",
+    )
+    ix.add_argument(
+        "--no-train",
+        action="store_true",
+        help="maintain: rebuild with the id-seeded model instead of k-means",
+    )
     ix.add_argument("--debug", action="store_true")
 
     dd = sub.add_parser(
@@ -246,10 +258,21 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         from ..sources.testdata import load_table
 
         spark = get_spark("streampro-index")
-        if args.action in ("build", "append"):
+        if args.action in ("build", "append", "maintain"):
             emb = load_table(spark, args.sf_dir, "embeddings")
             if args.where:
                 emb = emb.filter(args.where)
+        if args.action == "maintain":
+            out = ann_index.maintain_index(
+                spark,
+                args.path,
+                emb,
+                drift_threshold=args.drift_threshold,
+                min_age_seconds=args.min_age_seconds,
+                train=not args.no_train,
+            )
+            print(_json.dumps({"action": "maintain", **out}))
+            return 0
         if args.action == "build":
             model = ann_index.build_ivfpq_index(
                 emb,

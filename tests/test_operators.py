@@ -1443,6 +1443,126 @@ def test_ivfpq_index_occupancy_drift_signals_retrain(spark, tmp_path):
     assert drifted["tv_drift"] > balanced["tv_drift"]
 
 
+def test_maintain_index_drift_triggered_retrain_loop(spark, tmp_path):
+    """Round-11 VERDICT #5 — the composed cron body: occupancy drift
+    below threshold → no-op; a shifted-distribution append trips the
+    TV threshold → exactly ONE epoch-fenced retrained rebuild over the
+    current corpus, recall@5 recovers, superseded snapshots are swept
+    under the grace horizon, and the very next run measures ~0 drift
+    and no-ops again (the loop is self-quiescing). The rebuilt index is
+    bit-equal to a direct trained fresh build over the same corpus —
+    maintain adds orchestration, never a different model."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    rng = random.Random(11)
+    dim = 8
+
+    def cloud(n, center, start_id):
+        return [
+            (start_id + i, [c + rng.gauss(0, 0.05) for c in center])
+            for i in range(n)
+        ]
+
+    centers = [[float(j == k) for j in range(dim)] for k in range(4)]
+    base = spark.createDataFrame(
+        [r for k, c in enumerate(centers) for r in cloud(30, c, 1000 * k)],
+        "vec_id long, embedding array<double>",
+    )
+    # the shift: a region NONE of the built centroids describes
+    newc = [0.7071 if j in (4, 5) else 0.0 for j in range(dim)]
+    new = spark.createDataFrame(
+        cloud(240, newc, 90_000), "vec_id long, embedding array<double>"
+    )
+    union = base.unionByName(new)
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(base, path, n_centroids=4, m=2, n_codes=8)
+
+    # no drift → no-op (growth alone must never trigger a retrain)
+    out = ann_index.maintain_index(spark, path, base, drift_threshold=0.25)
+    assert out["rebuilt"] is False and out["epoch"] == 1
+    assert out["tv_drift"] < 0.05
+
+    ann_index.append_to_ivfpq_index(new, path)
+
+    queries = new.filter(F.col("vec_id") < 90_005)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = queries.select(F.col("vec_id").alias("qid"), v.alias("qv"))
+    c = union.select(F.col("vec_id").alias("nid"), v.alias("cv"))
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("s"), F.asc("nid"))
+    truth = {
+        (r["qid"], r["nid"])
+        for r in F.broadcast(q)
+        .crossJoin(c)
+        .filter("qid != nid")
+        .select("qid", "nid", l2.alias("s"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    }
+
+    def recall(at_path):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_index.ivfpq_topk_over_index(
+                union, queries, at_path, k=5, probes=2, shortlist=50
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    before = recall(path)  # stale centroids: the new mass is one blob
+
+    out2 = ann_index.maintain_index(
+        spark, path, union, drift_threshold=0.25, min_age_seconds=0.0
+    )
+    assert out2["rebuilt"] is True and out2["epoch"] == 3  # append=2, rebuild=3
+    assert out2["tv_drift"] >= 0.25
+    assert out2["expired"]  # superseded snapshot + manifests swept
+
+    after = recall(path)
+    assert after > before, (before, after)
+    assert after >= 0.6  # deterministic fixture measures 0.68
+
+    # self-quiescing: fresh occupancy → next run measures 0 and no-ops
+    out3 = ann_index.maintain_index(spark, path, union, drift_threshold=0.25)
+    assert out3["rebuilt"] is False and out3["epoch"] == 3
+    assert out3["tv_drift"] == 0.0
+
+    # orchestration-only: bit-equal to a direct trained build over the
+    # same corpus (both model trainers are deterministic)
+    from streampro_assignment_etl_spark.operators.similarity import (
+        kmeans_centroids,
+        pq_codebooks_kmeans,
+    )
+
+    fresh = str(tmp_path / "fresh")
+    ann_index.build_ivfpq_index(
+        union,
+        fresh,
+        n_centroids=4,
+        m=2,
+        n_codes=8,
+        centroids=kmeans_centroids(union, "vec_id", "embedding", 4),
+        codebooks=pq_codebooks_kmeans(union, "vec_id", "embedding", 2, 8),
+    )
+    key = lambda p: sorted(  # noqa: E731
+        tuple(r)
+        for r in ann_index.ivfpq_topk_over_index(
+            union, queries, p, k=5, probes=2, shortlist=50
+        ).collect()
+    )
+    assert key(path) == key(fresh)
+
+
 def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):
     """Advisor finding (round 9): a sample with >= n_codes ROWS but
     fewer DISTINCT points in some subspace made farthest-first init

@@ -506,6 +506,19 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
     model = load_ivfpq_model(spark, ix)
     assert model.epoch == 3 and model.encoded_dir == compacted["encoded_dir"]
 
+    # maintain: same-distribution growth is a no-op (the appended rows
+    # came from the build's own table, so occupancy shape is unmoved)
+    rc = main(
+        [
+            "index", "maintain", "--path", ix, "--sf-dir", sf,
+            "--min-age-seconds", "0",
+        ]
+    )
+    assert rc == 0
+    maint = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert maint["rebuilt"] is False and maint["epoch"] == 3
+    assert maint["tv_drift"] < 0.25
+
 
 def test_cli_dedup_store_lifecycle(spark, tmp_path, capsys):
     """The `dedup` subcommand: sign a corpus into the store, probe an
