@@ -203,20 +203,24 @@ def _cms_bucket(value: Column, i: int) -> Column:
     return (token_hash60(F.concat(F.lit(f"{i}:cms:"), value)) % CMS_W).cast("int")
 
 
-def cms_counter_rows(df: DataFrame, value_col: str) -> DataFrame:
-    """(row_i, bucket, c): the count-min counter table as plain rows —
-    at most d·w rows (1024 here) regardless of input size, built by one
-    map-side-combined aggregate over d stacked bucket assignments per
-    occurrence. Persist it per source/day and merge by
+def cms_counter_rows(
+    df: DataFrame, value_col: str, group_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """(group_cols..., row_i, bucket, c): the count-min counter table as
+    plain rows — at most d·w rows (1024 here) per group regardless of
+    input size, built by one map-side-combined aggregate over d stacked
+    bucket assignments per occurrence. Persist it per source/day
+    (``group_cols`` keys the partition axis) and merge by
     ``groupBy(row_i, bucket).sum(c)`` — exact associative integer
     merge, the same compose-without-rescanning contract as
     ``hll_register_rows``."""
     stacked = df.select(
+        *group_cols,
         F.posexplode(
             F.array(*[_cms_bucket(F.col(value_col), i) for i in range(CMS_D)])
-        ).alias("row_i", "bucket")
+        ).alias("row_i", "bucket"),
     )
-    return stacked.groupBy("row_i", "bucket").agg(
+    return stacked.groupBy(*group_cols, "row_i", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
 

@@ -1298,6 +1298,161 @@ def cms_term_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch-merge proof over a partition axis (round-11 VERDICT #6): the
+# HLL/CMS docstrings promise per-day sketch tables that merge without
+# re-scanning — this entry makes the promise EXECUTABLE under the
+# oracle gate (the physically-partitioned-writes half is pinned in
+# tests/test_approx.py over real per-day parquet files).
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_merge_partitioned",
+    extra=True,  # sketch family; token_stats_by_source holds the driver row
+    tags=("sketch", "hll", "count-min", "mergeable", "llm-pipeline"),
+    oracle="""
+WITH tok AS (SELECT CAST(doc_id % 5 AS INT) AS day,
+                    unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT day, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM tok),
+rr AS (SELECT day, CAST(hv % 64 AS INT) AS j,
+              CASE WHEN (hv >> 6) = 0 THEN 55
+                   ELSE 55 - length(bin(hv >> 6)) END AS rho
+       FROM h),
+reg_day AS (SELECT day, j, MAX(rho) AS r FROM rr GROUP BY day, j),
+merged AS (SELECT j, MAX(r) AS r FROM reg_day GROUP BY j),
+single AS (SELECT j, MAX(rho) AS r FROM rr GROUP BY j),
+regneq AS (SELECT COUNT(*) AS n FROM merged m FULL OUTER JOIN single s
+           USING (j) WHERE m.r IS DISTINCT FROM s.r),
+agg_m AS (SELECT COUNT(*) AS n_present,
+                 CAST(SUM(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s
+          FROM merged),
+raw_m AS (SELECT 64 - n_present AS v,
+                 0.709 * 64 * 64 * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+                 / CAST(s + (64 - n_present) * (CAST(1 AS BIGINT) << 55)
+                        AS DOUBLE) AS e_raw
+          FROM agg_m),
+fin_m AS (SELECT CASE WHEN e_raw <= 160.0 AND v > 0
+                      THEN 64.0 * ln(64.0 / v) ELSE e_raw END AS est
+          FROM raw_m),
+agg_s AS (SELECT COUNT(*) AS n_present,
+                 CAST(SUM(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s
+          FROM single),
+raw_s AS (SELECT 64 - n_present AS v,
+                 0.709 * 64 * 64 * CAST(CAST(1 AS BIGINT) << 55 AS DOUBLE)
+                 / CAST(s + (64 - n_present) * (CAST(1 AS BIGINT) << 55)
+                        AS DOUBLE) AS e_raw
+          FROM agg_s),
+fin_s AS (SELECT CASE WHEN e_raw <= 160.0 AND v > 0
+                      THEN 64.0 * ln(64.0 / v) ELSE e_raw END AS est
+          FROM raw_s),
+iser AS (SELECT unnest(generate_series(0, 3)) AS i),
+rows_ AS (SELECT t.day, CAST(i.i AS INT) AS row_i,
+                 CAST(CAST('0x' || substr(md5(i.i || ':cms:' || t.w), 1, 15)
+                      AS BIGINT) % 256 AS INT) AS bucket
+          FROM tok t CROSS JOIN iser i),
+cnt_day AS (SELECT day, row_i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM rows_ GROUP BY day, row_i, bucket),
+cms_m AS (SELECT row_i, bucket, CAST(SUM(c) AS BIGINT) AS c
+          FROM cnt_day GROUP BY row_i, bucket),
+cms_s AS (SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM rows_ GROUP BY row_i, bucket),
+cmsneq AS (SELECT COUNT(*) AS n FROM cms_m m FULL OUTER JOIN cms_s s
+           USING (row_i, bucket) WHERE m.c IS DISTINCT FROM s.c),
+tot_m AS (SELECT CAST(SUM(c) / 4 AS BIGINT) AS t FROM cms_m),
+days AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days FROM tok)
+SELECT d.n_days,
+       CAST(r.n AS BIGINT) AS hll_reg_mismatches,
+       ROUND(em.est, 4) AS hll_merged_ndv,
+       ROUND(es.est, 4) AS hll_single_ndv,
+       CAST(c.n AS BIGINT) AS cms_cell_mismatches,
+       tm.t AS cms_merged_tokens
+FROM days d, regneq r, fin_m em, fin_s es, cmsneq c, tot_m tm
+""",
+)
+def sketch_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compose-without-rescanning contract, exercised end-to-end:
+    HLL register tables and CMS counter tables are built PER PARTITION
+    (a synthetic ``day = doc_id % 5`` ingestion axis), merged by pure
+    sketch algebra — ``groupBy(j).max(r)`` for registers,
+    ``groupBy(row_i, bucket).sum(c)`` for counters, never a token
+    re-scan — and compared against the single-pass sketch over the
+    union: registers and cells must match BIT-EXACTLY (max and sum are
+    associative), so the merged estimate equals the single-pass
+    estimate by construction. At 100 TB this is the shape that matters:
+    each day contributes a KB-sized sketch table, and any date range's
+    NDV/frequency is a KB-scale merge, not a corpus pass. Mismatch
+    counts are computed null-safely over a full outer join so a
+    register present on one side only is a mismatch, not a silent skip.
+    ``cms_merged_tokens`` (Σc/d) audits that no occurrence was lost in
+    the fold. The physically-separate-writes half — one parquet write
+    per day, read back, merged — is pinned in tests/test_approx.py."""
+    from ..functions.approx import (
+        CMS_D,
+        cms_counter_rows,
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 5).cast("int").alias("day"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+
+    reg_day = hll_register_rows(tok, ["day"], "w")
+    merged_reg = reg_day.groupBy("j").agg(F.max("r").alias("r"))
+    single_reg = hll_register_rows(tok, [], "w")
+    reg_neq = (
+        merged_reg.withColumnRenamed("r", "mr")
+        .join(single_reg.withColumnRenamed("r", "sr"), "j", "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("mr").eqNullSafe(F.col("sr")), 0).otherwise(1)
+            ).alias("hll_reg_mismatches")
+        )
+    )
+    est_m = hll_estimate(merged_reg, []).select(
+        F.round("hll_ndv", 4).alias("hll_merged_ndv")
+    )
+    est_s = hll_estimate(single_reg, []).select(
+        F.round("hll_ndv", 4).alias("hll_single_ndv")
+    )
+
+    cnt_day = cms_counter_rows(tok, "w", ["day"])
+    cms_m = cnt_day.groupBy("row_i", "bucket").agg(F.sum("c").alias("c"))
+    cms_s = cms_counter_rows(tok, "w")
+    cms_neq = (
+        cms_m.withColumnRenamed("c", "mc")
+        .join(
+            cms_s.withColumnRenamed("c", "sc"), ["row_i", "bucket"], "full_outer"
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("mc").eqNullSafe(F.col("sc")), 0).otherwise(1)
+            ).alias("cms_cell_mismatches")
+        )
+    )
+    tot_m = cms_m.agg(
+        (F.sum("c") / CMS_D).cast("long").alias("cms_merged_tokens")
+    )
+    days = tok.agg(F.countDistinct("day").alias("n_days"))
+
+    return (
+        days.crossJoin(reg_neq)
+        .crossJoin(est_m)
+        .crossJoin(est_s)
+        .crossJoin(cms_neq)
+        .crossJoin(tot_m)
+        .select(
+            "n_days",
+            "hll_reg_mismatches",
+            "hll_merged_ndv",
+            "hll_single_ndv",
+            "cms_cell_mismatches",
+            "cms_merged_tokens",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling"): fit hashed-unigram
 # bag-of-words models over a TARGET domain and the RAW corpus, weight

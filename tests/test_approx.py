@@ -139,3 +139,59 @@ def test_cms_upper_bound_and_merge_by_sum(spark):
     )
     key = lambda r: (r["row_i"], r["bucket"], r["c"])  # noqa: E731
     assert sorted(map(key, counters.collect())) == sorted(map(key, merged.collect()))
+
+
+def test_sketch_merge_over_physically_partitioned_writes(spark, tmp_path):
+    """Round-11 VERDICT #6, the persisted half: build HLL register and
+    CMS counter tables as SEPARATE parquet writes per ingestion day
+    (one Spark write job each — genuinely independent materializations,
+    not one grouped pass), read the sketch files back, merge by pure
+    sketch algebra (max / sum), and pin bit-equality of registers and
+    cells — hence estimate equality — against the single-pass sketch
+    over the union. This is the compose-without-rescanning shape per
+    day at 100 TB; the oracle-gated query twin is
+    queries/extensions.sketch_merge_partitioned."""
+    from streampro_assignment_etl_spark.functions.approx import (
+        cms_counter_rows,
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = docs.select(
+        (F.col("doc_id") % 3).cast("int").alias("day"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    for d in range(3):
+        day_tok = tok.filter(F.col("day") == d).select("w")
+        hll_register_rows(day_tok, [], "w").write.mode("overwrite").parquet(
+            f"{tmp_path}/hll/day={d}"
+        )
+        cms_counter_rows(day_tok, "w").write.mode("overwrite").parquet(
+            f"{tmp_path}/cms/day={d}"
+        )
+
+    merged_reg = (
+        spark.read.parquet(f"{tmp_path}/hll")
+        .groupBy("j")
+        .agg(F.max("r").alias("r"))
+    )
+    single_reg = hll_register_rows(tok.select("w"), [], "w")
+    key_r = lambda r: (r["j"], r["r"])  # noqa: E731
+    assert sorted(map(key_r, merged_reg.collect())) == sorted(
+        map(key_r, single_reg.collect())
+    )
+    est_m = hll_estimate(merged_reg, []).collect()[0]["hll_ndv"]
+    est_s = hll_estimate(single_reg, []).collect()[0]["hll_ndv"]
+    assert est_m == est_s  # bit-equal registers => identical estimate
+
+    merged_cms = (
+        spark.read.parquet(f"{tmp_path}/cms")
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    single_cms = cms_counter_rows(tok.select("w"), "w")
+    key_c = lambda r: (r["row_i"], r["bucket"], r["c"])  # noqa: E731
+    assert sorted(map(key_c, merged_cms.collect())) == sorted(
+        map(key_c, single_cms.collect())
+    )
