@@ -75,7 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ix.add_argument(
         "action",
-        choices=["build", "append", "compact", "expire", "occupancy", "maintain"],
+        choices=[
+            "build", "append", "compact", "expire", "occupancy", "maintain",
+            "prune-markers",
+        ],
     )
     ix.add_argument("--path", required=True, help="Index root dir/URI")
     ix.add_argument(
@@ -111,6 +114,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--no-train",
         action="store_true",
         help="maintain: rebuild with the id-seeded model instead of k-means",
+    )
+    ix.add_argument(
+        "--stream-name",
+        default="ingest",
+        help="prune-markers: the ingest stream whose applied markers to prune",
+    )
+    ix.add_argument(
+        "--keep-last",
+        type=int,
+        default=1000,
+        help="prune-markers: newest markers to keep (must exceed any "
+        "possible checkpoint replay depth)",
     )
     ix.add_argument("--debug", action="store_true")
 
@@ -258,6 +273,14 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         from ..sources.testdata import load_table
 
         spark = get_spark("streampro-index")
+        if args.action == "prune-markers":
+            from ..streaming.index_ingest import prune_applied_markers
+
+            gone = prune_applied_markers(
+                args.path, stream_name=args.stream_name, keep_last=args.keep_last
+            )
+            print(_json.dumps({"action": "prune-markers", "pruned": gone}))
+            return 0
         if args.action in ("build", "append", "maintain"):
             emb = load_table(spark, args.sf_dir, "embeddings")
             if args.where:

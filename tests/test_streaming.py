@@ -1991,6 +1991,92 @@ def test_index_append_marker_pruning(spark, tmp_path):
     assert index_ingest.prune_applied_markers(path, stream_name="nope") == []
 
 
+def test_index_ops_runbook_end_to_end(spark, tmp_path, capsys):
+    """Round-11 VERDICT #7 — the operations runbook as a test: a live
+    availableNow ingest loop interleaved with the CLI cron surface —
+    ingest three micro-batches, then in a maintenance window compact,
+    expire under min_age, and prune markers (all through `index`
+    CLI actions), then drop more data and RESTART the stream from its
+    checkpoint — zero duplicate rows, zero lost rows, serving intact
+    at every step, and a final idle restart is a no-op."""
+    import glob
+    import json as _json
+    import os
+
+    from streampro_assignment_etl_spark.operators import ann_index
+    from streampro_assignment_etl_spark.pipeline.cli import main
+    from streampro_assignment_etl_spark.streaming import index_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    resident = emb.filter(F.col("vec_id") % 2 == 0)
+    wave1 = emb.filter(F.col("vec_id") % 4 == 1).select("vec_id", "embedding")
+    wave2 = emb.filter(F.col("vec_id") % 4 == 3).select("vec_id", "embedding")
+    all_ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(resident, path)
+
+    landing = str(tmp_path / "landing")
+    wave1.repartition(3).write.parquet(landing)
+    assert len(glob.glob(os.path.join(landing, "*.parquet"))) == 3
+    ckpt = str(tmp_path / "ckpt")
+    index_ingest.run_index_append_stream_from_dir(
+        spark, landing, path, ckpt, vec_element="float", max_files_per_trigger=1
+    )
+
+    def cli(args):
+        assert main(args) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    def snapshot(p):
+        m = ann_index.load_ivfpq_model(spark, p)
+        return spark.read.parquet(f"{p}/{m.encoded_dir}")
+
+    # ingest left one subtree per batch; epoch = build + 3 appends
+    assert ann_index.load_ivfpq_model(spark, path).epoch == 4
+
+    # ---- maintenance window (the stream is between availableNow
+    # drains — exactly when the runbook schedules these) ----
+    compacted = cli(["index", "compact", "--path", path])
+    assert compacted["epoch"] == 5
+    expired = cli(["index", "expire", "--path", path, "--min-age-seconds", "0"])
+    assert expired["expired"]  # superseded snapshot + manifests reaped
+    pruned = cli(
+        ["index", "prune-markers", "--path", path, "--keep-last", "2"]
+    )
+    assert pruned["pruned"] == ["b000000000000"]  # newest 2 kept
+    assert not index_ingest._marker_exists(path, "ingest", 0)
+    assert index_ingest._marker_exists(path, "ingest", 2)
+
+    mid_ids = sorted(r["neighbor_id"] for r in snapshot(path).collect())
+    assert mid_ids == sorted(
+        r["vec_id"]
+        for r in resident.select("vec_id").union(wave1.select("vec_id")).collect()
+    )
+
+    # ---- more data arrives; the stream restarts from its checkpoint ----
+    wave2.coalesce(1).write.mode("append").parquet(landing)
+    index_ingest.run_index_append_stream_from_dir(
+        spark, landing, path, ckpt, vec_element="float", max_files_per_trigger=1
+    )
+    got = [r["neighbor_id"] for r in snapshot(path).collect()]
+    assert sorted(got) == all_ids  # zero lost
+    assert len(got) == len(set(got))  # zero duplicated
+    assert ann_index.load_ivfpq_model(spark, path).epoch == 6
+
+    # serving works over the mixed base/compacted/appended snapshot
+    q = emb.filter(F.col("vec_id") < 3)
+    assert ann_index.ivfpq_topk_over_index(emb, q, path, k=5).count() == 15
+
+    # idle restart: committed batches are checkpoint-skipped; the empty
+    # drain marks without touching the index
+    index_ingest.run_index_append_stream_from_dir(
+        spark, landing, path, ckpt, vec_element="float", max_files_per_trigger=1
+    )
+    assert sorted(r["neighbor_id"] for r in snapshot(path).collect()) == all_ids
+    assert ann_index.load_ivfpq_model(spark, path).epoch == 6
+
+
 # ---------------------------------------------------------------------------
 # Streaming doc ingest through the persisted LSH signature store
 # (streaming/fuzzy_store_ingest.py).
