@@ -1453,6 +1453,106 @@ def sketch_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's idf form):
+# the text-retrieval primitive a training-data engine reaches for when
+# "find the docs most like this eval item" must be LEXICAL — dedup
+# triage, contamination forensics, nearest-doc diagnostics — the
+# sparse complement to the dense ANN path.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("dup", "vector", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 10
+
+
+@query(
+    "bm25_topk_docs",
+    extra=True,  # retrieval family; inverted_index_postings holds the driver row
+    tags=("retrieval", "bm25", "ranking", "llm-pipeline"),
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       WHERE w IN ('dup', 'vector', 'join') GROUP BY doc_id, w),
+dft AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dft FROM tf GROUP BY w),
+c AS (SELECT t.doc_id,
+             CAST(ROUND(
+               ln(1 + (CAST(s.n_docs AS DOUBLE) - f.dft + 0.5) / (f.dft + 0.5))
+               * (t.tf * {_BM25_K1 + 1}) /
+               (t.tf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * d.dl /
+                   (CAST(s.sum_dl AS DOUBLE) / s.n_docs))), 6)
+               AS DECIMAL(18,6)) AS contrib
+      FROM tf t JOIN dl d USING (doc_id) JOIN dft f USING (w)
+      CROSS JOIN stats s),
+sc AS (SELECT doc_id, ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS bm25
+       FROM c GROUP BY doc_id)
+SELECT doc_id, bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+FROM sc ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPN}
+""",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed lexical query under BM25
+    (k1=1.2, b=0.75, Lucene's ln(1+(N-df+0.5)/(df+0.5)) idf). Shape at
+    100 TB: term stats (df per query term, N, avgdl) are corpus
+    aggregates a production system precomputes with the inverted index
+    (``inverted_index_postings``); scoring touches only docs containing
+    ≥1 query term (the tf frame IS a postings lookup — here derived
+    inline so the oracle replays one self-contained query), one
+    broadcast of the KB-sized (term, df) + (N, sum_dl) stats, and a
+    TakeOrdered top-n — never a corpus-wide sort. Per-term
+    contributions are rounded to DECIMAL(18,6) before the per-doc sum
+    so the cross-engine float-addition order can't flip a rank (the
+    ``lm_bigram_perplexity`` trick); the final window ranks only the
+    LIMITed top-n rows (bounded by contract). The rare term 'dup'
+    dominates by idf — top docs are exactly the near-dup-marked ones,
+    which is the dedup-triage use this exists for."""
+    from pyspark.sql.window import Window
+
+    terms = list(_BM25_TERMS)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dft"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1
+        + (F.col("n_docs").cast("double") - F.col("dft") + 0.5)
+        / (F.col("dft") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        F.lit(1 - _BM25_B) + _BM25_B * F.col("dl") / avgdl
+    )
+    contrib = F.round(idf * (F.col("tf") * (_BM25_K1 + 1)) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib").cast("double"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "bm25", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance resampling (Xie et al. 2023, "Data Selection
 # for Language Models via Importance Resampling"): fit hashed-unigram
 # bag-of-words models over a TARGET domain and the RAW corpus, weight
