@@ -408,3 +408,33 @@ def test_ivfpq_residual_encode_stays_one_fused_projection(spark):
     p = plan_string(df)
     assert "NestedLoop" not in p and "Cartesian" not in p, p
     assert broadcast_join_count(df) >= 1
+
+
+def test_incremental_fuzzy_probe_cap_adds_no_shuffle(spark):
+    """The probe-side hot-bucket cap (round-12): capping the store per
+    (band_id, band_hash) is a window over EXACTLY the probe join's
+    keys, so EnsureRequirements reuses the window's hash partitioning
+    for the join — the capped plan must have the SAME shuffle count as
+    the uncapped one. Broadcast is disabled so every exchange is
+    visible (AQE would otherwise hide the store side under a
+    broadcast at fixture scale)."""
+    from streampro_assignment_etl_spark.operators import minhash
+    from streampro_assignment_etl_spark.queries import release_persisted
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1").limit(50)
+    store = minhash.signature_store(corpus, "doc_id", "text", num_hashes=32, bands=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        counts = []
+        for cap in (None, 1000):
+            out = minhash.incremental_fuzzy_matches(
+                batch, corpus, store, "doc_id", "text",
+                threshold=0.8, num_hashes=32, bands=8, max_bucket_size=cap,
+            )
+            counts.append(shuffle_count(out))
+            release_persisted()
+        assert counts[0] == counts[1], counts
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
