@@ -642,7 +642,21 @@ def index_occupancy_stats(spark: SparkSession, path: str) -> dict:
     retrain because the index grew; retrain because its SHAPE moved).
     Rule of thumb: alert at 0.1, retrain by 0.25 — but gate on your own
     recall soak. Cost: one groupBy over the partition column (parquet
-    footer metadata, no code bytes read)."""
+    footer metadata, no code bytes read).
+
+    IMPORTANT bound (measured, SCALE.md "maintain_index cost split"):
+    ``tv_drift`` compares the WHOLE index's shape to the build's, so it
+    is bounded above by the appended-mass fraction — a 5% append can
+    never push it past ~0.05 no matter how alien the new data. For the
+    early signal, ``tv_drift_new_mass`` compares only the mass ADDED
+    since the build (per-cell ``current − built``) against the build
+    distribution: it reads ~0 when incoming data matches the model and
+    ~1 when it lands somewhere the model never saw, INDEPENDENT of how
+    much has arrived. ``None`` when nothing has been appended (a fresh
+    build or just-compacted index has no new mass to measure).
+    ``new_mass_fraction`` is the appended share, so a cron can apply
+    "retrain when tv_drift ≥ T, or tv_drift_new_mass ≥ T' once
+    new_mass_fraction ≥ f" without re-deriving either."""
     model = load_ivfpq_model(spark, path)
     if model.occupancy is None:
         raise ValueError(
@@ -658,14 +672,23 @@ def index_occupancy_stats(spark: SparkSession, path: str) -> dict:
     tv = 0.5 * sum(
         abs(built.get(c, 0) / bt - cur.get(c, 0) / ct) for c in cells
     )
+    new = {c: max(cur.get(c, 0) - built.get(c, 0), 0) for c in cells}
+    nt = sum(new.values())
+    tv_new = (
+        0.5 * sum(abs(new[c] / nt - built.get(c, 0) / bt) for c in cells)
+        if nt > 0
+        else None
+    )
     return {
         "built_total": sum(built.values()),
         "current_total": sum(cur.values()),
+        "new_mass_fraction": nt / ct,
         "per_cell": [
             {"cell": c, "built_n": built.get(c, 0), "current_n": cur.get(c, 0)}
             for c in cells
         ],
         "tv_drift": tv,
+        "tv_drift_new_mass": tv_new,
     }
 
 
@@ -737,6 +760,8 @@ def maintain_index(
     expired = expire_ivfpq_snapshots(spark, path, min_age_seconds=min_age_seconds)
     return {
         "tv_drift": stats["tv_drift"],
+        "tv_drift_new_mass": stats["tv_drift_new_mass"],
+        "new_mass_fraction": stats["new_mass_fraction"],
         "threshold": drift_threshold,
         "rebuilt": rebuilt,
         "epoch": epoch,

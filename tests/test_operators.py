@@ -1425,6 +1425,10 @@ def test_ivfpq_index_occupancy_drift_signals_retrain(spark, tmp_path):
     path = str(tmp_path / "idx")
     ann_index.build_ivfpq_index(emb8, path, n_centroids=4, m=2, n_codes=8)
 
+    fresh = ann_index.index_occupancy_stats(spark, path)
+    assert fresh["tv_drift_new_mass"] is None  # nothing appended yet
+    assert fresh["new_mass_fraction"] == 0.0
+
     same = spark.createDataFrame(
         [r for k, c in enumerate(centers) for r in cloud(30, c, 50_000 + 1000 * k)],
         "vec_id long, embedding array<double>",
@@ -1433,6 +1437,12 @@ def test_ivfpq_index_occupancy_drift_signals_retrain(spark, tmp_path):
     balanced = ann_index.index_occupancy_stats(spark, path)
     assert balanced["current_total"] == 2 * balanced["built_total"]
     assert balanced["tv_drift"] < 0.1, balanced
+    # new-mass drift: the appended mass itself matches the model (the
+    # bound is looser than whole-index tv — a 120-point sample of a
+    # lumpy 4-cell distribution carries ~0.1 of pure sampling noise,
+    # where the whole-index statistic is diluted by the resident half)
+    assert balanced["tv_drift_new_mass"] < 0.15, balanced
+    assert abs(balanced["new_mass_fraction"] - 0.5) < 1e-9
 
     shifted = spark.createDataFrame(
         cloud(240, centers[0], 90_000), "vec_id long, embedding array<double>"
@@ -1441,6 +1451,12 @@ def test_ivfpq_index_occupancy_drift_signals_retrain(spark, tmp_path):
     drifted = ann_index.index_occupancy_stats(spark, path)
     assert drifted["tv_drift"] > 0.25, drifted
     assert drifted["tv_drift"] > balanced["tv_drift"]
+    # the early signal reads the SHAPE of what arrived, not its volume:
+    # the shifted 240 all pile into one cell (~3/4 away from the
+    # build's uniform 4-cell shape) and the signal exceeds whole-index
+    # drift, which the resident mass dilutes
+    assert drifted["tv_drift_new_mass"] > drifted["tv_drift"], drifted
+    assert drifted["tv_drift_new_mass"] > 0.5, drifted
 
 
 def test_maintain_index_drift_triggered_retrain_loop(spark, tmp_path):
