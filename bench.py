@@ -116,6 +116,53 @@ def main() -> None:
     # micro-batch-drain machinery (dominated by checkpoint/state-store
     # fixed cost, not row volume).
     streaming_names = {n for n, s in headline.items() if "streaming" in s.tags}
+
+    # Round-12 VERDICT #8: consume the anchors mechanically. When a
+    # previous round's BENCH_r*.json exists, emit per-query ratios so
+    # regressions are self-reporting instead of verdict-computed:
+    #   vs_prev                  — this_sec / prev_sec, raw.
+    #   vs_prev_anchor_normalized — the same ratio divided by the host-
+    #     speed ratio (anchor_spark_sec this run / prev run): ~1.0
+    #     means the query moved exactly as the host did (noise); a
+    #     value that stays far from 1.0 after normalization is a real
+    #     plan/code change. anchor_spark is the right normalizer for
+    #     these queries (JVM task throughput); anchor_cpu is carried
+    #     for the rare Python-bound path.
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = sorted(
+        (
+            int(m.group(1)), p
+        )
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    )
+    vs_prev: dict[str, float] = {}
+    vs_prev_norm: dict[str, float] = {}
+    prev_name = None
+    if prev_files:
+        prev_name = os.path.basename(prev_files[-1][1])
+        try:
+            with open(prev_files[-1][1]) as f:
+                prev = json.load(f)
+            if isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]  # driver wrapper document
+            host_ratio = (
+                anchor_spark / float(prev["anchor_spark_sec"])
+                if prev.get("anchor_spark_sec")
+                else None
+            )
+            for name, sec in timings.items():
+                p = prev.get("queries", {}).get(name)
+                if p:
+                    vs_prev[name] = round(sec / p, 3)
+                    if host_ratio:
+                        vs_prev_norm[name] = round(sec / p / host_ratio, 3)
+        except (OSError, ValueError, KeyError, ZeroDivisionError):
+            prev_name = None  # malformed prev record: skip, don't fail the bench
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -131,6 +178,10 @@ def main() -> None:
         "anchor_spark_sec": anchor_spark,
         "anchor_cpu_sec": anchor_cpu,
     }
+    if prev_name:
+        out["prev_bench"] = prev_name
+        out["vs_prev"] = vs_prev
+        out["vs_prev_anchor_normalized"] = vs_prev_norm
     print(json.dumps(out))
 
 

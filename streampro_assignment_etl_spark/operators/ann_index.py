@@ -647,38 +647,79 @@ def index_occupancy_stats(spark: SparkSession, path: str) -> dict:
     IMPORTANT bound (measured, SCALE.md "maintain_index cost split"):
     ``tv_drift`` compares the WHOLE index's shape to the build's, so it
     is bounded above by the appended-mass fraction — a 5% append can
-    never push it past ~0.05 no matter how alien the new data. For the
-    early signal, ``tv_drift_new_mass`` compares only the mass ADDED
-    since the build (per-cell ``current − built``) against the build
-    distribution: it reads ~0 when incoming data matches the model and
-    ~1 when it lands somewhere the model never saw, INDEPENDENT of how
-    much has arrived. ``None`` when nothing has been appended (a fresh
-    build or just-compacted index has no new mass to measure).
-    ``new_mass_fraction`` is the appended share, so a cron can apply
-    "retrain when tv_drift ≥ T, or tv_drift_new_mass ≥ T' once
-    new_mass_fraction ≥ f" without re-deriving either."""
+    never push it past ~0.05 no matter how alien the new data. The
+    early signal ``tv_drift_new_mass`` is therefore PER-APPEND: each
+    ``ingest=<id>`` subtree of the snapshot is one appended batch, and
+    the statistic is the WORST (max) TV between any appended batch's
+    own cell shape and the build distribution. It reads ~0 when every
+    batch matched the model and ~1 the moment ANY batch landed where
+    the model never saw mass — independent of how much resident data
+    dilutes the whole-index number, and immune to one well-behaved
+    batch averaging an alien one away (the round-12 cumulative form's
+    failure mode, VERDICT r12 #1). ``None`` when no append subtrees
+    exist (fresh build, legacy layout, or just-compacted index — after
+    a compaction folds subtrees into ``ingest=base`` the early signal
+    resets and ``tv_drift`` is the backstop). ``per_append`` lists each
+    batch's (ingest, n, tv_vs_built) worst-first; ``new_mass_fraction``
+    is the appended share of the index, so a cron can apply "retrain
+    when tv_drift ≥ T, or tv_drift_new_mass ≥ T' once
+    new_mass_fraction ≥ f" without re-deriving either (that composite
+    rule IS ``maintain_index``'s trigger). Cost is unchanged: one
+    groupBy over the two partition columns — parquet footer metadata,
+    no code bytes read."""
     model = load_ivfpq_model(spark, path)
     if model.occupancy is None:
         raise ValueError(
             f"index at {path} has no build-time occupancy in its manifest "
             f"(built before occupancy tracking): rebuild to enable drift stats"
         )
-    current = _snapshot_occupancy(spark, f"{path}/{model.encoded_dir}")
+    snap = spark.read.parquet(f"{path}/{model.encoded_dir}")
+    if "ingest" in snap.columns:
+        rows = (
+            snap.groupBy("ingest", "cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_ingest: dict[str, dict[int, int]] = {}
+        for r in rows:
+            by_ingest.setdefault(str(r["ingest"]), {})[int(r["cell"])] = int(r["n"])
+    else:
+        # Legacy single-level cell layout: no append subtrees exist
+        # (append_to_ivfpq_index refuses this layout), so the whole
+        # snapshot is the base mass and the early signal is None.
+        by_ingest = {
+            BASE_INGEST: {
+                int(r["cell"]): int(r["n"])
+                for r in snap.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        }
     built = dict(model.occupancy)
-    cur = dict(current)
     bt = sum(built.values()) or 1
+    cur: dict[int, int] = {}
+    for occ in by_ingest.values():
+        for c, n in occ.items():
+            cur[c] = cur.get(c, 0) + n
     ct = sum(cur.values()) or 1
     cells = sorted(set(built) | set(cur))
-    tv = 0.5 * sum(
-        abs(built.get(c, 0) / bt - cur.get(c, 0) / ct) for c in cells
+
+    def _tv(occ: dict[int, int]) -> float:
+        t = sum(occ.values()) or 1
+        return 0.5 * sum(
+            abs(built.get(c, 0) / bt - occ.get(c, 0) / t)
+            for c in set(built) | set(occ)
+        )
+
+    per_append = sorted(
+        (
+            {"ingest": ing, "n": sum(occ.values()), "tv_vs_built": _tv(occ)}
+            for ing, occ in by_ingest.items()
+            if ing != BASE_INGEST
+        ),
+        key=lambda d: -d["tv_vs_built"],
     )
-    new = {c: max(cur.get(c, 0) - built.get(c, 0), 0) for c in cells}
-    nt = sum(new.values())
-    tv_new = (
-        0.5 * sum(abs(new[c] / nt - built.get(c, 0) / bt) for c in cells)
-        if nt > 0
-        else None
-    )
+    nt = sum(d["n"] for d in per_append)
     return {
         "built_total": sum(built.values()),
         "current_total": sum(cur.values()),
@@ -687,9 +728,47 @@ def index_occupancy_stats(spark: SparkSession, path: str) -> dict:
             {"cell": c, "built_n": built.get(c, 0), "current_n": cur.get(c, 0)}
             for c in cells
         ],
-        "tv_drift": tv,
-        "tv_drift_new_mass": tv_new,
+        "per_append": per_append,
+        "tv_drift": _tv(cur),
+        "tv_drift_new_mass": per_append[0]["tv_vs_built"] if per_append else None,
     }
+
+
+def index_recall_probe(
+    emb: DataFrame,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probes: int = 4,
+    shortlist: int = 100,
+) -> float:
+    """Recall@k of the SERVED index against exact brute-force cosine
+    over the same corpus, for a small labeled probe set: the
+    within-cell-rot detector occupancy drift cannot see (VERDICT r12
+    Next #6 — appends can land in the RIGHT cells while the frozen
+    codebooks' quantization of them degrades, so the shape statistic
+    reads ~0 while served quality sinks). Runs at query cost: the
+    served side is an ordinary ``ivfpq_topk_over_index`` probe, the
+    exact side is ``cosine_topk_vectorized`` over the probe set only —
+    both O(|probes|·N/C-ish), so a daily cron can afford it where a
+    full-corpus recall soak cannot. Returns served∩exact / exact as a
+    single float."""
+    from .similarity import cosine_topk_vectorized
+
+    served = ivfpq_topk_over_index(
+        emb, queries, path, id_col=id_col, vec_col=vec_col,
+        k=k, probes=probes, shortlist=shortlist,
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk_vectorized(
+        emb, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    denom = exact.count()
+    if denom == 0:
+        raise ValueError("empty exact top-k over the probe set")
+    hit = served.join(exact, ["query_id", "neighbor_id"], "inner").count()
+    return hit / denom
 
 
 def maintain_index(
@@ -699,8 +778,15 @@ def maintain_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     drift_threshold: float = 0.25,
+    new_mass_drift_threshold: float = 0.5,
+    min_new_mass_fraction: float = 0.1,
     min_age_seconds: float = 0.0,
     train: bool = True,
+    probe_queries: DataFrame | None = None,
+    recall_floor: float | None = None,
+    recall_k: int = 5,
+    recall_probes: int = 4,
+    recall_shortlist: int = 100,
 ) -> dict:
     """The composed drift→retrain maintenance loop (round-11 VERDICT
     #5): ``index_occupancy_stats`` reports, ``build_ivfpq_index``
@@ -722,15 +808,61 @@ def maintain_index(
     sweep runs last, under ``min_age_seconds`` grace, so the
     superseded snapshot survives any in-flight reader.
 
-    Returns ``{"tv_drift", "threshold", "rebuilt", "epoch",
-    "expired"}``. Idempotent at the loop level: a rebuild resets the
-    manifest occupancy to the fresh distribution, so the next run
-    measures ~0 drift and no-ops (pinned)."""
+    The trigger is the COMPOSITE rule the occupancy docstring
+    prescribes (wired per VERDICT r12 #1/#2 — the r12 loop acted on
+    ``tv_drift`` alone, which SCALE.md proves is bounded by the
+    appended-mass fraction, so small continuous appends could never
+    trip it until alien data was ~threshold of the whole index):
+
+        retrain when  tv_drift ≥ drift_threshold
+                  OR (tv_drift_new_mass ≥ new_mass_drift_threshold
+                      AND new_mass_fraction ≥ min_new_mass_fraction)
+                  OR (recall_floor is set AND the served-index recall
+                      probe reads below it)
+
+    The new-mass arm is the early warning: a 10% alien append trips it
+    the day it lands (pinned), a 10% same-distribution append doesn't,
+    and the ``min_new_mass_fraction`` gate keeps a 50-row oddball batch
+    from retraining a 10⁹-row index. The optional recall arm
+    (``probe_queries`` + ``recall_floor``) catches within-cell rot that
+    no occupancy statistic can see — appends landing in the RIGHT
+    cells while quantization quality degrades — by probing the served
+    index against exact brute-force over a small labeled query set
+    (``index_recall_probe``; runs at query cost, skipped entirely when
+    ``recall_floor`` is None so the default tick stays one metadata
+    groupBy).
+
+    Returns ``{"tv_drift", "tv_drift_new_mass", "new_mass_fraction",
+    "threshold", "trigger", "recall", "rebuilt", "epoch", "expired"}``
+    — ``trigger`` names which arm fired ("tv_drift" | "new_mass" |
+    "recall" | None). Idempotent at the loop level: a rebuild resets
+    the manifest occupancy to the fresh distribution and folds append
+    subtrees into base, so the next run measures ~0 drift on both arms
+    and no-ops (pinned)."""
     stats = index_occupancy_stats(spark, path)
     model = load_ivfpq_model(spark, path)
     rebuilt = False
     epoch = model.epoch
+    trigger = None
     if stats["tv_drift"] >= drift_threshold:
+        trigger = "tv_drift"
+    elif (
+        stats["tv_drift_new_mass"] is not None
+        and stats["tv_drift_new_mass"] >= new_mass_drift_threshold
+        and stats["new_mass_fraction"] >= min_new_mass_fraction
+    ):
+        trigger = "new_mass"
+    recall = None
+    if trigger is None and recall_floor is not None:
+        if probe_queries is None:
+            raise ValueError("recall_floor requires probe_queries")
+        recall = index_recall_probe(
+            emb, probe_queries, path, id_col=id_col, vec_col=vec_col,
+            k=recall_k, probes=recall_probes, shortlist=recall_shortlist,
+        )
+        if recall < recall_floor:
+            trigger = "recall"
+    if trigger is not None:
         centroids = codebooks = None
         if train:
             from .similarity import kmeans_centroids, pq_codebooks_kmeans
@@ -763,6 +895,8 @@ def maintain_index(
         "tv_drift_new_mass": stats["tv_drift_new_mass"],
         "new_mass_fraction": stats["new_mass_fraction"],
         "threshold": drift_threshold,
+        "trigger": trigger,
+        "recall": recall,
         "rebuilt": rebuilt,
         "epoch": epoch,
         "expired": expired,

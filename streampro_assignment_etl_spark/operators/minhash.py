@@ -31,11 +31,14 @@ DEFAULT_SHINGLE_N = 3
 # Hot-bucket guard (round-11 VERDICT #2): a degenerate band — web
 # boilerplate where thousands of docs share one band hash — turns the
 # in-bucket cross into an O(B²) single-task blowup. Buckets over this
-# cap contribute only their ``max_bucket_size`` LOWEST ids (the array
-# is sorted, so the subset is deterministic); a genuine near-dup pair
-# stranded in an over-cap bucket still meets in its other bands (16
-# independent chances under the default geometry). 1000 caps the
-# worst bucket at ~500k pairs in one task — bounded, not cheap — while
+# cap contribute the cross of only their ``max_bucket_size`` LOWEST
+# ids (the array is sorted, so the subset is deterministic) plus an
+# O(size) spine of (min_id, dropped_id) pairs that keeps the bucket's
+# connected component intact — an exact-dup flood puts the SAME doc
+# set in the same bucket in every band, so "meets in its other bands"
+# does not hold there and the spine is what guarantees over-cap
+# members still reach the cluster (ADVICE r12). 1000 caps the worst
+# bucket at ~500k pairs in one task — bounded, not cheap — while
 # being far above any honest near-dup cluster's size.
 DEFAULT_MAX_BUCKET_SIZE = 1000
 # Auto-switch point for prune_verification=None: inputs whose Catalyst
@@ -162,11 +165,36 @@ def pairs_from_sorted_ids(
     arithmetic lives in exactly one place.
 
     ``max_bucket_size`` is the standard LSH hot-bucket guard: buckets
-    larger than the cap contribute only their ``max_bucket_size``
-    lowest ids (deterministic — the array is sorted), bounding the
-    per-bucket cross at cap² instead of B². Count/inspect what a cap
-    would drop with ``overcap_bucket_stats``."""
+    larger than the cap contribute the full cross of only their
+    ``max_bucket_size`` lowest ids (deterministic — the array is
+    sorted), bounding the per-bucket cross at cap²; PLUS one "spine"
+    pair (bucket_min, dropped_id) for every id beyond the cap — O(size)
+    rows that keep the bucket's connected component intact. Without the
+    spine, an exact-dup flood > cap is pathological (ADVICE r12): the
+    SAME doc set lands in the same bucket in EVERY band, so the capped
+    slice keeps the same lowest ids everywhere and over-cap members
+    would never pair with anyone — bypassing dedup entirely, in exactly
+    the web-boilerplate case the cap exists for. With it, every dropped
+    member still reaches the cluster through the min id (and the pair
+    survives downstream Jaccard verification whenever the bucket is a
+    genuine near-dup clique). Count/inspect cap pressure with
+    ``overcap_bucket_stats``."""
+    spine = None
     if max_bucket_size is not None:
+        mn = F.element_at(F.col(ids_col), 1)
+        dropped = F.slice(
+            F.col(ids_col),
+            max_bucket_size + 1,
+            F.greatest(F.size(F.col(ids_col)) - max_bucket_size, F.lit(0)),
+        )
+        spine = buckets.select(
+            F.explode(
+                F.transform(
+                    dropped,
+                    lambda y: F.struct(mn.alias("id_a"), y.alias("id_b")),
+                )
+            ).alias("p")
+        )
         buckets = buckets.withColumn(
             ids_col, F.slice(F.col(ids_col), 1, max_bucket_size)
         )
@@ -185,6 +213,8 @@ def pairs_from_sorted_ids(
             )
         ).alias("p")
     )
+    if spine is not None:
+        pairs = pairs.unionByName(spine)
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
@@ -230,13 +260,24 @@ def overcap_bucket_stats(
     """One-row audit of what ``max_bucket_size`` drops for this corpus:
     (n_buckets, n_overcap_buckets, max_bucket_docs, dropped_id_slots),
     where ``dropped_id_slots`` is Σ max(size−cap, 0) over buckets —
-    the id-slots excluded from pair expansion (each still pairs via its
-    other bands). Run this before lowering the cap in production; the
-    streaming ingest loop logs it per batch when asked."""
+    the id-slots excluded from the in-bucket CROSS (each still reaches
+    the bucket's component through its spine pair with the bucket min,
+    and pairs fully in any under-cap band it lands in). Run this before
+    lowering the cap in production; ``make_fuzzy_ingest_writer`` logs
+    it per batch when ``log_overcap=True``."""
     sel = df.select(F.col(id_col).alias("_id"), F.col(shingle_col).alias("_sh_arr"))
     sigs = minhash_signatures(sel, "_id", "_sh_arr", num_hashes)
-    exploded = band_key_rows(sigs, "_id", num_hashes, bands)
-    sizes = exploded.groupBy("band_id", "band_hash").agg(
+    return overcap_band_stats(
+        band_key_rows(sigs, "_id", num_hashes, bands), max_bucket_size
+    )
+
+
+def overcap_band_stats(band_rows: DataFrame, max_bucket_size: int) -> DataFrame:
+    """``overcap_bucket_stats`` over ALREADY-banded rows — the form the
+    persisted-store paths need (their band rows exist on disk; re-
+    shingling the corpus to audit cap pressure would defeat the store).
+    One groupBy over (band_id, band_hash), then a 1-row aggregate."""
+    sizes = band_rows.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("_n")
     )
     over = F.col("_n") > max_bucket_size

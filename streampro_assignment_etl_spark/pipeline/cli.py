@@ -116,6 +116,44 @@ def build_parser() -> argparse.ArgumentParser:
         help="maintain: rebuild with the id-seeded model instead of k-means",
     )
     ix.add_argument(
+        "--new-mass-drift-threshold",
+        type=float,
+        default=0.5,
+        help="maintain: per-append-batch TV that triggers the early "
+        "(new-mass) retrain arm",
+    )
+    ix.add_argument(
+        "--min-new-mass-fraction",
+        type=float,
+        default=0.1,
+        help="maintain: appended share of the index the new-mass arm "
+        "requires before it may retrain",
+    )
+    ix.add_argument(
+        "--recall-floor",
+        type=float,
+        help="maintain: also retrain if served recall@5 over the probe "
+        "set drops below this (omit to skip the probe)",
+    )
+    ix.add_argument(
+        "--recall-probe-limit",
+        type=int,
+        default=100,
+        help="maintain: probe-set size (lowest vec_ids of the source table)",
+    )
+    ix.add_argument(
+        "--recall-probes",
+        type=int,
+        default=4,
+        help="maintain: IVF cells probed per query during the recall probe",
+    )
+    ix.add_argument(
+        "--recall-shortlist",
+        type=int,
+        default=100,
+        help="maintain: ADC shortlist size during the recall probe",
+    )
+    ix.add_argument(
         "--stream-name",
         default="ingest",
         help="prune-markers: the ingest stream whose applied markers to prune",
@@ -136,7 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
         "arrival batch, or drain a landing dir through the store",
     )
     dd.add_argument(
-        "action", choices=["build-store", "probe", "ingest", "compact", "expire"]
+        "action",
+        choices=[
+            "build-store", "probe", "ingest", "compact", "expire",
+            "maintain", "stats",
+        ],
     )
     dd.add_argument("--path", required=True, help="Store root dir/URI")
     dd.add_argument(
@@ -152,6 +194,25 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--num-hashes", type=int, default=32)
     dd.add_argument("--bands", type=int, default=8)
+    dd.add_argument("--shingle-n", type=int, default=3)
+    dd.add_argument(
+        "--max-bucket-size",
+        type=int,
+        default=1000,
+        help="probe/ingest: LSH hot-bucket cap (store side of the "
+        "candidate join); see operators/minhash.py",
+    )
+    dd.add_argument(
+        "--no-bucket-cap",
+        action="store_true",
+        help="probe/ingest: disable the hot-bucket cap (exhaustive "
+        "candidate cross — boilerplate-free corpora only)",
+    )
+    dd.add_argument(
+        "--log-overcap",
+        action="store_true",
+        help="ingest: emit one overcap_band_stats JSON line per batch",
+    )
     dd.add_argument(
         "--decisions-keep-seconds",
         type=float,
@@ -160,8 +221,17 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument(
         "--min-age-seconds",
         type=float,
-        default=0.0,
-        help="expire: grace horizon before superseded snapshots are swept",
+        default=86400.0,
+        help="expire/maintain: grace horizon before superseded snapshots "
+        "are swept (default 24 h, matching the index surface — zero grace "
+        "could reap a just-superseded snapshot under an in-flight reader)",
+    )
+    dd.add_argument(
+        "--max-subtrees",
+        type=int,
+        default=16,
+        help="maintain: fold only when any kind's ingest-subtree count "
+        "exceeds this (fragmentation threshold)",
     )
     dd.add_argument("--debug", action="store_true")
     return p
@@ -200,7 +270,11 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         from ..streaming import fuzzy_store_ingest as fsi
 
         spark = get_spark("streampro-dedup")
-        geom = {"num_hashes": args.num_hashes, "bands": args.bands}
+        geom = {
+            "num_hashes": args.num_hashes,
+            "bands": args.bands,
+            "shingle_n": args.shingle_n,
+        }
         if args.action == "compact":
             out = fsi.compact_fuzzy_store(
                 spark, args.path,
@@ -214,13 +288,29 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             )
             print(_json.dumps({"action": "expire", "expired": gone}))
             return 0
+        if args.action == "stats":
+            print(_json.dumps({"action": "stats", **fsi.store_stats(spark, args.path)}))
+            return 0
+        if args.action == "maintain":
+            out = fsi.maintain_store(
+                spark,
+                args.path,
+                max_subtrees=args.max_subtrees,
+                decisions_keep_seconds=args.decisions_keep_seconds,
+                min_age_seconds=args.min_age_seconds,
+            )
+            print(_json.dumps({"action": "maintain", **out}))
+            return 0
         if args.action == "ingest":
             if not (args.landing and args.checkpoint):
                 print("ingest requires --landing and --checkpoint", file=sys.stderr)
                 return 2
             fsi.run_fuzzy_store_ingest_from_dir(
                 spark, args.landing, args.path, args.checkpoint,
-                threshold=args.threshold, **geom,
+                threshold=args.threshold,
+                max_bucket_size=None if args.no_bucket_cap else args.max_bucket_size,
+                log_overcap=args.log_overcap,
+                **geom,
             )
             print(
                 _json.dumps(
@@ -243,16 +333,34 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             docs.select("doc_id", "text").write.mode("overwrite").parquet(
                 f"{args.path}/{fsi.DOCS_DIR}/ingest=base"
             )
+            # Commit an initial geometry-bearing manifest (ADVICE r12:
+            # a manifest-less batch-built store left the LSH geometry
+            # fence inert until a streaming batch happened to commit
+            # one — a probe under mismatched geometry silently matched
+            # nothing). Epoch 1, pointing at the legacy fixed dirs the
+            # subtree writes above landed in.
+            fsi._commit_store_manifest(
+                args.path,
+                fsi._store_dirs(None),
+                geom,
+                expect_epoch=fsi._store_epoch(fsi.load_store_manifest(args.path)),
+            )
             print(_json.dumps({"action": "build-store", "signed": docs.count()}))
             return 0
-        # probe: read-only decision preview for an arrival batch
+        # probe: read-only decision preview for an arrival batch —
+        # fence first, so a mismatched geometry is a loud error instead
+        # of a silent zero-candidate probe (band hashes are seed- and
+        # geometry-dependent)
+        fsi._check_geometry(fsi.load_store_manifest(args.path), geom, args.path)
         matches = minhash.incremental_fuzzy_matches(
             docs,
             fsi.read_store_docs(spark, args.path).select("doc_id", "text"),
             fsi.read_store_bands(spark, args.path).select(
                 "doc_id", "band_id", "band_hash"
             ),
-            "doc_id", "text", threshold=args.threshold, **geom,
+            "doc_id", "text", threshold=args.threshold,
+            max_bucket_size=None if args.no_bucket_cap else args.max_bucket_size,
+            **geom,
         )
         print(
             _json.dumps(
@@ -286,13 +394,24 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             if args.where:
                 emb = emb.filter(args.where)
         if args.action == "maintain":
+            probe_q = (
+                emb.orderBy("vec_id").limit(args.recall_probe_limit)
+                if args.recall_floor is not None
+                else None
+            )
             out = ann_index.maintain_index(
                 spark,
                 args.path,
                 emb,
                 drift_threshold=args.drift_threshold,
+                new_mass_drift_threshold=args.new_mass_drift_threshold,
+                min_new_mass_fraction=args.min_new_mass_fraction,
                 min_age_seconds=args.min_age_seconds,
                 train=not args.no_train,
+                probe_queries=probe_q,
+                recall_floor=args.recall_floor,
+                recall_probes=args.recall_probes,
+                recall_shortlist=args.recall_shortlist,
             )
             print(_json.dumps({"action": "maintain", **out}))
             return 0

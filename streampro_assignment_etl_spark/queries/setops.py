@@ -281,6 +281,66 @@ def asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join, batch form (streaming/stream_join.py).
+# The SAME builder runs the live stream-stream join (withWatermark is
+# a no-op in batch) — this entry hash-gates the plan's semantics; the
+# pytest family pins the streamed run bit-equal to this batch form.
+# ---------------------------------------------------------------------------
+@query(
+    "view_click_attribution_interval",
+    extra=True,  # asof family driver row is asof_last_view_before_click
+    tags=("stream-join", "interval-join", "timeseries", "streaming-batch-twin"),
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click' AND user_id < 10
+),
+views AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.user_id,
+       c.click_id,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       v.view_id,
+       strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       CAST(v.view_value AS DOUBLE) AS view_value
+FROM clicks c JOIN views v
+  ON c.user_id = v.user_id
+ AND v.view_ts >= c.click_ts - INTERVAL 30 MINUTE
+ AND v.view_ts <= c.click_ts
+ORDER BY c.click_id, v.view_id
+""",
+)
+def view_click_attribution_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution within a 30-minute horizon — the batch
+    oracle form of the stream-stream interval join
+    (``streaming/stream_join.view_click_attribution``): every (click,
+    view) pair of the same user where the view precedes the click by
+    at most the horizon. The streaming run of the identical builder is
+    pinned bit-equal in tests/test_streaming.py; here DuckDB replays
+    the interval join over the events table."""
+    from ..streaming.stream_join import view_click_attribution
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_event", F.col("ts"))
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 10))
+    views = ev.filter(F.col("event_type") == "view")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        view_click_attribution(clicks, views, horizon="30 minutes")
+        .select(
+            "user_id",
+            "click_id",
+            F.date_format("click_ts", fmt).alias("click_ts"),
+            "view_id",
+            F.date_format("view_ts", fmt).alias("view_ts"),
+            F.col("view_value").cast("double").alias("view_value"),
+        )
+        .orderBy("click_id", "view_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hypertable-style rollup: one pass, multiple time granularities
 # (the continuous-aggregate pattern from timeseries stores).
 # ---------------------------------------------------------------------------

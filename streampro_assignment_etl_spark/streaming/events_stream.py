@@ -393,22 +393,14 @@ def click_view_interval_join(
     passes view.ts + max_gap — without the interval bound the state
     would grow forever (the stream-stream analog of the batch theta
     join R10)."""
-    c = clicks.withWatermark("ts_event", watermark).alias("c")
-    v = views.withWatermark("ts_event", watermark).alias("v")
-    return c.join(
-        v,
-        F.expr(
-            f"""
-            c.user_id = v.user_id AND
-            v.ts_event <= c.ts_event AND
-            v.ts_event >= c.ts_event - INTERVAL {max_gap}
-            """
-        ),
-        "inner",
+    from .stream_join import view_click_attribution
+
+    return view_click_attribution(
+        clicks, views, horizon=max_gap, watermark=watermark
     ).select(
-        F.col("c.user_id").alias("user_id"),
-        F.col("c.event_id").alias("click_id"),
-        F.col("v.event_id").alias("view_id"),
-        F.date_format("c.ts_event", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        F.date_format("v.ts_event", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        "user_id",
+        "click_id",
+        "view_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )

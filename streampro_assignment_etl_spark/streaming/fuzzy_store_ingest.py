@@ -270,12 +270,21 @@ def make_fuzzy_ingest_writer(
     bands: int = 8,
     shingle_n: int = 3,
     stream_name: str = "ingest",
+    max_bucket_size: int | None = minhash.DEFAULT_MAX_BUCKET_SIZE,
+    log_overcap: bool = False,
 ):
     """The ``foreachBatch`` body, exposed so tests can drive the replay
     contract directly. The store's LSH geometry is fixed at writer
     construction and must match every prior writer of this store
     (band hashes are seed-dependent — a mismatch silently yields zero
-    candidates; see ``incremental_fuzzy_matches``)."""
+    candidates; see ``incremental_fuzzy_matches``).
+
+    ``max_bucket_size`` is the probe-side hot-bucket cap (ADVICE r12:
+    previously hard-wired to the default with no opt-out on this path)
+    — ``None`` disables it; ``log_overcap=True`` emits one JSON line of
+    ``overcap_band_stats`` over the store's band rows per applied
+    batch, the audit that says whether the cap is actually shedding
+    candidates on this corpus."""
 
     geometry = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
 
@@ -319,6 +328,21 @@ def make_fuzzy_ingest_writer(
             corpus = _read_kind(spark, store_path, "docs", manifest).filter(
                 F.col("ingest") != cur
             )
+            if log_overcap and max_bucket_size is not None:
+                audit = minhash.overcap_band_stats(
+                    store.select("band_id", "band_hash"), max_bucket_size
+                ).collect()[0]
+                print(
+                    json.dumps(
+                        {
+                            "event": "overcap_band_stats",
+                            "stream": stream_name,
+                            "batch_id": batch_id,
+                            "max_bucket_size": max_bucket_size,
+                            **{k: audit[k] for k in audit.asDict()},
+                        }
+                    )
+                )
             matches = minhash.incremental_fuzzy_matches(
                 batch,
                 corpus,
@@ -329,6 +353,7 @@ def make_fuzzy_ingest_writer(
                 num_hashes=num_hashes,
                 bands=bands,
                 shingle_n=shingle_n,
+                max_bucket_size=max_bucket_size,
             ).persist()
             survivors = batch.join(matches, id_col, "left_anti").persist()
             if not matches.isEmpty():
@@ -529,6 +554,100 @@ def expire_fuzzy_store(
     for f in doomed_files:
         fs.delete_file(f"{base}/{f}")
     return sorted(doomed_dirs + doomed_files)
+
+
+def _subtree_counts(store_path: str, dirs: dict[str, str]) -> dict[str, int]:
+    """Committed+orphan ``ingest=`` subtree count per kind — the
+    fragmentation measure ``maintain_store`` thresholds on. Pure
+    listing, no Spark job."""
+    import pyarrow.fs as pafs
+
+    fs, base = _fs_base(store_path)
+    out = {}
+    for kind in _KINDS:
+        try:
+            infos = fs.get_file_info(
+                pafs.FileSelector(f"{base}/{dirs[kind]}", recursive=False)
+            )
+        except (FileNotFoundError, OSError):
+            infos = []
+        out[kind] = sum(
+            1
+            for i in infos
+            if i.type == pafs.FileType.Directory
+            and i.base_name.startswith("ingest=")
+        )
+    return out
+
+
+def store_stats(spark: SparkSession, store_path: str) -> dict:
+    """One-call operational snapshot of the store (VERDICT r12 Next
+    #5): manifest epoch + geometry, per-kind subtree count (the
+    fragmentation a probe pays in open-file overhead), docs / band /
+    decision row counts, and the lifetime dup-decision rate
+    (decisions / (docs + decisions) — every ingested doc ended as
+    exactly one of the two). Counts are parquet-footer metadata scans;
+    the listing is pure filesystem — cheap enough for a cron tick."""
+    manifest = load_store_manifest(store_path)
+    dirs = _store_dirs(manifest)
+    docs_n = read_store_docs(spark, store_path).count()
+    bands_n = read_store_bands(spark, store_path).count()
+    dec_n = read_decisions(spark, store_path).count()
+    ingested = docs_n + dec_n
+    return {
+        "epoch": _store_epoch(manifest),
+        "geometry": (manifest or {}).get("geometry"),
+        "subtrees": _subtree_counts(store_path, dirs),
+        "docs": docs_n,
+        "band_rows": bands_n,
+        "decisions": dec_n,
+        "dup_decision_rate": (dec_n / ingested) if ingested else 0.0,
+    }
+
+
+def maintain_store(
+    spark: SparkSession,
+    store_path: str,
+    max_subtrees: int = 16,
+    decisions_keep_seconds: float | None = None,
+    min_age_seconds: float = 86400.0,
+) -> dict:
+    """The store's composed cron body (mirror of
+    ``ann_index.maintain_index``; VERDICT r12 Next #5 — the primitives
+    existed but every cron caller re-derived when to invoke them):
+    measure ``store_stats``, fold via ``compact_fuzzy_store`` ONLY
+    when any kind's subtree count exceeds ``max_subtrees`` (compaction
+    is pure IO proportional to store size — a fragmentation threshold
+    is what makes the idle tick cheap), then sweep superseded
+    snapshots under the ``min_age_seconds`` grace horizon. The fold
+    inherits every safety the compaction carries: epoch fence against
+    racing ingest, committed-subtrees-only, ``decisions_keep_seconds``
+    retention of the audit log. Idempotent at the loop level: a fold
+    leaves one ``base-*`` subtree per kind, so the next tick reads
+    fragmentation 1 and no-ops.
+
+    Returns the pre-fold stats plus ``{"compacted", "threshold",
+    "epoch", "expired"}`` (``epoch`` reflects the post-fold manifest
+    when a fold ran)."""
+    stats = store_stats(spark, store_path)
+    compacted = False
+    epoch = stats["epoch"]
+    if max(stats["subtrees"].values(), default=0) > max_subtrees:
+        out = compact_fuzzy_store(
+            spark, store_path, decisions_keep_seconds=decisions_keep_seconds
+        )
+        compacted = True
+        epoch = out["epoch"]
+    expired = expire_fuzzy_store(
+        spark, store_path, min_age_seconds=min_age_seconds
+    )
+    return {
+        **stats,
+        "compacted": compacted,
+        "threshold": max_subtrees,
+        "epoch": epoch,
+        "expired": expired,
+    }
 
 
 def run_fuzzy_store_ingest_from_dir(

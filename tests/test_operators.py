@@ -204,11 +204,15 @@ def test_incremental_fuzzy_matches_vs_signature_store(spark):
 
 
 def test_hot_bucket_cap_bounds_degenerate_bucket(spark):
-    """Round-11 VERDICT #2: a degenerate band (all docs share a band
-    hash — web boilerplate) must not cross the full bucket. With a cap,
-    the bucket contributes its cap lowest ids — a bounded, deterministic
-    pair count — and a genuine near-dup pair OUTSIDE the flood (or
-    sharing only some bands with it) still meets via its own buckets."""
+    """Round-11 VERDICT #2 + ADVICE r12: a degenerate band (all docs
+    share a band hash — web boilerplate) must not cross the full
+    bucket. With a cap, the bucket contributes the cross of its cap
+    lowest ids — a bounded, deterministic pair count — PLUS a
+    (min_id, dropped_id) spine pair per over-cap member, so an
+    exact-dup flood (same doc set in the same bucket in EVERY band,
+    where "meets in its other bands" is false) keeps every member
+    connected to the cluster. A genuine near-dup pair OUTSIDE the
+    flood still meets via its own buckets."""
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     flood = [(i, base) for i in range(1, 21)]  # 20 identical docs
     near = base.replace("gamma", "jinx", 1)
@@ -231,10 +235,16 @@ def test_hot_bucket_cap_bounds_degenerate_bucket(spark):
         ).collect()
     }
     # Uncapped: the flood cross alone is C(20,2)=190 pairs. Capped: the
-    # flood bucket contributes only ids 1..5 → C(5,2)=10 flood pairs.
+    # flood bucket contributes the C(5,2)=10 cross of ids 1..5 plus the
+    # connectivity spine (1, j) for each dropped j in 6..20 — every
+    # flood member still reaches the cluster through the min id.
     assert len(uncapped) >= 190
     flood_pairs = {p for p in capped if p[0] <= 20 and p[1] <= 20}
-    assert flood_pairs == {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    assert flood_pairs == {
+        (a, b) for a in range(1, 6) for b in range(a + 1, 6)
+    } | {(1, j) for j in range(6, 21)}
+    covered = {i for p in flood_pairs for i in p}
+    assert covered == set(range(1, 21))  # no member bypasses dedup
     # Multi-band recovery: 21/22 are identical to each other, so every
     # band they DON'T share with the flood is a size-2 bucket that
     # survives any cap — the pair is still a candidate.
@@ -260,7 +270,8 @@ def test_hot_bucket_cap_bounds_degenerate_bucket(spark):
     }
     assert pairs[(21, 22)] == 1.0
     assert pairs[(1, 2)] == 1.0
-    assert (6, 7) not in pairs  # capped out of the flood bucket
+    assert pairs[(1, 6)] == 1.0  # spine pair, verified exactly
+    assert (6, 7) not in pairs  # dropped members cross only via the spine
 
 
 def test_incremental_fuzzy_matches_hot_bucket_cap(spark):
@@ -1444,19 +1455,37 @@ def test_ivfpq_index_occupancy_drift_signals_retrain(spark, tmp_path):
     assert balanced["tv_drift_new_mass"] < 0.15, balanced
     assert abs(balanced["new_mass_fraction"] - 0.5) < 1e-9
 
+    # a TIGHT spike at centers[0] (σ=0.005, vs the build's 0.05): wide
+    # enough noise straddles two of the id-seeded centroids (measured
+    # per-batch TV 0.4875) — the spike assigns wholly to the single
+    # nearest one
     shifted = spark.createDataFrame(
-        cloud(240, centers[0], 90_000), "vec_id long, embedding array<double>"
+        [
+            (90_000 + i, [c + rng.gauss(0, 0.005) for c in centers[0]])
+            for i in range(240)
+        ],
+        "vec_id long, embedding array<double>",
     )
     ann_index.append_to_ivfpq_index(shifted, path)
     drifted = ann_index.index_occupancy_stats(spark, path)
     assert drifted["tv_drift"] > 0.25, drifted
     assert drifted["tv_drift"] > balanced["tv_drift"]
-    # the early signal reads the SHAPE of what arrived, not its volume:
-    # the shifted 240 all pile into one cell (~3/4 away from the
-    # build's uniform 4-cell shape) and the signal exceeds whole-index
-    # drift, which the resident mass dilutes
+    # the early signal is PER-APPEND (r12 VERDICT #1: the cumulative
+    # current−built form let the balanced batch dilute the alien one
+    # to 0.344): the shifted 240 are one append subtree whose mass all
+    # piles into a single cell, so its own TV vs the built shape is
+    # 1 − built_share(that cell) ≥ 1 − 52/120 ≈ 0.57 (the lumpiest
+    # built cell), while the balanced batch stays a separate subtree
+    # near 0. max over subtrees reads the alien one undiluted.
     assert drifted["tv_drift_new_mass"] > drifted["tv_drift"], drifted
     assert drifted["tv_drift_new_mass"] > 0.5, drifted
+    # per-append detail: two subtrees, worst-first — the alien 240 at
+    # the top, the balanced 120 unchanged from its solo reading
+    assert [d["n"] for d in drifted["per_append"]] == [240, 120], drifted
+    assert drifted["per_append"][0]["tv_vs_built"] == drifted["tv_drift_new_mass"]
+    assert abs(
+        drifted["per_append"][1]["tv_vs_built"] - balanced["tv_drift_new_mass"]
+    ) < 1e-12
 
 
 def test_maintain_index_drift_triggered_retrain_loop(spark, tmp_path):
@@ -1577,6 +1606,133 @@ def test_maintain_index_drift_triggered_retrain_loop(spark, tmp_path):
         ).collect()
     )
     assert key(path) == key(fresh)
+
+
+def test_maintain_index_composite_trigger_early_retrain(spark, tmp_path):
+    """Round-12 VERDICT #2 — the wired composite rule: a 10% append is
+    far below what whole-index tv_drift can register (SCALE.md proves
+    tv_drift ≤ append fraction), so the r12 loop served a stale model
+    until alien mass was ~25% of the corpus. The composite trigger
+    retrains the day a 10% ALIEN batch lands (new-mass arm), while a
+    10% SAME-distribution batch still no-ops — and a tiny alien batch
+    below min_new_mass_fraction no-ops too (no retraining a 10⁹-row
+    index over a 50-row oddball)."""
+    import random
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    rng = random.Random(7)
+    dim = 8
+    centers = [[float(j == k) for j in range(dim)] for k in range(4)]
+
+    def cloud(n, center, start_id, sigma=0.05):
+        return [
+            (start_id + i, [c + rng.gauss(0, sigma) for c in center])
+            for i in range(n)
+        ]
+
+    base_rows = [r for k, c in enumerate(centers) for r in cloud(60, c, 1000 * k)]
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+
+    # Case A: 10% same-distribution append → both arms quiet, no-op.
+    pa = str(tmp_path / "same")
+    ann_index.build_ivfpq_index(base, pa, n_centroids=4, m=2, n_codes=8)
+    same = spark.createDataFrame(
+        [r for k, c in enumerate(centers) for r in cloud(6, c, 50_000 + 100 * k)],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.append_to_ivfpq_index(same, pa)
+    out = ann_index.maintain_index(spark, pa, base.unionByName(same))
+    assert out["rebuilt"] is False and out["trigger"] is None, out
+    assert out["tv_drift"] < 0.1  # bounded by the 1/11 append fraction anyway
+    assert out["tv_drift_new_mass"] < 0.5
+
+    # Case B: 10% ALIEN append → tv_drift CANNOT trip (≤ append
+    # fraction ≈ 0.091 < 0.25) but the new-mass arm fires same-day.
+    pb = str(tmp_path / "alien")
+    ann_index.build_ivfpq_index(base, pb, n_centroids=4, m=2, n_codes=8)
+    alien = spark.createDataFrame(
+        cloud(30, centers[0], 90_000, sigma=0.005),
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.append_to_ivfpq_index(alien, pb)
+    out2 = ann_index.maintain_index(spark, pb, base.unionByName(alien))
+    assert out2["tv_drift"] < 0.25, out2  # the r12 trigger would no-op here
+    assert out2["trigger"] == "new_mass" and out2["rebuilt"] is True, out2
+    # self-quiescing after the rebuild: subtrees folded, both arms ~0
+    out3 = ann_index.maintain_index(spark, pb, base.unionByName(alien))
+    assert out3["rebuilt"] is False and out3["trigger"] is None
+
+    # Case C: alien but BELOW min_new_mass_fraction → no-op (volume
+    # gate keeps an oddball trickle from thrashing the index).
+    pc = str(tmp_path / "tiny")
+    ann_index.build_ivfpq_index(base, pc, n_centroids=4, m=2, n_codes=8)
+    tiny = spark.createDataFrame(
+        cloud(5, centers[0], 95_000, sigma=0.005),
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.append_to_ivfpq_index(tiny, pc)
+    out4 = ann_index.maintain_index(
+        spark, pc, base.unionByName(tiny), min_new_mass_fraction=0.05
+    )
+    assert out4["tv_drift_new_mass"] > 0.5  # the shape IS alien...
+    assert out4["new_mass_fraction"] < 0.05  # ...but the volume gate holds
+    assert out4["rebuilt"] is False and out4["trigger"] is None, out4
+
+
+def test_maintain_index_recall_probe_catches_within_cell_rot(spark, tmp_path):
+    """Round-12 VERDICT Next #6 — the occupancy statistic is blind to
+    quality loss that keeps the cell SHAPE intact: here occupancy
+    drift reads ~0 (no appends at all), yet the served recall under a
+    deliberately starved probe budget sits below the floor, and the
+    recall arm — an exact-vs-served probe over a small query set —
+    trips the rebuild. Also pins the lazy contract: recall_floor=None
+    (the default tick) never runs the probe, and a floor the index
+    already meets no-ops with the measured recall reported."""
+    import random
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    rng = random.Random(3)
+    # isotropic ball: cells carve it arbitrarily, so probes=1 of 8
+    # genuinely misses cross-cell neighbors — recall well below 1
+    rows = [
+        (i, [rng.gauss(0, 1.0) for _ in range(8)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb, path, n_centroids=8, m=2, n_codes=8)
+    probes_q = emb.filter(F.col("vec_id") < 20)
+
+    stats = ann_index.index_occupancy_stats(spark, path)
+    assert stats["tv_drift"] == 0.0 and stats["tv_drift_new_mass"] is None
+
+    # floor unreachable at probes=1 → the recall arm fires
+    out = ann_index.maintain_index(
+        spark, path, emb,
+        probe_queries=probes_q, recall_floor=0.95,
+        recall_probes=1, recall_shortlist=20,
+    )
+    assert out["tv_drift"] == 0.0  # occupancy saw nothing...
+    assert out["recall"] is not None and out["recall"] < 0.95
+    assert out["trigger"] == "recall" and out["rebuilt"] is True, out
+
+    # a floor the (rebuilt, trained) index meets at a sane budget →
+    # no-op, recall reported
+    out2 = ann_index.maintain_index(
+        spark, path, emb,
+        probe_queries=probes_q, recall_floor=0.5,
+        recall_probes=8, recall_shortlist=100,
+    )
+    assert out2["rebuilt"] is False and out2["trigger"] is None
+    assert out2["recall"] >= 0.5
+
+    # default tick: no floor → probe never runs, recall stays None
+    out3 = ann_index.maintain_index(spark, path, emb)
+    assert out3["recall"] is None and out3["rebuilt"] is False
+
+    with pytest.raises(ValueError, match="probe_queries"):
+        ann_index.maintain_index(spark, path, emb, recall_floor=0.9)
 
 
 def test_pq_kmeans_duplicate_subspace_points_fail_loudly(spark):

@@ -538,6 +538,25 @@ def test_cli_dedup_store_lifecycle(spark, tmp_path, capsys):
     assert rc == 0
     built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert built["signed"] == 250
+    # ADVICE r12: build-store commits an initial geometry-bearing
+    # manifest, so the fence covers the batch-built lifecycle — a
+    # mismatched probe is loud, not a silent zero-candidate scan
+    man = fsi.load_store_manifest(st)
+    assert man is not None and man["epoch"] == 1
+    assert man["geometry"] == {"num_hashes": 32, "bands": 8, "shingle_n": 3}
+    rc2 = 0
+    try:
+        main(
+            [
+                "dedup", "probe", "--path", st, "--sf-dir", sf,
+                "--bands", "16", "--num-hashes", "32",
+            ]
+        )
+    except ValueError as e:
+        rc2 = 1
+        assert "geometry" in str(e)
+    assert rc2 == 1
+    capsys.readouterr()
 
     rc = main(
         [
@@ -577,15 +596,32 @@ def test_cli_dedup_store_lifecycle(spark, tmp_path, capsys):
     )
     assert rc == 0
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert comp["epoch"] == 2  # build-store is manifest-less; ingest=1
+    assert comp["epoch"] == 3  # build-store=1, ingest batch=2, compact=3
     assert fsi.read_store_docs(spark, st).count() == ing["docs"]
     assert fsi.read_decisions(spark, st).count() == ing["decisions"]
-    rc = main(["dedup", "expire", "--path", st])
+    # zero grace is explicit test-only opt-in: the CLI default is the
+    # 24 h horizon (ADVICE r12 — zero grace could reap a superseded
+    # snapshot under an in-flight reader)
+    rc = main(["dedup", "expire", "--path", st, "--min-age-seconds", "0"])
     assert rc == 0
     exp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert {"store", "docs", "decisions"} <= set(exp["expired"])  # legacy dirs
     assert fsi.read_store_docs(spark, st).count() == ing["docs"]
     assert fsi.read_store_bands(spark, st).count() == ing["docs"] * 8
+
+    # one-call operational surface (VERDICT r12 #5): stats + composed
+    # maintain — post-compaction the store is 1 subtree per kind, so
+    # maintain is a measured no-op
+    rc = main(["dedup", "stats", "--path", st])
+    assert rc == 0
+    stat = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stat["docs"] == ing["docs"] and stat["decisions"] == ing["decisions"]
+    assert stat["geometry"]["bands"] == 8
+    assert max(stat["subtrees"].values()) == 1
+    rc = main(["dedup", "maintain", "--path", st, "--min-age-seconds", "0"])
+    assert rc == 0
+    mnt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert mnt["compacted"] is False and mnt["threshold"] == 16
 
     assert main(["dedup", "ingest", "--path", st]) == 2  # missing args
 

@@ -2347,3 +2347,54 @@ def test_fuzzy_store_retention_and_geometry_fence(spark, tmp_path):
     bad = fsi.make_fuzzy_ingest_writer(store, threshold=0.7, bands=16, num_hashes=32)
     with pytest.raises(ValueError, match="geometry"):
         bad(spark.createDataFrame([(9, _w("z"))], "doc_id long, text string"), 7)
+
+
+def test_maintain_store_threshold_fold_and_stats(spark, tmp_path):
+    """Round-12 VERDICT Next #5 — the store's composed cron body:
+    ``store_stats`` reports fragmentation / counts / dup rate in one
+    call; ``maintain_store`` no-ops below the subtree threshold, folds
+    above it (state-invariant, epoch-fenced via the same compaction),
+    sweeps retention, and self-quiesces — the next tick reads
+    fragmentation 1 and no-ops."""
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    store = str(tmp_path / "fstore")
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.7)
+    for b in range(5):
+        rows = [(100 * b + j, _w(f"b{b}d{j}")) for j in range(3)]
+        if b == 4:
+            rows.append((997, _w("b0d0")))  # exact dup of batch-0's doc
+        writer(
+            spark.createDataFrame(rows, "doc_id long, text string"), b
+        )
+
+    stats = fsi.store_stats(spark, store)
+    assert stats["epoch"] == 5  # one bump per applied batch
+    assert stats["geometry"] == {"num_hashes": 32, "bands": 8, "shingle_n": 3}
+    assert stats["subtrees"] == {"store": 5, "docs": 5, "decisions": 1}
+    assert stats["docs"] == 15 and stats["band_rows"] == 15 * 8
+    assert stats["decisions"] == 1
+    assert abs(stats["dup_decision_rate"] - 1 / 16) < 1e-12
+
+    before = _fuzzy_state(spark, fsi, store)
+
+    # below threshold: measurement only — no fold, no epoch movement
+    out = fsi.maintain_store(spark, store, max_subtrees=8, min_age_seconds=0.0)
+    assert out["compacted"] is False and out["epoch"] == 5
+    # no snapshot dir is superseded yet — the sweep only reaps the
+    # four superseded per-batch manifest FILES
+    assert all("manifest" in n for n in out["expired"]), out["expired"]
+    assert _fuzzy_state(spark, fsi, store) == before
+
+    # above threshold: fold + sweep, state invariant, epoch bumped
+    out2 = fsi.maintain_store(spark, store, max_subtrees=3, min_age_seconds=0.0)
+    assert out2["compacted"] is True and out2["epoch"] == 6
+    assert out2["subtrees"] == {"store": 5, "docs": 5, "decisions": 1}  # pre-fold
+    assert out2["expired"]  # legacy fixed dirs swept after the fold
+    assert _fuzzy_state(spark, fsi, store) == before
+
+    # self-quiescing: one base subtree per kind → next tick no-ops
+    out3 = fsi.maintain_store(spark, store, max_subtrees=3, min_age_seconds=0.0)
+    assert out3["compacted"] is False and out3["epoch"] == 6
+    assert out3["subtrees"] == {"store": 1, "docs": 1, "decisions": 1}
+    assert _fuzzy_state(spark, fsi, store) == before

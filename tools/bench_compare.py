@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Anchor-normalized round-over-round bench comparison (VERDICT r12
+Next #2: "make the comparison mechanical ... so no future verdict
+hand-computes them").
+
+Usage:
+    python tools/bench_compare.py                  # newest two BENCH_r*.json
+    python tools/bench_compare.py A.json B.json    # explicit old new
+
+Prints one table row per query:
+
+    query  prev_s  cur_s  raw_ratio  norm_ratio  verdict
+
+where ``raw_ratio`` = cur/prev, ``norm_ratio`` divides out the host-
+speed ratio measured by the data-independent ``anchor_spark_sec``
+workload both files carry (bench.py): a query whose raw delta tracks
+the anchor delta is host noise (norm ~1), one whose normalized ratio
+stays far from 1 moved for a real reason. The verdict column applies
+the same bands the round-10/12 postmortems used by hand:
+
+    ~        norm in [0.8, 1.25]   — within host noise
+    FASTER   norm < 0.8
+    SLOWER   norm > 1.25           — investigate: plan/AQE/code change
+
+Exit code 1 when any query lands in SLOWER, so a round script can gate
+on it. One JSON summary line last (machine half of the contract).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+
+def _load(path: str) -> dict:
+    """A BENCH record: either bench.py's own one-line JSON, or the
+    driver's wrapper document with the bench line under "parsed"."""
+    with open(path) as f:
+        doc = json.load(f)
+    if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+        return doc["parsed"]
+    return doc
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) == 3:
+        old_p, new_p = argv[1], argv[2]
+    else:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        found = sorted(
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        )
+        if len(found) < 2:
+            print("need two BENCH_r*.json files (or pass paths)", file=sys.stderr)
+            return 2
+        old_p, new_p = found[-2][1], found[-1][1]
+
+    old, new = _load(old_p), _load(new_p)
+    a_old, a_new = old.get("anchor_spark_sec"), new.get("anchor_spark_sec")
+    host_ratio = (a_new / a_old) if a_old and a_new else None
+
+    print(f"# old={os.path.basename(old_p)} new={os.path.basename(new_p)}")
+    if host_ratio:
+        print(
+            f"# anchor_spark {a_old:.4f} -> {a_new:.4f}  "
+            f"host_ratio={host_ratio:.3f} "
+            f"({'slower' if host_ratio > 1 else 'faster'} host)"
+        )
+    else:
+        print("# no anchors in one of the files: raw ratios only")
+    hdr = f"{'query':<32} {'prev_s':>8} {'cur_s':>8} {'raw':>6} {'norm':>6}  verdict"
+    print(hdr)
+
+    rows = {}
+    any_slower = False
+    for name, cur in sorted(new.get("queries", {}).items()):
+        prev = old.get("queries", {}).get(name)
+        if not prev:
+            print(f"{name:<32} {'-':>8} {cur:>8.3f}    new query")
+            continue
+        raw = cur / prev
+        norm = raw / host_ratio if host_ratio else None
+        basis = norm if norm is not None else raw
+        verdict = "~" if 0.8 <= basis <= 1.25 else ("FASTER" if basis < 0.8 else "SLOWER")
+        any_slower |= verdict == "SLOWER"
+        rows[name] = {
+            "prev_sec": prev,
+            "cur_sec": cur,
+            "raw_ratio": round(raw, 3),
+            "norm_ratio": round(norm, 3) if norm is not None else None,
+            "verdict": verdict,
+        }
+        n = f"{norm:>6.3f}" if norm is not None else "     -"
+        print(f"{name:<32} {prev:>8.3f} {cur:>8.3f} {raw:>6.3f} {n}  {verdict}")
+
+    print(
+        json.dumps(
+            {
+                "old": os.path.basename(old_p),
+                "new": os.path.basename(new_p),
+                "host_ratio": round(host_ratio, 4) if host_ratio else None,
+                "queries": rows,
+            }
+        )
+    )
+    return 1 if any_slower else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
