@@ -177,7 +177,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "build-store", "probe", "ingest", "compact", "expire",
-            "maintain", "stats",
+            "maintain", "stats", "resign",
         ],
     )
     dd.add_argument("--path", required=True, help="Store root dir/URI")
@@ -290,6 +290,10 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             return 0
         if args.action == "stats":
             print(_json.dumps({"action": "stats", **fsi.store_stats(spark, args.path)}))
+            return 0
+        if args.action == "resign":
+            out = fsi.resign_store(spark, args.path, **geom)
+            print(_json.dumps({"action": "resign", **out}))
             return 0
         if args.action == "maintain":
             out = fsi.maintain_store(

@@ -25,9 +25,13 @@ from .events_stream import (
 from .embedding_dedup import embedding_dedup_stream, run_embedding_dedup_stream
 from .fuzzy_dedup import fuzzy_dedup_stream, run_fuzzy_dedup_stream
 from .fuzzy_store_ingest import (
+    maintain_store,
+    resign_store,
     run_fuzzy_store_ingest_from_dir,
     run_fuzzy_store_ingest_stream,
+    store_stats,
 )
+from .stream_join import stream_interval_join, view_click_attribution
 from .heavy_hitters import read_mg_sink, trending_terms_stream
 from .index_ingest import run_index_append_stream, run_index_append_stream_from_dir
 from .stateful_dedup import (
@@ -61,8 +65,13 @@ __all__ = [
     "run_dedup_stream",
     "run_embedding_dedup_stream",
     "run_fuzzy_dedup_stream",
+    "maintain_store",
+    "resign_store",
     "run_fuzzy_store_ingest_from_dir",
     "run_fuzzy_store_ingest_stream",
+    "store_stats",
+    "stream_interval_join",
+    "view_click_attribution",
     "run_index_append_stream",
     "run_index_append_stream_from_dir",
     "run_stream_to_parquet",

@@ -407,6 +407,40 @@ def run_fuzzy_store_ingest_stream(
     q.awaitTermination(timeout_s)
 
 
+def _subtree_infos(fs, base: str, dir_name: str):
+    """FileInfo list of ``ingest=`` subtree DIRECTORIES under a kind
+    dir; empty when the dir doesn't exist yet."""
+    import pyarrow.fs as pafs
+
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(f"{base}/{dir_name}", recursive=False)
+        )
+    except (FileNotFoundError, OSError):
+        return []
+    return [
+        i
+        for i in infos
+        if i.type == pafs.FileType.Directory and i.base_name.startswith("ingest=")
+    ]
+
+
+def _subtree_committed(store_path: str, subtree: str) -> bool:
+    """subtree is the ``ingest=<id>`` dir name. base-* ids are build/
+    compaction/resign outputs (not replayable batches); stream ids are
+    ``<stream>-b<12 digits>`` and committed iff their marker exists.
+    Uncommitted subtrees must NOT fold into a snapshot — their batch
+    has a replay pending whose self-exclusion filter the fold would
+    defeat (see compact_fuzzy_store)."""
+    sub = subtree[len("ingest=") :]
+    if sub.startswith("base"):
+        return True
+    head, _, tail = sub.rpartition("-b")
+    if head and tail.isdigit():
+        return _marker_exists(store_path, head, int(tail))
+    return True  # ad-hoc batch-unaware naming: nothing to replay
+
+
 def compact_fuzzy_store(
     spark: SparkSession,
     store_path: str,
@@ -443,8 +477,6 @@ def compact_fuzzy_store(
     everything. Superseded dirs become debris for
     ``expire_fuzzy_store``. Returns ``{"epoch", "dirs"}``.
     """
-    import pyarrow.fs as pafs
-
     manifest = load_store_manifest(store_path)
     dirs = _store_dirs(manifest)
     epoch = _store_epoch(manifest)
@@ -454,32 +486,13 @@ def compact_fuzzy_store(
     fold_key = {"store": "band_id", "docs": "doc_id", "decisions": "doc_id"}
     now = time.time()
 
-    def committed(subtree: str) -> bool:
-        # subtree is the `ingest=<id>` dir name. base-* ids are build/
-        # compaction outputs (not replayable batches); stream ids are
-        # `<stream>-b<12 digits>` and committed iff their marker exists.
-        sub = subtree[len("ingest=") :]
-        if sub.startswith("base"):
-            return True
-        head, _, tail = sub.rpartition("-b")
-        if head and tail.isdigit():
-            return _marker_exists(store_path, head, int(tail))
-        return True  # ad-hoc batch-unaware naming: nothing to replay
-
     for kind in _KINDS:
         src = f"{store_path}/{dirs[kind]}"
-        try:
-            infos = fs.get_file_info(
-                pafs.FileSelector(f"{base}/{dirs[kind]}", recursive=False)
-            )
-        except (FileNotFoundError, OSError):
-            infos = []
+        infos = _subtree_infos(fs, base, dirs[kind])
         keep = [
             i.base_name
             for i in infos
-            if i.type == pafs.FileType.Directory
-            and i.base_name.startswith("ingest=")
-            and committed(i.base_name)
+            if _subtree_committed(store_path, i.base_name)
             and not (
                 kind == "decisions"
                 and decisions_keep_seconds is not None
@@ -504,6 +517,95 @@ def compact_fuzzy_store(
         expect_epoch=epoch,
     )
     return {"epoch": new_epoch, "dirs": new_dirs}
+
+
+def resign_store(
+    spark: SparkSession,
+    store_path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> dict:
+    """Geometry MIGRATION (VERDICT r12 Next #7): re-sign the store's
+    accepted documents under a new LSH geometry and pointer-swap the
+    manifest — the path to re-tune (num_hashes, bands, shingle_n) as
+    the corpus grows that previously required abandoning the store
+    (the geometry fence correctly refuses mismatched writers, but a
+    fence with no gate is a wall).
+
+    Mechanics: fold the COMMITTED ``docs`` and ``decisions`` subtrees
+    into a fresh snapshot exactly like a compaction (same committed-
+    only rule — an uncommitted batch's replay must re-land against the
+    new snapshot, not be half-frozen into it), then REGENERATE the
+    band-signature ``store`` kind from the folded docs under the new
+    geometry (band hashes are seed- and geometry-dependent, so unlike
+    compaction the signatures cannot be carried — this is the one
+    lifecycle step that re-reads corpus TEXT, cost one signing pass ≈
+    the original build). The commit is epoch-fenced like every writer:
+    a resign racing an ingest batch aborts loudly at the manifest
+    (pinned), leaving the in-flight geometry's store intact. After the
+    commit, the manifest carries the NEW geometry, so old-geometry
+    writers/probes fail loudly at the fence and a probe under the new
+    geometry matches exactly what a fresh-built store over the same
+    accepted docs would (pinned bit-equal). Superseded dirs are debris
+    for ``expire_fuzzy_store``. Returns ``{"epoch", "dirs",
+    "geometry", "docs"}``."""
+    manifest = load_store_manifest(store_path)
+    dirs = _store_dirs(manifest)
+    epoch = _store_epoch(manifest)
+    new_geometry = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+    }
+    token = uuid.uuid4().hex[:12]
+    new_dirs = {k: f"{k}-resign-{token}" for k in _KINDS}
+    fs, base = _fs_base(store_path)
+
+    n_docs = 0
+    for kind in ("docs", "decisions"):
+        src = f"{store_path}/{dirs[kind]}"
+        keep = [
+            i.base_name
+            for i in _subtree_infos(fs, base, dirs[kind])
+            if _subtree_committed(store_path, i.base_name)
+        ]
+        if not keep:
+            continue
+        df = (
+            spark.read.option("basePath", src)
+            .parquet(*[f"{src}/{d}" for d in keep])
+            .drop("ingest")
+        )
+        df.repartition(F.col("doc_id")).write.mode("overwrite").parquet(
+            f"{store_path}/{new_dirs[kind]}/ingest=base-{token}"
+        )
+        if kind == "docs":
+            # sign the folded snapshot itself — the store kind is
+            # derived from exactly what the new manifest will serve
+            folded = spark.read.parquet(
+                f"{store_path}/{new_dirs[kind]}/ingest=base-{token}"
+            )
+            n_docs = folded.count()
+            minhash.signature_store(
+                folded,
+                "doc_id",
+                "text",
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+            ).repartition(F.col("band_id")).write.mode("overwrite").parquet(
+                f"{store_path}/{new_dirs['store']}/ingest=base-{token}"
+            )
+    new_epoch = _commit_store_manifest(
+        store_path, new_dirs, new_geometry, expect_epoch=epoch
+    )
+    return {
+        "epoch": new_epoch,
+        "dirs": new_dirs,
+        "geometry": new_geometry,
+        "docs": n_docs,
+    }
 
 
 def expire_fuzzy_store(

@@ -218,6 +218,63 @@ def test_hashed_span_key_equals_string_key(spark, adversarial_sf):
         assert hashed == anchor
 
 
+def test_span_intervals_merge_adjacent_and_overlapping_passages(spark):
+    """VERDICT r12 Next #4 pins: (a) a run of adjacent duplicate spans
+    reports as ONE maximal interval, not per-span rows; (b) two
+    duplicated passages copied back-to-back (the overlapping/abutting
+    case) collapse into ONE interval covering both; (c) passages
+    separated by novel text stay two intervals; (d) hashed and
+    string-keyed forms agree; (e) the surviving text equals
+    build_span_dedup's — the merge changes the AUDIT, never the cut."""
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        build_span_dedup,
+        span_dup_intervals,
+    )
+
+    def sp(tag, n):  # n exact 8-word spans with a distinguishing tag
+        return " ".join(f"{tag}{i}w{j}" for i in range(n) for j in range(8))
+
+    pass_a, pass_b = sp("a", 3), sp("b", 2)  # 3-span and 2-span passages
+    novel = sp("n", 1)
+    rows = [
+        (0, pass_a),                                   # source of A
+        (1, pass_b),                                   # source of B
+        # A then B back-to-back: 5 adjacent dup spans -> ONE interval
+        (2, pass_a + " " + pass_b),
+        # A, novel, B: two intervals split by the novel span
+        (3, pass_a + " " + novel + " " + pass_b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["n_spans"])
+        for r in span_dup_intervals(docs, hash_span_key=False).collect()
+    ]
+    assert got == [
+        (2, 0, 4, 5),  # the abutting passages merged into one 5-span cut
+        (3, 0, 2, 3),  # A
+        (3, 4, 5, 2),  # B, after the kept novel span at pos 3
+    ]
+    # hashed key form identical
+    assert got == [
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["n_spans"])
+        for r in span_dup_intervals(docs, hash_span_key=True).collect()
+    ]
+    # cut_text is exactly the passages that were removed
+    cuts = {
+        (r["doc_id"], r["start_pos"]): r["cut_text"]
+        for r in span_dup_intervals(docs, hash_span_key=False).collect()
+    }
+    assert cuts[(2, 0)] == pass_a + " " + pass_b
+    assert cuts[(3, 0)] == pass_a and cuts[(3, 4)] == pass_b
+    # reconstruction unchanged: survivors == build_span_dedup's
+    kept = {
+        r["doc_id"]: r["text_dedup"]
+        for r in build_span_dedup(docs, hash_span_key=False).collect()
+    }
+    assert 2 not in kept  # every span of doc 2 was a duplicate
+    assert kept[3] == novel
+
+
 def test_broadcast_model_classifier_equals_literal_and_broadcasts(spark):
     """build_quality_scores(broadcast_model=True) — the 2^20-bucket
     weight-table path — is bit-equal to the literal-array form, and its

@@ -310,6 +310,103 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert pairs == {(1, 0), (3, 2)}  # in-window matches only
 
 
+def test_stream_stream_join_late_data_and_state_cleanup(spark, tmp_path):
+    """Round-12 VERDICT Next #3, the liveness half: (a) rows behind the
+    watermark are DROPPED before they can join — a (view, click) pair
+    well inside the horizon produces nothing once the watermark has
+    passed them; (b) buffered join state is EVICTED as the watermark
+    advances — state after the eviction batch is strictly below its
+    peak and bounded by the recent rows, not cumulative input (the
+    'state must not grow past the horizon' contract that makes the
+    join runnable forever at 100 TB). Watermark state persists in the
+    checkpoint, so sequential availableNow drains over one checkpoint
+    give deterministic event-time ordering."""
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming.stream_join import (
+        view_click_attribution,
+    )
+
+    landing = str(tmp_path / "lj_landing")
+    pathlib.Path(landing).mkdir()
+    out, ckpt = str(tmp_path / "lj_out"), str(tmp_path / "lj_ckpt")
+    state_totals = []
+
+    def drain(rows, fname):
+        (pathlib.Path(landing) / fname).write_text(
+            "\n".join(json.dumps(e) for e in rows) + "\n"
+        )
+        src = read_events_stream(spark, landing)
+        joined = view_click_attribution(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+            horizon="30 minutes",
+            watermark="10 minutes",
+        )
+
+        def write_batch(df, _):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        prog = q.lastProgress
+        state_totals.append(
+            sum(op["numRowsTotal"] for op in prog["stateOperators"])
+            if prog and prog.get("stateOperators")
+            else None
+        )
+
+    # drain 1: one attributable pair on time
+    drain(
+        [
+            _event(0, "2024-01-01 10:00:00", 7, "view", 5.0),
+            _event(1, "2024-01-01 10:05:00", 7, "click", 1.0),
+        ],
+        "f1.jsonl",
+    )
+    got = {(r["click_id"], r["view_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 0)}
+
+    # drain 2: far-future events advance the watermark to 13:50
+    drain(
+        [
+            _event(2, "2024-01-01 14:00:00", 9, "view", 2.0),
+            _event(3, "2024-01-01 14:10:00", 9, "click", 1.0),
+        ],
+        "f2.jsonl",
+    )
+    got = {(r["click_id"], r["view_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 0), (3, 2)}
+
+    # drain 3: a LATE pair at ~10:40-10:50 — inside the horizon of each
+    # other, but both behind the 13:50 watermark → dropped, no output;
+    # this is the watermark's deliberate completeness/liveness trade.
+    drain(
+        [
+            _event(4, "2024-01-01 10:40:00", 7, "view", 3.0),
+            _event(5, "2024-01-01 10:50:00", 7, "click", 1.0),
+        ],
+        "f3.jsonl",
+    )
+    got = {(r["click_id"], r["view_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 0), (3, 2)}  # late pair produced NOTHING
+
+    # state cleanup: drain 3 ran with the advanced watermark, so drain
+    # 1's buffered rows (evictable once watermark > ts + horizon +
+    # watermark delay) are gone — state did not accumulate all six
+    # input rows, and the late rows were never admitted to state.
+    assert state_totals[0] is not None
+    assert state_totals[2] is not None
+    assert state_totals[2] <= state_totals[1], state_totals
+    assert state_totals[2] <= 4, state_totals  # ≤ the two recent + slack, not 6
+
+
 # -- streaming fuzzy dedup (MinHash-LSH with per-bucket cohort state) --------
 def test_streaming_signature_matches_batch(spark):
     """The stream's map-side signature expression must equal the batch
@@ -2347,6 +2444,144 @@ def test_fuzzy_store_retention_and_geometry_fence(spark, tmp_path):
     bad = fsi.make_fuzzy_ingest_writer(store, threshold=0.7, bands=16, num_hashes=32)
     with pytest.raises(ValueError, match="geometry"):
         bad(spark.createDataFrame([(9, _w("z"))], "doc_id long, text string"), 7)
+
+
+def test_resign_store_geometry_migration(spark, tmp_path, monkeypatch):
+    """Round-12 VERDICT Next #7 — geometry migration: ``resign_store``
+    re-signs accepted docs under a new LSH geometry into a fresh
+    epoch-fenced snapshot. Pins: (1) the resigned store's band rows and
+    probe results are bit-equal to a FRESH store built over the same
+    accepted docs under the new geometry; (2) docs/decisions carry
+    over unchanged; (3) the manifest now carries the new geometry, so
+    an old-geometry writer fails at the fence while a new-geometry
+    writer proceeds; (4) a resign racing an ingest batch aborts at the
+    manifest commit, leaving the old-geometry store intact."""
+    from streampro_assignment_etl_spark.operators import minhash
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    store = str(tmp_path / "fstore")
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.7)
+    writer(
+        spark.createDataFrame(
+            [(1, _w("a")), (2, _w("b"))], "doc_id long, text string"
+        ),
+        0,
+    )
+    writer(
+        spark.createDataFrame(
+            [(3, _w("c")), (4, _w("a"))], "doc_id long, text string"  # 4 dups 1
+        ),
+        1,
+    )
+    docs_before = sorted(
+        tuple(r)
+        for r in fsi.read_store_docs(spark, store).select("doc_id", "text").collect()
+    )
+    dec_before = sorted(
+        tuple(r)
+        for r in fsi.read_decisions(spark, store)
+        .select("doc_id", "dup_of", "jaccard")
+        .collect()
+    )
+    assert [d[0] for d in docs_before] == [1, 2, 3]
+
+    out = fsi.resign_store(spark, store, num_hashes=64, bands=16, shingle_n=3)
+    assert out["epoch"] == 3 and out["docs"] == 3
+    assert out["geometry"] == {"num_hashes": 64, "bands": 16, "shingle_n": 3}
+    man = fsi.load_store_manifest(store)
+    assert man["geometry"] == out["geometry"]
+
+    # docs/decisions invariant; band rows = fresh signing of the same
+    # docs under the new geometry, bit-for-bit
+    assert (
+        sorted(
+            tuple(r)
+            for r in fsi.read_store_docs(spark, store)
+            .select("doc_id", "text")
+            .collect()
+        )
+        == docs_before
+    )
+    assert (
+        sorted(
+            tuple(r)
+            for r in fsi.read_decisions(spark, store)
+            .select("doc_id", "dup_of", "jaccard")
+            .collect()
+        )
+        == dec_before
+    )
+    accepted = spark.createDataFrame(docs_before, "doc_id long, text string")
+    fresh = sorted(
+        tuple(r)
+        for r in minhash.signature_store(
+            accepted, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in fsi.read_store_bands(spark, store)
+        .select("doc_id", "band_id", "band_hash")
+        .collect()
+    )
+    assert got == fresh and len(got) == 3 * 16
+
+    # probe equality: an arrival batch probed against the resigned
+    # store matches the probe against the fresh-built one
+    batch = spark.createDataFrame(
+        [(9, _w("c")), (10, _w("zzz"))], "doc_id long, text string"
+    )
+    def probe(store_bands):
+        return sorted(
+            (r["doc_id"], r["dup_of"], r["jaccard"])
+            for r in minhash.incremental_fuzzy_matches(
+                batch, accepted, store_bands, "doc_id", "text",
+                threshold=0.7, num_hashes=64, bands=16, shingle_n=3,
+            ).collect()
+        )
+    from streampro_assignment_etl_spark.queries import release_persisted
+    got_probe = probe(
+        fsi.read_store_bands(spark, store).select("doc_id", "band_id", "band_hash")
+    )
+    fresh_probe = probe(
+        minhash.signature_store(
+            accepted, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
+        )
+    )
+    release_persisted()
+    assert got_probe == fresh_probe and got_probe[0][:2] == (9, 3)
+
+    # fence flips: the old-geometry writer is refused, the new one works
+    with pytest.raises(ValueError, match="geometry"):
+        writer(spark.createDataFrame([(5, _w("e"))], "doc_id long, text string"), 2)
+    w2 = fsi.make_fuzzy_ingest_writer(
+        store, threshold=0.7, num_hashes=64, bands=16, shingle_n=3
+    )
+    w2(spark.createDataFrame([(5, _w("e"))], "doc_id long, text string"), 2)
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {1, 2, 3, 5}
+
+    # racing ingest: resign loads the manifest, an ingest batch commits
+    # first, the resign MUST abort at the fence with the store intact
+    real_load = fsi.load_store_manifest
+    raced = [False]
+
+    def load_then_ingest(path):
+        manifest = real_load(path)
+        if not raced[0]:
+            raced[0] = True
+            w2(
+                spark.createDataFrame([(6, _w("f"))], "doc_id long, text string"), 3
+            )
+        return manifest
+
+    monkeypatch.setattr(fsi, "load_store_manifest", load_then_ingest)
+    with pytest.raises(RuntimeError, match="moved from epoch"):
+        fsi.resign_store(spark, store, num_hashes=32, bands=8, shingle_n=3)
+    monkeypatch.undo()
+    assert fsi.load_store_manifest(store)["geometry"]["bands"] == 16  # unchanged
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {
+        1, 2, 3, 5, 6,
+    }
 
 
 def test_maintain_store_threshold_fold_and_stats(spark, tmp_path):
