@@ -31,7 +31,11 @@ from .fuzzy_store_ingest import (
     run_fuzzy_store_ingest_stream,
     store_stats,
 )
-from .stream_join import stream_interval_join, view_click_attribution
+from .stream_join import (
+    attributed_view_counts,
+    stream_interval_join,
+    view_click_attribution,
+)
 from .heavy_hitters import read_mg_sink, trending_terms_stream
 from .index_ingest import run_index_append_stream, run_index_append_stream_from_dir
 from .stateful_dedup import (
@@ -47,6 +51,7 @@ from .stateful_dedup import (
 )
 
 __all__ = [
+    "attributed_view_counts",
     "click_view_interval_join",
     "dedup_stream",
     "dedup_stream_bloom",

@@ -115,3 +115,46 @@ def view_click_attribution(
         c, v, "user_id", "click_ts", "view_ts",
         horizon=horizon, watermark=watermark, join_type=join_type,
     )
+
+
+def attributed_view_counts(
+    clicks: DataFrame,
+    views: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """CHAINED stateful operators: the stream-stream interval join
+    followed by a windowed streaming aggregation in one query — per
+    (click-time window, user), how many views were attributed. Two
+    state stores run in sequence: the join buffers both inputs within
+    the horizon, and the aggregation holds open windows; Spark
+    propagates the watermark THROUGH the join (the join's output
+    event-time column ``click_ts`` carries it), so each window closes
+    and emits once no click that could land in it can still arrive —
+    the multi-stateful-operator pipeline Spark supports natively since
+    3.5 (spark.sql.streaming.statefulOperator.allowMultiple). In batch
+    the identical builder is a plain join + GROUP BY, which is the
+    oracle: the streamed run over the same input equals it on every
+    CLOSED window (pinned; still-open windows are the append-mode
+    liveness trade, not a loss)."""
+    pairs = view_click_attribution(
+        clicks, views, horizon=horizon, watermark=watermark
+    )
+    return (
+        pairs.groupBy(
+            F.window("click_ts", window).alias("win"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed_views"),
+            F.approx_count_distinct("click_id").alias("approx_clicks"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            "n_attributed_views",
+            "approx_clicks",
+        )
+    )

@@ -407,6 +407,204 @@ def test_stream_stream_join_late_data_and_state_cleanup(spark, tmp_path):
     assert state_totals[2] <= 4, state_totals  # ≤ the two recent + slack, not 6
 
 
+def test_chained_join_then_window_agg_matches_batch(spark, tmp_path):
+    """Chained stateful operators (stream-stream join → windowed
+    aggregation, two state stores in one query): closed windows emitted
+    by the stream equal the batch join+GROUP BY over the same input.
+    The watermark must propagate THROUGH the join for the window to
+    ever close — that propagation is what this pins."""
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming.stream_join import (
+        attributed_view_counts,
+    )
+
+    landing = str(tmp_path / "cj_landing")
+    pathlib.Path(landing).mkdir()
+    out, ckpt = str(tmp_path / "cj_out"), str(tmp_path / "cj_ckpt")
+
+    def drain(rows, fname):
+        (pathlib.Path(landing) / fname).write_text(
+            "\n".join(json.dumps(e) for e in rows) + "\n"
+        )
+        src = read_events_stream(spark, landing)
+        counts = attributed_view_counts(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+            horizon="30 minutes",
+            watermark="10 minutes",
+            window="1 hour",
+        )
+
+        def write_batch(df, _):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            counts.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    data = [
+        _event(0, "2024-01-01 10:00:00", 7, "view", 5.0),
+        _event(1, "2024-01-01 10:05:00", 7, "click", 1.0),  # 1 view
+        _event(2, "2024-01-01 10:10:00", 7, "view", 2.0),
+        _event(3, "2024-01-01 10:20:00", 7, "click", 1.0),  # 2 views
+        _event(4, "2024-01-01 10:15:00", 8, "view", 3.0),
+        _event(5, "2024-01-01 10:25:00", 8, "click", 1.0),  # 1 view
+    ]
+    drain(data, "f1.jsonl")
+    # windows still open: the 10:00-11:00 window closes only when the
+    # watermark passes 11:00
+    assert not spark.read.parquet(out).count() if pathlib.Path(out).exists() else True
+
+    # advance BOTH streams' watermarks far past the window end (the
+    # global watermark is the MIN across the two inputs), pairing with
+    # nothing; plus a nudge batch — both state stores evict against
+    # the PREVIOUS batch's watermark, so emission lands a batch later
+    drain(
+        [
+            _event(20, "2024-01-01 14:00:00", 10, "view", 2.0),
+            _event(21, "2024-01-01 15:00:00", 11, "click", 1.0),
+        ],
+        "f2.jsonl",
+    )
+    drain(
+        [
+            _event(22, "2024-01-01 16:00:00", 10, "view", 2.0),
+            _event(23, "2024-01-01 17:00:00", 11, "click", 1.0),
+        ],
+        "f3.jsonl",
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("window_start", "user_id", "n_attributed_views", "approx_clicks")
+        .collect()
+    )
+    ev = _batch_events(spark, str(landing))
+    batch = sorted(
+        tuple(r)
+        for r in attributed_view_counts(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "view"),
+            horizon="30 minutes",
+            watermark="10 minutes",
+            window="1 hour",
+        ).collect()
+    )
+    assert got == batch
+    by_user = {(r[1]): r[2] for r in got}
+    assert by_user == {7: 3, 8: 1}  # u7: 1+2 attributed views, u8: 1
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """The leftOuter face of the stream-stream interval join: a click
+    with NO attributable view cannot emit its null row when it
+    arrives — a matching view might still come — so Spark holds it
+    until the watermark proves no partner can appear, then emits
+    (click, null). Pinned: (a) matched pairs emit as in the inner
+    join; (b) the unmatched click's null row appears only after a
+    LATER batch advances the watermark past its horizon; (c) the final
+    streamed result equals the batch left join over the same input —
+    eventual consistency with batch, delayed by exactly the watermark
+    the semantics require."""
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming.stream_join import (
+        view_click_attribution,
+    )
+
+    landing = str(tmp_path / "lo_landing")
+    pathlib.Path(landing).mkdir()
+    out, ckpt = str(tmp_path / "lo_out"), str(tmp_path / "lo_ckpt")
+
+    def drain(rows, fname):
+        (pathlib.Path(landing) / fname).write_text(
+            "\n".join(json.dumps(e) for e in rows) + "\n"
+        )
+        src = read_events_stream(spark, landing)
+        joined = view_click_attribution(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+            horizon="30 minutes",
+            watermark="10 minutes",
+            join_type="leftOuter",
+        )
+
+        def write_batch(df, _):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    batch1 = [
+        _event(0, "2024-01-01 10:00:00", 7, "view", 5.0),
+        _event(1, "2024-01-01 10:05:00", 7, "click", 1.0),  # matched
+        _event(2, "2024-01-01 10:10:00", 8, "click", 1.0),  # no view: held
+    ]
+    drain(batch1, "f1.jsonl")
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 0)}  # null row for click 2 NOT emitted yet
+
+    # Far-future events on BOTH streams: the global watermark is the
+    # MIN across the two watermarked inputs, so a view-only nudge
+    # would leave the click side (and therefore the join) pinned at
+    # 10:00. Different users, >30 min apart — the nudges pair with
+    # nothing. Second nudge batch: eviction runs against the watermark
+    # computed at the END of the previous batch, so the null row emits
+    # one batch later — the documented outer-join latency, not a loss.
+    nudge = [
+        _event(20, "2024-01-01 14:00:00", 10, "view", 2.0),
+        _event(21, "2024-01-01 15:00:00", 11, "click", 1.0),
+    ]
+    drain(nudge, "f2.jsonl")
+    drain(
+        [
+            _event(22, "2024-01-01 16:00:00", 10, "view", 2.0),
+            _event(23, "2024-01-01 17:00:00", 11, "click", 1.0),
+        ],
+        "f3.jsonl",
+    )
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.read.parquet(out).collect()
+        if r["click_id"] in (1, 2)  # nudge clicks have their own lifecycle
+    }
+    assert got == {(1, 0), (2, None)}
+
+    # batch equivalence on the settled subset: the same builder on the
+    # full static input, restricted to the drain-1 clicks whose
+    # watermark window has provably closed
+    ev = _batch_events(spark, str(landing))
+    batch = {
+        (r["click_id"], r["view_id"])
+        for r in view_click_attribution(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "view"),
+            horizon="30 minutes",
+            watermark="10 minutes",
+            join_type="leftOuter",
+        ).collect()
+        if r["click_id"] in (1, 2)
+    }
+    assert got == batch
+
+
 # -- streaming fuzzy dedup (MinHash-LSH with per-bucket cohort state) --------
 def test_streaming_signature_matches_batch(spark):
     """The stream's map-side signature expression must equal the batch
@@ -2444,6 +2642,47 @@ def test_fuzzy_store_retention_and_geometry_fence(spark, tmp_path):
     bad = fsi.make_fuzzy_ingest_writer(store, threshold=0.7, bands=16, num_hashes=32)
     with pytest.raises(ValueError, match="geometry"):
         bad(spark.createDataFrame([(9, _w("z"))], "doc_id long, text string"), 7)
+
+
+def test_ingest_writer_overcap_logging_and_cap_passthrough(
+    spark, tmp_path, capsys
+):
+    """ADVICE r12 #3: the production ingest path exposes the hot-bucket
+    cap and can audit it — ``log_overcap=True`` emits one
+    overcap_band_stats JSON line per applied batch over the STORE's
+    band rows. Accept-all signing (threshold 1.5) of the same text in
+    three separate batches builds three identical band-row sets, so
+    every one of the 8 buckets holds 3 docs and a cap of 2 reads 8
+    over-cap buckets with 8 dropped slots."""
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    store = str(tmp_path / "fstore")
+    writer = fsi.make_fuzzy_ingest_writer(
+        store, threshold=1.5, max_bucket_size=2, log_overcap=True
+    )
+    for b in range(3):
+        writer(
+            spark.createDataFrame([(b, _w("same"))], "doc_id long, text string"), b
+        )
+    capsys.readouterr()
+    writer(
+        spark.createDataFrame([(99, _w("other"))], "doc_id long, text string"), 3
+    )
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    audit = [l for l in lines if l.get("event") == "overcap_band_stats"]
+    assert len(audit) == 1
+    a = audit[0]
+    assert a["batch_id"] == 3 and a["max_bucket_size"] == 2
+    assert a["n_buckets"] == 8  # 3 identical docs share all 8 buckets
+    assert a["n_overcap_buckets"] == 8 and a["max_bucket_docs"] == 3
+    assert a["dropped_id_slots"] == 8  # one excess doc per bucket
+    # all four docs landed (accept-all mode) — the cap shapes the
+    # probe join, never the store contents
+    assert fsi.read_store_docs(spark, store).count() == 4
 
 
 def test_resign_store_geometry_migration(spark, tmp_path, monkeypatch):
