@@ -33,6 +33,7 @@ from .fuzzy_store_ingest import (
 )
 from .stream_join import (
     attributed_view_counts,
+    last_view_before_click_stream,
     stream_interval_join,
     view_click_attribution,
 )
@@ -53,6 +54,7 @@ from .stateful_dedup import (
 __all__ = [
     "attributed_view_counts",
     "click_view_interval_join",
+    "last_view_before_click_stream",
     "dedup_stream",
     "dedup_stream_bloom",
     "dedup_stream_bloom_event_ttl",

@@ -117,6 +117,65 @@ def view_click_attribution(
     )
 
 
+def last_view_before_click_stream(
+    clicks: DataFrame,
+    views: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """The STREAMING as-of join: for every click, the single most
+    recent at-or-before view within the horizon — the live counterpart
+    of the driver-checked ``asof_last_view_before_click``
+    (``operators/asof.py`` union+window form is the batch oracle,
+    restricted to matches inside the horizon). A pure stream-stream
+    join can only emit ALL attributable pairs; picking the LAST one is
+    an argmax that must wait until no later view can still arrive — so
+    this chains the interval join with a second stateful aggregation:
+
+    * group by (event-time window of click_ts, click_id) — the window
+      column is what lets the aggregation state EVICT (a bare
+      ``groupBy(click_id)`` would be an unbounded-key streaming agg:
+      every click ever seen held forever, the 100 TB failure mode);
+    * ``max(struct(view_ts, view_id, view_value))`` — struct max is
+      lexicographic, so the latest view_ts wins with deterministic
+      view_id tie-break, exactly the as-of tie rule;
+    * each click's answer emits once the watermark closes its window —
+      correct-by-construction at the price of window latency, the same
+      completeness/liveness trade every append-mode aggregation makes.
+
+    Output: (click_id, user_id, click_ts, last_view_ts, last_view_id,
+    last_view_value), one row per matched click. Unmatched clicks are
+    absent (inner form) — compose with the leftOuter join where the
+    null rows matter."""
+    pairs = view_click_attribution(
+        clicks, views, horizon=horizon, watermark=watermark
+    )
+    return (
+        pairs.groupBy(
+            F.window("click_ts", window).alias("_win"),
+            F.col("click_id"),
+            F.col("user_id"),
+        )
+        .agg(
+            # click_ts is functionally determined by click_id but can't
+            # be a grouping key — the window already claims the one
+            # event-time column a streaming agg may carry — so recover
+            # it as an aggregate (max == the single value)
+            F.max("click_ts").alias("click_ts"),
+            F.max(F.struct("view_ts", "view_id", "view_value")).alias("_last"),
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "click_ts",
+            F.col("_last.view_ts").alias("last_view_ts"),
+            F.col("_last.view_id").alias("last_view_id"),
+            F.col("_last.view_value").alias("last_view_value"),
+        )
+    )
+
+
 def attributed_view_counts(
     clicks: DataFrame,
     views: DataFrame,

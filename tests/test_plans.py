@@ -438,3 +438,33 @@ def test_incremental_fuzzy_probe_cap_adds_no_shuffle(spark):
         assert counts[0] == counts[1], counts
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_interval_join_extracts_equi_key(spark):
+    """The batch face of the stream-stream interval join must plan as a
+    hash join on the extracted user_id equi-key with the time-range
+    conditions residual — never a nested-loop/cartesian — and push the
+    click-side user filter into BOTH event scans (Catalyst infers it
+    across the equi-join)."""
+    from streampro_assignment_etl_spark.plans import plan_string
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    df = EXTRAS["view_click_attribution_interval"].builder(spark, SF)
+    plan = plan_string(df)
+    assert "HashJoin" in plan  # broadcast or shuffled — either hash form
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    pushed = " ".join(pushed_filters(df))
+    # the user_id < 10 predicate reaches BOTH scans (click side wrote
+    # it; Catalyst infers the view side across the equi-join)
+    assert pushed.count("LessThan(user_id") == 2, pushed
+
+
+def test_span_intervals_shuffle_budget(spark):
+    """The interval merge must add only the (doc, run) aggregate beyond
+    what build_span_dedup already pays: span-key window + doc-key
+    window chain + final aggregate = 3 shuffles, one corpus scan."""
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    df = EXTRAS["span_dedup_intervals"].builder(spark, SF)
+    assert parquet_scan_count(df) == 1
+    assert shuffle_count(df) <= 4  # 3 + the final presentation sort

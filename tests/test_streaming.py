@@ -501,6 +501,104 @@ def test_chained_join_then_window_agg_matches_batch(spark, tmp_path):
     assert by_user == {7: 3, 8: 1}  # u7: 1+2 attributed views, u8: 1
 
 
+def test_streaming_asof_last_view_matches_batch_asof_operator(spark, tmp_path):
+    """The streaming as-of join (join → windowed argmax,
+    ``last_view_before_click_stream``) pinned against the BATCH as-of
+    operator (``operators/asof.py`` union+window form — the same one
+    the driver-checked ``asof_last_view_before_click`` gates) with the
+    horizon restriction applied: per click, the latest in-horizon view
+    wins with the as-of tie rule; an out-of-horizon prior view matches
+    in raw as-of but must NOT appear here; emission waits for the
+    click's window to close."""
+    import pathlib
+
+    from streampro_assignment_etl_spark.operators.asof import asof_join_backward
+    from streampro_assignment_etl_spark.streaming.stream_join import (
+        last_view_before_click_stream,
+    )
+
+    landing = str(tmp_path / "as_landing")
+    pathlib.Path(landing).mkdir()
+    out, ckpt = str(tmp_path / "as_out"), str(tmp_path / "as_ckpt")
+
+    def drain(rows, fname):
+        (pathlib.Path(landing) / fname).write_text(
+            "\n".join(json.dumps(e) for e in rows) + "\n"
+        )
+        src = read_events_stream(spark, landing)
+        last = last_view_before_click_stream(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+            horizon="30 minutes",
+            watermark="10 minutes",
+            window="1 hour",
+        )
+
+        def write_batch(df, _):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            last.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    data = [
+        _event(0, "2024-01-01 10:00:00", 7, "view", 5.0),
+        _event(1, "2024-01-01 10:05:00", 7, "click", 1.0),  # last = v0
+        _event(2, "2024-01-01 10:10:00", 7, "view", 2.0),
+        _event(3, "2024-01-01 10:20:00", 7, "click", 1.0),  # last = v2 (not v0)
+        _event(4, "2024-01-01 09:00:00", 8, "view", 3.0),
+        _event(5, "2024-01-01 10:50:00", 8, "click", 1.0),  # v4 out of horizon
+    ]
+    drain(data, "f1.jsonl")
+    drain(
+        [
+            _event(20, "2024-01-01 14:00:00", 10, "view", 2.0),
+            _event(21, "2024-01-01 15:00:00", 11, "click", 1.0),
+        ],
+        "f2.jsonl",
+    )
+    drain(
+        [
+            _event(22, "2024-01-01 16:00:00", 10, "view", 2.0),
+            _event(23, "2024-01-01 17:00:00", 11, "click", 1.0),
+        ],
+        "f3.jsonl",
+    )
+    got = {
+        (r["click_id"], r["last_view_id"], r["last_view_value"])
+        for r in spark.read.parquet(out).collect()
+        if r["click_id"] in (1, 3, 5)
+    }
+    assert got == {(1, 0, 5.0), (3, 2, 2.0)}  # click 5: no in-horizon view
+
+    # batch as-of oracle: unrestricted backward as-of, then the horizon
+    # filter — the streamed result must be exactly its matched subset
+    ev = _batch_events(spark, str(landing)).withColumn("ts_event", F.col("ts_event"))
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("event_id").isin(1, 3, 5)
+    ).select("user_id", F.col("ts_event").alias("ts"), F.col("event_id").alias("click_id"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts_event").alias("ts"),
+        F.col("event_id").alias("view_id"),
+        "value",
+    )
+    asof = asof_join_backward(
+        clicks, views, "user_id", "ts", ["view_id", "value"]
+    ).filter(
+        F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 30 minutes")
+    )
+    batch = {
+        (r["click_id"], r["view_id"], r["value"]) for r in asof.collect()
+    }
+    assert got == batch
+
+
 def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     spark, tmp_path
 ):
