@@ -275,6 +275,53 @@ def test_span_intervals_merge_adjacent_and_overlapping_passages(spark):
     assert kept[3] == novel
 
 
+def test_span_intervals_tile_with_survivors_on_real_corpus(spark):
+    """Cross-operator consistency on the sf0.001 documents: for every
+    doc, the cut intervals are disjoint, position-ordered, and
+    span-count-accounted — kept_spans (build_span_dedup) + Σ n_spans
+    (span_dup_intervals) == the doc's total span count — so the two
+    views of the same dedup pass tile exactly, with no span counted
+    twice or dropped by the island merge."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        _SPAN_WORDS,
+        build_span_dedup,
+        span_dup_intervals,
+    )
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    total = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.ceil(F.size(F.split("text", " ")) / _SPAN_WORDS).cast("long").alias("n"),
+        ).collect()
+    }
+    kept = {
+        r["doc_id"]: r["kept_spans"]
+        for r in build_span_dedup(docs, hash_span_key=False).collect()
+    }
+    cut: dict[int, list] = {}
+    for r in span_dup_intervals(docs, hash_span_key=False).collect():
+        cut.setdefault(r["doc_id"], []).append(
+            (r["start_pos"], r["end_pos"], r["n_spans"])
+        )
+    assert cut, "fixture has no duplicated spans — tiling check is vacuous"
+    for d, n in total.items():
+        c = sum(x[2] for x in cut.get(d, []))
+        assert kept.get(d, 0) + c == n, (d, kept.get(d, 0), c, n)
+        ivs = sorted(cut.get(d, []))
+        for (s1, e1, k1), (s2, e2, k2) in zip(ivs, ivs[1:]):
+            assert e1 < s2 - 1 or (e1 < s2), (d, ivs)  # disjoint, ordered
+        for s, e, k in ivs:
+            assert e - s + 1 == k  # contiguous runs exactly
+        # maximality: two adjacent intervals would have merged
+        for (s1, e1, _), (s2, e2, _) in zip(ivs, ivs[1:]):
+            assert s2 > e1 + 1, (d, ivs)
+
+
 def test_broadcast_model_classifier_equals_literal_and_broadcasts(spark):
     """build_quality_scores(broadcast_model=True) — the 2^20-bucket
     weight-table path — is bit-equal to the literal-array form, and its

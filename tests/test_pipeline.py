@@ -518,6 +518,22 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
     maint = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert maint["rebuilt"] is False and maint["epoch"] == 3
     assert maint["tv_drift"] < 0.25
+    assert maint["trigger"] is None and maint["recall"] is None
+
+    # recall-arm CLI path (round 13): a floor the served index meets at
+    # the default probe budget — the probe RUNS (recall reported) and
+    # the loop still no-ops
+    rc = main(
+        [
+            "index", "maintain", "--path", ix, "--sf-dir", sf,
+            "--min-age-seconds", "0", "--recall-floor", "0.2",
+            "--recall-probe-limit", "20",
+        ]
+    )
+    assert rc == 0
+    maint2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert maint2["recall"] is not None and maint2["recall"] >= 0.2
+    assert maint2["rebuilt"] is False and maint2["trigger"] is None
 
 
 def test_cli_dedup_store_lifecycle(spark, tmp_path, capsys):

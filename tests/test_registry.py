@@ -39,3 +39,41 @@ def test_headline_queries_stay_registered():
     registry, not EXTRAS."""
     assert [n for n, s in REGISTRY.items() if s.headline], "no headline queries"
     assert not [n for n, s in EXTRAS.items() if s.headline]
+
+
+def test_bench_compare_reads_driver_wrapped_records(tmp_path):
+    """tools/bench_compare.py (round-13 VERDICT #2): consumes both the
+    driver's wrapper documents ({"parsed": {...}}) and bench.py's own
+    one-line JSON, divides out the anchor host ratio, and flags only
+    normalized movement outside the ±25% band."""
+    import json
+    import subprocess
+    import sys
+
+    old = {
+        "parsed": {
+            "queries": {"q_same": 1.0, "q_fast": 1.0, "q_slow": 1.0},
+            "anchor_spark_sec": 0.2,
+        }
+    }
+    # host 2x slower; q_same tracks it (raw 2.0, norm 1.0), q_fast
+    # truly halves, q_slow truly +50% beyond the host
+    new = {
+        "queries": {"q_same": 2.0, "q_fast": 1.0, "q_slow": 3.0},
+        "anchor_spark_sec": 0.4,
+    }
+    po, pn = tmp_path / "BENCH_a.json", tmp_path / "BENCH_b.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_compare.py", str(po), str(pn)],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 1  # q_slow flags SLOWER
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["host_ratio"] == 2.0
+    q = summary["queries"]
+    assert q["q_same"]["verdict"] == "~" and q["q_same"]["norm_ratio"] == 1.0
+    assert q["q_fast"]["verdict"] == "FASTER" and q["q_fast"]["norm_ratio"] == 0.5
+    assert q["q_slow"]["verdict"] == "SLOWER" and q["q_slow"]["norm_ratio"] == 1.5
