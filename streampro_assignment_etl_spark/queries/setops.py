@@ -340,6 +340,56 @@ def view_click_attribution_interval(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "attributed_view_counts_hourly",
+    extra=True,
+    tags=("stream-join", "interval-join", "chained-stateful", "streaming-batch-twin"),
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click' AND user_id < 10
+),
+views AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+pairs AS (
+  SELECT c.user_id, c.click_id, c.click_ts
+  FROM clicks c JOIN views v
+    ON c.user_id = v.user_id
+   AND v.view_ts >= c.click_ts - INTERVAL 30 MINUTE
+   AND v.view_ts <= c.click_ts
+)
+SELECT strftime(date_trunc('hour', click_ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed_views,
+       CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks
+FROM pairs
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def attributed_view_counts_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the CHAINED stateful pipeline (stream-stream
+    interval join → windowed aggregation;
+    ``streaming/stream_join.attributed_view_counts``): per (hourly
+    click window, user), attributed-view count and exact distinct
+    clicks. ``exact_clicks=True`` is the batch-only mode — streaming
+    aggregation cannot do exact distincts, so the live pipeline serves
+    approx_count_distinct and THIS entry hash-gates everything else in
+    the chain (join semantics, epoch-aligned window bucketing, count
+    plumbing) against DuckDB. The streamed pipeline itself is pinned
+    equal to the batch builder in tests/test_streaming.py."""
+    from ..streaming.stream_join import attributed_view_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_event", F.col("ts"))
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 10))
+    views = ev.filter(F.col("event_type") == "view")
+    return attributed_view_counts(
+        clicks, views, horizon="30 minutes", window="1 hour", exact_clicks=True
+    ).orderBy("window_start", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Hypertable-style rollup: one pass, multiple time granularities
 # (the continuous-aggregate pattern from timeseries stores).

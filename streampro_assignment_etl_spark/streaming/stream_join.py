@@ -182,6 +182,7 @@ def attributed_view_counts(
     horizon: str = "30 minutes",
     watermark: str = "2 hours",
     window: str = "1 hour",
+    exact_clicks: bool = False,
 ) -> DataFrame:
     """CHAINED stateful operators: the stream-stream interval join
     followed by a windowed streaming aggregation in one query — per
@@ -196,9 +197,19 @@ def attributed_view_counts(
     the identical builder is a plain join + GROUP BY, which is the
     oracle: the streamed run over the same input equals it on every
     CLOSED window (pinned; still-open windows are the append-mode
-    liveness trade, not a loss)."""
+    liveness trade, not a loss).
+
+    ``exact_clicks=True`` swaps the click-count column to an exact
+    COUNT(DISTINCT) — BATCH ONLY (streaming aggregation does not
+    support exact distincts); it exists so the batch face can be
+    hash-gated against DuckDB, where approx_count_distinct's HLL++
+    sketch has no cross-engine replay."""
     pairs = view_click_attribution(
         clicks, views, horizon=horizon, watermark=watermark
+    )
+    clicks_agg = (
+        F.countDistinct("click_id") if exact_clicks
+        else F.approx_count_distinct("click_id")
     )
     return (
         pairs.groupBy(
@@ -206,7 +217,7 @@ def attributed_view_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_attributed_views"),
-            F.approx_count_distinct("click_id").alias("approx_clicks"),
+            clicks_agg.alias("n_clicks"),
         )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -214,6 +225,6 @@ def attributed_view_counts(
             ),
             "user_id",
             "n_attributed_views",
-            "approx_clicks",
+            "n_clicks",
         )
     )

@@ -482,7 +482,7 @@ def test_chained_join_then_window_agg_matches_batch(spark, tmp_path):
     got = sorted(
         tuple(r)
         for r in spark.read.parquet(out)
-        .select("window_start", "user_id", "n_attributed_views", "approx_clicks")
+        .select("window_start", "user_id", "n_attributed_views", "n_clicks")
         .collect()
     )
     ev = _batch_events(spark, str(landing))
@@ -2919,6 +2919,122 @@ def test_resign_store_geometry_migration(spark, tmp_path, monkeypatch):
     assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {
         1, 2, 3, 5, 6,
     }
+
+
+def test_store_ops_runbook_end_to_end(spark, tmp_path, capsys):
+    """The fuzzy store's operations runbook as a test (mirror of the
+    index runbook, round-13 surface composed): live checkpointed
+    ingest → CLI `dedup maintain` folds in a maintenance window →
+    MORE data through the SAME checkpoint against the folded snapshot
+    → CLI `dedup resign` migrates the LSH geometry → an old-geometry
+    stream restart fails loudly at the fence → a new-geometry ingest
+    drains the next landing file from the same checkpoint — zero
+    duplicate docs, zero lost docs, decisions intact, probe serving
+    under the new geometry at every step."""
+    import json as _json
+    import pathlib
+
+    from streampro_assignment_etl_spark.pipeline.cli import main
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    store = str(tmp_path / "fstore")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    pathlib.Path(landing).mkdir()
+
+    def land(rows, fname):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{landing}/{fname}")
+
+    def cli(args):
+        assert main(args) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    def docs():
+        return {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()}
+
+    # three micro-batches through one checkpoint (one file per trigger)
+    land([(1, _w("a")), (2, _w("b"))], "f1")
+    fsi.run_fuzzy_store_ingest_from_dir(
+        spark, f"{landing}/*", store, ckpt, threshold=0.7,
+        max_files_per_trigger=1,
+    )
+    land([(3, _w("c")), (4, _w("a"))], "f2")  # 4 dups 1
+    land([(5, _w("d"))], "f3")
+    fsi.run_fuzzy_store_ingest_from_dir(
+        spark, f"{landing}/*", store, ckpt, threshold=0.7,
+        max_files_per_trigger=1,
+    )
+    assert docs() == {1, 2, 3, 5}
+    dec0 = sorted(
+        tuple(r)
+        for r in fsi.read_decisions(spark, store)
+        .select("doc_id", "dup_of", "jaccard")
+        .collect()
+    )
+    assert [d[0] for d in dec0] == [4]
+
+    # maintenance window: threshold-gated fold + sweep through the CLI
+    mnt = cli(
+        [
+            "dedup", "maintain", "--path", store,
+            "--max-subtrees", "2", "--min-age-seconds", "0",
+        ]
+    )
+    assert mnt["compacted"] is True and max(mnt["subtrees"].values()) >= 3
+    assert docs() == {1, 2, 3, 5}
+
+    # more data against the folded snapshot, same checkpoint
+    land([(6, _w("e")), (7, _w("c"))], "f4")  # 7 dups 3
+    fsi.run_fuzzy_store_ingest_from_dir(
+        spark, f"{landing}/*", store, ckpt, threshold=0.7,
+        max_files_per_trigger=1,
+    )
+    assert docs() == {1, 2, 3, 5, 6}
+
+    # geometry migration through the CLI
+    rs = cli(
+        [
+            "dedup", "resign", "--path", store,
+            "--num-hashes", "64", "--bands", "16", "--shingle-n", "3",
+        ]
+    )
+    assert rs["geometry"]["bands"] == 16 and rs["docs"] == 5
+
+    # an old-geometry restart is refused at the fence (the ValueError
+    # crosses the foreachBatch boundary wrapped in the streaming-query
+    # exception — match on the message, not the type)
+    land([(8, _w("f"))], "f5")
+    with pytest.raises(Exception, match="geometry"):
+        fsi.run_fuzzy_store_ingest_from_dir(
+            spark, f"{landing}/*", store, ckpt, threshold=0.7,
+            max_files_per_trigger=1,
+        )
+    # ...and the failed drain must not have corrupted anything
+    assert docs() == {1, 2, 3, 5, 6}
+
+    # the new-geometry writer drains the pending file from the SAME
+    # checkpoint (the aborted attempt left its offsets uncommitted)
+    fsi.run_fuzzy_store_ingest_from_dir(
+        spark, f"{landing}/*", store, ckpt, threshold=0.7,
+        num_hashes=64, bands=16, shingle_n=3,
+        max_files_per_trigger=1,
+    )
+    assert docs() == {1, 2, 3, 5, 6, 8}
+    # decisions survived fold + resign; dup audit continuous
+    dec = {r["doc_id"]: r["dup_of"] for r in fsi.read_decisions(spark, store).collect()}
+    assert dec == {4: 1, 7: 3}
+
+    # probe serving under the new geometry
+    pr = cli(
+        [
+            "dedup", "probe", "--path", store,
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--num-hashes", "64", "--bands", "16", "--shingle-n", "3",
+        ]
+    )
+    assert pr["probed"] > 0  # fence admitted the matching geometry
 
 
 def test_maintain_store_threshold_fold_and_stats(spark, tmp_path):
