@@ -242,3 +242,105 @@ def cms_estimate(counters: DataFrame, probes: DataFrame, value_col: str) -> Data
         .groupBy(value_col)
         .agg(F.min("c").alias("cms_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable bottom-k quantile sketch (hash-ordered uniform sample).
+# Completes the replayable sketch trio: HLL (distinct) + CMS
+# (frequency) + bottom-k (quantiles). Published technique: bottom-k /
+# coordinated sampling (Cohen & Kaplan, "Summarizing data using
+# bottom-k sketches", PODC 2007) — the k rows whose md5(id) hashes are
+# SMALLEST form a uniform sample of the id population that is (a)
+# deterministic, so DuckDB replays it bit-exactly (the property
+# percentile_approx's opaque GK/t-digest state can never have), and
+# (b) MERGEABLE: the bottom-k of a union is the bottom-k of the
+# concatenated per-partition bottom-k tables — per-day sketches are
+# k-row tables merged without re-scanning, the same 100 TB shape as
+# the HLL register and CMS counter tables.
+# ---------------------------------------------------------------------------
+BOTTOMK_K = 256  # default sample size: rank error ~ 1/sqrt(k) ≈ 6%
+
+
+def bottomk_sample_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """(group_cols..., hkey, v): per-group bottom-k sample as PLAIN
+    ROWS — the persistable, mergeable quantile sketch. ``hkey`` is
+    md5 of the id rendered as a string (hex text compares identically
+    in Spark and DuckDB); keeping it in the sketch is what makes the
+    merge a pure re-truncation. ``v`` is the value cast to BIGINT —
+    integer-valued metrics only (token counts, byte sizes, latencies
+    in µs), keeping every downstream comparison exact cross-engine.
+    One window per group over the hash order; the sample is k rows per
+    group regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("hkey")
+    return (
+        df.select(
+            *group_cols,
+            F.md5(F.col(id_col).cast("string")).alias("hkey"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_merge(
+    samples: DataFrame, group_cols: list[str], k: int = BOTTOMK_K
+) -> DataFrame:
+    """Merge sketch algebra: the bottom-k of a UNION of sample tables
+    is the k hash-smallest rows of their concatenation — groupBy-free
+    (one window), KB-scale inputs, bit-equal to sketching the unioned
+    raw data directly (pinned). Feed it the union of per-day /
+    per-partition ``bottomk_sample_rows`` outputs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("hkey")
+    return (
+        samples.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_quantiles(
+    samples: DataFrame,
+    group_cols: list[str],
+    bps: tuple[int, ...] = (5000, 9000, 9900),
+) -> DataFrame:
+    """(group_cols..., sample_n, p<bp/100>...): quantile estimates from
+    a bottom-k sample table. The index rule is ALL-INTEGER — for
+    basis-points q over a sorted sample of n values, the estimate is
+    the value at zero-based rank (q·(n−1)) div 10000 — because 0.9 and
+    0.99 have no exact binary representation and a float multiply
+    could round the boundary rank differently per engine. Ties break
+    by hkey, so the pick is deterministic even with duplicate values.
+    Cost: the sample is ≤ k rows per group — this aggregate is
+    KB-scale however big the corpus was."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("v", "hkey")
+    wn = Window.partitionBy(*group_cols)
+    t = samples.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_rn")
+                == F.expr(f"CAST(({bp} * (_n - 1)) DIV 10000 AS INT) + 1"),
+                F.col("v"),
+            )
+        ).alias(f"p{bp // 100}")
+        for bp in bps
+    ]
+    return t.groupBy(*group_cols).agg(
+        F.max("_n").cast("long").alias("sample_n"), *aggs
+    )

@@ -1298,6 +1298,133 @@ def cms_term_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable bottom-k quantile sketch (functions/approx.py): completes
+# the replayable sketch trio — HLL distinct, CMS frequency, bottom-k
+# quantiles. Sample = the k rows with the SMALLEST md5(doc_id) per
+# group: deterministic (DuckDB replays it bit-exactly, which
+# percentile_approx's GK/t-digest state cannot be) and mergeable (the
+# bottom-k of a union is the bottom-k of the concatenated samples).
+# ---------------------------------------------------------------------------
+_BK_K = 16  # small enough that every sf forces real truncation
+
+
+@query(
+    "quantile_sketch_doclen_by_source",
+    extra=True,  # sketch family; token_stats_by_source holds the driver row
+    tags=("sketch", "bottom-k", "quantiles", "mergeable", "llm-pipeline"),
+    oracle=f"""
+WITH v AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+samp AS (
+  SELECT source, hkey, v FROM v
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY hkey) <= {_BK_K}
+),
+merged AS (
+  SELECT '__all__' AS source, hkey, v FROM samp
+  QUALIFY row_number() OVER (ORDER BY hkey) <= {_BK_K}
+),
+allsamp AS (SELECT * FROM samp UNION ALL SELECT * FROM merged),
+ranked AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, hkey) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM allsamp
+),
+est AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS sample_n,
+         MAX(CASE WHEN rn = (5000 * (n - 1)) // 10000 + 1 THEN v END) AS p50,
+         MAX(CASE WHEN rn = (9000 * (n - 1)) // 10000 + 1 THEN v END) AS p90,
+         MAX(CASE WHEN rn = (9900 * (n - 1)) // 10000 + 1 THEN v END) AS p99
+  FROM ranked GROUP BY source
+),
+exact_ranked AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, hkey) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM (SELECT source, hkey, v FROM v
+        UNION ALL SELECT '__all__', hkey, v FROM v)
+),
+exact AS (
+  SELECT source,
+         MAX(CASE WHEN rn = (5000 * (n - 1)) // 10000 + 1 THEN v END) AS exact_p50,
+         MAX(CASE WHEN rn = (9900 * (n - 1)) // 10000 + 1 THEN v END) AS exact_p99
+  FROM exact_ranked GROUP BY source
+)
+SELECT e.source, e.sample_n, e.p50, e.p90, e.p99, x.exact_p50, x.exact_p99
+FROM est e JOIN exact x USING (source)
+ORDER BY e.source
+""",
+)
+def quantile_sketch_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length (token-count) quantiles from the
+    portable bottom-k sketch, with the ``__all__`` row computed by
+    MERGING the per-source k-row samples (never re-scanning the
+    corpus) — the same executable-mergeability shape as the HLL/CMS
+    entries. Integer index rule throughout (basis points × (n−1) div
+    10⁴): 0.9/0.99 have no exact binary form, so a float multiply
+    could flip a boundary rank between engines. ``exact_p50/p99``
+    ride along as the error audit computed by the SAME rule over the
+    full per-group data — at fixture scale only; production keeps the
+    k-row sample tables. k=16 here so every sf genuinely truncates
+    (sources hold ≥25 docs at sf0.001)."""
+    from ..functions.approx import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample_rows,
+    )
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("toks")
+    )
+    samp = bottomk_sample_rows(docs, ["source"], "doc_id", "toks", k=_BK_K)
+    merged = bottomk_merge(
+        samp.select(F.lit("__all__").alias("source"), "hkey", "v"),
+        ["source"],
+        k=_BK_K,
+    )
+    est = bottomk_quantiles(samp.unionByName(merged), ["source"])
+    # exact audit under the identical integer rule (fixture-scale only)
+    full = docs.select(
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        F.col("toks").cast("long").alias("v"),
+    )
+    fboth = full.unionByName(
+        full.select(F.lit("__all__").alias("source"), "hkey", "v")
+    )
+    w = W.partitionBy("source").orderBy("v", "hkey")
+    wn = W.partitionBy("source")
+    t = fboth.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    exact = t.groupBy("source").agg(
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr("CAST((5000 * (_n - 1)) DIV 10000 AS INT) + 1"),
+                F.col("v"),
+            )
+        ).alias("exact_p50"),
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr("CAST((9900 * (_n - 1)) DIV 10000 AS INT) + 1"),
+                F.col("v"),
+            )
+        ).alias("exact_p99"),
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source", "sample_n", "p50", "p90", "p99", "exact_p50", "exact_p99"
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch-merge proof over a partition axis (round-11 VERDICT #6): the
 # HLL/CMS docstrings promise per-day sketch tables that merge without
 # re-scanning — this entry makes the promise EXECUTABLE under the

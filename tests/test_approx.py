@@ -195,3 +195,55 @@ def test_sketch_merge_over_physically_partitioned_writes(spark, tmp_path):
     assert sorted(map(key_c, merged_cms.collect())) == sorted(
         map(key_c, single_cms.collect())
     )
+
+
+def test_bottomk_quantile_sketch_merge_and_error_band(spark, tmp_path):
+    """Bottom-k quantile sketch invariants: (1) sketching the union
+    equals merging per-day sample tables (bit-equal rows, hence
+    identical estimates) — including through PHYSICALLY separate
+    parquet writes per day; (2) on a known uniform distribution the
+    k=256 estimates land within the ~3/sqrt(k) rank-error band of the
+    true quantiles; (3) a group smaller than k degenerates to the
+    EXACT integer-rule quantiles (the sample is the population)."""
+    from streampro_assignment_etl_spark.functions.approx import (
+        bottomk_merge,
+        bottomk_quantiles,
+        bottomk_sample_rows,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).cast("int").alias("day"),
+        F.col("id").alias("rid"),
+        # value = a deterministic permutation of 0..n-1 (uniform)
+        ((F.col("id") * 7919) % n).alias("val"),
+    )
+
+    whole = bottomk_sample_rows(df, [], "rid", "val", k=256)
+    for d in range(4):
+        bottomk_sample_rows(
+            df.filter(F.col("day") == d), [], "rid", "val", k=256
+        ).write.mode("overwrite").parquet(f"{tmp_path}/bk/day={d}")
+    merged = bottomk_merge(
+        spark.read.parquet(f"{tmp_path}/bk").select("hkey", "v"), [], k=256
+    )
+    key = lambda r: (r["hkey"], r["v"])  # noqa: E731
+    assert sorted(map(key, whole.collect())) == sorted(map(key, merged.collect()))
+
+    est = bottomk_quantiles(whole.select(F.lit("g").alias("g"), "hkey", "v"), ["g"]).collect()[0]
+    assert est["sample_n"] == 256
+    for bp, col in ((5000, "p50"), (9000, "p90"), (9900, "p99")):
+        true = (bp * (n - 1)) // 10000  # values are the permutation of 0..n-1
+        band = 3 / (256 ** 0.5) * n  # ~19% of range at k=256
+        assert abs(est[col] - true) <= band, (col, est[col], true)
+
+    # sub-k group: sample == population, estimates == exact integer rule
+    small = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "g string, rid long, val long",
+    )
+    got = bottomk_quantiles(
+        bottomk_sample_rows(small, ["g"], "rid", "val", k=256), ["g"]
+    ).collect()[0]
+    assert got["sample_n"] == 5
+    assert got["p50"] == 30 and got["p90"] == 40 and got["p99"] == 40
