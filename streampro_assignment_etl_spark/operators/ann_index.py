@@ -70,6 +70,7 @@ surface). Composition/citations: similarity.py's IVF/PQ operators.
 from __future__ import annotations
 
 import json
+import math
 import time
 import uuid
 from dataclasses import dataclass
@@ -660,7 +661,12 @@ def index_occupancy_stats(spark: SparkSession, path: str) -> dict:
     exist (fresh build, legacy layout, or just-compacted index — after
     a compaction folds subtrees into ``ingest=base`` the early signal
     resets and ``tv_drift`` is the backstop). ``per_append`` lists each
-    batch's (ingest, n, tv_vs_built) worst-first; ``new_mass_fraction``
+    batch's (ingest, n, tv_vs_built, tv_noise) worst-first, where
+    ``tv_noise`` is the batch's own sampling floor — the TV an n-row
+    batch drawn from the BUILT distribution itself would read
+    (``maintain_index`` gates each batch against it, so a cloud of
+    small honest batches cannot max its way over a fixed threshold by
+    chance); ``new_mass_fraction``
     is the appended share of the index, so a cron can apply "retrain
     when tv_drift ≥ T, or tv_drift_new_mass ≥ T' once
     new_mass_fraction ≥ f" without re-deriving either (that composite
@@ -711,9 +717,29 @@ def index_occupancy_stats(spark: SparkSession, path: str) -> dict:
             for c in set(built) | set(occ)
         )
 
+    def _tv_noise(n: int) -> float:
+        # Expected sampling TV of an n-row batch drawn from the BUILT
+        # distribution itself (normal approx of the multinomial:
+        # E|p̂−p| ≈ sqrt(2p(1−p)/(πn)) per cell). A small batch's raw
+        # TV sits at this floor even when nothing drifted, so the
+        # trigger compares each batch against ITS OWN floor — cells
+        # the build never saw contribute 0 here, which is exactly
+        # right: mass in an unseen cell is never explainable as noise.
+        if n <= 0:
+            return 0.0
+        return 0.5 * sum(
+            math.sqrt(2.0 * p * (1.0 - p) / (math.pi * n))
+            for p in (v / bt for v in built.values())
+        )
+
     per_append = sorted(
         (
-            {"ingest": ing, "n": sum(occ.values()), "tv_vs_built": _tv(occ)}
+            {
+                "ingest": ing,
+                "n": sum(occ.values()),
+                "tv_vs_built": _tv(occ),
+                "tv_noise": _tv_noise(sum(occ.values())),
+            }
             for ing, occ in by_ingest.items()
             if ing != BASE_INGEST
         ),
@@ -780,6 +806,7 @@ def maintain_index(
     drift_threshold: float = 0.25,
     new_mass_drift_threshold: float = 0.5,
     min_new_mass_fraction: float = 0.1,
+    noise_multiple: float = 2.0,
     min_age_seconds: float = 0.0,
     train: bool = True,
     probe_queries: DataFrame | None = None,
@@ -823,7 +850,15 @@ def maintain_index(
     The new-mass arm is the early warning: a 10% alien append trips it
     the day it lands (pinned), a 10% same-distribution append doesn't,
     and the ``min_new_mass_fraction`` gate keeps a 50-row oddball batch
-    from retraining a 10⁹-row index. The optional recall arm
+    from retraining a 10⁹-row index. The arm scans EVERY append batch
+    (not just the max) and gates each against its own sampling-noise
+    floor: a batch of n rows drawn from the built distribution itself
+    reads TV ≈ its ``tv_noise``, and the max over hundreds of small
+    honest batches can cross a fixed threshold by chance alone (at 64
+    cells a 50-row batch floats at TV ≈ 0.45) — so a batch triggers
+    only when its TV ≥ max(new_mass_drift_threshold, noise_multiple ×
+    its own floor). Alien mass into cells the build never saw carries
+    a floor of 0 and always registers. The optional recall arm
     (``probe_queries`` + ``recall_floor``) catches within-cell rot that
     no occupancy statistic can see — appends landing in the RIGHT
     cells while quantization quality degrades — by probing the served
@@ -846,10 +881,10 @@ def maintain_index(
     trigger = None
     if stats["tv_drift"] >= drift_threshold:
         trigger = "tv_drift"
-    elif (
-        stats["tv_drift_new_mass"] is not None
-        and stats["tv_drift_new_mass"] >= new_mass_drift_threshold
-        and stats["new_mass_fraction"] >= min_new_mass_fraction
+    elif stats["new_mass_fraction"] >= min_new_mass_fraction and any(
+        d["tv_vs_built"]
+        >= max(new_mass_drift_threshold, noise_multiple * d["tv_noise"])
+        for d in stats["per_append"]
     ):
         trigger = "new_mass"
     recall = None

@@ -1680,6 +1680,59 @@ def test_maintain_index_composite_trigger_early_retrain(spark, tmp_path):
     assert out4["rebuilt"] is False and out4["trigger"] is None, out4
 
 
+def test_new_mass_noise_floor_blocks_small_batch_false_positives(spark, tmp_path):
+    """The per-append signal's failure mode, defused: a 6-row honest
+    batch over 16 cells reads raw TV ≈ 0.63 from sampling noise alone,
+    so the MAX over ten such batches sails past any fixed threshold —
+    yet nothing drifted. The trigger gates every batch against its own
+    ``tv_noise`` floor (noise_multiple×), so the cloud of small honest
+    batches no-ops even with the raw statistic high and the volume
+    gate satisfied, while ONE equally-small-per-row alien batch (60
+    rows into a region the build never emphasized; floor ≈ 0.2) still
+    fires the new-mass arm with whole-index tv_drift far below its
+    threshold."""
+    import random
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    rng = random.Random(5)
+    dim = 8
+
+    def iso(n, start_id):
+        return [
+            (start_id + i, [rng.gauss(0, 1.0) for _ in range(dim)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(iso(400, 0), "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(base, path, n_centroids=16, m=2, n_codes=8)
+
+    corpus = base
+    for b in range(10):  # ten honest 6-row batches
+        batch = spark.createDataFrame(
+            iso(6, 10_000 + 100 * b), "vec_id long, embedding array<double>"
+        )
+        ann_index.append_to_ivfpq_index(batch, path)
+        corpus = corpus.unionByName(batch)
+    stats = ann_index.index_occupancy_stats(spark, path)
+    assert stats["tv_drift_new_mass"] > 0.5, stats  # the raw hazard is real
+    assert stats["new_mass_fraction"] >= 0.1  # volume gate satisfied too
+    out = ann_index.maintain_index(spark, path, corpus)
+    assert out["rebuilt"] is False and out["trigger"] is None, out
+
+    # one alien 60-row batch: a tight spike far outside the ball
+    alien = spark.createDataFrame(
+        [(90_000 + i, [3.0 + rng.gauss(0, 0.01) for _ in range(dim)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.append_to_ivfpq_index(alien, path)
+    corpus = corpus.unionByName(alien)
+    out2 = ann_index.maintain_index(spark, path, corpus)
+    assert out2["tv_drift"] < 0.25, out2  # whole-index arm still blind
+    assert out2["trigger"] == "new_mass" and out2["rebuilt"] is True, out2
+
+
 def test_maintain_index_recall_probe_catches_within_cell_rot(spark, tmp_path):
     """Round-12 VERDICT Next #6 — the occupancy statistic is blind to
     quality loss that keeps the cell SHAPE intact: here occupancy
