@@ -267,6 +267,7 @@ def bottomk_sample_rows(
     id_col: str,
     value_col: str,
     k: int = BOTTOMK_K,
+    scale_safe: bool = True,
 ) -> DataFrame:
     """(group_cols..., hkey, v): per-group bottom-k sample as PLAIN
     ROWS — the persistable, mergeable quantile sketch. ``hkey`` is
@@ -275,18 +276,36 @@ def bottomk_sample_rows(
     merge a pure re-truncation. ``v`` is the value cast to BIGINT —
     integer-valued metrics only (token counts, byte sizes, latencies
     in µs), keeping every downstream comparison exact cross-engine.
-    One window per group over the hash order; the sample is k rows per
-    group regardless of corpus size."""
+
+    ``scale_safe=True`` (default) is the two-phase bottom-k (same
+    shape as ``per_source_topn``): a first window over
+    ``(group, spark_partition_id())`` prunes each input partition to
+    its LOCAL bottom-k — no partition of the corpus ever sorts in one
+    task — then the global window ranks only the ≤ k·n_partitions
+    survivors. Sound because bottom-k is itself the merge operator:
+    the global bottom-k of a union is the bottom-k of the
+    concatenated local bottom-k's, the exact identity ``bottomk_merge``
+    is built on. ``False`` is the literal single-window form the
+    oracle replays; bit-equality pinned in tests/test_approx.py."""
     from pyspark.sql.window import Window
 
+    rows = df.select(
+        *group_cols,
+        F.md5(F.col(id_col).cast("string")).alias("hkey"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    if scale_safe:
+        local = Window.partitionBy(
+            *group_cols, F.spark_partition_id()
+        ).orderBy("hkey")
+        rows = (
+            rows.withColumn("_lrn", F.row_number().over(local))
+            .filter(F.col("_lrn") <= k)
+            .drop("_lrn")
+        )
     w = Window.partitionBy(*group_cols).orderBy("hkey")
     return (
-        df.select(
-            *group_cols,
-            F.md5(F.col(id_col).cast("string")).alias("hkey"),
-            F.col(value_col).cast("long").alias("v"),
-        )
-        .withColumn("_rn", F.row_number().over(w))
+        rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

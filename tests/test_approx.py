@@ -237,6 +237,14 @@ def test_bottomk_quantile_sketch_merge_and_error_band(spark, tmp_path):
         band = 3 / (256 ** 0.5) * n  # ~19% of range at k=256
         assert abs(est[col] - true) <= band, (col, est[col], true)
 
+    # two-phase (scale_safe) bottom-k == literal single-window form,
+    # bit-equal across a many-partition layout (the local prune keeps
+    # a superset of the global answer by the merge identity)
+    sprayed = df.repartition(16)
+    fast = bottomk_sample_rows(sprayed, [], "rid", "val", k=256, scale_safe=True)
+    slow = bottomk_sample_rows(sprayed, [], "rid", "val", k=256, scale_safe=False)
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
     # sub-k group: sample == population, estimates == exact integer rule
     small = spark.createDataFrame(
         [("s", i, v) for i, v in enumerate([10, 20, 30, 40, 50])],

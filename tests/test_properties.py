@@ -904,3 +904,66 @@ def test_store_once_matcher_equals_scalar(batches, threshold):
         assert [list(v) for v in vec_state.get[1]] == [
             list(v) for v in ref_state.get[1]
         ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 3), min_size=0, max_size=6),  # spans per doc, tiny alphabet forces dups
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_span_intervals_match_bruteforce_reference(spark, docs_spans):
+    """span_dup_intervals against a 10-line Python reference: for
+    random documents over a tiny span alphabet (heavy duplication by
+    construction), the distributed marking (global first occurrence by
+    (doc_id, pos)) + island merge equals the sequential scan exactly —
+    interval bounds, counts, and cut text."""
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        _SPAN_WORDS,
+        span_dup_intervals,
+    )
+
+    # each "span token" expands to an exact 8-word span
+    def span_text(tok):
+        return " ".join(f"s{tok}w{j}" for j in range(_SPAN_WORDS))
+
+    rows = [
+        (d, " ".join(span_text(t) for t in toks))
+        for d, toks in enumerate(docs_spans)
+        if toks
+    ]
+    if not rows:
+        return
+
+    # brute-force reference: first-occurrence mark in (doc, pos) order,
+    # then merge adjacent dup runs per doc
+    seen: set[int] = set()
+    expect = []
+    for d, toks in enumerate(docs_spans):
+        run = None
+        for pos, t in enumerate(toks):
+            dup = t in seen
+            seen.add(t)
+            if dup:
+                if run and run[2] == pos - 1:
+                    run[2] = pos
+                    run[3].append(t)
+                else:
+                    if run:
+                        expect.append(tuple(run[:3]) + (" ".join(map(span_text, run[3])),))
+                    run = [d, pos, pos, [t]]
+            else:
+                if run:
+                    expect.append(tuple(run[:3]) + (" ".join(map(span_text, run[3])),))
+                    run = None
+        if run:
+            expect.append(tuple(run[:3]) + (" ".join(map(span_text, run[3])),))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["cut_text"])
+        for r in span_dup_intervals(df, hash_span_key=False).collect()
+    ]
+    assert got == sorted(expect)
