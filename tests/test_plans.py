@@ -468,3 +468,30 @@ def test_span_intervals_shuffle_budget(spark):
     df = EXTRAS["span_dedup_intervals"].builder(spark, SF)
     assert parquet_scan_count(df) == 1
     assert shuffle_count(df) <= 4  # 3 + the final presentation sort
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """Catalyst's dynamic partition pruning (session.py enables it;
+    previously un-pinned): a fact table partitioned on the join key,
+    joined against a dimension whose filter is only known at runtime,
+    must plan a ``dynamicpruningexpression`` into the fact scan's
+    PartitionFilters — at 100 TB this is the difference between
+    listing/reading one partition and scanning the table when the
+    selective predicate lives on the dim side."""
+    from streampro_assignment_etl_spark.plans import plan_string
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(
+        f"{tmp_path}/dpp_ev"
+    )
+    fact = spark.read.parquet(f"{tmp_path}/dpp_ev")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 0)], ["event_type", "flag"]
+    )
+    j = (
+        fact.join(dim.filter("flag = 1"), "event_type")
+        .groupBy("event_type")
+        .count()
+    )
+    plan = plan_string(j)
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
