@@ -1824,3 +1824,128 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search over the tokenized corpus.
+# ---------------------------------------------------------------------------
+_PHRASES = ("order order", "order fast", "part filter scan")
+
+
+def phrase_match_positions(
+    spark: SparkSession, docs: DataFrame, phrases: tuple[str, ...]
+) -> DataFrame:
+    """Exact-phrase occurrence search: for each query phrase, the docs
+    that contain its terms CONSECUTIVELY, with occurrence count and
+    first match position — the positional layer the inverted index
+    (``build_inverted_index``, term → doc_id postings only) does not
+    carry, and what decontamination needs when an eval question is a
+    quoted span rather than a bag of shingles.
+
+    Plan shape (one shuffle): tokenize with ``posexplode`` (position is
+    free at tokenize time — no second pass), broadcast-join the
+    KB-sized (phrase, term_idx, term) frame so non-phrase terms die
+    map-side, then the classic anchor trick: a token matching phrase
+    term ``i`` at position ``p`` votes for anchor ``p - i``, and an
+    anchor with ALL ``k`` distinct term indexes present is a full
+    match. One ``groupBy(phrase, doc_id, anchor)`` — the only exchange;
+    never a per-term self-join chain (``k-1`` shuffles) and never a
+    substring scan over raw text (which would false-positive across
+    token boundaries). Repeated-term phrases ("order order") work
+    because votes are keyed by term INDEX, not term; overlapping
+    occurrences count separately (anchors 3 and 4 both match in
+    "order order order"), which is the honest count for audit use.
+
+    At 100 TB: tokens scale with the corpus but are filtered to phrase
+    terms before the exchange, so the shuffle carries only candidate
+    votes (∝ phrase-term frequency, not corpus size); the phrase frame
+    is always broadcast-sized. Parity: reference has no retrieval
+    engine (pandas + SQL clients only, src/core/base_processor.py);
+    this extends the repo's inverted-index/BM25 retrieval family.
+    """
+    rows = []
+    for p in phrases:
+        terms = p.split(" ")
+        for i, t in enumerate(terms):
+            rows.append((p, i, t, len(terms)))
+    pf = spark.createDataFrame(
+        rows, "phrase string, term_idx int, term string, k int"
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    anchors = (
+        toks.join(F.broadcast(pf), "term")
+        .select(
+            "phrase",
+            "doc_id",
+            (F.col("pos") - F.col("term_idx")).alias("anchor"),
+            "term_idx",
+            "k",
+        )
+        .groupBy("phrase", "doc_id", "anchor")
+        # votes are unique by construction — for a fixed (phrase,
+        # term_idx, anchor) the source position is determined (pos =
+        # anchor + term_idx) and toks has one row per (doc_id, pos) —
+        # so count() == countDistinct(term_idx) without the distinct
+        # rewrite's extra exchange (plan-pinned at 3 shuffles)
+        .agg(
+            F.count(F.lit(1)).alias("n_idx"),
+            F.max("k").alias("k"),
+        )
+        .filter(F.col("n_idx") == F.col("k"))
+    )
+    return (
+        anchors.groupBy("phrase", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("anchor").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("phrase", "doc_id")
+    )
+
+
+def _phrase_values_sql(phrases: tuple[str, ...]) -> str:
+    vals = []
+    for p in phrases:
+        terms = p.split(" ")
+        for i, t in enumerate(terms):
+            vals.append(f"('{p}', {i}, '{t}', {len(terms)})")
+    return ",\n  ".join(vals)
+
+
+@query(
+    "phrase_search_positions",
+    extra=True,
+    tags=("index", "text", "retrieval", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+phrase(phrase, term_idx, term, k) AS (VALUES
+  {_phrase_values_sql(_PHRASES)}),
+anchors AS (
+  SELECT p.phrase, t.doc_id, t.pos - p.term_idx AS anchor
+  FROM toks t JOIN phrase p USING (term)
+  GROUP BY p.phrase, t.doc_id, t.pos - p.term_idx
+  HAVING COUNT(DISTINCT p.term_idx) = MAX(p.k)
+)
+SELECT phrase, doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(anchor) AS BIGINT) AS first_pos
+FROM anchors
+GROUP BY phrase, doc_id
+ORDER BY phrase, doc_id
+""",
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver face of ``phrase_match_positions`` over three fixed
+    phrases chosen to exercise the three shapes: a repeated-term
+    bigram ("order order" — the anchor trick's adversarial case), a
+    distinct-term bigram, and a trigram. Full DuckDB oracle replays
+    the anchor algebra in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_match_positions(spark, docs, _PHRASES)

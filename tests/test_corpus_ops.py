@@ -580,3 +580,36 @@ def test_bpe_fertility_merges_compress_every_lang(spark):
         assert r["n_tokens"] < r["n_chars"]  # some merge applied
         assert r["chars_per_token"] > 1.0
         assert r["fertility"] < r["n_chars"] / r["n_words"]  # below ceiling
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: adjacency, overlap, and repeated-term edges.
+# ---------------------------------------------------------------------------
+def test_phrase_search_adjacency_and_overlap(spark):
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        phrase_match_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b"),        # "a b" twice (pos 0, 3); no "b a" (b->c, b->end)
+            (1, "a c b"),            # terms present, NOT adjacent -> no match
+            (2, "x x x"),            # repeated-term "x x": overlapping at 0 and 1
+            (3, "a b"),              # exact-doc phrase, boundary match at 0
+            (4, "b a b a"),          # "a b" at pos 1; "b a" at 0 and 2
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.phrase, r.doc_id): (r.n_matches, r.first_pos)
+        for r in phrase_match_positions(
+            spark, docs, ("a b", "b a", "x x")
+        ).collect()
+    }
+    assert got == {
+        ("a b", 0): (2, 0),
+        ("a b", 3): (1, 0),
+        ("a b", 4): (1, 1),
+        ("b a", 4): (2, 0),
+        ("x x", 2): (2, 0),  # overlapping occurrences both count
+    }

@@ -495,3 +495,18 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     )
     plan = plan_string(j)
     assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+
+def test_phrase_search_plan_shape(spark):
+    """phrase_search_positions: one parquet scan, the phrase frame
+    broadcast (non-phrase tokens die map-side, before any exchange),
+    and at most 3 shuffles (anchor groupBy, per-doc rollup, final
+    presentation sort) — the vote shuffle carries only phrase-term
+    candidates, never the tokenized corpus."""
+    from streampro_assignment_etl_spark.plans import plan_string
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    df = EXTRAS["phrase_search_positions"].builder(spark, SF)
+    assert parquet_scan_count(df) == 1
+    assert shuffle_count(df) <= 3
+    assert "BroadcastExchange" in plan_string(df)
