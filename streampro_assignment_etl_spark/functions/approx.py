@@ -363,3 +363,102 @@ def bottomk_quantiles(
     return t.groupBy(*group_cols).agg(
         F.max("_n").cast("long").alias("sample_n"), *aggs
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter: the MEMBERSHIP sketch completing the replayable
+# family — HLL (distinct) + CMS (frequency) + bottom-k (quantiles) +
+# Bloom (set membership). Bloom 1970 geometry: k deterministic
+# md5-seeded probes over an m-bit array packed into 64-bit words as
+# PLAIN ROWS (word, bits), so the sketch replays bit-exactly in SQL
+# (unlike Spark's internal runtime BloomFilter, which is an opaque JVM
+# object). Merge is word-wise bitwise OR (vs the HLL's MAX and the
+# CMS's SUM): same-universe sketches compose without re-scanning —
+# bloom(A ∪ B) == OR-merge(bloom(A), bloom(B)), bit-equal, pinned.
+# No false negatives by construction; false positives at rate
+# ≈ (1 - e^(-k·n/m))^k — ~0.1% at n=4k grams under the defaults here.
+# ---------------------------------------------------------------------------
+BLOOM_WORDS = 1024  # packed words in the bit array
+BLOOM_BPW = 60  # bits per word: shifts stay <= 59, so 1::BIGINT << bit
+#                 never touches the sign bit in EITHER engine (DuckDB
+#                 errors on signed overflow where Spark wraps silently)
+BLOOM_K = 7  # probes per key
+BLOOM_BITS = BLOOM_WORDS * BLOOM_BPW
+
+
+def _bloom_pos(value: Column, i: int) -> Column:
+    """Probe-i bit position of a value: md5-derived 60-bit hash under
+    the ':bloom:' seed family (engine-portable like token_hash60),
+    mod m bits."""
+    from ..operators.simhash import token_hash60
+
+    return token_hash60(F.concat(F.lit(f"{i}:bloom:"), value)) % BLOOM_BITS
+
+
+def bloom_word_rows(
+    df: DataFrame, value_col: str, group_cols: list[str] | tuple[str, ...] = ()
+) -> DataFrame:
+    """(group_cols..., word, bits): the Bloom bit array as plain rows —
+    at most BLOOM_WORDS rows per group regardless of input size, built
+    by one map-side-combined BIT_OR aggregate over k stacked probe
+    positions per occurrence (duplicate inserts are free: OR is
+    idempotent, so no pre-distinct shuffle is ever needed). Persist per
+    source/day and merge by ``groupBy(word).agg(bit_or(bits))`` — the
+    same compose-without-rescanning contract as the other three
+    sketches."""
+    stacked = df.select(
+        *group_cols,
+        F.explode(
+            F.array(*[_bloom_pos(F.col(value_col), i) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    ).select(
+        *group_cols,
+        F.expr(f"CAST(pos DIV {BLOOM_BPW} AS INT)").alias("word"),
+        # per-row shift amount -> through SQL text (the Python API's
+        # shiftleft takes a plan-time int only, see hll_estimate)
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_BPW} AS INT))"
+        ).alias("mask"),
+    )
+    return stacked.groupBy(*group_cols, "word").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_merge(*tables: DataFrame) -> DataFrame:
+    """OR-merge word tables: bloom of the union of the inserted sets.
+    Pure sketch algebra — KB-scale, never re-scans any corpus."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), tables)
+    return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_array(words: DataFrame) -> list[int]:
+    """Collect a (word, bits) table into a dense BLOOM_WORDS-long int
+    list — the driver-side form ``bloom_member`` inlines as a plan
+    literal. Bounded by contract: the table never exceeds BLOOM_WORDS
+    rows (8 KB), the same bounded-collect license as
+    ``epoch_shuffle_positions``'s offset map."""
+    arr = [0] * BLOOM_WORDS
+    for r in words.select("word", "bits").collect():
+        arr[int(r["word"])] = int(r["bits"])
+    return arr
+
+
+def bloom_member(value: Column, arr: list[int]) -> Column:
+    """Boolean membership test against an inlined Bloom array — a pure
+    ZERO-SHUFFLE, ZERO-JOIN projection: k md5 probes, k array lookups,
+    k bit tests, all map-side inside whole-stage codegen. This is the
+    100 TB gate shape: the sketch (8 KB) rides the plan itself, so
+    filtering a corpus costs exactly one scan with no exchange — vs a
+    probe-side join, which would shuffle k rows per input value.
+    False positives possible (rate above), false negatives never."""
+    arr_lit = F.array(*[F.lit(int(x)).cast("long") for x in arr])
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(BLOOM_BPW)])
+    cond = None
+    for i in range(BLOOM_K):
+        pos = _bloom_pos(value, i)
+        word_ix = F.floor(pos / BLOOM_BPW).cast("int") + 1  # element_at is 1-based
+        mask = F.element_at(pow2, (pos % BLOOM_BPW).cast("int") + 1)
+        ok = F.element_at(arr_lit, word_ix).bitwiseAND(mask) != 0
+        cond = ok if cond is None else (cond & ok)
+    return cond

@@ -2475,3 +2475,95 @@ def mix_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated decontamination: the scale path for the eval-overlap
+# filter. decontaminate_eval_overlap broadcast-joins the EXPLODED eval
+# gram set (rows ∝ eval grams); this gate compresses the whole eval
+# side into a portable 8 KB Bloom array inlined into the plan, so the
+# training-side filter is a pure zero-join projection — the shape that
+# holds when the benchmark suite is millions of grams and the corpus
+# is 100 TB. False positives (≈0.1% here) only over-flag for human
+# review; false negatives never happen, which is the directional
+# guarantee decontamination needs.
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_decontaminate_gate",
+    extra=True,
+    tags=("decontamination", "sketch", "bloom", "llm-pipeline"),
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 4, 0)),
+           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]))) AS gram
+  FROM s
+),
+pr AS (SELECT i FROM range(7) t(i)),
+evp AS (
+  SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':bloom:' || gram), 1, 15)
+              AS BIGINT) % 61440 AS pos
+  FROM (SELECT gram FROM g WHERE doc_id % 7 = 0), pr
+),
+bloom AS (
+  SELECT CAST(pos // 60 AS INT) AS word,
+         bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS bits
+  FROM evp GROUP BY 1
+),
+trp AS (
+  SELECT doc_id, gram,
+         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':bloom:' || gram), 1, 15)
+              AS BIGINT) % 61440 AS pos
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0), pr
+),
+member AS (
+  SELECT doc_id, gram
+  FROM trp LEFT JOIN bloom ON CAST(trp.pos // 60 AS INT) = bloom.word
+  GROUP BY doc_id, gram
+  HAVING SUM(CASE WHEN COALESCE(bloom.bits, 0)
+                       & (1::BIGINT << CAST(trp.pos % 60 AS INT)) <> 0
+             THEN 1 ELSE 0 END) = 7
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+FROM member GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def bloom_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs whose word 5-grams hit the Bloom filter built over
+    the eval slice's grams (same deterministic eval stand-in as
+    ``decontaminate_eval_overlap``: doc_id % 7 == 0) — per doc, the
+    count of distinct flagged grams.
+
+    Plan: build = one BIT_OR aggregate over the eval grams' 7 probe
+    positions (≤1024-row word table, duplicate grams free — OR is
+    idempotent, so NO pre-distinct shuffle of the eval side); the
+    array is collected (bounded by contract, 8 KB) and inlined as a
+    plan literal; the training side is scan → explode → map-side
+    ``bloom_member`` filter → one groupBy(doc_id) of only the FLAGGED
+    rows. The whole eval corpus never crosses an exchange, and the
+    membership test runs inside whole-stage codegen. The DuckDB oracle
+    replays the entire sketch algebra bit-exactly, false positives
+    included — the gate is deterministic, not statistical."""
+    from ..functions.approx import bloom_array, bloom_member, bloom_word_rows
+    from ..operators.minhash import shingles_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_words(F.col("_w"), 5))).alias(
+            "gram"
+        ),
+    )
+    ev = grams.filter(F.col("doc_id") % 7 == 0)
+    arr = bloom_array(bloom_word_rows(ev, "gram"))
+    tr = grams.filter(F.col("doc_id") % 7 != 0)
+    return (
+        tr.filter(bloom_member(F.col("gram"), arr))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+        .orderBy("doc_id")
+    )

@@ -255,3 +255,66 @@ def test_bottomk_quantile_sketch_merge_and_error_band(spark, tmp_path):
     ).collect()[0]
     assert got["sample_n"] == 5
     assert got["p50"] == 30 and got["p90"] == 40 and got["p99"] == 40
+
+
+def test_bloom_no_false_negatives_merge_and_fp_rate(spark):
+    """The portable Bloom filter's three contracts: (1) every inserted
+    key tests member (false negatives impossible), (2) OR-merge of two
+    independently built sketches is bit-equal to the sketch of the
+    union (compose-without-rescanning), (3) the false-positive rate on
+    a disjoint probe set stays under the geometry's design bound."""
+    from streampro_assignment_etl_spark.functions.approx import (
+        bloom_array,
+        bloom_member,
+        bloom_merge,
+        bloom_word_rows,
+    )
+
+    a = spark.range(0, 300).select(
+        F.concat(F.lit("ka-"), F.col("id").cast("string")).alias("v")
+    )
+    b = spark.range(300, 600).select(
+        F.concat(F.lit("kb-"), F.col("id").cast("string")).alias("v")
+    )
+    wa, wb = bloom_word_rows(a, "v"), bloom_word_rows(b, "v")
+    merged = bloom_merge(wa, wb)
+    direct = bloom_word_rows(a.unionByName(b), "v")
+    assert (
+        merged.orderBy("word").collect() == direct.orderBy("word").collect()
+    ), "OR-merge must be bit-equal to the union's sketch"
+
+    arr = bloom_array(merged)
+    n_in = (
+        a.unionByName(b).filter(bloom_member(F.col("v"), arr)).count()
+    )
+    assert n_in == 600, "an inserted key tested non-member: impossible by design"
+
+    # 2000 keys never inserted: expected FPs ~ 2000·(1-e^{-7·600/61440})^7
+    # ≈ 2000·2.9e-9 — assert a generous 1% ceiling.
+    probes = spark.range(10_000, 12_000).select(
+        F.concat(F.lit("qx-"), F.col("id").cast("string")).alias("v")
+    )
+    fps = probes.filter(bloom_member(F.col("v"), arr)).count()
+    assert fps <= 20, f"false-positive rate blew the design bound: {fps}/2000"
+
+
+def test_bloom_gate_supersets_exact_decontamination(spark):
+    """Directional guarantee on the real fixture: the Bloom gate's
+    flagged-doc set must contain EVERY doc the exact gram join flags
+    (no false negatives end-to-end), and per flagged doc the bloom
+    gram count must be >= the exact shared-gram count."""
+    from streampro_assignment_etl_spark.queries import EXTRAS, REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    bloom = {
+        r["doc_id"]: r["n_flagged_grams"]
+        for r in EXTRAS["bloom_decontaminate_gate"].builder(spark, sf).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in REGISTRY["decontaminate_eval_overlap"].builder(spark, sf).collect()
+    }
+    # exact applies a >=3 gram floor; every such doc must appear in the
+    # bloom gate's output with at least as many flagged grams
+    for doc_id, n in exact.items():
+        assert bloom.get(doc_id, 0) >= n, (doc_id, n, bloom.get(doc_id))
