@@ -468,28 +468,141 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what SCD-2 costs on any engine). The run-start filter
     drops the change log to interval grain BEFORE the second window,
     so lead() runs over runs, not raw events."""
-    from pyspark.sql import Window
-
     # ts is TIMESTAMP_NTZ; the UTC-session cast → unix_micros is the
     # exact integer-microsecond idiom shared with gap_sessionize.
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
-        "event_id",
-        "event_type",
+        F.col("event_id").alias("change_id"),
+        F.col("event_type").alias("status"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    runs = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return scd2_from_log(ev, "change_id").orderBy("user_id", "valid_from_us")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 incremental maintenance: apply a change batch to an
+# existing SCD-2 table without rebuilding the whole dimension — the
+# per-batch path the bulk builder's docstring defers to ("the per-batch
+# maintenance path is ... this rebuild over affected keys").
+# ---------------------------------------------------------------------------
+_SCD2_CUTOFF_US = 1_705_795_200_000_000  # 2024-01-21 00:00:00 UTC
+
+
+def scd2_from_log(log: DataFrame, tiebreak_col: str) -> DataFrame:
+    """Collapse a (user_id, status, ts_us, <tiebreak>) change log into
+    SCD-2 validity intervals — the shared run-collapse algebra of the
+    bulk builder and the incremental apply. Both windows partition by
+    the dimension key (no global window; see scd2_user_type_history)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", tiebreak_col)
+    runs = log.withColumn("prev_type", F.lag("status").over(w))
     starts = runs.filter(
-        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    ).select(
-        "user_id",
-        F.col("event_type").alias("status"),
-        F.col("ts_us").alias("valid_from_us"),
-    )
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("status"))
+    ).select("user_id", "status", F.col("ts_us").alias("valid_from_us"))
     w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
     return (
         starts.withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
         .withColumn("is_current", F.col("valid_to_us").isNull())
-        .orderBy("user_id", "valid_from_us")
+    )
+
+
+def scd2_apply_changes(existing: DataFrame, changes: DataFrame) -> DataFrame:
+    """Merge a change batch into an SCD-2 dimension table: rebuild the
+    history of AFFECTED keys only from (their existing run starts ∪ the
+    new changes), pass every untouched key through verbatim.
+
+    ``existing``: (user_id, status, valid_from_us, valid_to_us,
+    is_current); ``changes``: (user_id, status, ts_us, change_id).
+    Semantics handled by construction, because affected keys re-derive
+    from a merged log rather than patching intervals in place:
+
+    * unseen keys insert their full new history;
+    * a change equal to the key's current open status COLLAPSES into
+      the open interval (no spurious row, the same consecutive-equal
+      rule as the bulk builder);
+    * a status flip closes the open interval at the change ts;
+    * an OUT-OF-ORDER backfill (ts earlier than the open interval's
+      start, even earlier than closed intervals) splices correctly —
+      the case in-place UPDATE-style merges silently corrupt.
+
+    Contract: at most one change per (user_id, ts_us) across existing ∪
+    batch (the bulk builder's own ordering assumption); reconstructed
+    log entries carry tiebreak −1 so they sort ahead of any batch
+    change at an equal ts.
+
+    Scale shape: ``affected`` is a distinct over the BATCH (KB-scale,
+    broadcast); untouched rows move through one broadcast anti-join
+    with no shuffle of the dimension; only affected keys' history —
+    batch-proportional, not dimension-proportional — enters the window
+    rebuild. With the dimension stored bucketed on user_id the
+    anti-join/join pair is also co-located.
+    """
+    affected = changes.select("user_id").distinct()
+    untouched = existing.join(F.broadcast(affected), "user_id", "left_anti")
+    old_log = existing.join(F.broadcast(affected), "user_id").select(
+        "user_id",
+        "status",
+        F.col("valid_from_us").alias("ts_us"),
+        F.lit(-1).cast("long").alias("change_id"),
+    )
+    new_log = changes.select(
+        "user_id", "status", "ts_us", F.col("change_id").cast("long")
+    )
+    rebuilt = scd2_from_log(old_log.unionByName(new_log), "change_id")
+    return untouched.unionByName(rebuilt)
+
+
+@query(
+    "scd2_apply_changes_converges",
+    extra=True,  # warehouse family; catalog/pipeline rows carry the driver surface
+    tags=("scd2", "dimension", "warehouse", "incremental"),
+    oracle="""
+WITH src AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts_us,
+         lag(event_type) OVER w AS prev_type
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+starts AS (
+  SELECT user_id, event_type AS status, ts_us AS valid_from_us
+  FROM runs
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, status, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
+       lead(valid_from_us) OVER w2 IS NULL AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)
+ORDER BY user_id, valid_from_us
+""",
+)
+def scd2_apply_changes_converges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental path, gated by CONVERGENCE: initial-load the
+    dimension from events before 2024-01-21, apply everything after as
+    one change batch, and the result must hash-equal the bulk rebuild
+    over ALL events — which is exactly what the oracle computes. The
+    cutoff leaves both halves non-trivial at every test SF (new keys
+    insert, existing keys extend/flip, same-status continuations
+    collapse), so the equality exercises every merge case at once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    old = ev.filter(F.col("ts_us") < _SCD2_CUTOFF_US).select(
+        "user_id", "status", "ts_us", F.col("event_id").alias("change_id")
+    )
+    initial = scd2_from_log(old, "change_id")
+    changes = ev.filter(F.col("ts_us") >= _SCD2_CUTOFF_US).select(
+        "user_id", "status", "ts_us", F.col("event_id").alias("change_id")
+    )
+    return scd2_apply_changes(initial, changes).orderBy(
+        "user_id", "valid_from_us"
     )

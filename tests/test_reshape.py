@@ -47,3 +47,54 @@ def test_scd2_intervals_tile_and_reconstruct(spark):
             & (g["valid_to_us"].isna() | (g["valid_to_us"] > r.ts_us))
         ]
         assert len(live) == 1 and live["status"].iloc[0] == r.event_type, r
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 incremental apply: the four merge cases, pinned individually
+# (the sf differential pins convergence-to-bulk in aggregate).
+# ---------------------------------------------------------------------------
+def test_scd2_apply_changes_merge_cases(spark):
+    from streampro_assignment_etl_spark.queries.reshape import (
+        scd2_apply_changes,
+        scd2_from_log,
+    )
+
+    log = spark.createDataFrame(
+        [
+            # u1: closed A, open B — will flip to C
+            (1, "A", 100, 1), (1, "B", 200, 2),
+            # u2: open A — will receive a SAME-status continuation
+            (2, "A", 100, 3),
+            # u3: untouched — must pass through verbatim
+            (3, "A", 100, 4), (3, "B", 300, 5),
+            # u5: closed A then B — will receive an OUT-OF-ORDER backfill
+            (5, "A", 100, 6), (5, "B", 400, 7),
+        ],
+        ["user_id", "status", "ts_us", "change_id"],
+    )
+    existing = scd2_from_log(log, "change_id")
+    changes = spark.createDataFrame(
+        [
+            (1, "C", 300, 10),   # flip: closes u1's open B at 300
+            (2, "A", 500, 11),   # continuation: collapses, no new row
+            (4, "X", 50, 12),    # unseen key: full insert
+            (5, "C", 250, 13),   # backfill BETWEEN A and B: splices A|C|B
+        ],
+        ["user_id", "status", "ts_us", "change_id"],
+    )
+    out = {
+        (r.user_id, r.valid_from_us): (r.status, r.valid_to_us, r.is_current)
+        for r in scd2_apply_changes(existing, changes).collect()
+    }
+    assert out == {
+        (1, 100): ("A", 200, False),
+        (1, 200): ("B", 300, False),
+        (1, 300): ("C", None, True),     # flip closed the open interval
+        (2, 100): ("A", None, True),     # continuation collapsed silently
+        (3, 100): ("A", 300, False),     # untouched history verbatim
+        (3, 300): ("B", None, True),
+        (4, 50): ("X", None, True),      # unseen key inserted
+        (5, 100): ("A", 250, False),     # backfill spliced mid-history:
+        (5, 250): ("C", 400, False),     #   A truncated at 250, C inserted,
+        (5, 400): ("B", None, True),     #   B re-anchored after it
+    }
