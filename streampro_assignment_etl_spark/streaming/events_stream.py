@@ -404,3 +404,84 @@ def click_view_interval_join(
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )
+
+
+def run_scd2_upsert_stream(
+    changes: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """Streaming SCD TYPE-2 sink: each micro-batch of change rows
+    (``user_id, status, ts_us, change_id``) merges into one parquet
+    dimension table as validity-interval history — the Type-2 sibling
+    of ``run_stream_upsert`` (which keeps latest-per-key only).
+    Per batch: ``scd2_apply_changes`` rebuilds AFFECTED keys' history
+    from their run starts ∪ the batch and passes untouched keys through
+    verbatim, then the result swaps in via the same crash-safe staged
+    rename as ``merge_upsert`` (readers see the old or the new table,
+    never a mix; batch 0 bootstraps through a staged ``.boot-*``
+    rename).
+
+    Exactly-once under checkpoint retries because the merge is
+    IDEMPOTENT: a replayed change re-enters the affected key's log,
+    lands at its original ts, and collapses into the identical interval
+    set — replaying any suffix of batches (even ALL of them, fresh
+    checkpoint) converges to the same table, test-pinned. Out-of-order
+    waves are equally safe: a backfill batch splices mid-history
+    because affected keys re-derive rather than patch (the case the
+    SCD-1 sink silently gets wrong — latest-write wins there).
+
+    Batches must carry at most one change per (user_id, ts_us); the
+    sink drops within-batch duplicates on that key, matching the bulk
+    builder's ordering contract. Cost: one broadcast anti-join + the
+    affected keys' window rebuild + a full staged rewrite of the
+    target — right for dimension tables (users, accounts, catalog
+    items), which are modest next to fact/corpus tables. For a
+    dimension too large to rewrite per batch, store it partitioned by
+    a key bucket and adopt the epoch-fenced subtree manifest the fuzzy
+    store uses (``streaming/fuzzy_store_ingest.py``) — the apply
+    algebra here is unchanged by that layout, only the commit is.
+    """
+    import shutil
+    import uuid
+
+    from ..pipeline.writers import _staged_swap, require_local_path
+    from ..queries.reshape import scd2_apply_changes, scd2_from_log
+
+    root = require_local_path(target_path, "run_scd2_upsert_stream")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates(["user_id", "ts_us"])
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            spark = batch_df.sparkSession
+            if not root.exists():
+                if root.parent.exists():
+                    for stale in root.parent.glob(f".{root.name}.boot-*"):
+                        shutil.rmtree(stale, ignore_errors=True)
+                staging = root.parent / f".{root.name}.boot-{uuid.uuid4().hex[:8]}"
+                scd2_from_log(batch_df, "change_id").write.mode(
+                    "overwrite"
+                ).parquet(str(staging))
+                root.parent.mkdir(parents=True, exist_ok=True)
+                staging.rename(root)
+            else:
+                existing = spark.read.parquet(str(root))
+                merged = scd2_apply_changes(existing, batch_df)
+                staging = root.parent / f".{root.name}.scd2-{uuid.uuid4().hex[:8]}"
+                merged.write.mode("overwrite").parquet(str(staging))
+                _staged_swap(root, staging)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -3086,3 +3086,76 @@ def test_maintain_store_threshold_fold_and_stats(spark, tmp_path):
     assert out3["compacted"] is False and out3["epoch"] == 6
     assert out3["subtrees"] == {"store": 1, "docs": 1, "decisions": 1}
     assert _fuzzy_state(spark, fsi, store) == before
+
+
+# -- streaming SCD-2 upsert sink ----------------------------------------------
+def test_scd2_stream_out_of_order_waves_converge_and_replay_idempotent(
+    spark, tmp_path
+):
+    """run_scd2_upsert_stream: three waves arriving OUT OF ORDER (middle
+    period, late period, then the EARLIEST as a backfill) must converge
+    to the bulk SCD-2 over all events — the splice capability the SCD-1
+    sink lacks — and a full replay (fresh checkpoint, same landing)
+    against the already-built table must leave it bit-identical
+    (idempotent merge = exactly-once under checkpoint retries)."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.queries import EXTRAS
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        run_scd2_upsert_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("change_id"),
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    landing = tmp_path / "scd2_landing"
+    # time-ordered thirds written middle, late, EARLIEST-last (backfill)
+    for name, cond in [
+        ("f0_mid", (F.col("ts_us") >= t1) & (F.col("ts_us") < t2)),
+        ("f1_late", F.col("ts_us") >= t2),
+        ("f2_backfill", F.col("ts_us") < t1),
+    ]:
+        ev.filter(cond).coalesce(1).write.parquet(str(landing / name))
+
+    target = str(tmp_path / "scd2_dim")
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    run_scd2_upsert_stream(src, target, str(tmp_path / "ck1"))
+
+    bulk = sorted(
+        tuple(r)
+        for r in EXTRAS["scd2_user_type_history"].builder(spark, sf).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("user_id", "status", "valid_from_us", "valid_to_us", "is_current")
+        .collect()
+    )
+    assert got == bulk
+
+    # Full replay with a fresh checkpoint: every batch re-merges into
+    # the converged table; the result must not move.
+    src2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    run_scd2_upsert_stream(src2, target, str(tmp_path / "ck2"))
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("user_id", "status", "valid_from_us", "valid_to_us", "is_current")
+        .collect()
+    )
+    assert again == bulk
