@@ -606,3 +606,106 @@ def scd2_apply_changes_converges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply_changes(initial, changes).orderBy(
         "user_id", "valid_from_us"
     )
+
+
+@query(
+    "scd2_point_in_time_enrich",
+    extra=True,  # warehouse family
+    tags=("scd2", "dimension", "asof", "warehouse"),
+    oracle="""
+WITH src AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts_us,
+         lag(event_type) OVER w AS prev_type
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+starts AS (
+  SELECT user_id, event_type AS status, ts_us AS valid_from_us
+  FROM runs WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+  SELECT user_id, status, valid_from_us,
+         lead(valid_from_us) OVER w2 AS valid_to_us
+  FROM starts
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)
+),
+enriched AS (
+  SELECT f.user_id, f.event_id, f.event_type, d.status
+  FROM src f JOIN dim d
+    ON f.user_id = d.user_id
+   AND f.ts_us >= d.valid_from_us
+   AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN status = event_type THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consistent
+FROM enriched
+GROUP BY status
+ORDER BY status
+""",
+)
+def scd2_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) enrichment of a fact stream against the
+    SCD-2 dimension: each event joins the history row VALID AT ITS
+    TIMESTAMP (``valid_from ≤ ts < valid_to``, open interval = NULL
+    valid_to) — the lookup every fact table does against a Type-2
+    dimension, and the reason Type-2 exists at all.
+
+    Built-in self-audit: this dimension was derived FROM the events,
+    so an event's as-of status must equal its own event_type —
+    ``n_consistent == n_events`` per status by construction, and any
+    interval-boundary off-by-one (closed vs half-open, a classic PIT
+    bug) breaks the equality loudly before it breaks the hash.
+
+    Scale shape: equi-join on the dimension KEY first (user_id), the
+    interval predicate rides along as a join residual — each fact row
+    meets only its own key's handful of history rows, never a
+    cross-interval scan. A Type-2 dimension is bounded by (keys ×
+    change rate); at 100 TB facts the join broadcasts the dimension
+    when it fits and hash-shuffles on user_id when it doesn't — both
+    plans keep the interval check residual-only. Never bin-join here:
+    `range_join_binned` exists for interval×interval; key×interval is
+    an equi-join with a residual.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("change_id"),
+        F.col("event_type").alias("status"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    # dim and fact both derive from ev — disjoint column names sidestep
+    # the self-join lineage ambiguity
+    dim = scd2_from_log(ev, "change_id").select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("status").alias("status"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    fact = ev.select(
+        F.col("user_id").alias("f_user_id"),
+        F.col("status").alias("event_type"),
+        F.col("ts_us").alias("f_ts_us"),
+    )
+    enriched = fact.join(
+        dim,
+        (F.col("f_user_id") == F.col("d_user_id"))
+        & (F.col("f_ts_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("f_ts_us") < F.col("valid_to_us"))
+        ),
+    )
+    return (
+        enriched.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("status") == F.col("event_type"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_consistent"),
+        )
+        .orderBy("status")
+    )

@@ -98,3 +98,15 @@ def test_scd2_apply_changes_merge_cases(spark):
         (5, 250): ("C", 400, False),     #   A truncated at 250, C inserted,
         (5, 400): ("B", None, True),     #   B re-anchored after it
     }
+
+
+def test_scd2_point_in_time_self_consistency(spark):
+    """The PIT join's built-in audit: the dimension derives from the
+    events, so every event's as-of status must equal its own type —
+    any half-open-interval boundary bug breaks this before the hash."""
+    rows = EXTRAS["scd2_point_in_time_enrich"].builder(spark, SF).collect()
+    assert rows
+    assert all(r.n_events == r.n_consistent for r in rows), rows
+    # and the join is total: every event finds exactly one interval
+    total = sum(r.n_events for r in rows)
+    assert total == spark.read.parquet(f"{SF}/events.parquet").count()
