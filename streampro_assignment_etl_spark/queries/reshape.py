@@ -531,6 +531,19 @@ def scd2_apply_changes(existing: DataFrame, changes: DataFrame) -> DataFrame:
     log entries carry tiebreak −1 so they sort ahead of any batch
     change at an equal ts.
 
+    Convergence-to-bulk contract (hypothesis-pinned): the table records
+    run STARTS only, so a continuation collapsed inside one batch is
+    unrecoverable if a later batch backfills strictly between that
+    run's start and the dropped continuation. Sequential applies
+    therefore converge to the bulk build whenever no batch's changes
+    land strictly inside the time span of another single batch for the
+    same key — in particular, for TIME-CONTIGUOUS blocks arriving in
+    ANY order (the file-landing-wave shape the streaming sink sees).
+    An interleaving backfill still yields the correct history with
+    respect to the RECORDED intervals (the mid-interval splice case,
+    unit-pinned); it simply cannot resurrect what the record never
+    kept — the same answer any SCD-2 store can give.
+
     Scale shape: ``affected`` is a distinct over the BATCH (KB-scale,
     broadcast); untouched rows move through one broadcast anti-join
     with no shuffle of the dimension; only affected keys' history —

@@ -510,3 +510,33 @@ def test_phrase_search_plan_shape(spark):
     assert parquet_scan_count(df) == 1
     assert shuffle_count(df) <= 3
     assert "BroadcastExchange" in plan_string(df)
+
+
+def test_bloom_gate_plan_is_joinless(spark):
+    """bloom_decontaminate_gate's zero-join claim, pinned: the returned
+    frame reads ONE parquet scan, carries NO join of any kind (the 8 KB
+    bloom array is a plan literal — membership is pure projection), and
+    shuffles at most twice (doc rollup + presentation sort). The eval
+    side's build job runs at builder time and never appears in the
+    served plan."""
+    from streampro_assignment_etl_spark.plans import plan_string
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    df = EXTRAS["bloom_decontaminate_gate"].builder(spark, SF)
+    plan = plan_string(df)
+    assert parquet_scan_count(df) == 1
+    assert shuffle_count(df) <= 2
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_scd2_pit_join_is_keyed_not_cartesian(spark):
+    """scd2_point_in_time_enrich: the interval predicate must ride as a
+    RESIDUAL on a user_id-keyed join — never degrade to a nested-loop/
+    cartesian plan, which an interval-only condition would produce."""
+    from streampro_assignment_etl_spark.plans import plan_string
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    df = EXTRAS["scd2_point_in_time_enrich"].builder(spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]

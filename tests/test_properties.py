@@ -967,3 +967,79 @@ def test_span_intervals_match_bruteforce_reference(spark, docs_spans):
         for r in span_dup_intervals(df, hash_span_key=False).collect()
     ]
     assert got == sorted(expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.sampled_from(["A", "B", "C"]),        # status
+            st.integers(min_value=0, max_value=40),  # ts
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.data(),
+)
+def test_scd2_time_block_batches_converge_in_any_order(spark, changes, data):
+    """PROPERTY: for ANY change log, deduped on (user, ts), cut into
+    TIME-CONTIGUOUS blocks at arbitrary boundaries, sequential
+    scd2_apply_changes in ANY block arrival order converges to the
+    single-shot bulk build — the out-of-order-wave contract the
+    streaming sink relies on.
+
+    The time-contiguity qualifier is load-bearing, discovered by this
+    very test's first (stronger, false) formulation: the table records
+    run STARTS only, so a continuation collapsed inside one batch
+    cannot be resurrected when a later batch backfills strictly
+    between that run's start and the dropped continuation
+    (hypothesis found user history C@15,C@27 batched together, then
+    A@24 arriving later: bulk says C@15,A@24,C@27 but the record had
+    already forgotten C@27). Time-disjoint blocks make that
+    interleaving impossible — no event of one block falls strictly
+    between two events of another — which is exactly the shape
+    file-landing waves have. The contract is documented on
+    scd2_apply_changes."""
+    from streampro_assignment_etl_spark.queries.reshape import (
+        scd2_apply_changes,
+        scd2_from_log,
+    )
+
+    # one change per (user, ts): the builder's ordering contract
+    seen, log = set(), []
+    for i, (u, s, t) in enumerate(changes):
+        if (u, t) not in seen:
+            seen.add((u, t))
+            log.append((u, s, t, i))
+    log.sort(key=lambda r: r[2])  # time order, so cuts make time blocks
+    cols = ["user_id", "status", "ts_us", "change_id"]
+    bulk = sorted(
+        tuple(r)
+        for r in scd2_from_log(spark.createDataFrame(log, cols), "change_id").collect()
+    )
+
+    # cut into 1..4 time-contiguous blocks, then apply in a drawn order
+    n_cuts = data.draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(len(log) - 1, 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    bounds = sorted(set([0, *cuts, len(log)]))
+    blocks = [log[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+    order = data.draw(st.permutations(range(len(blocks))))
+    state = None
+    for ix in order:
+        batch = spark.createDataFrame(blocks[ix], cols)
+        state = (
+            scd2_from_log(batch, "change_id")
+            if state is None
+            else scd2_apply_changes(state, batch)
+        )
+    got = sorted(tuple(r) for r in state.collect())
+    assert got == bulk
