@@ -386,32 +386,65 @@ BLOOM_K = 7  # probes per key
 BLOOM_BITS = BLOOM_WORDS * BLOOM_BPW
 
 
-def _bloom_pos(value: Column, i: int) -> Column:
-    """Probe-i bit position of a value: md5-derived 60-bit hash under
-    the ':bloom:' seed family (engine-portable like token_hash60),
-    mod m bits."""
+def _bloom_hash(value: Column) -> Column:
+    """ONE engine-portable 60-bit hash per value under the 'bloom:'
+    seed; all k probe positions derive from it arithmetically
+    (Kirsch-Mitzenmacher double hashing: h1 = low 30 bits, stride
+    h2 = 2*(h >> 30) + 1 forced odd, pos_i = (h1 + i*h2) mod m; max
+    h1 + 6*h2 < 2^35, BIGINT-safe in both engines).
+
+    Why one hash instead of k seeded hashes, and why the callers wrap
+    it in a single-element ``transform`` lambda: Spark does NOT
+    eliminate common subexpressions inside a predicate, so an
+    expression that references the hash k times pays k md5+conv
+    evaluations per row — measured 12 s/2M rows vs 1.4 s for the
+    lambda-bound form (SCALE.md "bloom gate postmortem"). A transform
+    lambda's variable is evaluated once and referenced freely — the
+    only expression-level eval-once seam Spark offers."""
     from ..operators.simhash import token_hash60
 
-    return token_hash60(F.concat(F.lit(f"{i}:bloom:"), value)) % BLOOM_BITS
+    return token_hash60(F.concat(F.lit("bloom:"), value))
+
+
+def _bloom_positions(h: Column, words: int) -> list[Column]:
+    """The k probe bit positions from an ALREADY-EVALUATED hash column
+    (a transform lambda variable — see ``_bloom_hash``). NOTE the
+    geometry is part of the position domain: arrays built under
+    different ``words`` are different sketches and must never be
+    OR-merged (same rule as the LSH store's geometry fence)."""
+    bits_m = words * BLOOM_BPW
+    h1 = h % (1 << 30)
+    h2 = 2 * F.shiftright(h, 30) + 1
+    return [(h1 + F.lit(i).cast("long") * h2) % bits_m for i in range(BLOOM_K)]
 
 
 def bloom_word_rows(
-    df: DataFrame, value_col: str, group_cols: list[str] | tuple[str, ...] = ()
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    words: int = BLOOM_WORDS,
 ) -> DataFrame:
     """(group_cols..., word, bits): the Bloom bit array as plain rows —
-    at most BLOOM_WORDS rows per group regardless of input size, built
+    at most ``words`` rows per group regardless of input size, built
     by one map-side-combined BIT_OR aggregate over k stacked probe
     positions per occurrence (duplicate inserts are free: OR is
     idempotent, so no pre-distinct shuffle is ever needed). Persist per
     source/day and merge by ``groupBy(word).agg(bit_or(bits))`` — the
     same compose-without-rescanning contract as the other three
-    sketches."""
-    stacked = df.select(
-        *group_cols,
-        F.explode(
-            F.array(*[_bloom_pos(F.col(value_col), i) for i in range(BLOOM_K)])
-        ).alias("pos"),
-    ).select(
+    sketches.
+
+    Size ``words`` to the insert count: ~10-15 bits/key for sub-1% FP
+    (m = words·60 bits; FP ≈ (1 − e^(−k·n/m))^k). The default fits
+    ~4-6k keys; a million-gram benchmark suite wants words ≈ 2^17
+    (1 MB array — still a plan literal, still KB-per-task amortized)."""
+    posarr = F.element_at(
+        F.transform(
+            F.array(_bloom_hash(F.col(value_col))),
+            lambda h: F.array(*_bloom_positions(h, words)),
+        ),
+        1,
+    )
+    stacked = df.select(*group_cols, F.explode(posarr).alias("pos")).select(
         *group_cols,
         F.expr(f"CAST(pos DIV {BLOOM_BPW} AS INT)").alias("word"),
         # per-row shift amount -> through SQL text (the Python API's
@@ -432,33 +465,77 @@ def bloom_merge(*tables: DataFrame) -> DataFrame:
     return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
-def bloom_array(words: DataFrame) -> list[int]:
-    """Collect a (word, bits) table into a dense BLOOM_WORDS-long int
+def bloom_array(word_rows: DataFrame, words: int = BLOOM_WORDS) -> list[int]:
+    """Collect a (word, bits) table into a dense ``words``-long int
     list — the driver-side form ``bloom_member`` inlines as a plan
-    literal. Bounded by contract: the table never exceeds BLOOM_WORDS
-    rows (8 KB), the same bounded-collect license as
+    literal. Bounded by contract: the table never exceeds ``words``
+    rows, the same bounded-collect license as
     ``epoch_shuffle_positions``'s offset map."""
-    arr = [0] * BLOOM_WORDS
-    for r in words.select("word", "bits").collect():
+    arr = [0] * words
+    for r in word_rows.select("word", "bits").collect():
         arr[int(r["word"])] = int(r["bits"])
     return arr
 
 
+def _bloom_member_cond(arr_col: Column, value: Column, words: int) -> Column:
+    """Membership condition given the Bloom array as a COLUMN (literal
+    or broadcast-joined): one hash via the transform-lambda eval-once
+    seam (see ``_bloom_hash``), k arithmetic probes, k bit tests."""
+    pow2 = F.lit([1 << b for b in range(BLOOM_BPW)]).cast("array<bigint>")
+
+    def _member(h: Column) -> Column:
+        cond = None
+        for pos in _bloom_positions(h, words):
+            word_ix = F.floor(pos / BLOOM_BPW).cast("int") + 1  # 1-based
+            mask = F.element_at(pow2, (pos % BLOOM_BPW).cast("int") + 1)
+            ok = F.element_at(arr_col, word_ix).bitwiseAND(mask) != 0
+            cond = ok if cond is None else (cond & ok)
+        return cond
+
+    return F.element_at(F.transform(F.array(_bloom_hash(value)), _member), 1)
+
+
+# Literal arrays stop being cheap around here: element_at on a plan-
+# LITERAL array measured O(size)-ish per row (65k words = 8x the 1k
+# cost), while the same array as a broadcast COLUMN (UnsafeArrayData)
+# is O(1) — 65k words ran FASTER than the 1k literal. SCALE.md "bloom
+# gate postmortem" has the numbers.
+BLOOM_LITERAL_MAX_WORDS = 4096
+
+
 def bloom_member(value: Column, arr: list[int]) -> Column:
-    """Boolean membership test against an inlined Bloom array — a pure
-    ZERO-SHUFFLE, ZERO-JOIN projection: k md5 probes, k array lookups,
-    k bit tests, all map-side inside whole-stage codegen. This is the
-    100 TB gate shape: the sketch (8 KB) rides the plan itself, so
-    filtering a corpus costs exactly one scan with no exchange — vs a
-    probe-side join, which would shuffle k rows per input value.
-    False positives possible (rate above), false negatives never."""
-    arr_lit = F.array(*[F.lit(int(x)).cast("long") for x in arr])
-    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(BLOOM_BPW)])
-    cond = None
-    for i in range(BLOOM_K):
-        pos = _bloom_pos(value, i)
-        word_ix = F.floor(pos / BLOOM_BPW).cast("int") + 1  # element_at is 1-based
-        mask = F.element_at(pow2, (pos % BLOOM_BPW).cast("int") + 1)
-        ok = F.element_at(arr_lit, word_ix).bitwiseAND(mask) != 0
-        cond = ok if cond is None else (cond & ok)
-    return cond
+    """Boolean membership test against an INLINED Bloom array — a pure
+    ZERO-SHUFFLE, ZERO-JOIN projection: one md5 probe, k array lookups,
+    k bit tests, all map-side; the sketch rides the plan itself as ONE
+    ``F.lit(list)`` literal. False positives possible (rate above),
+    false negatives never.
+
+    Right for arrays up to ~``BLOOM_LITERAL_MAX_WORDS`` words; beyond
+    that, plan-literal element access costs O(words) per row (measured,
+    SCALE.md) — use ``bloom_filter_members``, which switches to a
+    broadcast-column array with O(1) access, still shuffle-free."""
+    arr_lit = F.lit([int(x) for x in arr]).cast("array<bigint>")
+    return _bloom_member_cond(arr_lit, value, len(arr))
+
+
+def bloom_filter_members(
+    df: DataFrame, value_col: str, arr: list[int], keep: bool = True
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``value_col`` tests Bloom-member
+    (``keep=True``) or non-member (``keep=False`` — the dedup/
+    decontamination drop direction). Auto-selects the array transport:
+    plan literal below ``BLOOM_LITERAL_MAX_WORDS`` (zero-join plan),
+    broadcast one-row frame above it (one broadcast of the array,
+    zero shuffle, O(1) element access) — both measured in SCALE.md."""
+    if len(arr) <= BLOOM_LITERAL_MAX_WORDS:
+        cond = bloom_member(F.col(value_col), arr)
+        return df.filter(cond if keep else ~cond)
+    side = df.sparkSession.createDataFrame(
+        [([int(x) for x in arr],)], "_bloom_arr: array<bigint>"
+    )
+    cond = _bloom_member_cond(F.col("_bloom_arr"), F.col(value_col), len(arr))
+    return (
+        df.crossJoin(F.broadcast(side))
+        .filter(cond if keep else ~cond)
+        .drop("_bloom_arr")
+    )

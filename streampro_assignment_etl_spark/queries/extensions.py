@@ -2502,21 +2502,28 @@ g AS (
   FROM s
 ),
 pr AS (SELECT i FROM range(7) t(i)),
+evh AS (
+  SELECT CAST('0x' || substr(md5('bloom:' || gram), 1, 15) AS BIGINT) AS h
+  FROM (SELECT gram FROM g WHERE doc_id % 7 = 0)
+),
 evp AS (
-  SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':bloom:' || gram), 1, 15)
-              AS BIGINT) % 61440 AS pos
-  FROM (SELECT gram FROM g WHERE doc_id % 7 = 0), pr
+  SELECT ((h % 1073741824) + i * (2 * (h // 1073741824) + 1)) % 61440 AS pos
+  FROM evh, pr
 ),
 bloom AS (
   SELECT CAST(pos // 60 AS INT) AS word,
          bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS bits
   FROM evp GROUP BY 1
 ),
+trh AS (
+  SELECT doc_id, gram,
+         CAST('0x' || substr(md5('bloom:' || gram), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+),
 trp AS (
   SELECT doc_id, gram,
-         CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':bloom:' || gram), 1, 15)
-              AS BIGINT) % 61440 AS pos
-  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0), pr
+         ((h % 1073741824) + i * (2 * (h // 1073741824) + 1)) % 61440 AS pos
+  FROM trh, pr
 ),
 member AS (
   SELECT doc_id, gram

@@ -318,3 +318,45 @@ def test_bloom_gate_supersets_exact_decontamination(spark):
     # bloom gate's output with at least as many flagged grams
     for doc_id, n in exact.items():
         assert bloom.get(doc_id, 0) >= n, (doc_id, n, bloom.get(doc_id))
+
+
+def test_bloom_broadcast_path_matches_literal_path(spark):
+    """bloom_filter_members' two array transports must agree exactly:
+    the plan-literal form (small arrays, joinless plan) and the
+    broadcast-column form (large arrays, O(1) element access) are the
+    same sketch algebra over different physical carriers."""
+    from streampro_assignment_etl_spark.functions.approx import (
+        _bloom_member_cond,
+        bloom_array,
+        bloom_filter_members,
+        bloom_member,
+        bloom_word_rows,
+    )
+
+    keys = spark.range(0, 400).select(
+        F.concat(F.lit("k-"), F.col("id").cast("string")).alias("v")
+    )
+    probes = spark.range(0, 4000).select(
+        F.concat(
+            F.when(F.col("id") % 3 == 0, "k-").otherwise("zz-"),
+            (F.col("id") % 700).cast("string"),
+        ).alias("v")
+    )
+    for words in (1024, 65536):  # literal route, then broadcast route
+        arr = bloom_array(bloom_word_rows(keys, "v", words=words), words=words)
+        via_filter = sorted(
+            r.v for r in bloom_filter_members(probes, "v", arr).collect()
+        )
+        side = spark.createDataFrame([(arr,)], "_bloom_arr: array<bigint>")
+        via_bcast = sorted(
+            r.v
+            for r in probes.crossJoin(F.broadcast(side))
+            .filter(_bloom_member_cond(F.col("_bloom_arr"), F.col("v"), words))
+            .collect()
+        )
+        via_lit = sorted(
+            r.v for r in probes.filter(bloom_member(F.col("v"), arr)).collect()
+        )
+        assert via_filter == via_bcast == via_lit
+        # all true members present regardless of transport
+        assert all(f"k-{i}" in via_lit for i in range(0, 400) if i % 700 == i)
