@@ -192,3 +192,25 @@ def test_read_media_dir_extensionless_in_dotted_dir(spark, tmp_path):
     assert set(rows) == {"binary", "image"}
     assert rows["binary"]["meta"]["mime"] == "application/octet-stream"
     assert rows["image"]["meta"]["mime"] == "image/png"
+
+
+def test_extract_features_arrow_bit_equal_to_pandas(spark):
+    """The mapInArrow twin must produce exactly the rows of the
+    mapInPandas featurizer — same histogram floats, same byte counts —
+    so transport choice can never change results."""
+    from streampro_assignment_etl_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=48).persist()
+    via_pandas = sorted(
+        tuple(r) for r in extract_features(media, partitions=4).collect()
+    )
+    via_arrow = sorted(
+        tuple(r) for r in extract_features_arrow(media, partitions=4).collect()
+    )
+    media.unpersist()
+    assert via_arrow == via_pandas
+    assert len(via_arrow) == 48
