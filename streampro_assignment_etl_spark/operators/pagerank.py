@@ -1,0 +1,119 @@
+"""Weighted PageRank over an edge list — the iterative-join pattern
+beyond connected components' star contraction (operators/components.py):
+a fixed number of join→aggregate rounds over a (src, dst, w) frame,
+lineage-truncated per round so plan depth stays constant.
+
+Published technique (Page, Brin, Motwani, Winograd 1999) with edge
+weights: r_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} r_t(u)·w_uv/outw_u + D_t/N)
+where D_t is the dangling mass (rank held by nodes with no out-edges),
+redistributed uniformly.
+
+Training-data relevance: domain/source ranking for crawl and curation
+prioritization — the graph is usually domains with hyperlink counts;
+here the test workload derives an event-type transition graph, but the
+operator is size-generic: every step is a key join or aggregate over
+the EDGE list, the rank frame is one row per node, and nothing ever
+collects to the driver (the dangling mass is a 1-row aggregate that
+rides the plan via a broadcast cross join).
+
+Cross-engine determinism (the oracle replays iterations unrolled in
+SQL): each contribution is computed as one fixed-shape DOUBLE
+expression — IEEE ops are deterministic, so both engines produce the
+SAME double — then cast to DECIMAL(28,18) so the per-node SUM is
+order-independent (the BM25 trick, queries/extensions.py); the rank
+update recombines in a fixed parenthesization. Reference parity: the
+reference has no graph surface at all (pandas + SQL clients); this
+extends the repo's additive north-star inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import _truncate_lineage
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """(node, rank) after ``iters`` rounds from a uniform start.
+
+    ``edges``: (src, dst, w) with w > 0; multi-edges allowed (weights
+    add). Ranks sum to 1 at every iteration (dangling mass is
+    redistributed, test-pinned). The returned rank is the raw DOUBLE —
+    bit-identical across engines because every step's arithmetic is a
+    fixed-shape IEEE expression and the only order-sensitive ops (the
+    per-node sums) go through exact decimals.
+    """
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.unionByName(dst_nodes).distinct()
+    # One count job: N is a scalar in every engine's formulation.
+    n = nodes.count()
+    outw = edges.groupBy("src").agg(
+        F.sum("w").cast("double").alias("outw")
+    )
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    for _ in range(iters):
+        # dangling mass: 1-row frame, rides the plan via broadcast
+        # cross join — no driver collect inside the loop
+        dangling = (
+            ranks.join(
+                outw.withColumnRenamed("src", "node"), "node", "left_anti"
+            )
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("r"), 9).cast("decimal(28,9)")),
+                    F.lit(0),
+                )
+                .cast("double")
+                .alias("dm")
+            )
+        )
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                "dst",
+                # ROUND to scale 9 BEFORE the decimal cast: Spark's
+                # double→decimal goes through Java's shortest-repr
+                # string while DuckDB rounds the exact binary value —
+                # at scale 18 they disagree in the last digit (ulp
+                # drift compounds per iteration, observed in parity);
+                # at scale 9 both engines round the same double to the
+                # same decimal (the BM25 contribution trick, scale 6)
+                F.round(
+                    F.lit(damping)
+                    * F.col("r")
+                    * F.col("w").cast("double")
+                    / F.col("outw"),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (
+                        F.lit((1.0 - damping) / float(n))
+                        + F.coalesce(F.col("cs").cast("double"), F.lit(0.0))
+                    )
+                    + (F.lit(damping) * F.col("dm")) / F.lit(float(n))
+                ).alias("r"),
+            )
+        )
+        ranks = _truncate_lineage(ranks)
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -2574,3 +2574,89 @@ def bloom_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank (operators/pagerank.py) over the event-type
+# transition graph — the iterative join→aggregate pattern, driver face.
+# ---------------------------------------------------------------------------
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration as SQL CTEs (d<i>/c<i>/r<i+1>),
+    expression-shape-identical to weighted_pagerank's Spark columns."""
+    return f"""
+d{i} AS (
+  SELECT CAST(COALESCE(SUM(CAST(ROUND(r, 9) AS DECIMAL(28,9))), 0)
+              AS DOUBLE) AS dm
+  FROM r{i} WHERE node NOT IN (SELECT src FROM outw)
+),
+c{i} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(ROUND(CAST(0.85 AS DOUBLE) * r.r * CAST(e.w AS DOUBLE)
+                        / o.outw, 9) AS DECIMAL(28,9))) AS cs
+  FROM edges e JOIN outw o ON e.src = o.src JOIN r{i} r ON e.src = r.node
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT nd.node,
+         ((1 - CAST(0.85 AS DOUBLE)) / n
+          + COALESCE(CAST(c{i}.cs AS DOUBLE), 0))
+         + (CAST(0.85 AS DOUBLE) * d{i}.dm) / n AS r
+  FROM nodes nd LEFT JOIN c{i} ON nd.node = c{i}.node, nn, d{i}
+)"""
+
+
+@query(
+    "pagerank_event_transitions",
+    extra=True,
+    tags=("graph", "iterative", "llm-pipeline"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+),
+edges AS (
+  SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outw AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS outw FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS r FROM nodes, nn),
+{_pagerank_iter_sql(0)},
+{_pagerank_iter_sql(1)},
+{_pagerank_iter_sql(2)}
+SELECT node, r AS rank
+FROM r3 ORDER BY node
+""",
+)
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (edge
+    u→v weighted by how often v follows u within a user's timeline):
+    which event type is the behavioral attention sink. The graph
+    derivation is the scale-bearing stage — one window over the events
+    table, edges aggregate to |types|² rows — and the rank loop is the
+    generic ``weighted_pagerank`` operator (domain-graph sized in
+    production: rank/outw frames one row per node, every step a key
+    join or aggregate, dangling mass a 1-row broadcast — nothing
+    driver-side in the loop). Oracle unrolls the 3 iterations as CTEs
+    with bit-matched arithmetic: contributions are fixed-shape DOUBLE
+    expressions cast to DECIMAL(28,18) before the order-free SUM, and
+    the recombine keeps one parenthesization — so the final DOUBLE is
+    bit-identical across engines and hashes raw."""
+    from pyspark.sql import Window
+
+    from ..operators.pagerank import weighted_pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return weighted_pagerank(edges).orderBy("node")

@@ -2124,3 +2124,37 @@ def test_embedding_diversity_sample_flattens_density(spark):
     assert per_cell["cell_n"].max() > _DIVERSITY_CAP  # the cap binds somewhere
     spread = lambda s: s.max() / s.min()  # noqa: E731
     assert spread(per_cell["kept"]) < spread(per_cell["cell_n"])
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank (operators/pagerank.py): structural invariants.
+# ---------------------------------------------------------------------------
+def test_pagerank_mass_hub_and_dangling(spark):
+    """(1) Ranks always sum to 1 (dangling mass redistributed, not
+    lost); (2) the node every edge points AT outranks the spokes; (3)
+    edge WEIGHTS matter (heavier in-edge -> higher rank); (4) a sink
+    node (no out-edges) is handled without dropping mass."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    # star INTO 'hub' + a dangling sink fed by the hub
+    edges = spark.createDataFrame(
+        [
+            ("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1),
+            ("hub", "sink", 1),
+            # weight asymmetry: d -> a heavy, d -> b light
+            ("d", "a", 9), ("d", "b", 1),
+        ],
+        ["src", "dst", "w"],
+    )
+    ranks = {
+        r.node: float(r.rank)
+        for r in weighted_pagerank(edges, iters=6).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6, ranks
+    assert ranks["hub"] > max(ranks["a"], ranks["b"], ranks["c"]), ranks
+    assert ranks["a"] > ranks["b"], "edge weight must bias rank"
+    assert ranks["sink"] > 0 and abs(sum(ranks.values()) - 1.0) < 1e-6
