@@ -1949,3 +1949,91 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anchor algebra in SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return phrase_match_positions(spark, docs, _PHRASES)
+
+
+@query(
+    "decontaminate_quoted_spans",
+    extra=True,
+    tags=("decontamination", "retrieval", "positions", "llm-pipeline"),
+    oracle="""
+WITH ev AS (
+  SELECT doc_id AS span_id, string_split(text, ' ')[1:8] AS terms
+  FROM documents
+  WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 8
+),
+pf AS (
+  SELECT span_id, generate_subscripts(terms, 1) - 1 AS term_idx,
+         unnest(terms) AS term
+  FROM ev
+),
+toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id % 7 <> 0
+),
+anchors AS (
+  SELECT pf.span_id, t.doc_id, t.pos - pf.term_idx AS anchor
+  FROM toks t JOIN pf USING (term)
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) = 8
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_quoted_spans,
+       CAST(COUNT(DISTINCT span_id) AS BIGINT) AS n_eval_docs
+FROM anchors
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def decontaminate_quoted_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-span decontamination: the DATA-DRIVEN generalization of
+    ``phrase_match_positions`` — every eval doc's leading 8-word span
+    becomes a search phrase, and training docs containing any span
+    CONSECUTIVELY are flagged with occurrence counts. This is the
+    check shingle-overlap decontamination can't express: an exact
+    quotation is positional, and a doc can share many 5-grams without
+    quoting (or quote with zero distinct-5-gram margin over chance).
+
+    Same anchor-vote plan as the fixed-phrase form: the span frame
+    (8 rows per eval doc — KB-scale against any corpus) broadcasts,
+    non-span terms die map-side, one groupBy(span, doc, anchor) over
+    candidate votes. Votes are unique by construction (a token row
+    matches span term i at one position), so COUNT(*) == 8 detects a
+    full match without the distinct rewrite. At 100 TB the eval side
+    is benchmark suites — if the span frame outgrows broadcast, the
+    same gate composes with the Bloom path (``bloom_decontaminate_
+    gate``) as a pre-filter on first-span-terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ev = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("span_id"),
+            F.slice(words, 1, 8).alias("terms"),
+        )
+        .filter(F.size("terms") >= 8)
+    )
+    pf = ev.select(
+        "span_id", F.posexplode("terms").alias("term_idx", "term")
+    )
+    toks = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.posexplode(words).alias("pos", "term")
+    )
+    anchors = (
+        toks.join(F.broadcast(pf), "term")
+        .groupBy(
+            "span_id",
+            "doc_id",
+            (F.col("pos") - F.col("term_idx")).alias("anchor"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 8)
+    )
+    return (
+        anchors.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_quoted_spans"),
+            F.countDistinct("span_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )

@@ -613,3 +613,39 @@ def test_phrase_search_adjacency_and_overlap(spark):
         ("b a", 4): (2, 0),
         ("x x", 2): (2, 0),  # overlapping occurrences both count
     }
+
+
+def test_quoted_span_requires_exact_consecutive_match(spark):
+    """The quoted-span gate is positional: a training doc with one
+    word changed inside the span, or the span's words shuffled, must
+    NOT match; a verbatim quotation anywhere in the doc must."""
+    from streampro_assignment_etl_spark.queries.catalog import EXTRAS as _E
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = spark.createDataFrame(
+        [
+            (0, span + " tail words here"),            # eval doc (0 % 7 == 0)
+            (1, "prefix " + span + " suffix"),         # verbatim quote -> flag
+            (2, "prefix s1 s2 s3 s4 XX s6 s7 s8 end"), # one word off -> no
+            (3, "s8 s7 s6 s5 s4 s3 s2 s1"),            # all words, wrong order
+            (4, span + " " + span),                    # quotes it twice
+        ],
+        ["doc_id", "text"],
+    )
+    docs.createOrReplaceTempView("___qspan_docs")
+    from streampro_assignment_etl_spark.queries.corpus_ops import (
+        decontaminate_quoted_spans,
+    )
+    import streampro_assignment_etl_spark.queries.corpus_ops as co
+
+    # drive the builder body directly on the fixture frame
+    orig = co.load_table
+    try:
+        co.load_table = lambda spark_, sf_, name_: docs
+        got = {
+            r.doc_id: (r.n_quoted_spans, r.n_eval_docs)
+            for r in decontaminate_quoted_spans(spark, "ignored").collect()
+        }
+    finally:
+        co.load_table = orig
+    assert got == {1: (1, 1), 4: (2, 1)}, got
