@@ -51,6 +51,11 @@ def weighted_pagerank(
     fixed-shape IEEE expression and the only order-sensitive ops (the
     per-node sums) go through exact decimals.
     """
+    # Truncate the EDGE lineage once at entry: every iteration joins
+    # edges, so an expensive derivation upstream (e.g. the 1M-event
+    # window that builds the transition graph) would otherwise re-run
+    # per round — measured 35 s → ~13 s at sf1 for 3 rounds.
+    edges = _truncate_lineage(edges.select("src", "dst", "w"))
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
     nodes = src_nodes.unionByName(dst_nodes).distinct()

@@ -1957,80 +1957,73 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("decontamination", "retrieval", "positions", "llm-pipeline"),
     oracle="""
 WITH ev AS (
-  SELECT doc_id AS span_id, string_split(text, ' ')[1:8] AS terms
+  SELECT doc_id AS span_id,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS span_text
   FROM documents
   WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 8
 ),
-pf AS (
-  SELECT span_id, generate_subscripts(terms, 1) - 1 AS term_idx,
-         unnest(terms) AS term
-  FROM ev
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 7, 0)),
+           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 7 <> 0)
 ),
-toks AS (
-  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-         unnest(string_split(text, ' ')) AS term
-  FROM documents WHERE doc_id % 7 <> 0
-),
-anchors AS (
-  SELECT pf.span_id, t.doc_id, t.pos - pf.term_idx AS anchor
-  FROM toks t JOIN pf USING (term)
-  GROUP BY 1, 2, 3
-  HAVING COUNT(*) = 8
+hits AS (
+  SELECT g.doc_id, ev.span_id
+  FROM g JOIN ev ON g.gram = ev.span_text
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_quoted_spans,
        CAST(COUNT(DISTINCT span_id) AS BIGINT) AS n_eval_docs
-FROM anchors
+FROM hits
 GROUP BY doc_id
 ORDER BY doc_id
 """,
 )
 def decontaminate_quoted_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quoted-span decontamination: the DATA-DRIVEN generalization of
-    ``phrase_match_positions`` — every eval doc's leading 8-word span
-    becomes a search phrase, and training docs containing any span
-    CONSECUTIVELY are flagged with occurrence counts. This is the
-    check shingle-overlap decontamination can't express: an exact
-    quotation is positional, and a doc can share many 5-grams without
-    quoting (or quote with zero distinct-5-gram margin over chance).
+    """Quoted-span decontamination: every eval doc's leading 8-word
+    span searched VERBATIM in training docs (consecutive words, with
+    occurrence and eval-doc counts) — the exact-quotation check
+    shingle OVERLAP can't express.
 
-    Same anchor-vote plan as the fixed-phrase form: the span frame
-    (8 rows per eval doc — KB-scale against any corpus) broadcasts,
-    non-span terms die map-side, one groupBy(span, doc, anchor) over
-    candidate votes. Votes are unique by construction (a token row
-    matches span term i at one position), so COUNT(*) == 8 detects a
-    full match without the distinct rewrite. At 100 TB the eval side
-    is benchmark suites — if the span frame outgrows broadcast, the
-    same gate composes with the Bloom path (``bloom_decontaminate_
-    gate``) as a pre-filter on first-span-terms."""
+    Plan: sliding 8-gram equi-join. Training docs explode to their
+    word 8-grams (``shingles_from_words`` — the span-dedup machinery);
+    the span frame (ONE row per eval doc, KB against any corpus)
+    broadcasts; candidates are exact gram==span matches only. This
+    REPLACED an anchor-vote design (the ``phrase_match_positions``
+    shape) after an sf1 measurement: with a fixed span length the
+    anchor join's key is a bare TERM, and on a small/stop-wordy
+    vocabulary nearly every token matches thousands of span-term rows
+    — the candidate frame exploded to billions of votes and the job
+    ran >10 min where this plan takes seconds. Anchor votes remain the
+    right shape for VARIABLE-length phrase queries (where materializing
+    every n-gram per phrase length is the blowup instead); fixed-length
+    span search is a gram equi-join. Overlapping quotes count
+    separately (one row per matching position)."""
+    from ..operators.minhash import shingles_from_words
+
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     ev = (
         docs.filter(F.col("doc_id") % 7 == 0)
         .select(
             F.col("doc_id").alias("span_id"),
-            F.slice(words, 1, 8).alias("terms"),
+            F.array_join(F.slice(words, 1, 8), " ").alias("span_text"),
         )
-        .filter(F.size("terms") >= 8)
+        .filter(F.size(words) >= 8)
     )
-    pf = ev.select(
-        "span_id", F.posexplode("terms").alias("term_idx", "term")
+    grams = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.explode(shingles_from_words(words, 8, distinct=False)).alias("gram"),
     )
-    toks = docs.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id", F.posexplode(words).alias("pos", "term")
-    )
-    anchors = (
-        toks.join(F.broadcast(pf), "term")
-        .groupBy(
-            "span_id",
-            "doc_id",
-            (F.col("pos") - F.col("term_idx")).alias("anchor"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") == 8)
+    hits = grams.join(
+        F.broadcast(ev), grams["gram"] == ev["span_text"]
     )
     return (
-        anchors.groupBy("doc_id")
+        hits.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_quoted_spans"),
             F.countDistinct("span_id").alias("n_eval_docs"),
