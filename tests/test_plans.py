@@ -540,3 +540,19 @@ def test_scd2_pit_join_is_keyed_not_cartesian(spark):
     plan = plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_quoted_span_gate_plan_broadcasts_spans(spark):
+    """decontaminate_quoted_spans' rewrite pin (SCALE.md quoted-span
+    postmortem): the span frame must BROADCAST into a hash equi-join
+    on the full 8-gram — two scans of documents (spans + grams), no
+    shuffle of the exploded gram stream before the join, ≤3 exchanges
+    total (doc rollup, countDistinct's distinct rewrite over the tiny
+    FLAGGED set, presentation sort — everything post-join is
+    match-proportional, never corpus-proportional)."""
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    df = EXTRAS["decontaminate_quoted_spans"].builder(spark, SF)
+    assert parquet_scan_count(df) == 2
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 3
