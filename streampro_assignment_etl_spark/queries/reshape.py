@@ -531,18 +531,23 @@ def scd2_apply_changes(existing: DataFrame, changes: DataFrame) -> DataFrame:
     log entries carry tiebreak −1 so they sort ahead of any batch
     change at an equal ts.
 
-    Convergence-to-bulk contract (hypothesis-pinned): the table records
-    run STARTS only, so a continuation collapsed inside one batch is
-    unrecoverable if a later batch backfills strictly between that
-    run's start and the dropped continuation. Sequential applies
-    therefore converge to the bulk build whenever no batch's changes
-    land strictly inside the time span of another single batch for the
-    same key — in particular, for TIME-CONTIGUOUS blocks arriving in
-    ANY order (the file-landing-wave shape the streaming sink sees).
-    An interleaving backfill still yields the correct history with
-    respect to the RECORDED intervals (the mid-interval splice case,
-    unit-pinned); it simply cannot resurrect what the record never
-    kept — the same answer any SCD-2 store can give.
+    Convergence-to-bulk contract (hypothesis-pinned, twice refined by
+    falsifying examples): the table records run STARTS only, so
+    information already collapsed away cannot be resurrected. Two
+    distinct loss modes exist — a continuation collapsed WITHIN a
+    batch is lost to any later backfill landing inside its run, and a
+    run start collapsed ACROSS batches (same status flanking a time
+    gap) is lost to any later batch landing inside that gap.
+    Sequential applies therefore converge to the bulk build when the
+    batches are TIME-CONTIGUOUS blocks arriving in a SPAN-ADJACENT
+    order: each batch lands entirely after or entirely before
+    everything applied so far (append, or full backfill — the applied
+    span stays one contiguous window). That is exactly the shape
+    file-landing waves have. A batch that lands strictly INSIDE the
+    covered span still yields the correct history with respect to the
+    RECORDED intervals (the mid-interval splice case, unit-pinned); it
+    simply cannot resurrect what the record never kept — the same
+    answer any SCD-2 store can give.
 
     Scale shape: ``affected`` is a distinct over the BATCH (KB-scale,
     broadcast); untouched rows move through one broadcast anti-join

