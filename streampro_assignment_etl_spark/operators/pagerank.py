@@ -41,6 +41,7 @@ def weighted_pagerank(
     edges: DataFrame,
     iters: int = PAGERANK_ITERS,
     damping: float = PAGERANK_DAMPING,
+    restart: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` rounds from a uniform start.
 
@@ -50,6 +51,17 @@ def weighted_pagerank(
     bit-identical across engines because every step's arithmetic is a
     fixed-shape IEEE expression and the only order-sensitive ops (the
     per-node sums) go through exact decimals.
+
+    ``restart``: optional (node, weight) frame of non-negative weights
+    → PERSONALIZED PageRank (teleport lands on the restart
+    distribution instead of uniform; weights are normalized here).
+    The curation use: seed the restart with trusted sources/domains
+    and rank the graph by proximity to them (random walk with
+    restarts). Nodes absent from ``restart`` get teleport weight 0 —
+    they are ranked purely by inbound walks. Dangling mass also
+    redistributes by the restart vector, keeping total mass 1
+    (test-pinned). The restart frame is node-sized, joined once per
+    iteration on the node key like every other per-node frame.
     """
     # Truncate the EDGE lineage once at entry: every iteration joins
     # edges, so an expensive derivation upstream (e.g. the 1M-event
@@ -64,7 +76,32 @@ def weighted_pagerank(
     outw = edges.groupBy("src").agg(
         F.sum("w").cast("double").alias("outw")
     )
-    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    if restart is not None:
+        # normalize the teleport distribution once; absent nodes get 0
+        total = restart.agg(
+            F.sum(F.col("weight").cast("double")).alias("t")
+        )
+        tele = (
+            nodes.join(
+                restart.select("node", F.col("weight").cast("double")),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                (F.coalesce(F.col("weight"), F.lit(0.0)) / F.col("t")).alias(
+                    "tw"
+                ),
+            )
+        )
+        tele = _truncate_lineage(tele)
+        ranks = tele.select("node", F.col("tw").alias("r"))
+    else:
+        tele = None
+        ranks = nodes.select(
+            "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
+        )
     for _ in range(iters):
         # dangling mass: 1-row frame, rides the plan via broadcast
         # cross join — no driver collect inside the loop
@@ -106,10 +143,22 @@ def weighted_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("cs"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+        joined = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).crossJoin(F.broadcast(dangling))
+        if tele is not None:
+            ranks = joined.join(tele, "node").select(
+                "node",
+                (
+                    (
+                        F.lit(1.0 - damping) * F.col("tw")
+                        + F.coalesce(F.col("cs").cast("double"), F.lit(0.0))
+                    )
+                    + F.lit(damping) * F.col("dm") * F.col("tw")
+                ).alias("r"),
+            )
+        else:
+            ranks = joined.select(
                 "node",
                 (
                     (
@@ -119,6 +168,5 @@ def weighted_pagerank(
                     + (F.lit(damping) * F.col("dm")) / F.lit(float(n))
                 ).alias("r"),
             )
-        )
         ranks = _truncate_lineage(ranks)
     return ranks.select("node", F.col("r").alias("rank"))

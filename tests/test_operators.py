@@ -2158,3 +2158,42 @@ def test_pagerank_mass_hub_and_dangling(spark):
     assert ranks["hub"] > max(ranks["a"], ranks["b"], ranks["c"]), ranks
     assert ranks["a"] > ranks["b"], "edge weight must bias rank"
     assert ranks["sink"] > 0 and abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_personalized_pagerank_localizes_near_seed(spark):
+    """Personalized PageRank: teleport concentrated on one seed must
+    (1) keep total mass 1, (2) rank the seed and its out-neighborhood
+    above far nodes, (3) give an unreachable node with zero teleport
+    weight rank 0, and (4) redistribute dangling mass to the SEED, not
+    uniformly."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    # chain seed -> a -> b (b dangling); isolated pair x -> y
+    edges = spark.createDataFrame(
+        [("seed", "a", 1), ("a", "b", 1), ("x", "y", 1)],
+        ["src", "dst", "w"],
+    )
+    restart = spark.createDataFrame([("seed", 1.0)], ["node", "weight"])
+    # damping 0.5: the walk's geometric decay dominates the seed->a->b
+    # 3-cycle quickly (0.85 at few iters still oscillates phase mass
+    # onto b; the fixed point's ordering is the same either way)
+    ranks = {
+        r.node: float(r.rank)
+        for r in weighted_pagerank(
+            edges, iters=12, damping=0.5, restart=restart
+        ).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6, ranks
+    assert ranks["seed"] > ranks["a"] > ranks["b"] > 0, ranks
+    # x never receives teleport and nothing walks into it
+    assert ranks["x"] == 0.0 and ranks["y"] == 0.0, ranks
+    # uniform run for contrast: x/y hold mass there
+    uni = {
+        r.node: float(r.rank)
+        for r in weighted_pagerank(edges, iters=8).collect()
+    }
+    assert uni["x"] > 0 and uni["y"] > 0
