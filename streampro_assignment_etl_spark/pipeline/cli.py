@@ -234,6 +234,31 @@ def build_parser() -> argparse.ArgumentParser:
         "exceeds this (fragmentation threshold)",
     )
     dd.add_argument("--debug", action="store_true")
+
+    s2 = sub.add_parser(
+        "scd2",
+        help="SCD Type-2 dimension maintenance (queries/reshape.py): "
+        "bulk-build a history table from a change log, apply an "
+        "incremental change batch, or report table stats",
+    )
+    s2.add_argument("action", choices=["init", "apply", "stats"])
+    s2.add_argument("--target", required=True, help="Dimension table dir")
+    s2.add_argument(
+        "--changes", help="Change-log parquet dir/file (init/apply)"
+    )
+    s2.add_argument(
+        "--key-col", default="user_id", help="Dimension key column"
+    )
+    s2.add_argument("--status-col", default="status")
+    s2.add_argument(
+        "--ts-col", default="ts_us", help="Change time column (BIGINT µs)"
+    )
+    s2.add_argument(
+        "--id-col",
+        default="change_id",
+        help="Tiebreak column for equal-ts changes",
+    )
+    s2.add_argument("--debug", action="store_true")
     return p
 
 
@@ -260,6 +285,66 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         format="%(asctime)s %(levelname)-7s %(name)s %(message)s",
         stream=sys.stdout,
     )
+
+    if args.command == "scd2":
+        import json as _json
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from ..queries.reshape import scd2_apply_changes, scd2_from_log
+        from ..session import get_spark
+        from .writers import _staged_swap, require_local_path
+
+        spark = get_spark("streampro-scd2")
+        root = require_local_path(args.target, "scd2")
+
+        def _read_changes():
+            return spark.read.parquet(args.changes).select(
+                F.col(args.key_col).alias("user_id"),
+                F.col(args.status_col).alias("status"),
+                F.col(args.ts_col).cast("long").alias("ts_us"),
+                F.col(args.id_col).cast("long").alias("change_id"),
+            ).dropDuplicates(["user_id", "ts_us"])
+
+        if args.action == "stats":
+            dim = spark.read.parquet(str(root))
+            print(_json.dumps({
+                "action": "stats",
+                "rows": dim.count(),
+                "keys": dim.select("user_id").distinct().count(),
+                "open_rows": dim.filter(F.col("is_current")).count(),
+            }))
+            return 0
+        if not args.changes:
+            print(f"{args.action} requires --changes", file=sys.stderr)
+            return 2
+        if args.action == "init":
+            if root.exists():
+                print(f"target exists: {root} (use apply)", file=sys.stderr)
+                return 2
+            staging = root.parent / f".{root.name}.boot-{uuid.uuid4().hex[:8]}"
+            scd2_from_log(_read_changes(), "change_id").write.mode(
+                "overwrite"
+            ).parquet(str(staging))
+            root.parent.mkdir(parents=True, exist_ok=True)
+            staging.rename(root)
+        else:  # apply
+            if not root.exists():
+                print(f"target missing: {root} (use init)", file=sys.stderr)
+                return 2
+            existing = spark.read.parquet(str(root))
+            merged = scd2_apply_changes(existing, _read_changes())
+            staging = root.parent / f".{root.name}.scd2-{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(str(staging))
+            _staged_swap(root, staging)
+        dim = spark.read.parquet(str(root))
+        print(_json.dumps({
+            "action": args.action,
+            "rows": dim.count(),
+            "open_rows": dim.filter(F.col("is_current")).count(),
+        }))
+        return 0
 
     if args.command == "dedup":
         import json as _json

@@ -1441,3 +1441,50 @@ def test_view_registration_propagates_unexpected_errors(spark, lake, monkeypatch
                 tables_created=["trusted_users"],
             )
         )
+
+
+def test_cli_scd2_lifecycle(spark, tmp_path, capsys):
+    """scd2 CLI runbook: init the dimension from the pre-cutoff change
+    log, apply the post-cutoff batch, and the table must equal the bulk
+    SCD-2 over all events; stats reports rows/keys/open rows; apply on
+    a missing target and init on an existing one fail loudly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.pipeline.cli import main
+    from streampro_assignment_etl_spark.queries import EXTRAS
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("change_id"),
+    )
+    cut = 1_705_795_200_000_000
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    ev.filter(F.col("ts_us") < cut).write.parquet(old_p)
+    ev.filter(F.col("ts_us") >= cut).write.parquet(new_p)
+    target = str(tmp_path / "dim")
+
+    assert main(["scd2", "apply", "--target", target, "--changes", new_p]) == 2
+    assert main(["scd2", "init", "--target", target, "--changes", old_p]) == 0
+    assert main(["scd2", "init", "--target", target, "--changes", old_p]) == 2
+    assert main(["scd2", "apply", "--target", target, "--changes", new_p]) == 0
+    assert main(["scd2", "stats", "--target", target]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["open_rows"] == stats["keys"]
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(target)
+        .select("user_id", "status", "valid_from_us", "valid_to_us", "is_current")
+        .collect()
+    )
+    bulk = sorted(
+        tuple(r)
+        for r in EXTRAS["scd2_user_type_history"].builder(spark, sf).collect()
+    )
+    assert got == bulk
