@@ -19,9 +19,12 @@ rides the plan via a broadcast cross join).
 Cross-engine determinism (the oracle replays iterations unrolled in
 SQL): each contribution is computed as one fixed-shape DOUBLE
 expression — IEEE ops are deterministic, so both engines produce the
-SAME double — then cast to DECIMAL(28,18) so the per-node SUM is
-order-independent (the BM25 trick, queries/extensions.py); the rank
-update recombines in a fixed parenthesization. Reference parity: the
+SAME double — then ROUND(·, 9) and cast to DECIMAL(28,9) so the
+per-node SUM is order-independent (the BM25 trick,
+queries/extensions.py; scale 9 because at scale 18 Spark's
+string-mediated double→decimal and DuckDB's binary rounding disagree
+in the last digit); the rank update recombines in a fixed
+parenthesization. Reference parity: the
 reference has no graph surface at all (pandas + SQL clients); this
 extends the repo's additive north-star inventory.
 """
@@ -54,14 +57,22 @@ def weighted_pagerank(
 
     ``restart``: optional (node, weight) frame of non-negative weights
     → PERSONALIZED PageRank (teleport lands on the restart
-    distribution instead of uniform; weights are normalized here).
-    The curation use: seed the restart with trusted sources/domains
-    and rank the graph by proximity to them (random walk with
-    restarts). Nodes absent from ``restart`` get teleport weight 0 —
-    they are ranked purely by inbound walks. Dangling mass also
-    redistributes by the restart vector, keeping total mass 1
-    (test-pinned). The restart frame is node-sized, joined once per
-    iteration on the node key like every other per-node frame.
+    distribution instead of uniform; weights are normalized here
+    OVER THE GRAPH'S NODE SET — restart rows naming nodes absent from
+    the edge list carry no teleport mass, so retained ranks still sum
+    to 1, test-pinned). The curation use: seed the restart with
+    trusted sources/domains and rank the graph by proximity to them
+    (random walk with restarts). Nodes absent from ``restart`` get
+    teleport weight 0 — they are ranked purely by inbound walks.
+    Dangling mass also redistributes by the restart vector, keeping
+    total mass 1 (test-pinned). The restart frame is node-sized,
+    joined once per iteration on the node key like every other
+    per-node frame.
+
+    Raises ``ValueError`` on an empty edge list (no nodes to rank) and
+    on a degenerate restart vector (empty, all-zero, or naming only
+    nodes outside the graph) — a silent NULL-rank result would be the
+    non-ANSI-division alternative.
     """
     # Truncate the EDGE lineage once at entry: every iteration joins
     # edges, so an expensive derivation upstream (e.g. the 1M-event
@@ -73,27 +84,39 @@ def weighted_pagerank(
     nodes = src_nodes.unionByName(dst_nodes).distinct()
     # One count job: N is a scalar in every engine's formulation.
     n = nodes.count()
+    if n == 0:
+        raise ValueError(
+            "weighted_pagerank: empty edge list — no nodes to rank"
+        )
     outw = edges.groupBy("src").agg(
         F.sum("w").cast("double").alias("outw")
     )
     if restart is not None:
-        # normalize the teleport distribution once; absent nodes get 0
-        total = restart.agg(
-            F.sum(F.col("weight").cast("double")).alias("t")
+        # Normalize the teleport distribution once, over the GRAPH's
+        # node set: restart rows for nodes absent from the edge list
+        # must not inflate the total (retained ranks would silently
+        # sum to <1). The total is a 1-row aggregate collected once at
+        # build time — same cost class as nodes.count() above, never
+        # inside the iteration loop.
+        rst = restart.select(
+            "node", F.col("weight").cast("double").alias("weight")
         )
-        tele = (
-            nodes.join(
-                restart.select("node", F.col("weight").cast("double")),
-                "node",
-                "left",
+        t_row = rst.join(nodes, "node").agg(
+            F.sum("weight").alias("t")
+        ).first()
+        t = float(t_row["t"]) if t_row["t"] is not None else 0.0
+        if t <= 0.0:
+            raise ValueError(
+                "weighted_pagerank: restart vector carries no teleport "
+                "mass over the graph's nodes (empty frame, all-zero "
+                "weights, or every restart node absent from the edge "
+                "list)"
             )
-            .crossJoin(F.broadcast(total))
-            .select(
-                "node",
-                (F.coalesce(F.col("weight"), F.lit(0.0)) / F.col("t")).alias(
-                    "tw"
-                ),
-            )
+        tele = nodes.join(rst, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("weight"), F.lit(0.0)) / F.lit(t)).alias(
+                "tw"
+            ),
         )
         tele = _truncate_lineage(tele)
         ranks = tele.select("node", F.col("tw").alias("r"))

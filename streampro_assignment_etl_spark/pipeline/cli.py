@@ -299,6 +299,30 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         spark = get_spark("streampro-scd2")
         root = require_local_path(args.target, "scd2")
 
+        # The operator works in canonical (user_id, status, ts_us)
+        # terms; the STORED table keeps the user's own --key-col/
+        # --status-col names (ADVICE r13: a dimension keyed on another
+        # column was silently renamed on disk). Interval columns are
+        # always valid_from_us/valid_to_us/is_current — derived here,
+        # not taken from the input.
+        def _to_canonical(dim):
+            return dim.select(
+                F.col(args.key_col).alias("user_id"),
+                F.col(args.status_col).alias("status"),
+                "valid_from_us",
+                "valid_to_us",
+                "is_current",
+            )
+
+        def _from_canonical(dim):
+            return dim.select(
+                F.col("user_id").alias(args.key_col),
+                F.col("status").alias(args.status_col),
+                "valid_from_us",
+                "valid_to_us",
+                "is_current",
+            )
+
         def _read_changes():
             return spark.read.parquet(args.changes).select(
                 F.col(args.key_col).alias("user_id"),
@@ -312,7 +336,7 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             print(_json.dumps({
                 "action": "stats",
                 "rows": dim.count(),
-                "keys": dim.select("user_id").distinct().count(),
+                "keys": dim.select(args.key_col).distinct().count(),
                 "open_rows": dim.filter(F.col("is_current")).count(),
             }))
             return 0
@@ -324,19 +348,21 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 print(f"target exists: {root} (use apply)", file=sys.stderr)
                 return 2
             staging = root.parent / f".{root.name}.boot-{uuid.uuid4().hex[:8]}"
-            scd2_from_log(_read_changes(), "change_id").write.mode(
-                "overwrite"
-            ).parquet(str(staging))
+            _from_canonical(
+                scd2_from_log(_read_changes(), "change_id")
+            ).write.mode("overwrite").parquet(str(staging))
             root.parent.mkdir(parents=True, exist_ok=True)
             staging.rename(root)
         else:  # apply
             if not root.exists():
                 print(f"target missing: {root} (use init)", file=sys.stderr)
                 return 2
-            existing = spark.read.parquet(str(root))
+            existing = _to_canonical(spark.read.parquet(str(root)))
             merged = scd2_apply_changes(existing, _read_changes())
             staging = root.parent / f".{root.name}.scd2-{uuid.uuid4().hex[:8]}"
-            merged.write.mode("overwrite").parquet(str(staging))
+            _from_canonical(merged).write.mode("overwrite").parquet(
+                str(staging)
+            )
             _staged_swap(root, staging)
         dim = spark.read.parquet(str(root))
         print(_json.dumps({

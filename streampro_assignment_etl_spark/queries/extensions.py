@@ -2642,9 +2642,12 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     join or aggregate, dangling mass a 1-row broadcast — nothing
     driver-side in the loop). Oracle unrolls the 3 iterations as CTEs
     with bit-matched arithmetic: contributions are fixed-shape DOUBLE
-    expressions cast to DECIMAL(28,18) before the order-free SUM, and
-    the recombine keeps one parenthesization — so the final DOUBLE is
-    bit-identical across engines and hashes raw."""
+    expressions ROUNDed to scale 9 then cast to DECIMAL(28,9) before
+    the order-free SUM (scale 18 diverged cross-engine in the last
+    digit — Spark's double→decimal is string-mediated, DuckDB rounds
+    the binary value), and the recombine keeps one parenthesization —
+    so the final DOUBLE is bit-identical across engines and hashes
+    raw."""
     from pyspark.sql import Window
 
     from ..operators.pagerank import weighted_pagerank

@@ -286,6 +286,14 @@ def make_fuzzy_ingest_writer(
     batch, the audit that says whether the cap is actually shedding
     candidates on this corpus."""
 
+    if stream_name == "base" or stream_name.startswith("base-"):
+        raise ValueError(
+            "make_fuzzy_ingest_writer: stream_name "
+            f"{stream_name!r} collides with the 'base'/'base-<token>' "
+            "namespace reserved for build/compaction/resign snapshot "
+            "subtrees — a batch subtree named like one would be folded "
+            "as committed even with its replay pending"
+        )
     geometry = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -433,7 +441,13 @@ def _subtree_committed(store_path: str, subtree: str) -> bool:
     has a replay pending whose self-exclusion filter the fold would
     defeat (see compact_fuzzy_store)."""
     sub = subtree[len("ingest=") :]
-    if sub.startswith("base"):
+    # Exact 'base' or 'base-<token>' only: a STREAM named e.g.
+    # 'baseline' writes 'baseline-b<digits>' subtrees whose commit
+    # markers must be honored — a bare startswith("base") would fold
+    # its uncommitted batches and defeat the replay self-exclusion
+    # filter. Writer construction also rejects 'base'-prefixed stream
+    # names (make_fuzzy_ingest_writer) so the namespaces can't collide.
+    if sub == "base" or sub.startswith("base-"):
         return True
     head, _, tail = sub.rpartition("-b")
     if head and tail.isdigit():

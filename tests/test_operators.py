@@ -2197,3 +2197,66 @@ def test_personalized_pagerank_localizes_near_seed(spark):
         for r in weighted_pagerank(edges, iters=8).collect()
     }
     assert uni["x"] > 0 and uni["y"] > 0
+
+
+def test_pagerank_degenerate_inputs_fail_loudly(spark):
+    """Library code fails at build time, not with silent NULL ranks
+    (ADVICE r13): (1) empty edge list -> ValueError; (2) restart with
+    zero total weight -> ValueError; (3) restart naming ONLY nodes
+    absent from the graph -> ValueError (t normalizes over the graph's
+    node set, so off-graph rows carry no teleport mass)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from streampro_assignment_etl_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("src", T.StringType()),
+                T.StructField("dst", T.StringType()),
+                T.StructField("w", T.LongType()),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="empty edge list"):
+        weighted_pagerank(empty)
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], ["src", "dst", "w"]
+    )
+    zero = spark.createDataFrame([("a", 0.0)], ["node", "weight"])
+    with pytest.raises(ValueError, match="no teleport mass"):
+        weighted_pagerank(edges, restart=zero)
+    offgraph = spark.createDataFrame([("zz", 5.0)], ["node", "weight"])
+    with pytest.raises(ValueError, match="no teleport mass"):
+        weighted_pagerank(edges, restart=offgraph)
+
+
+def test_personalized_pagerank_offgraph_restart_mass(spark):
+    """Restart rows for nodes NOT in the edge graph must not dilute
+    the teleport normalization: with (seed: 1, ghost: 9) where ghost
+    has no edges, ranks over the graph still sum to 1 (pre-fix they
+    summed to 0.1 — ADVICE r13)."""
+    from streampro_assignment_etl_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("seed", "a", 1), ("a", "seed", 1)], ["src", "dst", "w"]
+    )
+    restart = spark.createDataFrame(
+        [("seed", 1.0), ("ghost", 9.0)], ["node", "weight"]
+    )
+    ranks = {
+        r.node: float(r.rank)
+        for r in weighted_pagerank(
+            edges, iters=8, damping=0.5, restart=restart
+        ).collect()
+    }
+    assert set(ranks) == {"seed", "a"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6, ranks
+    assert ranks["seed"] > ranks["a"]

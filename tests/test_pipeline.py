@@ -1488,3 +1488,48 @@ def test_cli_scd2_lifecycle(spark, tmp_path, capsys):
         for r in EXTRAS["scd2_user_type_history"].builder(spark, sf).collect()
     )
     assert got == bulk
+
+
+def test_cli_scd2_preserves_user_column_names(spark, tmp_path, capsys):
+    """A dimension keyed on a non-canonical column keeps ITS names in
+    the stored table (ADVICE r13: --key-col/--status-col were silently
+    renamed to user_id/status on disk): init + apply + stats all
+    round-trip through the user's schema."""
+    import json
+
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    rows = [
+        ("dev1", "active", 1_000, 1),
+        ("dev1", "idle", 2_000, 2),
+        ("dev2", "active", 1_500, 3),
+    ]
+    log = spark.createDataFrame(
+        rows, ["device_id", "state", "changed_at_us", "seq"]
+    )
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    log.filter("seq < 3").write.parquet(old_p)
+    log.filter("seq >= 3").write.parquet(new_p)
+    target = str(tmp_path / "dim")
+    cols = [
+        "--key-col", "device_id", "--status-col", "state",
+        "--ts-col", "changed_at_us", "--id-col", "seq",
+    ]
+    assert main(["scd2", "init", "--target", target, "--changes", old_p] + cols) == 0
+    assert main(["scd2", "apply", "--target", target, "--changes", new_p] + cols) == 0
+    dim = spark.read.parquet(target)
+    assert set(dim.columns) == {
+        "device_id", "state", "valid_from_us", "valid_to_us", "is_current"
+    }
+    got = {
+        (r.device_id, r.state, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in dim.collect()
+    }
+    assert got == {
+        ("dev1", "active", 1_000, 2_000, False),
+        ("dev1", "idle", 2_000, None, True),
+        ("dev2", "active", 1_500, None, True),
+    }
+    assert main(["scd2", "stats", "--target", target] + cols) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["keys"] == 2 and stats["open_rows"] == 2

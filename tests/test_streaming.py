@@ -2557,6 +2557,36 @@ def test_fuzzy_store_ingest_stream_dedupes_and_replays_idempotent(spark, tmp_pat
     assert redec == dec_rows
 
 
+def test_fuzzy_store_base_namespace_guard(tmp_path):
+    """ADVICE r13: ``_subtree_committed`` matched any id starting with
+    'base', so a stream named 'baseline' had its UNCOMMITTED batches
+    folded as if committed. Pin the exact-match rule ('base' or
+    'base-<token>' only; 'baseline-b…' goes through the marker check)
+    and the writer-construction rejection of colliding stream names."""
+    import pytest
+
+    from streampro_assignment_etl_spark.streaming import (
+        fuzzy_store_ingest as fsi,
+    )
+    from streampro_assignment_etl_spark.streaming.index_ingest import (
+        _write_marker,
+    )
+
+    store = str(tmp_path / "fstore")
+    # snapshot namespaces are always committed
+    assert fsi._subtree_committed(store, "ingest=base")
+    assert fsi._subtree_committed(store, "ingest=base-deadbeef")
+    # a 'baseline' STREAM batch is committed iff its marker exists
+    assert not fsi._subtree_committed(store, "ingest=baseline-b000000000007")
+    _write_marker(store, "baseline", 7)
+    assert fsi._subtree_committed(store, "ingest=baseline-b000000000007")
+    # colliding stream names are rejected at writer construction
+    for bad in ("base", "base-x"):
+        with pytest.raises(ValueError, match="reserved"):
+            fsi.make_fuzzy_ingest_writer(store, stream_name=bad)
+    fsi.make_fuzzy_ingest_writer(store, stream_name="baseline")  # fine
+
+
 def _fuzzy_state(spark, fsi, store):
     """Order-insensitive (docs, bands, decisions) snapshot, ingest col
     dropped (the fold renames subtrees by design)."""
