@@ -45,6 +45,8 @@ def weighted_pagerank(
     iters: int = PAGERANK_ITERS,
     damping: float = PAGERANK_DAMPING,
     restart: DataFrame | None = None,
+    tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` rounds from a uniform start.
 
@@ -68,6 +70,21 @@ def weighted_pagerank(
     total mass 1 (test-pinned). The restart frame is node-sized,
     joined once per iteration on the node key like every other
     per-node frame.
+
+    ``tol``: optional L1 convergence early-stop — after each round,
+    one extra 1-row aggregate over the (already lineage-truncated)
+    rank frames computes ‖r_t − r_{t−1}‖₁ and the loop breaks when it
+    drops below ``tol``. ``iters`` becomes the CAP. The fixed-iters
+    default stays the oracle-replayable anchor (the SQL oracle unrolls
+    exactly ``PAGERANK_ITERS`` rounds); production domain-ranking runs
+    set e.g. ``tol=1e-9, iters=100``. The early-stopped result is
+    bit-equal to the fixed-iters result at the stopped round
+    (test-pinned): stopping changes WHEN the loop exits, never what a
+    round computes.
+
+    ``stats``: optional dict the call fills with ``iters_run`` and
+    ``final_delta`` (None when ``tol`` is unset) — the observability
+    hook the early-stop tests pin against.
 
     Raises ``ValueError`` on an empty edge list (no nodes to rank) and
     on a degenerate restart vector (empty, all-zero, or naming only
@@ -125,7 +142,9 @@ def weighted_pagerank(
         ranks = nodes.select(
             "node", (F.lit(1.0) / F.lit(float(n))).alias("r")
         )
+    iters_run, final_delta = 0, None
     for _ in range(iters):
+        prev = ranks
         # dangling mass: 1-row frame, rides the plan via broadcast
         # cross join — no driver collect inside the loop
         dangling = (
@@ -192,4 +211,25 @@ def weighted_pagerank(
                 ).alias("r"),
             )
         ranks = _truncate_lineage(ranks)
+        iters_run += 1
+        if tol is not None:
+            # L1 delta: one 1-row aggregate joining two checkpointed
+            # node-sized frames on the key — the per-round cost the
+            # early stop buys its savings with. The node set is
+            # loop-invariant (every round rebuilds from `nodes`), so
+            # an inner join is total.
+            d_row = (
+                ranks.join(
+                    prev.select("node", F.col("r").alias("r_prev")),
+                    "node",
+                )
+                .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("d"))
+                .first()
+            )
+            final_delta = float(d_row["d"]) if d_row["d"] is not None else 0.0
+            if final_delta < tol:
+                break
+    if stats is not None:
+        stats["iters_run"] = iters_run
+        stats["final_delta"] = final_delta
     return ranks.select("node", F.col("r").alias("rank"))

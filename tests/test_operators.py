@@ -2260,3 +2260,48 @@ def test_personalized_pagerank_offgraph_restart_mass(spark):
     assert set(ranks) == {"seed", "a"}
     assert abs(sum(ranks.values()) - 1.0) < 1e-6, ranks
     assert ranks["seed"] > ranks["a"]
+
+
+def test_pagerank_l1_early_stop(spark):
+    """VERDICT r13 #5: tol-driven L1 early stop. (1) On a graph whose
+    walk decays fast (damping 0.2) the stop FIRES well under the iter
+    cap, and the early-stopped ranks are BIT-EQUAL to the fixed-iters
+    run at the stopped round (stopping changes when the loop exits,
+    never what a round computes). (2) On a 2-cycle with all teleport
+    mass on one node the rank oscillates (decay 0.85^k) — the stop
+    must NOT fire within 8 rounds at tol=1e-3."""
+    from streampro_assignment_etl_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "hub", 1), ("b", "hub", 1), ("hub", "sink", 1)],
+        ["src", "dst", "w"],
+    )
+    stats = {}
+    early = {
+        r.node: float(r.rank)
+        for r in weighted_pagerank(
+            edges, iters=60, damping=0.2, tol=1e-9, stats=stats
+        ).collect()
+    }
+    assert stats["iters_run"] < 60, stats
+    assert stats["final_delta"] is not None and stats["final_delta"] < 1e-9
+    fixed = {
+        r.node: float(r.rank)
+        for r in weighted_pagerank(
+            edges, iters=stats["iters_run"], damping=0.2
+        ).collect()
+    }
+    assert early == fixed  # bit-equal, not approx
+
+    cyc = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], ["src", "dst", "w"]
+    )
+    restart = spark.createDataFrame([("a", 1.0)], ["node", "weight"])
+    stats2 = {}
+    weighted_pagerank(
+        cyc, iters=8, damping=0.85, restart=restart, tol=1e-3, stats=stats2
+    ).collect()
+    assert stats2["iters_run"] == 8, stats2
+    assert stats2["final_delta"] > 1e-3
