@@ -98,7 +98,13 @@ ENCODED_DIR = "encoded"  # legacy fixed layout; new builds use encoded-<token>
 MODEL_DIR = "model"  # legacy Spark-text manifest dir (pre-epoch layout)
 MODEL_PREFIX = "model-"  # epoch-fenced manifests: model-<epoch:012d>-<token>
 BASE_INGEST = "base"  # the build's (and compaction's) ingest partition value
+TOMBSTONE_PREFIX = "tombstone-"  # takedown id lists: tombstone-<token>.json
 _MODEL_VERSION = 1
+# Below this many ids the serve-path exclusion is a literal NOT IN
+# (codegen-friendly); above it, a broadcast anti-join (the bloom
+# transport threshold, functions/approx.py — literal arrays past ~4096
+# words bloat the plan string and analysis time measurably).
+_ID_LITERAL_MAX = 4096
 
 
 @dataclass(frozen=True)
@@ -480,7 +486,239 @@ def expire_ivfpq_snapshots(
         fs.delete_dir(f"{base}/{d}")
     for f in doomed_files:
         fs.delete_file(f"{base}/{f}")
-    return sorted(doomed_dirs + doomed_files)
+    # Tombstone retirement: a takedown id list can go once (a) it is
+    # older than the grace horizon — no reader on a pre-delete snapshot
+    # can still be in flight, because those snapshots were themselves
+    # swept at the same horizon — and (b) its ids are verifiably absent
+    # from the CURRENT snapshot (one membership scan for all candidate
+    # files together; epoch comparisons alone would be unsound — a
+    # racing compaction bumps the epoch without applying the delete).
+    tomb_candidates = []
+    for name in _list_tombstones(fs, base):
+        info = fs.get_file_info(f"{base}/{name}")
+        if (
+            info.mtime is not None
+            and now - info.mtime.timestamp() < min_age_seconds
+        ):
+            continue
+        tomb_candidates.append((name, _read_tombstone(fs, base, name)))
+    retired = []
+    if tomb_candidates:
+        all_ids = sorted({i for _, ids in tomb_candidates for i in ids})
+        enc = spark.read.parquet(f"{path}/{model.encoded_dir}")
+        present = {
+            int(r["neighbor_id"])
+            for r in enc.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(i,) for i in all_ids], "neighbor_id long"
+                    )
+                ),
+                "neighbor_id",
+                "left_semi",
+            )
+            .select("neighbor_id")
+            .distinct()
+            .collect()
+        }
+        for name, ids in tomb_candidates:
+            if not present.intersection(ids):
+                fs.delete_file(f"{base}/{name}")
+                retired.append(name)
+    return sorted(doomed_dirs + doomed_files + retired)
+
+
+def _list_tombstones(fs, base) -> list[str]:
+    """Committed ``tombstone-<token>.json`` filenames under ``base``,
+    sorted — same write-once rename-committed artifact rule as the
+    manifests (staged ``.tmp-`` debris is invisible)."""
+    import pyarrow.fs as pafs
+
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    return sorted(
+        i.base_name
+        for i in infos
+        if i.type == pafs.FileType.File
+        and i.base_name.startswith(TOMBSTONE_PREFIX)
+        and i.base_name.endswith(".json")
+    )
+
+
+def _read_tombstone(fs, base, name) -> list[int]:
+    with fs.open_input_stream(f"{base}/{name}") as f:
+        return [int(i) for i in json.loads(f.read().decode())["ids"]]
+
+
+def tombstoned_ids(path: str) -> list[int]:
+    """Union of every tombstone file's ids at ``path``, sorted. Small
+    by contract (takedown requests, not bulk deletes — the retention
+    sweep retires files once their ids are physically gone)."""
+    fs, base = _fs_base(path)
+    out: set[int] = set()
+    for name in _list_tombstones(fs, base):
+        out.update(_read_tombstone(fs, base, name))
+    return sorted(out)
+
+
+def _without_ids(df: DataFrame, col: str, ids: list[int]) -> DataFrame:
+    """Exclude ``ids`` from ``df[col]``: literal NOT IN under the
+    threshold (stays inside whole-stage codegen), broadcast anti-join
+    above it (a giant literal array bloats plan analysis)."""
+    if not ids:
+        return df
+    if len(ids) <= _ID_LITERAL_MAX:
+        return df.filter(~F.col(col).isin([int(i) for i in ids]))
+    doomed = df.sparkSession.createDataFrame(
+        [(int(i),) for i in ids], f"{col} long"
+    )
+    return df.join(F.broadcast(doomed), col, "left_anti")
+
+
+def delete_from_ivfpq_index(
+    spark: SparkSession, path: str, ids, *, keep_tombstone: bool = True
+) -> dict:
+    """Takedown: physically remove ``ids`` from the index by rewriting
+    ONLY the partitions that contain them — at 100 TB you cannot
+    rebuild the world to delete 100 ids, and the (ingest, cell)
+    partition layout makes the rewrite surgical: one pruned scan finds
+    the affected partition dirs, each is rewritten without the doomed
+    rows (staged next to it, then swapped), everything else is
+    untouched bytes.
+
+    Serving guarantee, in two layers:
+
+    1. A ``tombstone-<token>.json`` id list is committed (staged +
+       rename) BEFORE any data moves; ``ivfpq_topk_over_index`` filters
+       the union of tombstoned ids on every call, so any query that
+       STARTS after this function begins never returns a deleted id —
+       even a query reading a STALE pre-delete snapshot (a reader that
+       loaded a superseded manifest inside the retention grace window).
+       The one window this cannot close is a query already mid-scan
+       when the takedown lands — document that to your DPO as the
+       in-flight horizon (bounded by the longest query job, the same
+       horizon the retention sweep's ``min_age_seconds`` encodes).
+    2. The physical rewrite then removes the rows; the commit bumps the
+       manifest epoch through the same fence as every writer, so a
+       racing append/compaction aborts loudly on one side or the other.
+       If THIS writer loses the race (RuntimeError at commit), the
+       tombstone stays — serving stays correct — and the caller retries
+       the delete against the new snapshot.
+
+    Crash safety: tombstone-first means any crash leaves serving
+    correct; a crash mid-swap can leave one partition's non-deleted
+    rows in a staged ``.del-*``/trash dir (invisible to readers) — the
+    retry re-lists affected partitions and the retention sweep clears
+    the debris. Re-running with the same ids is idempotent: already-
+    deleted ids match no partitions and the call no-ops without an
+    epoch bump.
+
+    ``ids`` is takedown-request-sized by contract (the affected-
+    partition list is collected driver-side, one entry per id at
+    worst). The build-time ``occupancy`` drift reference in the
+    manifest is intentionally NOT rewritten: deletions that move the
+    index's shape SHOULD register as drift. ``keep_tombstone=False``
+    skips layer 1 for callers that only want the physical rewrite
+    (e.g. re-ingest-after-consent workflows); the default keeps the
+    stale-snapshot guarantee. Returns ``{"requested", "deleted_rows",
+    "partitions_rewritten", "epoch", "tombstone"}``.
+
+    ≙ reference: none (north-star lifecycle; VERDICT r13 #1)."""
+    import pyarrow.fs as pafs
+
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        raise ValueError("delete_from_ivfpq_index: empty id list")
+    model = load_ivfpq_model(spark, path)
+    fs, base = _fs_base(path)
+    tomb_name = None
+    if keep_tombstone:
+        token = uuid.uuid4().hex[:12]
+        tomb_name = f"{TOMBSTONE_PREFIX}{token}.json"
+        staging = f"{base}/.tmp-{token}"
+        with fs.open_output_stream(staging) as out:
+            out.write(json.dumps({"ids": ids}).encode())
+        fs.move(staging, f"{base}/{tomb_name}")
+
+    snap = f"{path}/{model.encoded_dir}"
+    snap_fs, snap_base = _fs_base(snap)
+    enc = spark.read.parquet(snap)
+    legacy = "ingest" not in enc.columns
+    keys = ["cell"] if legacy else ["ingest", "cell"]
+    # rows to delete, grouped by partition — one pruned-projection scan
+    doomed = enc.filter(F.col("neighbor_id").isin(ids)) if len(
+        ids
+    ) <= _ID_LITERAL_MAX else enc.join(
+        F.broadcast(
+            spark.createDataFrame([(i,) for i in ids], "neighbor_id long")
+        ),
+        "neighbor_id",
+        "left_semi",
+    )
+    affected = (
+        doomed.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if not affected:
+        return {
+            "requested": len(ids),
+            "deleted_rows": 0,
+            "partitions_rewritten": 0,
+            "epoch": model.epoch,
+            "tombstone": tomb_name,
+        }
+
+    def _part_dir(r) -> str:
+        if legacy:
+            return f"cell={r['cell']}"
+        return f"ingest={r['ingest']}/cell={r['cell']}"
+
+    part_dirs = [_part_dir(r) for r in affected]
+    deleted_rows = sum(int(r["n"]) for r in affected)
+    # Rewrite the survivors of ONLY the affected partitions into a
+    # dot-staging dir inside the snapshot (invisible to partition
+    # discovery), preserving the partition columns via basePath.
+    token2 = uuid.uuid4().hex[:12]
+    stage_root = f"{snap}/.del-{token2}"
+    keep = _without_ids(
+        spark.read.option("basePath", snap).parquet(
+            *[f"{snap}/{d}" for d in part_dirs]
+        ),
+        "neighbor_id",
+        ids,
+    )
+    keep.write.mode("overwrite").partitionBy(*keys).parquet(stage_root)
+    for d in part_dirs:
+        real = f"{snap_base}/{d}"
+        stag = f"{snap_base}/.del-{token2}/{d}"
+        trash = f"{snap_base}/.del-old-{token2}-{d.replace('/', '~')}"
+        snap_fs.move(real, trash)
+        if snap_fs.get_file_info(stag).type != pafs.FileType.NotFound:
+            snap_fs.move(stag, real)
+        snap_fs.delete_dir(trash)
+    try:
+        snap_fs.delete_dir(f"{snap_base}/.del-{token2}")
+    except (FileNotFoundError, OSError):
+        pass  # staging root already consumed entirely by the swaps
+    epoch = _commit_manifest(
+        spark,
+        path,
+        model.centroids,
+        model.codebooks,
+        model.dim,
+        model.encoded_dir,
+        model.occupancy,
+        expect_epoch=model.epoch,
+        residual=model.residual,
+    )
+    return {
+        "requested": len(ids),
+        "deleted_rows": deleted_rows,
+        "partitions_rewritten": len(part_dirs),
+        "epoch": epoch,
+        "tombstone": tomb_name,
+    }
 
 
 def append_to_ivfpq_index(
@@ -983,6 +1221,14 @@ def ivfpq_topk_over_index(
         # The ingest axis is a write-idempotency partition, not data —
         # serving reads the union of all ingests.
         enc = enc.drop("ingest")
+    # Takedown guarantee layer 1 (delete_from_ivfpq_index): exclude
+    # tombstoned ids on EVERY serve, so even a stale pre-delete
+    # snapshot inside the retention grace window never returns a
+    # deleted id. Normally empty (one cheap listing); the sweep
+    # retires tombstones once their rows are physically gone.
+    tomb = tombstoned_ids(path)
+    if tomb:
+        enc = _without_ids(enc, "neighbor_id", tomb)
 
     probed = probe_cells(queries, model.centroids, id_col, vec_col, probes)
     # The probed rows are Q×P, bounded by contract (queries are a

@@ -77,8 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "build", "append", "compact", "expire", "occupancy", "maintain",
-            "prune-markers",
+            "prune-markers", "delete",
         ],
+    )
+    ix.add_argument(
+        "--ids",
+        help="delete: comma-separated vector ids to take down",
+    )
+    ix.add_argument(
+        "--ids-file",
+        help="delete: file with one vector id per line (alternative to --ids)",
     )
     ix.add_argument("--path", required=True, help="Index root dir/URI")
     ix.add_argument(
@@ -177,10 +185,17 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=[
             "build-store", "probe", "ingest", "compact", "expire",
-            "maintain", "stats", "resign",
+            "maintain", "stats", "resign", "remove",
         ],
     )
     dd.add_argument("--path", required=True, help="Store root dir/URI")
+    dd.add_argument(
+        "--ids", help="remove: comma-separated doc ids to take down"
+    )
+    dd.add_argument(
+        "--ids-file",
+        help="remove: file with one doc id per line (alternative to --ids)",
+    )
     dd.add_argument(
         "--sf-dir",
         default="/root/testdata/sf0.001",
@@ -264,6 +279,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _registry(args: argparse.Namespace):
     return TESTDATA_TABLES if args.registry == "testdata" else STREAMPRO_TABLES
+
+
+def _parse_ids(args: argparse.Namespace) -> list[int] | None:
+    """Takedown id list from --ids (comma-separated) or --ids-file
+    (one per line, blank lines/comments skipped); None when neither."""
+    if getattr(args, "ids", None):
+        return [int(tok) for tok in args.ids.split(",") if tok.strip()]
+    if getattr(args, "ids_file", None):
+        with open(args.ids_file) as f:
+            return [
+                int(ln)
+                for ln in (ln.strip() for ln in f)
+                if ln and not ln.startswith("#")
+            ]
+    return None
 
 
 def _report(result: JobResult) -> int:
@@ -386,6 +416,14 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             "bands": args.bands,
             "shingle_n": args.shingle_n,
         }
+        if args.action == "remove":
+            ids = _parse_ids(args)
+            if ids is None:
+                print("remove requires --ids or --ids-file", file=sys.stderr)
+                return 2
+            out = fsi.remove_docs(spark, args.path, ids)
+            print(_json.dumps({"action": "remove", **out}))
+            return 0
         if args.action == "compact":
             out = fsi.compact_fuzzy_store(
                 spark, args.path,
@@ -496,6 +534,14 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         from ..sources.testdata import load_table
 
         spark = get_spark("streampro-index")
+        if args.action == "delete":
+            ids = _parse_ids(args)
+            if ids is None:
+                print("delete requires --ids or --ids-file", file=sys.stderr)
+                return 2
+            out = ann_index.delete_from_ivfpq_index(spark, args.path, ids)
+            print(_json.dumps({"action": "delete", **out}))
+            return 0
         if args.action == "prune-markers":
             from ..streaming.index_ingest import prune_applied_markers
 

@@ -75,7 +75,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators import minhash
-from ..operators.ann_index import _fs_base
+from ..operators.ann_index import (
+    TOMBSTONE_PREFIX,
+    _fs_base,
+    _without_ids,
+    tombstoned_ids,
+)
 from .index_ingest import _marker_exists, _write_marker
 
 STORE_DIR = "store"
@@ -241,12 +246,23 @@ def _read_kind(
     """Read one kind through the CURRENT manifest's snapshot dir (legacy
     fixed dir when no manifest exists). Pass a pre-loaded ``manifest``
     to pin one consistent snapshot across several reads — the writer
-    does, so a compaction committing mid-batch can't split its view."""
+    does, so a compaction committing mid-batch can't split its view.
+
+    ``store``/``docs`` reads exclude TOMBSTONED doc ids
+    (``remove_docs``): the physical rewrite usually already removed
+    them, but a reader racing the removal — or one on a superseded
+    snapshot — must never match/serve a removed doc. ``decisions`` is
+    the audit log and keeps full history."""
     if manifest is ...:
         manifest = load_store_manifest(store_path)
-    return _read_subtrees(
+    df = _read_subtrees(
         spark, f"{store_path}/{_store_dirs(manifest)[kind]}", _SCHEMAS[kind]
     )
+    if kind in ("store", "docs"):
+        tomb = tombstoned_ids(store_path)
+        if tomb:
+            df = _without_ids(df, "doc_id", tomb)
+    return df
 
 
 def read_store_bands(spark: SparkSession, store_path: str) -> DataFrame:
@@ -325,6 +341,16 @@ def make_fuzzy_ingest_writer(
                 .agg(F.min(F.struct(id_col, text_col)).alias("_s"))
                 .select("_s.*")
             )
+            # Re-adjudicate removed docs (remove_docs tombstones): a
+            # REPLAYED batch whose marker was lost would otherwise
+            # re-land a taken-down doc verbatim — the overwrite-own-
+            # subtree idempotency resurrecting exactly what the
+            # takedown removed. The tombstone list is takedown-sized
+            # by contract; its decision stands until the tombstone
+            # file is removed (the explicit re-consent path).
+            tomb = tombstoned_ids(store_path)
+            if tomb:
+                batch = _without_ids(batch, id_col, tomb)
             # probe against every subtree EXCEPT our own (replay guard:
             # sound across compaction because a folded snapshot's
             # subtree is named `base-*`, never a replayed batch's id —
@@ -670,6 +696,113 @@ def expire_fuzzy_store(
     for f in doomed_files:
         fs.delete_file(f"{base}/{f}")
     return sorted(doomed_dirs + doomed_files)
+
+
+def remove_docs(spark: SparkSession, store_path: str, doc_ids) -> dict:
+    """Takedown for the dedup store (VERDICT r13 #1, store half):
+    physically drop ``doc_ids``' band rows and doc rows by rewriting
+    ONLY the ``ingest=`` subtrees that contain them, and tombstone the
+    ids so a REPLAYED ingest of a deleted doc is re-adjudicated, not
+    auto-readmitted. Three layers, committed in takedown-safe order:
+
+    1. ``tombstone-<token>.json`` at the store root, staged + renamed
+       FIRST: from this instant every probe/read of the ``store``/
+       ``docs`` kinds excludes the ids (``_read_kind``), and every
+       future ingest batch — including a replay of the batch that
+       originally landed the doc — drops them before probing
+       (``make_fuzzy_ingest_writer``). Store tombstones are PERMANENT
+       metadata (KB-scale by the takedown contract): unlike the index,
+       replay exposure has no time bound (a checkpoint reset can
+       replay arbitrarily old batches), so no sweep retires them —
+       deleting the tombstone file is the explicit re-consent path.
+    2. An audit row per id lands in ``decisions`` under
+       ``ingest=base-rm-<token>`` with NULL ``dup_of``/``jaccard`` —
+       the "removed" encoding (real dup decisions always carry a
+       non-null ``dup_of``); ages out with the rest of the audit log
+       under ``decisions_keep_seconds``.
+    3. The affected subtrees of the ``store`` and ``docs`` kinds are
+       rewritten without the ids (staged dot-dir, then swapped —
+       subtree NAMES are load-bearing for replay self-exclusion and
+       must not change); the commit bumps the manifest epoch through
+       the fence, so a racing ingest/compaction aborts on one side or
+       the other. If THIS writer loses the race, the tombstone stays
+       (reads stay correct) and the caller retries.
+
+    Earlier docs that were REJECTED as dups of a removed doc are NOT
+    resurrected — they were dropped at ingest and the store never kept
+    them; their decision rows remain as history. A future NEAR-DUP of
+    a removed doc is ADMITTED (nothing left to match) — removal means
+    removal, not a ban on similar content (the tombstone bans the
+    exact doc_id only). Returns ``{"requested", "removed_docs",
+    "removed_band_rows", "subtrees_rewritten", "epoch", "tombstone"}``.
+    """
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        raise ValueError("remove_docs: empty doc id list")
+    manifest = load_store_manifest(store_path)
+    dirs = _store_dirs(manifest)
+    epoch = _store_epoch(manifest)
+    fs, base = _fs_base(store_path)
+    token = uuid.uuid4().hex[:12]
+
+    tomb_name = f"{TOMBSTONE_PREFIX}{token}.json"
+    fs.create_dir(base, recursive=True)
+    staging = f"{base}/.tmp-{token}"
+    with fs.open_output_stream(staging) as out:
+        out.write(json.dumps({"ids": ids}).encode())
+    fs.move(staging, f"{base}/{tomb_name}")
+
+    spark.createDataFrame(
+        [(i, None, None) for i in ids], _SCHEMAS["decisions"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{store_path}/{dirs['decisions']}/ingest=base-rm-{token}"
+    )
+
+    removed = {}
+    subtrees_rewritten = 0
+    for kind in ("store", "docs"):
+        # RAW subtree read — _read_kind would filter the tombstoned ids
+        # we are trying to locate.
+        df = _read_subtrees(
+            spark, f"{store_path}/{dirs[kind]}", _SCHEMAS[kind]
+        )
+        hit = (
+            df.filter(F.col("doc_id").isin(ids))
+            .groupBy("ingest")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        removed[kind] = sum(int(r["n"]) for r in hit)
+        kind_path = f"{store_path}/{dirs[kind]}"
+        kind_fs, kind_base = _fs_base(kind_path)
+        for r in hit:
+            sub = str(r["ingest"])
+            real_path = f"{kind_path}/ingest={sub}"
+            keep = _without_ids(spark.read.parquet(real_path), "doc_id", ids)
+            if keep.isEmpty():
+                kind_fs.delete_dir(f"{kind_base}/ingest={sub}")
+            else:
+                keep.write.mode("overwrite").parquet(
+                    f"{kind_path}/.rm-{token}-{sub}"
+                )
+                trash = f"{kind_base}/.rm-old-{token}-{sub}"
+                kind_fs.move(f"{kind_base}/ingest={sub}", trash)
+                kind_fs.move(
+                    f"{kind_base}/.rm-{token}-{sub}", f"{kind_base}/ingest={sub}"
+                )
+                kind_fs.delete_dir(trash)
+            subtrees_rewritten += 1
+    new_epoch = _commit_store_manifest(
+        store_path, dirs, (manifest or {}).get("geometry"), expect_epoch=epoch
+    )
+    return {
+        "requested": len(ids),
+        "removed_docs": removed.get("docs", 0),
+        "removed_band_rows": removed.get("store", 0),
+        "subtrees_rewritten": subtrees_rewritten,
+        "epoch": new_epoch,
+        "tombstone": tomb_name,
+    }
 
 
 def _subtree_counts(store_path: str, dirs: dict[str, str]) -> dict[str, int]:

@@ -1328,6 +1328,132 @@ def test_ivfpq_index_compaction_one_file_per_cell(emb, spark, tmp_path):
     assert ann_index.expire_ivfpq_snapshots(spark, path) == []  # idempotent
 
 
+def test_ivfpq_index_delete_takedown(emb, spark, tmp_path):
+    """VERDICT r13 #1 (index half): delete_from_ivfpq_index removes ids
+    by rewriting ONLY the partitions that contain them. Pins: (1) index
+    content after delete is bit-equal to a fresh build over corpus∖ids
+    under the SAME model; (2) serving never returns a deleted id; (3)
+    an UNTOUCHED partition's files are byte-identical (surgical, not a
+    rebuild); (4) re-running the same delete is a no-op without an
+    epoch bump; (5) the retention sweep retires the tombstone once the
+    rows are physically gone, and serving stays correct after."""
+    import glob
+    import hashlib
+    import os
+
+    from streampro_assignment_etl_spark.operators import ann_index, similarity
+
+    cents = similarity.collect_centroids(
+        similarity.seed_centroids(emb, "vec_id", "embedding", 8)
+    )
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=2, n_codes=8)
+    path = str(tmp_path / "idx")
+    built = ann_index.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path,
+        centroids=cents, codebooks=cbs,
+    )
+    ann_index.append_to_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 1), path, ingest_id="day1"
+    )
+    snap = os.path.join(path, built.encoded_dir)
+    q = emb.filter(F.col("vec_id") < 3)
+    before = ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect()
+    doom = sorted({int(r["neighbor_id"]) for r in before})[:3]
+
+    # md5 every file of a partition the doomed ids do NOT live in
+    rows = spark.read.parquet(snap).select("neighbor_id", "ingest", "cell").collect()
+    hot = {(r["ingest"], r["cell"]) for r in rows if int(r["neighbor_id"]) in doom}
+    cold = next(
+        (r["ingest"], r["cell"]) for r in rows
+        if (r["ingest"], r["cell"]) not in hot
+    )
+    cold_dir = os.path.join(snap, f"ingest={cold[0]}", f"cell={cold[1]}")
+    md5s = lambda d: {  # noqa: E731
+        os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(d, "*.parquet"))
+    }
+    cold_before = md5s(cold_dir)
+
+    out = ann_index.delete_from_ivfpq_index(spark, path, doom)
+    assert out["deleted_rows"] == len(doom)
+    assert out["partitions_rewritten"] == len(hot)
+    assert md5s(cold_dir) == cold_before  # untouched partition: same bytes
+
+    served = ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect()
+    assert served and not {int(r["neighbor_id"]) for r in served} & set(doom)
+
+    # bit-equal to a fresh build over corpus∖ids under the same model
+    fresh = str(tmp_path / "fresh")
+    fm = ann_index.build_ivfpq_index(
+        emb.filter(~F.col("vec_id").isin(doom)), fresh,
+        centroids=cents, codebooks=cbs,
+    )
+    content = lambda p, d: sorted(  # noqa: E731
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(p, d))
+        .drop("ingest").collect()
+    )
+    assert content(path, built.encoded_dir) == content(fresh, fm.encoded_dir)
+
+    # re-run: idempotent no-op, no epoch bump
+    epoch = ann_index.load_ivfpq_model(spark, path).epoch
+    out2 = ann_index.delete_from_ivfpq_index(spark, path, doom)
+    assert out2["deleted_rows"] == 0 and out2["epoch"] == epoch
+    assert ann_index.load_ivfpq_model(spark, path).epoch == epoch
+
+    # sweep retires the tombstones (rows physically gone), serving holds
+    gone = ann_index.expire_ivfpq_snapshots(spark, path)
+    assert out["tombstone"] in gone and out2["tombstone"] in gone
+    assert ann_index.tombstoned_ids(path) == []
+    after_sweep = ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect()
+    assert after_sweep and not {int(r["neighbor_id"]) for r in after_sweep} & set(doom)
+
+
+def test_ivfpq_index_delete_stale_snapshot_and_race(
+    emb, spark, tmp_path, monkeypatch
+):
+    """The two delete edge contracts: (a) the tombstone ALONE keeps a
+    still-physically-present id out of serving — the stale-snapshot
+    guarantee for readers inside the grace window; (b) a delete racing
+    a concurrent writer aborts at the epoch fence with the tombstone
+    left in place, so serving stays correct while the caller retries."""
+    import json as _json
+    import os
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    q = emb.filter(F.col("vec_id") < 3)
+    before = ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect()
+    victim = int(before[0]["neighbor_id"])
+
+    # (a) tombstone only — no physical rewrite has happened
+    tomb = os.path.join(path, "tombstone-feedfeedfeed.json")
+    with open(tomb, "w") as f:
+        _json.dump({"ids": [victim]}, f)
+    served = ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect()
+    assert victim not in {int(r["neighbor_id"]) for r in served}
+    os.remove(tomb)
+
+    # (b) racing writer: stale model at delete time -> fence abort
+    stale = ann_index.load_ivfpq_model(spark, path)
+    ann_index.append_to_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 1), path, ingest_id="day1"
+    )
+    monkeypatch.setattr(
+        ann_index, "load_ivfpq_model", lambda s, p: stale
+    )
+    with pytest.raises(RuntimeError, match="moved from epoch"):
+        ann_index.delete_from_ivfpq_index(spark, path, [victim])
+    monkeypatch.undo()
+    # the tombstone survives the abort: serving filters the id even
+    # though the failed delete never committed
+    assert victim in set(ann_index.tombstoned_ids(path))
+    served = ann_index.ivfpq_topk_over_index(emb, q, path, k=5).collect()
+    assert victim not in {int(r["neighbor_id"]) for r in served}
+
+
 def test_ivfpq_index_epoch_fence_detects_append_compact_interleave(
     emb, spark, tmp_path, monkeypatch
 ):

@@ -535,6 +535,16 @@ def test_cli_index_lifecycle(spark, tmp_path, capsys):
     assert maint2["recall"] is not None and maint2["recall"] >= 0.2
     assert maint2["rebuilt"] is False and maint2["trigger"] is None
 
+    # takedown surface (round 14): missing ids is a usage error; a
+    # real delete prints the surgical-rewrite summary and bumps epoch
+    assert main(["index", "delete", "--path", ix]) == 2
+    capsys.readouterr()
+    assert main(["index", "delete", "--path", ix, "--ids", "0,1,2"]) == 0
+    deleted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # vec_id 0 landed twice (build + the d1 append re-ingested %10==0)
+    assert deleted["requested"] == 3 and deleted["deleted_rows"] == 4
+    assert deleted["epoch"] == 4 and deleted["tombstone"].startswith("tombstone-")
+
 
 def test_cli_dedup_store_lifecycle(spark, tmp_path, capsys):
     """The `dedup` subcommand: sign a corpus into the store, probe an
@@ -640,6 +650,18 @@ def test_cli_dedup_store_lifecycle(spark, tmp_path, capsys):
     assert mnt["compacted"] is False and mnt["threshold"] == 16
 
     assert main(["dedup", "ingest", "--path", st]) == 2  # missing args
+
+    # takedown surface (round 14)
+    assert main(["dedup", "remove", "--path", st]) == 2
+    capsys.readouterr()
+    victim = fsi.read_store_docs(spark, st).select("doc_id").first()["doc_id"]
+    assert main(["dedup", "remove", "--path", st, "--ids", str(victim)]) == 0
+    rem = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rem["removed_docs"] == 1 and rem["removed_band_rows"] == 8
+    assert fsi.read_store_docs(spark, st).filter(
+        F.col("doc_id") == victim
+    ).count() == 0
+    assert fsi.tombstoned_ids(st) == [victim]
 
 
 def test_cli_pipeline_end_to_end_on_memory_filesystem(spark, tmp_path):

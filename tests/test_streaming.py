@@ -2557,6 +2557,99 @@ def test_fuzzy_store_ingest_stream_dedupes_and_replays_idempotent(spark, tmp_pat
     assert redec == dec_rows
 
 
+def test_fuzzy_store_remove_docs_takedown(spark, tmp_path):
+    """VERDICT r13 #1 (store half): remove_docs physically drops the
+    ids' doc + band rows (surgical — only subtrees containing them are
+    rewritten; an untouched subtree's files stay byte-identical),
+    tombstones the ids, and audits the removal in decisions. A
+    REPLAYED ingest of a removed doc (marker lost) is re-adjudicated:
+    the doc stays out while its batch-mates re-land; a NEW near-dup of
+    a removed doc is ADMITTED (nothing left to match). Compaction
+    carries the state; the epoch fence bumps per removal."""
+    import glob
+    import hashlib
+    import os
+
+    from streampro_assignment_etl_spark.operators.ann_index import _fs_base
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+    from streampro_assignment_etl_spark.streaming.index_ingest import (
+        _marker_path,
+    )
+
+    t1, t2, t3, t4 = _w("a"), _w("b"), _w("c"), _w("d")
+    near = lambda t: t.rsplit(" ", 1)[0] + " zz"  # noqa: E731
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "fstore")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def drain(rows, fname):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{landing}/{fname}")
+        fsi.run_fuzzy_store_ingest_from_dir(
+            spark, f"{landing}/*", store, ckpt, threshold=0.7
+        )
+
+    drain([(1, t1), (2, t2)], "f1")
+    drain([(11, t3), (12, t4)], "f2")
+    docs_dir = f"{store}/{fsi._store_dirs(fsi.load_store_manifest(store))['docs']}"
+    md5s = lambda d: {  # noqa: E731
+        os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(d, "*.parquet"))
+    }
+    batch1_docs = md5s(f"{docs_dir}/ingest=ingest-b000000000000")
+
+    # remove doc 11 (landed in batch 2) — batch 1's subtrees untouched
+    out = fsi.remove_docs(spark, store, [11])
+    assert out["removed_docs"] == 1 and out["removed_band_rows"] == 8
+    assert out["subtrees_rewritten"] == 2  # store + docs subtree of batch 2
+    assert md5s(f"{docs_dir}/ingest=ingest-b000000000000") == batch1_docs
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {1, 2, 12}
+    assert fsi.read_store_bands(spark, store).filter("doc_id = 11").count() == 0
+    # audit row: NULL dup_of/jaccard is the "removed" encoding
+    tomb_rows = fsi.read_decisions(spark, store).filter("dup_of IS NULL").collect()
+    assert [(r["doc_id"], r["dup_of"], r["jaccard"]) for r in tomb_rows] == [
+        (11, None, None)
+    ]
+
+    # replay of batch 2 with its marker LOST: doc 11 re-adjudicated
+    # (stays out), doc 12 re-lands — state converges to post-removal
+    state = sorted(
+        tuple(r) for r in fsi.read_store_docs(spark, store).collect()
+    )
+    fs, base = _fs_base(store)
+    os.remove(_marker_path(base, "ingest", 1))
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.7)
+    writer(
+        spark.createDataFrame([(11, t3), (12, t4)], "doc_id long, text string"),
+        1,
+    )
+    assert (
+        sorted(tuple(r) for r in fsi.read_store_docs(spark, store).collect())
+        == state
+    )
+
+    # a NEW near-dup of the removed doc is admitted (nothing to match)
+    drain([(21, near(t3))], "f3")
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {
+        1, 2, 12, 21,
+    }
+
+    # compaction folds without resurrecting; tombstone file survives
+    fsi.compact_fuzzy_store(spark, store)
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {
+        1, 2, 12, 21,
+    }
+    assert fsi.tombstoned_ids(store) == [11]
+    # removing an id that only exists as text elsewhere: no-op rewrite,
+    # tombstone + audit still land, epoch still fences forward
+    e0 = fsi._store_epoch(fsi.load_store_manifest(store))
+    out2 = fsi.remove_docs(spark, store, [999])
+    assert out2["removed_docs"] == 0 and out2["subtrees_rewritten"] == 0
+    assert out2["epoch"] == e0 + 1
+
+
 def test_fuzzy_store_base_namespace_guard(tmp_path):
     """ADVICE r13: ``_subtree_committed`` matched any id starting with
     'base', so a stream named 'baseline' had its UNCOMMITTED batches
