@@ -626,6 +626,47 @@ def scd2_apply_changes_converges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    how: str = "left",
+    dim_cols: tuple[str, ...] = ("status",),
+) -> DataFrame:
+    """Reusable point-in-time join: each fact row picks up the SCD-2
+    history row valid at its timestamp (``valid_from ≤ ts < valid_to``,
+    open interval = NULL ``valid_to``). The scale shape is the one
+    ``scd2_point_in_time_enrich`` documents — equi-join on the
+    dimension KEY with the interval predicate as a join residual (a
+    Type-2 dimension is bounded by keys × change rate; broadcast under
+    threshold, hash-shuffle on the key above it; never a bin join for
+    key×interval). ``how='left'`` keeps facts with no valid interval
+    (NULL dim columns) — dimension gaps must not drop facts, matching
+    ``enriched_events_stream``. Both sides are plan-aliased so shared
+    lineage (facts and dim derived from one frame) stays unambiguous.
+
+    This is the batch face ``run_pit_enriched_stream`` re-applies per
+    micro-batch against the LIVE dimension table
+    (streaming/events_stream.py)."""
+    d = dim.select(
+        F.col(key).alias("_d_key"),
+        "valid_from_us",
+        "valid_to_us",
+        *[F.col(c) for c in dim_cols],
+    ).alias("_d")
+    f = facts.alias("_f")
+    cond = (
+        (F.col(f"_f.{key}") == F.col("_d._d_key"))
+        & (F.col(f"_f.{ts_col}") >= F.col("_d.valid_from_us"))
+        & (
+            F.col("_d.valid_to_us").isNull()
+            | (F.col(f"_f.{ts_col}") < F.col("_d.valid_to_us"))
+        )
+    )
+    return f.join(d, cond, how).drop("_d_key")
+
+
 @query(
     "scd2_point_in_time_enrich",
     extra=True,  # warehouse family

@@ -406,6 +406,64 @@ def click_view_interval_join(
     )
 
 
+def run_pit_enriched_stream(
+    facts: DataFrame,
+    dim_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    how: str = "left",
+    dim_cols: tuple[str, ...] = ("status",),
+    timeout_s: int = 300,
+) -> None:
+    """Streaming point-in-time enrichment against the LIVE SCD-2
+    dimension (VERDICT r13 #2): each micro-batch of the fact stream
+    joins the history row valid at its own timestamp from the
+    dimension table that ``run_scd2_upsert_stream`` maintains at
+    ``dim_path`` — the composition of the Type-2 sink and the batch
+    PIT lookup (``queries.reshape.scd2_pit_join``; same equi-join on
+    the key with the interval predicate as a residual).
+
+    The dimension is RE-READ inside each batch (a fresh
+    ``spark.read.parquet``): the sink's staged-swap replaces the whole
+    directory, so a file index resolved once at stream start would go
+    stale — and would pin one validity snapshot forever. Re-reading
+    per batch gives the natural live semantics: a dimension update
+    that lands mid-stream is visible to every LATER batch, while rows
+    already enriched by EARLIER batches keep the intervals that were
+    current when they were processed (test-pinned) — exactly how a
+    fact table loaded incrementally against a maintained dimension
+    behaves in a warehouse. Re-process old batches to re-enrich.
+
+    Scale: the dimension is keys × change-rate bounded; under
+    ``spark.sql.autoBroadcastJoinThreshold`` the per-batch join
+    broadcasts with zero stream-side shuffle, above it it
+    hash-shuffles on the key — no hint forced here, the same
+    let-it-fall-back rule as ``enriched_events_stream``. State: none
+    (stream-static joins hold no streaming state; no watermark
+    needed). The sink is the idempotent ``batch_id=N``-overwrite
+    parquet layout of ``run_stream_to_parquet``."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..queries.reshape import scd2_pit_join
+
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        scd2_pit_join(
+            batch_df, dim, key=key, ts_col=ts_col, how=how, dim_cols=dim_cols
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        facts.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def run_scd2_upsert_stream(
     changes: DataFrame,
     target_path: str,

@@ -3212,6 +3212,127 @@ def test_maintain_store_threshold_fold_and_stats(spark, tmp_path):
 
 
 # -- streaming SCD-2 upsert sink ----------------------------------------------
+def test_pit_enriched_stream_matches_batch_over_converged_dim(spark, tmp_path):
+    """VERDICT r13 #2 pin 1: facts streamed through
+    run_pit_enriched_stream against a converged SCD-2 dimension are
+    BIT-EQUAL to the batch scd2_pit_join over the same facts and
+    dimension — across multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.queries.reshape import scd2_pit_join
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        run_pit_enriched_stream,
+        run_scd2_upsert_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").alias("change_id"),
+    )
+    changes_dir = str(tmp_path / "changes")
+    ev.coalesce(1).write.parquet(changes_dir)
+    dim_path = str(tmp_path / "dim")
+    run_scd2_upsert_stream(
+        spark.readStream.schema(ev.schema).parquet(changes_dir),
+        dim_path,
+        str(tmp_path / "ck_dim"),
+    )
+
+    facts = ev.select("user_id", F.col("change_id").alias("fact_id"), "ts_us")
+    landing = tmp_path / "facts"
+    half = facts.agg(F.expr("percentile(ts_us, 0.5)")).collect()[0][0]
+    facts.filter(F.col("ts_us") < half).coalesce(1).write.parquet(
+        str(landing / "f0")
+    )
+    facts.filter(F.col("ts_us") >= half).coalesce(1).write.parquet(
+        str(landing / "f1")
+    )
+    out = str(tmp_path / "enriched")
+    run_pit_enriched_stream(
+        spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        dim_path,
+        out,
+        str(tmp_path / "ck_pit"),
+    )
+    cols = ["user_id", "fact_id", "ts_us", "valid_from_us", "valid_to_us", "status"]
+    streamed = sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", out).parquet(out)
+        .select(*cols)
+        .collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in scd2_pit_join(facts, spark.read.parquet(dim_path))
+        .select(*cols)
+        .collect()
+    )
+    assert streamed and streamed == batch
+
+
+def test_pit_enriched_stream_sees_mid_stream_dimension_update(spark, tmp_path):
+    """VERDICT r13 #2 pin 2: a dimension update landing MID-STREAM is
+    visible to later batches (the per-batch dimension re-read), while
+    earlier batches keep the validity view that was current when they
+    ran; unknown keys survive the left join with NULL status."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        run_pit_enriched_stream,
+        run_scd2_upsert_stream,
+    )
+
+    chg_schema = "user_id string, status string, ts_us long, change_id long"
+    dim_path = str(tmp_path / "dim")
+
+    def apply_changes(rows, ck):
+        d = str(tmp_path / f"chg_{ck}")
+        spark.createDataFrame(rows, chg_schema).coalesce(1).write.parquet(d)
+        run_scd2_upsert_stream(
+            spark.readStream.schema(chg_schema).parquet(d),
+            dim_path,
+            str(tmp_path / f"ck_{ck}"),
+        )
+
+    apply_changes([("u1", "A", 100, 1), ("u2", "X", 100, 2)], "w1")
+
+    fact_schema = "user_id string, fact_id long, ts_us long"
+    landing = tmp_path / "facts"
+    out = str(tmp_path / "enriched")
+    ck_pit = str(tmp_path / "ck_pit")
+
+    def drain(rows, fname):
+        spark.createDataFrame(rows, fact_schema).coalesce(1).write.parquet(
+            str(landing / fname)
+        )
+        run_pit_enriched_stream(
+            spark.readStream.schema(fact_schema).parquet(f"{landing}/*"),
+            dim_path,
+            out,
+            ck_pit,
+        )
+
+    drain([("u1", 1, 500), ("u2", 2, 500), ("u9", 9, 500)], "f0")
+    # dimension update lands between the two fact waves: u1 flips to B
+    # at ts 300 — a backfill INSIDE history, re-derived by the apply
+    apply_changes([("u1", "B", 300, 3)], "w2")
+    drain([("u1", 3, 600), ("u2", 4, 600)], "f1")
+
+    got = {
+        r["fact_id"]: r["status"]
+        for r in spark.read.option("basePath", out).parquet(out).collect()
+    }
+    # batch 0 ran under the pre-update dimension: u1@500 -> A
+    # batch 1 ran after the update: u1@600 falls in B's interval
+    assert got == {1: "A", 2: "X", 9: None, 3: "B", 4: "X"}
+
+
 def test_scd2_stream_out_of_order_waves_converge_and_replay_idempotent(
     spark, tmp_path
 ):
