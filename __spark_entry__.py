@@ -40,9 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SURVEY.md §2 / COVERAGE.md, every one oracle-backed — the driver's
     50-entry correctness window exactly spent (pinned in
     tests/test_registry.py; round 5's final slot went to the
-    cross-batch streaming stateful dedup). Redundant representatives
-    live in ``extras()`` below: same oracle discipline, verified by the
-    local differential harness instead of driver-window spend."""
+    cross-batch streaming stateful dedup, and round 14 swapped three
+    redundant relational reps for the flagship
+    similarity_ann_ivfpq_index / scd2_apply_changes_converges /
+    pagerank_event_transitions). Redundant representatives live in
+    ``extras()`` below: same oracle discipline, verified by the local
+    differential harness instead of driver-window spend."""
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1479,7 +1479,10 @@ def _session_tmpdir(prefix: str) -> str:
 
 @query(
     "similarity_ann_ivfpq_index",
-    extra=True,
+    # Promoted to the driver window in round 14 (VERDICT r13 #3): the
+    # persisted-index lifecycle is the engine's flagship serving path
+    # and now carries a driver hash gate (slot freed by
+    # conditional_case_agg's demotion).
     tags=("similarity", "ann", "ivf", "pq", "index"),
     oracle=_IVFPQ_ORACLE,
 )

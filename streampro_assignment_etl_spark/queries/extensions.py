@@ -2607,7 +2607,9 @@ r{i + 1} AS (
 
 @query(
     "pagerank_event_transitions",
-    extra=True,
+    # Promoted to the driver window in round 14 (VERDICT r13 #3): the
+    # iterative graph family's bit-matched-oracle representative (slot
+    # freed by sort_nulls_last's demotion).
     tags=("graph", "iterative", "llm-pipeline"),
     oracle=f"""
 WITH seq AS (

@@ -302,6 +302,11 @@ def theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "left_join_null_handling",
+    # Demoted to EXTRAS in round 14 (VERDICT r13 #3): R11/R19/R20/F7
+    # all keep driver reps via sp_q1 (LEFT JOIN + NULLIF + conditional
+    # COUNT DISTINCT) and sp_q3 (returned_day1 CASE + 4-way LEFT JOIN);
+    # the freed slot carries scd2_apply_changes_converges.
+    extra=True,
     tags=("R11", "R19", "R20", "F7"),
     oracle="""
 WITH cust_orders AS (
@@ -445,6 +450,11 @@ def top1_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "sort_nulls_last",
+    # Demoted to EXTRAS in round 14 (VERDICT r13 #3): R16 keeps its
+    # driver rep via sp_q2 (DESC NULLS LAST, verbatim-dialect gated),
+    # R17 via shipping_priority/sp_session_overview's LIMITs, R11 via
+    # sp_q1–q3; the freed slot carries pagerank_event_transitions.
+    extra=True,
     tags=("R16", "R11", "R17"),
     oracle="""
 WITH seg AS (
@@ -548,6 +558,11 @@ def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "conditional_case_agg",
+    # Demoted to EXTRAS in round 14 (VERDICT r13 #3): R19 keeps its
+    # driver rep via sp_q3's returned_day1 CASE, R6 via sp_q1's
+    # conditional COUNT DISTINCT, R4/R5 via pricing_summary; the freed
+    # slot carries similarity_ann_ivfpq_index.
+    extra=True,
     tags=("R19", "R6", "R4", "R5"),
     oracle="""
 SELECT CASE WHEN o_totalprice >= 200000 THEN 'large'

@@ -573,7 +573,9 @@ def scd2_apply_changes(existing: DataFrame, changes: DataFrame) -> DataFrame:
 
 @query(
     "scd2_apply_changes_converges",
-    extra=True,  # warehouse family; catalog/pipeline rows carry the driver surface
+    # Promoted to the driver window in round 14 (VERDICT r13 #3): the
+    # SCD-2 incremental-apply convergence gate (slot freed by
+    # left_join_null_handling's demotion).
     tags=("scd2", "dimension", "warehouse", "incremental"),
     oracle="""
 WITH src AS (

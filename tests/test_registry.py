@@ -27,6 +27,22 @@ def test_no_name_collisions():
     assert not set(REGISTRY) & set(EXTRAS)
 
 
+def test_round14_flagship_promotions():
+    """VERDICT r13 #3: the engine's flagship families carry driver hash
+    gates — the persisted-index lifecycle, the SCD-2 convergence gate,
+    and PageRank swapped in for three redundant relational
+    representatives whose R-rows keep reps via sp_q1–q3 /
+    shipping_priority (COVERAGE.md §2.2 updated)."""
+    for n in (
+        "similarity_ann_ivfpq_index",
+        "scd2_apply_changes_converges",
+        "pagerank_event_transitions",
+    ):
+        assert n in REGISTRY, n
+    for n in ("left_join_null_handling", "sort_nulls_last", "conditional_case_agg"):
+        assert n in EXTRAS and n not in REGISTRY, n
+
+
 def test_every_registry_entry_has_oracle():
     """After round 3 every driver entry carries a DuckDB oracle — the
     hash gate covers 100% of the driver window (multimodal included)."""
