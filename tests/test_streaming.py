@@ -501,6 +501,107 @@ def test_chained_join_then_window_agg_matches_batch(spark, tmp_path):
     assert by_user == {7: 3, 8: 1}  # u7: 1+2 attributed views, u8: 1
 
 
+def test_stream_join_hot_key_cap_bounds_state_and_audits(spark, tmp_path):
+    """VERDICT r13 #6: the stream-stream join's skew lever. A planted
+    hot key (bot user 7, 40 views in the horizon) dominates join state;
+    with ``cap_hot_keys`` applied to both inputs the capped join's
+    state stays bounded (planted rows never enter the state store),
+    the bot's pairs vanish while normal traffic is untouched, and
+    ``hot_key_cap_audit`` reports exactly the shed rows. The 1-in-k
+    thinning is DETERMINISTIC (replay-stable): two evaluations keep the
+    identical row set."""
+    import pathlib
+
+    from streampro_assignment_etl_spark.streaming.stream_join import (
+        cap_hot_keys,
+        hot_key_cap_audit,
+        hot_key_stats,
+        view_click_attribution,
+    )
+
+    landing = str(tmp_path / "hk_landing")
+    pathlib.Path(landing).mkdir()
+    rows = [_event(i, f"2024-01-01 10:{i % 30:02d}:00", 7, "view", 1.0) for i in range(40)]
+    rows += [
+        _event(100, "2024-01-01 10:29:00", 7, "click", 1.0),  # bot click
+        _event(101, "2024-01-01 10:00:00", 8, "view", 2.0),
+        _event(102, "2024-01-01 10:10:00", 8, "click", 1.0),  # joins 101
+    ]
+    (pathlib.Path(landing) / "ev.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in rows) + "\n"
+    )
+
+    # audit face: the windowed pre-count flags user 7, not user 8
+    stats = {
+        (r["user_id"], r["n_rows"]): r["over_threshold"]
+        for r in hot_key_stats(
+            _batch_events(spark, landing).filter("event_type = 'view'"),
+            "user_id", "ts_event", window="1 hour", state_threshold=10,
+        ).collect()
+    }
+    assert stats == {(7, 40): True, (8, 1): False}
+
+    def run(capped: bool, tag: str):
+        out, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}")
+        src = read_events_stream(spark, landing)
+        clicks = src.filter(F.col("event_type") == "click")
+        views = src.filter(F.col("event_type") == "view")
+        if capped:
+            clicks = cap_hot_keys(clicks, "user_id", [7])
+            views = cap_hot_keys(views, "user_id", [7])
+        joined = view_click_attribution(clicks, views, horizon="30 minutes")
+
+        def write_batch(df, _):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        prog = q.lastProgress
+        state = (
+            sum(op["numRowsTotal"] for op in prog["stateOperators"])
+            if prog and prog.get("stateOperators")
+            else 0
+        )
+        return state, spark.read.parquet(out).collect()
+
+    raw_state, raw_rows = run(False, "raw")
+    cap_state, cap_rows = run(True, "cap")
+    assert cap_state < raw_state  # planted rows never entered the store
+    assert cap_state <= 3  # user 8's view+click (+watermark bookkeeping)
+    users = {r["user_id"] for r in cap_rows}
+    assert users == {8}  # bot pairs gone, normal traffic intact
+    assert {(r["click_id"], r["view_id"]) for r in cap_rows} == {(102, 101)}
+    assert any(r["user_id"] == 7 for r in raw_rows)  # uncapped control
+
+    # audit: drop mode sheds all 41 bot rows; thinning keeps a
+    # deterministic subset and accounts for every row
+    ev = _batch_events(spark, landing)
+    drop_audit = hot_key_cap_audit(ev, "user_id", [7]).collect()
+    assert [(r["user_id"], r["rows_seen"], r["rows_kept"], r["rows_dropped"]) for r in drop_audit] == [(7, 41, 0, 41)]
+    thin_audit = hot_key_cap_audit(
+        ev, "user_id", [7], keep_1_in=4, id_col="event_id"
+    ).collect()[0]
+    assert thin_audit["rows_kept"] + thin_audit["rows_dropped"] == 41
+    assert 0 < thin_audit["rows_kept"] < 41
+    thin1 = {
+        r["event_id"]
+        for r in cap_hot_keys(ev, "user_id", [7], keep_1_in=4, id_col="event_id").collect()
+    }
+    thin2 = {
+        r["event_id"]
+        for r in cap_hot_keys(ev, "user_id", [7], keep_1_in=4, id_col="event_id").collect()
+    }
+    assert thin1 == thin2  # deterministic — replay-stable
+    assert sum(1 for e in thin1 if e <= 100) == thin_audit["rows_kept"]
+    assert {101, 102} <= thin1  # non-hot keys untouched
+
+
 def test_streaming_asof_last_view_matches_batch_asof_operator(spark, tmp_path):
     """The streaming as-of join (join → windowed argmax,
     ``last_view_before_click_stream``) pinned against the BATCH as-of
