@@ -247,6 +247,134 @@ def merge_upsert(
     }
 
 
+def recover_delete_where(path: str) -> bool:
+    """Finish (or unwind) a ``delete_where`` interrupted by a hard
+    crash. The manifest written before the swap phase lists every
+    (original, staged-survivor, final-survivor) triple; replaying it is
+    idempotent: a staged ``.del-*`` survivor that exists is promoted to
+    its final name, an original whose final survivor is visible is
+    deleted, and entries whose survivor never finished writing are
+    simply skipped — their originals are intact and a re-run of the
+    same delete re-derives them. Returns True if any manifest was
+    replayed. Called automatically at ``delete_where`` entry."""
+    import json
+
+    root = Path(path.split("://", 1)[1]) if path.startswith("file://") else Path(path)
+    manifests = sorted(root.glob(".delete-manifest-*.json"))
+    for man in manifests:
+        for e in json.loads(man.read_text()):
+            orig = Path(e["original"])
+            dot = Path(e["staged"])
+            final = Path(e["final"])
+            if dot.exists():
+                dot.rename(final)
+            if final.exists() and orig.exists():
+                orig.unlink()
+        man.unlink()
+    return bool(manifests)
+
+
+def delete_where(spark, path: str, predicate: str) -> dict:
+    """Corpus-level takedown: delete every row matching a SQL
+    ``predicate`` by rewriting ONLY the parquet files that contain one
+    — the lake-zone completion of the round-14 deletion story
+    (``delete_from_ivfpq_index`` / ``remove_docs``): at 100 TB you
+    rewrite the files holding the 100 doomed rows, not the table.
+
+    File pruning: one scan with ``input_file_name()`` and the
+    predicate pushed down finds the HIT files; every other file is
+    untouched bytes (test-pinned byte-identical). Each hit file's
+    survivors are rewritten through a per-file staging write and land
+    back in the file's own directory — so Hive partition layouts
+    (``ingestion_date=…``) are preserved and partition-column
+    predicates work (the keep-side read attaches partition columns via
+    ``basePath`` and drops them before writing, since they live in the
+    path). Deletion semantics are SQL DELETE's: a row goes only when
+    the predicate is TRUE; NULL keeps the row.
+
+    Crash safety is manifest-driven: survivors are written as hidden
+    ``.del-*`` files first (invisible to readers; a parquet file,
+    once present under the dot name, is complete because it was moved
+    from a finished staging write), then a ``.delete-manifest-*.json``
+    records every (original → survivor) swap, then each swap is two
+    renames. ``recover_delete_where`` — run automatically at entry —
+    replays any manifest a crash left behind; a re-run of the same
+    predicate converges (remaining originals still match the hit
+    scan). Same single-writer maintenance contract and local-path
+    guard as ``compact_parquet``. ``hits`` are takedown-sized by
+    contract (the per-file rewrite is a driver loop over hit files).
+
+    Returns ``{"rows_deleted", "files_rewritten", "files_total"}``.
+    """
+    import json
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    root = require_local_path(path, "delete_where")
+    recover_delete_where(str(root))
+    df = spark.read.parquet(str(root))
+    pred = F.expr(predicate)
+    doomed = F.coalesce(pred, F.lit(False))
+    hit_files = sorted(
+        unquote(urlparse(r["_f"]).path)
+        for r in df.withColumn("_f", F.input_file_name())
+        .filter(doomed)
+        .select("_f")
+        .distinct()
+        .collect()
+    )
+    files_total = sum(1 for p in root.rglob("*.parquet") if p.is_file())
+    if not hit_files:
+        return {"rows_deleted": 0, "files_rewritten": 0, "files_total": files_total}
+    rows_deleted = df.filter(doomed).count()
+
+    # Partition columns live in the path, not the file: anything the
+    # table-level schema has that a bare leaf read lacks must be
+    # dropped again before survivors rejoin their partition dir.
+    leaf_cols = set(spark.read.parquet(hit_files[0]).columns)
+    part_cols = [c for c in df.columns if c not in leaf_cols]
+
+    token = uuid.uuid4().hex[:8]
+    entries = []
+    for i, f in enumerate(hit_files):
+        fp = Path(f)
+        keep = (
+            spark.read.option("basePath", str(root))
+            .parquet(f)
+            .filter(~doomed)
+            .drop(*part_cols)
+        )
+        stage_dir = root / f".del-stage-{token}-{i}"
+        keep.coalesce(1).write.mode("overwrite").parquet(str(stage_dir))
+        parts = list(stage_dir.glob("part-*.parquet"))
+        dot = fp.parent / f".del-{token}-{i}.parquet"
+        final = fp.parent / f"part-del{token}-{i}.parquet"
+        if parts:  # empty survivor set -> the original is simply removed
+            parts[0].rename(dot)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        entries.append(
+            {
+                "original": str(fp),
+                "staged": str(dot),
+                "final": str(final),
+            }
+        )
+    man = root / f".delete-manifest-{token}.json"
+    man.write_text(json.dumps(entries))
+    for e in entries:
+        dot, final, orig = Path(e["staged"]), Path(e["final"]), Path(e["original"])
+        if dot.exists():
+            dot.rename(final)
+        orig.unlink()
+    man.unlink()
+    return {
+        "rows_deleted": rows_deleted,
+        "files_rewritten": len(hit_files),
+        "files_total": files_total,
+    }
+
+
 def read_trusted(
     spark,
     trusted_path: str,

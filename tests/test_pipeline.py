@@ -1465,6 +1465,90 @@ def test_view_registration_propagates_unexpected_errors(spark, lake, monkeypatch
         )
 
 
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    """Corpus-level takedown (round 14): delete_where removes predicate
+    rows by rewriting ONLY the files containing them. Pins: non-hit
+    files byte-identical; survivors stay in their Hive partition dir;
+    partition-column predicates work; NULL predicate keeps the row
+    (SQL DELETE semantics); a crash mid-swap is replayed by the
+    manifest recovery; a no-hit predicate is a clean no-op."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import pathlib
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        delete_where,
+        recover_delete_where,
+    )
+
+    rows = [
+        (i, f"d{i % 3}", float(i) if i % 10 else None) for i in range(300)
+    ]
+    tbl = str(tmp_path / "tbl")
+    (
+        spark.createDataFrame(rows, "id long, day string, score double")
+        .repartition(4, "id")
+        .write.partitionBy("day")
+        .parquet(tbl)
+    )
+    md5s = lambda: {  # noqa: E731
+        f: hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(tbl, "day=*", "*.parquet"))
+    }
+    before = md5s()
+
+    out = delete_where(spark, tbl, "id IN (7, 13, 250)")
+    assert out["rows_deleted"] == 3 and 1 <= out["files_rewritten"] <= 3
+    after = md5s()
+    untouched = {f for f in before if f in after}
+    assert all(before[f] == after[f] for f in untouched)
+    assert len(before) - out["files_rewritten"] == len(untouched)
+    got = spark.read.parquet(tbl)
+    ids = {r["id"] for r in got.select("id").collect()}
+    assert ids == set(range(300)) - {7, 13, 250}
+    assert got.filter("day IS NULL").count() == 0  # partitions preserved
+
+    # NULL predicate keeps the row: score IS NULL rows survive
+    # "score > 1e9" (NULL > x is NULL, not TRUE)
+    n_null = got.filter("score IS NULL").count()
+    out2 = delete_where(spark, tbl, "score > 1e9")
+    assert out2 == {"rows_deleted": 0, "files_rewritten": 0, "files_total": len(after)}
+    assert spark.read.parquet(tbl).filter("score IS NULL").count() == n_null
+
+    # partition-column predicate
+    out3 = delete_where(spark, tbl, "day = 'd1' AND id < 20")
+    # 7 and 13 are d1 ids under 20 but step 1 already removed them
+    gone = {i for i in range(300) if i % 3 == 1 and i < 20} - {7, 13}
+    assert out3["rows_deleted"] == len(gone)
+    assert {r["id"] for r in spark.read.parquet(tbl).select("id").collect()} == (
+        set(range(300)) - {7, 13, 250} - gone
+    )
+
+    # crash replay: fabricate the post-manifest pre-swap state for one
+    # real file — survivor staged under the dot name, manifest present,
+    # original still in place — recovery must promote + delete
+    victim = pathlib.Path(glob.glob(os.path.join(tbl, "day=d0", "*.parquet"))[0])
+    sub = spark.read.parquet(str(victim))
+    keep_ids = {r["id"] for r in sub.select("id").collect()}
+    drop_one = sorted(keep_ids)[0]
+    stage = tmp_path / "stage"
+    sub.filter(f"id != {drop_one}").coalesce(1).write.mode("overwrite").parquet(str(stage))
+    dot = victim.parent / ".del-feedbeef-0.parquet"
+    final = victim.parent / "part-delfeedbeef-0.parquet"
+    next(stage.glob("part-*.parquet")).rename(dot)
+    man = pathlib.Path(tbl) / ".delete-manifest-feedbeef.json"
+    man.write_text(json.dumps([
+        {"original": str(victim), "staged": str(dot), "final": str(final)}
+    ]))
+    assert recover_delete_where(tbl) is True
+    assert final.exists() and not victim.exists() and not man.exists()
+    assert drop_one not in {
+        r["id"] for r in spark.read.parquet(tbl).select("id").collect()
+    }
+
+
 def test_cli_scd2_lifecycle(spark, tmp_path, capsys):
     """scd2 CLI runbook: init the dimension from the pre-cutoff change
     log, apply the post-cutoff batch, and the table must equal the bulk
