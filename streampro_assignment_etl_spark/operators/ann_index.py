@@ -1173,6 +1173,9 @@ def maintain_index(
         "rebuilt": rebuilt,
         "epoch": epoch,
         "expired": expired,
+        # live takedown ids the serve path is filtering (the sweep
+        # above retires them once physically absent + out of grace)
+        "tombstones": len(tombstoned_ids(path)),
     }
 
 

@@ -851,6 +851,10 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
         "band_rows": bands_n,
         "decisions": dec_n,
         "dup_decision_rate": (dec_n / ingested) if ingested else 0.0,
+        # permanent takedown list (remove_docs) — the ids every read
+        # and ingest batch excludes; nonzero is normal after takedowns,
+        # growth is worth an operator's eyebrow
+        "tombstoned_ids": len(tombstoned_ids(store_path)),
     }
 
 
