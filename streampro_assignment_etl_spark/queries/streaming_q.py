@@ -433,3 +433,41 @@ def gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "hot_key_state_audit",
+    extra=True,
+    tags=("streaming", "skew", "audit"),
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(*) >= 12 AS over_threshold
+FROM events
+WHERE event_type = 'view'
+GROUP BY 1, 2
+ORDER BY n_rows DESC, window_start, user_id
+LIMIT 100
+""",
+)
+def hot_key_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-join skew audit
+    (``streaming/stream_join.hot_key_stats``): per (event-time hour,
+    user) view counts — a key's rows inside the join horizon ARE its
+    join-state contribution, so the top of this table is tomorrow's
+    ``cap_hot_keys`` list. Spark's tumbling ``window('1 hour')``
+    aligns to the epoch, which is exactly DuckDB's
+    ``date_trunc('hour', …)`` — the hash gate pins that equivalence
+    along with the count threshold flag. Total ORDER BY (count desc,
+    window, key) so the LIMIT is deterministic cross-engine."""
+    from ..streaming.stream_join import hot_key_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    return (
+        hot_key_stats(ev, "user_id", "ts", window="1 hour", state_threshold=12)
+        .orderBy(F.desc("n_rows"), "window_start", "user_id")
+        .limit(100)
+    )

@@ -542,6 +542,37 @@ def test_scd2_pit_join_is_keyed_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
 
 
+def test_scd2_pit_join_helper_extracts_equi_key(spark):
+    """The factored scd2_pit_join (round 14 — the streaming PIT
+    runner's batch face) must plan like the inline PIT query: Catalyst
+    extracts the key equality into a hash join (broadcast or SMJ) and
+    the interval predicate rides as a residual — never a nested-loop/
+    cartesian, even when facts and dim share lineage (both derived
+    from events here, the aliasing trap)."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.plans import plan_string
+    from streampro_assignment_etl_spark.queries.reshape import (
+        scd2_from_log,
+        scd2_pit_join,
+    )
+    from streampro_assignment_etl_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        F.col("event_id").alias("change_id"),
+        F.col("event_type").alias("status"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    dim = scd2_from_log(ev, "change_id")
+    facts = ev.select("user_id", F.col("change_id").alias("fact_id"), "ts_us")
+    df = scd2_pit_join(facts, dim)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan[:1500]
+
+
 def test_quoted_span_gate_plan_broadcasts_spans(spark):
     """decontaminate_quoted_spans' rewrite pin (SCALE.md quoted-span
     postmortem): the span frame must BROADCAST into a hash equi-join
