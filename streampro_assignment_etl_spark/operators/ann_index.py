@@ -302,8 +302,18 @@ def build_ivfpq_index(
     hazard; ``expire_ivfpq_snapshots`` sweeps them by retention with a
     min-age grace. Rebuilding an EXISTING index is epoch-fenced like
     every other write: if another writer committed between this build's
-    model load and its commit, the commit raises."""
+    model load and its commit, the commit raises.
+
+    Standing takedowns are honored: ids tombstoned at ``path``
+    (``delete_from_ivfpq_index``) are excluded from the corpus BEFORE
+    seeding/training/encoding — a drift-triggered retrain over the
+    caller's corpus-of-record must not resurrect deleted vectors (and
+    would otherwise pin their tombstones unretirable forever). The
+    re-consent path is deleting the tombstone file first."""
     expect_epoch = _current_epoch(path)
+    tomb = tombstoned_ids(path)
+    if tomb:
+        emb = _without_ids(emb, id_col, tomb)
     cents = centroids or collect_centroids(
         seed_centroids(emb, id_col, vec_col, n_centroids)
     )
@@ -760,11 +770,19 @@ def append_to_ivfpq_index(
     NEW ids — the index stores rows, not keys; run the incremental-
     dedup ops upstream. When drift accumulates (``index_occupancy_
     stats`` past threshold), retrain via ``build_ivfpq_index`` — the
-    snapshot-pointer rebuild swaps atomically under live readers."""
+    snapshot-pointer rebuild swaps atomically under live readers.
+
+    Standing takedowns are honored: tombstoned ids in the batch are
+    silently excluded (same rule as the fuzzy-store ingest writer) —
+    a replayed or late-arriving append must not re-land a deleted
+    vector; remove the tombstone file first to re-admit an id."""
     import pyarrow.fs as pafs
 
     spark = new_emb.sparkSession
     model = load_ivfpq_model(spark, path)
+    tomb = tombstoned_ids(path)
+    if tomb:
+        new_emb = _without_ids(new_emb, id_col, tomb)
     if ingest_id is None:
         ingest_id = f"u{uuid.uuid4().hex[:12]}"
     if ingest_id == BASE_INGEST:

@@ -1409,6 +1409,55 @@ def test_ivfpq_index_delete_takedown(emb, spark, tmp_path):
     assert after_sweep and not {int(r["neighbor_id"]) for r in after_sweep} & set(doom)
 
 
+def test_ivfpq_index_rebuild_and_append_honor_tombstones(emb, spark, tmp_path):
+    """Standing takedowns survive the index lifecycle: after a delete,
+    (a) an APPEND whose batch contains the tombstoned id silently
+    excludes it, and (b) a REBUILD over a corpus that still contains
+    it excludes it before encoding — so the retention sweep can retire
+    the tombstone against the rebuilt snapshot, and a retrain can
+    never resurrect a deleted vector."""
+    import os
+
+    from streampro_assignment_etl_spark.operators import ann_index
+
+    path = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+    victim = int(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id").first()["vec_id"]
+    )
+    ann_index.delete_from_ivfpq_index(spark, path, [victim])
+
+    def snapshot_ids():
+        m = ann_index.load_ivfpq_model(spark, path)
+        return {
+            int(r["neighbor_id"])
+            for r in spark.read.parquet(os.path.join(path, m.encoded_dir))
+            .select("neighbor_id")
+            .collect()
+        }
+
+    # (a) append re-offering the deleted id (plus genuinely new rows)
+    ann_index.append_to_ivfpq_index(
+        emb.filter((F.col("vec_id") % 2 == 1) | (F.col("vec_id") == victim)),
+        path,
+        ingest_id="day1",
+    )
+    assert victim not in snapshot_ids()
+
+    # (b) rebuild over the FULL corpus (victim included)
+    ann_index.build_ivfpq_index(emb, path)
+    assert victim not in snapshot_ids()
+    # the sweep can now retire the tombstone against the new snapshot
+    gone = ann_index.expire_ivfpq_snapshots(spark, path)
+    assert any(g.startswith("tombstone-") for g in gone)
+    assert ann_index.tombstoned_ids(path) == []
+    # re-consent: with the tombstone retired, a fresh append readmits
+    ann_index.append_to_ivfpq_index(
+        emb.filter(F.col("vec_id") == victim), path, ingest_id="day2"
+    )
+    assert victim in snapshot_ids()
+
+
 def test_ivfpq_index_delete_stale_snapshot_and_race(
     emb, spark, tmp_path, monkeypatch
 ):
