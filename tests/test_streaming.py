@@ -2751,6 +2751,58 @@ def test_fuzzy_store_remove_docs_takedown(spark, tmp_path):
     assert out2["epoch"] == e0 + 1
 
 
+def test_fuzzy_store_remove_docs_fence_race(spark, tmp_path, monkeypatch):
+    """remove_docs racing a concurrent ingest batch: the removal loaded
+    the manifest at epoch e, the batch commits e+1 first, so the
+    removal's own commit must ABORT at the fence — with the tombstone
+    already in place, so reads exclude the doc while the caller
+    retries (the same two-layer guarantee as the index delete race)."""
+    import pytest
+
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "fstore")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(landing)
+    spark.createDataFrame(
+        [(1, _w("a")), (2, _w("b"))], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{landing}/f1")
+    fsi.run_fuzzy_store_ingest_from_dir(
+        spark, f"{landing}/*", store, ckpt, threshold=0.7
+    )
+
+    stale_manifest = fsi.load_store_manifest(store)
+    # a second batch commits while the removal holds the stale manifest
+    spark.createDataFrame(
+        [(3, _w("c"))], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{landing}/f2")
+    fsi.run_fuzzy_store_ingest_from_dir(
+        spark, f"{landing}/*", store, ckpt, threshold=0.7
+    )
+    # stale view for remove_docs' OWN manifest load only — the fence
+    # inside _commit_store_manifest re-reads the real manifest
+    real_load = fsi.load_store_manifest
+    calls = {"n": 0}
+
+    def first_call_stale(p):
+        calls["n"] += 1
+        return stale_manifest if calls["n"] == 1 else real_load(p)
+
+    monkeypatch.setattr(fsi, "load_store_manifest", first_call_stale)
+    with pytest.raises(RuntimeError, match="moved from epoch"):
+        fsi.remove_docs(spark, store, [1])
+    monkeypatch.undo()
+    # tombstone survives the abort: reads already exclude doc 1
+    assert fsi.tombstoned_ids(store) == [1]
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {2, 3}
+    # the retry (fresh manifest) completes and bumps the epoch
+    out = fsi.remove_docs(spark, store, [1])
+    assert out["epoch"] == fsi._store_epoch(fsi.load_store_manifest(store))
+
+
 def test_fuzzy_store_base_namespace_guard(tmp_path):
     """ADVICE r13: ``_subtree_committed`` matched any id starting with
     'base', so a stream named 'baseline' had its UNCOMMITTED batches
