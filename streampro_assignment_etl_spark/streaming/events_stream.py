@@ -629,11 +629,16 @@ def run_scd2_upsert_stream_bucketed(
                     for stale in root.parent.glob(f".{root.name}.boot-*"):
                         shutil.rmtree(stale, ignore_errors=True)
                 staging = root.parent / f".{root.name}.boot-{uuid.uuid4().hex[:8]}"
+                # repartition on the bucket column: one task owns each
+                # bucket, so a bucket dir is ONE file per rewrite — a
+                # plain partitionBy would leave up to
+                # spark.sql.shuffle.partitions shards per bucket (the
+                # small-files tax compact_parquet exists to undo)
                 scd2_from_log(batch_df, "change_id").withColumn(
                     "bucket", bucket_expr
-                ).write.mode("overwrite").partitionBy("bucket").parquet(
-                    str(staging)
-                )
+                ).repartition(F.col("bucket")).write.mode(
+                    "overwrite"
+                ).partitionBy("bucket").parquet(str(staging))
                 root.parent.mkdir(parents=True, exist_ok=True)
                 staging.rename(root)
                 return
@@ -658,9 +663,12 @@ def run_scd2_upsert_stream_bucketed(
             merged = scd2_apply_changes(existing, batch_df)
             token = uuid.uuid4().hex[:8]
             staging = root.parent / f".{root.name}.stage-{token}"
-            merged.withColumn("bucket", bucket_expr).write.mode(
-                "overwrite"
-            ).partitionBy("bucket").parquet(str(staging))
+            # one file per rewritten bucket (see bootstrap note)
+            merged.withColumn("bucket", bucket_expr).repartition(
+                F.col("bucket")
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
+                str(staging)
+            )
             for b in buckets:
                 rb = root / f"bucket={b}"
                 sb = staging / f"bucket={b}"

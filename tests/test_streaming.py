@@ -3551,6 +3551,14 @@ def test_scd2_bucketed_sink_converges_and_skips_untouched_buckets(
         .count()
     )
     assert misplaced == 0
+    # one file per POPULATED bucket per rewrite (repartition-on-bucket
+    # pin): a plain partitionBy would shard each bucket across shuffle
+    # tasks; an unpopulated hash bucket legitimately has no dir
+    bucket_dirs = glob.glob(os.path.join(target, "bucket=*"))
+    assert bucket_dirs, target
+    for d in bucket_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, (d, files)
 
     # (2) surgical batch: one key -> one bucket rewritten
     victim = spark.read.parquet(target).select("user_id").first()["user_id"]
