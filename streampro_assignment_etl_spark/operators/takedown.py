@@ -1,0 +1,106 @@
+"""Cascade takedown: one request, every storage surface.
+
+A real takedown (GDPR erasure, contaminated-document retraction, DMCA)
+never lives in one store: the document's text sits in lake tables, its
+embedding in the served ANN index, its shingle signatures in the dedup
+store. Round 14 gave each surface a surgical delete —
+``delete_from_ivfpq_index`` (operators/ann_index.py), ``remove_docs``
+(streaming/fuzzy_store_ingest.py), ``delete_where``
+(pipeline/writers.py) — and this module composes them into the single
+call an operator actually runs, plus the SEMANTIC expansion step the
+contamination case needs: "remove this doc *and every near-copy of
+it*" (exact id lists miss paraphrase mirrors; the embedding space
+doesn't).
+
+Scale shape of the expansion: the seed rows are takedown-sized by
+contract, so they BROADCAST and every corpus row scores against each
+seed in one map-side projection — |corpus| × |seeds| cosine folds,
+never corpus × corpus (the all-pairs trap every dedup operator here
+avoids). The cascade itself is three independent surgical deletes,
+each with its own crash/fence contract documented on the callee.
+
+≙ reference: none (north-star lifecycle; completes VERDICT r13 #1's
+"contaminated-doc retraction" motivation end to end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def semantic_expand_ids(
+    emb: DataFrame,
+    seed_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> list[int]:
+    """Expand a takedown seed set to every vector within cosine
+    ``threshold`` of any seed — seeds included, sorted. Seeds absent
+    from ``emb`` contribute nothing (they may already be deleted);
+    raises only when the seed LIST is empty. One map-side pass: the
+    seed (id, vector) rows broadcast, the corpus never shuffles."""
+    from .similarity import cosine
+
+    seeds = sorted({int(i) for i in seed_ids})
+    if not seeds:
+        raise ValueError("semantic_expand_ids: empty seed id list")
+    seed_rows = emb.filter(F.col(id_col).isin(seeds)).select(
+        F.col(id_col).alias("_seed_id"), F.col(vec_col).alias("_seed_vec")
+    )
+    matches = (
+        emb.crossJoin(F.broadcast(seed_rows))
+        .filter(
+            cosine(F.col(vec_col), F.col("_seed_vec")) >= F.lit(float(threshold))
+        )
+        .select(id_col)
+        .distinct()
+        .collect()
+    )
+    return sorted(set(seeds) | {int(r[id_col]) for r in matches})
+
+
+def cascade_takedown(
+    spark: SparkSession,
+    ids,
+    index_path: str | None = None,
+    store_path: str | None = None,
+    tables: tuple[tuple[str, str], ...] = (),
+) -> dict:
+    """Run the id list through every configured surface:
+
+    * ``index_path`` → ``delete_from_ivfpq_index`` (tombstone-first
+      partition rewrite; serving filters the ids immediately);
+    * ``store_path`` → ``remove_docs`` (subtree rewrite + permanent
+      tombstone so replays re-adjudicate);
+    * each ``(table_path, id_col)`` in ``tables`` →
+      ``delete_where(id_col IN ids)`` (file-pruned rewrite).
+
+    Surfaces run index → store → tables, each atomic under its own
+    contract; a failure (e.g. an epoch-fence abort from a racing
+    writer) propagates after the EARLIER surfaces committed — rerun
+    the cascade: every callee is idempotent for already-deleted ids,
+    so the retry converges. ``ids`` is takedown-sized by contract
+    (the table predicate is a literal IN list). Returns per-surface
+    reports keyed ``{"ids", "index", "store", "tables"}``."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        raise ValueError("cascade_takedown: empty id list")
+    report: dict = {"ids": ids, "index": None, "store": None, "tables": {}}
+    if index_path is not None:
+        from .ann_index import delete_from_ivfpq_index
+
+        report["index"] = delete_from_ivfpq_index(spark, index_path, ids)
+    if store_path is not None:
+        from ..streaming.fuzzy_store_ingest import remove_docs
+
+        report["store"] = remove_docs(spark, store_path, ids)
+    in_list = ", ".join(str(i) for i in ids)
+    for table_path, id_col in tables:
+        from ..pipeline.writers import delete_where
+
+        report["tables"][table_path] = delete_where(
+            spark, table_path, f"{id_col} IN ({in_list})"
+        )
+    return report

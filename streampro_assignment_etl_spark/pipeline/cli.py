@@ -250,6 +250,35 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dd.add_argument("--debug", action="store_true")
 
+    td = sub.add_parser(
+        "takedown",
+        help="Cascade takedown (operators/takedown.py): one id list "
+        "through the ANN index, the dedup store, and lake tables — "
+        "optionally expanded to semantic near-copies first",
+    )
+    td.add_argument("--ids", help="Comma-separated doc/vector ids")
+    td.add_argument("--ids-file", help="File with one id per line")
+    td.add_argument("--index", help="IVF-PQ index root to delete from")
+    td.add_argument("--store", help="Fuzzy dedup store root to remove from")
+    td.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        metavar="PATH:IDCOL",
+        help="Lake parquet table to delete_where from (repeatable)",
+    )
+    td.add_argument(
+        "--semantic-threshold",
+        type=float,
+        help="Expand ids to every embedding within this cosine first",
+    )
+    td.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="Embeddings table dir for --semantic-threshold expansion",
+    )
+    td.add_argument("--debug", action="store_true")
+
     s2 = sub.add_parser(
         "scd2",
         help="SCD Type-2 dimension maintenance (queries/reshape.py): "
@@ -315,6 +344,45 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         format="%(asctime)s %(levelname)-7s %(name)s %(message)s",
         stream=sys.stdout,
     )
+
+    if args.command == "takedown":
+        import json as _json
+
+        from ..operators.takedown import cascade_takedown, semantic_expand_ids
+        from ..session import get_spark
+        from ..sources.testdata import load_table
+
+        ids = _parse_ids(args)
+        if ids is None:
+            print("takedown requires --ids or --ids-file", file=sys.stderr)
+            return 2
+        if not (args.index or args.store or args.table):
+            print(
+                "takedown requires at least one of --index/--store/--table",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark("streampro-takedown")
+        if args.semantic_threshold is not None:
+            ids = semantic_expand_ids(
+                load_table(spark, args.sf_dir, "embeddings"),
+                ids,
+                threshold=args.semantic_threshold,
+            )
+        tables = []
+        for spec in args.table:
+            path, _, id_col = spec.rpartition(":")
+            if not path or not id_col:
+                print(f"--table expects PATH:IDCOL, got {spec!r}", file=sys.stderr)
+                return 2
+            tables.append((path, id_col))
+        out = cascade_takedown(
+            spark, ids,
+            index_path=args.index, store_path=args.store,
+            tables=tuple(tables),
+        )
+        print(_json.dumps({"action": "takedown", **out}))
+        return 0
 
     if args.command == "scd2":
         import json as _json

@@ -1409,6 +1409,77 @@ def test_ivfpq_index_delete_takedown(emb, spark, tmp_path):
     assert after_sweep and not {int(r["neighbor_id"]) for r in after_sweep} & set(doom)
 
 
+def test_cascade_takedown_all_surfaces(emb, spark, tmp_path):
+    """operators/takedown.py: one request clears every surface. The
+    semantic expansion finds the planted near-copy (cosine ≈ 1) and
+    nothing else; the cascade then removes the expanded set from the
+    ANN index, the fuzzy store, and a lake table — each verified by
+    its own read path — and the CLI drives the same composition."""
+    import json
+
+    from streampro_assignment_etl_spark.operators import ann_index
+    from streampro_assignment_etl_spark.operators.takedown import (
+        cascade_takedown,
+        semantic_expand_ids,
+    )
+    from streampro_assignment_etl_spark.pipeline.cli import main
+    from streampro_assignment_etl_spark.streaming import (
+        fuzzy_store_ingest as fsi,
+    )
+
+    # corpus with a planted near-copy of vec 0 under id 900001
+    seed_vec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    near = [x * 1.0000001 for x in seed_vec]
+    emb2 = emb.unionByName(
+        spark.createDataFrame([(900001, near, 0)], emb.schema)
+    )
+    expanded = semantic_expand_ids(emb2, [0], threshold=0.999)
+    assert 0 in expanded and 900001 in expanded
+    assert len(expanded) < 5  # no broad-corpus false sweep
+
+    # three surfaces holding the doomed ids
+    idx = str(tmp_path / "idx")
+    ann_index.build_ivfpq_index(emb2, idx)
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(0, "w0 " + _long_text(0)), (900001, "w1 " + _long_text(1)),
+         (7, "w7 " + _long_text(7))],
+        "doc_id long, text string",
+    )
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.95)
+    writer(docs, 0)
+    tbl = str(tmp_path / "tbl")
+    docs.write.parquet(tbl)
+
+    out = cascade_takedown(
+        spark, expanded, index_path=idx, store_path=store,
+        tables=((tbl, "doc_id"),),
+    )
+    assert out["index"]["deleted_rows"] == len(expanded)
+    assert out["store"]["removed_docs"] == 2  # 0 and 900001 were stored
+    assert out["tables"][tbl]["rows_deleted"] == 2
+    snap = ann_index.load_ivfpq_model(spark, idx).encoded_dir
+    left = {
+        int(r["neighbor_id"])
+        for r in spark.read.parquet(f"{idx}/{snap}").select("neighbor_id").collect()
+    }
+    assert not left & set(expanded)
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {7}
+    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {7}
+
+    # CLI face: rerun over the already-clean surfaces is idempotent
+    rc = main([
+        "takedown", "--ids", ",".join(str(i) for i in expanded),
+        "--index", idx, "--store", store, "--table", f"{tbl}:doc_id",
+    ])
+    assert rc == 0
+    assert main(["takedown", "--ids", "1"]) == 2  # no surface given
+
+
+def _long_text(seed: int) -> str:
+    return " ".join(f"t{seed}w{i}" for i in range(12))
+
+
 def test_ivfpq_index_rebuild_and_append_honor_tombstones(emb, spark, tmp_path):
     """Standing takedowns survive the index lifecycle: after a delete,
     (a) an APPEND whose batch contains the tombstoned id silently
