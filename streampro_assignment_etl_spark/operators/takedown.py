@@ -35,12 +35,20 @@ def semantic_expand_ids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_expansion: int = 10_000,
 ) -> list[int]:
     """Expand a takedown seed set to every vector within cosine
     ``threshold`` of any seed — seeds included, sorted. Seeds absent
     from ``emb`` contribute nothing (they may already be deleted);
     raises only when the seed LIST is empty. One map-side pass: the
-    seed (id, vector) rows broadcast, the corpus never shuffles."""
+    seed (id, vector) rows broadcast, the corpus never shuffles.
+
+    ``max_expansion`` is the fat-finger guard: a threshold typo'd low
+    (0.09 for 0.9) would otherwise match most of the corpus, collect
+    it to the driver, and hand a corpus-sized id list to three delete
+    surfaces — the ValueError fires BEFORE any collect (a limit+count
+    probe), naming the matched count so the operator can raise the
+    limit deliberately when a takedown genuinely is that large."""
     from .similarity import cosine
 
     seeds = sorted({int(i) for i in seed_ids})
@@ -49,16 +57,25 @@ def semantic_expand_ids(
     seed_rows = emb.filter(F.col(id_col).isin(seeds)).select(
         F.col(id_col).alias("_seed_id"), F.col(vec_col).alias("_seed_vec")
     )
-    matches = (
+    matched = (
         emb.crossJoin(F.broadcast(seed_rows))
         .filter(
             cosine(F.col(vec_col), F.col("_seed_vec")) >= F.lit(float(threshold))
         )
         .select(id_col)
         .distinct()
-        .collect()
     )
-    return sorted(set(seeds) | {int(r[id_col]) for r in matches})
+    probe = matched.limit(int(max_expansion) + 1).count()
+    if probe > max_expansion:
+        raise ValueError(
+            f"semantic_expand_ids: threshold {threshold} matches more than "
+            f"max_expansion={max_expansion} vectors — refusing to expand a "
+            f"takedown to a corpus-scale sweep; raise max_expansion "
+            f"deliberately if this is intended"
+        )
+    return sorted(
+        set(seeds) | {int(r[id_col]) for r in matched.collect()}
+    )
 
 
 def cascade_takedown(

@@ -1436,6 +1436,10 @@ def test_cascade_takedown_all_surfaces(emb, spark, tmp_path):
     expanded = semantic_expand_ids(emb2, [0], threshold=0.999)
     assert 0 in expanded and 900001 in expanded
     assert len(expanded) < 5  # no broad-corpus false sweep
+    # fat-finger guard: a typo'd-low threshold must refuse before
+    # collecting a corpus-scale id list
+    with pytest.raises(ValueError, match="max_expansion"):
+        semantic_expand_ids(emb2, [0], threshold=-1.0, max_expansion=50)
 
     # three surfaces holding the doomed ids
     idx = str(tmp_path / "idx")
