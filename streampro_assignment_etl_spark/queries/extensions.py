@@ -2665,3 +2665,140 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return weighted_pagerank(edges).orderBy("node")
+
+
+@query(
+    "unigram_logprob_quality",
+    extra=True,
+    tags=("text", "quality", "lm", "llm-pipeline"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM cnt
+),
+model AS (
+  SELECT w,
+         CAST(ROUND(log10((CAST(n AS DOUBLE) + 1.0) / (t + v)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM cnt CROSS JOIN tot
+),
+perdoc AS (
+  SELECT t.doc_id, t.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(m.lp) AS sum_lp
+  FROM tok t JOIN model m USING (w)
+  GROUP BY t.doc_id, t.source
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(ROUND(CAST(sum_lp AS DOUBLE) / n_tokens, 6)
+              AS DECIMAL(18,6)) AS mean_lp
+  FROM perdoc
+),
+g AS (
+  SELECT SUM(mean_lp) AS s1, SUM(mean_lp * mean_lp) AS s2,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM scored
+),
+thr AS (
+  SELECT (CAST(s1 AS DOUBLE) / n)
+         - 2.0 * sqrt((CAST(s2 AS DOUBLE) / n)
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           AS lo
+  FROM g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(mean_lp) AS DOUBLE) / COUNT(*), 6) AS avg_doc_logprob,
+       CAST(SUM(CASE WHEN CAST(mean_lp AS DOUBLE) < (SELECT lo FROM thr)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, the perplexity-proxy filter of
+    CCNet-style pipelines (Wenzek et al. 2020) with the corpus's OWN
+    unigram model standing in for the external LM (no model deps in
+    this container): each doc's mean token log10-probability under
+    add-one-smoothed corpus unigram frequencies; docs more than 2σ
+    below the global mean are flagged (gibberish / alien-vocabulary
+    text reads far less probable than the corpus baseline). Reported
+    per source — where to point the cleaning budget.
+
+    Scale shape: one token pass; the model is vocab-sized and joins
+    back on the token (broadcast under threshold); per-doc and
+    per-source reductions are map-side-combined aggregates. The global
+    μ/σ ride as a 1-row broadcast cross join — no driver collect.
+    Cross-engine determinism is the DSIR discipline: log10 outputs are
+    ROUND(·,6)→DECIMAL(18,6) BEFORE any sum (absorbs libm ulp
+    disagreement and makes every reduction order-free); the σ pipeline
+    sums exact decimal squares; every division/comparison is a
+    fixed-shape IEEE expression over identical inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(
+        F.sum("n").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    model = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(
+            F.log10(
+                (F.col("n").cast("double") + 1.0) / (F.col("t") + F.col("v"))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    perdoc = (
+        tok.join(model, "w")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("sum_lp"))
+    )
+    scored = perdoc.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.col("sum_lp").cast("double") / F.col("n_tokens"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("mean_lp"),
+    )
+    g = scored.agg(
+        F.sum("mean_lp").alias("s1"),
+        F.sum(F.col("mean_lp") * F.col("mean_lp")).alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    thr = (
+        mu
+        - F.lit(2.0)
+        * F.sqrt(F.col("s2").cast("double") / F.col("n") - mu * mu)
+    ).alias("lo")
+    return (
+        scored.crossJoin(F.broadcast(g.select(thr)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("mean_lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_doc_logprob"),
+            F.sum(
+                F.when(F.col("mean_lp").cast("double") < F.col("lo"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

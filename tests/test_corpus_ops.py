@@ -649,3 +649,32 @@ def test_quoted_span_requires_exact_consecutive_match(spark):
     finally:
         co.load_table = orig
     assert got == {1: (1, 1), 4: (2, 1)}, got
+
+
+def test_unigram_quality_flags_alien_vocabulary_doc(spark, tmp_path):
+    """unigram_logprob_quality (round 14): a doc written in vocabulary
+    the corpus has never seen scores far below the corpus baseline and
+    is the ONLY doc flagged; ordinary docs sharing the common
+    vocabulary are not. Uses a synthetic sf_dir so the semantic claim
+    is pinned on a known corpus, not just hash-gated on testdata."""
+    common = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, "srcA" if i % 2 else "srcB",
+         " ".join(common[(i + j) % 30] for j in range(40)))
+        for i in range(40)
+    ]
+    rows.append((99, "srcB", " ".join(f"zx{j}q" for j in range(40))))
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    out = {
+        r["source"]: (r["n_docs"], r["n_flagged"])
+        for r in EXTRAS["unigram_logprob_quality"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["srcA"] == (20, 0)
+    assert out["srcB"] == (21, 1)  # exactly the alien doc
