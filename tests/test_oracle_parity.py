@@ -35,6 +35,9 @@ SCALE_UP_EXTRAS = [
     "quality_classifier_scores",
     "source_vocab_overlap",
     "training_shuffle_interleave",
+    # round 14: the σ-flagging arm only sees non-trivial spread above
+    # toy scale
+    "unigram_logprob_quality",
 ]
 
 
