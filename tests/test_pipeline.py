@@ -1549,6 +1549,61 @@ def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     }
 
 
+def test_delete_where_forgets_key_in_bucketed_scd2_dimension(spark, tmp_path):
+    """Cross-feature GDPR pin: delete_where over the BUCKETED SCD-2
+    dimension forgets one user's whole history by rewriting only that
+    user's hash bucket — partition columns (bucket) survive the
+    rewrite and every other bucket's files are byte-identical. The
+    composed form a 'forget user X' request takes against the round-14
+    dimension layout."""
+    import glob
+    import hashlib
+    import os
+
+    from streampro_assignment_etl_spark.pipeline.writers import delete_where
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        run_scd2_upsert_stream_bucketed,
+    )
+
+    rows = [
+        (u, f"s{c}", 1_000 * (c + 1), u * 100 + c)
+        for u in range(40)
+        for c in range(3)
+    ]
+    chg = str(tmp_path / "chg")
+    spark.createDataFrame(
+        rows, "user_id long, status string, ts_us long, change_id long"
+    ).coalesce(1).write.parquet(chg)
+    dim = str(tmp_path / "dim")
+    run_scd2_upsert_stream_bucketed(
+        spark.readStream.schema(
+            "user_id long, status string, ts_us long, change_id long"
+        ).parquet(chg),
+        dim,
+        str(tmp_path / "ck"),
+        n_buckets=8,
+    )
+    victim = 7
+    vb = spark.sql(f"SELECT pmod(hash({victim}L), 8) AS b").first()["b"]
+    md5s = lambda b: {  # noqa: E731
+        os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(dim, f"bucket={b}", "*.parquet"))
+    }
+    before = {b: md5s(b) for b in range(8)}
+    out = delete_where(spark, dim, f"user_id = {victim}")
+    assert out["rows_deleted"] == 3 and out["files_rewritten"] == 1
+    after = {b: md5s(b) for b in range(8)}
+    for b in range(8):
+        if b == int(vb):
+            assert after[b] != before[b]
+        else:
+            assert after[b] == before[b], b
+    got = spark.read.parquet(dim)
+    assert got.filter(f"user_id = {victim}").count() == 0
+    assert got.count() == 39 * 3
+    assert got.filter("bucket IS NULL").count() == 0  # layout preserved
+
+
 def test_cli_scd2_lifecycle(spark, tmp_path, capsys):
     """scd2 CLI runbook: init the dimension from the pre-cutoff change
     log, apply the post-cutoff batch, and the table must equal the bulk
