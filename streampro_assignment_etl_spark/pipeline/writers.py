@@ -316,10 +316,16 @@ def delete_where(spark, path: str, predicate: str) -> dict:
     df = spark.read.parquet(str(root))
     pred = F.expr(predicate)
     doomed = F.coalesce(pred, F.lit(False))
+    # Filter BEFORE attaching input_file_name: a filter above that
+    # projection loses parquet pushdown entirely (measured — the
+    # nondeterministic file-name expression blocks predicate pushdown
+    # through it), turning the hit scan into a full-table read. A
+    # plain filter(pred) keeps only TRUE rows, which is exactly the
+    # DELETE predicate semantics the keep-side coalesce preserves.
     hit_files = sorted(
         unquote(urlparse(r["_f"]).path)
-        for r in df.withColumn("_f", F.input_file_name())
-        .filter(doomed)
+        for r in df.filter(pred)
+        .withColumn("_f", F.input_file_name())
         .select("_f")
         .distinct()
         .collect()
@@ -327,7 +333,7 @@ def delete_where(spark, path: str, predicate: str) -> dict:
     files_total = sum(1 for p in root.rglob("*.parquet") if p.is_file())
     if not hit_files:
         return {"rows_deleted": 0, "files_rewritten": 0, "files_total": files_total}
-    rows_deleted = df.filter(doomed).count()
+    rows_deleted = df.filter(pred).count()
 
     # Partition columns live in the path, not the file: anything the
     # table-level schema has that a bare leaf read lacks must be

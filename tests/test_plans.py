@@ -542,6 +542,25 @@ def test_scd2_pit_join_is_keyed_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
 
 
+def test_delete_where_hit_scan_pushes_predicate(spark, tmp_path):
+    """delete_where's hit scan must reach the parquet scan as a pushed
+    filter — filtering ABOVE the input_file_name projection loses
+    pushdown entirely (measured round 14), turning every takedown into
+    a full-table read. Pin the filter-first shape."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id % 7 AS g").write.parquet(tbl)
+    df = spark.read.parquet(tbl)
+    shaped = (
+        df.filter(F.expr("id IN (1, 2, 3)"))
+        .withColumn("_f", F.input_file_name())
+        .select("_f")
+    )
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(id" in plan, plan[:1200]
+
+
 def test_scd2_pit_join_helper_extracts_equi_key(spark):
     """The factored scd2_pit_join (round 14 — the streaming PIT
     runner's batch face) must plan like the inline PIT query: Catalyst
