@@ -501,10 +501,13 @@ def run_scd2_upsert_stream(
     affected keys' window rebuild + a full staged rewrite of the
     target — right for dimension tables (users, accounts, catalog
     items), which are modest next to fact/corpus tables. For a
-    dimension too large to rewrite per batch, store it partitioned by
-    a key bucket and adopt the epoch-fenced subtree manifest the fuzzy
-    store uses (``streaming/fuzzy_store_ingest.py``) — the apply
-    algebra here is unchanged by that layout, only the commit is.
+    dimension too large to rewrite per batch, use
+    ``run_scd2_upsert_stream_bucketed`` (round 14): same apply
+    algebra, hash-bucketed layout, per-batch rewrite bounded by the
+    buckets the batch's keys touch — with the measured crossover rule
+    in SCALE.md (scattered batches over SMALL dimensions still favor
+    this full swap; the bucketed form wins on bytes as soon as the
+    dimension outgrows its per-bucket constants).
     """
     import shutil
     import uuid
