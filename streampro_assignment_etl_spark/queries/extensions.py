@@ -2802,3 +2802,158 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MIX_ALPHA = 0.7  # the usual multilingual/web mixing temperature
+
+
+@query(
+    "source_mixture_plan",
+    extra=True,
+    tags=("curation", "mixing", "sampling", "llm-pipeline"),
+    oracle=f"""
+WITH perdoc AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM perdoc GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t,
+         CAST(SUM(n_docs) AS DOUBLE) AS d FROM src
+),
+p AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA}), 6)
+              AS DECIMAL(18,6)) AS pw
+  FROM src
+),
+ps AS (SELECT SUM(pw) AS pwsum FROM p),
+plan AS (
+  SELECT p.source, p.n_docs, p.n_tokens,
+         ROUND(CAST(p.n_tokens AS DOUBLE) / t, 9) AS raw_share,
+         ROUND(CAST(p.pw AS DOUBLE) / CAST(ps.pwsum AS DOUBLE), 9)
+           AS temp_share,
+         CAST(floor((d / 2.0)
+              * (CAST(p.pw AS DOUBLE) / CAST(ps.pwsum AS DOUBLE)))
+              AS BIGINT) AS quota_docs
+  FROM p CROSS JOIN ps CROSS JOIN tot
+),
+ranked AS (
+  SELECT d.source, d.n_tok,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rn
+  FROM perdoc d
+),
+sel AS (
+  SELECT r.source,
+         CAST(COUNT(*) AS BIGINT) AS selected_docs,
+         CAST(SUM(r.n_tok) AS BIGINT) AS selected_tokens
+  FROM ranked r JOIN plan pl USING (source)
+  WHERE r.rn <= pl.quota_docs
+  GROUP BY r.source
+)
+SELECT pl.source, pl.n_docs, pl.n_tokens, pl.raw_share, pl.temp_share,
+       pl.quota_docs,
+       COALESCE(s.selected_docs, 0) AS selected_docs,
+       COALESCE(s.selected_tokens, 0) AS selected_tokens
+FROM plan pl LEFT JOIN sel s USING (source)
+ORDER BY pl.source
+""",
+)
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the data-recipe step between
+    per-source accounting and the training shuffle: sampling weight
+    w_i ∝ n_i^α (α = 0.7, the standard multilingual/web temperature;
+    α→1 is proportional, α→0 uniform — small sources get boosted,
+    mega-sources damped), a per-source DOC QUOTA for a half-corpus
+    budget, and a deterministic selection meeting it (md5-ordered per
+    source, so the plan is replayable and the same doc set ships every
+    epoch — the training_shuffle_interleave input contract).
+
+    Scale shape: one token-length pass, a source-sized plan frame
+    (KB), one window per source for the selection rank. Cross-engine:
+    pow() is libm (not IEEE-exact), so the weights are ROUND(·,6)→
+    DECIMAL before the normalizing SUM (order-free, ulp-immune — the
+    DSIR discipline); shares and quotas are then fixed-shape IEEE
+    expressions over identical inputs, and floor() makes the quota an
+    exact integer both engines agree on."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    src = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    tot = src.agg(
+        F.sum("n_tokens").cast("double").alias("t"),
+        F.sum("n_docs").cast("double").alias("d"),
+    )
+    p = src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)), 6)
+        .cast("decimal(18,6)")
+        .alias("pw"),
+    )
+    ps = p.agg(F.sum("pw").alias("pwsum"))
+    share = F.col("pw").cast("double") / F.col("pwsum").cast("double")
+    plan = (
+        p.crossJoin(F.broadcast(ps))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("t"), 9).alias(
+                "raw_share"
+            ),
+            F.round(share, 9).alias("temp_share"),
+            F.floor((F.col("d") / F.lit(2.0)) * share)
+            .cast("bigint")
+            .alias("quota_docs"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sel = (
+        perdoc.withColumn("rn", F.row_number().over(w))
+        .join(plan.select("source", "quota_docs"), "source")
+        .filter(F.col("rn") <= F.col("quota_docs"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("selected_docs"),
+            F.sum("n_tok").alias("selected_tokens"),
+        )
+    )
+    return (
+        plan.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "raw_share",
+            "temp_share",
+            "quota_docs",
+            F.coalesce(F.col("selected_docs"), F.lit(0).cast("bigint")).alias(
+                "selected_docs"
+            ),
+            F.coalesce(F.col("selected_tokens"), F.lit(0).cast("bigint")).alias(
+                "selected_tokens"
+            ),
+        )
+        .orderBy("source")
+    )

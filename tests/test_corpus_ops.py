@@ -678,3 +678,33 @@ def test_unigram_quality_flags_alien_vocabulary_doc(spark, tmp_path):
     }
     assert out["srcA"] == (20, 0)
     assert out["srcB"] == (21, 1)  # exactly the alien doc
+
+
+def test_source_mixture_plan_temperature_boosts_small_sources(spark, tmp_path):
+    """source_mixture_plan (round 14): alpha=0.7 damps mega-sources and
+    boosts small ones — temp_share > raw_share for the smallest source,
+    < for the largest; quotas never exceed a source's docs; the
+    md5-ordered selection is deterministic across evaluations."""
+    rows = []
+    did = 0
+    for src, n in [("big", 60), ("mid", 20), ("tiny", 4)]:
+        for _ in range(n):
+            rows.append((did, src, " ".join(f"w{did}x{j}" for j in range(10))))
+            did += 1
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    from streampro_assignment_etl_spark.queries import EXTRAS
+
+    run = lambda: {  # noqa: E731
+        r["source"]: r.asDict()
+        for r in EXTRAS["source_mixture_plan"].builder(spark, str(tmp_path)).collect()
+    }
+    out = run()
+    assert out["tiny"]["temp_share"] > out["tiny"]["raw_share"]
+    assert out["big"]["temp_share"] < out["big"]["raw_share"]
+    for s in out.values():
+        assert s["selected_docs"] <= s["n_docs"]
+        assert s["selected_docs"] == min(s["quota_docs"], s["n_docs"])
+    assert run() == out  # deterministic plan + selection
