@@ -78,6 +78,82 @@ def semantic_expand_ids(
     )
 
 
+def verify_takedown(
+    spark: SparkSession,
+    ids,
+    index_path: str | None = None,
+    store_path: str | None = None,
+    tables: tuple[tuple[str, str], ...] = (),
+) -> dict:
+    """The erasure-evidence half a compliance process needs after
+    ``cascade_takedown``: re-read every configured surface through its
+    OWN read path and count what remains. Returns per-surface residual
+    counts plus ``clean`` (True iff every count is zero) and the live
+    tombstone guards — the document an operator attaches to the
+    takedown ticket. Read-only; costs one membership scan per surface
+    (the index scan prunes to the literal id filter, the table scan
+    pushes it down)."""
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        raise ValueError("verify_takedown: empty id list")
+    report: dict = {"ids": ids, "index": None, "store": None, "tables": {}}
+    if index_path is not None:
+        from .ann_index import (
+            _without_ids,
+            load_ivfpq_model,
+            tombstoned_ids,
+        )
+
+        model = load_ivfpq_model(spark, index_path)
+        enc = spark.read.parquet(f"{index_path}/{model.encoded_dir}")
+        physical = enc.filter(F.col("neighbor_id").isin(ids)).count()
+        guarded = set(tombstoned_ids(index_path))
+        report["index"] = {
+            "physical_rows": physical,
+            "tombstone_guarded": sorted(set(ids) & guarded),
+            # served = physically present AND not filtered by a
+            # tombstone — the number that must be zero
+            "servable_rows": 0
+            if set(ids) <= guarded
+            else _without_ids(
+                enc.filter(F.col("neighbor_id").isin(ids)),
+                "neighbor_id",
+                sorted(guarded),
+            ).count(),
+        }
+    if store_path is not None:
+        from ..streaming.fuzzy_store_ingest import (
+            read_store_bands,
+            read_store_docs,
+            tombstoned_ids as store_tombs,
+        )
+
+        report["store"] = {
+            "doc_rows": read_store_docs(spark, store_path)
+            .filter(F.col("doc_id").isin(ids))
+            .count(),
+            "band_rows": read_store_bands(spark, store_path)
+            .filter(F.col("doc_id").isin(ids))
+            .count(),
+            "tombstone_guarded": sorted(set(ids) & set(store_tombs(store_path))),
+        }
+    for table_path, id_col in tables:
+        report["tables"][table_path] = (
+            spark.read.parquet(table_path)
+            .filter(F.col(id_col).isin(ids))
+            .count()
+        )
+    residuals = []
+    if report["index"] is not None:
+        residuals.append(report["index"]["servable_rows"])
+    if report["store"] is not None:
+        residuals.append(report["store"]["doc_rows"])
+        residuals.append(report["store"]["band_rows"])
+    residuals.extend(report["tables"].values())
+    report["clean"] = all(r == 0 for r in residuals)
+    return report
+
+
 def cascade_takedown(
     spark: SparkSession,
     ids,

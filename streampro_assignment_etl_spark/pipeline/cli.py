@@ -273,6 +273,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Expand ids to every embedding within this cosine first",
     )
     td.add_argument(
+        "--verify-only",
+        action="store_true",
+        help="Read-only erasure evidence: count residuals per surface "
+        "instead of deleting",
+    )
+    td.add_argument(
         "--sf-dir",
         default="/root/testdata/sf0.001",
         help="Embeddings table dir for --semantic-threshold expansion",
@@ -348,7 +354,11 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
     if args.command == "takedown":
         import json as _json
 
-        from ..operators.takedown import cascade_takedown, semantic_expand_ids
+        from ..operators.takedown import (
+            cascade_takedown,
+            semantic_expand_ids,
+            verify_takedown,
+        )
         from ..session import get_spark
         from ..sources.testdata import load_table
 
@@ -376,12 +386,14 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 print(f"--table expects PATH:IDCOL, got {spec!r}", file=sys.stderr)
                 return 2
             tables.append((path, id_col))
-        out = cascade_takedown(
+        fn = verify_takedown if args.verify_only else cascade_takedown
+        out = fn(
             spark, ids,
             index_path=args.index, store_path=args.store,
             tables=tuple(tables),
         )
-        print(_json.dumps({"action": "takedown", **out}))
+        action = "takedown-verify" if args.verify_only else "takedown"
+        print(_json.dumps({"action": action, **out}))
         return 0
 
     if args.command == "scd2":

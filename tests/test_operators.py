@@ -1471,9 +1471,34 @@ def test_cascade_takedown_all_surfaces(emb, spark, tmp_path):
     assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {7}
     assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {7}
 
+    # erasure evidence: every surface reads back clean, and the store
+    # tombstone is reported as the standing guard
+    from streampro_assignment_etl_spark.operators.takedown import (
+        verify_takedown,
+    )
+
+    ev = verify_takedown(
+        spark, expanded, index_path=idx, store_path=store,
+        tables=((tbl, "doc_id"),),
+    )
+    assert ev["clean"] is True
+    assert ev["index"]["servable_rows"] == 0
+    assert ev["store"]["doc_rows"] == 0 and ev["store"]["band_rows"] == 0
+    assert ev["store"]["tombstone_guarded"] == [0, 900001]
+    assert ev["tables"][tbl] == 0
+    # negative control: an id never taken down reads back dirty
+    dirty = verify_takedown(spark, [7], store_path=store, tables=((tbl, "doc_id"),))
+    assert dirty["clean"] is False and dirty["tables"][tbl] == 1
+
     # CLI face: rerun over the already-clean surfaces is idempotent
     rc = main([
         "takedown", "--ids", ",".join(str(i) for i in expanded),
+        "--index", idx, "--store", store, "--table", f"{tbl}:doc_id",
+    ])
+    assert rc == 0
+    rc = main([
+        "takedown", "--verify-only",
+        "--ids", ",".join(str(i) for i in expanded),
         "--index", idx, "--store", store, "--table", f"{tbl}:doc_id",
     ])
     assert rc == 0
