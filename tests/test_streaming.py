@@ -3197,6 +3197,67 @@ def test_resign_store_geometry_migration(spark, tmp_path, monkeypatch):
     }
 
 
+def test_takedown_runbook_live_stream(spark, tmp_path):
+    """Round-14 operational narrative, end to end: a takedown lands in
+    the MIDDLE of a live ingest stream and the store stays correct
+    through everything that follows — (1) wave 1 ingests; (2) doc 2 is
+    taken down; (3) wave 2 on the SAME checkpoint ingests a NEW
+    near-dup of the removed doc (admitted — nothing left to match) and
+    a fresh doc; (4) wave 1's applied marker is LOST (crash window)
+    and the landing re-drained from a FRESH checkpoint — the replay
+    recomputes everything as one batch: the removed doc is
+    re-adjudicated out, wave-2 docs match their own committed store
+    copies and land nothing new, the fresh doc lands; (5) compaction
+    folds it all; (6) verify_takedown reads back clean with the
+    tombstone standing guard."""
+    import os
+
+    from streampro_assignment_etl_spark.operators.takedown import (
+        verify_takedown,
+    )
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    t1, t2, t3, t4 = _w("a"), _w("b"), _w("c"), _w("d")
+    near = lambda t: t.rsplit(" ", 1)[0] + " zz"  # noqa: E731
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "fstore")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def drain(rows, fname, ck=ckpt):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{landing}/{fname}")
+        fsi.run_fuzzy_store_ingest_from_dir(
+            spark, f"{landing}/*", store, ck, threshold=0.7
+        )
+
+    drain([(1, t1), (2, t2)], "w1")
+    fsi.remove_docs(spark, store, [2])
+    drain([(11, near(t2)), (12, t3)], "w2")  # near-dup of REMOVED doc 2
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {
+        1, 11, 12,
+    }  # 11 admitted: removal is not a similarity ban
+
+    # wave 1's marker lost (crash window), fresh checkpoint: the
+    # re-drain sees every landing file as one batch 0 and replays it
+    from streampro_assignment_etl_spark.operators.ann_index import _fs_base
+    from streampro_assignment_etl_spark.streaming.index_ingest import (
+        _marker_path,
+    )
+
+    _, base = _fs_base(store)
+    os.remove(_marker_path(base, "ingest", 0))
+    drain([(99, t4)], "w3", ck=str(tmp_path / "ckpt2"))
+    docs = {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()}
+    assert docs == {1, 11, 12, 99}  # doc 2 re-adjudicated OUT on replay
+
+    fsi.compact_fuzzy_store(spark, store)
+    ev = verify_takedown(spark, [2], store_path=store)
+    assert ev["clean"] is True and ev["store"]["tombstone_guarded"] == [2]
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == docs
+
+
 def test_store_ops_runbook_end_to_end(spark, tmp_path, capsys):
     """The fuzzy store's operations runbook as a test (mirror of the
     index runbook, round-13 surface composed): live checkpointed
