@@ -587,6 +587,74 @@ def _without_ids(df: DataFrame, col: str, ids: list[int]) -> DataFrame:
     return df.join(F.broadcast(doomed), col, "left_anti")
 
 
+def recover_index_delete(path: str) -> dict:
+    """Crash recovery for ``delete_from_ivfpq_index``'s partition swap,
+    run automatically at delete entry and by ``maintain_index``. The
+    swap per affected partition is (1) move live dir →
+    ``.del-old-<token>-<dir>`` trash, (2) move staged survivors in,
+    (3) drop the trash; each move is atomic, so a hard crash leaves a
+    partition in exactly one of three states: normal (no debris), trash
+    present WITH a live dir (crashed after 2 — survivors are live, drop
+    the trash), or trash present WITHOUT a live dir (crashed between 1
+    and 2 — the partition's NON-deleted rows are stranded in the trash;
+    restore it, and the retried delete re-derives the survivors because
+    the doomed ids are visible in the snapshot again — the tombstone
+    committed before any data moved keeps serving correct throughout;
+    the all-rows-doomed case restores too and converges the same way).
+    Orphan ``.del-<token>`` staging roots from the crashed run are
+    swept — the retry rewrites the same survivors. Without this sweep
+    the stranded rows were PERMANENT: a retry no-oped (the doomed ids
+    were no longer visible) and ``expire_ivfpq_snapshots`` lists only
+    the index root, never inside the snapshot (ADVICE r14 #1). Returns
+    ``{"restored", "dropped", "staging_swept"}`` (partition dirs /
+    staging names, sorted). Same single-writer maintenance contract as
+    every other lifecycle op — do not run concurrently with a live
+    delete."""
+    import pyarrow.fs as pafs
+
+    fs, base = _fs_base(path)
+    manifests = _list_manifests(fs, base)
+    if manifests:
+        _, name = manifests[-1]
+        with fs.open_input_stream(f"{base}/{name}") as f:
+            enc_dir = str(
+                json.loads(f.read().decode()).get("encoded_dir", ENCODED_DIR)
+            )
+    else:
+        enc_dir = ENCODED_DIR
+    snap_base = f"{base}/{enc_dir}"
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(snap_base, recursive=False))
+    except (FileNotFoundError, OSError):
+        return {"restored": [], "dropped": [], "staging_swept": []}
+    restored, dropped, swept = [], [], []
+    for i in infos:
+        if i.type != pafs.FileType.Directory:
+            continue
+        n = i.base_name
+        if n.startswith(".del-old-"):
+            # .del-old-<12-hex-token>-<dir with '/' encoded as '~'>
+            part = n[len(".del-old-") :].split("-", 1)[1].replace("~", "/")
+            live = f"{snap_base}/{part}"
+            if fs.get_file_info(live).type == pafs.FileType.NotFound:
+                parent = live.rsplit("/", 1)[0]
+                if parent != snap_base:
+                    fs.create_dir(parent, recursive=True)
+                fs.move(f"{snap_base}/{n}", live)
+                restored.append(part)
+            else:
+                fs.delete_dir(f"{snap_base}/{n}")
+                dropped.append(part)
+        elif n.startswith(".del-"):
+            fs.delete_dir(f"{snap_base}/{n}")
+            swept.append(n)
+    return {
+        "restored": sorted(restored),
+        "dropped": sorted(dropped),
+        "staging_swept": sorted(swept),
+    }
+
+
 def delete_from_ivfpq_index(
     spark: SparkSession, path: str, ids, *, keep_tombstone: bool = True
 ) -> dict:
@@ -619,11 +687,14 @@ def delete_from_ivfpq_index(
 
     Crash safety: tombstone-first means any crash leaves serving
     correct; a crash mid-swap can leave one partition's non-deleted
-    rows in a staged ``.del-*``/trash dir (invisible to readers) — the
-    retry re-lists affected partitions and the retention sweep clears
-    the debris. Re-running with the same ids is idempotent: already-
-    deleted ids match no partitions and the call no-ops without an
-    epoch bump.
+    rows in a hidden ``.del-old-*`` trash dir (invisible to readers) —
+    ``recover_index_delete``, run automatically at entry here and by
+    ``maintain_index``, restores a trash dir whose live partition is
+    missing and drops one whose swap completed, after which the retry
+    re-derives the survivors (the doomed ids are visible again).
+    Re-running with the same ids on a healthy index is idempotent:
+    already-deleted ids match no partitions and the call no-ops
+    without an epoch bump.
 
     ``ids`` is takedown-request-sized by contract (the affected-
     partition list is collected driver-side, one entry per id at
@@ -641,6 +712,7 @@ def delete_from_ivfpq_index(
     ids = sorted({int(i) for i in ids})
     if not ids:
         raise ValueError("delete_from_ivfpq_index: empty id list")
+    recover_index_delete(path)  # restore any crashed prior swap first
     model = load_ivfpq_model(spark, path)
     fs, base = _fs_base(path)
     tomb_name = None
@@ -1129,7 +1201,10 @@ def maintain_index(
     "recall" | None). Idempotent at the loop level: a rebuild resets
     the manifest occupancy to the fresh distribution and folds append
     subtrees into base, so the next run measures ~0 drift on both arms
-    and no-ops (pinned)."""
+    and no-ops (pinned). Runs ``recover_index_delete`` first, so a
+    takedown crashed mid-swap is healed before anything measures or
+    rebuilds over the snapshot."""
+    recover_index_delete(path)
     stats = index_occupancy_stats(spark, path)
     model = load_ivfpq_model(spark, path)
     rebuilt = False

@@ -698,6 +698,64 @@ def expire_fuzzy_store(
     return sorted(doomed_dirs + doomed_files)
 
 
+def recover_store_removal(store_path: str, manifest: dict | None = ...) -> dict:
+    """Crash recovery for ``remove_docs``' subtree swap, run
+    automatically at ``remove_docs`` entry and by ``maintain_store``
+    (mirror of ``ann_index.recover_index_delete`` / the bucketed SCD-2
+    sink's ``_recover_scd2_buckets``). The swap per affected subtree is
+    (1) move live ``ingest=<sub>`` → ``.rm-old-<token>-<sub>`` trash,
+    (2) move staged survivors in, (3) drop the trash — so a hard crash
+    leaves trash WITH a live subtree (swap completed: drop the trash)
+    or trash WITHOUT one (the subtree's surviving, non-removed docs/
+    band rows are stranded: restore it; the retried removal sees the
+    doomed ids again and re-derives the survivors, while the tombstone
+    committed before any data moved keeps every read correct
+    throughout). Orphan ``.rm-<token>-<sub>`` staging dirs are swept —
+    the retry rewrites the same rows. Without this sweep the stranded
+    survivors were PERMANENT: the retry found no hits and never
+    restored them (ADVICE r14 #2). Operates on the CURRENT manifest's
+    snapshot dirs (pass a pre-loaded ``manifest`` to heal the exact
+    snapshot a caller is about to rewrite); debris inside superseded
+    snapshots is deleted with them by ``expire_fuzzy_store``. Returns
+    ``{"restored", "dropped", "staging_swept"}``, each a sorted list
+    of ``<kind-dir>/<name>``."""
+    import pyarrow.fs as pafs
+
+    if manifest is ...:
+        manifest = load_store_manifest(store_path)
+    dirs = _store_dirs(manifest)
+    fs, base = _fs_base(store_path)
+    restored, dropped, swept = [], [], []
+    for kind in ("store", "docs"):
+        kb = f"{base}/{dirs[kind]}"
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(kb, recursive=False))
+        except (FileNotFoundError, OSError):
+            continue
+        for i in infos:
+            if i.type != pafs.FileType.Directory:
+                continue
+            n = i.base_name
+            if n.startswith(".rm-old-"):
+                # .rm-old-<12-hex-token>-<subtree id>
+                sub = n[len(".rm-old-") :].split("-", 1)[1]
+                live = f"{kb}/ingest={sub}"
+                if fs.get_file_info(live).type == pafs.FileType.NotFound:
+                    fs.move(f"{kb}/{n}", live)
+                    restored.append(f"{dirs[kind]}/ingest={sub}")
+                else:
+                    fs.delete_dir(f"{kb}/{n}")
+                    dropped.append(f"{dirs[kind]}/ingest={sub}")
+            elif n.startswith(".rm-"):
+                fs.delete_dir(f"{kb}/{n}")
+                swept.append(f"{dirs[kind]}/{n}")
+    return {
+        "restored": sorted(restored),
+        "dropped": sorted(dropped),
+        "staging_swept": sorted(swept),
+    }
+
+
 def remove_docs(spark: SparkSession, store_path: str, doc_ids) -> dict:
     """Takedown for the dedup store (VERDICT r13 #1, store half):
     physically drop ``doc_ids``' band rows and doc rows by rewriting
@@ -726,7 +784,11 @@ def remove_docs(spark: SparkSession, store_path: str, doc_ids) -> dict:
        must not change); the commit bumps the manifest epoch through
        the fence, so a racing ingest/compaction aborts on one side or
        the other. If THIS writer loses the race, the tombstone stays
-       (reads stay correct) and the caller retries.
+       (reads stay correct) and the caller retries. A hard crash
+       inside a subtree's two-rename swap strands its survivors in a
+       hidden ``.rm-old-*`` trash dir — ``recover_store_removal``,
+       run automatically at entry here and by ``maintain_store``,
+       restores it so the retry converges.
 
     Earlier docs that were REJECTED as dups of a removed doc are NOT
     resurrected — they were dropped at ingest and the store never kept
@@ -740,6 +802,7 @@ def remove_docs(spark: SparkSession, store_path: str, doc_ids) -> dict:
     if not ids:
         raise ValueError("remove_docs: empty doc id list")
     manifest = load_store_manifest(store_path)
+    recover_store_removal(store_path, manifest)  # heal any crashed swap
     dirs = _store_dirs(manifest)
     epoch = _store_epoch(manifest)
     fs, base = _fs_base(store_path)
@@ -881,7 +944,10 @@ def maintain_store(
 
     Returns the pre-fold stats plus ``{"compacted", "threshold",
     "epoch", "expired"}`` (``epoch`` reflects the post-fold manifest
-    when a fold ran)."""
+    when a fold ran). Runs ``recover_store_removal`` first, so a
+    takedown crashed mid-swap is healed before the fold could freeze
+    the damaged layout into a new snapshot."""
+    recover_store_removal(store_path)
     stats = store_stats(spark, store_path)
     compacted = False
     epoch = stats["epoch"]

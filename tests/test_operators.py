@@ -1409,6 +1409,94 @@ def test_ivfpq_index_delete_takedown(emb, spark, tmp_path):
     assert after_sweep and not {int(r["neighbor_id"]) for r in after_sweep} & set(doom)
 
 
+def test_ivfpq_delete_crash_recovery_restores_stranded_partition(
+    emb, spark, tmp_path
+):
+    """ADVICE r14 #1: a hard crash between delete_from_ivfpq_index's
+    two swap renames strands a partition's NON-deleted rows in a hidden
+    ``.del-old-*`` trash dir; before the recovery sweep a retry no-oped
+    (the doomed ids were no longer visible) and the survivors were
+    permanently lost. Pins: (1) recover_index_delete restores a trash
+    dir whose live partition is missing and sweeps the orphan staging
+    root; (2) the retried delete then converges to the fresh-build
+    oracle over corpus∖ids; (3) a trash dir whose swap COMPLETED (live
+    dir present) is dropped, live bytes untouched; (4) delete entry
+    runs the recovery itself — no manual call needed."""
+    import os
+    import shutil
+
+    from streampro_assignment_etl_spark.operators import ann_index, similarity
+
+    cents = similarity.collect_centroids(
+        similarity.seed_centroids(emb, "vec_id", "embedding", 8)
+    )
+    cbs = similarity.pq_codebooks(emb, "vec_id", "embedding", m=2, n_codes=8)
+    path = str(tmp_path / "idx")
+    built = ann_index.build_ivfpq_index(emb, path, centroids=cents, codebooks=cbs)
+    snap = os.path.join(path, built.encoded_dir)
+    all_rows = sorted(
+        tuple(r) for r in spark.read.parquet(snap).drop("ingest").collect()
+    )
+
+    # victim partition and a doomed id inside it
+    first = spark.read.parquet(snap).select("neighbor_id", "ingest", "cell").first()
+    doom = int(first["neighbor_id"])
+    part = f"ingest={first['ingest']}/cell={first['cell']}"
+    live = os.path.join(snap, part)
+    survivors_in_part = (
+        spark.read.parquet(live).filter(f"neighbor_id != {doom}").count()
+    )
+    assert survivors_in_part > 0  # the rows the old code lost forever
+
+    # fabricate the exact crash window: live dir moved to trash, staged
+    # survivors written, second rename never happened
+    trash = os.path.join(snap, f".del-old-deadbeefdead-{part.replace('/', '~')}")
+    os.rename(live, trash)
+    stage_root = os.path.join(snap, ".del-deadbeefdead")
+    os.makedirs(stage_root)
+    with open(os.path.join(stage_root, "leftover"), "w") as f:
+        f.write("staging debris")
+
+    out = ann_index.recover_index_delete(path)
+    assert out["restored"] == [part]
+    assert out["staging_swept"] == [".del-deadbeefdead"]
+    assert os.path.isdir(live) and not os.path.exists(trash)
+    assert not os.path.exists(stage_root)
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(snap).drop("ingest").collect())
+        == all_rows
+    )
+
+    # the retried delete now converges to the fresh-build oracle
+    ann_index.delete_from_ivfpq_index(spark, path, [doom])
+    fresh = str(tmp_path / "fresh")
+    fm = ann_index.build_ivfpq_index(
+        emb.filter(F.col("vec_id") != doom), fresh,
+        centroids=cents, codebooks=cbs,
+    )
+    content = lambda p, d: sorted(  # noqa: E731
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(p, d)).drop("ingest").collect()
+    )
+    assert content(path, built.encoded_dir) == content(fresh, fm.encoded_dir)
+
+    # crashed AFTER the swap (live dir present): trash is dropped, live
+    # bytes untouched; and delete entry itself performs the recovery
+    rows2 = spark.read.parquet(snap).select("neighbor_id", "ingest", "cell").collect()
+    nxt = next(r for r in rows2)
+    part2 = f"ingest={nxt['ingest']}/cell={nxt['cell']}"
+    live2 = os.path.join(snap, part2)
+    trash2 = os.path.join(snap, f".del-old-feedfacefeed-{part2.replace('/', '~')}")
+    shutil.copytree(live2, trash2)
+    doom2 = int(nxt["neighbor_id"])
+    state_before = content(path, built.encoded_dir)
+    ann_index.delete_from_ivfpq_index(spark, path, [doom2])  # entry recovers
+    assert not os.path.exists(trash2)
+    assert sorted(
+        t for t in state_before if int(t[0]) != doom2
+    ) == content(path, built.encoded_dir)
+
+
 def test_cascade_takedown_all_surfaces(emb, spark, tmp_path):
     """operators/takedown.py: one request clears every surface. The
     semantic expansion finds the planted near-copy (cosine ≈ 1) and

@@ -2751,6 +2751,79 @@ def test_fuzzy_store_remove_docs_takedown(spark, tmp_path):
     assert out2["epoch"] == e0 + 1
 
 
+def test_fuzzy_store_remove_docs_crash_recovery(spark, tmp_path):
+    """ADVICE r14 #2: remove_docs' subtree swap has the same unprotected
+    window as the index delete — a crash after the live subtree moved to
+    ``.rm-old-*`` trash but before the staged rewrite landed strands the
+    subtree's SURVIVING docs/band rows, and a retry finds no hits so it
+    never restores them. Pins: recover_store_removal restores a trash
+    dir whose live subtree is missing (and sweeps the orphan staging
+    dir), drops one whose swap completed, and remove_docs runs the
+    recovery at entry so the retried removal converges — batch-mates
+    back, doomed id gone, reads clean."""
+    import os
+    import shutil
+
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+
+    landing = str(tmp_path / "landing")
+    store = str(tmp_path / "fstore")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def drain(rows, fname):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{landing}/{fname}")
+        fsi.run_fuzzy_store_ingest_from_dir(
+            spark, f"{landing}/*", store, ckpt, threshold=0.7
+        )
+
+    drain([(1, _w("a")), (2, _w("b"))], "f1")
+    drain([(11, _w("c")), (12, _w("d"))], "f2")
+    dirs = fsi._store_dirs(fsi.load_store_manifest(store))
+    docs_dir = f"{store}/{dirs['docs']}"
+    sub = "ingest-b000000000001"  # batch 2's subtree: docs 11 and 12
+
+    # fabricate the crash window: live subtree in trash, staged rewrite
+    # present but never swapped in — doc 12 (the survivor) is stranded
+    os.rename(f"{docs_dir}/ingest={sub}", f"{docs_dir}/.rm-old-deadbeefdead-{sub}")
+    os.makedirs(f"{docs_dir}/.rm-deadbeefdead-{sub}")
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {1, 2}
+
+    out = fsi.recover_store_removal(store)
+    assert out["restored"] == [f"{dirs['docs']}/ingest={sub}"]
+    assert out["staging_swept"] == [f"{dirs['docs']}/.rm-deadbeefdead-{sub}"]
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {
+        1, 2, 11, 12,
+    }
+
+    # same window, healed by remove_docs' own entry: the retried removal
+    # of 11 converges — 12 restored and kept, 11 physically gone
+    os.rename(f"{docs_dir}/ingest={sub}", f"{docs_dir}/.rm-old-feedfacefeed-{sub}")
+    out2 = fsi.remove_docs(spark, store, [11])
+    assert out2["removed_docs"] == 1
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {
+        1, 2, 12,
+    }
+    assert fsi.read_store_bands(spark, store).filter("doc_id = 11").count() == 0
+    assert not os.path.exists(f"{docs_dir}/.rm-old-feedfacefeed-{sub}")
+
+    # crashed AFTER the swap (live subtree present): trash dropped, live
+    # bytes untouched
+    shutil.copytree(
+        f"{docs_dir}/ingest={sub}", f"{docs_dir}/.rm-old-0123456789ab-{sub}"
+    )
+    state = sorted(tuple(r) for r in fsi.read_store_docs(spark, store).collect())
+    out3 = fsi.recover_store_removal(store)
+    assert out3["dropped"] == [f"{dirs['docs']}/ingest={sub}"]
+    assert not os.path.exists(f"{docs_dir}/.rm-old-0123456789ab-{sub}")
+    assert (
+        sorted(tuple(r) for r in fsi.read_store_docs(spark, store).collect())
+        == state
+    )
+
+
 def test_fuzzy_store_remove_docs_fence_race(spark, tmp_path, monkeypatch):
     """remove_docs racing a concurrent ingest batch: the removal loaded
     the manifest at epoch e, the batch commits e+1 first, so the
