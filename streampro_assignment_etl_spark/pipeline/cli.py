@@ -316,15 +316,26 @@ def _registry(args: argparse.Namespace):
     return TESTDATA_TABLES if args.registry == "testdata" else STREAMPRO_TABLES
 
 
-def _parse_ids(args: argparse.Namespace) -> list[int] | None:
+def _parse_id_token(tok: str):
+    """Integer-looking tokens become ints (vec/doc ids); anything else
+    stays a string key (``user_12`` — the shape a GDPR request names).
+    The string travels as a typed literal through ``Column.isin``,
+    never into SQL text, so no quoting/escaping happens here."""
+    try:
+        return int(tok)
+    except ValueError:
+        return tok
+
+
+def _parse_ids(args: argparse.Namespace) -> list | None:
     """Takedown id list from --ids (comma-separated) or --ids-file
     (one per line, blank lines/comments skipped); None when neither."""
     if getattr(args, "ids", None):
-        return [int(tok) for tok in args.ids.split(",") if tok.strip()]
+        return [_parse_id_token(tok.strip()) for tok in args.ids.split(",") if tok.strip()]
     if getattr(args, "ids_file", None):
         with open(args.ids_file) as f:
             return [
-                int(ln)
+                _parse_id_token(ln)
                 for ln in (ln.strip() for ln in f)
                 if ln and not ln.startswith("#")
             ]

@@ -274,9 +274,12 @@ def recover_delete_where(path: str) -> bool:
     return bool(manifests)
 
 
-def delete_where(spark, path: str, predicate: str) -> dict:
-    """Corpus-level takedown: delete every row matching a SQL
-    ``predicate`` by rewriting ONLY the parquet files that contain one
+def delete_where(spark, path: str, predicate) -> dict:
+    """Corpus-level takedown: delete every row matching ``predicate``
+    (a SQL string, or a ``Column`` — the injection-safe form for
+    caller-supplied values: ``cascade_takedown`` passes
+    ``F.col(id_col).isin(ids)`` so hostile id strings are typed
+    literals, never SQL text) by rewriting ONLY the parquet files that contain one
     — the lake-zone completion of the round-14 deletion story
     (``delete_from_ivfpq_index`` / ``remove_docs``): at 100 TB you
     rewrite the files holding the 100 doomed rows, not the table.
@@ -314,7 +317,7 @@ def delete_where(spark, path: str, predicate: str) -> dict:
     root = require_local_path(path, "delete_where")
     recover_delete_where(str(root))
     df = spark.read.parquet(str(root))
-    pred = F.expr(predicate)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     doomed = F.coalesce(pred, F.lit(False))
     # Filter BEFORE attaching input_file_name: a filter above that
     # projection loses parquet pushdown entirely (measured — the

@@ -1593,6 +1593,80 @@ def test_cascade_takedown_all_surfaces(emb, spark, tmp_path):
     assert main(["takedown", "--ids", "1"]) == 2  # no surface given
 
 
+def test_takedown_string_keys_and_physical_evidence(spark, tmp_path):
+    """VERDICT r14 #3 + ADVICE r14 #3: (a) the cascade erases
+    STRING-keyed subjects (user_id, the reference's own key shape) from
+    lake tables — ids travel as typed Column.isin literals, so an
+    injection-shaped id is just a string that matches nothing; (b)
+    string ids against the int-keyed index/store surfaces fail loudly;
+    (c) verify_takedown reports store PHYSICAL residue separately from
+    servable residue — a tombstone that landed without its physical
+    rewrite (the epoch-fence-abort state) reads clean=True but
+    physical_clean=False instead of overstating erasure."""
+    import json
+    import os
+
+    from streampro_assignment_etl_spark.operators.takedown import (
+        cascade_takedown,
+        verify_takedown,
+    )
+    from streampro_assignment_etl_spark.streaming import (
+        fuzzy_store_ingest as fsi,
+    )
+
+    users = spark.createDataFrame(
+        [(f"user_{i}", f"u{i}@x.io", i * 10) for i in range(20)],
+        "user_id string, email string, score long",
+    )
+    tbl = str(tmp_path / "users")
+    users.repartition(4, "user_id").write.parquet(tbl)
+
+    out = cascade_takedown(
+        spark, ["user_7", "user_13"], tables=((tbl, "user_id"),)
+    )
+    assert out["tables"][tbl]["rows_deleted"] == 2
+    left = {r["user_id"] for r in spark.read.parquet(tbl).collect()}
+    assert left == {f"user_{i}" for i in range(20)} - {"user_7", "user_13"}
+
+    # injection-shaped id: a literal that matches nothing, table intact
+    evil = "x') OR 1=1 --"
+    out2 = cascade_takedown(spark, [evil], tables=((tbl, "user_id"),))
+    assert out2["tables"][tbl]["rows_deleted"] == 0
+    assert spark.read.parquet(tbl).count() == 18
+    ev = verify_takedown(spark, ["user_7", evil], tables=((tbl, "user_id"),))
+    assert ev["clean"] is True and ev["physical_clean"] is True
+
+    # string ids cannot reach the int-keyed index/store surfaces
+    with pytest.raises(ValueError, match="integer vec/doc ids"):
+        cascade_takedown(spark, ["user_7"], index_path=str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="integer vec/doc ids"):
+        verify_takedown(spark, ["user_7"], store_path=str(tmp_path / "st"))
+
+    # physical vs servable: tombstone landed, physical rewrite did NOT
+    # (fence-abort state) — servable counts are 0, physical counts not
+    store = str(tmp_path / "fstore")
+    writer = fsi.make_fuzzy_ingest_writer(store, threshold=0.95)
+    writer(
+        spark.createDataFrame(
+            [(1, _long_text(1)), (2, _long_text(2))],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    with open(os.path.join(store, "tombstone-feedbeef0000.json"), "w") as f:
+        json.dump({"ids": [1]}, f)
+    ev2 = verify_takedown(spark, [1], store_path=store)
+    assert ev2["store"]["doc_rows"] == 0  # reads exclude the tombstone
+    assert ev2["store"]["physical_doc_rows"] == 1  # ...but bytes remain
+    assert ev2["store"]["physical_band_rows"] > 0
+    assert ev2["clean"] is True and ev2["physical_clean"] is False
+    # after the physical removal both evidence levels read clean
+    fsi.remove_docs(spark, store, [1])
+    ev3 = verify_takedown(spark, [1], store_path=store)
+    assert ev3["store"]["physical_doc_rows"] == 0
+    assert ev3["clean"] is True and ev3["physical_clean"] is True
+
+
 def _long_text(seed: int) -> str:
     return " ".join(f"t{seed}w{i}" for i in range(12))
 
