@@ -229,6 +229,7 @@ def cascade_takedown(
     index_path: str | None = None,
     store_path: str | None = None,
     tables: tuple[tuple[str, str], ...] = (),
+    table_filesystem=None,
 ) -> dict:
     """Run the id list through every configured surface:
 
@@ -249,8 +250,13 @@ def cascade_takedown(
     the index/store surfaces to be unset. The table predicate is built
     as a TYPED ``Column.isin`` literal, never interpolated into SQL
     text, so an injection-shaped id (``"x') OR 1=1"``) is just a
-    string that matches nothing (VERDICT r14 #3). Returns per-surface
-    reports keyed ``{"ids", "index", "store", "tables"}``."""
+    string that matches nothing (VERDICT r14 #3). ``table_filesystem``
+    is the ``delete_where`` object-store seam (a ``pyarrow.fs``
+    filesystem applied to every table path) — how the cascade reaches
+    an S3-rooted lake from a connector-less JVM; the index/store
+    surfaces resolve their own filesystems from their path URIs.
+    Returns per-surface reports keyed ``{"ids", "index", "store",
+    "tables"}``."""
     ids = _normalize_ids(ids, "cascade_takedown")
     report: dict = {"ids": ids, "index": None, "store": None, "tables": {}}
     if index_path is not None:
@@ -271,6 +277,7 @@ def cascade_takedown(
         from ..pipeline.writers import delete_where
 
         report["tables"][table_path] = delete_where(
-            spark, table_path, F.col(id_col).isin(ids)
+            spark, table_path, F.col(id_col).isin(ids),
+            filesystem=table_filesystem,
         )
     return report

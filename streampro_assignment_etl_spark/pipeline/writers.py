@@ -247,141 +247,335 @@ def merge_upsert(
     }
 
 
-def recover_delete_where(path: str) -> bool:
+def _pafs_base(path: str, filesystem=None):
+    """(pyarrow filesystem, base path) for a local path, an FS URI, or
+    an injected filesystem — the same seam as ``pipeline.lake`` /
+    ``ann_index._fs_base``. ``s3a``/``s3n`` map to pyarrow's ``s3`` so
+    one table can be written through Spark's Hadoop connector and
+    maintained through this seam against the same bucket."""
+    import pyarrow.fs as pafs
+
+    if filesystem is not None:
+        return filesystem, path.rstrip("/")
+    p = path
+    if p.startswith(("s3a://", "s3n://")):
+        p = "s3://" + p.split("://", 1)[1]
+    if "://" in p:
+        return pafs.FileSystem.from_uri(p)
+    return pafs.LocalFileSystem(), p
+
+
+def _fs_exists(fs, p: str) -> bool:
+    import pyarrow.fs as pafs
+
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def _visible_parquet_files(fs, base: str) -> list[str]:
+    """Base-relative paths of the table's READABLE parquet files: every
+    path with a dot- or underscore-prefixed component (staged ``.del-*``
+    survivors, ``.del-stage-*`` dirs, Spark ``_SUCCESS``/metadata) is
+    invisible to readers and excluded — so ``files_total`` counts what a
+    scan sees, not maintenance debris (ADVICE r14 #4)."""
+    import pyarrow.fs as pafs
+
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(base, recursive=True))
+    except (FileNotFoundError, OSError):
+        return []
+    out = []
+    for i in infos:
+        if i.type != pafs.FileType.File or not i.path.endswith(".parquet"):
+            continue
+        rel = i.path[len(base) + 1 :]
+        if any(part.startswith((".", "_")) for part in rel.split("/")):
+            continue
+        out.append(rel)
+    return sorted(out)
+
+
+def _man_full(base: str, p: str) -> str:
+    """Manifest entries are base-relative (portable across stores);
+    pre-r15 manifests recorded absolute local paths — both resolve."""
+    return p if p.startswith("/") else f"{base}/{p}"
+
+
+def recover_delete_where(path: str, filesystem=None) -> bool:
     """Finish (or unwind) a ``delete_where`` interrupted by a hard
-    crash. The manifest written before the swap phase lists every
-    (original, staged-survivor, final-survivor) triple; replaying it is
-    idempotent: a staged ``.del-*`` survivor that exists is promoted to
-    its final name, an original whose final survivor is visible is
-    deleted, and entries whose survivor never finished writing are
-    simply skipped — their originals are intact and a re-run of the
-    same delete re-derives them. Returns True if any manifest was
-    replayed. Called automatically at ``delete_where`` entry."""
+    crash, and sweep its orphaned staging debris. The manifest written
+    before the swap phase lists every (original, staged-survivor,
+    final-survivor) triple; replaying it is idempotent: a staged
+    ``.del-*`` survivor that exists is promoted to its final name, an
+    original whose final survivor is visible is deleted, and entries
+    whose survivor never finished writing are simply skipped — their
+    originals are intact and a re-run of the same delete re-derives
+    them. After replay no manifest remains, so every ``.del-*`` staged
+    file, ``.del-stage-*`` dir, and ``.tmp-*`` manifest staging left
+    anywhere under the table is PRE-manifest crash debris that nothing
+    will ever reference — swept here (before this sweep it accumulated
+    forever, invisible but unswept; ADVICE r14 #4). All bookkeeping
+    runs through the pyarrow FS seam, so the replay works identically
+    on a local table and an object-store one. Returns True if any
+    manifest was replayed or debris swept. Called automatically at
+    ``delete_where`` entry; single-writer maintenance contract (the
+    sweep cannot tell a crashed writer's staging from a live one's)."""
     import json
 
-    root = Path(path.split("://", 1)[1]) if path.startswith("file://") else Path(path)
-    manifests = sorted(root.glob(".delete-manifest-*.json"))
+    import pyarrow.fs as pafs
+
+    fs, base = _pafs_base(path, filesystem)
+    try:
+        root_infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    except (FileNotFoundError, OSError):
+        return False
+    manifests = sorted(
+        i.path
+        for i in root_infos
+        if i.type == pafs.FileType.File
+        and i.base_name.startswith(".delete-manifest-")
+        and i.base_name.endswith(".json")
+    )
     for man in manifests:
-        for e in json.loads(man.read_text()):
-            orig = Path(e["original"])
-            dot = Path(e["staged"])
-            final = Path(e["final"])
-            if dot.exists():
-                dot.rename(final)
-            if final.exists() and orig.exists():
-                orig.unlink()
-        man.unlink()
-    return bool(manifests)
+        with fs.open_input_stream(man) as f:
+            entries = json.loads(f.read().decode())
+        for e in entries:
+            orig = _man_full(base, e["original"])
+            dot = _man_full(base, e["staged"])
+            final = _man_full(base, e["final"])
+            if _fs_exists(fs, dot):
+                fs.move(dot, final)
+            if _fs_exists(fs, final) and _fs_exists(fs, orig):
+                fs.delete_file(orig)
+        fs.delete_file(man)
+    # Orphan-debris sweep: with every manifest replayed and removed,
+    # any remaining .del-* / .tmp- artifact is unreferenced.
+    doomed_files, doomed_dirs = [], []
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(base, recursive=True))
+    except (FileNotFoundError, OSError):
+        infos = []
+    for i in infos:
+        n = i.base_name
+        if i.type == pafs.FileType.File and (
+            (n.startswith(".del-") and n.endswith(".parquet"))
+            or (n.startswith(".tmp-delete-"))
+        ):
+            doomed_files.append(i.path)
+        elif i.type == pafs.FileType.Directory and n.startswith(".del-stage-"):
+            doomed_dirs.append(i.path)
+    for d in doomed_dirs:
+        fs.delete_dir(d)
+    for f in doomed_files:
+        # a file inside a just-deleted staging dir is already gone
+        if _fs_exists(fs, f):
+            fs.delete_file(f)
+    return bool(manifests) or bool(doomed_files) or bool(doomed_dirs)
 
 
-def delete_where(spark, path: str, predicate) -> dict:
+def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
     """Corpus-level takedown: delete every row matching ``predicate``
     (a SQL string, or a ``Column`` — the injection-safe form for
     caller-supplied values: ``cascade_takedown`` passes
     ``F.col(id_col).isin(ids)`` so hostile id strings are typed
-    literals, never SQL text) by rewriting ONLY the parquet files that contain one
-    — the lake-zone completion of the round-14 deletion story
-    (``delete_from_ivfpq_index`` / ``remove_docs``): at 100 TB you
-    rewrite the files holding the 100 doomed rows, not the table.
+    literals, never SQL text) by rewriting ONLY the parquet files that
+    contain one — the lake-zone completion of the round-14 deletion
+    story (``delete_from_ivfpq_index`` / ``remove_docs``): at 100 TB
+    you rewrite the files holding the 100 doomed rows, not the table.
 
     File pruning: one scan with ``input_file_name()`` and the
     predicate pushed down finds the HIT files; every other file is
-    untouched bytes (test-pinned byte-identical). Each hit file's
-    survivors are rewritten through a per-file staging write and land
-    back in the file's own directory — so Hive partition layouts
+    untouched bytes (test-pinned byte-identical locally AND by ETag
+    against an S3 wire-protocol store). Each hit file's survivors are
+    rewritten through a per-file staging write and land back in the
+    file's own directory — so Hive partition layouts
     (``ingestion_date=…``) are preserved and partition-column
     predicates work (the keep-side read attaches partition columns via
     ``basePath`` and drops them before writing, since they live in the
     path). Deletion semantics are SQL DELETE's: a row goes only when
     the predicate is TRUE; NULL keeps the row.
 
-    Crash safety is manifest-driven: survivors are written as hidden
-    ``.del-*`` files first (invisible to readers; a parquet file,
-    once present under the dot name, is complete because it was moved
-    from a finished staging write), then a ``.delete-manifest-*.json``
-    records every (original → survivor) swap, then each swap is two
-    renames. ``recover_delete_where`` — run automatically at entry —
-    replays any manifest a crash left behind; a re-run of the same
-    predicate converges (remaining originals still match the hit
-    scan). Same single-writer maintenance contract and local-path
-    guard as ``compact_parquet``. ``hits`` are takedown-sized by
-    contract (the per-file rewrite is a driver loop over hit files).
+    Storage seam (VERDICT r14 #1 — this surface previously refused
+    everything but local paths while its own docstring sold the 100 TB
+    story): ALL bookkeeping — listing, staged survivors, manifest,
+    rename swap — runs through ``pyarrow.fs``, resolved like
+    ``pipeline.lake``:
+
+    * a plain path → ``LocalFileSystem``, Spark reads/writes directly
+      (byte-identical behavior to the pre-seam implementation);
+    * an ``s3://``/``hdfs://`` URI → ``FileSystem.from_uri`` for the
+      bookkeeping, while Spark reads the table through its own
+      connector (``s3://`` is handed to Spark as ``s3a://``) — the
+      cluster path: distributed hit scan with pushdown, survivor
+      rewrites as Spark jobs, and the swap as server-side
+      copy+delete. Requires the JVM connector on the classpath;
+    * an injected ``filesystem=`` (the ``LakeStorage(filesystem=…)``
+      configuration for JVMs WITHOUT a connector — this sandbox's
+      moto-S3 tests) → Spark I/O bridges through a driver-side local
+      mirror (download visible files, scan/rewrite locally, upload
+      survivors), while every mutation of the store itself still goes
+      through the fs seam. The mirror is O(table) driver I/O — right
+      for the hermetic tests and maintenance-sized tables it exists
+      for; at corpus scale use the connector route.
+
+    Crash safety is manifest-driven and store-agnostic: survivors are
+    written as hidden ``.del-*`` files first (invisible to readers; a
+    parquet file, once present under the dot name, is complete because
+    it was moved whole from a finished staging write), then a
+    ``.delete-manifest-*.json`` (itself staged + renamed) records
+    every (original → survivor) swap, then each swap is two renames.
+    ``recover_delete_where`` — run automatically at entry — replays
+    any manifest a crash left behind and sweeps pre-manifest staging
+    debris; a re-run of the same predicate converges (remaining
+    originals still match the hit scan). Single-writer maintenance
+    contract. ``hits`` are takedown-sized by contract (the per-file
+    rewrite is a driver loop over hit files).
 
     Returns ``{"rows_deleted", "files_rewritten", "files_total"}``.
     """
     import json
-    from urllib.parse import unquote, urlparse
+    import tempfile
+    from urllib.parse import unquote, urlsplit
 
     from pyspark.sql import functions as F
 
-    root = require_local_path(path, "delete_where")
-    recover_delete_where(str(root))
-    df = spark.read.parquet(str(root))
-    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    doomed = F.coalesce(pred, F.lit(False))
-    # Filter BEFORE attaching input_file_name: a filter above that
-    # projection loses parquet pushdown entirely (measured — the
-    # nondeterministic file-name expression blocks predicate pushdown
-    # through it), turning the hit scan into a full-table read. A
-    # plain filter(pred) keeps only TRUE rows, which is exactly the
-    # DELETE predicate semantics the keep-side coalesce preserves.
-    hit_files = sorted(
-        unquote(urlparse(r["_f"]).path)
-        for r in df.filter(pred)
-        .withColumn("_f", F.input_file_name())
-        .select("_f")
-        .distinct()
-        .collect()
-    )
-    files_total = sum(1 for p in root.rglob("*.parquet") if p.is_file())
-    if not hit_files:
-        return {"rows_deleted": 0, "files_rewritten": 0, "files_total": files_total}
-    rows_deleted = df.filter(pred).count()
+    fs, base = _pafs_base(path, filesystem)
+    recover_delete_where(path, filesystem=filesystem)
+    visible = _visible_parquet_files(fs, base)
+    files_total = len(visible)
 
-    # Partition columns live in the path, not the file: anything the
-    # table-level schema has that a bare leaf read lacks must be
-    # dropped again before survivors rejoin their partition dir.
-    leaf_cols = set(spark.read.parquet(hit_files[0]).columns)
-    part_cols = [c for c in df.columns if c not in leaf_cols]
+    bridge_dir = None
+    if filesystem is not None:
+        # connector-less bridge: mirror the table's visible files into
+        # a local scratch dir for Spark, preserving the Hive layout
+        bridge_dir = tempfile.mkdtemp(prefix="delete-where-bridge-")
+        for rel in visible:
+            dst = Path(bridge_dir) / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            with fs.open_input_stream(f"{base}/{rel}") as src, open(
+                dst, "wb"
+            ) as out:
+                shutil.copyfileobj(src, out)
+        readable_root = bridge_dir
+    elif "://" in path:
+        scheme, rest = path.split("://", 1)
+        readable_root = f"s3a://{rest}" if scheme in ("s3", "s3n") else path
+    else:
+        readable_root = base
 
-    token = uuid.uuid4().hex[:8]
-    entries = []
-    for i, f in enumerate(hit_files):
-        fp = Path(f)
-        keep = (
-            spark.read.option("basePath", str(root))
-            .parquet(f)
-            .filter(~doomed)
-            .drop(*part_cols)
+    def _norm(u: str) -> str:
+        if "://" in u:
+            parts = urlsplit(u)
+            return unquote(parts.netloc + parts.path)
+        return u
+
+    try:
+        df = spark.read.parquet(readable_root)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        doomed = F.coalesce(pred, F.lit(False))
+        # Filter BEFORE attaching input_file_name: a filter above that
+        # projection loses parquet pushdown entirely (measured — the
+        # nondeterministic file-name expression blocks predicate
+        # pushdown through it), turning the hit scan into a full-table
+        # read. A plain filter(pred) keeps only TRUE rows, which is
+        # exactly the DELETE predicate semantics the keep-side coalesce
+        # preserves.
+        norm_root = _norm(readable_root)
+        hit_rel = sorted(
+            _norm(r["_f"])[len(norm_root) + 1 :]
+            for r in df.filter(pred)
+            .withColumn("_f", F.input_file_name())
+            .select("_f")
+            .distinct()
+            .collect()
         )
-        stage_dir = root / f".del-stage-{token}-{i}"
-        keep.coalesce(1).write.mode("overwrite").parquet(str(stage_dir))
-        parts = list(stage_dir.glob("part-*.parquet"))
-        dot = fp.parent / f".del-{token}-{i}.parquet"
-        final = fp.parent / f"part-del{token}-{i}.parquet"
-        if parts:  # empty survivor set -> the original is simply removed
-            parts[0].rename(dot)
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        entries.append(
-            {
-                "original": str(fp),
-                "staged": str(dot),
-                "final": str(final),
+        if not hit_rel:
+            return {
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_total": files_total,
             }
+        rows_deleted = df.filter(pred).count()
+
+        # Partition columns live in the path, not the file: anything
+        # the table-level schema has that a bare leaf read lacks must
+        # be dropped again before survivors rejoin their partition dir.
+        leaf_cols = set(
+            spark.read.parquet(f"{readable_root}/{hit_rel[0]}").columns
         )
-    man = root / f".delete-manifest-{token}.json"
-    man.write_text(json.dumps(entries))
-    for e in entries:
-        dot, final, orig = Path(e["staged"]), Path(e["final"]), Path(e["original"])
-        if dot.exists():
-            dot.rename(final)
-        orig.unlink()
-    man.unlink()
-    return {
-        "rows_deleted": rows_deleted,
-        "files_rewritten": len(hit_files),
-        "files_total": files_total,
-    }
+        part_cols = [c for c in df.columns if c not in leaf_cols]
+
+        token = uuid.uuid4().hex[:8]
+        entries = []
+        for i, rel in enumerate(hit_rel):
+            keep = (
+                spark.read.option("basePath", readable_root)
+                .parquet(f"{readable_root}/{rel}")
+                .filter(~doomed)
+                .drop(*part_cols)
+            )
+            parent_rel = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            pfx = f"{parent_rel}/" if parent_rel else ""
+            dot_rel = f"{pfx}.del-{token}-{i}.parquet"
+            final_rel = f"{pfx}part-del{token}-{i}.parquet"
+            stage_rel = f".del-stage-{token}-{i}"
+            if bridge_dir is not None:
+                # Spark writes the survivor locally; bytes stream out
+                # through the fs seam under the hidden dot name.
+                stage = Path(bridge_dir) / stage_rel
+                keep.coalesce(1).write.mode("overwrite").parquet(str(stage))
+                parts = list(stage.glob("part-*.parquet"))
+                if parts:  # empty survivors -> original simply removed
+                    with open(parts[0], "rb") as src, fs.open_output_stream(
+                        f"{base}/{dot_rel}"
+                    ) as out:
+                        shutil.copyfileobj(src, out)
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                keep.coalesce(1).write.mode("overwrite").parquet(
+                    f"{readable_root}/{stage_rel}"
+                )
+                import pyarrow.fs as pafs
+
+                parts = [
+                    fi.path
+                    for fi in fs.get_file_info(
+                        pafs.FileSelector(f"{base}/{stage_rel}")
+                    )
+                    if fi.type == pafs.FileType.File
+                    and fi.base_name.startswith("part-")
+                    and fi.base_name.endswith(".parquet")
+                ]
+                if parts:
+                    fs.move(parts[0], f"{base}/{dot_rel}")
+                try:
+                    fs.delete_dir(f"{base}/{stage_rel}")
+                except (FileNotFoundError, OSError):
+                    pass
+            entries.append(
+                {"original": rel, "staged": dot_rel, "final": final_rel}
+            )
+        # manifest: staged + renamed, so readers/recovery never see a
+        # torn JSON (the pre-r15 write_text had no such guarantee)
+        man = f"{base}/.delete-manifest-{token}.json"
+        man_tmp = f"{base}/.tmp-delete-{token}"
+        with fs.open_output_stream(man_tmp) as out:
+            out.write(json.dumps(entries).encode())
+        fs.move(man_tmp, man)
+        for e in entries:
+            dot = f"{base}/{e['staged']}"
+            final = f"{base}/{e['final']}"
+            if _fs_exists(fs, dot):
+                fs.move(dot, final)
+            fs.delete_file(f"{base}/{e['original']}")
+        fs.delete_file(man)
+        return {
+            "rows_deleted": rows_deleted,
+            "files_rewritten": len(hit_rel),
+            "files_total": files_total,
+        }
+    finally:
+        if bridge_dir is not None:
+            shutil.rmtree(bridge_dir, ignore_errors=True)
 
 
 def read_trusted(

@@ -1465,6 +1465,163 @@ def test_view_registration_propagates_unexpected_errors(spark, lake, monkeypatch
         )
 
 
+def test_delete_where_against_moto_s3(spark, tmp_path, moto_s3):
+    """VERDICT r14 #1: the lake surface of the takedown cascade reaches
+    OBJECT STORES — delete_where's listing/staging/manifest/rename
+    dance runs through the pyarrow FS seam against a real HTTP S3 wire
+    protocol (moto), with Spark I/O bridged through the connector-less
+    local mirror (the same configuration the CLI moto test pins for
+    the pipeline). Pins: rows deleted with Hive partitions preserved;
+    NON-hit objects' ETags byte-unchanged; a fabricated post-manifest
+    crash replays to convergence remotely; orphan pre-manifest staging
+    debris is swept at recovery."""
+    import hashlib
+    import io
+    import json as _json
+    import os
+
+    import boto3
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        delete_where,
+        recover_delete_where,
+    )
+
+    bucket = "sparkgraft-del"
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket=bucket)
+    s3fs = pafs.S3FileSystem(
+        endpoint_override=moto_s3,
+        access_key="testing",
+        secret_key="testing",
+        region="us-east-1",
+    )
+    s3 = boto3.client("s3", endpoint_url=moto_s3)
+
+    # build the table locally, then upload it file-for-file
+    rows = [(i, f"d{i % 3}", float(i) if i % 10 else None) for i in range(300)]
+    local = tmp_path / "tbl"
+    (
+        spark.createDataFrame(rows, "id long, day string, score double")
+        .repartition(4, "id")
+        .write.partitionBy("day")
+        .parquet(str(local))
+    )
+    table = f"{bucket}/lake/tbl"
+    for p in local.rglob("*.parquet"):
+        rel = p.relative_to(local).as_posix()
+        with open(p, "rb") as f, s3fs.open_output_stream(f"{table}/{rel}") as o:
+            o.write(f.read())
+    etags = lambda: {  # noqa: E731
+        o["Key"]: o["ETag"]
+        for o in s3.list_objects_v2(Bucket=bucket, Prefix="lake/tbl")[
+            "Contents"
+        ]
+        if not o["Key"].endswith("/")  # pyarrow's S3 dir-marker objects
+    }
+    before = etags()
+    assert len(before) == 12  # 3 partitions x 4 files
+
+    out = delete_where(spark, table, "id IN (7, 13, 250)", filesystem=s3fs)
+    assert out["rows_deleted"] == 3 and 1 <= out["files_rewritten"] <= 3
+    assert out["files_total"] == 12
+    after = etags()
+    untouched = {k for k in before if k in after}
+    assert all(before[k] == after[k] for k in untouched)  # ETag-identical
+    assert len(before) - out["files_rewritten"] == len(untouched)
+
+    # read back through the seam: ids gone, partitions preserved
+    mirror = tmp_path / "mirror"
+    for o in s3.list_objects_v2(Bucket=bucket, Prefix="lake/tbl")["Contents"]:
+        if o["Key"].endswith("/"):
+            continue
+        rel = o["Key"][len("lake/tbl/") :]
+        dst = mirror / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        with s3fs.open_input_stream(f"{bucket}/{o['Key']}") as src:
+            dst.write_bytes(src.read())
+    got = spark.read.parquet(str(mirror))
+    assert {r["id"] for r in got.select("id").collect()} == (
+        set(range(300)) - {7, 13, 250}
+    )
+    assert got.filter("day IS NULL").count() == 0
+
+    # crash replay, fully remote: survivor staged under the dot name +
+    # manifest present + original still live -> recovery promotes the
+    # survivor, deletes the original, removes the manifest
+    victim_key = sorted(k for k in after if k.startswith("lake/tbl/day=d0"))[0]
+    victim_rel = victim_key[len("lake/tbl/") :]
+    vlocal = tmp_path / "victim.parquet"
+    with s3fs.open_input_stream(f"{bucket}/{victim_key}") as src:
+        vlocal.write_bytes(src.read())
+    sub = spark.read.parquet(str(vlocal))
+    drop_one = min(r["id"] for r in sub.select("id").collect())
+    stage = tmp_path / "stage"
+    sub.filter(f"id != {drop_one}").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    dot_rel = "day=d0/.del-feedbeef-0.parquet"
+    final_rel = "day=d0/part-delfeedbeef-0.parquet"
+    with open(next(stage.glob("part-*.parquet")), "rb") as f, s3fs.open_output_stream(
+        f"{table}/{dot_rel}"
+    ) as o:
+        o.write(f.read())
+    with s3fs.open_output_stream(
+        f"{table}/.delete-manifest-feedbeef.json"
+    ) as o:
+        o.write(
+            _json.dumps(
+                [{"original": victim_rel, "staged": dot_rel, "final": final_rel}]
+            ).encode()
+        )
+    # plus orphan pre-manifest debris from an older "crash"
+    with s3fs.open_output_stream(f"{table}/day=d1/.del-0a0a0a0a-9.parquet") as o:
+        o.write(b"orphaned")
+    assert recover_delete_where(table, filesystem=s3fs) is True
+    keys = set(etags())
+    assert f"lake/tbl/{final_rel}" in keys
+    assert victim_key not in keys
+    assert "lake/tbl/.delete-manifest-feedbeef.json" not in keys
+    assert "lake/tbl/day=d1/.del-0a0a0a0a-9.parquet" not in keys  # swept
+    mirror2 = tmp_path / "mirror2"
+    for o in s3.list_objects_v2(Bucket=bucket, Prefix="lake/tbl")["Contents"]:
+        if o["Key"].endswith("/"):
+            continue
+        rel = o["Key"][len("lake/tbl/") :]
+        if any(part.startswith(".") for part in rel.split("/")):
+            continue
+        dst = mirror2 / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        with s3fs.open_input_stream(f"{bucket}/{o['Key']}") as src:
+            dst.write_bytes(src.read())
+    ids2 = {r["id"] for r in spark.read.parquet(str(mirror2)).select("id").collect()}
+    assert ids2 == set(range(300)) - {7, 13, 250, drop_one}
+
+    # cascade end-to-end over the S3-rooted table: the lake surface of
+    # a takedown request reaches the object store through the same seam
+    from streampro_assignment_etl_spark.operators.takedown import (
+        cascade_takedown,
+    )
+
+    out3 = cascade_takedown(
+        spark, [100, 200], tables=((table, "id"),), table_filesystem=s3fs
+    )
+    assert out3["tables"][table]["rows_deleted"] == 2
+    mirror3 = tmp_path / "mirror3"
+    for o in s3.list_objects_v2(Bucket=bucket, Prefix="lake/tbl")["Contents"]:
+        if o["Key"].endswith("/"):
+            continue
+        rel = o["Key"][len("lake/tbl/") :]
+        if any(part.startswith(".") for part in rel.split("/")):
+            continue
+        dst = mirror3 / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        with s3fs.open_input_stream(f"{bucket}/{o['Key']}") as src:
+            dst.write_bytes(src.read())
+    ids3 = {r["id"] for r in spark.read.parquet(str(mirror3)).select("id").collect()}
+    assert ids3 == set(range(300)) - {7, 13, 250, drop_one, 100, 200}
+
+
 def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     """Corpus-level takedown (round 14): delete_where removes predicate
     rows by rewriting ONLY the files containing them. Pins: non-hit
@@ -1547,6 +1704,39 @@ def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     assert drop_one not in {
         r["id"] for r in spark.read.parquet(tbl).select("id").collect()
     }
+
+    # PRE-manifest crash debris (survivor staged, manifest never
+    # written): nothing references it — recovery sweeps it, and a
+    # re-run of the delete converges with zero hidden files left
+    # (before r15 this debris accumulated forever and files_total
+    # counted it)
+    orphan = pathlib.Path(tbl) / "day=d2" / ".del-0ddba11-0.parquet"
+    orphan.write_bytes(b"orphaned survivor")
+    stage_dir = pathlib.Path(tbl) / ".del-stage-0ddba11-0"
+    stage_dir.mkdir()
+    (stage_dir / "part-x.parquet").write_bytes(b"half-written")
+    n_before = spark.read.parquet(tbl).count()
+    out4 = delete_where(spark, tbl, "id = 299")
+    assert out4["rows_deleted"] == 1
+    assert not orphan.exists() and not stage_dir.exists()
+    hidden = [
+        p
+        for p in pathlib.Path(tbl).rglob("*")
+        # .del-*/.tmp-delete-* is delete_where's namespace; Hadoop's
+        # own .crc shadows are not ours to sweep
+        if any(
+            part.startswith((".del-", ".tmp-delete-", ".delete-manifest-"))
+            for part in p.relative_to(tbl).parts
+        )
+    ]
+    assert hidden == []
+    assert spark.read.parquet(tbl).count() == n_before - 1
+    # files_total counts only reader-visible parquet, never dot debris
+    assert out4["files_total"] == sum(
+        1
+        for p in pathlib.Path(tbl).rglob("*.parquet")
+        if not any(part.startswith(".") for part in p.relative_to(tbl).parts)
+    )
 
 
 def test_delete_where_forgets_key_in_bucketed_scd2_dimension(spark, tmp_path):
