@@ -118,6 +118,7 @@ def verify_takedown(
     index_path: str | None = None,
     store_path: str | None = None,
     tables: tuple[tuple[str, str], ...] = (),
+    scd2_dim_path: str | None = None,
 ) -> dict:
     """The erasure-evidence half a compliance process needs after
     ``cascade_takedown``: re-read every configured surface and count
@@ -134,10 +135,19 @@ def verify_takedown(
     ADVICE r14 #3); the index half always made that distinction.
     Ids may be ints (vec/doc ids) or strings (table keys, e.g.
     ``user_id``) — string ids require the index/store surfaces to be
-    unset. Read-only; costs one membership scan per surface per count
-    (the table scan pushes the literal filter down)."""
+    unset. ``scd2_dim_path`` is the dimension-history surface
+    (``scd2_forget_key``): residual history rows plus the standing
+    forget-tombstone guard. Read-only; costs one membership scan per
+    surface per count (the table scan pushes the literal filter
+    down)."""
     ids = _normalize_ids(ids, "verify_takedown")
-    report: dict = {"ids": ids, "index": None, "store": None, "tables": {}}
+    report: dict = {
+        "ids": ids,
+        "index": None,
+        "store": None,
+        "tables": {},
+        "scd2": None,
+    }
     physical = []
     if index_path is not None:
         from .ann_index import (
@@ -209,6 +219,22 @@ def verify_takedown(
         )
         report["tables"][table_path] = n
         physical.append(n)
+    if scd2_dim_path is not None:
+        from ..streaming.events_stream import scd2_forgotten_keys
+
+        n = (
+            spark.read.parquet(scd2_dim_path)
+            .filter(F.col("user_id").isin(ids))
+            .count()
+        )
+        report["scd2"] = {
+            "history_rows": n,
+            "forget_guarded": sorted(
+                set(ids) & set(scd2_forgotten_keys(scd2_dim_path)),
+                key=lambda x: (isinstance(x, str), str(x)),
+            ),
+        }
+        physical.append(n)
     residuals = []
     if report["index"] is not None:
         residuals.append(report["index"]["servable_rows"])
@@ -216,6 +242,8 @@ def verify_takedown(
         residuals.append(report["store"]["doc_rows"])
         residuals.append(report["store"]["band_rows"])
     residuals.extend(report["tables"].values())
+    if report["scd2"] is not None:
+        residuals.append(report["scd2"]["history_rows"])
     report["clean"] = all(r == 0 for r in residuals)
     report["physical_clean"] = report["clean"] and all(
         p == 0 for p in physical
@@ -230,6 +258,7 @@ def cascade_takedown(
     store_path: str | None = None,
     tables: tuple[tuple[str, str], ...] = (),
     table_filesystem=None,
+    scd2_dim_path: str | None = None,
 ) -> dict:
     """Run the id list through every configured surface:
 
@@ -238,7 +267,11 @@ def cascade_takedown(
     * ``store_path`` → ``remove_docs`` (subtree rewrite + permanent
       tombstone so replays re-adjudicate);
     * each ``(table_path, id_col)`` in ``tables`` →
-      ``delete_where(id_col IN ids)`` (file-pruned rewrite).
+      ``delete_where(id_col IN ids)`` (file-pruned rewrite);
+    * ``scd2_dim_path`` → ``scd2_forget_key`` (the subject's whole
+      status HISTORY: forget-tombstone first so replayed change waves
+      re-adjudicate, then a bucket-pruned ``delete_where`` on
+      ``user_id``).
 
     Surfaces run index → store → tables, each atomic under its own
     contract; a failure (e.g. an epoch-fence abort from a racing
@@ -256,9 +289,15 @@ def cascade_takedown(
     an S3-rooted lake from a connector-less JVM; the index/store
     surfaces resolve their own filesystems from their path URIs.
     Returns per-surface reports keyed ``{"ids", "index", "store",
-    "tables"}``."""
+    "tables", "scd2"}``."""
     ids = _normalize_ids(ids, "cascade_takedown")
-    report: dict = {"ids": ids, "index": None, "store": None, "tables": {}}
+    report: dict = {
+        "ids": ids,
+        "index": None,
+        "store": None,
+        "tables": {},
+        "scd2": None,
+    }
     if index_path is not None:
         from .ann_index import delete_from_ivfpq_index
 
@@ -280,4 +319,8 @@ def cascade_takedown(
             spark, table_path, F.col(id_col).isin(ids),
             filesystem=table_filesystem,
         )
+    if scd2_dim_path is not None:
+        from ..streaming.events_stream import scd2_forget_key
+
+        report["scd2"] = scd2_forget_key(spark, scd2_dim_path, ids)
     return report

@@ -268,6 +268,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Lake parquet table to delete_where from (repeatable)",
     )
     td.add_argument(
+        "--scd2-dim",
+        help="SCD-2 dimension root: forget the ids' whole status history "
+        "(scd2_forget_key — tombstone + bucket-pruned rewrite)",
+    )
+    td.add_argument(
         "--semantic-threshold",
         type=float,
         help="Expand ids to every embedding within this cosine first",
@@ -377,9 +382,10 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         if ids is None:
             print("takedown requires --ids or --ids-file", file=sys.stderr)
             return 2
-        if not (args.index or args.store or args.table):
+        if not (args.index or args.store or args.table or args.scd2_dim):
             print(
-                "takedown requires at least one of --index/--store/--table",
+                "takedown requires at least one of "
+                "--index/--store/--table/--scd2-dim",
                 file=sys.stderr,
             )
             return 2
@@ -401,7 +407,7 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         out = fn(
             spark, ids,
             index_path=args.index, store_path=args.store,
-            tables=tuple(tables),
+            tables=tuple(tables), scd2_dim_path=args.scd2_dim,
         )
         action = "takedown-verify" if args.verify_only else "takedown"
         print(_json.dumps({"action": action, **out}))

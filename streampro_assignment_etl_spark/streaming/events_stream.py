@@ -464,6 +464,94 @@ def run_pit_enriched_stream(
     q.awaitTermination(timeout_s)
 
 
+def scd2_forgotten_keys(target_path: str) -> list:
+    """Union of every forget-tombstone's keys for the SCD-2 dimension
+    at ``target_path``, sorted (ints before strings). Tombstones are
+    sibling dot-files ``.<name>.forget-<token>.json`` NEXT TO the
+    dimension dir — inside it they would not survive the full sink's
+    staged swap (which replaces the whole dir every batch) and a
+    visible name would break ``spark.read.parquet``. KB-scale by the
+    takedown contract; permanent, like the fuzzy store's (a checkpoint
+    reset can replay arbitrarily old change batches, so there is no
+    safe retirement horizon — deleting the file is the explicit
+    re-consent path)."""
+    import json
+    from pathlib import Path
+
+    root = Path(
+        target_path.split("://", 1)[1]
+        if target_path.startswith("file://")
+        else target_path
+    )
+    keys: set = set()
+    if root.parent.exists():
+        for f in sorted(root.parent.glob(f".{root.name}.forget-*.json")):
+            for k in json.loads(f.read_text())["keys"]:
+                keys.add(k)
+    return sorted(keys, key=lambda x: (isinstance(x, str), str(x)))
+
+
+def scd2_forget_key(spark, target_path: str, keys) -> dict:
+    """Takedown of a subject's ENTIRE SCD-2 history (VERDICT r14 #6):
+    erasure isn't complete while the dimension retains the key's status
+    intervals. Two layers, committed in takedown-safe order:
+
+    1. A forget tombstone (staged ``.tmp-`` + atomic rename) lands
+       FIRST: from this instant both SCD-2 sinks drop the keys from
+       every future batch — including a REPLAYED change wave after a
+       checkpoint reset, which would otherwise resurrect the history
+       from the change log (the exact failure the fuzzy store's
+       permanent tombstone prevents for documents).
+    2. ``delete_where(user_id IN keys)`` physically removes the rows —
+       on the bucketed layout this rewrites only the keys' hash
+       buckets (pinned byte-identical elsewhere by
+       ``test_delete_where_forgets_key_in_bucketed_scd2_dimension``);
+       PIT lookups then return NULL for the subject, the left-join
+       contract for dimension gaps.
+
+    Keys may be ints or strings (``Column.isin`` literals — the same
+    injection-safe shape as the cascade's table predicates). Wired as
+    the fourth ``cascade_takedown`` surface. Returns ``{"requested",
+    "rows_deleted", "files_rewritten", "tombstone"}``."""
+    import json
+    import uuid
+
+    from ..pipeline.writers import delete_where, require_local_path
+
+    ks = sorted(
+        {k if isinstance(k, str) else int(k) for k in keys},
+        key=lambda x: (isinstance(x, str), str(x)),
+    )
+    if not ks:
+        raise ValueError("scd2_forget_key: empty key list")
+    root = require_local_path(target_path, "scd2_forget_key")
+    if not root.exists():
+        raise FileNotFoundError(f"no SCD-2 dimension at {target_path}")
+    token = uuid.uuid4().hex[:12]
+    tomb = root.parent / f".{root.name}.forget-{token}.json"
+    staging = root.parent / f".tmp-forget-{token}"
+    staging.write_text(json.dumps({"keys": ks}))
+    staging.rename(tomb)
+    out = delete_where(spark, str(root), F.col("user_id").isin(ks))
+    return {
+        "requested": len(ks),
+        "rows_deleted": out["rows_deleted"],
+        "files_rewritten": out["files_rewritten"],
+        "tombstone": tomb.name,
+    }
+
+
+def _drop_forgotten(batch_df: DataFrame, target_path: str) -> DataFrame:
+    """Apply the standing forget tombstones to a change batch — the
+    sink-side half of ``scd2_forget_key``'s replay guarantee. One
+    driver-side KB read per micro-batch; a literal NOT-IN filter, no
+    shuffle, no state."""
+    forgotten = scd2_forgotten_keys(target_path)
+    if not forgotten:
+        return batch_df
+    return batch_df.filter(~F.col("user_id").isin(forgotten))
+
+
 def run_scd2_upsert_stream(
     changes: DataFrame,
     target_path: str,
@@ -518,6 +606,9 @@ def run_scd2_upsert_stream(
     root = require_local_path(target_path, "run_scd2_upsert_stream")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # standing takedowns first: a replayed change wave must not
+        # resurrect a forgotten key's history (scd2_forget_key)
+        batch_df = _drop_forgotten(batch_df, str(root))
         batch_df = batch_df.dropDuplicates(["user_id", "ts_us"])
         batch_df.persist()
         try:
@@ -621,6 +712,9 @@ def run_scd2_upsert_stream_bucketed(
     bucket_expr = F.pmod(F.hash(F.col("user_id")), F.lit(int(n_buckets)))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # standing takedowns first: a replayed change wave must not
+        # resurrect a forgotten key's history (scd2_forget_key)
+        batch_df = _drop_forgotten(batch_df, str(root))
         batch_df = batch_df.dropDuplicates(["user_id", "ts_us"])
         batch_df.persist()
         try:

@@ -3762,6 +3762,114 @@ def test_scd2_bucketed_sink_converges_and_skips_untouched_buckets(
     shutil.rmtree(str(tmp_path / "scd2b_landing"), ignore_errors=True)
 
 
+def test_scd2_forget_key_fourth_takedown_surface(spark, tmp_path):
+    """VERDICT r14 #6: erasure isn't complete while the SCD-2 dimension
+    retains the subject's status history. scd2_forget_key — wired as
+    cascade_takedown's fourth surface — drops the key's rows via the
+    bucket-pruned delete_where AND commits a forget tombstone first, so
+    a REPLAYED change wave (checkpoint reset) re-adjudicates instead of
+    resurrecting the history. Pins: key gone from the dimension;
+    untouched buckets byte-identical; PIT joins return NULL for the
+    subject; verify_takedown reports the guard; the replayed wave
+    leaves the key out while every other key converges."""
+    import glob
+    import hashlib
+    import os
+
+    from streampro_assignment_etl_spark.operators.takedown import (
+        cascade_takedown,
+        verify_takedown,
+    )
+    from streampro_assignment_etl_spark.queries.reshape import scd2_pit_join
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        run_scd2_upsert_stream_bucketed,
+        scd2_forgotten_keys,
+    )
+
+    schema = "user_id long, status string, ts_us long, change_id long"
+    rows = [
+        (u, f"s{c}", 1_000_000 * (c + 1), u * 100 + c)
+        for u in range(20)
+        for c in range(3)
+    ]
+    landing = tmp_path / "fg_landing"
+    wave1 = [r for r in rows if r[2] <= 2_000_000]
+    wave2 = [r for r in rows if r[2] > 2_000_000]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.parquet(
+        str(landing / "w1")
+    )
+    spark.createDataFrame(wave2, schema).coalesce(1).write.parquet(
+        str(landing / "w2")
+    )
+    dim = str(tmp_path / "fg_dim")
+    run_scd2_upsert_stream_bucketed(
+        spark.readStream.schema(schema).parquet(f"{landing}/*"),
+        dim,
+        str(tmp_path / "fg_ck1"),
+        n_buckets=8,
+    )
+    victim = 7
+    vb = spark.sql(f"SELECT pmod(hash({victim}L), 8) AS b").first()["b"]
+    md5s = lambda b: {  # noqa: E731
+        os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(dim, f"bucket={b}", "*.parquet"))
+    }
+    before = {b: md5s(b) for b in range(8)}
+
+    out = cascade_takedown(spark, [victim], scd2_dim_path=dim)
+    assert out["scd2"]["rows_deleted"] == 3  # s0,s1,s2 history rows
+    assert out["scd2"]["files_rewritten"] == 1  # only the victim bucket
+    after = {b: md5s(b) for b in range(8)}
+    for b in range(8):
+        if b == int(vb):
+            assert after[b] != before[b]
+        else:
+            assert after[b] == before[b], b
+    got = spark.read.parquet(dim)
+    assert got.filter(f"user_id = {victim}").count() == 0
+    assert got.count() == 19 * 3
+    assert scd2_forgotten_keys(dim) == [victim]
+
+    # PIT enrichment: the forgotten subject resolves to NULL, the
+    # left-join contract for dimension gaps; neighbors still resolve
+    facts = spark.createDataFrame(
+        [(victim, 2_500_000), (8, 2_500_000)], "user_id long, ts_us long"
+    )
+    pit = {
+        r["user_id"]: r["status"]
+        for r in scd2_pit_join(facts, got.drop("bucket")).collect()
+    }
+    assert pit == {victim: None, 8: "s1"}
+
+    # erasure evidence names the standing guard
+    ev = verify_takedown(spark, [victim], scd2_dim_path=dim)
+    assert ev["clean"] is True and ev["physical_clean"] is True
+    assert ev["scd2"] == {"history_rows": 0, "forget_guarded": [victim]}
+
+    # replayed change wave (fresh checkpoint re-reads the landing dir):
+    # the victim stays out, every other key converges bit-equal
+    state = sorted(
+        tuple(r) for r in spark.read.parquet(dim).drop("bucket").collect()
+    )
+    run_scd2_upsert_stream_bucketed(
+        spark.readStream.schema(schema).parquet(f"{landing}/*"),
+        dim,
+        str(tmp_path / "fg_ck2"),
+        n_buckets=8,
+    )
+    assert spark.read.parquet(dim).filter(f"user_id = {victim}").count() == 0
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(dim).drop("bucket").collect())
+        == state
+    )
+
+    # forgetting an unknown key: tombstone still lands (future replays
+    # of that key are banned), zero rows rewritten
+    out2 = cascade_takedown(spark, [9_999], scd2_dim_path=dim)
+    assert out2["scd2"]["rows_deleted"] == 0
+    assert sorted(scd2_forgotten_keys(dim)) == [victim, 9_999]
+
+
 def test_scd2_stream_out_of_order_waves_converge_and_replay_idempotent(
     spark, tmp_path
 ):
