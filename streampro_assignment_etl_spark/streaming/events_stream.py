@@ -600,13 +600,22 @@ def run_scd2_upsert_stream(
     import shutil
     import uuid
 
-    from ..pipeline.writers import _staged_swap, require_local_path
+    from ..pipeline.writers import (
+        _staged_swap,
+        recover_staged_swap,
+        require_local_path,
+    )
     from ..queries.reshape import scd2_apply_changes, scd2_from_log
 
     root = require_local_path(target_path, "run_scd2_upsert_stream")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # standing takedowns first: a replayed change wave must not
+        # a hard crash inside a previous batch's _staged_swap leaves
+        # the dimension under its .old-* backup name; restore it FIRST
+        # or the root-missing check below would silently re-bootstrap
+        # the table from this one batch, losing all history
+        recover_staged_swap(str(root))
+        # standing takedowns next: a replayed change wave must not
         # resurrect a forgotten key's history (scd2_forget_key)
         batch_df = _drop_forgotten(batch_df, str(root))
         batch_df = batch_df.dropDuplicates(["user_id", "ts_us"])
@@ -675,6 +684,10 @@ def run_scd2_upsert_stream_bucketed(
     checkpoint_dir: str,
     n_buckets: int = 16,
     timeout_s: int = 300,
+    mode: str = "auto",
+    full_fraction: float = 0.5,
+    full_rewrite_max_bytes: int = 256 * 1024 * 1024,
+    plan_log: list | None = None,
 ) -> None:
     """The SCALE-SAFE Type-2 sink (VERDICT r13 #7): same merge algebra
     as ``run_scd2_upsert_stream``, but the dimension is stored
@@ -701,18 +714,43 @@ def run_scd2_upsert_stream_bucketed(
     ``bucket`` as one more Hive partition column — drop it, or point
     key-equi-joins at it for free co-location (the broadcast anti-join
     inside the apply and any PIT lookup both benefit from the
-    bucket-pruned scan when the batch's keys are known)."""
+    bucket-pruned scan when the batch's keys are known).
+
+    ``mode`` (VERDICT r14 #5 — the crossover rule was SCALE.md prose):
+    ``"auto"`` (default) picks per batch between the bucket-pruned
+    rewrite and ONE full staged swap of the whole (still-bucketed)
+    layout — full wins exactly when the batch is scattered
+    (touched buckets ≥ ``full_fraction`` × n_buckets, exact count, not
+    an estimate) AND the dimension is small enough that one swap is
+    cheap (≤ ``full_rewrite_max_bytes``); a focused batch, or any
+    batch once the dimension outgrows the threshold, takes the
+    bucket-pruned path. ``"bucketed"``/``"full"`` are the override
+    knobs. Both paths converge bit-equal (pinned) — this is a COST
+    choice, never a semantics one. ``plan_log`` (a caller list)
+    receives one decision record per batch for observability/tests."""
     import shutil
     import uuid
 
-    from ..pipeline.writers import require_local_path
+    from ..pipeline.writers import (
+        _staged_swap,
+        recover_staged_swap,
+        require_local_path,
+    )
     from ..queries.reshape import scd2_apply_changes, scd2_from_log
 
+    if mode not in ("auto", "bucketed", "full"):
+        raise ValueError(
+            f"mode must be auto/bucketed/full, got {mode!r}"
+        )
     root = require_local_path(target_path, "run_scd2_upsert_stream_bucketed")
     bucket_expr = F.pmod(F.hash(F.col("user_id")), F.lit(int(n_buckets)))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # standing takedowns first: a replayed change wave must not
+        # a hard crash inside a previous batch's FULL swap leaves the
+        # dimension under its .old-* backup name; restore it before the
+        # root-missing check can misread the crash as a fresh table
+        recover_staged_swap(str(root))
+        # standing takedowns next: a replayed change wave must not
         # resurrect a forgotten key's history (scd2_forget_key)
         batch_df = _drop_forgotten(batch_df, str(root))
         batch_df = batch_df.dropDuplicates(["user_id", "ts_us"])
@@ -746,6 +784,55 @@ def run_scd2_upsert_stream_bucketed(
                 .distinct()
                 .collect()
             )
+            # Sink auto-select (VERDICT r14 #5): the measured crossover
+            # rule from SCALE.md, previously prose an operator had to
+            # apply by hand. A SCATTERED batch over a SMALL dimension
+            # loses to one full staged swap (per-bucket read/write
+            # constants dominate — the birthday effect saturates
+            # touched-buckets fast: 100 uniform keys over 64 buckets
+            # touch ~41); a focused batch, or ANY batch once the
+            # dimension is large, wins with the bucket-pruned rewrite.
+            # The touched count is exact (distinct over the batch,
+            # already collected above — no birthday ESTIMATE needed at
+            # decision time); dimension bytes are one local stat walk.
+            decide = mode
+            dim_bytes = None
+            if mode == "auto":
+                dim_bytes = sum(
+                    p.stat().st_size
+                    for p in root.rglob("*.parquet")
+                    if p.is_file()
+                )
+                decide = (
+                    "full"
+                    if (
+                        len(buckets) >= full_fraction * n_buckets
+                        and dim_bytes <= full_rewrite_max_bytes
+                    )
+                    else "bucketed"
+                )
+            if plan_log is not None:
+                plan_log.append(
+                    {
+                        "batch_id": int(batch_id),
+                        "mode": decide,
+                        "touched_buckets": len(buckets),
+                        "n_buckets": int(n_buckets),
+                        "dim_bytes": dim_bytes,
+                    }
+                )
+            if decide == "full":
+                existing = spark.read.parquet(str(root)).drop("bucket")
+                merged = scd2_apply_changes(existing, batch_df)
+                token = uuid.uuid4().hex[:8]
+                staging = root.parent / f".{root.name}.stage-full-{token}"
+                merged.withColumn("bucket", bucket_expr).repartition(
+                    F.col("bucket")
+                ).write.mode("overwrite").partitionBy("bucket").parquet(
+                    str(staging)
+                )
+                _staged_swap(root, staging)
+                return
             live = [b for b in buckets if (root / f"bucket={b}").exists()]
             if live:
                 existing = (

@@ -3762,6 +3762,123 @@ def test_scd2_bucketed_sink_converges_and_skips_untouched_buckets(
     shutil.rmtree(str(tmp_path / "scd2b_landing"), ignore_errors=True)
 
 
+def test_scd2_bucketed_sink_auto_select_and_full_swap_recovery(spark, tmp_path):
+    """VERDICT r14 #5: the bucketed-vs-full crossover rule (SCALE.md
+    prose until now) is applied automatically per batch. Pins: a 1-key
+    batch takes the bucket-pruned path, a 100-key scattered batch over
+    the toy-sized dimension takes the full staged swap (the measured
+    birthday-effect loss case), the final table is bit-equal to the
+    bulk SCD-2 over the whole log either way, the override knob forces
+    the path, and a hard crash inside the full swap (dimension left
+    under its .old-* backup) is restored at the next batch instead of
+    being misread as a fresh table and re-bootstrapped from one batch."""
+    import os
+    import pathlib
+
+    from streampro_assignment_etl_spark.queries.reshape import scd2_from_log
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        run_scd2_upsert_stream,
+        run_scd2_upsert_stream_bucketed,
+    )
+
+    schema = "user_id long, status string, ts_us long, change_id long"
+    boot = [
+        (u, f"s{c}", 1_000_000 * (c + 1), u * 10 + c)
+        for u in range(100)
+        for c in range(2)
+    ]
+    focused = [(7, "focused", 5_000_000, 99_001)]
+    scattered = [(u, "scat", 6_000_000 + u, 99_100 + u) for u in range(100)]
+    landing = tmp_path / "as_landing"
+    for name, wave in [("w0", boot), ("w1", focused), ("w2", scattered)]:
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(landing / name)
+        )
+    dim = str(tmp_path / "as_dim")
+    log: list = []
+    run_scd2_upsert_stream_bucketed(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        dim,
+        str(tmp_path / "as_ck"),
+        n_buckets=8,
+        plan_log=log,
+    )
+    # batch 0 bootstraps (no decision); batch 1 = focused -> bucketed;
+    # batch 2 = scattered over every bucket of a toy dim -> full swap
+    assert [e["mode"] for e in log] == ["bucketed", "full"]
+    assert log[0]["touched_buckets"] == 1
+    assert log[1]["touched_buckets"] == 8
+    bulk = sorted(
+        tuple(r)
+        for r in scd2_from_log(
+            spark.createDataFrame(boot + focused + scattered, schema),
+            "change_id",
+        ).collect()
+    )
+    cols = ["user_id", "status", "valid_from_us", "valid_to_us", "is_current"]
+    got = lambda d: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(d).select(*cols).collect()
+    )
+    assert got(dim) == bulk
+
+    # override knob: force the bucketed path on the same scattered wave
+    dim2 = str(tmp_path / "as_dim2")
+    log2: list = []
+    run_scd2_upsert_stream_bucketed(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        dim2,
+        str(tmp_path / "as_ck2"),
+        n_buckets=8,
+        mode="bucketed",
+        plan_log=log2,
+    )
+    assert [e["mode"] for e in log2] == ["bucketed", "bucketed"]
+    assert got(dim2) == bulk  # cost choice, never a semantics one
+
+    # hard crash inside the full swap: dimension sits under .old-*,
+    # root missing — the next batch restores it and merges on top
+    root = pathlib.Path(dim)
+    os.rename(dim, str(root.parent / f".{root.name}.old-deadbeef"))
+    late = tmp_path / "as_late"
+    spark.createDataFrame(
+        [(7, "post_crash", 9_000_000, 99_999)], schema
+    ).coalesce(1).write.parquet(str(late / "w3"))
+    run_scd2_upsert_stream_bucketed(
+        spark.readStream.schema(schema).parquet(f"{late}/*"),
+        dim,
+        str(tmp_path / "as_ck3"),
+        n_buckets=8,
+    )
+    assert spark.read.parquet(dim).count() == len(bulk) + 1  # not re-bootstrapped
+    cur = (
+        spark.read.parquet(dim)
+        .filter("user_id = 7 AND is_current")
+        .first()["status"]
+    )
+    assert cur == "post_crash"
+
+    # same window on the FULL sink (every batch swaps): restore, merge
+    dim3 = str(tmp_path / "as_dim3")
+    run_scd2_upsert_stream(
+        spark.readStream.schema(schema).parquet(f"{landing}/w0"),
+        dim3,
+        str(tmp_path / "as_ck4"),
+    )
+    n3 = spark.read.parquet(dim3).count()
+    root3 = pathlib.Path(dim3)
+    os.rename(dim3, str(root3.parent / f".{root3.name}.old-feedface"))
+    run_scd2_upsert_stream(
+        spark.readStream.schema(schema).parquet(f"{late}/*"),
+        dim3,
+        str(tmp_path / "as_ck5"),
+    )
+    assert spark.read.parquet(dim3).count() == n3 + 1
+
+
 def test_scd2_forget_key_fourth_takedown_surface(spark, tmp_path):
     """VERDICT r14 #6: erasure isn't complete while the SCD-2 dimension
     retains the subject's status history. scd2_forget_key — wired as
