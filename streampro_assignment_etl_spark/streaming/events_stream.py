@@ -408,7 +408,7 @@ def click_view_interval_join(
 
 def run_pit_enriched_stream(
     facts: DataFrame,
-    dim_path: str,
+    dim_path: str | None,
     out_dir: str,
     checkpoint_dir: str,
     key: str = "user_id",
@@ -416,6 +416,7 @@ def run_pit_enriched_stream(
     how: str = "left",
     dim_cols: tuple[str, ...] = ("status",),
     timeout_s: int = 300,
+    dim_table: str | None = None,
 ) -> None:
     """Streaming point-in-time enrichment against the LIVE SCD-2
     dimension (VERDICT r13 #2): each micro-batch of the fact stream
@@ -443,13 +444,36 @@ def run_pit_enriched_stream(
     let-it-fall-back rule as ``enriched_events_stream``. State: none
     (stream-static joins hold no streaming state; no watermark
     needed). The sink is the idempotent ``batch_id=N``-overwrite
-    parquet layout of ``run_stream_to_parquet``."""
+    parquet layout of ``run_stream_to_parquet``.
+
+    PAST-broadcast dimensions (VERDICT r14 #4 — SCALE.md named the
+    per-batch re-shuffle of a too-big-to-broadcast dimension as the
+    number to watch): pass ``dim_table`` instead of ``dim_path`` — a
+    catalog table written BUCKETED on the key
+    (``catalog_ops.save_bucketed_table(dim, name, [key], n,
+    sort_cols=[key])``, refreshed by the dimension-maintenance cron,
+    not per batch). The bucketed scan already satisfies the join's
+    hash distribution, so per batch ONLY the fact side exchanges —
+    the dimension is never re-shuffled, plan-pinned in
+    tests/test_plans.py. ``spark.table`` re-resolves the catalog
+    table per micro-batch, so a refreshed dimension is visible to
+    later batches exactly like the parquet re-read."""
+    if (dim_path is None) == (dim_table is None):
+        raise ValueError(
+            "run_pit_enriched_stream: pass exactly one of dim_path "
+            "(parquet dir, re-read per batch) or dim_table (catalog "
+            "table, bucketed for a shuffle-free dimension side)"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..queries.reshape import scd2_pit_join
 
         spark = batch_df.sparkSession
-        dim = spark.read.parquet(dim_path)
+        dim = (
+            spark.table(dim_table)
+            if dim_table is not None
+            else spark.read.parquet(dim_path)
+        )
         scd2_pit_join(
             batch_df, dim, key=key, ts_col=ts_col, how=how, dim_cols=dim_cols
         ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
