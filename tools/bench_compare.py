@@ -22,8 +22,17 @@ the same bands the round-10/12 postmortems used by hand:
     FASTER   norm < 0.8
     SLOWER   norm > 1.25           — investigate: plan/AQE/code change
 
-Exit code 1 when any query lands in SLOWER, so a round script can gate
-on it. One JSON summary line last (machine half of the contract).
+Pack divergence (VERDICT r14 #2 — the one pattern the variance
+addendum's two-sided rule does NOT excuse): a uniform shift of every
+query together is a host artifact, but a query moving AGAINST the
+pack indicts code even when its own band reads "~". Mechanically: the
+pack is the median normalized ratio across all shared queries; any
+query whose ratio differs from the pack median by more than the same
+1.25x band is marked DIVERGES (in addition to its band verdict).
+
+Exit code 1 when any query lands in SLOWER or DIVERGES, so a round
+script can gate on it. One JSON summary line last (machine half of
+the contract).
 """
 
 from __future__ import annotations
@@ -76,8 +85,9 @@ def main(argv: list[str]) -> int:
     hdr = f"{'query':<32} {'prev_s':>8} {'cur_s':>8} {'raw':>6} {'norm':>6}  verdict"
     print(hdr)
 
-    rows = {}
-    any_slower = False
+    import statistics
+
+    shared = []
     for name, cur in sorted(new.get("queries", {}).items()):
         prev = old.get("queries", {}).get(name)
         if not prev:
@@ -85,18 +95,33 @@ def main(argv: list[str]) -> int:
             continue
         raw = cur / prev
         norm = raw / host_ratio if host_ratio else None
-        basis = norm if norm is not None else raw
+        shared.append((name, prev, cur, raw, norm))
+    bases = [norm if norm is not None else raw for _, _, _, raw, norm in shared]
+    pack = statistics.median(bases) if bases else None
+
+    rows = {}
+    any_flag = False
+    for (name, prev, cur, raw, norm), basis in zip(shared, bases):
         verdict = "~" if 0.8 <= basis <= 1.25 else ("FASTER" if basis < 0.8 else "SLOWER")
-        any_slower |= verdict == "SLOWER"
+        # against-the-pack movement: the uniform-shift excuse only
+        # covers queries that moved WITH everything else
+        vs_pack = basis / pack if pack else None
+        diverges = vs_pack is not None and not (0.8 <= vs_pack <= 1.25)
+        if diverges:
+            verdict += "+DIVERGES"
+        any_flag |= ("SLOWER" in verdict) or diverges
         rows[name] = {
             "prev_sec": prev,
             "cur_sec": cur,
             "raw_ratio": round(raw, 3),
             "norm_ratio": round(norm, 3) if norm is not None else None,
+            "vs_pack": round(vs_pack, 3) if vs_pack is not None else None,
             "verdict": verdict,
         }
         n = f"{norm:>6.3f}" if norm is not None else "     -"
         print(f"{name:<32} {prev:>8.3f} {cur:>8.3f} {raw:>6.3f} {n}  {verdict}")
+    if pack is not None:
+        print(f"# pack median ratio = {pack:.3f}")
 
     print(
         json.dumps(
@@ -104,11 +129,12 @@ def main(argv: list[str]) -> int:
                 "old": os.path.basename(old_p),
                 "new": os.path.basename(new_p),
                 "host_ratio": round(host_ratio, 4) if host_ratio else None,
+                "pack_median": round(pack, 4) if pack is not None else None,
                 "queries": rows,
             }
         )
     )
-    return 1 if any_slower else 0
+    return 1 if any_flag else 0
 
 
 if __name__ == "__main__":
