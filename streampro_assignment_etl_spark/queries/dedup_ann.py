@@ -409,6 +409,104 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Canonical selection by QUALITY: real pipelines keep the best member
+# of each near-dup cluster, not an arbitrary (min-id) one.
+# ---------------------------------------------------------------------------
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE
+{_JACCARD_CTES},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION SELECT doc_b, doc_a FROM dup),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+quality AS (
+  SELECT doc_id,
+         CAST(array_length(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS q
+  FROM documents
+),
+ranked AS (
+  SELECT c.component, c.node, q.q,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.q DESC, c.node) AS rn
+  FROM comp c JOIN quality q ON q.doc_id = c.node
+)
+SELECT CAST(component AS BIGINT) AS cluster_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS kept_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN q END) AS BIGINT) AS kept_quality,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM ranked
+GROUP BY component
+ORDER BY cluster_id
+"""
+
+
+@query(
+    "dedup_keep_best_quality",
+    extra=True,  # dedup family driver rows: dedup_clusters / dedup_apply_clusters
+    tags=("dedup", "connected-components", "quality", "llm-pipeline"),
+    oracle=_KEEP_BEST_ORACLE,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    (same MinHash-LSH pairs → connected components as
+    ``dedup_clusters``), keep the member with the HIGHEST quality —
+    here an exact integer signal, distinct-word count (vocabulary
+    richness; boilerplate-padded copies repeat words and lose) — with
+    min-doc_id as the deterministic tiebreak. Production near-dup
+    pipelines keep the best representative, not an arbitrary one: a
+    min-id canonical happily keeps the truncated mirror and drops the
+    clean original. One row per cluster: (cluster_id, kept_doc_id,
+    kept_quality, cluster_size).
+
+    Scale shape: pairs come from the LSH blocking (never all-pairs),
+    components close in O(log n) rounds over the pair set, and the
+    quality join touches only CLUSTERED docs (cluster members ≪
+    corpus). The quality signal is an exact integer computed
+    identically in both engines (no float rank flip can disagree with
+    the oracle); swap in any scored column — the window is the
+    operator. ≙ reference: none (north-star dedup family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = minhash.fuzzy_dup_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        max_bucket_size=None,  # all-pairs oracle (see dedup_fuzzy_minhash)
+    ).select("doc_a", "doc_b")
+    cc = components.connected_components(dup, "doc_a", "doc_b")
+    quality = docs.select(
+        F.col("doc_id").alias("node"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("q"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("q").desc(), F.col("node")
+    )
+    ranked = cc.join(quality, "node").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy(F.col("component").cast("long").alias("cluster_id"))
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("node")))
+            .cast("long")
+            .alias("kept_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("q")))
+            .cast("long")
+            .alias("kept_quality"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 _SPLIT_ORACLE = f"""
 WITH RECURSIVE
 {_JACCARD_CTES},

