@@ -578,6 +578,65 @@ def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
             shutil.rmtree(bridge_dir, ignore_errors=True)
 
 
+def maintain_lake_table(
+    spark,
+    path: str,
+    max_files: int = 64,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+    filesystem=None,
+) -> dict:
+    """The lake table's composed cron body — the missing sibling of
+    ``maintain_index`` / ``maintain_store`` (those loops existed for
+    the two production stores while the lake zone's maintenance
+    primitives had no composed tick; every cron caller re-derived the
+    order). One call, in recovery-before-measurement order:
+
+    1. ``recover_staged_swap`` — a table lost to a hard crash inside
+       any staged swap (compaction, merge, rollup) is restored from
+       its ``.old-*`` backup before anything reads it;
+    2. ``recover_delete_where`` — crashed takedown manifests replayed,
+       orphan ``.del-*`` staging debris swept;
+    3. ``compact_parquet`` — ONLY when the healed table's visible file
+       count exceeds ``max_files`` (compaction is pure IO proportional
+       to table size; the threshold keeps the idle tick cheap, same
+       rule as ``maintain_store``'s fragmentation gate).
+
+    Local tables compact in place; for an object-store table (``s3://``
+    or ``filesystem=``) steps 1–2 still run through the FS seam while
+    compaction is skipped with a note (it is pathlib-based by design —
+    remote compaction goes through ``pipeline.lake`` staging). Returns
+    ``{"swap_recovered", "delete_recovered", "files", "compacted",
+    "threshold", ...compact stats when run}``. Idempotent at the loop
+    level: a compacted table reads ≤ max_files next tick and no-ops."""
+    fs, base = _pafs_base(path, filesystem)
+    is_local = filesystem is None and "://" not in path
+    out: dict = {
+        "swap_recovered": recover_staged_swap(base) if is_local else False,
+        "delete_recovered": recover_delete_where(path, filesystem=filesystem),
+        "compacted": False,
+        "threshold": max_files,
+    }
+    files = len(_visible_parquet_files(fs, base))
+    out["files"] = files
+    if files > max_files:
+        if not is_local:
+            out["compact_skipped"] = (
+                "remote table: compaction is local-only by design — "
+                "stage through pipeline.lake"
+            )
+        else:
+            stats = compact_parquet(
+                spark,
+                base,
+                target_file_bytes=target_file_bytes,
+                partition_col=partition_col,
+            )
+            out.update(stats)
+            out["compacted"] = True
+    return out
+
+
 def read_trusted(
     spark,
     trusted_path: str,

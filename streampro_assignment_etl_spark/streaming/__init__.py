@@ -38,6 +38,7 @@ from .stream_join import (
     view_click_attribution,
 )
 from .heavy_hitters import read_mg_sink, trending_terms_stream
+from .takedown_stream import read_takedown_audit, run_takedown_request_stream
 from .index_ingest import run_index_append_stream, run_index_append_stream_from_dir
 from .stateful_dedup import (
     dedup_stream,
@@ -53,6 +54,8 @@ from .stateful_dedup import (
 
 __all__ = [
     "attributed_view_counts",
+    "read_takedown_audit",
+    "run_takedown_request_stream",
     "click_view_interval_join",
     "last_view_before_click_stream",
     "dedup_stream",

@@ -1465,6 +1465,63 @@ def test_view_registration_propagates_unexpected_errors(spark, lake, monkeypatch
         )
 
 
+def test_maintain_lake_table_heals_then_compacts_over_threshold(spark, tmp_path):
+    """pipeline.writers.maintain_lake_table: the lake zone's composed
+    cron body (sibling of maintain_index/maintain_store). Pins the
+    recovery-before-measurement order: a table lost inside a staged
+    swap is restored from its .old-* backup, a crashed delete manifest
+    is replayed and orphan .del-* debris swept, and compaction runs
+    ONLY when the healed table's visible file count exceeds the
+    threshold — so the idle tick is cheap and idempotent (second call
+    no-ops). An injected non-local filesystem skips compaction with a
+    note instead of pathlib-corrupting a remote table."""
+    import pathlib
+
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        maintain_lake_table,
+    )
+
+    tbl = str(tmp_path / "mt")
+    spark.range(2000).selectExpr("id", "id % 5 AS g").repartition(
+        80
+    ).write.parquet(tbl)
+    root = pathlib.Path(tbl)
+
+    # crash window 1: table sits under its staged-swap backup name
+    root.rename(root.parent / ".mt.old-deadbeef")
+    # crash window 2 (fabricated post-heal): orphan delete debris
+    out = maintain_lake_table(spark, tbl, max_files=64)
+    assert out["swap_recovered"] is True
+    assert root.exists()
+    assert out["files"] == 80 and out["compacted"] is True
+    assert out["files_after"] <= 64
+    assert spark.read.parquet(tbl).count() == 2000
+
+    (root / ".del-0ddba11-7.parquet").write_bytes(b"orphan")
+    out2 = maintain_lake_table(spark, tbl, max_files=64)
+    assert out2["swap_recovered"] is False
+    assert out2["delete_recovered"] is True  # debris swept
+    assert out2["compacted"] is False  # under threshold: cheap tick
+    assert not (root / ".del-0ddba11-7.parquet").exists()
+
+    out3 = maintain_lake_table(spark, tbl, max_files=64)
+    assert out3 == {
+        "swap_recovered": False,
+        "delete_recovered": False,
+        "compacted": False,
+        "threshold": 64,
+        "files": out2["files"],
+    }  # fully idle tick
+
+    # non-local filesystem: heal through the seam, never compact
+    out4 = maintain_lake_table(
+        spark, tbl, max_files=0, filesystem=pafs.LocalFileSystem()
+    )
+    assert out4["compacted"] is False and "compact_skipped" in out4
+
+
 def test_delete_where_against_moto_s3(spark, tmp_path, moto_s3):
     """VERDICT r14 #1: the lake surface of the takedown cascade reaches
     OBJECT STORES — delete_where's listing/staging/manifest/rename

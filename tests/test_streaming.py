@@ -3762,6 +3762,122 @@ def test_scd2_bucketed_sink_converges_and_skips_untouched_buckets(
     shutil.rmtree(str(tmp_path / "scd2b_landing"), ignore_errors=True)
 
 
+def test_takedown_request_stream_drains_and_audits(spark, tmp_path):
+    """streaming/takedown_stream.py: a continuous deletion-request
+    topic drained through cascade_takedown with a per-batch audit.
+    Pins: two request batches erase their subjects from the store AND
+    the lake table (verified clean through verify_takedown); the audit
+    carries one row per batch with the application counts; a replay
+    from a fresh checkpoint converges (surfaces already clean → zero
+    counts in the replayed audit, state unchanged); the fat-finger
+    guard stops a batch naming more subjects than the bound before any
+    surface is touched."""
+    import os
+
+    import pytest
+
+    from streampro_assignment_etl_spark.operators.takedown import (
+        verify_takedown,
+    )
+    from streampro_assignment_etl_spark.streaming import fuzzy_store_ingest as fsi
+    from streampro_assignment_etl_spark.streaming.takedown_stream import (
+        read_takedown_audit,
+        run_takedown_request_stream,
+    )
+
+    # subjects live in two surfaces: the fuzzy store and a lake table
+    docs = spark.createDataFrame(
+        [(i, _w(f"d{i} ")) for i in range(1, 7)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "td_store")
+    fsi.make_fuzzy_ingest_writer(store, threshold=0.95)(docs, 0)
+    tbl = str(tmp_path / "td_tbl")
+    docs.repartition(3, "doc_id").write.parquet(tbl)
+
+    landing = tmp_path / "td_requests"
+    schema = "request_id long, doc_id long"
+    spark.createDataFrame([(100, 1), (100, 2)], schema).coalesce(
+        1
+    ).write.parquet(str(landing / "r1"))
+    spark.createDataFrame([(101, 3), (102, 3), (102, 5)], schema).coalesce(
+        1
+    ).write.parquet(str(landing / "r2"))
+
+    audit = str(tmp_path / "td_audit")
+    run_takedown_request_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        audit,
+        str(tmp_path / "td_ck1"),
+        store_path=store,
+        tables=((tbl, "doc_id"),),
+    )
+    assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == {4, 6}
+    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4, 6}
+    ev = verify_takedown(spark, [1, 2, 3, 5], store_path=store, tables=((tbl, "doc_id"),))
+    assert ev["clean"] is True and ev["physical_clean"] is True
+
+    rows = {
+        tuple(r["subject_ids"]): r
+        for r in read_takedown_audit(spark, audit).collect()
+    }
+    assert len(rows) == 2
+    b0, b1 = rows[("1", "2")], rows[("3", "5")]
+    assert b0["request_ids"] == [100]
+    assert b0["store_removed_docs"] == 2 and b0["table_rows_deleted"] == 2
+    assert b1["request_ids"] == [101, 102] and b1["n_subjects"] == 2
+    assert b1["index_deleted_rows"] == 0 and b1["scd2_rows_deleted"] == 0
+
+    # replay from a fresh checkpoint: cascades no-op (ids already gone,
+    # tombstones re-adjudicate), audit overwritten with zero counts
+    run_takedown_request_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        audit,
+        str(tmp_path / "td_ck2"),
+        store_path=store,
+        tables=((tbl, "doc_id"),),
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4, 6}
+    replayed = {
+        tuple(r["subject_ids"]): r
+        for r in read_takedown_audit(spark, audit).collect()
+    }
+    # application log, not truth: the replayed batch found no work left
+    assert replayed[("1", "2")]["store_removed_docs"] == 0
+    assert replayed[("1", "2")]["table_rows_deleted"] == 0
+
+    # fat-finger guard: a poisoned batch naming > max subjects fails
+    # the stream BEFORE touching any surface
+    wide = tmp_path / "td_wide"
+    spark.createDataFrame(
+        [(200, i) for i in range(10)], schema
+    ).coalesce(1).write.parquet(str(wide / "w1"))
+    state = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="max_ids_per_batch"):
+        run_takedown_request_stream(
+            spark.readStream.schema(schema).parquet(f"{wide}/*"),
+            str(tmp_path / "td_audit2"),
+            str(tmp_path / "td_ck3"),
+            tables=((tbl, "doc_id"),),
+            max_ids_per_batch=4,
+        )
+    assert sorted(tuple(r) for r in spark.read.parquet(tbl).collect()) == state
+    assert not os.path.exists(str(tmp_path / "td_audit2"))
+
+    # no surfaces configured is a loud construction error
+    with pytest.raises(ValueError, match="at least one surface"):
+        run_takedown_request_stream(
+            spark.readStream.schema(schema).parquet(f"{wide}/*"),
+            str(tmp_path / "x"),
+            str(tmp_path / "y"),
+        )
+
+
 def test_scd2_bucketed_sink_auto_select_and_full_swap_recovery(spark, tmp_path):
     """VERDICT r14 #5: the bucketed-vs-full crossover rule (SCALE.md
     prose until now) is applied automatically per batch. Pins: a 1-key
