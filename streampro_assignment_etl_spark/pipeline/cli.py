@@ -175,6 +175,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ix.add_argument("--debug", action="store_true")
 
+    lk = sub.add_parser(
+        "lake",
+        help="Lake-table maintenance (pipeline/writers.py): the composed "
+        "heal-then-compact cron tick for a parquet table",
+    )
+    lk.add_argument("action", choices=["maintain"])
+    lk.add_argument("--path", required=True, help="Table root dir")
+    lk.add_argument(
+        "--max-files",
+        type=int,
+        default=64,
+        help="Compact only when the visible parquet file count exceeds this",
+    )
+    lk.add_argument(
+        "--target-file-bytes", type=int, default=128 * 1024 * 1024
+    )
+    lk.add_argument(
+        "--partition-col", help="Hive partition column to preserve on compact"
+    )
+    lk.add_argument("--debug", action="store_true")
+
     dd = sub.add_parser(
         "dedup",
         help="Fuzzy-dedup signature store (operators/minhash.py + "
@@ -411,6 +432,23 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         )
         action = "takedown-verify" if args.verify_only else "takedown"
         print(_json.dumps({"action": action, **out}))
+        return 0
+
+    if args.command == "lake":
+        import json as _json
+
+        from ..session import get_spark
+        from .writers import maintain_lake_table
+
+        spark = get_spark("streampro-lake")
+        out = maintain_lake_table(
+            spark,
+            args.path,
+            max_files=args.max_files,
+            target_file_bytes=args.target_file_bytes,
+            partition_col=args.partition_col,
+        )
+        print(_json.dumps({"action": "lake-maintain", **out}))
         return 0
 
     if args.command == "scd2":

@@ -262,7 +262,11 @@ def _pafs_base(path: str, filesystem=None):
         p = "s3://" + p.split("://", 1)[1]
     if "://" in p:
         return pafs.FileSystem.from_uri(p)
-    return pafs.LocalFileSystem(), p
+    # absolute, so listings (which return absolute paths) slice cleanly
+    # against the base even when the caller passed a relative path
+    import os
+
+    return pafs.LocalFileSystem(), os.path.abspath(p)
 
 
 def _fs_exists(fs, p: str) -> bool:

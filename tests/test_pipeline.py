@@ -1521,6 +1521,11 @@ def test_maintain_lake_table_heals_then_compacts_over_threshold(spark, tmp_path)
     )
     assert out4["compacted"] is False and "compact_skipped" in out4
 
+    # CLI face (the cron entry an operator actually schedules)
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    assert main(["lake", "maintain", "--path", tbl, "--max-files", "64"]) == 0
+
 
 def test_delete_where_against_moto_s3(spark, tmp_path, moto_s3):
     """VERDICT r14 #1: the lake surface of the takedown cascade reaches
