@@ -133,18 +133,18 @@ class IvfPqModel:
 
 
 def _fs_base(path: str):
-    """(pyarrow filesystem, base path) for a local path or FS URI — the
-    same local/S3/HDFS seam as ``pipeline/lake.py``. Hadoop's ``s3a``
-    scheme maps to pyarrow's ``s3``: the parquet half of the index can
-    be written through Spark under s3a while this metadata seam talks
-    to the same bucket natively."""
-    import pyarrow.fs as pafs
+    """(pyarrow filesystem, base path) for a local path or FS URI.
+    Delegates to the ONE shared seam (``pipeline.writers._pafs_base``
+    — also used by the fuzzy store via this re-export and by
+    ``delete_where``): Hadoop's ``s3a`` scheme maps to pyarrow's
+    ``s3`` so the parquet half of the index can be written through
+    Spark under s3a while this metadata seam talks to the same bucket
+    natively, and local paths resolve to absolute so listings slice
+    cleanly. One implementation means a hardening lands everywhere
+    instead of in whichever copy was touched last."""
+    from ..pipeline.writers import _pafs_base
 
-    if path.startswith(("s3a://", "s3n://")):
-        path = "s3://" + path.split("://", 1)[1]
-    if "://" in path:
-        return pafs.FileSystem.from_uri(path)
-    return pafs.LocalFileSystem(), path
+    return _pafs_base(path)
 
 
 def _list_manifests(fs, base) -> list[tuple[int, str]]:

@@ -43,7 +43,9 @@ def _normalize_ids(ids, what: str) -> list:
         out.add(i if isinstance(i, str) else int(i))
     if not out:
         raise ValueError(f"{what}: empty id list")
-    return sorted(out, key=lambda x: (isinstance(x, str), str(x)))
+    # ints numerically, then strings lexically — the tuple key keeps
+    # the two groups from ever comparing against each other
+    return sorted(out, key=lambda x: (isinstance(x, str), x))
 
 
 def _require_int_ids(ids, what: str, surface: str) -> list[int]:
@@ -231,7 +233,7 @@ def verify_takedown(
             "history_rows": n,
             "forget_guarded": sorted(
                 set(ids) & set(scd2_forgotten_keys(scd2_dim_path)),
-                key=lambda x: (isinstance(x, str), str(x)),
+                key=lambda x: (isinstance(x, str), x),
             ),
         }
         physical.append(n)

@@ -275,18 +275,30 @@ def _fs_exists(fs, p: str) -> bool:
     return fs.get_file_info(p).type != pafs.FileType.NotFound
 
 
-def _visible_parquet_files(fs, base: str) -> list[str]:
+def _recursive_infos(fs, base: str) -> list:
+    """One recursive listing of the table — the shared input for the
+    recovery sweep AND the visible-file count, so a delete_where call
+    pays O(objects) listing I/O once, not twice (at millions of
+    objects the listing is a real cost)."""
+    import pyarrow.fs as pafs
+
+    try:
+        return fs.get_file_info(pafs.FileSelector(base, recursive=True))
+    except (FileNotFoundError, OSError):
+        return []
+
+
+def _visible_parquet_files(fs, base: str, infos=None) -> list[str]:
     """Base-relative paths of the table's READABLE parquet files: every
     path with a dot- or underscore-prefixed component (staged ``.del-*``
     survivors, ``.del-stage-*`` dirs, Spark ``_SUCCESS``/metadata) is
     invisible to readers and excluded — so ``files_total`` counts what a
-    scan sees, not maintenance debris (ADVICE r14 #4)."""
+    scan sees, not maintenance debris (ADVICE r14 #4). Pass a
+    pre-fetched ``_recursive_infos`` listing to avoid re-listing."""
     import pyarrow.fs as pafs
 
-    try:
-        infos = fs.get_file_info(pafs.FileSelector(base, recursive=True))
-    except (FileNotFoundError, OSError):
-        return []
+    if infos is None:
+        infos = _recursive_infos(fs, base)
     out = []
     for i in infos:
         if i.type != pafs.FileType.File or not i.path.endswith(".parquet"):
@@ -304,7 +316,7 @@ def _man_full(base: str, p: str) -> str:
     return p if p.startswith("/") else f"{base}/{p}"
 
 
-def recover_delete_where(path: str, filesystem=None) -> bool:
+def recover_delete_where(path: str, filesystem=None, _infos=None) -> bool:
     """Finish (or unwind) a ``delete_where`` interrupted by a hard
     crash, and sweep its orphaned staging debris. The manifest written
     before the swap phase lists every (original, staged-survivor,
@@ -328,14 +340,13 @@ def recover_delete_where(path: str, filesystem=None) -> bool:
     import pyarrow.fs as pafs
 
     fs, base = _pafs_base(path, filesystem)
-    try:
-        root_infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
-    except (FileNotFoundError, OSError):
-        return False
+    infos = _recursive_infos(fs, base) if _infos is None else _infos
+    # manifests live at the table root: base-relative path has no "/"
     manifests = sorted(
         i.path
-        for i in root_infos
+        for i in infos
         if i.type == pafs.FileType.File
+        and "/" not in i.path[len(base) + 1 :]
         and i.base_name.startswith(".delete-manifest-")
         and i.base_name.endswith(".json")
     )
@@ -352,12 +363,11 @@ def recover_delete_where(path: str, filesystem=None) -> bool:
                 fs.delete_file(orig)
         fs.delete_file(man)
     # Orphan-debris sweep: with every manifest replayed and removed,
-    # any remaining .del-* / .tmp- artifact is unreferenced.
+    # any remaining .del-* / .tmp- artifact is unreferenced. The sweep
+    # reuses the SAME listing taken before replay — replay only
+    # promotes dot-staged files it then deletes, so nothing it touches
+    # can re-qualify as debris.
     doomed_files, doomed_dirs = [], []
-    try:
-        infos = fs.get_file_info(pafs.FileSelector(base, recursive=True))
-    except (FileNotFoundError, OSError):
-        infos = []
     for i in infos:
         n = i.base_name
         if i.type == pafs.FileType.File and (
@@ -443,8 +453,10 @@ def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
     from pyspark.sql import functions as F
 
     fs, base = _pafs_base(path, filesystem)
-    recover_delete_where(path, filesystem=filesystem)
-    visible = _visible_parquet_files(fs, base)
+    infos = _recursive_infos(fs, base)  # ONE listing, shared (see below)
+    if recover_delete_where(path, filesystem=filesystem, _infos=infos):
+        infos = _recursive_infos(fs, base)  # recovery moved files: re-list
+    visible = _visible_parquet_files(fs, base, infos)
     files_total = len(visible)
 
     bridge_dir = None
@@ -614,7 +626,11 @@ def maintain_lake_table(
     "threshold", ...compact stats when run}``. Idempotent at the loop
     level: a compacted table reads ≤ max_files next tick and no-ops."""
     fs, base = _pafs_base(path, filesystem)
-    is_local = filesystem is None and "://" not in path
+    # file:// IS local (every other writer op accepts it via
+    # require_local_path); only a real remote scheme or an injected
+    # filesystem routes around the pathlib-based steps
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    is_local = filesystem is None and scheme in ("", "file")
     out: dict = {
         "swap_recovered": recover_staged_swap(base) if is_local else False,
         "delete_recovered": recover_delete_where(path, filesystem=filesystem),

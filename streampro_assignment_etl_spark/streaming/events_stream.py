@@ -512,7 +512,7 @@ def scd2_forgotten_keys(target_path: str) -> list:
         for f in sorted(root.parent.glob(f".{root.name}.forget-*.json")):
             for k in json.loads(f.read_text())["keys"]:
                 keys.add(k)
-    return sorted(keys, key=lambda x: (isinstance(x, str), str(x)))
+    return sorted(keys, key=lambda x: (isinstance(x, str), x))
 
 
 def scd2_forget_key(spark, target_path: str, keys) -> dict:
@@ -544,7 +544,7 @@ def scd2_forget_key(spark, target_path: str, keys) -> dict:
 
     ks = sorted(
         {k if isinstance(k, str) else int(k) for k in keys},
-        key=lambda x: (isinstance(x, str), str(x)),
+        key=lambda x: (isinstance(x, str), x),
     )
     if not ks:
         raise ValueError("scd2_forget_key: empty key list")
@@ -573,7 +573,13 @@ def _drop_forgotten(batch_df: DataFrame, target_path: str) -> DataFrame:
     forgotten = scd2_forgotten_keys(target_path)
     if not forgotten:
         return batch_df
-    return batch_df.filter(~F.col("user_id").isin(forgotten))
+    # NULL-keyed rows must pass through unchanged: ~isin(NULL) is NULL
+    # and a bare filter would start silently dropping them the moment
+    # any unrelated takedown ran (dirty-data behavior must not depend
+    # on takedown history)
+    return batch_df.filter(
+        F.col("user_id").isNull() | ~F.col("user_id").isin(forgotten)
+    )
 
 
 def run_scd2_upsert_stream(

@@ -89,26 +89,47 @@ def run_takedown_request_stream(
         batch_df.persist()
         try:
             # bound DISTINCT subject ids, not (request, id) pairs — one
-            # id named by 50 requests is still one subject
+            # id named by 50 requests is still one subject. A NULL id is
+            # a malformed request: fail LOUDLY rather than silently
+            # un-erase a subject (the poison pill wedges the stream with
+            # an actionable message, the standard streaming contract).
+            n_null = batch_df.filter(F.col(id_col).isNull()).count()
+            if n_null:
+                raise ValueError(
+                    f"takedown request batch contains {n_null} row(s) with "
+                    f"NULL {id_col} — a malformed request cannot be applied "
+                    f"or audited; fix the producer (silently dropping it "
+                    f"would leave a subject un-erased with no trace)"
+                )
             id_rows = (
                 batch_df.select(id_col)
                 .distinct()
                 .limit(int(max_ids_per_batch) + 1)
                 .collect()
             )
-            req_rows = batch_df.select("request_id").distinct().collect()
+            # the request-id collect is bounded by the SAME guard: a
+            # topic with a bounded subject set but millions of distinct
+            # request ids is equally poisoned, and the audit row must
+            # stay KB-sized
+            req_rows = (
+                batch_df.select("request_id")
+                .distinct()
+                .limit(int(max_ids_per_batch) + 1)
+                .collect()
+            )
         finally:
             batch_df.unpersist()
         ids = sorted(
             {r[id_col] for r in id_rows},
-            key=lambda x: (isinstance(x, str), str(x)),
+            key=lambda x: (isinstance(x, str), x),
         )
         if not ids:
             return
-        if len(ids) > max_ids_per_batch:
+        if len(ids) > max_ids_per_batch or len(req_rows) > max_ids_per_batch:
+            what = "subjects" if len(ids) > max_ids_per_batch else "requests"
             raise ValueError(
                 f"takedown request batch names more than "
-                f"max_ids_per_batch={max_ids_per_batch} subjects — refusing "
+                f"max_ids_per_batch={max_ids_per_batch} {what} — refusing "
                 f"to start a corpus-scale rewrite loop from a stream; raise "
                 f"the bound deliberately if this wave is intended"
             )
