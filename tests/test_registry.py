@@ -58,10 +58,13 @@ def test_headline_queries_stay_registered():
 
 
 def test_bench_compare_reads_driver_wrapped_records(tmp_path):
-    """tools/bench_compare.py (round-13 VERDICT #2): consumes both the
-    driver's wrapper documents ({"parsed": {...}}) and bench.py's own
-    one-line JSON, divides out the anchor host ratio, and flags only
-    normalized movement outside the ±25% band."""
+    """tools/bench_compare.py (round-13 VERDICT #2; pack divergence
+    round 15, VERDICT r14 #2): consumes both the driver's wrapper
+    documents ({"parsed": {...}}) and bench.py's own one-line JSON,
+    divides out the anchor host ratio, flags normalized movement
+    outside the ±25% band, and marks queries moving AGAINST the pack
+    median with DIVERGES — the one pattern a uniform host shift never
+    excuses."""
     import json
     import subprocess
     import sys
@@ -89,7 +92,42 @@ def test_bench_compare_reads_driver_wrapped_records(tmp_path):
     assert out.returncode == 1  # q_slow flags SLOWER
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["host_ratio"] == 2.0
+    assert summary["pack_median"] == 1.0  # q_same is the pack
     q = summary["queries"]
     assert q["q_same"]["verdict"] == "~" and q["q_same"]["norm_ratio"] == 1.0
-    assert q["q_fast"]["verdict"] == "FASTER" and q["q_fast"]["norm_ratio"] == 0.5
-    assert q["q_slow"]["verdict"] == "SLOWER" and q["q_slow"]["norm_ratio"] == 1.5
+    # the true movers also diverge from the pack median of 1.0 — both
+    # facts are reported, band verdict + pack relation
+    assert q["q_fast"]["verdict"] == "FASTER+DIVERGES"
+    assert q["q_fast"]["norm_ratio"] == 0.5 and q["q_fast"]["vs_pack"] == 0.5
+    assert q["q_slow"]["verdict"] == "SLOWER+DIVERGES"
+    assert q["q_slow"]["norm_ratio"] == 1.5 and q["q_slow"]["vs_pack"] == 1.5
+
+    # the r14 shape the flag exists for: a UNIFORM host artifact with
+    # ONE query moving against the pack — the uniform movers read ~
+    # against the pack (no DIVERGES), the against-pack query is marked
+    # even though its band verdict alone already said SLOWER
+    old2 = {
+        "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "lone": 1.0},
+        "anchor_spark_sec": 0.4,
+    }
+    new2 = {
+        # anchor halves (host 2x faster) while every query stays flat
+        # -> every norm ratio reads 2.0 (the r14 inflation artifact),
+        # except `lone`, which genuinely rose +60% raw on top of it
+        "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "lone": 1.6},
+        "anchor_spark_sec": 0.2,
+    }
+    po2, pn2 = tmp_path / "BENCH_c.json", tmp_path / "BENCH_d.json"
+    po2.write_text(json.dumps(old2))
+    pn2.write_text(json.dumps(new2))
+    out2 = subprocess.run(
+        [sys.executable, "/root/repo/tools/bench_compare.py", str(po2), str(pn2)],
+        capture_output=True,
+        text=True,
+    )
+    s2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    q2 = s2["queries"]
+    assert q2["a"]["verdict"] == "SLOWER"  # inflated band, but WITH the pack
+    assert "DIVERGES" not in q2["a"]["verdict"]
+    assert q2["lone"]["verdict"] == "SLOWER+DIVERGES"
+    assert q2["lone"]["vs_pack"] == 1.6

@@ -3877,6 +3877,22 @@ def test_takedown_request_stream_drains_and_audits(spark, tmp_path):
             str(tmp_path / "y"),
         )
 
+    # a NULL subject id is a malformed request: loud failure with the
+    # surfaces untouched, never a silent drop that leaves a subject
+    # un-erased without a trace
+    dirty = tmp_path / "td_dirty"
+    spark.createDataFrame(
+        [(300, 4), (301, None)], schema
+    ).coalesce(1).write.parquet(str(dirty / "d1"))
+    with pytest.raises(StreamingQueryException, match="NULL doc_id"):
+        run_takedown_request_stream(
+            spark.readStream.schema(schema).parquet(f"{dirty}/*"),
+            str(tmp_path / "td_audit3"),
+            str(tmp_path / "td_ck4"),
+            tables=((tbl, "doc_id"),),
+        )
+    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4, 6}
+
 
 def test_scd2_bucketed_sink_auto_select_and_full_swap_recovery(spark, tmp_path):
     """VERDICT r14 #5: the bucketed-vs-full crossover rule (SCALE.md
