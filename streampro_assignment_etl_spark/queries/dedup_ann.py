@@ -409,6 +409,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSS_SOURCE_ORACLE = f"""
+WITH {_JACCARD_CTES},
+dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8),
+lab AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM dup d
+  JOIN documents da ON da.doc_id = d.doc_a
+  JOIN documents db ON db.doc_id = d.doc_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CASE WHEN source_a = source_b THEN 0 ELSE 1 END AS cross_source
+FROM lab
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query(
+    "near_dup_cross_source_rate",
+    extra=True,  # dedup family driver rows: dedup_fuzzy_minhash et al.
+    tags=("dedup", "source", "drift", "llm-pipeline"),
+    oracle=_CROSS_SOURCE_ORACLE,
+)
+def near_dup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do the near-duplicates COME FROM: the MinHash-LSH dup
+    pairs (same config as ``dedup_fuzzy_minhash``) labeled by both
+    members' sources, rolled up per unordered source pair. A source
+    pair with a fat cross-source count is a re-crawl / mirror of the
+    other (deduplicate them jointly, or drop one from the mixture);
+    heavy within-source counts are templated boilerplate inside one
+    source (a quality problem, not a mixing one) — the corpus-level
+    complement of ``source_vocab_overlap``'s vocabulary view, computed
+    on the DUP PAIRS the dedup pass already mines, so it is free at
+    dedup time. Pair order is normalized with least/greatest so (a,b)
+    and (b,a) fold together."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = minhash.fuzzy_dup_pairs(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        max_bucket_size=None,  # all-pairs oracle (see dedup_fuzzy_minhash)
+    ).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    lab = (
+        dup.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "cross_source",
+            F.when(F.col("source_a") == F.col("source_b"), 0).otherwise(1),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Canonical selection by QUALITY: real pipelines keep the best member
 # of each near-dup cluster, not an arbitrary (min-id) one.

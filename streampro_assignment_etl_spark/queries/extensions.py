@@ -308,6 +308,95 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "takedown_expansion_radius",
+    extra=True,  # what-if face of operators/takedown.semantic_expand_ids
+    tags=("takedown", "similarity", "llm-pipeline"),
+    oracle="""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id < 3
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), m AS (
+  SELECT c.vec_id,
+         MAX(list_dot_product(s.sv, c.cv)
+             / (sqrt(list_dot_product(s.sv, s.sv))
+                * sqrt(list_dot_product(c.cv, c.cv)))) AS cos_max
+  FROM c CROSS JOIN s
+  GROUP BY c.vec_id
+)
+SELECT t.threshold,
+       CAST(COUNT(CASE WHEN m.cos_max >= t.threshold THEN 1 END) AS BIGINT)
+         AS n_expanded
+FROM (VALUES (0.70), (0.80), (0.90), (0.95)) t(threshold)
+CROSS JOIN m
+GROUP BY t.threshold
+ORDER BY t.threshold
+""",
+)
+def takedown_expansion_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius what-if for a semantic takedown: before running
+    ``cascade_takedown`` with expansion, an operator wants to know how
+    many vectors each candidate cosine threshold would sweep in — the
+    difference between "this removes the doc and its two mirrors" and
+    "this removes a third of the corpus" (the fat-finger case
+    ``semantic_expand_ids``' max_expansion guard hard-stops; this query
+    is the dial you read before choosing the threshold). One corpus
+    pass: the seed rows broadcast, each corpus vector keeps only its
+    MAX cosine against any seed (max is order-free, so the aggregate
+    is engine-exact given the fuzz-pinned bit-identical cosine), then
+    a 4-row threshold frame counts membership per threshold. Seeds
+    count themselves (cos 1.0) — the radius is the full erased set.
+
+    Scale shape: |corpus| × |seeds| map-side folds (never corpus²),
+    one groupBy on vec_id, one KB-frame join — the same shape as the
+    expansion itself, read-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    s = emb.filter(F.col("vec_id") < 3).select(
+        as_double("embedding").alias("sv"),
+        F.sqrt(dot(as_double("embedding"), as_double("embedding"))).alias("_sn"),
+    )
+    c = emb.select(
+        "vec_id",
+        as_double("embedding").alias("cv"),
+        F.sqrt(dot(as_double("embedding"), as_double("embedding"))).alias("_cn"),
+    )
+    cos_max = (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            (dot(F.col("sv"), F.col("cv")) / (F.col("_sn") * F.col("_cn"))).alias(
+                "cos"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("cos_max"))
+    )
+    thresholds = spark.createDataFrame(
+        [(0.70,), (0.80,), (0.90,), (0.95,)], "threshold double"
+    )
+    return (
+        F.broadcast(thresholds)
+        .crossJoin(cos_max)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(F.col("cos_max") >= F.col("threshold"), 1))
+            .cast("long")
+            .alias("n_expanded")
+        )
+        .orderBy("threshold")
+    )
+
+
+@query(
     "knn_label_agreement",
     extra=True,  # QA diagnostic over the pinned brute-force top-k
     tags=("similarity", "quality", "llm-pipeline"),
