@@ -1061,3 +1061,66 @@ def test_scd2_time_block_batches_converge_in_any_order(spark, changes, data):
         )
     got = sorted(tuple(r) for r in state.collect())
     assert got == bulk
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_delete_where_equals_filter_semantics(spark, tmp_path_factory, data):
+    """delete_where (round-15 FS-seam rewrite) must implement exactly
+    SQL DELETE semantics over arbitrary tables: rows where the
+    predicate is TRUE go, FALSE and NULL stay — i.e. the surviving
+    table equals ``df.filter(~coalesce(pred, False))`` — for random
+    data (with NULLs), random Hive-partitioned or flat layouts, and
+    both predicate shapes the takedown paths use (typed isin lists
+    that may name absent ids, and threshold predicates that evaluate
+    to NULL on NULL values). Re-running the same delete is a no-op."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.pipeline.writers import delete_where
+
+    n = data.draw(st.integers(min_value=1, max_value=40))
+    rows = [
+        (
+            i,
+            f"d{data.draw(st.integers(min_value=0, max_value=2))}",
+            data.draw(
+                st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+            ),
+        )
+        for i in range(n)
+    ]
+    partitioned = data.draw(st.booleans())
+    tbl = str(
+        tmp_path_factory.mktemp("delprop") / ("part" if partitioned else "flat")
+    )
+    df = spark.createDataFrame(rows, "id long, day string, val long")
+    w = df.repartition(data.draw(st.integers(min_value=1, max_value=4))).write
+    (w.partitionBy("day") if partitioned else w).parquet(tbl)
+
+    if data.draw(st.booleans()):
+        subset = data.draw(
+            st.lists(
+                st.integers(min_value=-3, max_value=n + 3), min_size=0, max_size=8
+            )
+        )
+        pred = F.col("id").isin(subset) if subset else F.lit(False)
+    else:
+        cut = data.draw(st.integers(min_value=-5, max_value=5))
+        pred = F.col("val") > cut  # NULL val -> NULL -> row stays
+
+    expect = sorted(
+        tuple(r)
+        for r in df.filter(~F.coalesce(pred, F.lit(False)))
+        .select("id", "day", "val")
+        .collect()
+    )
+    out = delete_where(spark, tbl, pred)
+    assert out["rows_deleted"] == n - len(expect)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(tbl).select("id", "day", "val").collect()
+    )
+    assert got == expect
+    # idempotent: the second application finds nothing
+    out2 = delete_where(spark, tbl, pred)
+    assert out2["rows_deleted"] == 0 and out2["files_rewritten"] == 0
