@@ -294,6 +294,24 @@ def build_parser() -> argparse.ArgumentParser:
         "(scd2_forget_key — tombstone + bucket-pruned rewrite)",
     )
     td.add_argument(
+        "--requests-dir",
+        help="STREAM mode (instead of --ids/--ids-file): drain a landing "
+        "dir of (request_id, doc_id) parquet request batches through the "
+        "cascade with a per-batch audit (streaming/takedown_stream.py)",
+    )
+    td.add_argument(
+        "--audit-dir", help="stream mode: audit-log output dir"
+    )
+    td.add_argument(
+        "--checkpoint-dir", help="stream mode: checkpoint location"
+    )
+    td.add_argument(
+        "--id-type",
+        default="long",
+        choices=["long", "string"],
+        help="stream mode: subject id column type (string = user keys)",
+    )
+    td.add_argument(
         "--semantic-threshold",
         type=float,
         help="Expand ids to every embedding within this cosine first",
@@ -399,16 +417,49 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
         from ..session import get_spark
         from ..sources.testdata import load_table
 
-        ids = _parse_ids(args)
-        if ids is None:
-            print("takedown requires --ids or --ids-file", file=sys.stderr)
-            return 2
         if not (args.index or args.store or args.table or args.scd2_dim):
             print(
                 "takedown requires at least one of "
                 "--index/--store/--table/--scd2-dim",
                 file=sys.stderr,
             )
+            return 2
+        tables_spec = []
+        for spec in args.table:
+            path, _, id_col = spec.rpartition(":")
+            if not path or not id_col:
+                print(f"--table expects PATH:IDCOL, got {spec!r}", file=sys.stderr)
+                return 2
+            tables_spec.append((path, id_col))
+        if args.requests_dir:
+            if not (args.audit_dir and args.checkpoint_dir):
+                print(
+                    "takedown stream mode requires --audit-dir and "
+                    "--checkpoint-dir",
+                    file=sys.stderr,
+                )
+                return 2
+            from ..streaming.takedown_stream import (
+                run_takedown_request_stream,
+            )
+
+            spark = get_spark("streampro-takedown-stream")
+            run_takedown_request_stream(
+                spark.readStream.schema(
+                    f"request_id long, doc_id {args.id_type}"
+                ).parquet(args.requests_dir),
+                args.audit_dir,
+                args.checkpoint_dir,
+                index_path=args.index,
+                store_path=args.store,
+                tables=tuple(tables_spec),
+                scd2_dim_path=args.scd2_dim,
+            )
+            print(_json.dumps({"action": "takedown-stream", "drained": True}))
+            return 0
+        ids = _parse_ids(args)
+        if ids is None:
+            print("takedown requires --ids or --ids-file", file=sys.stderr)
             return 2
         spark = get_spark("streampro-takedown")
         if args.semantic_threshold is not None:
@@ -417,18 +468,11 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 ids,
                 threshold=args.semantic_threshold,
             )
-        tables = []
-        for spec in args.table:
-            path, _, id_col = spec.rpartition(":")
-            if not path or not id_col:
-                print(f"--table expects PATH:IDCOL, got {spec!r}", file=sys.stderr)
-                return 2
-            tables.append((path, id_col))
         fn = verify_takedown if args.verify_only else cascade_takedown
         out = fn(
             spark, ids,
             index_path=args.index, store_path=args.store,
-            tables=tuple(tables), scd2_dim_path=args.scd2_dim,
+            tables=tuple(tables_spec), scd2_dim_path=args.scd2_dim,
         )
         action = "takedown-verify" if args.verify_only else "takedown"
         print(_json.dumps({"action": action, **out}))

@@ -3877,6 +3877,25 @@ def test_takedown_request_stream_drains_and_audits(spark, tmp_path):
             str(tmp_path / "y"),
         )
 
+    # CLI face (the cron/daemon entry): drain new requests from a dir
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    spark.createDataFrame([(400, 6)], schema).coalesce(1).write.parquet(
+        str(landing / "r3")
+    )
+    rc = main([
+        "takedown",
+        "--requests-dir", f"{landing}/*",
+        "--audit-dir", audit,
+        "--checkpoint-dir", str(tmp_path / "td_ck1"),  # resume: only r3 new
+        "--table", f"{tbl}:doc_id",
+        "--store", store,
+    ])
+    assert rc == 0
+    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4}
+    # stream mode demands the audit/checkpoint pair
+    assert main(["takedown", "--requests-dir", f"{landing}/*", "--table", f"{tbl}:doc_id"]) == 2
+
     # a NULL subject id is a malformed request: loud failure with the
     # surfaces untouched, never a silent drop that leaves a subject
     # un-erased without a trace
@@ -3891,7 +3910,7 @@ def test_takedown_request_stream_drains_and_audits(spark, tmp_path):
             str(tmp_path / "td_ck4"),
             tables=((tbl, "doc_id"),),
         )
-    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4, 6}
+    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4}
 
 
 def test_scd2_bucketed_sink_auto_select_and_full_swap_recovery(spark, tmp_path):
