@@ -180,8 +180,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="Lake-table maintenance (pipeline/writers.py): the composed "
         "heal-then-compact cron tick for a parquet table",
     )
-    lk.add_argument("action", choices=["maintain"])
+    lk.add_argument("action", choices=["maintain", "drop-partitions"])
     lk.add_argument("--path", required=True, help="Table root dir")
+    lk.add_argument(
+        "--partition-column",
+        help="drop-partitions: Hive partition column to age out",
+    )
+    lk.add_argument(
+        "--cutoff",
+        help="drop-partitions: drop partitions strictly below this value",
+    )
+    lk.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="drop-partitions: list what would drop, delete nothing",
+    )
     lk.add_argument(
         "--max-files",
         type=int,
@@ -480,6 +493,24 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
 
     if args.command == "lake":
         import json as _json
+
+        if args.action == "drop-partitions":
+            from .writers import drop_partitions_before
+
+            if not (args.partition_column and args.cutoff):
+                print(
+                    "drop-partitions requires --partition-column and --cutoff",
+                    file=sys.stderr,
+                )
+                return 2
+            out = drop_partitions_before(
+                args.path,
+                args.partition_column,
+                args.cutoff,
+                dry_run=args.dry_run,
+            )
+            print(_json.dumps({"action": "lake-drop-partitions", **out}))
+            return 0
 
         from ..session import get_spark
         from .writers import maintain_lake_table

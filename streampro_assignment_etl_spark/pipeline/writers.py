@@ -594,6 +594,76 @@ def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
             shutil.rmtree(bridge_dir, ignore_errors=True)
 
 
+def drop_partitions_before(
+    path: str,
+    partition_col: str,
+    cutoff: str,
+    filesystem=None,
+    dry_run: bool = False,
+) -> dict:
+    """Retention sweep for a Hive-partitioned table: DROP every
+    ``<partition_col>=<value>`` directory whose value sorts strictly
+    below ``cutoff`` — the cheap form of retention. Row-level
+    ``delete_where`` rewrites files; aging out a fact table by its
+    date partition is a pure METADATA operation (one listing + one
+    recursive delete per expired partition, zero bytes rewritten —
+    at 100 TB this is the difference between a retention tick that
+    costs seconds and one that rewrites the table). Surviving
+    partitions are untouched bytes (test-pinned byte-identical).
+
+    Comparison is string-ordering on the partition VALUE, which is
+    correct exactly for the zero-padded-lexicographic encodings Hive
+    dates use (``2025-09-09``) and zero-padded numerics; a loud
+    ValueError rejects a cutoff/value pair whose numeric-looking
+    shapes would make string order lie (e.g. unpadded ints of mixed
+    width). Hive's NULL partition (``__HIVE_DEFAULT_PARTITION__``) is
+    never dropped — retention on "unknown date" is a policy decision,
+    not a sort order. Crash-safe by construction: each directory
+    delete is independent and a re-run converges (already-dropped
+    partitions simply aren't listed). Runs through the same
+    ``pyarrow.fs`` seam as ``delete_where``, so an object-store table
+    ages out through the identical call. ``dry_run`` lists without
+    deleting. Returns ``{"dropped", "kept", "cutoff"}`` (partition
+    values, sorted)."""
+    import pyarrow.fs as pafs
+    from urllib.parse import unquote
+
+    fs, base = _pafs_base(path, filesystem)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+    except (FileNotFoundError, OSError):
+        return {"dropped": [], "kept": [], "cutoff": cutoff}
+    prefix = f"{partition_col}="
+    parts = [
+        (unquote(i.base_name[len(prefix) :]), i.path)
+        for i in infos
+        if i.type == pafs.FileType.Directory
+        and i.base_name.startswith(prefix)
+    ]
+    # string order only binds when shapes agree: same-width values, or
+    # non-numeric (ISO dates compare correctly; "9" vs "10" would not)
+    for v, _ in parts:
+        if (
+            v != "__HIVE_DEFAULT_PARTITION__"
+            and v.isdigit() != cutoff.isdigit()
+            or (v.isdigit() and cutoff.isdigit() and len(v) != len(cutoff))
+        ):
+            raise ValueError(
+                f"drop_partitions_before: partition value {v!r} and cutoff "
+                f"{cutoff!r} have shapes where string order is not value "
+                f"order — zero-pad numeric partitions or use delete_where"
+            )
+    dropped, kept = [], []
+    for v, full in sorted(parts):
+        if v != "__HIVE_DEFAULT_PARTITION__" and v < cutoff:
+            if not dry_run:
+                fs.delete_dir(full)
+            dropped.append(v)
+        else:
+            kept.append(v)
+    return {"dropped": dropped, "kept": kept, "cutoff": cutoff}
+
+
 def maintain_lake_table(
     spark,
     path: str,

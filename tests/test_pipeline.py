@@ -1527,6 +1527,106 @@ def test_maintain_lake_table_heals_then_compacts_over_threshold(spark, tmp_path)
     assert main(["lake", "maintain", "--path", tbl, "--max-files", "64"]) == 0
 
 
+def test_drop_partitions_before_retention_sweep(spark, tmp_path, moto_s3):
+    """Partition-level retention: aging out a date-partitioned table is
+    a metadata operation — expired ingestion_date dirs dropped whole,
+    survivors byte-identical, zero rewrite. Pins: string-order cutoff
+    on ISO dates; the NULL partition is never dropped; mixed-width
+    numeric shapes (where string order lies) are a loud error; dry_run
+    only lists; idempotent re-run; and the SAME call ages out an
+    S3-rooted table through the FS seam."""
+    import glob
+    import hashlib
+    import os
+
+    import boto3
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        drop_partitions_before,
+    )
+
+    rows = [(i, f"2025-09-0{1 + i % 5}" if i % 7 else None) for i in range(200)]
+    tbl = str(tmp_path / "ret")
+    (
+        spark.createDataFrame(rows, "id long, ingestion_date string")
+        .repartition(2)
+        .write.partitionBy("ingestion_date")
+        .parquet(tbl)
+    )
+    md5s = lambda d: {  # noqa: E731
+        os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(tbl, f"ingestion_date={d}", "*.parquet"))
+    }
+    keep_before = {d: md5s(d) for d in ("2025-09-03", "2025-09-04", "2025-09-05")}
+
+    dry = drop_partitions_before(tbl, "ingestion_date", "2025-09-03", dry_run=True)
+    assert dry["dropped"] == ["2025-09-01", "2025-09-02"]
+    assert spark.read.parquet(tbl).count() == 200  # dry_run: nothing moved
+
+    out = drop_partitions_before(tbl, "ingestion_date", "2025-09-03")
+    assert out["dropped"] == ["2025-09-01", "2025-09-02"]
+    assert "__HIVE_DEFAULT_PARTITION__" in out["kept"]  # NULLs: policy, not age
+    got = spark.read.parquet(tbl)
+    assert got.filter("ingestion_date < '2025-09-03'").count() == 0
+    assert got.filter("ingestion_date IS NULL").count() > 0
+    for d, before in keep_before.items():
+        assert md5s(d) == before  # survivors: untouched bytes
+    again = drop_partitions_before(tbl, "ingestion_date", "2025-09-03")
+    assert again["dropped"] == []  # idempotent
+
+    # mixed-width numeric partitions: string order would lie — refuse
+    ntbl = str(tmp_path / "numeric")
+    spark.createDataFrame(
+        [(1, "9"), (2, "10")], "id long, day string"
+    ).write.partitionBy("day").parquet(ntbl)
+    with pytest.raises(ValueError, match="string order"):
+        drop_partitions_before(ntbl, "day", "10")
+
+    # object-store face: same call through the FS seam
+    bucket = "sparkgraft-ret"
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket=bucket)
+    s3fs = pafs.S3FileSystem(
+        endpoint_override=moto_s3, access_key="testing",
+        secret_key="testing", region="us-east-1",
+    )
+    import pathlib
+
+    for p in pathlib.Path(tbl).rglob("*.parquet"):
+        rel = p.relative_to(tbl).as_posix()
+        with open(p, "rb") as f, s3fs.open_output_stream(
+            f"{bucket}/lake/ret/{rel}"
+        ) as o:
+            o.write(f.read())
+    # CLI face on the local table first
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    assert main([
+        "lake", "drop-partitions", "--path", tbl,
+        "--partition-column", "ingestion_date",
+        "--cutoff", "2025-09-04",
+    ]) == 0
+    assert (
+        spark.read.parquet(tbl).filter("ingestion_date = '2025-09-03'").count()
+        == 0
+    )
+    assert main(["lake", "drop-partitions", "--path", tbl]) == 2  # args required
+
+    out_s3 = drop_partitions_before(
+        f"{bucket}/lake/ret", "ingestion_date", "2025-09-05", filesystem=s3fs
+    )
+    assert out_s3["dropped"] == ["2025-09-03", "2025-09-04"]
+    keys = [
+        o["Key"]
+        for o in boto3.client("s3", endpoint_url=moto_s3).list_objects_v2(
+            Bucket=bucket, Prefix="lake/ret"
+        )["Contents"]
+        if not o["Key"].endswith("/")
+    ]
+    assert all("2025-09-03" not in k and "2025-09-04" not in k for k in keys)
+    assert any("2025-09-05" in k for k in keys)
+
+
 def test_delete_where_against_moto_s3(spark, tmp_path, moto_s3):
     """VERDICT r14 #1: the lake surface of the takedown cascade reaches
     OBJECT STORES — delete_where's listing/staging/manifest/rename
