@@ -121,6 +121,7 @@ def verify_takedown(
     store_path: str | None = None,
     tables: tuple[tuple[str, str], ...] = (),
     scd2_dim_path: str | None = None,
+    table_filesystem=None,
 ) -> dict:
     """The erasure-evidence half a compliance process needs after
     ``cascade_takedown``: re-read every configured surface and count
@@ -139,9 +140,14 @@ def verify_takedown(
     ``user_id``) — string ids require the index/store surfaces to be
     unset. ``scd2_dim_path`` is the dimension-history surface
     (``scd2_forget_key``): residual history rows plus the standing
-    forget-tombstone guard. Read-only; costs one membership scan per
-    surface per count (the table scan pushes the literal filter
-    down)."""
+    forget-tombstone guard. ``table_filesystem`` is the object-store
+    seam (mirrors ``cascade_takedown``'s): table membership counts run
+    through a ``pyarrow.dataset`` ``count_rows`` with the id filter —
+    parquet footer stats prune row groups, so the evidence scan reads
+    id-column pages of candidate groups only, and an S3-rooted table
+    verifies from a connector-less JVM with the same call that erased
+    it. Read-only; costs one membership scan per surface per count
+    (the Spark table scan pushes the literal filter down)."""
     ids = _normalize_ids(ids, "verify_takedown")
     report: dict = {
         "ids": ids,
@@ -214,11 +220,23 @@ def verify_takedown(
         }
         physical.extend([doc_phys, band_phys])
     for table_path, id_col in tables:
-        n = (
-            spark.read.parquet(table_path)
-            .filter(F.col(id_col).isin(ids))
-            .count()
-        )
+        if table_filesystem is not None:
+            import pyarrow.dataset as pads
+
+            n = int(
+                pads.dataset(
+                    table_path,
+                    filesystem=table_filesystem,
+                    format="parquet",
+                    partitioning="hive",
+                ).count_rows(filter=pads.field(id_col).isin(ids))
+            )
+        else:
+            n = (
+                spark.read.parquet(table_path)
+                .filter(F.col(id_col).isin(ids))
+                .count()
+            )
         report["tables"][table_path] = n
         physical.append(n)
     if scd2_dim_path is not None:

@@ -1783,6 +1783,22 @@ def test_delete_where_against_moto_s3(spark, tmp_path, moto_s3):
     ids3 = {r["id"] for r in spark.read.parquet(str(mirror3)).select("id").collect()}
     assert ids3 == set(range(300)) - {7, 13, 250, drop_one, 100, 200}
 
+    # erasure evidence over the S3-rooted table, no Spark connector:
+    # the pyarrow-dataset membership count through the same seam
+    from streampro_assignment_etl_spark.operators.takedown import (
+        verify_takedown,
+    )
+
+    ev = verify_takedown(
+        spark, [100, 200, 7], tables=((table, "id"),), table_filesystem=s3fs
+    )
+    assert ev["tables"][table] == 0
+    assert ev["clean"] is True and ev["physical_clean"] is True
+    dirty = verify_takedown(
+        spark, [150], tables=((table, "id"),), table_filesystem=s3fs
+    )
+    assert dirty["tables"][table] == 1 and dirty["clean"] is False
+
 
 def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     """Corpus-level takedown (round 14): delete_where removes predicate
