@@ -70,13 +70,21 @@ surface). Composition/citations: similarity.py's IVF/PQ operators.
 from __future__ import annotations
 
 import json
+import logging
 import math
+import re
 import time
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+# every lifecycle token this module mints is uuid4().hex[:12]; recovery
+# sweeps key on the shape so foreign dot-dirs are never parsed or swept
+_TOKEN_RE = re.compile(r"[0-9a-f]{12}")
 
 from .similarity import (
     CentroidList,
@@ -633,8 +641,20 @@ def recover_index_delete(path: str) -> dict:
             continue
         n = i.base_name
         if n.startswith(".del-old-"):
-            # .del-old-<12-hex-token>-<dir with '/' encoded as '~'>
-            part = n[len(".del-old-") :].split("-", 1)[1].replace("~", "/")
+            # .del-old-<12-hex-token>-<dir with '/' encoded as '~'>.
+            # Validate the token BEFORE parsing (ADVICE r15 #4): a
+            # foreign dot-dir that merely shares the prefix (hand-made
+            # debris, another tool's artifact) used to crash the whole
+            # recovery on IndexError — skip it loudly instead; it is
+            # not ours to restore or delete.
+            tok, _, part_enc = n[len(".del-old-") :].partition("-")
+            if not (_TOKEN_RE.fullmatch(tok) and part_enc):
+                _log.warning(
+                    "recover_index_delete: skipping %r — not a "
+                    "delete-swap artifact (token is not 12-hex)", n
+                )
+                continue
+            part = part_enc.replace("~", "/")
             live = f"{snap_base}/{part}"
             if fs.get_file_info(live).type == pafs.FileType.NotFound:
                 parent = live.rsplit("/", 1)[0]
@@ -646,6 +666,14 @@ def recover_index_delete(path: str) -> dict:
                 fs.delete_dir(f"{snap_base}/{n}")
                 dropped.append(part)
         elif n.startswith(".del-"):
+            # staging roots are exactly .del-<12-hex>; anything else
+            # under the prefix is foreign — never silently destroy it
+            if not _TOKEN_RE.fullmatch(n[len(".del-") :]):
+                _log.warning(
+                    "recover_index_delete: skipping %r — not a "
+                    "delete staging root (token is not 12-hex)", n
+                )
+                continue
             fs.delete_dir(f"{snap_base}/{n}")
             swept.append(n)
     return {

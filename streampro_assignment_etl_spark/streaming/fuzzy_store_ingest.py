@@ -67,6 +67,8 @@ manifest/fence/retention lifecycle of ann_index.py.
 from __future__ import annotations
 
 import json
+import logging
+import re
 import time
 import uuid
 
@@ -82,6 +84,12 @@ from ..operators.ann_index import (
     tombstoned_ids,
 )
 from .index_ingest import _marker_exists, _write_marker
+
+_log = logging.getLogger(__name__)
+
+# every token this module mints is uuid4().hex[:12]; the recovery sweep
+# keys on the shape so foreign dot-dirs are never parsed or destroyed
+_TOKEN_RE = re.compile(r"[0-9a-f]{12}")
 
 STORE_DIR = "store"
 DOCS_DIR = "docs"
@@ -737,8 +745,17 @@ def recover_store_removal(store_path: str, manifest: dict | None = ...) -> dict:
                 continue
             n = i.base_name
             if n.startswith(".rm-old-"):
-                # .rm-old-<12-hex-token>-<subtree id>
-                sub = n[len(".rm-old-") :].split("-", 1)[1]
+                # .rm-old-<12-hex-token>-<subtree id>. Token validated
+                # BEFORE parsing (ADVICE r15 #4): a foreign dot-dir
+                # sharing the prefix used to abort the whole recovery
+                # on IndexError — skip it loudly; it is not ours.
+                tok, _, sub = n[len(".rm-old-") :].partition("-")
+                if not (_TOKEN_RE.fullmatch(tok) and sub):
+                    _log.warning(
+                        "recover_store_removal: skipping %r — not a "
+                        "removal-swap artifact (token is not 12-hex)", n
+                    )
+                    continue
                 live = f"{kb}/ingest={sub}"
                 if fs.get_file_info(live).type == pafs.FileType.NotFound:
                     fs.move(f"{kb}/{n}", live)
@@ -747,6 +764,15 @@ def recover_store_removal(store_path: str, manifest: dict | None = ...) -> dict:
                     fs.delete_dir(f"{kb}/{n}")
                     dropped.append(f"{dirs[kind]}/ingest={sub}")
             elif n.startswith(".rm-"):
+                # staging dirs are .rm-<12-hex>-<subtree id>; anything
+                # else under the prefix is foreign — never destroy it
+                tok, _, sub = n[len(".rm-") :].partition("-")
+                if not (_TOKEN_RE.fullmatch(tok) and sub):
+                    _log.warning(
+                        "recover_store_removal: skipping %r — not a "
+                        "removal staging dir (token is not 12-hex)", n
+                    )
+                    continue
                 fs.delete_dir(f"{kb}/{n}")
                 swept.append(f"{dirs[kind]}/{n}")
     return {

@@ -89,17 +89,23 @@ def run_takedown_request_stream(
         batch_df.persist()
         try:
             # bound DISTINCT subject ids, not (request, id) pairs — one
-            # id named by 50 requests is still one subject. A NULL id is
-            # a malformed request: fail LOUDLY rather than silently
-            # un-erase a subject (the poison pill wedges the stream with
-            # an actionable message, the standard streaming contract).
-            n_null = batch_df.filter(F.col(id_col).isNull()).count()
+            # id named by 50 requests is still one subject. A NULL id —
+            # subject OR request_id — is a malformed request: fail
+            # LOUDLY rather than silently un-erase a subject (a NULL
+            # request_id would otherwise surface as an opaque TypeError
+            # in the audit build below; the poison pill wedges the
+            # stream with an actionable message instead, the standard
+            # streaming contract — ADVICE r15 #3).
+            n_null = batch_df.filter(
+                F.col(id_col).isNull() | F.col("request_id").isNull()
+            ).count()
             if n_null:
                 raise ValueError(
                     f"takedown request batch contains {n_null} row(s) with "
-                    f"NULL {id_col} — a malformed request cannot be applied "
-                    f"or audited; fix the producer (silently dropping it "
-                    f"would leave a subject un-erased with no trace)"
+                    f"NULL {id_col} or NULL request_id — a malformed "
+                    f"request cannot be applied or audited; fix the "
+                    f"producer (silently dropping it would leave a subject "
+                    f"un-erased with no trace)"
                 )
             id_rows = (
                 batch_df.select(id_col)

@@ -1539,6 +1539,20 @@ def test_ivfpq_delete_crash_recovery_restores_stranded_partition(
         t for t in state_before if int(t[0]) != doom2
     ) == content(path, built.encoded_dir)
 
+    # foreign dot-dirs sharing the prefix (ADVICE r15 #4): a hand-made
+    # `.del-old-x` has no 12-hex token — recovery must SKIP it (neither
+    # IndexError-abort nor restore-as-ours), and the catch-all sweep
+    # must not destroy a `.del-*` dir that isn't a minted staging root
+    foreign_old = os.path.join(snap, ".del-old-x")
+    foreign_stage = os.path.join(snap, ".del-notatoken")
+    os.makedirs(foreign_old)
+    os.makedirs(foreign_stage)
+    out_f = ann_index.recover_index_delete(path)
+    assert out_f == {"restored": [], "dropped": [], "staging_swept": []}
+    assert os.path.isdir(foreign_old) and os.path.isdir(foreign_stage)
+    shutil.rmtree(foreign_old)
+    shutil.rmtree(foreign_stage)
+
 
 def test_cascade_takedown_all_surfaces(emb, spark, tmp_path):
     """operators/takedown.py: one request clears every surface. The

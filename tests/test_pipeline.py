@@ -1583,6 +1583,18 @@ def test_drop_partitions_before_retention_sweep(spark, tmp_path, moto_s3):
     with pytest.raises(ValueError, match="string order"):
         drop_partitions_before(ntbl, "day", "10")
 
+    # unpadded DATE components (VERDICT r15 nit): "2025-1-9" vs cutoff
+    # "2025-01-10" are both non-digit as whole strings — the old guard
+    # passed them and string order silently mis-ranked ("2025-1-9" >
+    # "2025-01-10"); the per-field shape check refuses
+    utbl = str(tmp_path / "unpadded")
+    spark.createDataFrame(
+        [(1, "2025-1-9"), (2, "2025-01-08")], "id long, day string"
+    ).write.partitionBy("day").parquet(utbl)
+    with pytest.raises(ValueError, match="string order"):
+        drop_partitions_before(utbl, "day", "2025-01-10")
+    assert spark.read.parquet(utbl).count() == 2  # loud, nothing dropped
+
     # object-store face: same call through the FS seam
     bucket = "sparkgraft-ret"
     boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket=bucket)

@@ -2823,6 +2823,18 @@ def test_fuzzy_store_remove_docs_crash_recovery(spark, tmp_path):
         == state
     )
 
+    # foreign dot-dirs sharing the prefix (ADVICE r15 #4): no 12-hex
+    # token — recovery skips them instead of crashing on the parse or
+    # silently destroying another tool's artifact
+    foreign = [f"{docs_dir}/.rm-old-x", f"{docs_dir}/.rm-junk"]
+    for d in foreign:
+        os.makedirs(d)
+    out4 = fsi.recover_store_removal(store)
+    assert out4 == {"restored": [], "dropped": [], "staging_swept": []}
+    for d in foreign:
+        assert os.path.isdir(d)
+        shutil.rmtree(d)
+
 
 def test_fuzzy_store_remove_docs_fence_race(spark, tmp_path, monkeypatch):
     """remove_docs racing a concurrent ingest batch: the removal loaded
@@ -3910,6 +3922,36 @@ def test_takedown_request_stream_drains_and_audits(spark, tmp_path):
             str(tmp_path / "td_ck4"),
             tables=((tbl, "doc_id"),),
         )
+    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4}
+
+    # a NULL request_id is equally malformed (ADVICE r15 #3): same loud
+    # poison pill, not an opaque TypeError from the audit build
+    dirty2 = tmp_path / "td_dirty2"
+    spark.createDataFrame(
+        [(None, 4)], schema
+    ).coalesce(1).write.parquet(str(dirty2 / "d1"))
+    with pytest.raises(StreamingQueryException, match="NULL doc_id or NULL request_id"):
+        run_takedown_request_stream(
+            spark.readStream.schema(schema).parquet(f"{dirty2}/*"),
+            str(tmp_path / "td_audit4"),
+            str(tmp_path / "td_ck5"),
+            tables=((tbl, "doc_id"),),
+        )
+    assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4}
+
+    # --verify-only / --semantic-threshold are one-shot-mode flags: in
+    # stream mode they must be REJECTED, not silently ignored while the
+    # destructive cascade runs (ADVICE r15 #2)
+    for extra in (["--verify-only"], ["--semantic-threshold", "0.9"]):
+        rc = main([
+            "takedown",
+            "--requests-dir", f"{landing}/*",
+            "--audit-dir", audit,
+            "--checkpoint-dir", str(tmp_path / "td_ck_reject"),
+            "--table", f"{tbl}:doc_id",
+            *extra,
+        ])
+        assert rc == 2
     assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4}
 
 

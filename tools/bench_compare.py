@@ -30,9 +30,26 @@ pack is the median normalized ratio across all shared queries; any
 query whose ratio differs from the pack median by more than the same
 1.25x band is marked DIVERGES (in addition to its band verdict).
 
-Exit code 1 when any query lands in SLOWER or DIVERGES, so a round
-script can gate on it. One JSON summary line last (machine half of
-the contract).
+Control clearing (VERDICT r15 #3 — the one benign pattern the gate
+couldn't express): a query can read DIVERGES while being FLAT, when
+the PACK sheds a load artifact the query never carried (r15's
+dedup_fuzzy_minhash: raw 1.03 but vs-pack 1.36 because every other
+query shed r14's background-load premium). The adjudication evidence
+is always the same — the idle-box control re-measurement of the same
+code — so pass it mechanically:
+
+    python tools/bench_compare.py OLD NEW --control BENCH_CONTROL_rN.json
+
+A DIVERGES flag is CLEARED when the query's current reading is flat
+against its idle-control reading (cur/control within the same
+[0.8, 1.25] noise band): the divergence is then the pack's artifact,
+not the query's, and the exit gate ignores it (the verdict column
+shows ``DIVERGES(cleared-by-control)``). SLOWER stays a hard flag —
+a genuinely slower query is slower no matter what moved the pack.
+
+Exit code 1 when any query lands in SLOWER or uncleared DIVERGES, so
+a round script can gate on it. One JSON summary line last (machine
+half of the contract).
 """
 
 from __future__ import annotations
@@ -55,6 +72,16 @@ def _load(path: str) -> dict:
 
 
 def main(argv: list[str]) -> int:
+    control_p = None
+    argv = list(argv)
+    if "--control" in argv:
+        i = argv.index("--control")
+        try:
+            control_p = argv[i + 1]
+        except IndexError:
+            print("--control requires a path", file=sys.stderr)
+            return 2
+        del argv[i : i + 2]
     if len(argv) == 3:
         old_p, new_p = argv[1], argv[2]
     else:
@@ -70,10 +97,16 @@ def main(argv: list[str]) -> int:
         old_p, new_p = found[-2][1], found[-1][1]
 
     old, new = _load(old_p), _load(new_p)
+    control = _load(control_p) if control_p else None
     a_old, a_new = old.get("anchor_spark_sec"), new.get("anchor_spark_sec")
     host_ratio = (a_new / a_old) if a_old and a_new else None
 
     print(f"# old={os.path.basename(old_p)} new={os.path.basename(new_p)}")
+    if control is not None:
+        print(
+            f"# control={os.path.basename(control_p)} — flat-vs-control "
+            f"clears DIVERGES (not SLOWER)"
+        )
     if host_ratio:
         print(
             f"# anchor_spark {a_old:.4f} -> {a_new:.4f}  "
@@ -107,6 +140,17 @@ def main(argv: list[str]) -> int:
         # covers queries that moved WITH everything else
         vs_pack = basis / pack if pack else None
         diverges = vs_pack is not None and not (0.8 <= vs_pack <= 1.25)
+        vs_control = None
+        if diverges and control is not None:
+            ctl = control.get("queries", {}).get(name)
+            if ctl:
+                vs_control = cur / ctl
+                if 0.8 <= vs_control <= 1.25:
+                    # the query is FLAT against its own idle-box
+                    # re-measurement: the pack moved, not the code —
+                    # the one benign DIVERGES shape (VERDICT r15 #3)
+                    diverges = False
+                    verdict += "+DIVERGES(cleared-by-control)"
         if diverges:
             verdict += "+DIVERGES"
         any_flag |= ("SLOWER" in verdict) or diverges
@@ -116,6 +160,7 @@ def main(argv: list[str]) -> int:
             "raw_ratio": round(raw, 3),
             "norm_ratio": round(norm, 3) if norm is not None else None,
             "vs_pack": round(vs_pack, 3) if vs_pack is not None else None,
+            "vs_control": round(vs_control, 3) if vs_control is not None else None,
             "verdict": verdict,
         }
         n = f"{norm:>6.3f}" if norm is not None else "     -"
