@@ -240,17 +240,54 @@ def verify_takedown(
         report["tables"][table_path] = n
         physical.append(n)
     if scd2_dim_path is not None:
-        from ..streaming.events_stream import scd2_forgotten_keys
-
-        n = (
-            spark.read.parquet(scd2_dim_path)
-            .filter(F.col("user_id").isin(ids))
-            .count()
+        from ..streaming.events_stream import (
+            _recover_scd2_buckets,
+            _scd2_is_local,
+            recover_scd2_object_swap,
+            scd2_forgotten_keys,
         )
+
+        # Heal a crashed sink swap BEFORE measuring (ADVICE r15 #1): a
+        # batch that died between its bucket renames leaves the
+        # subject's rows in a stranded trash dir / unreplayed manifest
+        # — the count below would read 0 and certify clean while the
+        # NEXT sink batch restores the rows. Recovery is restore-only
+        # and idempotent; on a healthy dimension it is a no-op listing.
+        if _scd2_is_local(scd2_dim_path, table_filesystem):
+            from pathlib import Path
+
+            from ..pipeline.writers import recover_staged_swap
+
+            p = Path(
+                scd2_dim_path.split("://", 1)[1]
+                if scd2_dim_path.startswith("file://")
+                else scd2_dim_path
+            )
+            recover_staged_swap(str(p))
+            if p.exists():
+                _recover_scd2_buckets(p)
+            n = (
+                spark.read.parquet(scd2_dim_path)
+                .filter(F.col("user_id").isin(ids))
+                .count()
+            )
+        else:
+            import pyarrow.dataset as pads
+
+            recover_scd2_object_swap(scd2_dim_path, table_filesystem)
+            n = int(
+                pads.dataset(
+                    scd2_dim_path,
+                    filesystem=table_filesystem,
+                    format="parquet",
+                    partitioning="hive",
+                ).count_rows(filter=pads.field("user_id").isin(ids))
+            )
         report["scd2"] = {
             "history_rows": n,
             "forget_guarded": sorted(
-                set(ids) & set(scd2_forgotten_keys(scd2_dim_path)),
+                set(ids)
+                & set(scd2_forgotten_keys(scd2_dim_path, table_filesystem)),
                 key=lambda x: (isinstance(x, str), x),
             ),
         }
@@ -342,5 +379,7 @@ def cascade_takedown(
     if scd2_dim_path is not None:
         from ..streaming.events_stream import scd2_forget_key
 
-        report["scd2"] = scd2_forget_key(spark, scd2_dim_path, ids)
+        report["scd2"] = scd2_forget_key(
+            spark, scd2_dim_path, ids, filesystem=table_filesystem
+        )
     return report

@@ -1,0 +1,195 @@
+"""Dataset release manifests: versioned snapshots of a lake table and
+exact diffs between them (VERDICT r15 #6).
+
+The lake now has deletes (``delete_where``), retention
+(``drop_partitions_before``), compaction (``compact_parquet``), and
+takedown evidence (``verify_takedown``) — but no versioned
+COMPOSITION: "what exactly shipped in release N, and prove release
+N+1 no longer contains partition/subject X". This module is that
+lineage layer, composed entirely from existing primitives:
+
+* ``snapshot_release`` records, per first-level Hive partition, the
+  visible parquet files with their sizes and footer row counts, plus
+  a fingerprint. The fingerprint hashes (relative path, bytes, rows)
+  triples — NOT file contents — which is exact under this repo's
+  write discipline: every writer here lands NEW uuid/token-named
+  files and deletes old ones (staged swaps, per-file delete swaps);
+  nothing mutates a parquet file in place. Any logical change
+  therefore materializes as file adds/removes, which the triples
+  catch — the same immutable-file assumption Delta/Iceberg manifests
+  rest on. Cost: one recursive listing + one footer read per file
+  (metadata pages only, never data pages) — at 100 TB this is the
+  listing you already pay for a maintenance tick, and the footer
+  reads parallelize trivially (driver loop here; takedown-sized by
+  the manifest contract, Spark-side for corpus-scale file counts).
+* ``diff_releases`` names every partition added / removed / rewritten
+  / unchanged between two manifests, with before/after row counts —
+  the audit a training-data release review reads first.
+* ``verify_takedown`` (operators/takedown.py) plugs in as the erasure
+  proof BETWEEN releases: the diff names which partitions changed;
+  the verifier proves the subject is gone from the new table. The
+  composition is pinned in tests.
+
+Manifests live in a hidden SIBLING directory
+``<parent>/.<name>.releases/release-<id>.json`` — next to the table,
+like the SCD-2 forget tombstones, because a whole-table staged swap
+(compaction, merge) replaces the table directory itself and would
+take an in-table manifest dir with it. Writes are crash-consistent:
+staged ``.tmp-*`` + rename, so a torn manifest is never visible; the
+reader only ever sees complete JSON. All I/O runs through the
+``pyarrow.fs`` seam, so S3-rooted tables snapshot through the same
+call (moto-pinned).
+
+≙ reference: none (north-star lifecycle; the reference has no
+release/lineage notion).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from .writers import _pafs_base, _recursive_infos, _visible_parquet_files
+
+
+def _releases_dir(base: str) -> str:
+    parent, _, name = base.rpartition("/")
+    if not parent:
+        raise ValueError(
+            f"release manifests live in the table's PARENT prefix; "
+            f"nest the table one level down (got {base!r})"
+        )
+    return f"{parent}/.{name}.releases"
+
+
+def _partition_key(rel: str) -> str:
+    """First-level Hive component (``day=d0``), or ``""`` for files at
+    the table root (unpartitioned tables get one "" partition)."""
+    return rel.split("/", 1)[0] if "/" in rel else ""
+
+
+def snapshot_release(
+    path: str, release_id: str, filesystem=None, notes: str = ""
+) -> dict:
+    """Record release ``release_id`` of the table at ``path``: per
+    first-level partition, the visible files as (rel_path, bytes,
+    footer rows) plus a fingerprint; totals and a whole-release
+    fingerprint on top. Writes the manifest (staged + rename) and
+    returns it. Re-snapshotting an existing id raises — a release is
+    immutable by definition; snapshot a new id instead."""
+    import pyarrow.parquet as pq
+
+    fs, base = _pafs_base(path, filesystem)
+    infos = _recursive_infos(fs, base)
+    visible = _visible_parquet_files(fs, base, infos)
+    sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
+    parts: dict[str, dict] = {}
+    for rel in visible:
+        with fs.open_input_file(f"{base}/{rel}") as f:
+            rows = pq.ParquetFile(f).metadata.num_rows
+        p = parts.setdefault(
+            _partition_key(rel), {"files": [], "rows": 0, "bytes": 0}
+        )
+        p["files"].append(
+            {"path": rel, "bytes": int(sizes.get(rel, 0)), "rows": int(rows)}
+        )
+        p["rows"] += int(rows)
+        p["bytes"] += int(sizes.get(rel, 0))
+    for p in parts.values():
+        p["files"].sort(key=lambda e: e["path"])
+        p["fingerprint"] = hashlib.sha256(
+            "\n".join(
+                f"{e['path']}|{e['bytes']}|{e['rows']}" for e in p["files"]
+            ).encode()
+        ).hexdigest()
+    manifest = {
+        "release": str(release_id),
+        "table": path,
+        "notes": notes,
+        "partitions": dict(sorted(parts.items())),
+        "total_rows": sum(p["rows"] for p in parts.values()),
+        "total_bytes": sum(p["bytes"] for p in parts.values()),
+        "total_files": len(visible),
+        "fingerprint": hashlib.sha256(
+            "\n".join(
+                f"{k}|{parts[k]['fingerprint']}" for k in sorted(parts)
+            ).encode()
+        ).hexdigest(),
+    }
+    rdir = _releases_dir(base)
+    final = f"{rdir}/release-{release_id}.json"
+    import pyarrow.fs as pafs
+
+    if fs.get_file_info(final).type != pafs.FileType.NotFound:
+        raise ValueError(
+            f"release {release_id!r} already recorded for {path!r} — "
+            f"releases are immutable; snapshot a new id"
+        )
+    fs.create_dir(rdir, recursive=True)
+    tmp = f"{rdir}/.tmp-release-{release_id}"
+    with fs.open_output_stream(tmp) as out:
+        out.write(json.dumps(manifest, sort_keys=True).encode())
+    fs.move(tmp, final)
+    return manifest
+
+
+def list_releases(path: str, filesystem=None) -> list[str]:
+    """Recorded release ids for the table, sorted. Incomplete
+    ``.tmp-*`` stagings from a crashed snapshot are invisible here
+    (and harmless — the re-run overwrites the staging name)."""
+    import pyarrow.fs as pafs
+
+    fs, base = _pafs_base(path, filesystem)
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(_releases_dir(base), recursive=False)
+        )
+    except (FileNotFoundError, OSError):
+        return []
+    out = []
+    for i in infos:
+        n = i.base_name
+        if (
+            i.type == pafs.FileType.File
+            and n.startswith("release-")
+            and n.endswith(".json")
+        ):
+            out.append(n[len("release-") : -len(".json")])
+    return sorted(out)
+
+
+def load_release(path: str, release_id: str, filesystem=None) -> dict:
+    fs, base = _pafs_base(path, filesystem)
+    final = f"{_releases_dir(base)}/release-{release_id}.json"
+    with fs.open_input_stream(final) as f:
+        return json.loads(f.read().decode())
+
+
+def diff_releases(man_a: dict, man_b: dict) -> dict:
+    """Exact partition-level diff of two release manifests (A → B):
+    ``added`` (in B only), ``removed`` (in A only), ``rewritten``
+    (both, fingerprint differs), ``unchanged`` — each a sorted dict of
+    ``partition → {"rows_before", "rows_after"}`` (0 for the absent
+    side). Plus row/byte totals. Pure manifest arithmetic — no table
+    I/O, so diffing 100 TB releases costs KB."""
+    pa, pb = man_a["partitions"], man_b["partitions"]
+    out = {"added": {}, "removed": {}, "rewritten": {}, "unchanged": {}}
+    for k in sorted(set(pa) | set(pb)):
+        before = pa.get(k, {}).get("rows", 0)
+        after = pb.get(k, {}).get("rows", 0)
+        entry = {"rows_before": before, "rows_after": after}
+        if k not in pa:
+            out["added"][k] = entry
+        elif k not in pb:
+            out["removed"][k] = entry
+        elif pa[k]["fingerprint"] != pb[k]["fingerprint"]:
+            out["rewritten"][k] = entry
+        else:
+            out["unchanged"][k] = entry
+    out["release_before"] = man_a["release"]
+    out["release_after"] = man_b["release"]
+    out["rows_before"] = man_a["total_rows"]
+    out["rows_after"] = man_b["total_rows"]
+    out["bytes_before"] = man_a["total_bytes"]
+    out["bytes_after"] = man_b["total_bytes"]
+    return out

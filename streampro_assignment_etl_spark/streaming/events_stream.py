@@ -488,7 +488,41 @@ def run_pit_enriched_stream(
     q.awaitTermination(timeout_s)
 
 
-def scd2_forgotten_keys(target_path: str) -> list:
+# object-store swap namespace for the bucketed SCD-2 sink (see
+# pipeline/object_swap.py for the manifest protocol these feed)
+SCD2_MANIFEST_PREFIX = ".scd2-manifest-"
+SCD2_STAGED_PREFIX = ".scd2-"
+SCD2_STAGE_DIR_PREFIX = ".scd2stage-"
+
+
+def _scd2_is_local(target_path: str, filesystem) -> bool:
+    """True when the dimension lives on the plain local filesystem —
+    the pathlib fast path every pre-r16 test pins byte-for-byte."""
+    scheme = target_path.split("://", 1)[0] if "://" in target_path else ""
+    return filesystem is None and scheme in ("", "file")
+
+
+def recover_scd2_object_swap(target_path: str, filesystem=None) -> bool:
+    """Crash recovery for the OBJECT-STORE bucketed sink's manifest
+    swap (the store-agnostic twin of ``_recover_scd2_buckets``): replay
+    any committed ``.scd2-manifest-*`` the crash left, sweep
+    pre-manifest ``.scd2-*`` staged files / ``.scd2stage-*`` Spark
+    staging dirs (token-validated — foreign dot-files are skipped,
+    never destroyed). Run at every remote batch's entry and at
+    ``scd2_forget_key``/``verify_takedown`` entry on remote
+    dimensions."""
+    from ..pipeline.object_swap import recover_object_swap
+
+    return recover_object_swap(
+        target_path,
+        filesystem,
+        manifest_prefix=SCD2_MANIFEST_PREFIX,
+        staged_file_prefix=SCD2_STAGED_PREFIX,
+        stage_dir_prefix=SCD2_STAGE_DIR_PREFIX,
+    )
+
+
+def scd2_forgotten_keys(target_path: str, filesystem=None) -> list:
     """Union of every forget-tombstone's keys for the SCD-2 dimension
     at ``target_path``, sorted (ints before strings). Tombstones are
     sibling dot-files ``.<name>.forget-<token>.json`` NEXT TO the
@@ -498,30 +532,60 @@ def scd2_forgotten_keys(target_path: str) -> list:
     takedown contract; permanent, like the fuzzy store's (a checkpoint
     reset can replay arbitrarily old change batches, so there is no
     safe retirement horizon — deleting the file is the explicit
-    re-consent path)."""
+    re-consent path). Reads through the ``pyarrow.fs`` seam, so an
+    S3-rooted dimension's tombstones resolve through the same call
+    (VERDICT r15 #1)."""
     import json
-    from pathlib import Path
 
-    root = Path(
-        target_path.split("://", 1)[1]
-        if target_path.startswith("file://")
-        else target_path
-    )
+    import pyarrow.fs as pafs
+
+    from ..pipeline.writers import _pafs_base
+
+    fs, base = _pafs_base(target_path, filesystem)
+    parent, _, name = base.rpartition("/")
+    if not parent:
+        raise ValueError(
+            f"SCD-2 dimension {target_path!r} sits at the store root — "
+            f"forget tombstones live in the PARENT prefix; nest the "
+            f"dimension one level down"
+        )
+    prefix = f".{name}.forget-"
     keys: set = set()
-    if root.parent.exists():
-        for f in sorted(root.parent.glob(f".{root.name}.forget-*.json")):
-            for k in json.loads(f.read_text())["keys"]:
-                keys.add(k)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(parent, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    for i in sorted(infos, key=lambda x: x.path):
+        n = i.base_name
+        if (
+            i.type == pafs.FileType.File
+            and n.startswith(prefix)
+            and n.endswith(".json")
+        ):
+            with fs.open_input_stream(i.path) as f:
+                for k in json.loads(f.read().decode())["keys"]:
+                    keys.add(k)
     return sorted(keys, key=lambda x: (isinstance(x, str), x))
 
 
-def scd2_forget_key(spark, target_path: str, keys) -> dict:
+def scd2_forget_key(spark, target_path: str, keys, filesystem=None) -> dict:
     """Takedown of a subject's ENTIRE SCD-2 history (VERDICT r14 #6):
     erasure isn't complete while the dimension retains the key's status
-    intervals. Two layers, committed in takedown-safe order:
+    intervals. Three layers, committed in takedown-safe order:
 
+    0. Crashed-swap RECOVERY first (ADVICE r15 #1): a prior sink batch
+       that died between its bucket renames leaves the subject's rows
+       in a stranded ``.old-bucket=*`` trash dir (local) or an
+       unreplayed swap manifest (object store) — invisible to the hit
+       scan below, yet restored by the NEXT sink batch, physically
+       resurrecting a "forgotten" subject. Healing before the
+       tombstone/delete closes that window on both layouts
+       (``recover_staged_swap`` + ``_recover_scd2_buckets`` locally,
+       ``recover_scd2_object_swap`` remotely — the same
+       recovery-before-measurement rule as ``delete_from_ivfpq_index``
+       and ``remove_docs``).
     1. A forget tombstone (staged ``.tmp-`` + atomic rename) lands
-       FIRST: from this instant both SCD-2 sinks drop the keys from
+       next: from this instant both SCD-2 sinks drop the keys from
        every future batch — including a REPLAYED change wave after a
        checkpoint reset, which would otherwise resurrect the history
        from the change log (the exact failure the fuzzy store's
@@ -535,12 +599,23 @@ def scd2_forget_key(spark, target_path: str, keys) -> dict:
 
     Keys may be ints or strings (``Column.isin`` literals — the same
     injection-safe shape as the cascade's table predicates). Wired as
-    the fourth ``cascade_takedown`` surface. Returns ``{"requested",
-    "rows_deleted", "files_rewritten", "tombstone"}``."""
+    the fourth ``cascade_takedown`` surface. ``filesystem`` is the
+    object-store seam (VERDICT r15 #1): with it (or an ``s3://`` URI)
+    the tombstone write, the recovery, and the bucket-pruned
+    ``delete_where`` all run through ``pyarrow.fs``, so a DSR against
+    an S3-rooted lake erases the dimension with the same call that
+    erases its tables. Returns ``{"requested", "rows_deleted",
+    "files_rewritten", "tombstone"}``."""
     import json
     import uuid
 
-    from ..pipeline.writers import delete_where, require_local_path
+    from ..pipeline.writers import (
+        _fs_exists,
+        _pafs_base,
+        delete_where,
+        recover_staged_swap,
+        require_local_path,
+    )
 
     ks = sorted(
         {k if isinstance(k, str) else int(k) for k in keys},
@@ -548,29 +623,56 @@ def scd2_forget_key(spark, target_path: str, keys) -> dict:
     )
     if not ks:
         raise ValueError("scd2_forget_key: empty key list")
-    root = require_local_path(target_path, "scd2_forget_key")
-    if not root.exists():
-        raise FileNotFoundError(f"no SCD-2 dimension at {target_path}")
+    is_local = _scd2_is_local(target_path, filesystem)
+    fs, base = _pafs_base(target_path, filesystem)
+    if is_local:
+        root = require_local_path(target_path, "scd2_forget_key")
+        recover_staged_swap(str(root))
+        if not root.exists():
+            raise FileNotFoundError(f"no SCD-2 dimension at {target_path}")
+        _recover_scd2_buckets(root)
+    else:
+        recover_scd2_object_swap(target_path, filesystem)
+        if not _fs_exists(fs, base):
+            raise FileNotFoundError(f"no SCD-2 dimension at {target_path}")
     token = uuid.uuid4().hex[:12]
-    tomb = root.parent / f".{root.name}.forget-{token}.json"
-    staging = root.parent / f".tmp-forget-{token}"
-    staging.write_text(json.dumps({"keys": ks}))
-    staging.rename(tomb)
-    out = delete_where(spark, str(root), F.col("user_id").isin(ks))
+    parent, _, name = base.rpartition("/")
+    if not parent:
+        raise ValueError(
+            f"SCD-2 dimension {target_path!r} sits at the store root — "
+            f"forget tombstones live in the PARENT prefix; nest the "
+            f"dimension one level down"
+        )
+    tomb = f".{name}.forget-{token}.json"
+    staging = f"{parent}/.tmp-forget-{token}"
+    with fs.open_output_stream(staging) as oh:
+        oh.write(json.dumps({"keys": ks}).encode())
+    fs.move(staging, f"{parent}/{tomb}")
+    # str(root), not target_path, in local mode: a file:// URI reaches
+    # delete_where's URI branch otherwise (correct but needlessly
+    # different bookkeeping from the pre-seam behavior tests pin)
+    out = delete_where(
+        spark,
+        str(root) if is_local else target_path,
+        F.col("user_id").isin(ks),
+        filesystem=filesystem,
+    )
     return {
         "requested": len(ks),
         "rows_deleted": out["rows_deleted"],
         "files_rewritten": out["files_rewritten"],
-        "tombstone": tomb.name,
+        "tombstone": tomb,
     }
 
 
-def _drop_forgotten(batch_df: DataFrame, target_path: str) -> DataFrame:
+def _drop_forgotten(
+    batch_df: DataFrame, target_path: str, filesystem=None
+) -> DataFrame:
     """Apply the standing forget tombstones to a change batch — the
     sink-side half of ``scd2_forget_key``'s replay guarantee. One
     driver-side KB read per micro-batch; a literal NOT-IN filter, no
     shuffle, no state."""
-    forgotten = scd2_forgotten_keys(target_path)
+    forgotten = scd2_forgotten_keys(target_path, filesystem)
     if not forgotten:
         return batch_df
     # NULL-keyed rows must pass through unchanged: ~isin(NULL) is NULL
@@ -708,6 +810,225 @@ def _recover_scd2_buckets(root) -> None:
             shutil.rmtree(stale, ignore_errors=True)
 
 
+def _scd2_remote_write_batch(
+    batch_df: DataFrame,
+    target_path: str,
+    filesystem,
+    n_buckets: int,
+    bucket_expr,
+    mode: str,
+    full_fraction: float,
+    full_rewrite_max_bytes: int,
+    plan_log: list | None,
+    batch_id: int,
+) -> None:
+    """One micro-batch of the bucketed SCD-2 sink against an
+    OBJECT-STORE dimension (VERDICT r15 #1): same merge algebra and
+    same bucket-pruned rewrite shape as the local fast path, but the
+    per-bucket commit is the manifest-driven staged file swap of
+    ``pipeline/object_swap.py`` — object stores have no atomic
+    directory rename (pyarrow's S3 move works for files only,
+    measured), so "swap bucket b" becomes: upload b's new files under
+    hidden ``.scd2-*`` names, commit one ``.scd2-manifest-*`` for the
+    whole batch, promote staged → final, delete b's old files. A crash
+    anywhere replays or sweeps to convergence at the next batch's
+    entry (``recover_scd2_object_swap``), and untouched buckets'
+    objects are never rewritten (ETag-pinned in the moto test).
+
+    Spark I/O routes like ``delete_where``'s: an ``s3://`` URI with no
+    injected filesystem reads/writes through Spark's own connector
+    (``s3a://`` — the cluster path, distributed end to end); an
+    injected ``filesystem=`` bridges Spark through a driver-local
+    mirror of ONLY the affected buckets' files (the hermetic-test and
+    connector-less configuration; O(affected buckets) driver I/O, not
+    O(dimension))."""
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from ..pipeline.object_swap import commit_object_swap, upload_tree_staged
+    from ..pipeline.writers import (
+        _pafs_base,
+        _recursive_infos,
+        _visible_parquet_files,
+    )
+    from ..queries.reshape import scd2_apply_changes, scd2_from_log
+
+    spark = batch_df.sparkSession
+    fs, base = _pafs_base(target_path, filesystem)
+    recover_scd2_object_swap(target_path, filesystem)
+    batch_df = _drop_forgotten(batch_df, target_path, filesystem)
+    batch_df = batch_df.dropDuplicates(["user_id", "ts_us"])
+    batch_df.persist()
+    scratch = Path(tempfile.mkdtemp(prefix="scd2-remote-"))
+    try:
+        if batch_df.isEmpty():
+            return
+        infos = _recursive_infos(fs, base)
+        visible = _visible_parquet_files(fs, base, infos)
+        sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
+        token = uuid.uuid4().hex[:12]
+        bridge = filesystem is not None
+        if not bridge:
+            scheme, rest = target_path.split("://", 1)
+            readable_root = (
+                f"s3a://{rest}" if scheme in ("s3", "s3n") else target_path
+            )
+
+        def read_rels(rels):
+            # frame over base-relative parquet files, bucket partition
+            # column attached from the Hive path
+            if not bridge:
+                return spark.read.option("basePath", readable_root).parquet(
+                    *[f"{readable_root}/{r}" for r in rels]
+                )
+            mirror = scratch / f"mirror-{uuid.uuid4().hex[:6]}"
+            for r in rels:
+                dst = mirror / r
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                with fs.open_input_stream(f"{base}/{r}") as s, open(
+                    dst, "wb"
+                ) as o:
+                    shutil.copyfileobj(s, o)
+            return spark.read.option("basePath", str(mirror)).parquet(
+                str(mirror)
+            )
+
+        def stage_merged(merged) -> dict[int, list[tuple[str, str]]]:
+            # write the merged frame clustered one-file-per-bucket (the
+            # local sink's small-files rule), land every file under its
+            # hidden staged name, return {bucket: [(staged, final)]}
+            clustered = merged.withColumn("bucket", bucket_expr).repartition(
+                F.col("bucket")
+            )
+            if bridge:
+                local_out = scratch / "out"
+                clustered.write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(str(local_out))
+                pairs = upload_tree_staged(
+                    fs, base, local_out, token, SCD2_STAGED_PREFIX
+                )
+            else:
+                import pyarrow.fs as pafs
+
+                stage_rel = f"{SCD2_STAGE_DIR_PREFIX}{token}"
+                clustered.write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(f"{readable_root}/{stage_rel}")
+                files = sorted(
+                    (
+                        i
+                        for i in fs.get_file_info(
+                            pafs.FileSelector(
+                                f"{base}/{stage_rel}", recursive=True
+                            )
+                        )
+                        if i.type == pafs.FileType.File
+                        and i.base_name.endswith(".parquet")
+                        and not i.base_name.startswith((".", "_"))
+                    ),
+                    key=lambda x: x.path,
+                )
+                pairs = []
+                for j, fi in enumerate(files):
+                    rel_in_stage = fi.path[len(base) + len(stage_rel) + 2 :]
+                    bdir = rel_in_stage.rsplit("/", 1)[0]
+                    staged = f"{bdir}/{SCD2_STAGED_PREFIX}{token}-{j}.parquet"
+                    final = f"{bdir}/part-scd2-{token}-{j}.parquet"
+                    fs.move(fi.path, f"{base}/{staged}")
+                    pairs.append((staged, final))
+                fs.delete_dir(f"{base}/{stage_rel}")
+            out: dict[int, list[tuple[str, str]]] = {}
+            for s, f_ in pairs:
+                b = int(s.split("/", 1)[0].split("=", 1)[1])
+                out.setdefault(b, []).append((s, f_))
+            return out
+
+        def bucket_of(rel: str) -> int:
+            head = rel.split("/", 1)[0]
+            if "/" not in rel or not head.startswith("bucket="):
+                raise ValueError(
+                    f"run_scd2_upsert_stream_bucketed: {target_path!r} is "
+                    f"not a bucket-partitioned SCD-2 layout (found {rel!r})"
+                )
+            return int(head.split("=", 1)[1])
+
+        if not visible:  # bootstrap
+            by_bucket = stage_merged(scd2_from_log(batch_df, "change_id"))
+            entries = [
+                {
+                    "bucket": b,
+                    "old": [],
+                    "staged": [s for s, _ in prs],
+                    "final": [f for _, f in prs],
+                }
+                for b, prs in sorted(by_bucket.items())
+            ]
+            commit_object_swap(fs, base, entries, token, SCD2_MANIFEST_PREFIX)
+            return
+
+        vis_by_bucket: dict[int, list[str]] = {}
+        for r in visible:
+            vis_by_bucket.setdefault(bucket_of(r), []).append(r)
+        buckets = sorted(
+            int(r["b"])
+            for r in batch_df.select(bucket_expr.alias("b"))
+            .distinct()
+            .collect()
+        )
+        decide = mode
+        dim_bytes = None
+        if mode == "auto":
+            dim_bytes = sum(sizes.get(r, 0) for r in visible)
+            decide = (
+                "full"
+                if (
+                    len(buckets) >= full_fraction * n_buckets
+                    and dim_bytes <= full_rewrite_max_bytes
+                )
+                else "bucketed"
+            )
+        if plan_log is not None:
+            plan_log.append(
+                {
+                    "batch_id": int(batch_id),
+                    "mode": decide,
+                    "touched_buckets": len(buckets),
+                    "n_buckets": int(n_buckets),
+                    "dim_bytes": dim_bytes,
+                }
+            )
+        if decide == "full":
+            existing = read_rels(visible).drop("bucket")
+            by_bucket = stage_merged(scd2_apply_changes(existing, batch_df))
+            affected = sorted(set(by_bucket) | set(vis_by_bucket))
+        else:
+            live = [b for b in buckets if b in vis_by_bucket]
+            if live:
+                existing = read_rels(
+                    [r for b in live for r in vis_by_bucket[b]]
+                ).drop("bucket")
+            else:  # every affected bucket is new — schema-only frame
+                existing = read_rels(visible[:1]).drop("bucket").limit(0)
+            by_bucket = stage_merged(scd2_apply_changes(existing, batch_df))
+            affected = sorted(set(buckets) | set(by_bucket))
+        entries = [
+            {
+                "bucket": b,
+                "old": sorted(vis_by_bucket.get(b, [])),
+                "staged": [s for s, _ in by_bucket.get(b, [])],
+                "final": [f for _, f in by_bucket.get(b, [])],
+            }
+            for b in affected
+        ]
+        commit_object_swap(fs, base, entries, token, SCD2_MANIFEST_PREFIX)
+    finally:
+        batch_df.unpersist()
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def run_scd2_upsert_stream_bucketed(
     changes: DataFrame,
     target_path: str,
@@ -718,6 +1039,7 @@ def run_scd2_upsert_stream_bucketed(
     full_fraction: float = 0.5,
     full_rewrite_max_bytes: int = 256 * 1024 * 1024,
     plan_log: list | None = None,
+    filesystem=None,
 ) -> None:
     """The SCALE-SAFE Type-2 sink (VERDICT r13 #7): same merge algebra
     as ``run_scd2_upsert_stream``, but the dimension is stored
@@ -772,10 +1094,31 @@ def run_scd2_upsert_stream_bucketed(
         raise ValueError(
             f"mode must be auto/bucketed/full, got {mode!r}"
         )
-    root = require_local_path(target_path, "run_scd2_upsert_stream_bucketed")
+    is_local = _scd2_is_local(target_path, filesystem)
+    root = (
+        require_local_path(target_path, "run_scd2_upsert_stream_bucketed")
+        if is_local
+        else None
+    )
     bucket_expr = F.pmod(F.hash(F.col("user_id")), F.lit(int(n_buckets)))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not is_local:
+            # object-store dimension (VERDICT r15 #1): same algebra,
+            # manifest-driven per-file swap — see _scd2_remote_write_batch
+            _scd2_remote_write_batch(
+                batch_df,
+                target_path,
+                filesystem,
+                n_buckets,
+                bucket_expr,
+                mode,
+                full_fraction,
+                full_rewrite_max_bytes,
+                plan_log,
+                batch_id,
+            )
+            return
         # a hard crash inside a previous batch's FULL swap leaves the
         # dimension under its .old-* backup name; restore it before the
         # root-missing check can misread the crash as a fresh table

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from streampro_assignment_etl_spark.functions.approx import (
@@ -13,6 +15,7 @@ from streampro_assignment_etl_spark.functions.approx import (
 SF = "/root/testdata/sf0.01"
 
 
+@pytest.mark.fast
 def test_approx_quantiles_close_to_exact(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     approx = {

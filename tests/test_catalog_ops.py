@@ -21,6 +21,7 @@ def _clean(spark):
 
 
 # -- S11: CTAS ---------------------------------------------------------------
+@pytest.mark.fast
 def test_ctas_and_save_as_table(spark, tmp_path):
     assert C.create_view_from_parquet(spark, "v_customer", f"{SF}/customer.parquet")
     ok = C.create_table_as_select(

@@ -57,6 +57,7 @@ def adversarial_sf(spark, tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.fast
 def test_span_dedup_cross_engine_on_adversarial_text(spark, adversarial_sf):
     spec = EXTRAS["span_dedup_reconstruct"]
     con = duckdb.connect()

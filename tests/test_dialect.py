@@ -4,6 +4,7 @@ on Spark vs the original on DuckDB over identical trusted data."""
 
 from __future__ import annotations
 
+
 import json
 
 import duckdb
@@ -20,6 +21,8 @@ from streampro_assignment_etl_spark.pipeline import (
     LandingToRawProcessor,
     RawToTrustedProcessor,
 )
+
+pytestmark = pytest.mark.fast  # whole module: cheap invariants, per-commit lane
 
 # -- string-level rewrites ---------------------------------------------------
 

@@ -24,6 +24,7 @@ def _names_types(schema):
     return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
 
+@pytest.mark.fast
 def test_media_schema_and_determinism(spark, media):
     assert _names_types(media.schema) == _names_types(MM.MEDIA_SCHEMA)
     rows = {r["media_id"]: r for r in media.collect()}
@@ -52,6 +53,7 @@ def test_extract_features_histogram(spark, media):
     assert [round(x, 6) for x in got] == [round(x, 6) for x in local]
 
 
+@pytest.mark.fast
 def test_resize_images_stub_contract(spark, media):
     resized = MM.resize_images(media, width=4, height=3, use_pil=False)
     assert _names_types(resized.schema) == _names_types(MM.MEDIA_SCHEMA)

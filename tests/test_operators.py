@@ -1452,6 +1452,7 @@ def test_ivfpq_index_delete_takedown(emb, spark, tmp_path):
     assert after_sweep and not {int(r["neighbor_id"]) for r in after_sweep} & set(doom)
 
 
+@pytest.mark.fast
 def test_ivfpq_delete_crash_recovery_restores_stranded_partition(
     emb, spark, tmp_path
 ):
@@ -1554,6 +1555,7 @@ def test_ivfpq_delete_crash_recovery_restores_stranded_partition(
     shutil.rmtree(foreign_stage)
 
 
+@pytest.mark.fast
 def test_cascade_takedown_all_surfaces(emb, spark, tmp_path):
     """operators/takedown.py: one request clears every surface. The
     semantic expansion finds the planted near-copy (cosine ≈ 1) and

@@ -754,70 +754,6 @@ def test_lake_object_ops_against_real_s3(tmp_path):
         lk.delete_object(key)
 
 
-class _S3ResultTagShim:
-    """WSGI wrapper fixing one moto/aws-sdk-cpp mismatch: moto emits a
-    ``<CompleteMultipartUploadResponse>`` root element where real S3
-    (and pyarrow's bundled AWS C++ SDK) requires
-    ``<CompleteMultipartUploadResult>`` — without the rename the SDK
-    treats the 200 as an embedded error and multipart writes fail.
-    Everything else passes through byte-identical."""
-
-    def __init__(self, app):
-        self.app = app
-
-    def __call__(self, environ, start_response):
-        captured = {}
-
-        def sr(status, headers, exc_info=None):
-            captured["status"], captured["headers"] = status, headers
-            return lambda _: None
-
-        body = b"".join(self.app(environ, sr))
-        if b"CompleteMultipartUploadResponse" in body:
-            body = body.replace(
-                b"CompleteMultipartUploadResponse", b"CompleteMultipartUploadResult"
-            )
-            captured["headers"] = [
-                (k, str(len(body)) if k.lower() == "content-length" else v)
-                for k, v in captured["headers"]
-            ]
-        start_response(captured["status"], captured["headers"])
-        return [body]
-
-
-@pytest.fixture
-def moto_s3(monkeypatch):
-    """In-process HTTP S3 endpoint (moto + Result-tag shim), with AWS
-    env routed so both boto3 and pyarrow's ``FileSystem.from_uri``
-    resolve to it. Yields the endpoint URL; server stops on teardown."""
-    pytest.importorskip("boto3")
-    pytest.importorskip("moto")
-    import threading
-
-    from moto.moto_server.werkzeug_app import (
-        DomainDispatcherApplication,
-        create_backend_app,
-    )
-    from werkzeug.serving import make_server
-
-    srv = make_server(
-        "127.0.0.1",
-        0,
-        _S3ResultTagShim(DomainDispatcherApplication(create_backend_app)),
-        threaded=True,
-    )
-    port = srv.socket.getsockname()[1]
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    endpoint = f"http://127.0.0.1:{port}"
-    monkeypatch.setenv("AWS_ENDPOINT_URL", endpoint)
-    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
-    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
-    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
-    monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
-    yield endpoint
-    srv.shutdown()
-
-
 def test_lake_object_ops_against_moto_s3(tmp_path, moto_s3):
     """The S3 seam over REAL wire protocol, hermetically: an in-process
     moto server speaks HTTP S3 (ListObjectsV2 / multipart PUT /
@@ -1465,6 +1401,7 @@ def test_view_registration_propagates_unexpected_errors(spark, lake, monkeypatch
         )
 
 
+@pytest.mark.fast
 def test_maintain_lake_table_heals_then_compacts_over_threshold(spark, tmp_path):
     """pipeline.writers.maintain_lake_table: the lake zone's composed
     cron body (sibling of maintain_index/maintain_store). Pins the
@@ -1473,8 +1410,9 @@ def test_maintain_lake_table_heals_then_compacts_over_threshold(spark, tmp_path)
     is replayed and orphan .del-* debris swept, and compaction runs
     ONLY when the healed table's visible file count exceeds the
     threshold — so the idle tick is cheap and idempotent (second call
-    no-ops). An injected non-local filesystem skips compaction with a
-    note instead of pathlib-corrupting a remote table."""
+    no-ops). An injected filesystem routes compaction through the
+    object-store manifest swap instead of the pathlib directory swap
+    (VERDICT r15 #2; the moto test pins the real wire protocol)."""
     import pathlib
 
     import pyarrow.fs as pafs
@@ -1515,16 +1453,231 @@ def test_maintain_lake_table_heals_then_compacts_over_threshold(spark, tmp_path)
         "files": out2["files"],
     }  # fully idle tick
 
-    # non-local filesystem: heal through the seam, never compact
+    # injected filesystem: heal through the seam AND compact through
+    # the object-store manifest swap (r15 skipped this with a note)
     out4 = maintain_lake_table(
         spark, tbl, max_files=0, filesystem=pafs.LocalFileSystem()
     )
-    assert out4["compacted"] is False and "compact_skipped" in out4
+    assert out4["compacted"] is True and out4["compact_swap_recovered"] is False
+    assert out4["files_after"] <= out4["files"]
+    assert spark.read.parquet(tbl).count() == 2000
 
     # CLI face (the cron entry an operator actually schedules)
     from streampro_assignment_etl_spark.pipeline.cli import main
 
     assert main(["lake", "maintain", "--path", tbl, "--max-files", "64"]) == 0
+
+
+@pytest.mark.fast
+def test_release_manifest_snapshot_diff_and_erasure_proof(
+    spark, tmp_path, moto_s3
+):
+    """pipeline/release.py (VERDICT r15 #6): versioned composition for
+    the lake. Pins: a snapshot's totals match the table; releases are
+    immutable (re-recording an id raises); a takedown between two
+    releases diffs as exactly the touched partitions (rewritten when
+    rows survive, removed when emptied, unchanged elsewhere — with
+    correct before/after row counts); verify_takedown plugs in as the
+    erasure proof between the releases; a torn manifest write (crash
+    debris in the releases dir) is invisible to list/load and does not
+    block later snapshots; and an S3-rooted copy of the same table
+    snapshots to the SAME partition content and fingerprints through
+    the FS seam (the fingerprint hashes relative paths + sizes + row
+    counts, all store-independent)."""
+    import boto3
+    import pyarrow.fs as pafs
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.operators.takedown import (
+        verify_takedown,
+    )
+    from streampro_assignment_etl_spark.pipeline.release import (
+        diff_releases,
+        list_releases,
+        load_release,
+        snapshot_release,
+    )
+    from streampro_assignment_etl_spark.pipeline.writers import delete_where
+
+    rows = [(i, i % 40, f"d{i % 4}") for i in range(400)]
+    tbl = str(tmp_path / "rel" / "corpus")
+    (
+        spark.createDataFrame(rows, "id long, user_id long, day string")
+        .repartition(3, "id")
+        .write.partitionBy("day")
+        .parquet(tbl)
+    )
+    man1 = snapshot_release(tbl, "r1")
+    assert man1["total_rows"] == 400
+    assert set(man1["partitions"]) == {f"day=d{i}" for i in range(4)}
+    assert all(p["rows"] == 100 for p in man1["partitions"].values())
+    with pytest.raises(ValueError, match="immutable"):
+        snapshot_release(tbl, "r1")
+
+    # a takedown between releases: subject 7 lives in day=d3 only
+    # (7, 47, ... are all ≡ 3 mod 4); d3 survives with other users
+    out = delete_where(spark, tbl, F.col("user_id") == 7)
+    assert out["rows_deleted"] == 10
+    # and empty one whole partition
+    delete_where(spark, tbl, F.col("day") == "d0")
+    man2 = snapshot_release(tbl, "r2")
+    d = diff_releases(man1, man2)
+    assert sorted(d["removed"]) == ["day=d0"]
+    assert d["removed"]["day=d0"] == {"rows_before": 100, "rows_after": 0}
+    assert sorted(d["rewritten"]) == ["day=d3"]
+    assert d["rewritten"]["day=d3"] == {"rows_before": 100, "rows_after": 90}
+    assert sorted(d["unchanged"]) == ["day=d1", "day=d2"]
+    assert d["added"] == {}
+    assert d["rows_before"] == 400 and d["rows_after"] == 290
+
+    # the erasure proof BETWEEN the releases: read-only, same table
+    ev = verify_takedown(spark, [7], tables=((tbl, "user_id"),))
+    assert ev["clean"] is True and ev["physical_clean"] is True
+
+    # torn manifest write: staging debris is invisible and harmless
+    reldir = tmp_path / "rel" / ".corpus.releases"
+    (reldir / ".tmp-release-r9").write_bytes(b'{"torn":')
+    assert list_releases(tbl) == ["r1", "r2"]
+    man3 = snapshot_release(tbl, "r3")
+    assert load_release(tbl, "r3")["fingerprint"] == man3["fingerprint"]
+    assert diff_releases(man2, man3)["rewritten"] == {}
+
+    # S3-rooted twin: same files under the same rel paths → identical
+    # partition content + fingerprints through the FS seam
+    bucket = "sparkgraft-rel"
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket=bucket)
+    fs = pafs.S3FileSystem(
+        endpoint_override=moto_s3, access_key="testing",
+        secret_key="testing", region="us-east-1",
+    )
+    s3tbl = f"{bucket}/lake/corpus"
+    import pathlib
+
+    local_root = pathlib.Path(tbl)
+    for p in local_root.rglob("*.parquet"):
+        rel = p.relative_to(local_root).as_posix()
+        if any(part.startswith((".", "_")) for part in rel.split("/")):
+            continue
+        with open(p, "rb") as f, fs.open_output_stream(
+            f"{s3tbl}/{rel}"
+        ) as o:
+            o.write(f.read())
+    s3man = snapshot_release(s3tbl, "r3", filesystem=fs)
+    assert s3man["partitions"] == man3["partitions"]
+    assert s3man["fingerprint"] == man3["fingerprint"]
+    assert list_releases(s3tbl, filesystem=fs) == ["r3"]
+
+
+def test_remote_compaction_against_moto_s3(spark, tmp_path, moto_s3):
+    """VERDICT r15 #2: `maintain_lake_table` previously healed
+    object-store tables and then left their streaming-append
+    fragmentation standing forever (`compact_skipped`). Pins, over the
+    real S3 wire protocol from a connector-less JVM: an 80-object S3
+    table compacts to ≤ max_files with rows identical; objects OUTSIDE
+    the table (a sibling table in the same bucket) are ETag-identical;
+    the next tick no-ops; a fabricated crash window (staged compacted
+    file + committed manifest, promote never ran) is replayed to
+    convergence by the tick's entry recovery; pre-manifest `.cmp-*`
+    debris is swept while a foreign dot-file without a 12-hex token
+    survives."""
+    import json as _json
+
+    import boto3
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        maintain_lake_table,
+    )
+
+    bucket = "sparkgraft-cmp"
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket=bucket)
+    s3 = boto3.client("s3", endpoint_url=moto_s3)
+    fs = pafs.S3FileSystem(
+        endpoint_override=moto_s3, access_key="testing",
+        secret_key="testing", region="us-east-1",
+    )
+
+    local = tmp_path / "cmp_local"
+    spark.range(2000).selectExpr("id", "id % 5 AS g").repartition(
+        80
+    ).write.parquet(str(local))
+    tbl = f"{bucket}/lake/frag"
+    sib = f"{bucket}/lake/sibling"
+    for p in local.rglob("*.parquet"):
+        with open(p, "rb") as f, fs.open_output_stream(
+            f"{tbl}/{p.name}"
+        ) as o:
+            o.write(f.read())
+    sib_local = tmp_path / "cmp_sib"
+    spark.range(10).coalesce(1).write.parquet(str(sib_local))
+    for p in sib_local.rglob("*.parquet"):
+        with open(p, "rb") as f, fs.open_output_stream(
+            f"{sib}/{p.name}"
+        ) as o:
+            o.write(f.read())
+
+    def etags(prefix):
+        return {
+            o["Key"]: o["ETag"]
+            for o in s3.list_objects_v2(Bucket=bucket, Prefix=prefix).get(
+                "Contents", []
+            )
+            if not o["Key"].endswith("/")
+        }
+
+    def rows():
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(tbl, filesystem=fs, format="parquet").to_table()
+        return sorted(zip(t["id"].to_pylist(), t["g"].to_pylist()))
+
+    want = rows()
+    sib_before = etags("lake/sibling/")
+    out = maintain_lake_table(spark, tbl, max_files=16, filesystem=fs)
+    assert out["compacted"] is True and out["files"] == 80
+    assert out["files_after"] <= 16
+    assert rows() == want
+    assert etags("lake/sibling/") == sib_before  # untouched bytes
+
+    out2 = maintain_lake_table(spark, tbl, max_files=16, filesystem=fs)
+    assert out2["compacted"] is False  # idle tick
+    assert out2["files"] == out["files_after"]
+
+    # crash window: compaction staged its output and committed the
+    # manifest, then died before the promote — plus an orphan staged
+    # file from an older pre-manifest crash and a foreign dot-file
+    live = sorted(etags("lake/frag/"))[0]
+    live_rel = live[len("lake/frag/") :]
+    with fs.open_input_stream(f"{bucket}/{live}") as src:
+        body = src.read()
+    with fs.open_output_stream(f"{tbl}/.cmp-feedfacefeed-0.parquet") as o:
+        o.write(body)
+    with fs.open_output_stream(f"{tbl}/.cmp-manifest-feedfacefeed.json") as o:
+        o.write(
+            _json.dumps(
+                [
+                    {
+                        "old": [live_rel],
+                        "staged": [".cmp-feedfacefeed-0.parquet"],
+                        "final": ["part-cmp-feedfacefeed-0.parquet"],
+                    }
+                ]
+            ).encode()
+        )
+    with fs.open_output_stream(f"{tbl}/.cmp-0a0a0a0a0a0a-9.parquet") as o:
+        o.write(b"orphaned staging")
+    with fs.open_output_stream(f"{tbl}/.cmp-foreign.parquet") as o:
+        o.write(b"not ours")
+    out3 = maintain_lake_table(spark, tbl, max_files=16, filesystem=fs)
+    assert out3["compact_swap_recovered"] is True
+    keys = set(etags("lake/frag/"))
+    assert f"lake/frag/part-cmp-feedfacefeed-0.parquet" in keys
+    assert live not in keys
+    assert "lake/frag/.cmp-manifest-feedfacefeed.json" not in keys
+    assert "lake/frag/.cmp-0a0a0a0a0a0a-9.parquet" not in keys  # swept
+    assert "lake/frag/.cmp-foreign.parquet" in keys  # never destroyed
+    fs.delete_file(f"{tbl}/.cmp-foreign.parquet")
+    assert rows() == want
 
 
 def test_drop_partitions_before_retention_sweep(spark, tmp_path, moto_s3):
@@ -1812,6 +1965,7 @@ def test_delete_where_against_moto_s3(spark, tmp_path, moto_s3):
     assert dirty["tables"][table] == 1 and dirty["clean"] is False
 
 
+@pytest.mark.fast
 def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     """Corpus-level takedown (round 14): delete_where removes predicate
     rows by rewriting ONLY the files containing them. Pins: non-hit

@@ -3,6 +3,8 @@ depends on must not silently regress."""
 
 from __future__ import annotations
 
+import pytest
+
 from streampro_assignment_etl_spark.plans import (
     broadcast_join_count,
     parquet_scan_count,
@@ -542,6 +544,7 @@ def test_scd2_pit_join_is_keyed_not_cartesian(spark):
     assert "CartesianProduct" not in plan, plan[:1500]
 
 
+@pytest.mark.fast
 def test_delete_where_hit_scan_pushes_predicate(spark, tmp_path):
     """delete_where's hit scan must reach the parquet scan as a pushed
     filter — filtering ABOVE the input_file_name projection loses

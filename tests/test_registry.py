@@ -6,7 +6,11 @@ operator representatives; they must never collide with driver names."""
 
 from __future__ import annotations
 
+
+import pytest
 from streampro_assignment_etl_spark.queries import EXTRAS, REGISTRY
+
+pytestmark = pytest.mark.fast  # whole module: cheap invariants, per-commit lane
 
 DRIVER_WINDOW = 50
 

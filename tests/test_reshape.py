@@ -3,9 +3,13 @@ differential (test_oracle_parity.py)."""
 
 from __future__ import annotations
 
+
+import pytest
 from pyspark.sql import functions as F
 
 from streampro_assignment_etl_spark.queries import EXTRAS
+
+pytestmark = pytest.mark.fast  # whole module: cheap invariants, per-commit lane
 
 SF = "/root/testdata/sf0.01"
 
