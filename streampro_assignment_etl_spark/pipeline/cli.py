@@ -180,8 +180,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="Lake-table maintenance (pipeline/writers.py): the composed "
         "heal-then-compact cron tick for a parquet table",
     )
-    lk.add_argument("action", choices=["maintain", "drop-partitions"])
+    lk.add_argument(
+        "action",
+        choices=[
+            "maintain",
+            "drop-partitions",
+            "release-snapshot",
+            "release-diff",
+            "release-list",
+        ],
+    )
     lk.add_argument("--path", required=True, help="Table root dir")
+    lk.add_argument(
+        "--release-id", help="release-snapshot: id to record (immutable)"
+    )
+    lk.add_argument(
+        "--notes", default="", help="release-snapshot: free-form annotation"
+    )
+    lk.add_argument(
+        "--from-release", help="release-diff: baseline release id"
+    )
+    lk.add_argument("--to-release", help="release-diff: target release id")
     lk.add_argument(
         "--partition-column",
         help="drop-partitions: Hive partition column to age out",
@@ -200,6 +219,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=64,
         help="Compact only when the visible parquet file count exceeds this",
+    )
+    lk.add_argument(
+        "--partition-max-files",
+        type=int,
+        help="maintain: compact per PARTITION instead — rewrite only "
+        "Hive partitions with more files than this (the streaming-sink "
+        "shape: recent partitions fragment, the archive stays put)",
     )
     lk.add_argument(
         "--target-file-bytes", type=int, default=128 * 1024 * 1024
@@ -507,6 +533,64 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
     if args.command == "lake":
         import json as _json
 
+        if args.action.startswith("release-"):
+            # pure-metadata lineage ops (pipeline/release.py): no Spark
+            # session — one listing + footer reads, KB-sized output
+            from .release import (
+                diff_releases,
+                list_releases,
+                load_release,
+                snapshot_release,
+            )
+
+            if args.action == "release-snapshot":
+                if not args.release_id:
+                    print(
+                        "release-snapshot requires --release-id",
+                        file=sys.stderr,
+                    )
+                    return 2
+                man = snapshot_release(
+                    args.path, args.release_id, notes=args.notes
+                )
+                print(
+                    _json.dumps(
+                        {
+                            "action": "lake-release-snapshot",
+                            "release": man["release"],
+                            "total_rows": man["total_rows"],
+                            "total_bytes": man["total_bytes"],
+                            "total_files": man["total_files"],
+                            "partitions": len(man["partitions"]),
+                            "fingerprint": man["fingerprint"],
+                        }
+                    )
+                )
+                return 0
+            if args.action == "release-diff":
+                if not (args.from_release and args.to_release):
+                    print(
+                        "release-diff requires --from-release and "
+                        "--to-release",
+                        file=sys.stderr,
+                    )
+                    return 2
+                d = diff_releases(
+                    load_release(args.path, args.from_release),
+                    load_release(args.path, args.to_release),
+                )
+                print(_json.dumps({"action": "lake-release-diff", **d}))
+                return 0
+            print(
+                _json.dumps(
+                    {
+                        "action": "lake-release-list",
+                        "releases": list_releases(args.path),
+                    }
+                )
+            )
+            return 0
+
         if args.action == "drop-partitions":
             from .writers import drop_partitions_before
 
@@ -535,6 +619,7 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             max_files=args.max_files,
             target_file_bytes=args.target_file_bytes,
             partition_col=args.partition_col,
+            partition_max_files=args.partition_max_files,
         )
         print(_json.dumps({"action": "lake-maintain", **out}))
         return 0

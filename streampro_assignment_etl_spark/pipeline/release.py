@@ -69,24 +69,41 @@ def _partition_key(rel: str) -> str:
 
 
 def snapshot_release(
-    path: str, release_id: str, filesystem=None, notes: str = ""
+    path: str, release_id: str, filesystem=None, notes: str = "", spark=None
 ) -> dict:
     """Record release ``release_id`` of the table at ``path``: per
     first-level partition, the visible files as (rel_path, bytes,
     footer rows) plus a fingerprint; totals and a whole-release
     fingerprint on top. Writes the manifest (staged + rename) and
     returns it. Re-snapshotting an existing id raises — a release is
-    immutable by definition; snapshot a new id instead."""
+    immutable by definition; snapshot a new id instead.
+
+    Footer reads: a driver loop by default (fine for maintenance-sized
+    file counts), or DISTRIBUTED when a ``spark`` session is passed
+    with a path/URI target — the file list fans out over executors and
+    each reads its footers through a pyarrow filesystem resolved from
+    the same path, so a million-file corpus snapshot costs one
+    metadata read per file in parallel instead of a serial driver
+    crawl (an injected ``filesystem=`` object can't ship to executors,
+    so that configuration keeps the driver loop). Both routes produce
+    byte-identical manifests (test-pinned)."""
     import pyarrow.parquet as pq
 
     fs, base = _pafs_base(path, filesystem)
     infos = _recursive_infos(fs, base)
     visible = _visible_parquet_files(fs, base, infos)
     sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
+    if spark is not None and filesystem is None and visible:
+        rows_by_rel = _footer_rows_distributed(spark, path, visible)
+    else:
+        rows_by_rel = None
     parts: dict[str, dict] = {}
     for rel in visible:
-        with fs.open_input_file(f"{base}/{rel}") as f:
-            rows = pq.ParquetFile(f).metadata.num_rows
+        if rows_by_rel is not None:
+            rows = rows_by_rel[rel]
+        else:
+            with fs.open_input_file(f"{base}/{rel}") as f:
+                rows = pq.ParquetFile(f).metadata.num_rows
         p = parts.setdefault(
             _partition_key(rel), {"files": [], "rows": 0, "bytes": 0}
         )
@@ -133,6 +150,36 @@ def snapshot_release(
     return manifest
 
 
+def _footer_rows_distributed(spark, path: str, visible: list[str]) -> dict:
+    """Per-file footer row counts as a Spark job: one task batch per
+    ~2k files, each executor resolving its own pyarrow filesystem from
+    ``path`` (URI or local — the same `_pafs_base` resolution as the
+    driver). Returns {rel_path: num_rows}."""
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from streampro_assignment_etl_spark.pipeline.writers import (
+            _pafs_base as pafs_base,
+        )
+
+        fs2, base2 = pafs_base(path)
+        for pdf in batches:
+            counts = []
+            for rel in pdf["rel"]:
+                with fs2.open_input_file(f"{base2}/{rel}") as f:
+                    counts.append(pq.ParquetFile(f).metadata.num_rows)
+            yield pd.DataFrame({"rel": pdf["rel"], "rows": counts})
+
+    n_slices = max(1, (len(visible) + 1999) // 2000)
+    df = spark.createDataFrame(
+        [(r,) for r in visible], "rel string"
+    ).repartition(n_slices)
+    out = df.mapInPandas(read_footers, "rel string, rows long").collect()
+    return {r["rel"]: int(r["rows"]) for r in out}
+
+
 def list_releases(path: str, filesystem=None) -> list[str]:
     """Recorded release ids for the table, sorted. Incomplete
     ``.tmp-*`` stagings from a crashed snapshot are invisible here
@@ -163,6 +210,47 @@ def load_release(path: str, release_id: str, filesystem=None) -> dict:
     final = f"{_releases_dir(base)}/release-{release_id}.json"
     with fs.open_input_stream(final) as f:
         return json.loads(f.read().decode())
+
+
+def read_release(spark, path: str, release_id: str, filesystem=None):
+    """A Spark frame over EXACTLY the files release ``release_id``
+    recorded — the reproducibility contract a training job wants
+    ("epoch 3 read release N, bit-for-bit"), and the cheap
+    snapshot-read answer to the object-store swap's isolation caveat:
+    a reader pinned to a manifest never sees a concurrent swap's
+    mixed old+new listing, because it never lists.
+
+    Scope stated plainly: the pin is valid while the release's files
+    still exist. This repo's maintenance ops DELETE superseded files
+    at commit (delete_where, compaction, the SCD-2 swaps), so a
+    release outlives them only if maintenance is fenced off the table
+    between snapshot and read — releases are a LISTING pin, not a
+    retention root (an Iceberg-style ref-counted garbage collector is
+    the next layer up and out of scope). A vanished file fails the
+    read loudly mid-scan, never silently returns a subset. Hive
+    partition columns are re-attached via ``basePath``; ``filesystem``
+    targets only work where Spark can also read the store (i.e. the
+    connector route — the injected-filesystem configuration has no
+    Spark-readable URI and raises)."""
+    if filesystem is not None:
+        raise ValueError(
+            "read_release: an injected filesystem has no Spark-readable "
+            "URI — use a path/URI target (connector route), or mirror "
+            "the release's files locally and read that"
+        )
+    man = load_release(path, release_id)
+    rels = sorted(
+        f["path"] for p in man["partitions"].values() for f in p["files"]
+    )
+    if not rels:
+        raise ValueError(f"release {release_id!r} of {path!r} is empty")
+    if path.startswith(("s3://", "s3n://")):
+        root = "s3a://" + path.split("://", 1)[1]
+    else:
+        root = path
+    return spark.read.option("basePath", root).parquet(
+        *[f"{root}/{r}" for r in rels]
+    )
 
 
 def diff_releases(man_a: dict, man_b: dict) -> dict:

@@ -345,6 +345,159 @@ def _compact_parquet_object(
     }
 
 
+def compact_fragmented_partitions(
+    spark,
+    path: str,
+    max_files_per_partition: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    filesystem=None,
+) -> dict:
+    """Partition-scoped compaction: rewrite ONLY the Hive partitions
+    whose visible file count exceeds ``max_files_per_partition`` —
+    the shape that matters at 100 TB, where a streaming sink
+    fragments the RECENT date partitions while the archive is already
+    compact: whole-table compaction (``compact_parquet``) would
+    rewrite 100 TB to fix the newest 100 GB; this rewrites exactly
+    the fragmented partitions and leaves every other partition's
+    files untouched bytes (ETag-pinned on moto).
+
+    One implementation for both stores: each fragmented partition's
+    replacement files are staged hidden, one ``.cmp-manifest-*``
+    commits the whole sweep with one entry PER PARTITION (replay's
+    all-finals-exist gate makes each partition's swap all-or-nothing
+    independently), and ``recover_compact_object_swap`` at entry
+    replays a crash — local tables go through
+    ``pyarrow.LocalFileSystem``, so the local promote is a rename.
+    Same isolation caveat as the remote whole-table swap (a LISTING
+    racing the promote sees a fragmented partition doubled briefly);
+    same single-writer maintenance window. Spark I/O: bridge mirror
+    for injected ``filesystem=``, direct (or s3a) otherwise.
+
+    Returns ``{"partitions_compacted", "files_before", "files_after"}``.
+    """
+    import math
+    import shutil as _sh
+    import tempfile
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    from .object_swap import commit_object_swap, upload_tree_staged
+
+    fs, base = _pafs_base(path, filesystem)
+    recover_compact_object_swap(path, filesystem)
+    infos = _recursive_infos(fs, base)
+    visible = _visible_parquet_files(fs, base, infos)
+    sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
+    by_part: dict[str, list[str]] = {}
+    for rel in visible:
+        key = rel.split("/", 1)[0] if "/" in rel else ""
+        by_part.setdefault(key, []).append(rel)
+    if "" in by_part and len(by_part) > 1:
+        raise ValueError(
+            f"compact_fragmented_partitions: {path!r} mixes root-level "
+            f"files with partition dirs — not a Hive layout"
+        )
+    fragmented = sorted(
+        k
+        for k, fl in by_part.items()
+        if k and len(fl) > max_files_per_partition
+    )
+    if "" in by_part and len(by_part[""]) > max_files_per_partition:
+        raise ValueError(
+            "compact_fragmented_partitions: table is unpartitioned — "
+            "use compact_parquet (whole-table) instead"
+        )
+    out = {
+        "partitions_compacted": fragmented,
+        "files_before": len(visible),
+        "files_after": len(visible),
+    }
+    if not fragmented:
+        return out
+    bridge = filesystem is not None
+    if not bridge and "://" in path:
+        scheme, rest = path.split("://", 1)
+        readable_root = f"s3a://{rest}" if scheme in ("s3", "s3n") else path
+    elif not bridge:
+        readable_root = base
+    token = _uuid.uuid4().hex[:12]
+    scratch = _P(tempfile.mkdtemp(prefix="compact-parts-"))
+    try:
+        entries = []
+        all_pairs: list[tuple[str, str]] = []
+        for p in fragmented:
+            p_bytes = sum(sizes.get(r, 0) for r in by_part[p])
+            n_files = max(1, math.ceil(p_bytes / target_file_bytes))
+            if bridge:
+                mirror = scratch / "mirror" / p
+                for r in by_part[p]:
+                    dst = scratch / "mirror" / r
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    with fs.open_input_stream(f"{base}/{r}") as s, open(
+                        dst, "wb"
+                    ) as o:
+                        _sh.copyfileobj(s, o)
+                # leaf read, no basePath: partition value lives in the
+                # path, so rewritten files must not embed the column
+                df = spark.read.parquet(str(mirror))
+                df.repartition(n_files).write.mode("overwrite").parquet(
+                    str(scratch / "out" / p)
+                )
+            else:
+                df = spark.read.parquet(f"{readable_root}/{p}")
+                df.repartition(n_files).write.mode("overwrite").parquet(
+                    f"{readable_root}/{CMP_STAGE_DIR_PREFIX}{token}/{p}"
+                )
+        if bridge:
+            pairs = upload_tree_staged(
+                fs, base, scratch / "out", token, CMP_STAGED_PREFIX
+            )
+        else:
+            import pyarrow.fs as pafs
+
+            stage_rel = f"{CMP_STAGE_DIR_PREFIX}{token}"
+            files = sorted(
+                (
+                    i
+                    for i in fs.get_file_info(
+                        pafs.FileSelector(f"{base}/{stage_rel}", recursive=True)
+                    )
+                    if i.type == pafs.FileType.File
+                    and i.base_name.endswith(".parquet")
+                    and not i.base_name.startswith((".", "_"))
+                ),
+                key=lambda x: x.path,
+            )
+            pairs = []
+            for j, fi in enumerate(files):
+                rel_in_stage = fi.path[len(base) + len(stage_rel) + 2 :]
+                pdir = rel_in_stage.rsplit("/", 1)[0]
+                staged = f"{pdir}/{CMP_STAGED_PREFIX}{token}-{j}.parquet"
+                final = f"{pdir}/part-cmp-{token}-{j}.parquet"
+                fs.move(fi.path, f"{base}/{staged}")
+                pairs.append((staged, final))
+            fs.delete_dir(f"{base}/{stage_rel}")
+        all_pairs = pairs
+        by_new_part: dict[str, list[tuple[str, str]]] = {}
+        for s, f_ in all_pairs:
+            by_new_part.setdefault(s.split("/", 1)[0], []).append((s, f_))
+        for p in fragmented:
+            prs = by_new_part.get(p, [])
+            entries.append(
+                {
+                    "partition": p,
+                    "old": sorted(by_part[p]),
+                    "staged": [s for s, _ in prs],
+                    "final": [f for _, f in prs],
+                }
+            )
+        commit_object_swap(fs, base, entries, token, CMP_MANIFEST_PREFIX)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
+    out["files_after"] = len(_visible_parquet_files(fs, base))
+    return out
+
+
 def merge_upsert(
     spark,
     target_path: str,
@@ -873,6 +1026,7 @@ def maintain_lake_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_col: str | None = None,
     filesystem=None,
+    partition_max_files: int | None = None,
 ) -> dict:
     """The lake table's composed cron body — the missing sibling of
     ``maintain_index`` / ``maintain_store`` (those loops existed for
@@ -919,7 +1073,20 @@ def maintain_lake_table(
         )
     files = len(_visible_parquet_files(fs, base))
     out["files"] = files
-    if files > max_files:
+    if partition_max_files is not None:
+        # partition-scoped tick (the 100 TB shape: a streaming sink
+        # fragments the RECENT partitions; rewrite those, not the
+        # archive) — threshold applies per partition, not per table
+        stats = compact_fragmented_partitions(
+            spark,
+            base if is_local else path,
+            max_files_per_partition=partition_max_files,
+            target_file_bytes=target_file_bytes,
+            filesystem=filesystem,
+        )
+        out.update(stats)
+        out["compacted"] = bool(stats["partitions_compacted"])
+    elif files > max_files:
         stats = compact_parquet(
             spark,
             base if is_local else path,

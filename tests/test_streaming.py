@@ -1570,22 +1570,27 @@ def test_run_stream_upsert_accepts_file_uri(spark, tmp_path):
 
 
 def test_writers_reject_object_store_uris(spark, tmp_path):
-    """The staged-swap writers own the pathlib hazard themselves now:
+    """The still-pathlib staged-swap writers own the hazard themselves:
     direct calls with an object-store URI fail loudly instead of
-    silently compacting-to-one-file / overwriting."""
+    silently compacting-to-one-file / overwriting. (compact_parquet
+    left this list in round 16 — an object-store URI now ROUTES to the
+    manifest-swap remote compaction instead of raising; moto tests pin
+    that path. The keyed merge/rollup writers remain local-only.)"""
     from streampro_assignment_etl_spark.pipeline.writers import (
-        compact_parquet,
         incremental_rollup,
         merge_upsert,
+    )
+    from streampro_assignment_etl_spark.streaming.events_stream import (
+        compact_update_sink,
     )
 
     df = spark.range(3)
     with pytest.raises(ValueError, match="local filesystem path"):
-        compact_parquet(spark, "s3://bucket/table")
-    with pytest.raises(ValueError, match="local filesystem path"):
         merge_upsert(spark, "hdfs://nn/table", df, ("id",))
     with pytest.raises(ValueError, match="local filesystem path"):
         incremental_rollup(spark, "s3://bucket/rollup", df, ("id",), {"n": ("count", "id")})
+    with pytest.raises(ValueError, match="local filesystem path"):
+        compact_update_sink(spark, "s3://bucket/sink", ["id"])
 
 
 def test_run_stream_upsert_reclaims_crashed_bootstrap_debris(spark, tmp_path):
