@@ -29,6 +29,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _pads_path(p: str) -> str:
+    """pyarrow's ``FileSystem.from_uri`` doesn't know Hadoop's
+    ``s3a``/``s3n`` scheme aliases — normalize to ``s3`` so the
+    read-only evidence scans accept the same URI form the Spark-side
+    writers and the cascade's delete seams take."""
+    if p.startswith(("s3a://", "s3n://")):
+        return "s3://" + p.split("://", 1)[1]
+    return p
+
+
 def _normalize_ids(ids, what: str) -> list:
     """Dedup + sort a takedown id list, PRESERVING type: strings stay
     strings (a GDPR request names ``user_id`` strings — the reference's
@@ -220,12 +230,18 @@ def verify_takedown(
         }
         physical.extend([doc_phys, band_phys])
     for table_path, id_col in tables:
-        if table_filesystem is not None:
+        # injected filesystem or an S3-family URI → the pyarrow-dataset
+        # evidence scan (works from a connector-less JVM; s3a/s3n
+        # normalize to s3). Other URIs (hdfs://) stay on the Spark
+        # reader, which owns those connectors.
+        if table_filesystem is not None or table_path.startswith(
+            ("s3://", "s3a://", "s3n://")
+        ):
             import pyarrow.dataset as pads
 
             n = int(
                 pads.dataset(
-                    table_path,
+                    _pads_path(table_path),
                     filesystem=table_filesystem,
                     format="parquet",
                     partitioning="hive",
@@ -277,7 +293,7 @@ def verify_takedown(
             recover_scd2_object_swap(scd2_dim_path, table_filesystem)
             n = int(
                 pads.dataset(
-                    scd2_dim_path,
+                    _pads_path(scd2_dim_path),
                     filesystem=table_filesystem,
                     format="parquet",
                     partitioning="hive",

@@ -170,6 +170,62 @@ def recover_object_swap(
     return replayed or bool(doomed_files) or bool(doomed_dirs)
 
 
+def download_rels(fs, base: str, rels, dest_dir) -> None:
+    """Mirror base-relative files into ``dest_dir`` preserving the
+    relative (Hive) layout — the driver-local bridge every
+    connector-less Spark read in this repo uses (delete_where, the
+    remote compactors, the remote SCD-2 sink). O(bytes listed) driver
+    I/O by design; callers bound ``rels`` to the touched file set."""
+    import shutil
+    from pathlib import Path
+
+    for r in rels:
+        dst = Path(dest_dir) / r
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        with fs.open_input_stream(f"{base}/{r}") as s, open(dst, "wb") as o:
+            shutil.copyfileobj(s, o)
+
+
+def stage_remote_tree(
+    fs, base: str, stage_rel: str, token: str, staged_file_prefix: str
+) -> list[tuple[str, str]]:
+    """Convert a finished REMOTE Spark write at ``<base>/<stage_rel>``
+    (the connector route: Spark wrote the tree itself) into hidden
+    staged files beside their final homes: each visible parquet file
+    moves to ``<its-rel-dir>/<prefix><token>-<j>.parquet``, the stage
+    dir is dropped, and the sorted ``[(staged_rel, final_rel), ...]``
+    pairs come back — the same contract ``upload_tree_staged`` gives
+    the bridge route, so commit/replay code never knows which route
+    produced the staging."""
+    import pyarrow.fs as pafs
+
+    files = sorted(
+        (
+            i
+            for i in fs.get_file_info(
+                pafs.FileSelector(f"{base}/{stage_rel}", recursive=True)
+            )
+            if i.type == pafs.FileType.File
+            and i.base_name.endswith(".parquet")
+            and not i.base_name.startswith((".", "_"))
+        ),
+        key=lambda x: x.path,
+    )
+    pairs = []
+    for j, fi in enumerate(files):
+        rel_in_stage = fi.path[len(base) + len(stage_rel) + 2 :]
+        pdir = rel_in_stage.rsplit("/", 1)[0] if "/" in rel_in_stage else ""
+        pfx = f"{pdir}/" if pdir else ""
+        staged = f"{pfx}{staged_file_prefix}{token}-{j}.parquet"
+        final = (
+            f"{pfx}part-{staged_file_prefix.strip('.')}{token}-{j}.parquet"
+        )
+        fs.move(fi.path, f"{base}/{staged}")
+        pairs.append((staged, final))
+    fs.delete_dir(f"{base}/{stage_rel}")
+    return pairs
+
+
 def upload_tree_staged(
     fs,
     base: str,

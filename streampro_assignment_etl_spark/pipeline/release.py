@@ -87,10 +87,50 @@ def snapshot_release(
     crawl (an injected ``filesystem=`` object can't ship to executors,
     so that configuration keeps the driver loop). Both routes produce
     byte-identical manifests (test-pinned)."""
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
     fs, base = _pafs_base(path, filesystem)
+    # A typo'd path — or a table momentarily missing because a crashed
+    # local staged swap left it under its .old-* backup — must NOT
+    # produce a plausible-looking EMPTY release: a later diff against
+    # it would report every partition "removed", certifying a mass
+    # deletion that never happened. Loud failure is the only safe
+    # behavior for an audit layer. (An existing-but-empty directory
+    # still records an empty release — that is a real, consistent
+    # state.)
+    if fs.get_file_info(base).type == pafs.FileType.NotFound:
+        raise FileNotFoundError(
+            f"snapshot_release: no table at {path!r} — refusing to record "
+            f"an empty release for a missing path (if a crashed staged "
+            f"swap left the table under its .old-* backup, run the "
+            f"maintenance tick's recovery first)"
+        )
     infos = _recursive_infos(fs, base)
+    # An unreplayed swap manifest (crashed — or worse, in-flight —
+    # delete_where / compaction / SCD-2 swap) means the visible file
+    # set is MID-TRANSITION: snapshotting now could record old and new
+    # files together and stamp a release fingerprint no consistent
+    # table ever had. Refuse loudly; the maintenance tick's entry
+    # recovery (or the racing writer finishing) clears it.
+    pending = sorted(
+        i.base_name
+        for i in infos
+        if "/" not in i.path[len(base) + 1 :]
+        and i.base_name.endswith(".json")
+        and (
+            i.base_name.startswith(".delete-manifest-")
+            or ".scd2-manifest-" in i.base_name
+            or ".cmp-manifest-" in i.base_name
+        )
+    )
+    if pending:
+        raise ValueError(
+            f"snapshot_release: {path!r} has unreplayed swap manifest(s) "
+            f"{pending} — the table is mid-swap (crashed or in-flight "
+            f"maintenance); run the maintenance tick's recovery first so "
+            f"the release records a consistent file set"
+        )
     visible = _visible_parquet_files(fs, base, infos)
     sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
     if spark is not None and filesystem is None and visible:

@@ -136,6 +136,7 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_col: str | None = None,
     filesystem=None,
+    _infos=None,
 ) -> dict:
     """Small-files compaction: rewrite a parquet dataset into
     ~``target_file_bytes`` files.
@@ -172,7 +173,8 @@ def compact_parquet(
     scheme = path.split("://", 1)[0] if "://" in path else ""
     if filesystem is not None or scheme not in ("", "file"):
         return _compact_parquet_object(
-            spark, path, target_file_bytes, partition_col, filesystem
+            spark, path, target_file_bytes, partition_col, filesystem,
+            _infos=_infos,
         )
     root = require_local_path(path, "compact_parquet")
     part_files = [p for p in root.rglob("*.parquet") if p.is_file()]
@@ -206,12 +208,14 @@ CMP_STAGED_PREFIX = ".cmp-"
 CMP_STAGE_DIR_PREFIX = ".cmpstage-"
 
 
-def recover_compact_object_swap(path: str, filesystem=None) -> bool:
+def recover_compact_object_swap(path: str, filesystem=None, _infos=None) -> bool:
     """Crash recovery for ``_compact_parquet_object``'s manifest swap:
     replay a committed ``.cmp-manifest-*``, sweep pre-manifest
     ``.cmp-*`` staged files and ``.cmpstage-*`` staging dirs
     (token-validated). Run at compaction entry and by
-    ``maintain_lake_table``'s tick."""
+    ``maintain_lake_table``'s tick (which passes its own listing via
+    ``_infos`` — at millions of objects the recursive listing is the
+    tick's dominant cost and must be paid once, not per step)."""
     from .object_swap import recover_object_swap
 
     return recover_object_swap(
@@ -220,6 +224,7 @@ def recover_compact_object_swap(path: str, filesystem=None) -> bool:
         manifest_prefix=CMP_MANIFEST_PREFIX,
         staged_file_prefix=CMP_STAGED_PREFIX,
         stage_dir_prefix=CMP_STAGE_DIR_PREFIX,
+        _infos=_infos,
     )
 
 
@@ -229,6 +234,7 @@ def _compact_parquet_object(
     target_file_bytes: int,
     partition_col: str | None,
     filesystem,
+    _infos=None,
 ) -> dict:
     """Object-store compaction body (see ``compact_parquet``'s
     docstring for the contract and the isolation caveat). Spark I/O
@@ -247,11 +253,18 @@ def _compact_parquet_object(
     import tempfile
     from pathlib import Path as _P
 
-    from .object_swap import commit_object_swap, upload_tree_staged
+    from .object_swap import (
+        commit_object_swap,
+        download_rels,
+        stage_remote_tree,
+        upload_tree_staged,
+    )
 
     fs, base = _pafs_base(path, filesystem)
-    recover_compact_object_swap(path, filesystem)
-    infos = _recursive_infos(fs, base)
+    if _infos is None:  # direct call: recover + list; the maintenance
+        recover_compact_object_swap(path, filesystem)  # tick did both
+        _infos = _recursive_infos(fs, base)
+    infos = _infos
     visible = _visible_parquet_files(fs, base, infos)
     sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
     total_bytes = sum(sizes.get(r, 0) for r in visible)
@@ -264,13 +277,7 @@ def _compact_parquet_object(
     try:
         if bridge:
             mirror = scratch / "mirror"
-            for r in visible:
-                dst = mirror / r
-                dst.parent.mkdir(parents=True, exist_ok=True)
-                with fs.open_input_stream(f"{base}/{r}") as s, open(
-                    dst, "wb"
-                ) as o:
-                    _sh.copyfileobj(s, o)
+            download_rels(fs, base, visible, mirror)
             readable_root = str(mirror)
         else:
             scheme, rest = path.split("://", 1)
@@ -297,36 +304,11 @@ def _compact_parquet_object(
                 fs, base, out_local, token, CMP_STAGED_PREFIX
             )
         else:
-            import pyarrow.fs as pafs
-
             stage_rel = f"{CMP_STAGE_DIR_PREFIX}{token}"
             w.parquet(f"{readable_root}/{stage_rel}")
-            files = sorted(
-                (
-                    i
-                    for i in fs.get_file_info(
-                        pafs.FileSelector(f"{base}/{stage_rel}", recursive=True)
-                    )
-                    if i.type == pafs.FileType.File
-                    and i.base_name.endswith(".parquet")
-                    and not i.base_name.startswith((".", "_"))
-                ),
-                key=lambda x: x.path,
+            pairs = stage_remote_tree(
+                fs, base, stage_rel, token, CMP_STAGED_PREFIX
             )
-            pairs = []
-            for j, fi in enumerate(files):
-                rel_in_stage = fi.path[len(base) + len(stage_rel) + 2 :]
-                pdir = (
-                    rel_in_stage.rsplit("/", 1)[0]
-                    if "/" in rel_in_stage
-                    else ""
-                )
-                pfx = f"{pdir}/" if pdir else ""
-                staged = f"{pfx}{CMP_STAGED_PREFIX}{token}-{j}.parquet"
-                final = f"{pfx}part-cmp-{token}-{j}.parquet"
-                fs.move(fi.path, f"{base}/{staged}")
-                pairs.append((staged, final))
-            fs.delete_dir(f"{base}/{stage_rel}")
         entries = [
             {
                 "old": sorted(visible),
@@ -351,6 +333,7 @@ def compact_fragmented_partitions(
     max_files_per_partition: int = 16,
     target_file_bytes: int = 128 * 1024 * 1024,
     filesystem=None,
+    _infos=None,
 ) -> dict:
     """Partition-scoped compaction: rewrite ONLY the Hive partitions
     whose visible file count exceeds ``max_files_per_partition`` —
@@ -381,17 +364,36 @@ def compact_fragmented_partitions(
     import uuid as _uuid
     from pathlib import Path as _P
 
-    from .object_swap import commit_object_swap, upload_tree_staged
+    from .object_swap import (
+        commit_object_swap,
+        download_rels,
+        stage_remote_tree,
+        upload_tree_staged,
+    )
 
     fs, base = _pafs_base(path, filesystem)
-    recover_compact_object_swap(path, filesystem)
-    infos = _recursive_infos(fs, base)
+    if _infos is None:  # direct call: recover + list; the maintenance
+        recover_compact_object_swap(path, filesystem)  # tick did both
+        _infos = _recursive_infos(fs, base)
+    infos = _infos
     visible = _visible_parquet_files(fs, base, infos)
     sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
     by_part: dict[str, list[str]] = {}
     for rel in visible:
         key = rel.split("/", 1)[0] if "/" in rel else ""
         by_part.setdefault(key, []).append(rel)
+        # Nested (multi-level) Hive partitioning would be silently
+        # FLATTENED by the per-partition rewrite below (the leaf read
+        # infers the second-level column, the flat rewrite embeds it,
+        # and the table ends up with conflicting directory structures
+        # that fail partition discovery) — refuse loudly instead.
+        if rel.count("/") > 1:
+            raise ValueError(
+                f"compact_fragmented_partitions: {path!r} has nested "
+                f"partitioning ({rel!r}) — only single-level Hive "
+                f"layouts are supported; compact nested tables with "
+                f"compact_parquet (whole-table, partition_col=)"
+            )
     if "" in by_part and len(by_part) > 1:
         raise ValueError(
             f"compact_fragmented_partitions: {path!r} mixes root-level "
@@ -430,13 +432,7 @@ def compact_fragmented_partitions(
             n_files = max(1, math.ceil(p_bytes / target_file_bytes))
             if bridge:
                 mirror = scratch / "mirror" / p
-                for r in by_part[p]:
-                    dst = scratch / "mirror" / r
-                    dst.parent.mkdir(parents=True, exist_ok=True)
-                    with fs.open_input_stream(f"{base}/{r}") as s, open(
-                        dst, "wb"
-                    ) as o:
-                        _sh.copyfileobj(s, o)
+                download_rels(fs, base, by_part[p], scratch / "mirror")
                 # leaf read, no basePath: partition value lives in the
                 # path, so rewritten files must not embed the column
                 df = spark.read.parquet(str(mirror))
@@ -453,30 +449,13 @@ def compact_fragmented_partitions(
                 fs, base, scratch / "out", token, CMP_STAGED_PREFIX
             )
         else:
-            import pyarrow.fs as pafs
-
-            stage_rel = f"{CMP_STAGE_DIR_PREFIX}{token}"
-            files = sorted(
-                (
-                    i
-                    for i in fs.get_file_info(
-                        pafs.FileSelector(f"{base}/{stage_rel}", recursive=True)
-                    )
-                    if i.type == pafs.FileType.File
-                    and i.base_name.endswith(".parquet")
-                    and not i.base_name.startswith((".", "_"))
-                ),
-                key=lambda x: x.path,
+            pairs = stage_remote_tree(
+                fs,
+                base,
+                f"{CMP_STAGE_DIR_PREFIX}{token}",
+                token,
+                CMP_STAGED_PREFIX,
             )
-            pairs = []
-            for j, fi in enumerate(files):
-                rel_in_stage = fi.path[len(base) + len(stage_rel) + 2 :]
-                pdir = rel_in_stage.rsplit("/", 1)[0]
-                staged = f"{pdir}/{CMP_STAGED_PREFIX}{token}-{j}.parquet"
-                final = f"{pdir}/part-cmp-{token}-{j}.parquet"
-                fs.move(fi.path, f"{base}/{staged}")
-                pairs.append((staged, final))
-            fs.delete_dir(f"{base}/{stage_rel}")
         all_pairs = pairs
         by_new_part: dict[str, list[tuple[str, str]]] = {}
         for s, f_ in all_pairs:
@@ -786,14 +765,10 @@ def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
     if filesystem is not None:
         # connector-less bridge: mirror the table's visible files into
         # a local scratch dir for Spark, preserving the Hive layout
+        from .object_swap import download_rels
+
         bridge_dir = tempfile.mkdtemp(prefix="delete-where-bridge-")
-        for rel in visible:
-            dst = Path(bridge_dir) / rel
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            with fs.open_input_stream(f"{base}/{rel}") as src, open(
-                dst, "wb"
-            ) as out:
-                shutil.copyfileobj(src, out)
+        download_rels(fs, base, visible, bridge_dir)
         readable_root = bridge_dir
     elif "://" in path:
         scheme, rest = path.split("://", 1)
@@ -983,13 +958,15 @@ def drop_partitions_before(
         and i.base_name.startswith(prefix)
     ]
     # String order only binds when shapes agree FIELD BY FIELD: split
-    # both value and cutoff on "-" and require the same field count
-    # with each numeric field pair equal-width (VERDICT r15 nit — the
-    # old whole-string isdigit() check passed unpadded DATE components:
-    # "2025-1-9" vs cutoff "2025-01-10" are both non-digit as wholes,
-    # yet string order silently mis-ranks them; per-field shapes catch
-    # exactly that while still accepting ISO dates and zero-padded
-    # numerics).
+    # both value and cutoff on "-" and reject any POSITIONAL pair
+    # that is numerically ambiguous — both digits with different
+    # widths ("1" vs "10": string order lies), or digit vs non-digit
+    # in the same slot (no coherent ordering intent). This catches the
+    # r15 unpadded-date hole ("2025-1-9" vs "2025-01-10") and the
+    # original mixed-width numerics, while pure-string values of any
+    # hyphen count ("us-east" vs "eu-west-1") keep their plain
+    # lexicographic semantics — for arbitrary strings, string order IS
+    # the value order, so unpaired trailing fields are fine.
     def _shape(s: str) -> list[tuple[bool, int]]:
         return [(f.isdigit(), len(f)) for f in s.split("-")]
 
@@ -997,10 +974,9 @@ def drop_partitions_before(
     for v, _ in parts:
         if v == "__HIVE_DEFAULT_PARTITION__":
             continue
-        vs = _shape(v)
-        if len(vs) != len(cut_shape) or any(
+        if any(
             vd != cd or (vd and vl != cl)
-            for (vd, vl), (cd, cl) in zip(vs, cut_shape)
+            for (vd, vl), (cd, cl) in zip(_shape(v), cut_shape)
         ):
             raise ValueError(
                 f"drop_partitions_before: partition value {v!r} and cutoff "
@@ -1061,17 +1037,32 @@ def maintain_lake_table(
     # filesystem routes around the pathlib-based steps
     scheme = path.split("://", 1)[0] if "://" in path else ""
     is_local = filesystem is None and scheme in ("", "file")
+    # ONE recursive listing feeds every recovery sweep and the visible
+    # count — at millions of objects the listing is the idle tick's
+    # dominant cost, so it must be paid once, not per step (the
+    # swap-restore runs FIRST: it can bring back a whole table whose
+    # listing would otherwise read empty). Re-list only when a
+    # recovery actually moved files.
     out: dict = {
         "swap_recovered": recover_staged_swap(base) if is_local else False,
-        "delete_recovered": recover_delete_where(path, filesystem=filesystem),
         "compacted": False,
         "threshold": max_files,
     }
-    if not is_local:
-        out["compact_swap_recovered"] = recover_compact_object_swap(
-            path, filesystem
-        )
-    files = len(_visible_parquet_files(fs, base))
+    infos = _recursive_infos(fs, base)
+    out["delete_recovered"] = recover_delete_where(
+        path, filesystem=filesystem, _infos=infos
+    )
+    # the two recoveries own disjoint namespaces (.del-*/.tmp-delete-
+    # vs .cmp-*), so they can safely replay from the same listing;
+    # local tables need the .cmp- sweep too since partition-scoped
+    # compaction commits through the manifest swap on both stores
+    out["compact_swap_recovered"] = recover_compact_object_swap(
+        path, filesystem, _infos=infos
+    )
+    changed = out["delete_recovered"] or out["compact_swap_recovered"]
+    if changed:
+        infos = _recursive_infos(fs, base)
+    files = len(_visible_parquet_files(fs, base, infos))
     out["files"] = files
     if partition_max_files is not None:
         # partition-scoped tick (the 100 TB shape: a streaming sink
@@ -1083,6 +1074,7 @@ def maintain_lake_table(
             max_files_per_partition=partition_max_files,
             target_file_bytes=target_file_bytes,
             filesystem=filesystem,
+            _infos=infos,
         )
         out.update(stats)
         out["compacted"] = bool(stats["partitions_compacted"])
@@ -1093,6 +1085,7 @@ def maintain_lake_table(
             target_file_bytes=target_file_bytes,
             partition_col=partition_col,
             filesystem=filesystem,
+            _infos=infos if not is_local else None,
         )
         out.update(stats)
         out["compacted"] = True

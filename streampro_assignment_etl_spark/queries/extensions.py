@@ -3086,6 +3086,7 @@ def release_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure metadata: one footer read per file at snapshot time, KB-sized
     JSON arithmetic at diff time — the 100 TB release audit never
     rescans data."""
+    import shutil
     import tempfile
 
     from ..pipeline.release import diff_releases, snapshot_release
@@ -3093,17 +3094,24 @@ def release_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="release-diag-")
-    tbl = f"{root}/corpus"
-    (
-        docs.select("doc_id", "lang")
-        .repartition(2, "doc_id")
-        .write.partitionBy("lang")
-        .parquet(tbl)
-    )
-    man1 = snapshot_release(tbl, "r1")
-    delete_where(spark, tbl, F.col("doc_id") % 97 == 0)
-    man2 = snapshot_release(tbl, "r2")
-    d = diff_releases(man1, man2)
+    try:
+        tbl = f"{root}/corpus"
+        (
+            docs.select("doc_id", "lang")
+            .repartition(2, "doc_id")
+            .write.partitionBy("lang")
+            .parquet(tbl)
+        )
+        man1 = snapshot_release(tbl, "r1")
+        delete_where(spark, tbl, F.col("doc_id") % 97 == 0)
+        man2 = snapshot_release(tbl, "r2")
+        d = diff_releases(man1, man2)
+    finally:
+        # everything below is driver-side arithmetic over the collected
+        # manifests — the scratch table is no longer needed, and the
+        # registered query runs many times (bench reps, parity suite,
+        # driver) so leaking a corpus copy per call would fill /tmp
+        shutil.rmtree(root, ignore_errors=True)
     rows = []
     for status in ("added", "removed", "rewritten", "unchanged"):
         for part, e in d[status].items():

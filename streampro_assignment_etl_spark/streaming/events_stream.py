@@ -847,7 +847,12 @@ def _scd2_remote_write_batch(
     import uuid
     from pathlib import Path
 
-    from ..pipeline.object_swap import commit_object_swap, upload_tree_staged
+    from ..pipeline.object_swap import (
+        commit_object_swap,
+        download_rels,
+        stage_remote_tree,
+        upload_tree_staged,
+    )
     from ..pipeline.writers import (
         _pafs_base,
         _recursive_infos,
@@ -884,13 +889,7 @@ def _scd2_remote_write_batch(
                     *[f"{readable_root}/{r}" for r in rels]
                 )
             mirror = scratch / f"mirror-{uuid.uuid4().hex[:6]}"
-            for r in rels:
-                dst = mirror / r
-                dst.parent.mkdir(parents=True, exist_ok=True)
-                with fs.open_input_stream(f"{base}/{r}") as s, open(
-                    dst, "wb"
-                ) as o:
-                    shutil.copyfileobj(s, o)
+            download_rels(fs, base, rels, mirror)
             return spark.read.option("basePath", str(mirror)).parquet(
                 str(mirror)
             )
@@ -911,35 +910,13 @@ def _scd2_remote_write_batch(
                     fs, base, local_out, token, SCD2_STAGED_PREFIX
                 )
             else:
-                import pyarrow.fs as pafs
-
                 stage_rel = f"{SCD2_STAGE_DIR_PREFIX}{token}"
                 clustered.write.mode("overwrite").partitionBy(
                     "bucket"
                 ).parquet(f"{readable_root}/{stage_rel}")
-                files = sorted(
-                    (
-                        i
-                        for i in fs.get_file_info(
-                            pafs.FileSelector(
-                                f"{base}/{stage_rel}", recursive=True
-                            )
-                        )
-                        if i.type == pafs.FileType.File
-                        and i.base_name.endswith(".parquet")
-                        and not i.base_name.startswith((".", "_"))
-                    ),
-                    key=lambda x: x.path,
+                pairs = stage_remote_tree(
+                    fs, base, stage_rel, token, SCD2_STAGED_PREFIX
                 )
-                pairs = []
-                for j, fi in enumerate(files):
-                    rel_in_stage = fi.path[len(base) + len(stage_rel) + 2 :]
-                    bdir = rel_in_stage.rsplit("/", 1)[0]
-                    staged = f"{bdir}/{SCD2_STAGED_PREFIX}{token}-{j}.parquet"
-                    final = f"{bdir}/part-scd2-{token}-{j}.parquet"
-                    fs.move(fi.path, f"{base}/{staged}")
-                    pairs.append((staged, final))
-                fs.delete_dir(f"{base}/{stage_rel}")
             out: dict[int, list[tuple[str, str]]] = {}
             for s, f_ in pairs:
                 b = int(s.split("/", 1)[0].split("=", 1)[1])

@@ -1448,10 +1448,11 @@ def test_maintain_lake_table_heals_then_compacts_over_threshold(spark, tmp_path)
     assert out3 == {
         "swap_recovered": False,
         "delete_recovered": False,
+        "compact_swap_recovered": False,
         "compacted": False,
         "threshold": 64,
         "files": out2["files"],
-    }  # fully idle tick
+    }  # fully idle tick — and exactly ONE recursive listing's worth
 
     # injected filesystem: heal through the seam AND compact through
     # the object-store manifest swap (r15 skipped this with a note)
@@ -1513,6 +1514,11 @@ def test_release_manifest_snapshot_diff_and_erasure_proof(
     assert all(p["rows"] == 100 for p in man1["partitions"].values())
     with pytest.raises(ValueError, match="immutable"):
         snapshot_release(tbl, "r1")
+    # a typo'd / missing table must NOT record a plausible empty
+    # release (a later diff would certify a mass deletion that never
+    # happened — the audit layer's worst failure mode)
+    with pytest.raises(FileNotFoundError, match="no table"):
+        snapshot_release(str(tmp_path / "rel" / "corpsu"), "r1")
 
     # a takedown between releases: subject 7 lives in day=d3 only
     # (7, 47, ... are all ≡ 3 mod 4); d3 survives with other users
@@ -1608,6 +1614,15 @@ def test_release_manifest_snapshot_diff_and_erasure_proof(
     (rdir2 / "release-r9.json").write_text(_json2.dumps(stale))
     with pytest.raises(Exception):
         read_release(spark, tbl, "r9").count()
+
+    # a table mid-swap (unreplayed maintenance manifest) must refuse to
+    # snapshot — the visible file set is transitional and the release
+    # fingerprint would name a state no consistent table ever had
+    man_pending = pathlib.Path(tbl) / ".delete-manifest-0badc0de.json"
+    man_pending.write_text("[]")
+    with pytest.raises(ValueError, match="mid-swap"):
+        snapshot_release(tbl, "r10")
+    man_pending.unlink()
 
 
 def test_remote_compaction_against_moto_s3(spark, tmp_path, moto_s3):
@@ -1773,6 +1788,16 @@ def test_compact_fragmented_partitions_rewrites_only_hot_partitions(
     again = compact_fragmented_partitions(spark, tbl, max_files_per_partition=8)
     assert again["partitions_compacted"] == []  # idle tick
 
+    # nested (multi-level) Hive partitioning would be silently
+    # FLATTENED per rewritten partition (conflicting directory
+    # structures on the next read) — must refuse loudly
+    nested = str(tmp_path / "nested")
+    spark.range(40).selectExpr(
+        "id", "'d0' AS day", "id % 2 AS hour"
+    ).write.partitionBy("day", "hour").parquet(nested)
+    with pytest.raises(ValueError, match="nested"):
+        compact_fragmented_partitions(spark, nested, max_files_per_partition=0)
+
     # composed tick + CLI face
     out2 = maintain_lake_table(spark, tbl, partition_max_files=8)
     assert out2["compacted"] is False and out2["partitions_compacted"] == []
@@ -1900,6 +1925,18 @@ def test_drop_partitions_before_retention_sweep(spark, tmp_path, moto_s3):
     with pytest.raises(ValueError, match="string order"):
         drop_partitions_before(utbl, "day", "2025-01-10")
     assert spark.read.parquet(utbl).count() == 2  # loud, nothing dropped
+
+    # pure-string values keep plain lexicographic semantics regardless
+    # of hyphen count — only numerically-ambiguous PAIRS are rejected
+    # (the guard must not over-reject region-style partitions)
+    rtbl = str(tmp_path / "regions")
+    spark.createDataFrame(
+        [(1, "ap-south"), (2, "eu-west"), (3, "us-east")],
+        "id long, region string",
+    ).write.partitionBy("region").parquet(rtbl)
+    out_r = drop_partitions_before(rtbl, "region", "eu-zzz")
+    assert out_r["dropped"] == ["ap-south", "eu-west"]
+    assert out_r["kept"] == ["us-east"]
 
     # object-store face: same call through the FS seam
     bucket = "sparkgraft-ret"

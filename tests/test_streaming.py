@@ -4403,6 +4403,17 @@ def test_scd2_object_store_sink_forget_and_cascade_against_moto_s3(
     assert ev["scd2"]["history_rows"] == 0
     assert ev["scd2"]["forget_guarded"] == [subject]
 
+    # the evidence scans accept Hadoop's s3a:// alias with NO injected
+    # filesystem (the URI form the Spark-side seams document) — pyarrow
+    # only knows s3://, so the alias must normalize, not crash
+    ev2 = verify_takedown(
+        spark,
+        [subject],
+        tables=((f"s3a://{tbl}", "user_id"),),
+        scd2_dim_path=f"s3a://{dim}",
+    )
+    assert ev2["clean"] is True and ev2["physical_clean"] is True
+
 
 def test_scd2_stream_out_of_order_waves_converge_and_replay_idempotent(
     spark, tmp_path
