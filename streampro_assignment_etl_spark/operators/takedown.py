@@ -164,6 +164,7 @@ def verify_takedown(
         "index": None,
         "store": None,
         "tables": {},
+        "tables_retired": {},
         "scd2": None,
     }
     physical = []
@@ -255,6 +256,49 @@ def verify_takedown(
             )
         report["tables"][table_path] = n
         physical.append(n)
+        # Release-retention residue: protected maintenance PARKS old
+        # files under .retired/ instead of deleting (pipeline/release).
+        # Those bytes are invisible to readers (clean unaffected) but
+        # they ARE physical residue a DSR ticket must account for —
+        # count them separately and fold into physical_clean; the cure
+        # is expire_releases on the pre-takedown releases.
+        if not (
+            table_filesystem is not None
+            or "://" not in table_path
+            or table_path.startswith(("s3://", "s3a://", "s3n://", "file://"))
+        ):
+            continue  # other URI schemes (hdfs://): Spark owns those reads
+        import pyarrow.dataset as pads
+        import pyarrow.fs as pafs2
+
+        from ..pipeline.release import RETIRED_DIR
+        from ..pipeline.writers import _pafs_base
+
+        t_fs, t_base = _pafs_base(_pads_path(table_path), table_filesystem)
+        retired_base = f"{t_base}/{RETIRED_DIR}"
+        try:
+            has_retired = any(
+                i.type == pafs2.FileType.File
+                and i.path.endswith(".parquet")
+                for i in t_fs.get_file_info(
+                    pafs2.FileSelector(retired_base, recursive=True)
+                )
+            )
+        except (FileNotFoundError, OSError):
+            has_retired = False
+        if has_retired:
+            m = int(
+                pads.dataset(
+                    f"{_pads_path(table_path)}/{RETIRED_DIR}"
+                    if table_filesystem is None
+                    else retired_base,
+                    filesystem=table_filesystem,
+                    format="parquet",
+                    partitioning="hive",
+                ).count_rows(filter=pads.field(id_col).isin(ids))
+            )
+            report["tables_retired"][table_path] = m
+            physical.append(m)
     if scd2_dim_path is not None:
         from ..streaming.events_stream import (
             _recover_scd2_buckets,

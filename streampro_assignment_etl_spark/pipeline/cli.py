@@ -228,6 +228,13 @@ def build_parser() -> argparse.ArgumentParser:
         "shape: recent partitions fragment, the archive stays put)",
     )
     lk.add_argument(
+        "--protect-releases",
+        action="store_true",
+        help="maintain: PARK (never delete) old files still referenced "
+        "by a recorded release — read_release keeps resolving them; "
+        "expire_releases reclaims the space",
+    )
+    lk.add_argument(
         "--target-file-bytes", type=int, default=128 * 1024 * 1024
     )
     lk.add_argument(
@@ -620,6 +627,7 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             target_file_bytes=args.target_file_bytes,
             partition_col=args.partition_col,
             partition_max_files=args.partition_max_files,
+            protect_releases=args.protect_releases,
         )
         print(_json.dumps({"action": "lake-maintain", **out}))
         return 0

@@ -51,6 +51,26 @@ _log = logging.getLogger(__name__)
 # foreign dot-files sharing a prefix are skipped, never parsed or swept
 _TOKEN_RE = re.compile(r"[0-9a-f]{12}")
 
+# Hidden parking area for old files a recorded release still references
+# (pipeline/release.py re-exports this): a protected swap MOVES them
+# here instead of deleting, preserving the rel layout so read_release
+# can resolve them and expire_releases can garbage-collect them.
+RETIRED_DIR = ".retired"
+
+
+def _retire(fs, base: str, rel: str) -> None:
+    """Park ``rel`` under ``.retired/<rel>`` (idempotent: an already-
+    retired twin from a replayed manifest wins; the live duplicate is
+    dropped)."""
+    src = f"{base}/{rel}"
+    dst = f"{base}/{RETIRED_DIR}/{rel}"
+    if _fs_exists(fs, dst):
+        fs.delete_file(src)
+        return
+    parent = dst.rsplit("/", 1)[0]
+    fs.create_dir(parent, recursive=True)
+    fs.move(src, dst)
+
 
 def _token_of(name: str, prefix: str) -> str | None:
     """The 12-hex token embedded right after ``prefix`` in ``name``
@@ -86,7 +106,11 @@ def commit_object_swap(
 
 def _replay(fs, base: str, entries: list[dict]) -> None:
     """Idempotent manifest replay: promote surviving staged files,
-    then delete old files whose replacements are all in place."""
+    then — once the replacements are all in place — delete old files,
+    or PARK the ones the manifest marked ``retire`` (release-protected;
+    see ``_retire``). The split is recorded IN the manifest at commit
+    time, so a crash replay makes the same decisions the original
+    commit would have."""
     for e in entries:
         for s, f in zip(e["staged"], e["final"]):
             if _fs_exists(fs, f"{base}/{s}"):
@@ -95,6 +119,9 @@ def _replay(fs, base: str, entries: list[dict]) -> None:
             for o in e["old"]:
                 if _fs_exists(fs, f"{base}/{o}"):
                     fs.delete_file(f"{base}/{o}")
+            for r in e.get("retire", []):
+                if _fs_exists(fs, f"{base}/{r}"):
+                    _retire(fs, base, r)
 
 
 def recover_object_swap(

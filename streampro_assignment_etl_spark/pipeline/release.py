@@ -52,6 +52,69 @@ import json
 from .writers import _pafs_base, _recursive_infos, _visible_parquet_files
 
 
+# Hidden area where maintenance ops PARK (rather than delete) old
+# files still referenced by a recorded release (protect_releases=True
+# on delete_where / the compactors): invisible to every listing-based
+# reader (dot-prefixed), resolvable by read_release's fallback, and
+# garbage-collected by expire_releases once no kept release names the
+# file. Rel layout is preserved beneath it, so Hive partition values
+# survive the round-trip. Defined in object_swap (the mechanism layer
+# that does the parking); re-exported here as the user-facing name.
+from .object_swap import RETIRED_DIR  # noqa: E402,F401
+
+
+def referenced_rels(path: str, filesystem=None) -> set:
+    """Union of every recorded release's file rel-paths — the protected
+    set maintenance ops consult before deleting an old file. KB-scale
+    manifest reads; no table I/O."""
+    out: set = set()
+    for rid in list_releases(path, filesystem):
+        man = load_release(path, rid, filesystem)
+        for p in man["partitions"].values():
+            out.update(f["path"] for f in p["files"])
+    return out
+
+
+def expire_releases(path: str, keep=(), filesystem=None) -> dict:
+    """Retire releases: delete every release manifest NOT in ``keep``,
+    then garbage-collect ``.retired/`` files no remaining release
+    references — the explicit opt-out that turns a retention root back
+    into reclaimable space (and the PHYSICAL-erasure step a takedown
+    ticket needs when old releases retain a scrubbed subject's rows —
+    ``verify_takedown`` reports that residue as ``retired_rows`` until
+    this runs). Visible (live) files are never touched. Returns
+    ``{"expired", "kept", "retired_files_removed"}``."""
+    import pyarrow.fs as pafs
+
+    fs, base = _pafs_base(path, filesystem)
+    all_ids = list_releases(path, filesystem)
+    keep_set = {str(k) for k in keep}
+    doomed = [r for r in all_ids if r not in keep_set]
+    for rid in doomed:
+        fs.delete_file(f"{_releases_dir(base)}/release-{rid}.json")
+    still = referenced_rels(path, filesystem)
+    retired_base = f"{base}/{RETIRED_DIR}"
+    removed = 0
+    try:
+        infos = fs.get_file_info(
+            pafs.FileSelector(retired_base, recursive=True)
+        )
+    except (FileNotFoundError, OSError):
+        infos = []
+    for i in infos:
+        if i.type != pafs.FileType.File:
+            continue
+        rel = i.path[len(retired_base) + 1 :]
+        if rel not in still:
+            fs.delete_file(i.path)
+            removed += 1
+    return {
+        "expired": doomed,
+        "kept": sorted(set(all_ids) & keep_set),
+        "retired_files_removed": removed,
+    }
+
+
 def _releases_dir(base: str) -> str:
     parent, _, name = base.rpartition("/")
     if not parent:
@@ -260,17 +323,18 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
     a reader pinned to a manifest never sees a concurrent swap's
     mixed old+new listing, because it never lists.
 
-    Scope stated plainly: the pin is valid while the release's files
-    still exist. This repo's maintenance ops DELETE superseded files
-    at commit (delete_where, compaction, the SCD-2 swaps), so a
-    release outlives them only if maintenance is fenced off the table
-    between snapshot and read — releases are a LISTING pin, not a
-    retention root (an Iceberg-style ref-counted garbage collector is
-    the next layer up and out of scope). A vanished file fails the
-    read loudly mid-scan, never silently returns a subset. Hive
-    partition columns are re-attached via ``basePath``; ``filesystem``
-    targets only work where Spark can also read the store (i.e. the
-    connector route — the injected-filesystem configuration has no
+    Retention: when the maintenance ops run with
+    ``protect_releases=True``, an old file still referenced by a
+    recorded release is PARKED under ``.retired/<rel>`` instead of
+    deleted — this reader resolves each recorded rel to its live path
+    if still visible, else to its retired twin, so a pinned read
+    survives compaction and row-level deletes (two reads, each with
+    the right ``basePath`` so Hive partition columns re-attach, then a
+    union). A file found in NEITHER place — maintenance ran
+    unprotected, or ``expire_releases`` reclaimed it — fails the read
+    loudly, never silently returns a subset. ``filesystem`` targets
+    only work where Spark can also read the store (the connector
+    route — the injected-filesystem configuration has no
     Spark-readable URI and raises)."""
     if filesystem is not None:
         raise ValueError(
@@ -284,13 +348,40 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
     )
     if not rels:
         raise ValueError(f"release {release_id!r} of {path!r} is empty")
+    fs, base = _pafs_base(path)
+    import pyarrow.fs as pafs
+
+    def _exists(p: str) -> bool:
+        return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+    live = [r for r in rels if _exists(f"{base}/{r}")]
+    retired = [
+        r
+        for r in rels
+        if r not in set(live) and _exists(f"{base}/{RETIRED_DIR}/{r}")
+    ]
+    missing = sorted(set(rels) - set(live) - set(retired))
+    if missing:
+        raise FileNotFoundError(
+            f"read_release: release {release_id!r} names file(s) that "
+            f"exist neither live nor retired (unprotected maintenance, "
+            f"or expire_releases reclaimed them): {missing[:5]}"
+        )
     if path.startswith(("s3://", "s3n://")):
         root = "s3a://" + path.split("://", 1)[1]
     else:
         root = path
-    return spark.read.option("basePath", root).parquet(
-        *[f"{root}/{r}" for r in rels]
-    )
+    df = None
+    if live:
+        df = spark.read.option("basePath", root).parquet(
+            *[f"{root}/{r}" for r in live]
+        )
+    if retired:
+        rdf = spark.read.option("basePath", f"{root}/{RETIRED_DIR}").parquet(
+            *[f"{root}/{RETIRED_DIR}/{r}" for r in retired]
+        )
+        df = rdf if df is None else df.unionByName(rdf)
+    return df
 
 
 def diff_releases(man_a: dict, man_b: dict) -> dict:

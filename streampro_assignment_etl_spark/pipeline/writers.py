@@ -137,6 +137,7 @@ def compact_parquet(
     partition_col: str | None = None,
     filesystem=None,
     _infos=None,
+    protect_releases: bool = False,
 ) -> dict:
     """Small-files compaction: rewrite a parquet dataset into
     ~``target_file_bytes`` files.
@@ -174,7 +175,15 @@ def compact_parquet(
     if filesystem is not None or scheme not in ("", "file"):
         return _compact_parquet_object(
             spark, path, target_file_bytes, partition_col, filesystem,
-            _infos=_infos,
+            _infos=_infos, protect_releases=protect_releases,
+        )
+    if protect_releases:
+        # the local whole-directory swap cannot park individual files —
+        # route a protected local compaction through the per-file
+        # manifest machinery (LocalFileSystem renames; same commit)
+        return _compact_parquet_object(
+            spark, path, target_file_bytes, partition_col, None,
+            _infos=_infos, protect_releases=True,
         )
     root = require_local_path(path, "compact_parquet")
     part_files = [p for p in root.rglob("*.parquet") if p.is_file()]
@@ -235,6 +244,7 @@ def _compact_parquet_object(
     partition_col: str | None,
     filesystem,
     _infos=None,
+    protect_releases: bool = False,
 ) -> dict:
     """Object-store compaction body (see ``compact_parquet``'s
     docstring for the contract and the isolation caveat). Spark I/O
@@ -279,11 +289,13 @@ def _compact_parquet_object(
             mirror = scratch / "mirror"
             download_rels(fs, base, visible, mirror)
             readable_root = str(mirror)
-        else:
+        elif "://" in path:
             scheme, rest = path.split("://", 1)
             readable_root = (
                 f"s3a://{rest}" if scheme in ("s3", "s3n") else path
             )
+        else:  # plain local path (protected local compaction routes
+            readable_root = base  # through this machinery too)
         df = spark.read.option("basePath", readable_root).parquet(
             readable_root
         )
@@ -309,9 +321,16 @@ def _compact_parquet_object(
             pairs = stage_remote_tree(
                 fs, base, stage_rel, token, CMP_STAGED_PREFIX
             )
+        protected: set = set()
+        if protect_releases:
+            from .release import referenced_rels
+
+            protected = referenced_rels(path, filesystem)
         entries = [
             {
-                "old": sorted(visible),
+                "old": sorted(set(visible) - protected),
+                # release-referenced originals PARK under .retired/
+                "retire": sorted(set(visible) & protected),
                 "staged": [s for s, _ in pairs],
                 "final": [f for _, f in pairs],
             }
@@ -334,6 +353,7 @@ def compact_fragmented_partitions(
     target_file_bytes: int = 128 * 1024 * 1024,
     filesystem=None,
     _infos=None,
+    protect_releases: bool = False,
 ) -> dict:
     """Partition-scoped compaction: rewrite ONLY the Hive partitions
     whose visible file count exceeds ``max_files_per_partition`` —
@@ -460,12 +480,18 @@ def compact_fragmented_partitions(
         by_new_part: dict[str, list[tuple[str, str]]] = {}
         for s, f_ in all_pairs:
             by_new_part.setdefault(s.split("/", 1)[0], []).append((s, f_))
+        protected: set = set()
+        if protect_releases:
+            from .release import referenced_rels
+
+            protected = referenced_rels(path, filesystem)
         for p in fragmented:
             prs = by_new_part.get(p, [])
             entries.append(
                 {
                     "partition": p,
-                    "old": sorted(by_part[p]),
+                    "old": sorted(set(by_part[p]) - protected),
+                    "retire": sorted(set(by_part[p]) & protected),
                     "staged": [s for s, _ in prs],
                     "final": [f for _, f in prs],
                 }
@@ -649,20 +675,31 @@ def recover_delete_where(path: str, filesystem=None, _infos=None) -> bool:
     for man in manifests:
         with fs.open_input_stream(man) as f:
             entries = json.loads(f.read().decode())
+        def _drop_original(e):
+            # the retire/delete decision was recorded at commit time,
+            # so a crash replay parks release-protected originals under
+            # .retired/ exactly as the original commit would have
+            if e.get("retire"):
+                from .object_swap import _retire
+
+                _retire(fs, base, e["original"])
+            else:
+                fs.delete_file(_man_full(base, e["original"]))
+
         for e in entries:
             orig = _man_full(base, e["original"])
             if e.get("staged") is None:
                 # no-survivor entry (every row of the original was
-                # doomed): completing the swap is just the delete
+                # doomed): completing the swap is just the drop
                 if _fs_exists(fs, orig):
-                    fs.delete_file(orig)
+                    _drop_original(e)
                 continue
             dot = _man_full(base, e["staged"])
             final = _man_full(base, e["final"])
             if _fs_exists(fs, dot):
                 fs.move(dot, final)
             if _fs_exists(fs, final) and _fs_exists(fs, orig):
-                fs.delete_file(orig)
+                _drop_original(e)
         fs.delete_file(man)
     # Orphan-debris sweep: with every manifest replayed and removed,
     # any remaining .del-* / .tmp- artifact is unreferenced. The sweep
@@ -688,7 +725,10 @@ def recover_delete_where(path: str, filesystem=None, _infos=None) -> bool:
     return bool(manifests) or bool(doomed_files) or bool(doomed_dirs)
 
 
-def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
+def delete_where(
+    spark, path: str, predicate, filesystem=None,
+    protect_releases: bool = False,
+) -> dict:
     """Corpus-level takedown: delete every row matching ``predicate``
     (a SQL string, or a ``Column`` — the injection-safe form for
     caller-supplied values: ``cascade_takedown`` passes
@@ -745,6 +785,17 @@ def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
     originals still match the hit scan). Single-writer maintenance
     contract. ``hits`` are takedown-sized by contract (the per-file
     rewrite is a driver loop over hit files).
+
+    ``protect_releases=True`` consults the table's recorded release
+    manifests (pipeline/release.py) and PARKS each replaced original
+    that a release still references under ``.retired/<rel>`` instead
+    of deleting it — the retention-root contract ``read_release``
+    resolves and ``expire_releases`` reclaims. The retire/delete split
+    is recorded in the crash manifest, so a replay makes the same
+    decisions. Default OFF: a bare delete is an ERASURE op and erasure
+    beats reproducibility — ``cascade_takedown`` never protects, and
+    ``verify_takedown`` counts any retired residue separately so the
+    physical_clean claim can't be satisfied by parked bytes.
 
     Returns ``{"rows_deleted", "files_rewritten", "files_total"}``.
     """
@@ -809,6 +860,12 @@ def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
                 "files_total": files_total,
             }
         rows_deleted = df.filter(pred).count()
+
+        protected: set = set()
+        if protect_releases:
+            from .release import referenced_rels
+
+            protected = referenced_rels(path, filesystem)
 
         # Partition columns live in the path, not the file: anything
         # the table-level schema has that a bare leaf read lacks must
@@ -882,10 +939,13 @@ def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
                 except (FileNotFoundError, OSError):
                     pass
             entries.append(
-                {"original": rel, "staged": dot_rel, "final": final_rel}
-                if not empty
-                # no-survivor entry: replay just deletes the original
-                else {"original": rel, "staged": None, "final": None}
+                {
+                    "original": rel,
+                    "staged": dot_rel if not empty else None,
+                    "final": final_rel if not empty else None,
+                    # release-protected originals PARK instead of delete
+                    "retire": rel in protected,
+                }
             )
         # manifest: staged + renamed, so readers/recovery never see a
         # torn JSON (the pre-r15 write_text had no such guarantee)
@@ -899,7 +959,12 @@ def delete_where(spark, path: str, predicate, filesystem=None) -> dict:
                 dot = f"{base}/{e['staged']}"
                 if _fs_exists(fs, dot):
                     fs.move(dot, f"{base}/{e['final']}")
-            fs.delete_file(f"{base}/{e['original']}")
+            if e.get("retire"):
+                from .object_swap import _retire
+
+                _retire(fs, base, e["original"])
+            else:
+                fs.delete_file(f"{base}/{e['original']}")
         fs.delete_file(man)
         return {
             "rows_deleted": rows_deleted,
@@ -1003,6 +1068,7 @@ def maintain_lake_table(
     partition_col: str | None = None,
     filesystem=None,
     partition_max_files: int | None = None,
+    protect_releases: bool = False,
 ) -> dict:
     """The lake table's composed cron body — the missing sibling of
     ``maintain_index`` / ``maintain_store`` (those loops existed for
@@ -1075,6 +1141,7 @@ def maintain_lake_table(
             target_file_bytes=target_file_bytes,
             filesystem=filesystem,
             _infos=infos,
+            protect_releases=protect_releases,
         )
         out.update(stats)
         out["compacted"] = bool(stats["partitions_compacted"])
@@ -1086,6 +1153,7 @@ def maintain_lake_table(
             partition_col=partition_col,
             filesystem=filesystem,
             _infos=infos if not is_local else None,
+            protect_releases=protect_releases,
         )
         out.update(stats)
         out["compacted"] = True

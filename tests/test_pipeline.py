@@ -1625,6 +1625,157 @@ def test_release_manifest_snapshot_diff_and_erasure_proof(
     man_pending.unlink()
 
 
+def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
+    """protect_releases (round 16): a recorded release becomes a
+    RETENTION ROOT. Pins the full lifecycle: (1) a protected
+    delete_where PARKS release-referenced originals under .retired/
+    instead of deleting — current readers see the post-delete table,
+    while read_release keeps returning the pinned snapshot bit-for-bit;
+    (2) a protected compaction parks the rest, and the pinned read
+    resolves entirely from the parked files; (3) verify_takedown
+    reports the parked bytes as physical residue (clean=True,
+    physical_clean=False, tables_retired counts) — erasure beats
+    reproducibility, and the conflict is VISIBLE, never hidden;
+    (4) expire_releases reclaims the parked files, after which the
+    pinned read fails loudly and physical_clean goes True; (5) the
+    retire decision is recorded in the crash manifest, so a replayed
+    crash parks exactly as the original commit would; (6) the same
+    protection works over the S3 wire protocol."""
+    import boto3
+    import json as _json
+    import pathlib
+
+    import pyarrow.fs as pafs
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.operators.takedown import (
+        verify_takedown,
+    )
+    from streampro_assignment_etl_spark.pipeline.release import (
+        RETIRED_DIR,
+        expire_releases,
+        read_release,
+        snapshot_release,
+    )
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        compact_parquet,
+        delete_where,
+        recover_delete_where,
+    )
+
+    rows = [(i, i % 10, f"d{i % 2}") for i in range(100)]
+    tbl = str(tmp_path / "roots" / "corpus")
+    (
+        spark.createDataFrame(rows, "id long, user_id long, day string")
+        .repartition(2, "id")
+        .write.partitionBy("day")
+        .parquet(tbl)
+    )
+    snapshot_release(tbl, "r1")
+    want1 = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+
+    # (1) protected row-level delete: current view loses the subject,
+    # the pinned release still has them — from parked files
+    out = delete_where(
+        spark, tbl, F.col("user_id") == 7, protect_releases=True
+    )
+    assert out["rows_deleted"] == 10
+    assert spark.read.parquet(tbl).filter("user_id = 7").count() == 0
+    got1 = sorted(tuple(r) for r in read_release(spark, tbl, "r1").collect())
+    assert got1 == want1
+    retired_files = list(
+        (pathlib.Path(tbl) / RETIRED_DIR).rglob("*.parquet")
+    )
+    assert retired_files  # parked, not deleted
+
+    # (3) the GDPR tension is visible: servable clean, physically not
+    ev = verify_takedown(spark, [7], tables=((tbl, "user_id"),))
+    assert ev["clean"] is True and ev["physical_clean"] is False
+    assert ev["tables"][tbl] == 0
+    assert ev["tables_retired"][tbl] == 10
+
+    # (2) protected compaction parks the remaining referenced files;
+    # the pinned read now resolves wholly from .retired/
+    compact_parquet(spark, tbl, protect_releases=True)
+    got1b = sorted(tuple(r) for r in read_release(spark, tbl, "r1").collect())
+    assert got1b == want1
+    cur = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+    assert cur == [t for t in want1 if t[1] != 7]
+
+    # (4) expire: parked bytes reclaimed, pinned read fails loudly,
+    # physical erasure now complete
+    gone = expire_releases(tbl, keep=())
+    assert gone["expired"] == ["r1"] and gone["retired_files_removed"] > 0
+    with pytest.raises(FileNotFoundError):
+        read_release(spark, tbl, "r1")
+    ev2 = verify_takedown(spark, [7], tables=((tbl, "user_id"),))
+    assert ev2["physical_clean"] is True
+    assert sorted(tuple(r) for r in spark.read.parquet(tbl).collect()) == cur
+
+    # (5) crash replay honors the recorded retire decision
+    snapshot_release(tbl, "r2")
+    live_rel = None
+    root = pathlib.Path(tbl)
+    for p in root.rglob("*.parquet"):
+        rel = p.relative_to(root).as_posix()
+        if not any(seg.startswith((".", "_")) for seg in rel.split("/")):
+            live_rel = rel
+            break
+    (root / ".delete-manifest-0b5e55edbead.json").write_text(
+        _json.dumps(
+            [{"original": live_rel, "staged": None, "final": None,
+              "retire": True}]
+        )
+    )
+    assert recover_delete_where(tbl) is True
+    assert not (root / live_rel).exists()
+    assert (root / RETIRED_DIR / live_rel).exists()
+    # park it back for the S3 leg baseline consistency checks below
+    (root / RETIRED_DIR / live_rel).rename(root / live_rel)
+
+    # (6) S3 leg: protected delete parks objects under .retired/, the
+    # evidence scan counts them, expire reclaims them
+    bucket = "sparkgraft-roots"
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket=bucket)
+    s3 = boto3.client("s3", endpoint_url=moto_s3)
+    fs = pafs.S3FileSystem(
+        endpoint_override=moto_s3, access_key="testing",
+        secret_key="testing", region="us-east-1",
+    )
+    s3tbl = f"{bucket}/lake/corpus"
+    for p in root.rglob("*.parquet"):
+        rel = p.relative_to(root).as_posix()
+        if any(seg.startswith((".", "_")) for seg in rel.split("/")):
+            continue
+        with open(p, "rb") as f, fs.open_output_stream(f"{s3tbl}/{rel}") as o:
+            o.write(f.read())
+    snapshot_release(s3tbl, "s1", filesystem=fs)
+    out3 = delete_where(
+        spark, s3tbl, F.col("user_id") == 3,
+        filesystem=fs, protect_releases=True,
+    )
+    assert out3["rows_deleted"] == 10
+    parked = [
+        o["Key"]
+        for o in s3.list_objects_v2(
+            Bucket=bucket, Prefix=f"lake/corpus/{RETIRED_DIR}/"
+        ).get("Contents", [])
+        if o["Key"].endswith(".parquet")
+    ]
+    assert parked
+    ev3 = verify_takedown(
+        spark, [3], tables=((s3tbl, "user_id"),), table_filesystem=fs
+    )
+    assert ev3["clean"] is True and ev3["physical_clean"] is False
+    assert ev3["tables_retired"][s3tbl] == 10
+    gone3 = expire_releases(s3tbl, keep=(), filesystem=fs)
+    assert gone3["retired_files_removed"] == len(parked)
+    ev4 = verify_takedown(
+        spark, [3], tables=((s3tbl, "user_id"),), table_filesystem=fs
+    )
+    assert ev4["physical_clean"] is True
+
+
 def test_remote_compaction_against_moto_s3(spark, tmp_path, moto_s3):
     """VERDICT r15 #2: `maintain_lake_table` previously healed
     object-store tables and then left their streaming-append
