@@ -3127,3 +3127,78 @@ def release_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "lang string, status string, rows_before long, rows_after long",
     ).orderBy("lang")
+
+
+@query(
+    "release_retention_accounting",
+    tags=("lifecycle", "release"),
+    extra=True,
+    oracle="""
+WITH per_lang AS (
+  SELECT lang,
+         COUNT(*) AS n_before,
+         COUNT(CASE WHEN doc_id % 89 = 0 THEN 1 END) AS n_hit
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang,
+       CAST(n_before AS BIGINT) AS rows_release,
+       CAST(n_before - n_hit AS BIGINT) AS rows_current,
+       CAST(n_hit AS BIGINT) AS rows_erased
+FROM per_lang
+ORDER BY lang
+""",
+)
+def release_retention_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-root accounting under the oracle gate: publish release
+    r1, run a RELEASE-PROTECTED takedown-shaped delete (every
+    ``doc_id % 89 = 0`` — old files park under ``.retired/`` instead
+    of deleting), publish r2, and report per partition the release
+    row count, the current row count, and the erased delta — all from
+    MANIFEST arithmetic (footer sums recorded at snapshot time; the
+    table itself is never re-scanned at reporting time). The DuckDB
+    oracle derives the same numbers from the data, so the protected
+    delete's bookkeeping (visible set shrinks by exactly the hits;
+    parked files never leak into a snapshot) is hash-verified against
+    ground truth. The companion pytest pins the physical side
+    (read_release resolves parked files; verify_takedown counts them;
+    expire_releases reclaims)."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.release import diff_releases, snapshot_release
+    from ..pipeline.writers import delete_where
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="release-retain-")
+    try:
+        tbl = f"{root}/corpus"
+        (
+            docs.select("doc_id", "lang")
+            .repartition(2, "doc_id")
+            .write.partitionBy("lang")
+            .parquet(tbl)
+        )
+        man1 = snapshot_release(tbl, "r1")
+        delete_where(
+            spark, tbl, F.col("doc_id") % 89 == 0, protect_releases=True
+        )
+        man2 = snapshot_release(tbl, "r2")
+        d = diff_releases(man1, man2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = []
+    for status in ("removed", "rewritten", "unchanged"):
+        for part, e in d[status].items():
+            rows.append(
+                (
+                    part.split("=", 1)[1],
+                    int(e["rows_before"]),
+                    int(e["rows_after"]),
+                    int(e["rows_before"]) - int(e["rows_after"]),
+                )
+            )
+    return spark.createDataFrame(
+        sorted(rows),
+        "lang string, rows_release long, rows_current long, rows_erased long",
+    ).orderBy("lang")
