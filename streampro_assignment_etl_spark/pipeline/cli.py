@@ -188,6 +188,7 @@ def build_parser() -> argparse.ArgumentParser:
             "release-snapshot",
             "release-diff",
             "release-list",
+            "release-expire",
         ],
     )
     lk.add_argument("--path", required=True, help="Table root dir")
@@ -201,6 +202,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--from-release", help="release-diff: baseline release id"
     )
     lk.add_argument("--to-release", help="release-diff: target release id")
+    lk.add_argument(
+        "--keep",
+        default="",
+        help="release-expire: comma-separated release ids to KEEP; every "
+        "other release's manifest is deleted and .retired/ files nothing "
+        "references are reclaimed (the physical-erasure step after a "
+        "takedown against a release-protected table)",
+    )
     lk.add_argument(
         "--partition-column",
         help="drop-partitions: Hive partition column to age out",
@@ -545,10 +554,19 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             # session — one listing + footer reads, KB-sized output
             from .release import (
                 diff_releases,
+                expire_releases,
                 list_releases,
                 load_release,
                 snapshot_release,
             )
+
+            if args.action == "release-expire":
+                out = expire_releases(
+                    args.path,
+                    keep=[k.strip() for k in args.keep.split(",") if k.strip()],
+                )
+                print(_json.dumps({"action": "lake-release-expire", **out}))
+                return 0
 
             if args.action == "release-snapshot":
                 if not args.release_id:

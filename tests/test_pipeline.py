@@ -1703,9 +1703,13 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
     assert cur == [t for t in want1 if t[1] != 7]
 
     # (4) expire: parked bytes reclaimed, pinned read fails loudly,
-    # physical erasure now complete
-    gone = expire_releases(tbl, keep=())
-    assert gone["expired"] == ["r1"] and gone["retired_files_removed"] > 0
+    # physical erasure now complete — via the CLI face the ticket
+    # workflow actually runs (keep nothing)
+    from streampro_assignment_etl_spark.pipeline.cli import main as _cli
+
+    assert _cli(["lake", "release-expire", "--path", tbl, "--keep", ""]) == 0
+    gone = expire_releases(tbl, keep=())  # idempotent second pass
+    assert gone["expired"] == [] and gone["retired_files_removed"] == 0
     with pytest.raises(FileNotFoundError):
         read_release(spark, tbl, "r1")
     ev2 = verify_takedown(spark, [7], tables=((tbl, "user_id"),))
