@@ -1124,3 +1124,115 @@ def test_delete_where_equals_filter_semantics(spark, tmp_path_factory, data):
     # idempotent: the second application finds nothing
     out2 = delete_where(spark, tbl, pred)
     assert out2["rows_deleted"] == 0 and out2["files_rewritten"] == 0
+
+
+@pytest.mark.fast
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_object_swap_replay_converges_from_any_crash_point(
+    tmp_path_factory, data
+):
+    """pipeline/object_swap.py: the manifest protocol's whole crash
+    contract as ONE property — kill the commit after ANY prefix of its
+    action sequence (partial staged uploads, manifest landed, partial
+    promotes, partial old-drops/retires, manifest cleanup) and
+    ``recover_object_swap`` must converge to exactly one of the two
+    legal states: pre-manifest crash → full UNWIND (originals
+    byte-identical, staged debris swept, no manifest), post-manifest
+    crash → full ROLL-FORWARD (finals carry the staged bytes, olds
+    deleted or parked under .retired/ exactly per the recorded retire
+    flags). Foreign dot-files survive every path. This subsumes the
+    hand-fabricated crash cases in the moto tests with mechanical
+    coverage of every kill point."""
+    import json as _json
+    import pathlib
+
+    from streampro_assignment_etl_spark.pipeline.object_swap import (
+        RETIRED_DIR,
+        recover_object_swap,
+    )
+
+    root = pathlib.Path(tmp_path_factory.mktemp("oswap"))
+    tok = "deadbeefdead"
+    man_name = f".scd2-manifest-{tok}.json"
+
+    # table: two partitions, 1-2 original files each, known bytes
+    n_parts = data.draw(st.integers(1, 2), label="n_parts")
+    entries, actions, orig_bytes, staged_bytes = [], [], {}, {}
+    for b in range(n_parts):
+        pdir = root / f"bucket={b}"
+        pdir.mkdir(parents=True)
+        olds = []
+        for j in range(data.draw(st.integers(1, 2), label=f"olds{b}")):
+            rel = f"bucket={b}/part-orig{b}{j}.parquet"
+            (root / rel).write_bytes(f"old-{b}-{j}".encode())
+            orig_bytes[rel] = f"old-{b}-{j}".encode()
+            olds.append(rel)
+        staged, final = [], []
+        for j in range(data.draw(st.integers(1, 2), label=f"news{b}")):
+            s = f"bucket={b}/.scd2-{tok}-{b}{j}.parquet"
+            f = f"bucket={b}/part-scd2-{tok}-{b}{j}.parquet"
+            staged_bytes[f] = f"new-{b}-{j}".encode()
+            staged.append(s)
+            final.append(f)
+            actions.append(("stage", s, staged_bytes[f]))
+        retire_flag = data.draw(st.booleans(), label=f"retire{b}")
+        entries.append(
+            {
+                "bucket": b,
+                "old": [] if retire_flag else olds,
+                "retire": olds if retire_flag else [],
+                "staged": staged,
+                "final": final,
+            }
+        )
+    actions.append(("manifest", man_name, _json.dumps(entries).encode()))
+    for e in entries:
+        for s, f in zip(e["staged"], e["final"]):
+            actions.append(("move", s, f))
+        for o in e["old"]:
+            actions.append(("delete", o, None))
+        for r in e["retire"]:
+            actions.append(("retire", r, None))
+    actions.append(("delete", man_name, None))
+    # a foreign dot-file that every recovery path must leave alone
+    (root / "bucket=0" / ".scd2-notatoken.parquet").write_bytes(b"foreign")
+
+    k = data.draw(st.integers(0, len(actions)), label="crash_after")
+    manifest_landed = False
+    for op, a, payload in actions[:k]:
+        if op == "stage" or op == "manifest":
+            (root / a).write_bytes(payload)
+            manifest_landed |= op == "manifest"
+        elif op == "move":
+            (root / a).rename(root / payload if payload else root / a)
+        elif op == "delete":
+            (root / a).unlink(missing_ok=True)
+        elif op == "retire":
+            dst = root / RETIRED_DIR / a
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            (root / a).rename(dst)
+    recover_object_swap(
+        str(root),
+        manifest_prefix=".scd2-manifest-",
+        staged_file_prefix=".scd2-",
+        stage_dir_prefix=".scd2stage-",
+    )
+    listing = {
+        p.relative_to(root).as_posix(): p.read_bytes()
+        for p in root.rglob("*")
+        if p.is_file()
+    }
+    assert listing.pop("bucket=0/.scd2-notatoken.parquet") == b"foreign"
+    assert man_name not in listing
+    assert not any("/.scd2-" in f"/{k2}" for k2 in listing), listing
+    if manifest_landed:  # roll-forward: committed state exactly
+        want = {}
+        for e in entries:
+            for f in e["final"]:
+                want[f] = staged_bytes[f]
+            for r in e["retire"]:
+                want[f"{RETIRED_DIR}/{r}"] = orig_bytes[r]
+        assert listing == want
+    else:  # unwind: originals intact, nothing else
+        assert listing == orig_bytes
