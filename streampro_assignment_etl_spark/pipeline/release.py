@@ -348,6 +348,14 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
     )
     if not rels:
         raise ValueError(f"release {release_id!r} of {path!r} is empty")
+    return _resolve_release_frame(spark, path, rels, what=release_id)
+
+
+def _resolve_release_frame(spark, path: str, rels: list, what: str):
+    """Spark frame over exactly ``rels`` (base-relative), each resolved
+    live-first-then-``.retired/`` — the shared reader under
+    ``read_release`` and ``release_row_delta``. Loud on files found in
+    neither place."""
     fs, base = _pafs_base(path)
     import pyarrow.fs as pafs
 
@@ -363,7 +371,7 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
     missing = sorted(set(rels) - set(live) - set(retired))
     if missing:
         raise FileNotFoundError(
-            f"read_release: release {release_id!r} names file(s) that "
+            f"read_release: release {what!r} names file(s) that "
             f"exist neither live nor retired (unprotected maintenance, "
             f"or expire_releases reclaimed them): {missing[:5]}"
         )
@@ -382,6 +390,86 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
         )
         df = rdf if df is None else df.unionByName(rdf)
     return df
+
+
+def release_row_delta(
+    spark, path: str, release_a: str, release_b: str, key_cols
+):
+    """Row-level audit of what changed between two releases: one frame
+    of ``key_cols`` (plus ``_change`` ∈ added/removed), derived from
+    the PINNED file sets so it is exact even after later maintenance
+    (files resolve live-then-retired like ``read_release``).
+
+    Scale shape: the manifest diff prunes FIRST — partitions whose
+    file sets are identical in both releases cannot contribute a row
+    delta and are never read, so the two anti-joins shuffle only the
+    changed partitions' rows (a release that rewrote one day of a
+    100 TB corpus reads one day twice, not the corpus). Keys absent
+    from a side classify as added/removed; a key present in both with
+    different non-key columns does NOT surface (this is a membership
+    audit — pair it with a content hash column upstream if field-level
+    drift matters)."""
+    from pyspark.sql import functions as F
+
+    key_cols = list(key_cols)
+    man_a = load_release(path, release_a)
+    man_b = load_release(path, release_b)
+    d = diff_releases(man_a, man_b)
+    changed = set(d["added"]) | set(d["removed"]) | set(d["rewritten"])
+
+    def _rels(man):
+        return sorted(
+            f["path"]
+            for k, p in man["partitions"].items()
+            if k in changed
+            for f in p["files"]
+        )
+
+    rels_a, rels_b = _rels(man_a), _rels(man_b)
+    if not rels_a and not rels_b:
+        # identical releases: a correctly-typed empty delta — schema
+        # borrowed from any release file (releases of an empty table
+        # degrade to an all-string schema, the only one available)
+        seed = sorted(
+            f["path"]
+            for p in man_a["partitions"].values()
+            for f in p["files"]
+        )[:1]
+        zero = (
+            _resolve_release_frame(spark, path, seed, what=release_a)
+            .select(*key_cols)
+            .limit(0)
+            if seed
+            else spark.createDataFrame(
+                [], ", ".join(f"{c} string" for c in key_cols)
+            )
+        )
+        return zero.withColumn("_change", F.lit("removed")).limit(0)
+    a = (
+        _resolve_release_frame(spark, path, rels_a, what=release_a).select(
+            *key_cols
+        )
+        if rels_a
+        else None
+    )
+    b = (
+        _resolve_release_frame(spark, path, rels_b, what=release_b).select(
+            *key_cols
+        )
+        if rels_b
+        else None
+    )
+    if a is None:
+        a = b.limit(0)
+    if b is None:
+        b = a.limit(0)
+    removed = a.join(b, key_cols, "left_anti").withColumn(
+        "_change", F.lit("removed")
+    )
+    added = b.join(a, key_cols, "left_anti").withColumn(
+        "_change", F.lit("added")
+    )
+    return removed.unionByName(added)
 
 
 def diff_releases(man_a: dict, man_b: dict) -> dict:

@@ -3202,3 +3202,59 @@ def release_retention_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "lang string, rows_release long, rows_current long, rows_erased long",
     ).orderBy("lang")
+
+
+@query(
+    "release_row_delta_erasures",
+    tags=("lifecycle", "release"),
+    extra=True,
+    oracle="""
+SELECT doc_id, lang, 'removed' AS _change
+FROM documents
+WHERE doc_id % 89 = 0
+ORDER BY doc_id
+""",
+)
+def release_row_delta_erasures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level release audit under the oracle gate: publish r1, run a
+    release-protected delete (every ``doc_id % 89 = 0``), publish r2,
+    and ask ``release_row_delta`` exactly which (doc_id, lang) rows
+    left the corpus between the releases. The delta reads the PINNED
+    file sets — the removed rows resolve from the ``.retired/`` parked
+    copies, not from any surviving live data — and the manifest diff
+    prunes unchanged partitions before the anti-joins, so the audit
+    reads only the partitions the delete touched. The DuckDB oracle
+    derives the same removed set straight from the data; the hash gate
+    therefore verifies the whole pinned-read + pruning + membership
+    pipeline end to end."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.release import release_row_delta, snapshot_release
+    from ..pipeline.writers import delete_where
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="release-delta-")
+    try:
+        tbl = f"{root}/corpus"
+        (
+            docs.select("doc_id", "lang")
+            .repartition(2, "doc_id")
+            .write.partitionBy("lang")
+            .parquet(tbl)
+        )
+        snapshot_release(tbl, "r1")
+        delete_where(
+            spark, tbl, F.col("doc_id") % 89 == 0, protect_releases=True
+        )
+        snapshot_release(tbl, "r2")
+        rows = (
+            release_row_delta(spark, tbl, "r1", "r2", ["doc_id", "lang"])
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((int(r["doc_id"]), r["lang"], r["_change"]) for r in rows),
+        "doc_id long, lang string, _change string",
+    ).orderBy("doc_id")

@@ -1702,6 +1702,31 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
     cur = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
     assert cur == [t for t in want1 if t[1] != 7]
 
+    # (2b) row-level release audit: removals resolve from the PARKED
+    # copies (the live table no longer has them), additions from a
+    # fresh append — and unchanged partitions are pruned before the
+    # anti-joins (manifest diff first)
+    from streampro_assignment_etl_spark.pipeline.release import (
+        release_row_delta,
+    )
+
+    snapshot_release(tbl, "r1b")
+    appended = [(900 + i, 77, "d9") for i in range(5)]
+    spark.createDataFrame(
+        appended, "id long, user_id long, day string"
+    ).coalesce(1).write.mode("append").parquet(tbl)
+    snapshot_release(tbl, "r1c")
+    delta = release_row_delta(spark, tbl, "r1", "r1b", ["id", "user_id"])
+    assert {(r["id"], r["user_id"], r["_change"]) for r in delta.collect()} == {
+        (i, 7, "removed") for i in range(7, 100, 10)
+    }
+    delta2 = release_row_delta(spark, tbl, "r1b", "r1c", ["id"])
+    assert {(r["id"], r["_change"]) for r in delta2.collect()} == {
+        (900 + i, "added") for i in range(5)
+    }
+    # identical releases → typed empty delta
+    assert release_row_delta(spark, tbl, "r1c", "r1c", ["id"]).count() == 0
+
     # (4) expire: parked bytes reclaimed, pinned read fails loudly,
     # physical erasure now complete — via the CLI face the ticket
     # workflow actually runs (keep nothing)
@@ -1714,7 +1739,8 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
         read_release(spark, tbl, "r1")
     ev2 = verify_takedown(spark, [7], tables=((tbl, "user_id"),))
     assert ev2["physical_clean"] is True
-    assert sorted(tuple(r) for r in spark.read.parquet(tbl).collect()) == cur
+    cur2 = sorted(cur + appended)
+    assert sorted(tuple(r) for r in spark.read.parquet(tbl).collect()) == cur2
 
     # (5) crash replay honors the recorded retire decision
     snapshot_release(tbl, "r2")
