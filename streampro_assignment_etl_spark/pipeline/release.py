@@ -355,18 +355,23 @@ def _resolve_release_frame(spark, path: str, rels: list, what: str):
     """Spark frame over exactly ``rels`` (base-relative), each resolved
     live-first-then-``.retired/`` — the shared reader under
     ``read_release`` and ``release_row_delta``. Loud on files found in
-    neither place."""
-    fs, base = _pafs_base(path)
+    neither place. Resolution costs ONE recursive listing, not one
+    existence probe per file — at a million-file release the per-file
+    HEADs would dominate the read's planning time."""
     import pyarrow.fs as pafs
 
-    def _exists(p: str) -> bool:
-        return fs.get_file_info(p).type != pafs.FileType.NotFound
-
-    live = [r for r in rels if _exists(f"{base}/{r}")]
+    fs, base = _pafs_base(path)
+    present = {
+        i.path[len(base) + 1 :]
+        for i in _recursive_infos(fs, base)
+        if i.type == pafs.FileType.File
+    }
+    live = [r for r in rels if r in present]
+    live_set = set(live)
     retired = [
         r
         for r in rels
-        if r not in set(live) and _exists(f"{base}/{RETIRED_DIR}/{r}")
+        if r not in live_set and f"{RETIRED_DIR}/{r}" in present
     ]
     missing = sorted(set(rels) - set(live) - set(retired))
     if missing:

@@ -1625,6 +1625,7 @@ def test_release_manifest_snapshot_diff_and_erasure_proof(
     man_pending.unlink()
 
 
+@pytest.mark.fast
 def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
     """protect_releases (round 16): a recorded release becomes a
     RETENTION ROOT. Pins the full lifecycle: (1) a protected
