@@ -61,18 +61,31 @@ def test_headline_queries_stay_registered():
     assert not [n for n, s in EXTRAS.items() if s.headline]
 
 
-def test_bench_compare_reads_driver_wrapped_records(tmp_path):
-    """tools/bench_compare.py (round-13 VERDICT #2; pack divergence
-    round 15, VERDICT r14 #2): consumes both the driver's wrapper
-    documents ({"parsed": {...}}) and bench.py's own one-line JSON,
-    divides out the anchor host ratio, flags normalized movement
-    outside the ±25% band, and marks queries moving AGAINST the pack
-    median with DIVERGES — the one pattern a uniform host shift never
-    excuses."""
+def _run_bench_compare(tmp_path, old, new, control=None, tag=""):
     import json
     import subprocess
     import sys
 
+    po = tmp_path / f"BENCH_old{tag}.json"
+    pn = tmp_path / f"BENCH_new{tag}.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    cmd = [sys.executable, "/root/repo/tools/bench_compare.py", str(po), str(pn)]
+    if control is not None:
+        pc = tmp_path / f"BENCH_ctl{tag}.json"
+        pc.write_text(json.dumps(control))
+        cmd += ["--control", str(pc)]
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    return out.returncode, json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_bench_compare_raw_primary_verdicts(tmp_path):
+    """tools/bench_compare.py (raw-primary re-key, VERDICT r16 #1 after
+    three rounds of anchor over-correction): verdict bands apply to the
+    RAW ratio; the anchor-normalized column is advisory and can never
+    flag a raw-flat query SLOWER. Pack divergence (VERDICT r14 #2) keys
+    on the raw pack median. Consumes both the driver's wrapper
+    documents ({"parsed": {...}}) and bench.py's own one-line JSON."""
     old = {
         "parsed": {
             "queries": {"q_same": 1.0, "q_fast": 1.0, "q_slow": 1.0},
@@ -80,58 +93,102 @@ def test_bench_compare_reads_driver_wrapped_records(tmp_path):
         }
     }
     # host 2x slower; q_same tracks it (raw 2.0, norm 1.0), q_fast
-    # truly halves, q_slow truly +50% beyond the host
+    # stays flat raw (halves normalized), q_slow +50% beyond the host
     new = {
         "queries": {"q_same": 2.0, "q_fast": 1.0, "q_slow": 3.0},
         "anchor_spark_sec": 0.4,
     }
-    po, pn = tmp_path / "BENCH_a.json", tmp_path / "BENCH_b.json"
-    po.write_text(json.dumps(old))
-    pn.write_text(json.dumps(new))
-    out = subprocess.run(
-        [sys.executable, "/root/repo/tools/bench_compare.py", str(po), str(pn)],
-        capture_output=True,
-        text=True,
-    )
-    assert out.returncode == 1  # q_slow flags SLOWER
-    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    rc, summary = _run_bench_compare(tmp_path, old, new, tag="1")
+    assert rc == 1  # raw regressions flag without a control to clear them
     assert summary["host_ratio"] == 2.0
-    assert summary["pack_median"] == 1.0  # q_same is the pack
+    assert summary["pack_median_raw"] == 2.0  # q_same/q_slow raw pack
     q = summary["queries"]
-    assert q["q_same"]["verdict"] == "~" and q["q_same"]["norm_ratio"] == 1.0
-    # the true movers also diverge from the pack median of 1.0 — both
-    # facts are reported, band verdict + pack relation
-    assert q["q_fast"]["verdict"] == "FASTER+DIVERGES"
-    assert q["q_fast"]["norm_ratio"] == 0.5 and q["q_fast"]["vs_pack"] == 0.5
+    # raw is the verdict basis: q_same raw-doubled reads SLOWER even
+    # though its norm is exactly 1.0 (the advisory column still says so)
+    assert q["q_same"]["verdict"] == "SLOWER" and q["q_same"]["norm_ratio"] == 1.0
+    # q_fast is raw-flat -> "~" no matter what the anchor did; it moved
+    # against the raw pack, so DIVERGES still surfaces it
+    assert q["q_fast"]["verdict"] == "~+DIVERGES"
+    assert q["q_fast"]["raw_ratio"] == 1.0 and q["q_fast"]["vs_pack"] == 0.5
+    # raw 3.0 and 1.5x the raw pack: both facts reported
     assert q["q_slow"]["verdict"] == "SLOWER+DIVERGES"
-    assert q["q_slow"]["norm_ratio"] == 1.5 and q["q_slow"]["vs_pack"] == 1.5
 
-    # the r14 shape the flag exists for: a UNIFORM host artifact with
-    # ONE query moving against the pack — the uniform movers read ~
-    # against the pack (no DIVERGES), the against-pack query is marked
-    # even though its band verdict alone already said SLOWER
-    old2 = {
+
+def test_bench_compare_raw_faster_never_slower(tmp_path):
+    """The r16 failure shape: anchor moves far more than the workload,
+    every norm ratio inflates past the band — but a query whose RAW
+    time got faster must never read SLOWER (the exact flags the r16
+    judge re-ran and rejected)."""
+    old = {
         "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "lone": 1.0},
         "anchor_spark_sec": 0.4,
     }
-    new2 = {
-        # anchor halves (host 2x faster) while every query stays flat
-        # -> every norm ratio reads 2.0 (the r14 inflation artifact),
-        # except `lone`, which genuinely rose +60% raw on top of it
-        "queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "lone": 1.6},
+    new = {
+        # anchor -50% (norm would read ~2x SLOWER across the board)
+        # while raws are flat-or-faster except `lone` (+60% raw)
+        "queries": {"a": 0.9, "b": 1.0, "c": 1.0, "d": 0.95, "lone": 1.6},
         "anchor_spark_sec": 0.2,
     }
-    po2, pn2 = tmp_path / "BENCH_c.json", tmp_path / "BENCH_d.json"
-    po2.write_text(json.dumps(old2))
-    pn2.write_text(json.dumps(new2))
-    out2 = subprocess.run(
-        [sys.executable, "/root/repo/tools/bench_compare.py", str(po2), str(pn2)],
+    rc, s = _run_bench_compare(tmp_path, old, new, tag="2")
+    q = s["queries"]
+    for name in ("a", "b", "c", "d"):
+        assert "SLOWER" not in q[name]["verdict"], (name, q[name])
+        assert q[name]["norm_ratio"] > 1.25  # advisory only, never gates
+    assert q["lone"]["verdict"] == "SLOWER+DIVERGES"
+    assert rc == 1
+
+
+def test_bench_compare_control_clears_and_watches(tmp_path):
+    """--control (VERDICT r15 #3, extended to SLOWER by r16 #1): a
+    SLOWER or DIVERGES flag clears when the query re-measures flat
+    against its own idle-box control; a raw-flat query that reads >1.25
+    vs control gets a NON-GATING watch (the r16 sp_q3 shape) so next
+    round's record confirms or clears it without failing the gate."""
+    old = {"queries": {"slowed": 1.0, "watchme": 1.0, "flat": 1.0}}
+    new = {"queries": {"slowed": 1.4, "watchme": 1.1, "flat": 1.0}}
+    control = {
+        # slowed re-measures flat on the idle box (1.4/1.4=1.0): host
+        # artifact, cleared; watchme is raw-flat but 1.1/0.7≈1.57 vs
+        # its idle control: surfaced, not gated
+        "queries": {"slowed": 1.4, "watchme": 0.7, "flat": 1.0}
+    }
+    rc, s = _run_bench_compare(tmp_path, old, new, control=control, tag="3")
+    q = s["queries"]
+    assert q["slowed"]["verdict"].startswith("SLOWER(cleared-by-control)")
+    assert "watch(vs-control)" in q["watchme"]["verdict"]
+    assert s["watch"] == ["watchme"]
+    assert q["flat"]["verdict"] == "~"
+    assert rc == 0  # cleared + watch never gate
+
+    # without the control, the same raw regression gates
+    rc2, s2 = _run_bench_compare(tmp_path, old, new, tag="4")
+    assert rc2 == 1 and s2["queries"]["slowed"]["verdict"].startswith("SLOWER")
+
+
+def test_bench_compare_r16_record_gates_clean():
+    """The standing done-criterion from VERDICT r16 #1, pinned against
+    the real round files: r15→r16 with the r16 idle control exits 0
+    and surfaces exactly sp_q3_dropoff_outliers as the watch item."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "/root/repo/tools/bench_compare.py",
+            "/root/repo/BENCH_r15.json",
+            "/root/repo/BENCH_r16.json",
+            "--control",
+            "/root/repo/BENCH_CONTROL_r16.json",
+        ],
         capture_output=True,
         text=True,
     )
-    s2 = json.loads(out2.stdout.strip().splitlines()[-1])
-    q2 = s2["queries"]
-    assert q2["a"]["verdict"] == "SLOWER"  # inflated band, but WITH the pack
-    assert "DIVERGES" not in q2["a"]["verdict"]
-    assert q2["lone"]["verdict"] == "SLOWER+DIVERGES"
-    assert q2["lone"]["vs_pack"] == 1.6
+    assert out.returncode == 0, out.stdout
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["watch"] == ["sp_q3_dropoff_outliers"]
+    assert not any(
+        v["verdict"].startswith("SLOWER") and "cleared" not in v["verdict"]
+        for v in s["queries"].values()
+    )

@@ -1,55 +1,51 @@
 #!/usr/bin/env python
-"""Anchor-normalized round-over-round bench comparison (VERDICT r12
-Next #2: "make the comparison mechanical ... so no future verdict
-hand-computes them").
+"""Round-over-round bench comparison with raw-primary verdicts
+(VERDICT r12 Next #2 made the comparison mechanical; VERDICT r16
+What's-wrong #1 / Next #1 re-keyed the verdicts on RAW time after
+three consecutive rounds of anchor-normalized SLOWER flags on queries
+whose raw time got FASTER).
 
 Usage:
     python tools/bench_compare.py                  # newest two BENCH_r*.json
     python tools/bench_compare.py A.json B.json    # explicit old new
+    python tools/bench_compare.py A.json B.json --control BENCH_CONTROL_rN.json
 
 Prints one table row per query:
 
-    query  prev_s  cur_s  raw_ratio  norm_ratio  verdict
+    query  prev_s  cur_s  raw  norm  vs_ctl  verdict
 
-where ``raw_ratio`` = cur/prev, ``norm_ratio`` divides out the host-
-speed ratio measured by the data-independent ``anchor_spark_sec``
-workload both files carry (bench.py): a query whose raw delta tracks
-the anchor delta is host noise (norm ~1), one whose normalized ratio
-stays far from 1 moved for a real reason. The verdict column applies
-the same bands the round-10/12 postmortems used by hand:
+Verdict bands apply to the RAW ratio cur/prev — the judge's own
+adjudication method (r14/r15/r16 SCALE.md addenda + VERDICT r16):
 
-    ~        norm in [0.8, 1.25]   — within host noise
-    FASTER   norm < 0.8
-    SLOWER   norm > 1.25           — investigate: plan/AQE/code change
+    ~        raw in [0.8, 1.25]   — within host noise
+    FASTER   raw < 0.8
+    SLOWER   raw > 1.25           — investigate: plan/AQE/code change
 
-Pack divergence (VERDICT r14 #2 — the one pattern the variance
-addendum's two-sided rule does NOT excuse): a uniform shift of every
-query together is a host artifact, but a query moving AGAINST the
-pack indicts code even when its own band reads "~". Mechanically: the
-pack is the median normalized ratio across all shared queries; any
-query whose ratio differs from the pack median by more than the same
-1.25x band is marked DIVERGES (in addition to its band verdict).
+``norm`` (raw divided by the host-speed ratio measured by the
+data-independent ``anchor_spark_sec`` workload both files carry) is an
+ADVISORY column only. History: the anchor over-corrects whenever the
+host moved more than the workload (r16: anchor −28% vs workload ±10%
+read every flat query "SLOWER 1.3–1.6×"), so normalized ratios inform
+but never gate. A query with raw ≤ 1.0 can never read SLOWER.
 
-Control clearing (VERDICT r15 #3 — the one benign pattern the gate
-couldn't express): a query can read DIVERGES while being FLAT, when
-the PACK sheds a load artifact the query never carried (r15's
-dedup_fuzzy_minhash: raw 1.03 but vs-pack 1.36 because every other
-query shed r14's background-load premium). The adjudication evidence
-is always the same — the idle-box control re-measurement of the same
-code — so pass it mechanically:
+Pack divergence (VERDICT r14 #2): a query moving AGAINST the pack
+indicts code even when its own band reads "~". The pack is the median
+RAW ratio across shared queries; a query whose raw ratio differs from
+the pack median by more than the same 1.25x band is marked DIVERGES.
 
-    python tools/bench_compare.py OLD NEW --control BENCH_CONTROL_rN.json
+Control clearing (VERDICT r15 #3, extended to SLOWER by r16 #1): the
+adjudication evidence for a benign flag is always the idle-box control
+re-measurement of the same code — pass it mechanically with
+``--control``. A SLOWER or DIVERGES flag is CLEARED when the query's
+current reading is flat against its idle-control reading (cur/control
+within [0.8, 1.25]): the movement is the host's artifact, not the
+code's. Conversely a query that is flat raw but reads > 1.25 vs its
+own idle control gets a non-gating ``watch(vs-control)`` advisory —
+the r16 sp_q3 shape, surfaced for next round's record to confirm or
+clear without failing the gate on ±20%-swing hardware.
 
-A DIVERGES flag is CLEARED when the query's current reading is flat
-against its idle-control reading (cur/control within the same
-[0.8, 1.25] noise band): the divergence is then the pack's artifact,
-not the query's, and the exit gate ignores it (the verdict column
-shows ``DIVERGES(cleared-by-control)``). SLOWER stays a hard flag —
-a genuinely slower query is slower no matter what moved the pack.
-
-Exit code 1 when any query lands in SLOWER or uncleared DIVERGES, so
-a round script can gate on it. One JSON summary line last (machine
-half of the contract).
+Exit code 1 when any query lands in uncleared SLOWER or uncleared
+DIVERGES. One JSON summary line last (machine half of the contract).
 """
 
 from __future__ import annotations
@@ -60,6 +56,8 @@ import os
 import re
 import sys
 
+BAND_LO, BAND_HI = 0.8, 1.25
+
 
 def _load(path: str) -> dict:
     """A BENCH record: either bench.py's own one-line JSON, or the
@@ -69,6 +67,10 @@ def _load(path: str) -> dict:
     if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
         return doc["parsed"]
     return doc
+
+
+def _in_band(x: float) -> bool:
+    return BAND_LO <= x <= BAND_HI
 
 
 def main(argv: list[str]) -> int:
@@ -105,17 +107,22 @@ def main(argv: list[str]) -> int:
     if control is not None:
         print(
             f"# control={os.path.basename(control_p)} — flat-vs-control "
-            f"clears DIVERGES (not SLOWER)"
+            f"clears SLOWER and DIVERGES; raw-flat-but-slow-vs-control "
+            f"gets a non-gating watch"
         )
     if host_ratio:
         print(
             f"# anchor_spark {a_old:.4f} -> {a_new:.4f}  "
             f"host_ratio={host_ratio:.3f} "
-            f"({'slower' if host_ratio > 1 else 'faster'} host)"
+            f"({'slower' if host_ratio > 1 else 'faster'} host) — "
+            f"norm column is ADVISORY only"
         )
     else:
-        print("# no anchors in one of the files: raw ratios only")
-    hdr = f"{'query':<32} {'prev_s':>8} {'cur_s':>8} {'raw':>6} {'norm':>6}  verdict"
+        print("# no anchors in one of the files: no norm column")
+    hdr = (
+        f"{'query':<32} {'prev_s':>8} {'cur_s':>8} {'raw':>6} {'norm':>6} "
+        f"{'vs_ctl':>6}  verdict"
+    )
     print(hdr)
 
     import statistics
@@ -129,31 +136,42 @@ def main(argv: list[str]) -> int:
         raw = cur / prev
         norm = raw / host_ratio if host_ratio else None
         shared.append((name, prev, cur, raw, norm))
-    bases = [norm if norm is not None else raw for _, _, _, raw, norm in shared]
-    pack = statistics.median(bases) if bases else None
+    # the pack is the median RAW ratio: a uniform host shift moves the
+    # pack with it, so vs_pack isolates against-the-pack movement
+    # without trusting the anchor
+    pack = statistics.median(r for _, _, _, r, _ in shared) if shared else None
 
     rows = {}
     any_flag = False
-    for (name, prev, cur, raw, norm), basis in zip(shared, bases):
-        verdict = "~" if 0.8 <= basis <= 1.25 else ("FASTER" if basis < 0.8 else "SLOWER")
-        # against-the-pack movement: the uniform-shift excuse only
-        # covers queries that moved WITH everything else
-        vs_pack = basis / pack if pack else None
-        diverges = vs_pack is not None and not (0.8 <= vs_pack <= 1.25)
-        vs_control = None
-        if diverges and control is not None:
-            ctl = control.get("queries", {}).get(name)
-            if ctl:
-                vs_control = cur / ctl
-                if 0.8 <= vs_control <= 1.25:
-                    # the query is FLAT against its own idle-box
-                    # re-measurement: the pack moved, not the code —
-                    # the one benign DIVERGES shape (VERDICT r15 #3)
-                    diverges = False
-                    verdict += "+DIVERGES(cleared-by-control)"
-        if diverges:
+    watches = []
+    for name, prev, cur, raw, norm in shared:
+        verdict = "~" if _in_band(raw) else ("FASTER" if raw < BAND_LO else "SLOWER")
+        ctl = control.get("queries", {}).get(name) if control is not None else None
+        vs_control = (cur / ctl) if ctl else None
+        flat_vs_control = vs_control is not None and _in_band(vs_control)
+        if verdict == "SLOWER" and flat_vs_control:
+            # the query re-measures flat on the idle box running the
+            # same code: the regression is the host's, not the code's
+            verdict = "SLOWER(cleared-by-control)"
+        vs_pack = raw / pack if pack else None
+        diverges = vs_pack is not None and not _in_band(vs_pack)
+        if diverges and flat_vs_control:
+            diverges = False
+            verdict += "+DIVERGES(cleared-by-control)"
+        elif diverges:
             verdict += "+DIVERGES"
-        any_flag |= ("SLOWER" in verdict) or diverges
+        if (
+            _in_band(raw)
+            and vs_control is not None
+            and vs_control > BAND_HI
+            and not diverges
+        ):
+            # flat raw, but slow against its own idle control — the
+            # one shape worth carrying to next round without gating
+            verdict += "+watch(vs-control)"
+            watches.append(name)
+        any_flag |= verdict.startswith("SLOWER") and "cleared" not in verdict
+        any_flag |= diverges
         rows[name] = {
             "prev_sec": prev,
             "cur_sec": cur,
@@ -164,9 +182,12 @@ def main(argv: list[str]) -> int:
             "verdict": verdict,
         }
         n = f"{norm:>6.3f}" if norm is not None else "     -"
-        print(f"{name:<32} {prev:>8.3f} {cur:>8.3f} {raw:>6.3f} {n}  {verdict}")
+        c = f"{vs_control:>6.3f}" if vs_control is not None else "     -"
+        print(f"{name:<32} {prev:>8.3f} {cur:>8.3f} {raw:>6.3f} {n} {c}  {verdict}")
     if pack is not None:
-        print(f"# pack median ratio = {pack:.3f}")
+        print(f"# pack median raw ratio = {pack:.3f}")
+    if watches:
+        print(f"# watch (non-gating, confirm-or-clear next round): {watches}")
 
     print(
         json.dumps(
@@ -174,7 +195,8 @@ def main(argv: list[str]) -> int:
                 "old": os.path.basename(old_p),
                 "new": os.path.basename(new_p),
                 "host_ratio": round(host_ratio, 4) if host_ratio else None,
-                "pack_median": round(pack, 4) if pack is not None else None,
+                "pack_median_raw": round(pack, 4) if pack is not None else None,
+                "watch": watches,
                 "queries": rows,
             }
         )
