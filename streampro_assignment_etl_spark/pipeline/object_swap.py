@@ -55,7 +55,9 @@ _TOKEN_RE = re.compile(r"[0-9a-f]{12}")
 # (pipeline/release.py re-exports this): a protected swap MOVES them
 # here instead of deleting, preserving the rel layout so read_release
 # can resolve them and expire_releases can garbage-collect them.
-RETIRED_DIR = ".retired"
+# Canonical definition lives in writers.py (the local directory swap
+# carries it across); this is the mechanism-layer name.
+from .writers import RETIRED_DIR_NAME as RETIRED_DIR  # noqa: E402
 
 
 def _retire(fs, base: str, rel: str) -> None:

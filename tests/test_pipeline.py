@@ -1807,6 +1807,89 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
     assert ev4["physical_clean"] is True
 
 
+def test_unprotected_local_compaction_preserves_retention_roots(
+    spark, tmp_path
+):
+    """VERDICT r16 #2 / ADVICE r16 #2+#3: the local whole-directory swap
+    used to REPLACE the table dir wholesale, silently destroying the
+    .retired/ retention roots a previous protect_releases=True delete
+    parked inside it — voiding protection the operator explicitly
+    granted — and its rglob sizing counted parked/hidden files. Pins:
+    (1) .retired/ survives an UNPROTECTED local compact_parquet
+    byte-for-byte and the release pinned to parked files still reads
+    bit-for-bit; (2) sizing counts visible files only; (3) destroying
+    LIVE release-referenced files warns at cause time (erasure ops may
+    legitimately run unprotected, so warning, not refusal) and the
+    broken pin still fails loudly at read time; (4) merge_upsert's
+    whole-table swap carries the park too."""
+    import logging
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.pipeline.release import (
+        RETIRED_DIR,
+        read_release,
+        snapshot_release,
+    )
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        compact_parquet,
+        delete_where,
+        merge_upsert,
+    )
+
+    tbl = str(tmp_path / "carry" / "t")
+    rows = [(i, i % 5) for i in range(50)]
+    spark.createDataFrame(rows, "id long, user_id long").coalesce(
+        1
+    ).write.parquet(tbl)
+    snapshot_release(tbl, "r1")  # references exactly the one live file
+    want = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+
+    # protected delete parks the referenced original under .retired/
+    delete_where(spark, tbl, F.col("user_id") == 3, protect_releases=True)
+    root = pathlib.Path(tbl)
+    parked = sorted((root / RETIRED_DIR).rglob("*.parquet"))
+    assert parked
+    parked_bytes = parked[0].read_bytes()
+    snapshot_release(tbl, "r2")  # references the LIVE survivor file
+
+    records: list[str] = []
+    h = logging.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    wlog = logging.getLogger("streampro_assignment_etl_spark.pipeline.writers")
+    wlog.addHandler(h)
+    try:
+        out = compact_parquet(spark, tbl)  # UNPROTECTED whole-dir swap
+    finally:
+        wlog.removeHandler(h)
+    # (2) sizing saw only the visible survivor, never the parked file
+    assert out["files_before"] == 1 and out["files_after"] == 1
+    # (3) the cause-time warning named the op and the consequence
+    assert any(
+        "compact_parquet" in m and "read_release" in m for m in records
+    ), records
+    # (1) the park survived the swap byte-for-byte; the release pinned
+    # to it still reads bit-for-bit
+    parked_after = sorted((root / RETIRED_DIR).rglob("*.parquet"))
+    assert [p.relative_to(root) for p in parked_after] == [
+        p.relative_to(root) for p in parked
+    ]
+    assert parked_after[0].read_bytes() == parked_bytes
+    got = sorted(tuple(r) for r in read_release(spark, tbl, "r1").collect())
+    assert got == want
+    # (3b) the release pinned to the destroyed LIVE file fails loudly
+    with pytest.raises(FileNotFoundError):
+        read_release(spark, tbl, "r2")
+
+    # (4) merge_upsert's whole-table swap carries the park too
+    upd = spark.createDataFrame([(0, 99), (500, 1)], "id long, user_id long")
+    merge_upsert(spark, tbl, upd, keys=("id",))
+    assert (root / RETIRED_DIR).exists()
+    got2 = sorted(tuple(r) for r in read_release(spark, tbl, "r1").collect())
+    assert got2 == want
+
+
 def test_remote_compaction_against_moto_s3(spark, tmp_path, moto_s3):
     """VERDICT r15 #2: `maintain_lake_table` previously healed
     object-store tables and then left their streaming-append
