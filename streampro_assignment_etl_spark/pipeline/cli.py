@@ -208,7 +208,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="release-expire: comma-separated release ids to KEEP; every "
         "other release's manifest is deleted and .retired/ files nothing "
         "references are reclaimed (the physical-erasure step after a "
-        "takedown against a release-protected table)",
+        "takedown against a release-protected table). Required unless "
+        "--expire-all states the expire-everything intent explicitly",
+    )
+    lk.add_argument(
+        "--expire-all",
+        action="store_true",
+        help="release-expire: confirm expiring EVERY release (an empty "
+        "--keep alone refuses — one irreversible command should not be "
+        "the zero-argument default)",
     )
     lk.add_argument(
         "--partition-column",
@@ -221,7 +229,8 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument(
         "--dry-run",
         action="store_true",
-        help="drop-partitions: list what would drop, delete nothing",
+        help="drop-partitions / release-expire: report what would be "
+        "dropped/expired, delete nothing",
     )
     lk.add_argument(
         "--max-files",
@@ -561,9 +570,21 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
             )
 
             if args.action == "release-expire":
+                keep = [k.strip() for k in args.keep.split(",") if k.strip()]
+                if not keep and not args.expire_all:
+                    print(
+                        "release-expire with no --keep would expire EVERY "
+                        "release and drain all parked retention roots — "
+                        "pass --keep ids, or --expire-all to confirm "
+                        "(add --dry-run to preview)",
+                        file=sys.stderr,
+                    )
+                    return 2
                 out = expire_releases(
                     args.path,
-                    keep=[k.strip() for k in args.keep.split(",") if k.strip()],
+                    keep=keep,
+                    dry_run=args.dry_run,
+                    expire_all=args.expire_all,
                 )
                 print(_json.dumps({"action": "lake-release-expire", **out}))
                 return 0

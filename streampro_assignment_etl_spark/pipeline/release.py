@@ -75,43 +75,116 @@ def referenced_rels(path: str, filesystem=None) -> set:
     return out
 
 
-def expire_releases(path: str, keep=(), filesystem=None) -> dict:
+def expire_releases(
+    path: str,
+    keep=(),
+    filesystem=None,
+    dry_run: bool = False,
+    expire_all: bool = False,
+) -> dict:
     """Retire releases: delete every release manifest NOT in ``keep``,
     then garbage-collect ``.retired/`` files no remaining release
     references — the explicit opt-out that turns a retention root back
     into reclaimable space (and the PHYSICAL-erasure step a takedown
     ticket needs when old releases retain a scrubbed subject's rows —
     ``verify_takedown`` reports that residue as ``retired_rows`` until
-    this runs). Visible (live) files are never touched. Returns
-    ``{"expired", "kept", "retired_files_removed"}``."""
+    this runs). Visible (live) files are never touched.
+
+    This is the audit layer's ONE irreversible operation (recording is
+    immutable and crash-safe), so it carries guardrails (VERDICT r16
+    #3 / ADVICE r16 #5):
+
+    * an empty ``keep`` — expire EVERYTHING — must be stated twice:
+      pass ``expire_all=True`` or the call raises, so a typo'd or
+      defaulted keep-list can't drain every retention root;
+    * a ``keep`` id that names no recorded release raises BEFORE any
+      mutation — a misspelled id would otherwise expire the release it
+      meant to protect, unrecoverably (manifests are deleted before
+      the parked bytes drain);
+    * ``dry_run=True`` reports what WOULD expire and how many parked
+      files would drain, mutating nothing.
+
+    Returns ``{"expired", "kept", "retired_files_removed"}`` (the
+    ``dry_run`` report uses the same keys plus ``"dry_run": True``).
+    """
     import pyarrow.fs as pafs
 
+    keep_set = {str(k) for k in keep}
+    if not keep_set and not expire_all:
+        raise ValueError(
+            "expire_releases: empty keep would expire EVERY release and "
+            "drain all parked retention roots — pass expire_all=True to "
+            "confirm, or name the releases to keep"
+        )
     fs, base = _pafs_base(path, filesystem)
     all_ids = list_releases(path, filesystem)
-    keep_set = {str(k) for k in keep}
+    unknown = keep_set - set(all_ids)
+    if unknown:
+        raise ValueError(
+            f"expire_releases: keep names release id(s) not recorded for "
+            f"{path!r}: {sorted(unknown)} — refusing (a typo here would "
+            f"expire the release it meant to protect); recorded: "
+            f"{all_ids}"
+        )
     doomed = [r for r in all_ids if r not in keep_set]
-    for rid in doomed:
-        fs.delete_file(f"{_releases_dir(base)}/release-{rid}.json")
-    still = referenced_rels(path, filesystem)
+    kept = sorted(set(all_ids) & keep_set)
+    # the post-expiry protected set comes from the KEPT manifests,
+    # computed BEFORE any deletion — so the dry-run report and the live
+    # GC decide from identical evidence
+    still: set = set()
+    for rid in kept:
+        man = load_release(path, rid, filesystem)
+        still.update(
+            f["path"]
+            for p in man["partitions"].values()
+            for f in p["files"]
+        )
     retired_base = f"{base}/{RETIRED_DIR}"
-    removed = 0
     try:
         infos = fs.get_file_info(
             pafs.FileSelector(retired_base, recursive=True)
         )
     except (FileNotFoundError, OSError):
         infos = []
-    for i in infos:
-        if i.type != pafs.FileType.File:
-            continue
-        rel = i.path[len(retired_base) + 1 :]
-        if rel not in still:
-            fs.delete_file(i.path)
-            removed += 1
+    removable = [
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File
+        and i.path[len(retired_base) + 1 :] not in still
+    ]
+    if dry_run:
+        return {
+            "dry_run": True,
+            "expired": doomed,
+            "kept": kept,
+            "retired_files_removed": len(removable),
+        }
+    for rid in doomed:
+        fs.delete_file(f"{_releases_dir(base)}/release-{rid}.json")
+    for p in removable:
+        fs.delete_file(p)
+    # sweep now-empty directory skeletons under .retired/ (deepest
+    # first), including .retired/ itself once nothing survives in it
+    remaining = {
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File and i.path not in set(removable)
+    }
+    dirs = sorted(
+        (i.path for i in infos if i.type == pafs.FileType.Directory),
+        key=len,
+        reverse=True,
+    ) + ([retired_base] if infos else [])
+    for d in dirs:
+        if not any(f.startswith(d + "/") for f in remaining):
+            try:
+                fs.delete_dir(d)
+            except (FileNotFoundError, OSError):
+                pass  # a parent sweep already took it
     return {
         "expired": doomed,
-        "kept": sorted(set(all_ids) & keep_set),
-        "retired_files_removed": removed,
+        "kept": kept,
+        "retired_files_removed": len(removable),
     }
 
 

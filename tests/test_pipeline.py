@@ -1730,14 +1730,43 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
 
     # (4) expire: parked bytes reclaimed, pinned read fails loudly,
     # physical erasure now complete — via the CLI face the ticket
-    # workflow actually runs (keep nothing)
+    # workflow actually runs. Guardrails first (VERDICT r16 #3): the
+    # one irreversible audit op refuses the zero-argument form, a
+    # typo'd keep id refuses before any mutation, and dry-run reports
+    # without mutating.
     from streampro_assignment_etl_spark.pipeline.cli import main as _cli
+    from streampro_assignment_etl_spark.pipeline.release import (
+        list_releases,
+    )
 
-    assert _cli(["lake", "release-expire", "--path", tbl, "--keep", ""]) == 0
-    gone = expire_releases(tbl, keep=())  # idempotent second pass
+    with pytest.raises(ValueError, match="expire_all"):
+        expire_releases(tbl, keep=())
+    with pytest.raises(ValueError, match="not recorded"):
+        expire_releases(tbl, keep=("r1-typo",))
+    assert _cli(["lake", "release-expire", "--path", tbl, "--keep", ""]) == 2
+    rel_before = list_releases(tbl)
+    dry = expire_releases(tbl, keep=(), expire_all=True, dry_run=True)
+    assert dry["dry_run"] is True and dry["expired"] == rel_before
+    assert dry["retired_files_removed"] > 0
+    assert list_releases(tbl) == rel_before  # nothing mutated
+    got_dry = sorted(tuple(r) for r in read_release(spark, tbl, "r1").collect())
+    assert got_dry == want1
+    assert (
+        _cli(
+            ["lake", "release-expire", "--path", tbl, "--expire-all",
+             "--dry-run"]
+        )
+        == 0
+    )
+    assert list_releases(tbl) == rel_before
+
+    assert _cli(["lake", "release-expire", "--path", tbl, "--expire-all"]) == 0
+    gone = expire_releases(tbl, keep=(), expire_all=True)  # idempotent pass
     assert gone["expired"] == [] and gone["retired_files_removed"] == 0
     with pytest.raises(FileNotFoundError):
         read_release(spark, tbl, "r1")
+    # the GC leaves no empty .retired/ skeleton behind
+    assert not (pathlib.Path(tbl) / RETIRED_DIR).exists()
     ev2 = verify_takedown(spark, [7], tables=((tbl, "user_id"),))
     assert ev2["physical_clean"] is True
     cur2 = sorted(cur + appended)
@@ -1799,7 +1828,7 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
     )
     assert ev3["clean"] is True and ev3["physical_clean"] is False
     assert ev3["tables_retired"][s3tbl] == 10
-    gone3 = expire_releases(s3tbl, keep=(), filesystem=fs)
+    gone3 = expire_releases(s3tbl, keep=(), filesystem=fs, expire_all=True)
     assert gone3["retired_files_removed"] == len(parked)
     ev4 = verify_takedown(
         spark, [3], tables=((s3tbl, "user_id"),), table_filesystem=fs
