@@ -420,7 +420,23 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
         f["path"] for p in man["partitions"].values() for f in p["files"]
     )
     if not rels:
-        raise ValueError(f"release {release_id!r} of {path!r} is empty")
+        # A legitimately-recorded EMPTY release (snapshot_release
+        # accepts an existing-but-empty table as a real, consistent
+        # state) round-trips as a zero-row frame — but it recorded no
+        # files, so the only schema source is the CURRENT table
+        # (honest caveat: if the schema drifted since the release, the
+        # empty frame carries today's columns). With no current files
+        # either, the release is diff-only and the read fails loudly
+        # (ADVICE r16 #4 — never a silent wrong-schema guess).
+        fs, base = _pafs_base(path)
+        seed = _visible_parquet_files(fs, base)[:1]
+        if not seed:
+            raise ValueError(
+                f"release {release_id!r} of {path!r} is empty and the "
+                f"table currently has no files to borrow a schema from — "
+                f"an empty release is diff-only until the table has data"
+            )
+        return _resolve_release_frame(spark, path, seed, what=release_id).limit(0)
     return _resolve_release_frame(spark, path, rels, what=release_id)
 
 
@@ -482,18 +498,38 @@ def release_row_delta(
     file sets are identical in both releases cannot contribute a row
     delta and are never read, so the two anti-joins shuffle only the
     changed partitions' rows (a release that rewrote one day of a
-    100 TB corpus reads one day twice, not the corpus). Keys absent
-    from a side classify as added/removed; a key present in both with
-    different non-key columns does NOT surface (this is a membership
-    audit — pair it with a content hash column upstream if field-level
-    drift matters)."""
+    100 TB corpus reads one day twice, not the corpus). Pruning is
+    applied ONLY when it is sound (ADVICE r16 #1): an unchanged
+    partition proves its own ROWS didn't change, not that a KEY living
+    partly elsewhere didn't — a key with rows in both a changed and an
+    unchanged partition would misreport (a user deleted from day=1 but
+    alive in day=2 must not read "removed"). Soundness condition: the
+    table's first-level Hive partition column is among ``key_cols``
+    (every key's rows then live in exactly one first-level partition),
+    or the table is unpartitioned (pruning is vacuous). Otherwise the
+    delta reads the FULL pinned file sets of both releases — still
+    exact, just unpruned; include the partition column in ``key_cols``
+    to get the pruned plan.
+
+    Keys absent from a side classify as added/removed; a key present
+    in both with different non-key columns does NOT surface (this is a
+    membership audit — pair it with a content hash column upstream if
+    field-level drift matters)."""
     from pyspark.sql import functions as F
 
     key_cols = list(key_cols)
     man_a = load_release(path, release_a)
     man_b = load_release(path, release_b)
     d = diff_releases(man_a, man_b)
-    changed = set(d["added"]) | set(d["removed"]) | set(d["rewritten"])
+    part_keys = set(man_a["partitions"]) | set(man_b["partitions"])
+    hive_cols = {k.split("=", 1)[0] for k in part_keys if k and "=" in k}
+    prune_sound = not hive_cols or (
+        len(hive_cols) == 1 and next(iter(hive_cols)) in key_cols
+    )
+    if prune_sound:
+        changed = set(d["added"]) | set(d["removed"]) | set(d["rewritten"])
+    else:
+        changed = part_keys
 
     def _rels(man):
         return sorted(

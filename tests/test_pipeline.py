@@ -1836,6 +1836,93 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
     assert ev4["physical_clean"] is True
 
 
+def test_release_row_delta_prunes_only_when_sound(spark, tmp_path, monkeypatch):
+    """ADVICE r16 #1: pruning unchanged partitions before the anti-joins
+    is only sound when key_cols pin each key to one first-level
+    partition. A user deleted from day=d0 but alive in day=d1 must NOT
+    read 'removed' when keyed on user_id alone — the delta falls back
+    to the FULL pinned file sets (exact, unpruned); keying on
+    (user_id, day) restores the pruned plan. Both plans are asserted
+    via the file sets the shared resolver actually reads."""
+    import streampro_assignment_etl_spark.pipeline.release as rel
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.pipeline.writers import delete_where
+
+    # day alternates per DECADE so every user_id has rows in both days
+    rows = [(i, i % 10, f"d{(i // 10) % 2}") for i in range(40)]
+    tbl = str(tmp_path / "prune" / "t")
+    (
+        spark.createDataFrame(rows, "id long, user_id long, day string")
+        .repartition(2)
+        .write.partitionBy("day")
+        .parquet(tbl)
+    )
+    rel.snapshot_release(tbl, "a")
+    # subject 7 loses its day=d0 rows only; protected so release a's
+    # originals stay resolvable
+    delete_where(
+        spark,
+        tbl,
+        (F.col("user_id") == 7) & (F.col("day") == "d0"),
+        protect_releases=True,
+    )
+    rel.snapshot_release(tbl, "b")
+
+    reads: list[list[str]] = []
+    orig = rel._resolve_release_frame
+
+    def spy(spark_, path_, rels, what):
+        reads.append(list(rels))
+        return orig(spark_, path_, rels, what)
+
+    monkeypatch.setattr(rel, "_resolve_release_frame", spy)
+
+    # unsound key (no partition column): unpruned, and the subject is
+    # correctly NOT reported removed — it survives in day=d1
+    delta = rel.release_row_delta(spark, tbl, "a", "b", ["user_id"])
+    assert {(r["user_id"], r["_change"]) for r in delta.collect()} == set()
+    assert any(
+        r.startswith("day=d1/") for call in reads for r in call
+    ), "unsound key must read the full pinned sets"
+
+    # sound key (partition column included): pruned to day=d0 and the
+    # per-partition removal is reported
+    reads.clear()
+    delta2 = rel.release_row_delta(spark, tbl, "a", "b", ["user_id", "day"])
+    got = {(r["user_id"], r["day"], r["_change"]) for r in delta2.collect()}
+    assert got == {(7, "d0", "removed")}
+    assert reads and all(
+        r.startswith("day=d0/") for call in reads for r in call
+    ), f"sound key must read only the changed partition: {reads}"
+
+
+def test_empty_release_read_roundtrip(spark, tmp_path):
+    """ADVICE r16 #4: snapshot_release deliberately records an
+    existing-but-empty table as a real state; read_release now
+    round-trips it as a typed zero-row frame once the table has a
+    schema source, and fails loudly (diff-only) while it has none."""
+    import pathlib
+
+    from streampro_assignment_etl_spark.pipeline.release import (
+        read_release,
+        snapshot_release,
+    )
+
+    tbl = tmp_path / "empty" / "t"
+    pathlib.Path(tbl).mkdir(parents=True)
+    man = snapshot_release(str(tbl), "r0")
+    assert man["total_files"] == 0
+    with pytest.raises(ValueError, match="diff-only"):
+        read_release(spark, str(tbl), "r0")
+    spark.createDataFrame([(1, "x")], "id long, v string").write.mode(
+        "append"
+    ).parquet(str(tbl))
+    empty = read_release(spark, str(tbl), "r0")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}
+
+
 def test_unprotected_local_compaction_preserves_retention_roots(
     spark, tmp_path
 ):
