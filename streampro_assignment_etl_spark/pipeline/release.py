@@ -440,21 +440,24 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
     return _resolve_release_frame(spark, path, rels, what=release_id)
 
 
-def _resolve_release_frame(spark, path: str, rels: list, what: str):
+def _resolve_release_frame(spark, path: str, rels: list, what: str, present=None):
     """Spark frame over exactly ``rels`` (base-relative), each resolved
     live-first-then-``.retired/`` — the shared reader under
-    ``read_release`` and ``release_row_delta``. Loud on files found in
-    neither place. Resolution costs ONE recursive listing, not one
-    existence probe per file — at a million-file release the per-file
-    HEADs would dominate the read's planning time."""
+    ``read_release``, ``read_table_snapshot`` and ``release_row_delta``.
+    Loud on files found in neither place. Resolution costs ONE
+    recursive listing (pass ``present`` — the rel-path set of an
+    already-taken listing — to pay zero), never one existence probe per
+    file — at a million-file release the per-file HEADs would dominate
+    the read's planning time."""
     import pyarrow.fs as pafs
 
     fs, base = _pafs_base(path)
-    present = {
-        i.path[len(base) + 1 :]
-        for i in _recursive_infos(fs, base)
-        if i.type == pafs.FileType.File
-    }
+    if present is None:
+        present = {
+            i.path[len(base) + 1 :]
+            for i in _recursive_infos(fs, base)
+            if i.type == pafs.FileType.File
+        }
     live = [r for r in rels if r in present]
     live_set = set(live)
     retired = [
@@ -484,6 +487,57 @@ def _resolve_release_frame(spark, path: str, rels: list, what: str):
         )
         df = rdf if df is None else df.unionByName(rdf)
     return df
+
+
+def read_table_snapshot(spark, path: str, filesystem=None):
+    """Snapshot-isolated read of a LIVE table (VERDICT r16 #4 — the
+    last isolation caveat): ONE recursive listing, filtered to the
+    visible file set, read as EXACTLY that pinned set through the same
+    resolver pinned release reads use. A plain ``spark.read.parquet``
+    lists at plan time, so a reader racing a manifest swap's promote
+    window (remote compaction, the SCD-2 remote sink) can see old and
+    new files together — doubled rows. This reader can't: whatever
+    instant its one listing observes, it reads exactly those files;
+    staged dot-files are invisible before promote, and a listing taken
+    pre-swap never includes the promoted twins.
+
+    The pin lasts exactly as long as the listed files live: it is
+    isolation for the PROMOTE WINDOW (where olds still exist beside
+    the promoted twins — the caveat this closes), not durability. A
+    swap that COMPLETES underneath the pin — deleting or parking the
+    pinned files — fails the read loudly at scan time (Spark's
+    missing-input error), never silently re-lists; resolution happens
+    once, at pin time, so files parked AFTER the pin are not chased
+    into ``.retired/``. For a pin durable across completed
+    maintenance, record a release (``snapshot_release``) and use
+    ``read_release``, which re-resolves live-then-retired at every
+    call. ``filesystem`` targets raise like ``read_release`` (no
+    Spark-readable URI)."""
+    if filesystem is not None:
+        raise ValueError(
+            "read_table_snapshot: an injected filesystem has no "
+            "Spark-readable URI — use a path/URI target (connector "
+            "route), or mirror the files locally and read that"
+        )
+    import pyarrow.fs as pafs
+
+    fs, base = _pafs_base(path)
+    infos = _recursive_infos(fs, base)
+    visible = _visible_parquet_files(fs, base, infos)
+    if not visible:
+        raise FileNotFoundError(
+            f"read_table_snapshot: no visible parquet files under "
+            f"{path!r} (missing table, or mid-swap with only staged "
+            f"files — run recovery first)"
+        )
+    present = {
+        i.path[len(base) + 1 :]
+        for i in infos
+        if i.type == pafs.FileType.File
+    }
+    return _resolve_release_frame(
+        spark, path, visible, what="table-snapshot", present=present
+    )
 
 
 def release_row_delta(

@@ -1923,6 +1923,79 @@ def test_empty_release_read_roundtrip(spark, tmp_path):
     assert set(empty.columns) == {"id", "v"}
 
 
+def test_read_table_snapshot_isolated_from_swap_promote(spark, tmp_path):
+    """VERDICT r16 #4 (the last isolation caveat): a listing-based
+    reader racing a manifest swap's promote window sees old and new
+    files together — doubled rows. read_table_snapshot pins ONE
+    listing's visible set and reads exactly those files. Pins: (1) with
+    promoted twins beside the originals (the mid-promote state), the
+    naive read double-counts while the pinned reader returns the old
+    rows exactly; (2) the division of labor with read_release: a swap
+    that COMPLETES under the pin fails the pinned read loudly at scan
+    time (isolation, not durability), while the recorded release
+    re-resolves from the .retired/ parked twins and returns the old
+    rows exactly; (3) injected filesystems raise like read_release."""
+    import pathlib
+    import shutil as _sh
+
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.release import (
+        read_table_snapshot,
+        snapshot_release,
+    )
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        compact_parquet,
+    )
+
+    tbl = str(tmp_path / "snapiso" / "t")
+    spark.range(0, 1000).selectExpr("id", "id % 4 AS g").repartition(
+        8
+    ).write.parquet(tbl)
+    snap = read_table_snapshot(spark, tbl)
+
+    # (1) simulate the promote window: promoted-looking twins appear
+    # while the originals are still listed (exactly what a reader's
+    # LISTING sees between promote and delete-olds)
+    root = pathlib.Path(tbl)
+    vis = sorted(
+        p
+        for p in root.rglob("*.parquet")
+        if not any(
+            seg.startswith((".", "_")) for seg in p.relative_to(root).parts
+        )
+    )
+    for i, p in enumerate(vis[:3]):
+        _sh.copy(p, p.parent / f"part-cmp{'0' * 12}-{i}.parquet")
+    assert spark.read.parquet(tbl).count() > 1000  # torn listing doubles
+    assert snap.count() == 1000  # the pinned set is exact
+    assert sorted(r["id"] for r in snap.collect()) == list(range(1000))
+
+    # (2) a swap COMPLETES underneath the pin: the ad-hoc pin fails
+    # loudly (never a silent partial re-list), the recorded release is
+    # the durable pin — it re-resolves from the parked twins
+    from py4j.protocol import Py4JJavaError
+
+    from streampro_assignment_etl_spark.pipeline.release import (
+        read_release,
+    )
+
+    for p in root.rglob("part-cmp*.parquet"):
+        p.unlink()
+    snapshot_release(tbl, "pin")  # retention root so the swap parks
+    snap2 = read_table_snapshot(spark, tbl)
+    compact_parquet(spark, tbl, protect_releases=True)
+    with pytest.raises(Py4JJavaError):
+        snap2.count()
+    got = sorted(r["id"] for r in read_release(spark, tbl, "pin").collect())
+    assert got == list(range(1000))
+    assert spark.read.parquet(tbl).count() == 1000
+
+    # (3) injected filesystem: no Spark-readable URI, loud refusal
+    with pytest.raises(ValueError, match="Spark-readable"):
+        read_table_snapshot(spark, tbl, filesystem=pafs.LocalFileSystem())
+
+
 def test_unprotected_local_compaction_preserves_retention_roots(
     spark, tmp_path
 ):
