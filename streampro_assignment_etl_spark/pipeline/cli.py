@@ -248,9 +248,9 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument(
         "--protect-releases",
         action="store_true",
-        help="maintain: PARK (never delete) old files still referenced "
-        "by a recorded release — read_release keeps resolving them; "
-        "expire_releases reclaims the space",
+        help="maintain / drop-partitions: PARK (never delete) old files "
+        "still referenced by a recorded release — read_release keeps "
+        "resolving them; expire_releases reclaims the space",
     )
     lk.add_argument(
         "--target-file-bytes", type=int, default=128 * 1024 * 1024
@@ -651,6 +651,7 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 args.partition_column,
                 args.cutoff,
                 dry_run=args.dry_run,
+                protect_releases=args.protect_releases,
             )
             print(_json.dumps({"action": "lake-drop-partitions", **out}))
             return 0

@@ -565,6 +565,7 @@ def merge_upsert(
     updates: "DataFrame",
     keys: tuple[str, ...],
     partition_col: str | None = None,
+    protect_releases: bool = False,
 ) -> dict:
     """Keyed SCD-1 merge into a parquet table: rows in ``updates`` replace
     target rows with the same key; new keys are appended.
@@ -579,6 +580,16 @@ def merge_upsert(
     present in ``updates`` (partition pruning keeps the rewrite
     proportional to touched partitions, not table size).
 
+    Retention (VERDICT r16 #5): the whole-table swap replaces EVERY
+    live file, so ``protect_releases=True`` copies each visible file a
+    recorded release still references into the staging tree's
+    ``.retired/`` before the swap — ``read_release`` keeps resolving
+    the pre-merge releases, ``expire_releases`` reclaims them.
+    Previously-parked files always carry across (``_staged_swap``).
+    Default OFF like every maintenance op: an unprotected merge over a
+    release-referenced table warns at cause time and the pinned read
+    fails loudly at read time.
+
     Returns ``{"target_rows_before", "updated", "inserted"}``.
     """
     from pyspark.sql import functions as F
@@ -589,6 +600,18 @@ def merge_upsert(
     updates = updates.dropDuplicates(list(keys))
 
     root = require_local_path(target_path, "merge_upsert")
+    visible_rels = [
+        str(p.relative_to(root))
+        for p in root.rglob("*.parquet")
+        if p.is_file()
+        and not any(
+            part.startswith((".", "_")) for part in p.relative_to(root).parts
+        )
+    ]
+    if not protect_releases:
+        _warn_if_unprotected_breaks_releases(
+            target_path, None, "merge_upsert", visible_rels
+        )
     target = spark.read.parquet(str(root))
     if partition_col is not None:
         touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
@@ -613,6 +636,16 @@ def merge_upsert(
     if partition_col is not None:
         w = w.partitionBy(partition_col)
     w.parquet(str(staging))
+
+    if protect_releases:
+        from .release import referenced_rels
+
+        # copies, not moves: the originals must stay live until the
+        # swap lands, so every crash point keeps one complete table
+        for rel in sorted(referenced_rels(target_path) & set(visible_rels)):
+            dst = staging / RETIRED_DIR_NAME / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(root / rel, dst)
 
     _staged_swap(root, staging)
 
@@ -1064,6 +1097,7 @@ def drop_partitions_before(
     cutoff: str,
     filesystem=None,
     dry_run: bool = False,
+    protect_releases: bool = False,
 ) -> dict:
     """Retention sweep for a Hive-partitioned table: DROP every
     ``<partition_col>=<value>`` directory whose value sorts strictly
@@ -1084,11 +1118,22 @@ def drop_partitions_before(
     never dropped — retention on "unknown date" is a policy decision,
     not a sort order. Crash-safe by construction: each directory
     delete is independent and a re-run converges (already-dropped
-    partitions simply aren't listed). Runs through the same
-    ``pyarrow.fs`` seam as ``delete_where``, so an object-store table
-    ages out through the identical call. ``dry_run`` lists without
-    deleting. Returns ``{"dropped", "kept", "cutoff"}`` (partition
-    values, sorted)."""
+    partitions simply aren't listed; a crash between a park and its
+    directory delete replays fine — ``_retire`` is idempotent). Runs
+    through the same ``pyarrow.fs`` seam as ``delete_where``, so an
+    object-store table ages out through the identical call.
+    ``dry_run`` lists without deleting.
+
+    Retention roots (VERDICT r16 #5): ``protect_releases=True`` PARKS
+    each doomed file a recorded release still references under
+    ``.retired/<rel>`` before its partition directory drops, so a
+    pinned ``read_release`` survives the age-out and
+    ``expire_releases`` reclaims the space later. Default OFF (an
+    age-out is an erasure op); an unprotected drop that will destroy
+    release-referenced files warns at cause time.
+
+    Returns ``{"dropped", "kept", "cutoff"}`` (partition values,
+    sorted) plus ``"parked_files"`` when protecting."""
     import pyarrow.fs as pafs
     from urllib.parse import unquote
 
@@ -1131,15 +1176,50 @@ def drop_partitions_before(
                 f"order — zero-pad numeric/date components or use "
                 f"delete_where"
             )
+    doomed_dirs = sorted(
+        (v, full)
+        for v, full in parts
+        if v != "__HIVE_DEFAULT_PARTITION__" and v < cutoff
+    )
+    protected: set = set()
+    parked = 0
+    if doomed_dirs:
+        from .release import referenced_rels
+
+        if protect_releases:
+            protected = referenced_rels(path, filesystem)
+        else:
+            doomed_rels = [
+                i.path[len(base) + 1 :]
+                for _, full in doomed_dirs
+                for i in _recursive_infos(fs, full)
+                if i.type == pafs.FileType.File
+            ]
+            _warn_if_unprotected_breaks_releases(
+                path, filesystem, "drop_partitions_before", doomed_rels
+            )
     dropped, kept = [], []
     for v, full in sorted(parts):
         if v != "__HIVE_DEFAULT_PARTITION__" and v < cutoff:
             if not dry_run:
+                if protected:
+                    for i in _recursive_infos(fs, full):
+                        if i.type != pafs.FileType.File:
+                            continue
+                        rel = i.path[len(base) + 1 :]
+                        if rel in protected:
+                            from .object_swap import _retire
+
+                            _retire(fs, base, rel)
+                            parked += 1
                 fs.delete_dir(full)
             dropped.append(v)
         else:
             kept.append(v)
-    return {"dropped": dropped, "kept": kept, "cutoff": cutoff}
+    out = {"dropped": dropped, "kept": kept, "cutoff": cutoff}
+    if protect_releases:
+        out["parked_files"] = parked
+    return out
 
 
 def maintain_lake_table(
