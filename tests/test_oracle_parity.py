@@ -31,7 +31,50 @@ FAST_REPRESENTATIVES = {
     "decontaminate_eval_overlap",       # decontamination
     "stratified_sample_by_lang",        # sampling
     "release_diff_summary",             # release/lineage (round 16)
+    # round 17 (VERDICT r16 #7): every driver-window family must have a
+    # fast representative — the invariant test below fails collection
+    # of a new family without one
+    "pagerank_event_transitions",       # graph/iterative
+    "pipeline_file_roundtrips",         # ingestion pipeline (S1-S10)
+    "catalog_ctas_roundtrip",           # catalog DDL (S11-S15)
+    "multimodal_feature_stats",         # multimodal mapInPandas
+    "streaming_windowed_counts",        # structured streaming
+    "set_ops_customer_nations",         # set operations
+    "asof_last_view_before_click",      # as-of join / timeseries
+    "hypertable_rollup",                # grouping-sets / rollup / cube
+    "subquery_membership",              # semi/anti-join subqueries
+    "pivot_event_type_daily",           # pivot/reshape
+    "json_props_extract",               # semi-structured JSON
+    "range_join_binned",                # binned range join
+    "scd2_apply_changes_converges",     # SCD-2 dimension lifecycle
 }
+
+
+@pytest.mark.fast
+def test_fast_lane_covers_every_registry_family():
+    """VERDICT r16 #7: the fast lane rots silently as operator families
+    are added. Invariant: every driver-window (REGISTRY) query shares
+    at least one tag with some fast-lane representative — a new family
+    landing without a fast differential fails HERE at the moment it is
+    registered, not three rounds later. Fix by adding one rep to
+    FAST_REPRESENTATIVES (or tagging the query into an existing
+    family, if that is genuinely what it is)."""
+    unknown = sorted(n for n in FAST_REPRESENTATIVES if n not in ALL_QUERIES)
+    assert not unknown, f"fast reps not registered: {unknown}"
+    no_oracle = sorted(
+        n for n in FAST_REPRESENTATIVES if not ALL_QUERIES[n].oracle
+    )
+    assert not no_oracle, f"fast reps without oracles: {no_oracle}"
+    fast_tags = {t for n in FAST_REPRESENTATIVES for t in ALL_QUERIES[n].tags}
+    uncovered = sorted(
+        (n, REGISTRY[n].tags)
+        for n, s in REGISTRY.items()
+        if not (set(s.tags) & fast_tags)
+    )
+    assert not uncovered, (
+        f"driver-window families with no fast-lane representative: "
+        f"{uncovered}"
+    )
 
 
 @pytest.mark.parametrize(
