@@ -1236,3 +1236,118 @@ def test_object_swap_replay_converges_from_any_crash_point(
         assert listing == want
     else:  # unwind: originals intact, nothing else
         assert listing == orig_bytes
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_release_pin_exact_or_loud_under_any_maintenance(
+    spark, tmp_path_factory, data
+):
+    """The audit layer's core contract as ONE property (round 17,
+    composing the r16/r17 retention surfaces): pin release r1, then run
+    a random sequence of maintenance ops — row delete, whole-table
+    compaction, keyed merge, partition age-out, expiry — each randomly
+    protected or not. After EVERY op, ``read_release(r1)``:
+
+    * when it RETURNS, returns exactly the pinned rows — never a
+      silently different set (the immutable-file fingerprint argument,
+      exercised end to end: every writer lands new names, so a stale
+      rel can never resolve to different bytes);
+    * when the pin is broken it FAILS LOUDLY (missing-file or
+      expired-manifest error), and that may only happen after an
+      UNPROTECTED destructive op or an expiry — a fully-protected
+      history must keep the pin readable forever.
+    """
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.pipeline.release import (
+        expire_releases,
+        read_release,
+        snapshot_release,
+    )
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        compact_parquet,
+        delete_where,
+        drop_partitions_before,
+        merge_upsert,
+    )
+
+    n = data.draw(st.integers(min_value=6, max_value=30), label="rows")
+    # d0 is droppable; d1/d2 guarantee the table never empties
+    rows = [(i, f"d{i % 3}") for i in range(n)]
+    tbl = str(tmp_path_factory.mktemp("relprop") / "t")
+    (
+        spark.createDataFrame(rows, "id long, day string")
+        .repartition(data.draw(st.integers(1, 3), label="shards"))
+        .write.partitionBy("day")
+        .parquet(tbl)
+    )
+    snapshot_release(tbl, "r1")
+    want = sorted(tuple(r) for r in spark.read.parquet(tbl).collect())
+
+    fully_protected = True
+    dropped_d0 = False
+    n_ops = data.draw(st.integers(min_value=1, max_value=4), label="n_ops")
+    for step in range(n_ops):
+        op = data.draw(
+            st.sampled_from(["delete", "compact", "merge", "drop", "expire"]),
+            label=f"op{step}",
+        )
+        protected = data.draw(st.booleans(), label=f"protected{step}")
+        if op == "delete":
+            k = data.draw(st.integers(2, 7), label=f"mod{step}")
+            out = delete_where(
+                spark, tbl, F.col("id") % k == 0, protect_releases=protected
+            )
+            if out["rows_deleted"] == 0:
+                continue  # nothing destroyed: no state change to check
+        elif op == "compact":
+            compact_parquet(spark, tbl, protect_releases=protected)
+        elif op == "merge":
+            upd = spark.createDataFrame(
+                [(n + 100 + step, "d1"), (0, "d2")], "id long, day string"
+            )
+            merge_upsert(
+                spark, tbl, upd, keys=("id",), partition_col="day",
+                protect_releases=protected,
+            )
+        elif op == "drop":
+            out = drop_partitions_before(
+                tbl, "day", "d1", protect_releases=protected
+            )
+            # an unprotected drop only endangers the pin if d0 was
+            # still present (a second drop is a no-op)
+            if not out["dropped"]:
+                continue
+            dropped_d0 = True
+        else:
+            expire_releases(tbl, expire_all=True)
+            protected = False
+        if not protected and (op != "drop" or dropped_d0):
+            fully_protected = False
+
+        try:
+            got = sorted(
+                tuple(r)
+                for r in read_release(spark, tbl, "r1")
+                .select("id", "day")
+                .collect()
+            )
+        except (FileNotFoundError, ValueError, OSError):
+            # loud is legal — but only once something unprotected ran
+            assert not fully_protected, (
+                f"pin lost after step {step} ({op}) despite a fully "
+                f"protected history"
+            )
+        else:
+            assert got == want, (
+                f"SILENTLY WRONG pinned read after step {step} ({op}, "
+                f"protected={protected})"
+            )
+    # a fully protected history must still read exactly at the end
+    if fully_protected:
+        got = sorted(
+            tuple(r)
+            for r in read_release(spark, tbl, "r1").select("id", "day").collect()
+        )
+        assert got == want
