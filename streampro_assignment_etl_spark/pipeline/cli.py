@@ -187,6 +187,7 @@ def build_parser() -> argparse.ArgumentParser:
             "drop-partitions",
             "release-snapshot",
             "release-diff",
+            "release-row-delta",
             "release-list",
             "release-expire",
         ],
@@ -199,9 +200,25 @@ def build_parser() -> argparse.ArgumentParser:
         "--notes", default="", help="release-snapshot: free-form annotation"
     )
     lk.add_argument(
-        "--from-release", help="release-diff: baseline release id"
+        "--from-release",
+        help="release-diff / release-row-delta: baseline release id",
     )
-    lk.add_argument("--to-release", help="release-diff: target release id")
+    lk.add_argument(
+        "--to-release",
+        help="release-diff / release-row-delta: target release id",
+    )
+    lk.add_argument(
+        "--keys",
+        help="release-row-delta: comma-separated key columns (include "
+        "the partition column to get the pruned plan; without it the "
+        "delta reads both releases' full pinned file sets)",
+    )
+    lk.add_argument(
+        "--sample",
+        type=int,
+        default=10,
+        help="release-row-delta: example keys to print per change kind",
+    )
     lk.add_argument(
         "--keep",
         default="",
@@ -609,6 +626,63 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                             "total_files": man["total_files"],
                             "partitions": len(man["partitions"]),
                             "fingerprint": man["fingerprint"],
+                        }
+                    )
+                )
+                return 0
+            if args.action == "release-row-delta":
+                # the one release op that reads data (pinned file
+                # sets), so it needs a Spark session
+                keys = [
+                    k.strip()
+                    for k in (args.keys or "").split(",")
+                    if k.strip()
+                ]
+                if not (args.from_release and args.to_release and keys):
+                    print(
+                        "release-row-delta requires --from-release, "
+                        "--to-release and --keys",
+                        file=sys.stderr,
+                    )
+                    return 2
+                from pyspark.sql import functions as F
+
+                from ..session import get_spark
+                from .release import release_row_delta
+
+                spark = get_spark("streampro-lake")
+                delta = release_row_delta(
+                    spark, args.path, args.from_release, args.to_release,
+                    keys,
+                ).cache()
+                try:
+                    counts = {
+                        r["_change"]: r["n"]
+                        for r in delta.groupBy("_change")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                    sample = {
+                        kind: [
+                            {c: row[c] for c in keys}
+                            for row in delta.filter(
+                                F.col("_change") == kind
+                            ).head(args.sample)
+                        ]
+                        for kind in ("removed", "added")
+                    }
+                finally:
+                    delta.unpersist()
+                print(
+                    _json.dumps(
+                        {
+                            "action": "lake-release-row-delta",
+                            "from": args.from_release,
+                            "to": args.to_release,
+                            "keys": keys,
+                            "removed": int(counts.get("removed", 0)),
+                            "added": int(counts.get("added", 0)),
+                            "sample": sample,
                         }
                     )
                 )

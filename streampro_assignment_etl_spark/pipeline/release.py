@@ -543,10 +543,11 @@ def read_table_snapshot(spark, path: str, filesystem=None):
 def release_row_delta(
     spark, path: str, release_a: str, release_b: str, key_cols
 ):
-    """Row-level audit of what changed between two releases: one frame
-    of ``key_cols`` (plus ``_change`` ∈ added/removed), derived from
-    the PINNED file sets so it is exact even after later maintenance
-    (files resolve live-then-retired like ``read_release``).
+    """Row-level audit of what changed between two releases: one row
+    per DISTINCT ``key_cols`` value that entered or left (plus
+    ``_change`` ∈ added/removed), derived from the PINNED file sets so
+    it is exact even after later maintenance (files resolve
+    live-then-retired like ``read_release``).
 
     Scale shape: the manifest diff prunes FIRST — partitions whose
     file sets are identical in both releases cannot contribute a row
@@ -613,17 +614,22 @@ def release_row_delta(
             )
         )
         return zero.withColumn("_change", F.lit("removed")).limit(0)
+    # distinct BEFORE the anti-joins: this is a membership audit, so
+    # the output is one row per key, and the partial (map-side)
+    # aggregate shrinks the shuffle to the key cardinality — a
+    # duplicate-keyed corpus would otherwise emit one 'removed' row
+    # per source ROW and shuffle the whole changed slice
     a = (
-        _resolve_release_frame(spark, path, rels_a, what=release_a).select(
-            *key_cols
-        )
+        _resolve_release_frame(spark, path, rels_a, what=release_a)
+        .select(*key_cols)
+        .distinct()
         if rels_a
         else None
     )
     b = (
-        _resolve_release_frame(spark, path, rels_b, what=release_b).select(
-            *key_cols
-        )
+        _resolve_release_frame(spark, path, rels_b, what=release_b)
+        .select(*key_cols)
+        .distinct()
         if rels_b
         else None
     )

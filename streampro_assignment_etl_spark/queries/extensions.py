@@ -3327,3 +3327,75 @@ def snapshot_isolated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((r["lang"], int(r["n_docs"])) for r in rows),
         "lang string, n_docs long",
     ).orderBy("lang")
+
+
+@query(
+    "release_row_delta_unpruned",
+    tags=("lifecycle", "release"),
+    extra=True,
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id % 97 AS key, doc_id, lang FROM documents
+),
+ml AS (
+  SELECT MIN(lang) AS m FROM documents WHERE doc_id % 89 = 0
+),
+survivors AS (
+  SELECT DISTINCT key FROM keyed, ml
+  WHERE NOT (key = 11 OR (doc_id % 89 = 0 AND lang = m))
+)
+SELECT key, 'removed' AS _change
+FROM (SELECT DISTINCT key FROM keyed) a
+WHERE key NOT IN (SELECT key FROM survivors)
+ORDER BY key
+""",
+)
+def release_row_delta_unpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNPRUNED ``release_row_delta`` fallback under the oracle
+    gate — ADVICE r16 #1's exact failure shape, built to DISTINGUISH
+    the fix: the scratch corpus is lang-partitioned but keyed on a
+    NON-UNIQUE derived key (``doc_id % 97``), so most keys have rows
+    in several partitions. The protected delete removes (a) every row
+    of one whole key and (b) the ``doc_id % 89 = 0`` rows of ONE
+    partition only. Ground truth (the oracle derives it from the
+    data): exactly the keys with no surviving row anywhere — the
+    whole-key takedown, plus any key incidentally confined to the
+    deleted slice. The pre-fix pruned plan read only the CHANGED
+    partitions and therefore also reported keys that merely lost their
+    changed-partition rows while surviving in unchanged partitions —
+    false erasure claims the hash gate now rejects; the sound fallback
+    reads both releases' full pinned file sets."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.release import release_row_delta, snapshot_release
+    from ..pipeline.writers import delete_where
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 97).alias("key"), "doc_id", "lang"
+    )
+    min_lang = (
+        docs.filter(F.col("doc_id") % 89 == 0)
+        .agg(F.min("lang"))
+        .collect()[0][0]
+    )
+    root = tempfile.mkdtemp(prefix="release-unpruned-")
+    try:
+        tbl = f"{root}/corpus"
+        docs.repartition(2, "doc_id").write.partitionBy("lang").parquet(tbl)
+        snapshot_release(tbl, "r1")
+        delete_where(
+            spark,
+            tbl,
+            (F.col("key") == 11)
+            | ((F.col("doc_id") % 89 == 0) & (F.col("lang") == min_lang)),
+            protect_releases=True,
+        )
+        snapshot_release(tbl, "r2")
+        rows = release_row_delta(spark, tbl, "r1", "r2", ["key"]).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((int(r["key"]), r["_change"]) for r in rows),
+        "key long, _change string",
+    ).orderBy("key")

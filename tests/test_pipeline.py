@@ -1836,7 +1836,9 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
     assert ev4["physical_clean"] is True
 
 
-def test_release_row_delta_prunes_only_when_sound(spark, tmp_path, monkeypatch):
+def test_release_row_delta_prunes_only_when_sound(
+    spark, tmp_path, monkeypatch, capsys
+):
     """ADVICE r16 #1: pruning unchanged partitions before the anti-joins
     is only sound when key_cols pin each key to one first-level
     partition. A user deleted from day=d0 but alive in day=d1 must NOT
@@ -1895,6 +1897,31 @@ def test_release_row_delta_prunes_only_when_sound(spark, tmp_path, monkeypatch):
     assert reads and all(
         r.startswith("day=d0/") for call in reads for r in call
     ), f"sound key must read only the changed partition: {reads}"
+
+    # CLI face: one JSON line with counts + sample keys
+    import json as _json
+
+    from streampro_assignment_etl_spark.pipeline.cli import main as _cli
+
+    assert (
+        _cli(
+            ["lake", "release-row-delta", "--path", tbl,
+             "--from-release", "a", "--to-release", "b",
+             "--keys", "user_id,day"]
+        )
+        == 0
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] == 1 and out["added"] == 0
+    assert out["sample"]["removed"] == [{"user_id": 7, "day": "d0"}]
+    # missing --keys refuses
+    assert (
+        _cli(
+            ["lake", "release-row-delta", "--path", tbl,
+             "--from-release", "a", "--to-release", "b"]
+        )
+        == 2
+    )
 
 
 def test_empty_release_read_roundtrip(spark, tmp_path):
