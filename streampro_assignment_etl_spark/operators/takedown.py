@@ -157,7 +157,19 @@ def verify_takedown(
     id-column pages of candidate groups only, and an S3-rooted table
     verifies from a connector-less JVM with the same call that erased
     it. Read-only; costs one membership scan per surface per count
-    (the Spark table scan pushes the literal filter down)."""
+    (the Spark table scan pushes the literal filter down).
+
+    Race behavior vs a concurrent manifest swap (round 17, on purpose
+    NOT a pinned ``read_table_snapshot``): the swap protocol deletes
+    old files only after every replacement is promoted, so a listing
+    taken at any instant covers every live row at least once — a
+    mid-promote evidence scan can therefore only OVER-count residue
+    (a row briefly present in both an old and a promoted file), never
+    under-count it. For an erasure proof that is exactly the safe
+    direction: ``clean``/``physical_clean`` can flip a true claim to
+    a false alarm under a race, never a false clean. (A local
+    whole-directory swap's rename window instead fails the scan
+    loudly — missing table — same safety.) Test-pinned."""
     ids = _normalize_ids(ids, "verify_takedown")
     report: dict = {
         "ids": ids,

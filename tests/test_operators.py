@@ -2801,3 +2801,54 @@ def test_pagerank_l1_early_stop(spark):
     ).collect()
     assert stats2["iters_run"] == 8, stats2
     assert stats2["final_delta"] > 1e-3
+
+
+def test_takedown_evidence_never_undercounts_mid_promote(spark, tmp_path):
+    """Round 17 (documented in verify_takedown's docstring): the
+    manifest-swap protocol deletes old files only after every
+    replacement is promoted, so a torn mid-promote listing can only
+    OVER-count residue — never report an erased subject clean-er than
+    it is. Pins both directions of the safe asymmetry: (a) an ERASED
+    subject stays at zero under a simulated mid-promote state (the
+    doubled files contain no subject rows, so 0 + 0 = 0 — no false
+    clean); (b) an un-erased subject's count can only rise under the
+    same state (false alarm is the legal failure mode)."""
+    import pathlib
+    import shutil as _sh
+
+    from streampro_assignment_etl_spark.operators.takedown import (
+        cascade_takedown,
+        verify_takedown,
+    )
+
+    users = spark.createDataFrame(
+        [(f"user_{i}", i * 10) for i in range(20)],
+        "user_id string, score long",
+    )
+    tbl = str(tmp_path / "users_race")
+    users.repartition(4, "user_id").write.parquet(tbl)
+    cascade_takedown(spark, ["user_7"], tables=((tbl, "user_id"),))
+
+    # simulate the promote window: promoted-looking twins beside every
+    # original (exactly what a listing sees between promote and
+    # delete-olds)
+    root = pathlib.Path(tbl)
+    vis = [
+        p
+        for p in root.rglob("*.parquet")
+        if not any(
+            seg.startswith((".", "_")) for seg in p.relative_to(root).parts
+        )
+    ]
+    for i, p in enumerate(vis):
+        _sh.copy(p, p.parent / f"part-cmp{'0' * 12}-{i}.parquet")
+    assert spark.read.parquet(tbl).count() == 38  # the torn listing doubles
+
+    # (a) erased subject: still zero — a race can never fake a clean
+    # subject dirtier... nor, crucially, a dirty subject clean
+    ev = verify_takedown(spark, ["user_7"], tables=((tbl, "user_id"),))
+    assert ev["tables"][tbl] == 0 and ev["clean"] is True
+
+    # (b) un-erased subject: over-counted (2 ≥ 1), clean=False holds
+    ev2 = verify_takedown(spark, ["user_3"], tables=((tbl, "user_id"),))
+    assert ev2["tables"][tbl] >= 1 and ev2["clean"] is False
