@@ -90,17 +90,50 @@ def recover_staged_swap(path: str) -> bool:
     """Restore a table lost to a hard crash inside ``_staged_swap``'s
     rename window: if ``path`` is missing but a ``.<name>.old-*`` backup
     exists, rename the newest backup back into place. Returns True if a
-    recovery happened. Idempotent; safe to call on healthy tables."""
+    recovery happened. Idempotent; safe to call on healthy tables.
+
+    Debris sweep (round 17 — the two leak windows the restore alone
+    left open, both a full table copy each): a crash AFTER the promote
+    rename but BEFORE backup cleanup leaves a stale ``.<name>.old-*``
+    beside a healthy table (root present ⇒ the swap completed; under
+    the single-writer maintenance contract the backup is dead weight);
+    a crash BEFORE any rename leaves the finished staging write
+    (``.<name>.compact-*`` / ``.merge-*`` / ``.roll-*`` / ``.boot-*`` /
+    ``.scd2-*`` / ``.stage-full-*`` — every ``_staged_swap`` caller's
+    namespace) that nothing will ever promote. Both are swept here —
+    token-validated (the
+    8-hex uuid suffix every swap stamps), so a foreign dot-directory
+    sharing the name shape is never destroyed (the ADVICE r15 #4
+    rule). Restore-before-sweep order matters: when root is MISSING,
+    the newest backup IS the table and is renamed back, never swept."""
+    import re
+
     root = Path(path)
-    if root.exists():
-        return False
-    backups = sorted(
-        root.parent.glob(f".{root.name}.old-*"), key=lambda p: p.stat().st_mtime
+    restored = False
+    if not root.exists():
+        backups = sorted(
+            root.parent.glob(f".{root.name}.old-*"),
+            key=lambda p: p.stat().st_mtime,
+        )
+        if not backups:
+            return False
+        backups[-1].rename(root)
+        restored = True
+    # every _staged_swap caller's namespace: backups plus the staging
+    # kinds (writers: compact/merge/roll; events_stream: boot/scd2/
+    # stage-full; cli scd2: scd2) — all stamped with an 8-hex uuid
+    token = re.compile(
+        rf"^\.{re.escape(root.name)}"
+        rf"\.(old|compact|merge|roll|boot|scd2|stage-full)-[0-9a-f]{{8}}$"
     )
-    if not backups:
-        return False
-    backups[-1].rename(root)
-    return True
+    for p in root.parent.iterdir():
+        if p.is_dir() and token.fullmatch(p.name):
+            # root exists (just restored or never lost): any remaining
+            # backup is post-promote debris, any staging is
+            # pre-promote debris — single-writer contract, same
+            # justification as recover_delete_where's orphan sweep
+            shutil.rmtree(p, ignore_errors=True)
+    return restored
 
 
 def write_parquet(

@@ -1164,7 +1164,11 @@ def test_merge_upsert_duplicate_update_keys(spark, tmp_path):
 
 def test_recover_staged_swap(spark, tmp_path):
     """A hard crash inside the swap's rename window leaves only the
-    hidden backup; recover_staged_swap restores the table."""
+    hidden backup; recover_staged_swap restores the table. Round 17
+    closes the two LEAK windows the restore alone left open — each a
+    full stale table copy: a post-promote crash's leftover backup
+    beside a healthy root, and a pre-rename crash's orphaned staging
+    write. Both sweep token-validated; foreign dot-dirs survive."""
     from streampro_assignment_etl_spark.pipeline.writers import recover_staged_swap
 
     root = tmp_path / "swap_tbl"
@@ -1176,6 +1180,24 @@ def test_recover_staged_swap(spark, tmp_path):
     assert [tuple(r) for r in spark.read.parquet(str(root)).collect()] == [(1, "a")]
     # Idempotent / no-op on a healthy table.
     assert recover_staged_swap(str(root)) is False
+
+    # post-promote crash: stale backup beside a HEALTHY root — swept,
+    # table untouched (pre-r17 this table copy leaked forever)
+    stale = tmp_path / f".{root.name}.old-0badcafe"
+    stale.mkdir()
+    (stale / "part-x.parquet").write_bytes(b"stale")
+    # pre-rename crash: finished staging write nothing will promote
+    orphan = tmp_path / f".{root.name}.compact-deadbee1"
+    orphan.mkdir()
+    (orphan / "part-y.parquet").write_bytes(b"orphan")
+    # foreign dot-dirs: wrong token shape / unknown kind — never touched
+    foreign1 = tmp_path / f".{root.name}.old-notahex!"
+    foreign2 = tmp_path / f".{root.name}.mything-deadbeef"
+    foreign1.mkdir(), foreign2.mkdir()
+    assert recover_staged_swap(str(root)) is False  # nothing restored
+    assert not stale.exists() and not orphan.exists()
+    assert foreign1.exists() and foreign2.exists()
+    assert [tuple(r) for r in spark.read.parquet(str(root)).collect()] == [(1, "a")]
 
 
 def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
