@@ -249,6 +249,8 @@ def stage_remote_tree(
         final = (
             f"{pfx}part-{staged_file_prefix.strip('.')}{token}-{j}.parquet"
         )
+        if pdir:  # a NEW partition's dir doesn't exist yet on a local
+            fs.create_dir(f"{base}/{pdir}", recursive=True)  # fs; no-op on S3
         fs.move(fi.path, f"{base}/{staged}")
         pairs.append((staged, final))
     fs.delete_dir(f"{base}/{stage_rel}")
@@ -282,6 +284,8 @@ def upload_tree_staged(
         pfx = f"{rel_dir}/" if rel_dir not in ("", ".") else ""
         staged = f"{pfx}{staged_file_prefix}{token}-{i}.parquet"
         final = f"{pfx}part-{staged_file_prefix.strip('.')}{token}-{i}.parquet"
+        if pfx:  # a NEW partition's dir doesn't exist yet on a local
+            fs.create_dir(f"{base}/{pfx.rstrip('/')}", recursive=True)
         with open(p, "rb") as src, fs.open_output_stream(
             f"{base}/{staged}"
         ) as dst:

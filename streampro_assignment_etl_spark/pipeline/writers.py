@@ -599,31 +599,52 @@ def merge_upsert(
     keys: tuple[str, ...],
     partition_col: str | None = None,
     protect_releases: bool = False,
+    filesystem=None,
 ) -> dict:
     """Keyed SCD-1 merge into a parquet table: rows in ``updates`` replace
     target rows with the same key; new keys are appended.
 
     The reference pipeline can only overwrite whole ``ingestion_date``
     partitions (raw_to_trusted_processor.py:148-211); late-arriving
-    corrections at 100 TB need a keyed merge. Without a transactional
-    format this is read → anti-join → union → atomic staged swap (same
-    crash-safe rename dance as ``compact_parquet``). The anti-join
-    shuffles on the key columns only; with a partitioned target, pass
-    ``partition_col`` and pre-filter the target read to the partitions
-    present in ``updates`` (partition pruning keeps the rewrite
-    proportional to touched partitions, not table size).
+    corrections at 100 TB need a keyed merge. Two commit routes:
 
-    Retention (VERDICT r16 #5): the whole-table swap replaces EVERY
-    live file, so ``protect_releases=True`` copies each visible file a
-    recorded release still references into the staging tree's
-    ``.retired/`` before the swap — ``read_release`` keeps resolving
-    the pre-merge releases, ``expire_releases`` reclaims them.
-    Previously-parked files always carry across (``_staged_swap``).
-    Default OFF like every maintenance op: an unprotected merge over a
-    release-referenced table warns at cause time and the pinned read
-    fails loudly at read time.
+    * ``partition_col=None`` (local only) — read → anti-join → union →
+      whole-table staged directory swap (same crash-safe rename dance
+      as ``compact_parquet``). O(table) rewrite by construction.
+    * ``partition_col=`` given — the 100 TB shape (round 17; the
+      previous implementation pruned only the ANTI-JOIN and still
+      REWROTE the whole table — measured 5.75 s for a 2M-row table
+      with one touched partition, SCALE.md): only the partitions
+      present in ``updates`` are read, merged, and swapped via the
+      manifest-driven staged file swap (``pipeline/object_swap.py``,
+      ``.mrg-*`` namespace, one entry per touched partition — replay's
+      all-finals gate makes each partition all-or-nothing).
+      UNTOUCHED partitions are untouched BYTES (test-pinned, ETag-
+      pinned on moto), so a one-partition correction to a 100 TB
+      table costs one partition. This route also runs against object
+      stores: an ``s3://`` URI uses the cluster connector, an injected
+      ``filesystem=`` bridges through a driver-local mirror of the
+      touched partitions only (the hermetic-test configuration).
+      Contract: with ``partition_col``, each update row must carry its
+      key's CURRENT partition value — a key "moving" partitions is an
+      insert in the new partition, not a delete in the old (keys are
+      partition-local, the same contract the anti-join prune always
+      implied). Same promote-window isolation caveat as the other
+      manifest swaps; ``read_table_snapshot`` is the racing reader's
+      answer.
 
-    Returns ``{"target_rows_before", "updated", "inserted"}``.
+    Retention (VERDICT r16 #5): ``protect_releases=True`` parks each
+    replaced file a recorded release still references (``.retired/``,
+    recorded in the crash manifest on the partition route; copied into
+    the staging tree before the whole-table swap) — ``read_release``
+    keeps resolving the pre-merge releases, ``expire_releases``
+    reclaims them. Default OFF like every maintenance op: an
+    unprotected merge over a release-referenced table warns at cause
+    time and the pinned read fails loudly at read time.
+
+    Returns ``{"target_rows_before", "updated", "inserted"}``
+    (``target_rows_before`` counts the TOUCHED partitions' rows when
+    ``partition_col`` is given — the rows the merge actually read).
     """
     from pyspark.sql import functions as F
 
@@ -632,56 +653,215 @@ def merge_upsert(
     # updated/inserted accounting below.
     updates = updates.dropDuplicates(list(keys))
 
-    root = require_local_path(target_path, "merge_upsert")
-    visible_rels = [
-        str(p.relative_to(root))
-        for p in root.rglob("*.parquet")
-        if p.is_file()
-        and not any(
-            part.startswith((".", "_")) for part in p.relative_to(root).parts
+    scheme = target_path.split("://", 1)[0] if "://" in target_path else ""
+    is_local = filesystem is None and scheme in ("", "file")
+    if partition_col is None:
+        if not is_local:
+            raise ValueError(
+                "merge_upsert: whole-table merges on object stores are "
+                "not supported — pass partition_col (the partition-"
+                "scoped manifest route), or use the SCD-2 bucketed sink "
+                "for keyed remote upserts"
+            )
+        root = require_local_path(target_path, "merge_upsert")
+        visible_rels = [
+            str(p.relative_to(root))
+            for p in root.rglob("*.parquet")
+            if p.is_file()
+            and not any(
+                part.startswith((".", "_"))
+                for part in p.relative_to(root).parts
+            )
+        ]
+        if not protect_releases:
+            _warn_if_unprotected_breaks_releases(
+                target_path, None, "merge_upsert", visible_rels
+            )
+        target = spark.read.parquet(str(root))
+        before = target.count()
+        kept = target.join(updates.select(*keys), list(keys), "left_anti")
+        kept_n = kept.count()
+        merged = kept.select(*target.columns).unionByName(
+            updates.select(*target.columns)
         )
-    ]
-    if not protect_releases:
-        _warn_if_unprotected_breaks_releases(
-            target_path, None, "merge_upsert", visible_rels
-        )
-    target = spark.read.parquet(str(root))
-    if partition_col is not None:
-        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-        target = target.filter(F.col(partition_col).isin(touched))
-        untouched = spark.read.parquet(str(root)).filter(
-            ~F.col(partition_col).isin(touched)
-        )
-    else:
-        untouched = None
+        staging = root.parent / f".{root.name}.merge-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(str(staging))
+        if protect_releases:
+            from .release import referenced_rels
 
-    before = target.count()
-    kept = target.join(updates.select(*keys), list(keys), "left_anti")
-    kept_n = kept.count()
-    merged = kept.select(*target.columns).unionByName(
-        updates.select(*target.columns)
+            # copies, not moves: the originals must stay live until
+            # the swap lands, so every crash point keeps one complete
+            # table
+            for rel in sorted(
+                referenced_rels(target_path) & set(visible_rels)
+            ):
+                dst = staging / RETIRED_DIR_NAME / rel
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(root / rel, dst)
+        _staged_swap(root, staging)
+        upd = updates.count()
+        updated = before - kept_n
+        return {
+            "target_rows_before": before,
+            "updated": updated,
+            "inserted": upd - updated,
+        }
+    return _merge_upsert_partitioned(
+        spark, target_path, updates, keys, partition_col,
+        protect_releases, filesystem,
     )
-    if untouched is not None:
-        merged = merged.unionByName(untouched.select(*target.columns))
 
-    staging = root.parent / f".{root.name}.merge-{uuid.uuid4().hex[:8]}"
-    w = merged.write.mode("overwrite")
-    if partition_col is not None:
-        w = w.partitionBy(partition_col)
-    w.parquet(str(staging))
 
-    if protect_releases:
-        from .release import referenced_rels
+# object-swap namespace for the partition-scoped merge (see
+# pipeline/object_swap.py for the manifest protocol)
+MRG_MANIFEST_PREFIX = ".mrg-manifest-"
+MRG_STAGED_PREFIX = ".mrg-"
+MRG_STAGE_DIR_PREFIX = ".mrgstage-"
 
-        # copies, not moves: the originals must stay live until the
-        # swap lands, so every crash point keeps one complete table
-        for rel in sorted(referenced_rels(target_path) & set(visible_rels)):
-            dst = staging / RETIRED_DIR_NAME / rel
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            shutil.copy2(root / rel, dst)
 
-    _staged_swap(root, staging)
+def recover_merge_swap(path: str, filesystem=None, _infos=None) -> bool:
+    """Crash recovery for the partition-scoped ``merge_upsert`` swap:
+    replay a committed ``.mrg-manifest-*``, sweep pre-manifest
+    ``.mrg-*`` staged files and ``.mrgstage-*`` staging dirs
+    (token-validated). Run at merge entry and by
+    ``maintain_lake_table``'s tick."""
+    from .object_swap import recover_object_swap
 
+    return recover_object_swap(
+        path,
+        filesystem,
+        manifest_prefix=MRG_MANIFEST_PREFIX,
+        staged_file_prefix=MRG_STAGED_PREFIX,
+        stage_dir_prefix=MRG_STAGE_DIR_PREFIX,
+        _infos=_infos,
+    )
+
+
+def _merge_upsert_partitioned(
+    spark, target_path, updates, keys, partition_col, protect_releases,
+    filesystem,
+) -> dict:
+    """Partition-scoped merge body (see ``merge_upsert``'s docstring
+    for the contract): read ONLY the touched partitions, anti-join,
+    write their replacements to a hidden staging tree, and commit one
+    ``.mrg-manifest-*`` with an entry per touched partition. Spark I/O
+    routes like the compactors': local direct, ``s3://`` via the s3a
+    connector, injected ``filesystem=`` through a driver-local mirror
+    of the touched partitions only."""
+    import shutil as _sh
+    import tempfile
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    from pyspark.sql import functions as F
+
+    from .object_swap import (
+        commit_object_swap,
+        download_rels,
+        stage_remote_tree,
+        upload_tree_staged,
+    )
+
+    fs, base = _pafs_base(target_path, filesystem)
+    recover_merge_swap(target_path, filesystem)
+    infos = _recursive_infos(fs, base)
+    visible = _visible_parquet_files(fs, base, infos)
+    touched = sorted(
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    )
+    bridge = filesystem is not None
+    if not bridge and "://" in target_path:
+        s, rest = target_path.split("://", 1)
+        readable_root = f"s3a://{rest}" if s in ("s3", "s3n") else target_path
+    elif not bridge:
+        readable_root = base
+    token = _uuid.uuid4().hex[:12]
+    scratch = _P(tempfile.mkdtemp(prefix="merge-parts-"))
+    try:
+        # the touched partitions' current files: matched by directory
+        # NAME (Spark's own Hive escaping), derived after the staging
+        # write below; the read prunes via the partition filter
+        if bridge:
+            # mirror only the TOUCHED partitions' files (unquote the
+            # Hive-escaped dir value to match update values robustly)
+            from urllib.parse import unquote
+
+            touched_strs = {str(v) for v in touched}
+            t_rels = [
+                r
+                for r in visible
+                if "/" in r
+                and r.split("/", 1)[0].split("=", 1)[0] == partition_col
+                and unquote(r.split("/", 1)[0].split("=", 1)[1])
+                in touched_strs
+            ]
+            mirror = scratch / "mirror"
+            download_rels(fs, base, t_rels, mirror)
+            readable_root = str(mirror)
+            if not t_rels:
+                # every update targets a NEW partition: nothing to
+                # read, the merge is a pure insert
+                readable_root = None
+        if readable_root is None:
+            target_all = updates.limit(0)
+        else:
+            target_all = spark.read.option(
+                "basePath", readable_root
+            ).parquet(readable_root)
+        target = target_all.filter(F.col(partition_col).isin(touched))
+        before = target.count()
+        kept = target.join(updates.select(*keys), list(keys), "left_anti")
+        kept_n = kept.count()
+        merged = kept.select(*target.columns).unionByName(
+            updates.select(*target.columns)
+        )
+        w = merged.write.mode("overwrite").partitionBy(partition_col)
+        if bridge:
+            out_local = scratch / "out"
+            w.parquet(str(out_local))
+            pairs = upload_tree_staged(
+                fs, base, out_local, token, MRG_STAGED_PREFIX
+            )
+        else:
+            stage_rel = f"{MRG_STAGE_DIR_PREFIX}{token}"
+            w.parquet(f"{readable_root}/{stage_rel}")
+            pairs = stage_remote_tree(
+                fs, base, stage_rel, token, MRG_STAGED_PREFIX
+            )
+        by_new_part: dict[str, list[tuple[str, str]]] = {}
+        for s_, f_ in pairs:
+            by_new_part.setdefault(s_.split("/", 1)[0], []).append((s_, f_))
+        old_by_part: dict[str, list[str]] = {}
+        for rel in visible:
+            if "/" in rel:
+                old_by_part.setdefault(rel.split("/", 1)[0], []).append(rel)
+        doomed_rels = [
+            r for p in by_new_part for r in old_by_part.get(p, [])
+        ]
+        protected: set = set()
+        if protect_releases:
+            from .release import referenced_rels
+
+            protected = referenced_rels(target_path, filesystem)
+        else:
+            _warn_if_unprotected_breaks_releases(
+                target_path, filesystem, "merge_upsert", doomed_rels
+            )
+        entries = []
+        for p, prs in sorted(by_new_part.items()):
+            olds = old_by_part.get(p, [])
+            entries.append(
+                {
+                    "partition": p,
+                    "old": sorted(set(olds) - protected),
+                    "retire": sorted(set(olds) & protected),
+                    "staged": [s_ for s_, _ in prs],
+                    "final": [f_ for _, f_ in prs],
+                }
+            )
+        commit_object_swap(fs, base, entries, token, MRG_MANIFEST_PREFIX)
+    finally:
+        _sh.rmtree(scratch, ignore_errors=True)
     upd = updates.count()
     updated = before - kept_n
     return {
@@ -1313,14 +1493,22 @@ def maintain_lake_table(
     out["delete_recovered"] = recover_delete_where(
         path, filesystem=filesystem, _infos=infos
     )
-    # the two recoveries own disjoint namespaces (.del-*/.tmp-delete-
-    # vs .cmp-*), so they can safely replay from the same listing;
-    # local tables need the .cmp- sweep too since partition-scoped
-    # compaction commits through the manifest swap on both stores
+    # the recoveries own disjoint namespaces (.del-*/.tmp-delete- vs
+    # .cmp-* vs .mrg-*), so they can safely replay from the same
+    # listing; local tables need the .cmp-/.mrg- sweeps too since
+    # partition-scoped compaction AND the partition-scoped merge
+    # commit through the manifest swap on both stores
     out["compact_swap_recovered"] = recover_compact_object_swap(
         path, filesystem, _infos=infos
     )
-    changed = out["delete_recovered"] or out["compact_swap_recovered"]
+    out["merge_swap_recovered"] = recover_merge_swap(
+        path, filesystem, _infos=infos
+    )
+    changed = (
+        out["delete_recovered"]
+        or out["compact_swap_recovered"]
+        or out["merge_swap_recovered"]
+    )
     if changed:
         infos = _recursive_infos(fs, base)
     files = len(_visible_parquet_files(fs, base, infos))
