@@ -1575,7 +1575,10 @@ def test_writers_reject_object_store_uris(spark, tmp_path):
     silently compacting-to-one-file / overwriting. (compact_parquet
     left this list in round 16 — an object-store URI now ROUTES to the
     manifest-swap remote compaction instead of raising; moto tests pin
-    that path. The keyed merge/rollup writers remain local-only.)"""
+    that path. Round 17: merge_upsert's PARTITIONED route went remote
+    the same way, so only the whole-table merge and the rollup writer
+    remain local-only — the whole-table refusal names the partitioned
+    alternative.)"""
     from streampro_assignment_etl_spark.pipeline.writers import (
         incremental_rollup,
         merge_upsert,
@@ -1585,7 +1588,7 @@ def test_writers_reject_object_store_uris(spark, tmp_path):
     )
 
     df = spark.range(3)
-    with pytest.raises(ValueError, match="local filesystem path"):
+    with pytest.raises(ValueError, match="partition_col"):
         merge_upsert(spark, "hdfs://nn/table", df, ("id",))
     with pytest.raises(ValueError, match="local filesystem path"):
         incremental_rollup(spark, "s3://bucket/rollup", df, ("id",), {"n": ("count", "id")})
