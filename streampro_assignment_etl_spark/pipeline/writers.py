@@ -1453,9 +1453,13 @@ def maintain_lake_table(
 
     1. ``recover_staged_swap`` — a table lost to a hard crash inside
        any staged swap (compaction, merge, rollup) is restored from
-       its ``.old-*`` backup before anything reads it;
+       its ``.old-*`` backup before anything reads it (and the two
+       stale-copy leak windows — post-promote backups, orphaned
+       staging writes — are swept, r17);
     2. ``recover_delete_where`` — crashed takedown manifests replayed,
-       orphan ``.del-*`` staging debris swept;
+       orphan ``.del-*`` staging debris swept; likewise
+       ``recover_compact_object_swap`` (``.cmp-*``) and
+       ``recover_merge_swap`` (``.mrg-*``) off the same listing;
     3. ``compact_parquet`` — ONLY when the healed table's visible file
        count exceeds ``max_files`` (compaction is pure IO proportional
        to table size; the threshold keeps the idle tick cheap, same
