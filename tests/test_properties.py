@@ -1351,3 +1351,70 @@ def test_release_pin_exact_or_loud_under_any_maintenance(
             for r in read_release(spark, tbl, "r1").select("id", "day").collect()
         )
         assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_partitioned_merge_equals_filter_union_semantics(
+    spark, tmp_path_factory, data
+):
+    """The round-17 partition-scoped merge route must implement exactly
+    the keyed-merge semantics the whole-table route always had, for
+    random tables and update batches: the merged table equals
+    ``target − {rows in a TOUCHED partition whose key appears in
+    updates} ∪ updates`` (keys are partition-local by contract — a row
+    of the same key in an untouched partition survives), new
+    partitions are pure inserts, untouched partitions keep their exact
+    rows, and re-running the same merge converges to the same table."""
+    from pyspark.sql import functions as F
+
+    from streampro_assignment_etl_spark.pipeline.writers import merge_upsert
+
+    n = data.draw(st.integers(min_value=4, max_value=40), label="rows")
+    n_parts = data.draw(st.integers(min_value=1, max_value=4), label="parts")
+    rows = [
+        (i, f"d{data.draw(st.integers(0, n_parts - 1))}", i * 10)
+        for i in range(n)
+    ]
+    tbl = str(tmp_path_factory.mktemp("mrgprop") / "t")
+    df = spark.createDataFrame(rows, "id long, day string, val long")
+    df.repartition(data.draw(st.integers(1, 3), label="shards")).write.partitionBy(
+        "day"
+    ).parquet(tbl)
+
+    n_upd = data.draw(st.integers(min_value=1, max_value=8), label="n_upd")
+    upd_rows = []
+    for j in range(n_upd):
+        # ids may hit existing keys or be new; days may hit existing
+        # partitions or name a brand-new one
+        uid = data.draw(st.integers(min_value=0, max_value=n + 10), label=f"u{j}")
+        uday = f"d{data.draw(st.integers(0, n_parts), label=f'ud{j}')}"
+        upd_rows.append((uid, uday, 7777))
+    updates = spark.createDataFrame(
+        upd_rows, "id long, day string, val long"
+    ).dropDuplicates(["id"])
+
+    touched = {r["day"] for r in updates.select("day").distinct().collect()}
+    upd_keys = {r["id"] for r in updates.collect()}
+    expect = sorted(
+        [
+            t
+            for t in rows
+            if not (t[1] in touched and t[0] in upd_keys)
+        ]
+        + [tuple(r) for r in updates.collect()]
+    )
+
+    merge_upsert(spark, tbl, updates, keys=("id",), partition_col="day")
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(tbl).select("id", "day", "val").collect()
+    )
+    assert got == expect
+    # convergent: the same merge again changes nothing
+    merge_upsert(spark, tbl, updates, keys=("id",), partition_col="day")
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(tbl).select("id", "day", "val").collect()
+    )
+    assert got2 == expect
