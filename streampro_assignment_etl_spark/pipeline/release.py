@@ -244,11 +244,17 @@ def snapshot_release(
         )
     infos = _recursive_infos(fs, base)
     # An unreplayed swap manifest (crashed — or worse, in-flight —
-    # delete_where / compaction / SCD-2 swap) means the visible file
-    # set is MID-TRANSITION: snapshotting now could record old and new
-    # files together and stamp a release fingerprint no consistent
-    # table ever had. Refuse loudly; the maintenance tick's entry
-    # recovery (or the racing writer finishing) clears it.
+    # delete_where / compaction / SCD-2 / partition-scoped merge swap)
+    # means the visible file set is MID-TRANSITION: snapshotting now
+    # could record old and new files together and stamp a release
+    # fingerprint no consistent table ever had. Refuse loudly; the
+    # maintenance tick's entry recovery (or the racing writer
+    # finishing) clears it. Every manifest namespace a writer can
+    # commit must appear here — a namespace this guard misses lets a
+    # release record exactly the inconsistent state it exists to
+    # refuse.
+    from .writers import MRG_MANIFEST_PREFIX
+
     pending = sorted(
         i.base_name
         for i in infos
@@ -258,6 +264,7 @@ def snapshot_release(
             i.base_name.startswith(".delete-manifest-")
             or ".scd2-manifest-" in i.base_name
             or ".cmp-manifest-" in i.base_name
+            or MRG_MANIFEST_PREFIX in i.base_name
         )
     )
     if pending:

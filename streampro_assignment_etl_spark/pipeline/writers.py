@@ -86,7 +86,7 @@ def _staged_swap(root: Path, staging: Path) -> None:
     shutil.rmtree(backup)
 
 
-def recover_staged_swap(path: str) -> bool:
+def recover_staged_swap(path: str, grace_s: float = 900.0) -> bool:
     """Restore a table lost to a hard crash inside ``_staged_swap``'s
     rename window: if ``path`` is missing but a ``.<name>.old-*`` backup
     exists, rename the newest backup back into place. Returns True if a
@@ -105,8 +105,22 @@ def recover_staged_swap(path: str) -> bool:
     8-hex uuid suffix every swap stamps), so a foreign dot-directory
     sharing the name shape is never destroyed (the ADVICE r15 #4
     rule). Restore-before-sweep order matters: when root is MISSING,
-    the newest backup IS the table and is renamed back, never swept."""
+    the newest backup IS the table and is renamed back, never swept.
+
+    Grace window (round 18, ADVICE r17 #3): the sweep SKIPS any debris
+    dir modified within the last ``grace_s`` seconds (default 15 min).
+    The sweep's justification is the single-writer maintenance
+    contract, but a maintenance tick racing a concurrent writer's
+    in-flight ``_staged_swap`` would otherwise rmtree the live staging
+    mid-write and fail that swap — a fresh mtime means someone may
+    still be writing; genuinely crashed debris ages past the window
+    and the next tick reclaims it. ``grace_s=0`` restores the eager
+    sweep (tests). The bucketed SCD-2 sink's bare ``.<name>.stage-*``
+    dirs are NOT this sweep's namespace — ``_recover_scd2_buckets``
+    (events_stream) owns their recovery at the top of every merge
+    batch."""
     import re
+    import time
 
     root = Path(path)
     restored = False
@@ -126,8 +140,14 @@ def recover_staged_swap(path: str) -> bool:
         rf"^\.{re.escape(root.name)}"
         rf"\.(old|compact|merge|roll|boot|scd2|stage-full)-[0-9a-f]{{8}}$"
     )
+    now = time.time()
     for p in root.parent.iterdir():
         if p.is_dir() and token.fullmatch(p.name):
+            try:
+                if now - p.stat().st_mtime < grace_s:
+                    continue  # possibly an in-flight writer's staging
+            except OSError:
+                continue  # vanished mid-scan: the owner is live
             # root exists (just restored or never lost): any remaining
             # backup is post-promote debris, any staging is
             # pre-promote debris — single-writer contract, same
@@ -592,6 +612,74 @@ def compact_fragmented_partitions(
     return out
 
 
+def resolve_update_duplicates(
+    updates: "DataFrame", keys, order_by: str | None = None
+) -> "DataFrame":
+    """Collapse an update batch to ONE row per key, deterministically
+    (VERDICT r17 #2 — the old ``dropDuplicates(keys)`` picked an
+    arbitrary winner among conflicting same-key rows, so re-running
+    the same merge under at-least-once upstream delivery could produce
+    different tables). Exact full-row duplicates are always safe to
+    collapse; beyond that:
+
+    * ``order_by=None`` (default) — REFUSE conflicting duplicates
+      (same key, differing non-key columns) loudly: the batch is
+      ambiguous and no silent pick is correct.
+    * ``order_by=<col>`` — take the greatest ``(order_by, *rest)``
+      per key: a total order over the whole row, so ties on
+      ``order_by`` still resolve identically on every run.
+
+    Shared by ``merge_upsert`` and the streaming SCD-1 sink's
+    bootstrap batch (events_stream.run_stream_upsert) so batch 0 and
+    batch N obey the same contract. Costs one bounded aggregation over
+    the (small) update batch on the refusal path."""
+    from pyspark.sql import functions as F
+
+    updates = updates.dropDuplicates()
+    if order_by is not None:
+        if order_by in keys:
+            raise ValueError(
+                f"merge_upsert: order_by={order_by!r} is a key column — "
+                f"it cannot order rows within a key"
+            )
+        if order_by not in updates.columns:
+            raise ValueError(
+                f"merge_upsert: order_by={order_by!r} is not a column of "
+                f"the updates frame {updates.columns}"
+            )
+        rest = [c for c in updates.columns if c not in keys and c != order_by]
+        orig_cols = list(updates.columns)
+        return (
+            updates.groupBy(*keys)
+            .agg(F.max(F.struct(order_by, *rest)).alias("_pick"))
+            .select(
+                *keys,
+                *[
+                    F.col("_pick").getField(c).alias(c)
+                    for c in [order_by, *rest]
+                ],
+            )
+            .select(*orig_cols)
+        )
+    conflicts = (
+        updates.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(3)
+        .collect()
+    )
+    if conflicts:
+        sample = [tuple(r[k] for k in keys) for r in conflicts]
+        raise ValueError(
+            f"merge_upsert: updates carry CONFLICTING rows for the "
+            f"same key (e.g. keys {sample}) — the batch is ambiguous "
+            f"and any silent pick would be nondeterministic across "
+            f"re-runs; pass order_by=<column> to resolve "
+            f"deterministically (greatest wins) or dedupe upstream"
+        )
+    return updates
+
+
 def merge_upsert(
     spark,
     target_path: str,
@@ -600,6 +688,7 @@ def merge_upsert(
     partition_col: str | None = None,
     protect_releases: bool = False,
     filesystem=None,
+    order_by: str | None = None,
 ) -> dict:
     """Keyed SCD-1 merge into a parquet table: rows in ``updates`` replace
     target rows with the same key; new keys are appended.
@@ -642,16 +731,25 @@ def merge_upsert(
     unprotected merge over a release-referenced table warns at cause
     time and the pinned read fails loudly at read time.
 
+    Duplicate-key policy (round 18): exact full-row duplicates in
+    ``updates`` collapse silently; CONFLICTING duplicates (same key,
+    differing non-key columns) raise unless ``order_by=<column>`` names
+    a non-key column, in which case the greatest ``(order_by, *rest)``
+    row wins — a total order, so re-running the identical merge always
+    produces the identical table.
+
     Returns ``{"target_rows_before", "updated", "inserted"}``
     (``target_rows_before`` counts the TOUCHED partitions' rows when
     ``partition_col`` is given — the rows the merge actually read).
     """
     from pyspark.sql import functions as F
 
-    # One row per key: duplicate keys in `updates` would both corrupt
+    # One row per key — duplicate keys in `updates` would both corrupt
     # the merged table (two rows for one key) and break the
-    # updated/inserted accounting below.
-    updates = updates.dropDuplicates(list(keys))
+    # updated/inserted accounting below. Policy in
+    # resolve_update_duplicates (VERDICT r17 #2): deterministic or
+    # loud, never an arbitrary pick.
+    updates = resolve_update_duplicates(updates, keys, order_by)
 
     scheme = target_path.split("://", 1)[0] if "://" in target_path else ""
     is_local = filesystem is None and scheme in ("", "file")
@@ -766,6 +864,21 @@ def _merge_upsert_partitioned(
     recover_merge_swap(target_path, filesystem)
     infos = _recursive_infos(fs, base)
     visible = _visible_parquet_files(fs, base, infos)
+    # A partitioned merge swaps whole first-level partition dirs; a
+    # stray ROOT-level parquet file belongs to no partition, so it
+    # would silently survive beside the merged data — and if it holds
+    # rows for a touched key, the table ends up with a duplicate key
+    # nothing ever reads consistently. No writer in this repo produces
+    # that layout; refuse it loudly rather than merge around it
+    # (VERDICT r17 nit).
+    stray = sorted(r for r in visible if "/" not in r)
+    if stray:
+        raise ValueError(
+            f"merge_upsert: {target_path!r} has root-level parquet files "
+            f"{stray[:5]} outside any {partition_col}= partition dir — a "
+            f"partition-scoped merge cannot account for them; compact "
+            f"the table into partition dirs first"
+        )
     touched = sorted(
         r[0] for r in updates.select(partition_col).distinct().collect()
     )
@@ -802,7 +915,14 @@ def _merge_upsert_partitioned(
                 # every update targets a NEW partition: nothing to
                 # read, the merge is a pure insert
                 readable_root = None
-        if readable_root is None:
+        if readable_root is None or not visible:
+            # bridge: every update targets a new partition (above);
+            # non-bridge: target exists but has ZERO visible parquet
+            # files (pre-created empty table / first merge), where
+            # reading the bare root raises "unable to infer schema" —
+            # either way the merge is a pure insert (ADVICE r17 #2;
+            # readable_root stays set because the non-bridge staging
+            # write below roots at it).
             target_all = updates.limit(0)
         else:
             target_all = spark.read.option(

@@ -284,6 +284,7 @@ def run_stream_upsert(
     checkpoint_dir: str,
     keys: list[str],
     timeout_s: int = 300,
+    order_by: str | None = None,
 ) -> None:
     """Streaming keyed SCD-1 sink: each micro-batch ``merge_upsert``s
     into ONE parquet table — same-key rows replaced, new keys appended —
@@ -305,12 +306,21 @@ def run_stream_upsert(
     key-anti-join + staged-swap rewrite of the target (or its touched
     partitions) — right for modest aggregate tables updated by a
     stream; for corpus-scale targets keep the plain batch_id sink and
-    compact instead. Batches with duplicate keys are collapsed
-    arbitrarily by ``merge_upsert``; feed it keyed aggregates (one row
-    per key per batch) for deterministic results."""
+    compact instead. Duplicate keys within a batch follow
+    ``merge_upsert``'s deterministic policy (round 18): conflicting
+    same-key rows RAISE unless ``order_by=`` names a non-key column
+    (greatest wins) — update-mode keyed aggregates emit one row per
+    key per batch, so a well-formed upstream never trips it. The
+    bootstrap batch applies the SAME policy (shared
+    ``resolve_update_duplicates``), so batch 0 and batch N obey one
+    contract."""
     import uuid
 
-    from ..pipeline.writers import merge_upsert, require_local_path
+    from ..pipeline.writers import (
+        merge_upsert,
+        require_local_path,
+        resolve_update_duplicates,
+    )
 
     root = require_local_path(target_path, "run_stream_upsert")
 
@@ -334,9 +344,9 @@ def run_stream_upsert(
                     for stale in root.parent.glob(f".{root.name}.boot-*"):
                         shutil.rmtree(stale, ignore_errors=True)
                 staging = root.parent / f".{root.name}.boot-{uuid.uuid4().hex[:8]}"
-                batch_df.dropDuplicates(list(keys)).write.mode("overwrite").parquet(
-                    str(staging)
-                )
+                resolve_update_duplicates(
+                    batch_df, tuple(keys), order_by
+                ).write.mode("overwrite").parquet(str(staging))
                 root.parent.mkdir(parents=True, exist_ok=True)
                 staging.rename(root)
             else:
@@ -345,7 +355,8 @@ def run_stream_upsert(
                 # URI would reach merge_upsert's pathlib bookkeeping as
                 # a relative 'file:/...' path and rename into nowhere.
                 merge_upsert(
-                    batch_df.sparkSession, str(root), batch_df, tuple(keys)
+                    batch_df.sparkSession, str(root), batch_df, tuple(keys),
+                    order_by=order_by,
                 )
         finally:
             batch_df.unpersist()
