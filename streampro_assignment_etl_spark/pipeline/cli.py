@@ -185,6 +185,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "maintain",
             "drop-partitions",
+            "merge",
+            "audit-locality",
             "release-snapshot",
             "release-diff",
             "release-row-delta",
@@ -209,9 +211,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     lk.add_argument(
         "--keys",
-        help="release-row-delta: comma-separated key columns (include "
-        "the partition column to get the pruned plan; without it the "
+        help="release-row-delta / merge / audit-locality: comma-"
+        "separated key columns (for release-row-delta include the "
+        "partition column to get the pruned plan; without it the "
         "delta reads both releases' full pinned file sets)",
+    )
+    lk.add_argument(
+        "--updates",
+        help="merge: parquet path of the update rows (same schema as "
+        "the target)",
+    )
+    lk.add_argument(
+        "--order-by",
+        help="merge: non-key column resolving conflicting same-key "
+        "update rows deterministically (greatest wins); without it "
+        "conflicting duplicates refuse loudly",
     )
     lk.add_argument(
         "--sample",
@@ -706,6 +720,76 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                     {
                         "action": "lake-release-list",
                         "releases": list_releases(args.path),
+                    }
+                )
+            )
+            return 0
+
+        if args.action == "merge":
+            # keyed SCD-1 correction into a parquet table; with
+            # --partition-col the O(touched-partitions) manifest route
+            from ..session import get_spark
+            from .writers import merge_upsert
+
+            keys = [
+                k.strip() for k in (args.keys or "").split(",") if k.strip()
+            ]
+            if not (args.updates and keys):
+                print(
+                    "lake merge requires --updates and --keys",
+                    file=sys.stderr,
+                )
+                return 2
+            spark = get_spark("streampro-lake")
+            out = merge_upsert(
+                spark,
+                args.path,
+                spark.read.parquet(args.updates),
+                keys=tuple(keys),
+                partition_col=args.partition_col,
+                protect_releases=args.protect_releases,
+                order_by=args.order_by,
+            )
+            print(_json.dumps({"action": "lake-merge", **out}))
+            return 0
+
+        if args.action == "audit-locality":
+            # after-the-fact check of the merge's partition-locality
+            # contract: keys living in >1 first-level partition
+            from ..session import get_spark
+            from .writers import audit_key_partition_locality
+
+            keys = [
+                k.strip() for k in (args.keys or "").split(",") if k.strip()
+            ]
+            if not (keys and args.partition_col):
+                print(
+                    "lake audit-locality requires --keys and "
+                    "--partition-col",
+                    file=sys.stderr,
+                )
+                return 2
+            spark = get_spark("streampro-lake")
+            df = audit_key_partition_locality(
+                spark, args.path, tuple(keys), args.partition_col
+            ).cache()
+            try:
+                n = df.count()
+                sample = [
+                    {
+                        **{c: row[c] for c in keys},
+                        "n_partitions": int(row["n_partitions"]),
+                    }
+                    for row in df.head(args.sample)
+                ]
+            finally:
+                df.unpersist()
+            print(
+                _json.dumps(
+                    {
+                        "action": "lake-audit-locality",
+                        "violating_keys": int(n),
+                        "sample": sample,
                     }
                 )
             )

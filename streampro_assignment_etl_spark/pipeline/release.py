@@ -412,16 +412,76 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
     the right ``basePath`` so Hive partition columns re-attach, then a
     union). A file found in NEITHER place — maintenance ran
     unprotected, or ``expire_releases`` reclaimed it — fails the read
-    loudly, never silently returns a subset. ``filesystem`` targets
-    only work where Spark can also read the store (the connector
-    route — the injected-filesystem configuration has no
-    Spark-readable URI and raises)."""
+    loudly, never silently returns a subset.
+
+    Injected ``filesystem=`` targets (round 18 — symmetry with
+    ``read_table_snapshot``'s bridge route): no Spark-readable URI
+    exists, so the recorded rels are resolved live-then-retired off
+    ONE listing and MIRRORED driver-locally (retired twins land at
+    their ORIGINAL rel path in the mirror, so Hive partition columns
+    re-attach without the union dance), then read from the mirror.
+    O(release bytes) of driver I/O — right for the hermetic/moto
+    lakes the bridge serves; a real object store should pass the
+    ``s3://`` URI (zero-copy explicit-path pin). The missing-file
+    loud-fail is identical: resolution happens before any download."""
+    import pyarrow.fs as pafs
+
     if filesystem is not None:
-        raise ValueError(
-            "read_release: an injected filesystem has no Spark-readable "
-            "URI — use a path/URI target (connector route), or mirror "
-            "the release's files locally and read that"
+        import atexit
+        import shutil as _sh
+        import tempfile
+        from pathlib import Path as _P
+
+        from .object_swap import download_rels
+
+        man = load_release(path, release_id, filesystem)
+        rels = sorted(
+            f["path"] for p in man["partitions"].values() for f in p["files"]
         )
+        fs, base = _pafs_base(path, filesystem)
+        if not rels:
+            seed = _visible_parquet_files(fs, base)[:1]
+            if not seed:
+                raise ValueError(
+                    f"release {release_id!r} of {path!r} is empty and "
+                    f"the table currently has no files to borrow a "
+                    f"schema from — an empty release is diff-only until "
+                    f"the table has data"
+                )
+            rels, empty = seed, True
+        else:
+            empty = False
+        present = {
+            i.path[len(base) + 1 :]
+            for i in _recursive_infos(fs, base)
+            if i.type == pafs.FileType.File
+        }
+        live = [r for r in rels if r in present]
+        retired = [
+            r
+            for r in rels
+            if r not in set(live) and f"{RETIRED_DIR}/{r}" in present
+        ]
+        missing = sorted(set(rels) - set(live) - set(retired))
+        if missing:
+            raise FileNotFoundError(
+                f"read_release: release {release_id!r} names file(s) "
+                f"that exist neither live nor retired (unprotected "
+                f"maintenance, or expire_releases reclaimed them): "
+                f"{missing[:5]}"
+            )
+        mirror = _P(tempfile.mkdtemp(prefix="release-mirror-"))
+        atexit.register(_sh.rmtree, mirror, ignore_errors=True)
+        download_rels(fs, base, live, mirror)
+        # retired twins download AS their original rel so the Hive
+        # partition value re-attaches from the mirrored dir name
+        for r in retired:
+            download_rels(fs, f"{base}/{RETIRED_DIR}", [r], mirror)
+        df = spark.read.option("basePath", str(mirror)).parquet(
+            *[str(mirror / r) for r in rels]
+        )
+        return df.limit(0) if empty else df
+
     man = load_release(path, release_id)
     rels = sorted(
         f["path"] for p in man["partitions"].values() for f in p["files"]
