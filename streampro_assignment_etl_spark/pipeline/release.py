@@ -475,8 +475,7 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
         download_rels(fs, base, live, mirror)
         # retired twins download AS their original rel so the Hive
         # partition value re-attaches from the mirrored dir name
-        for r in retired:
-            download_rels(fs, f"{base}/{RETIRED_DIR}", [r], mirror)
+        download_rels(fs, f"{base}/{RETIRED_DIR}", retired, mirror)
         df = spark.read.option("basePath", str(mirror)).parquet(
             *[str(mirror / r) for r in rels]
         )
