@@ -192,11 +192,21 @@ def build_parser() -> argparse.ArgumentParser:
             "release-row-delta",
             "release-list",
             "release-expire",
+            "release-verify",
         ],
     )
     lk.add_argument("--path", required=True, help="Table root dir")
     lk.add_argument(
-        "--release-id", help="release-snapshot: id to record (immutable)"
+        "--release-id",
+        help="release-snapshot: id to record (immutable); "
+        "release-verify: id to fsck",
+    )
+    lk.add_argument(
+        "--check-rows",
+        action="store_true",
+        help="release-verify: also re-read each resolved file's parquet "
+        "footer and compare row counts (KB per file; the size check "
+        "alone already catches deletion and truncation)",
     )
     lk.add_argument(
         "--notes", default="", help="release-snapshot: free-form annotation"
@@ -619,6 +629,21 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 )
                 print(_json.dumps({"action": "lake-release-expire", **out}))
                 return 0
+
+            if args.action == "release-verify":
+                from .release import verify_release
+
+                if not args.release_id:
+                    print(
+                        "release-verify requires --release-id",
+                        file=sys.stderr,
+                    )
+                    return 2
+                out = verify_release(
+                    args.path, args.release_id, check_rows=args.check_rows
+                )
+                print(_json.dumps({"action": "lake-release-verify", **out}))
+                return 0 if out["ok"] else 1
 
             if args.action == "release-snapshot":
                 if not args.release_id:

@@ -742,6 +742,84 @@ def release_row_delta(
     return removed.unionByName(added)
 
 
+def verify_release(
+    path: str,
+    release_id: str,
+    filesystem=None,
+    check_rows: bool = False,
+) -> dict:
+    """Integrity fsck of a recorded release — audit the audit layer.
+    ``read_release`` fails loudly at READ time when a pinned file is
+    gone; this is the cheap PROACTIVE check an operator schedules so
+    unprotected maintenance, expiry mistakes, or plain bit-rot surface
+    before a training job trips over them. For every file the manifest
+    records: resolve live-then-``.retired/`` off ONE listing, compare
+    the observed byte size against the recorded one, and (opt-in,
+    ``check_rows=True``) re-read each resolved file's parquet FOOTER
+    and compare row counts — footers only, never data pages, so even
+    the row check is KB per file. Returns
+    ``{"ok", "files", "live", "retired", "missing",
+    "size_mismatches", "row_mismatches"}``; ``ok`` is True only when
+    every file resolves with the recorded size (and rows, if checked).
+
+    Scale shape: one recursive listing + manifest arithmetic; the
+    optional footer pass is O(files) driver reads of the last few KB
+    each — for a million-file release run it rarely (or shard by
+    partition); the size check alone already catches truncation and
+    deletion, the common corruptions."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    man = load_release(path, release_id, filesystem)
+    fs, base = _pafs_base(path, filesystem)
+    sizes = {
+        i.path[len(base) + 1 :]: i.size
+        for i in _recursive_infos(fs, base)
+        if i.type == pafs.FileType.File
+    }
+    live, retired, missing = [], [], []
+    size_mismatches, row_mismatches = [], []
+    for part in man["partitions"].values():
+        for f in part["files"]:
+            rel = f["path"]
+            if rel in sizes:
+                resolved, where = rel, live
+            elif f"{RETIRED_DIR}/{rel}" in sizes:
+                resolved, where = f"{RETIRED_DIR}/{rel}", retired
+            else:
+                missing.append(rel)
+                continue
+            where.append(rel)
+            got = int(sizes[resolved])
+            if got != int(f["bytes"]):
+                size_mismatches.append(
+                    {"path": rel, "recorded": int(f["bytes"]), "found": got}
+                )
+                continue  # a size mismatch already damns the file
+            if check_rows:
+                with fs.open_input_file(f"{base}/{resolved}") as h:
+                    rows = pq.ParquetFile(h).metadata.num_rows
+                if int(rows) != int(f["rows"]):
+                    row_mismatches.append(
+                        {
+                            "path": rel,
+                            "recorded": int(f["rows"]),
+                            "found": int(rows),
+                        }
+                    )
+    return {
+        "release": str(release_id),
+        "ok": not (missing or size_mismatches or row_mismatches),
+        "files": int(man["total_files"]),
+        "live": len(live),
+        "retired": len(retired),
+        "missing": sorted(missing),
+        "size_mismatches": size_mismatches,
+        "row_mismatches": row_mismatches,
+        "rows_checked": bool(check_rows),
+    }
+
+
 def diff_releases(man_a: dict, man_b: dict) -> dict:
     """Exact partition-level diff of two release manifests (A → B):
     ``added`` (in B only), ``removed`` (in A only), ``rewritten``

@@ -1386,6 +1386,83 @@ def test_read_table_snapshot_bridge_races_promote_window(
     assert snap.count() == 500
 
 
+def test_verify_release_fsck(spark, tmp_path, capsys):
+    """Round 18: verify_release is the proactive integrity fsck of the
+    audit layer — read_release fails loudly at read time; this reports
+    the damage BEFORE a training job trips over it. Pins: all-live ok;
+    protected maintenance resolves retired and stays ok; a truncated
+    parked file = size mismatch; a manifest/footer row disagreement =
+    row mismatch (only with check_rows=True); unprotected maintenance
+    = missing files; the CLI face exits 0 ok / 1 damaged."""
+    import json as _json
+    import pathlib
+
+    from streampro_assignment_etl_spark.pipeline.cli import main
+    from streampro_assignment_etl_spark.pipeline.release import (
+        snapshot_release,
+        verify_release,
+    )
+    from streampro_assignment_etl_spark.pipeline.writers import delete_where
+
+    tbl = str(tmp_path / "fsck_t")
+    spark.range(0, 300).selectExpr("id", "id % 3 AS day").repartition(
+        2
+    ).write.partitionBy("day").parquet(tbl)
+    snapshot_release(tbl, "r1")
+
+    out = verify_release(tbl, "r1", check_rows=True)
+    assert out["ok"] is True and out["missing"] == []
+    assert out["live"] == out["files"] and out["retired"] == 0
+
+    # protected delete parks referenced files: still ok, retired > 0
+    delete_where(spark, tbl, F.col("id") % 5 == 0, protect_releases=True)
+    out = verify_release(tbl, "r1", check_rows=True)
+    assert out["ok"] is True and out["retired"] > 0
+    assert out["live"] + out["retired"] == out["files"]
+
+    # truncate one parked file: the size check catches it
+    root = pathlib.Path(tbl)
+    parked = next((root / ".retired").rglob("*.parquet"))
+    parked.write_bytes(parked.read_bytes()[:100])
+    out = verify_release(tbl, "r1")
+    assert out["ok"] is False and len(out["size_mismatches"]) == 1
+    assert out["size_mismatches"][0]["found"] == 100
+
+    # rows disagree while size matches (tampered manifest stands in
+    # for a same-size content swap): only check_rows sees it
+    tbl2 = str(tmp_path / "fsck_t2")
+    spark.range(0, 50).selectExpr("id").coalesce(1).write.parquet(tbl2)
+    snapshot_release(tbl2, "r1")
+    mpath = tmp_path / ".fsck_t2.releases" / "release-r1.json"
+    man = _json.loads(mpath.read_text())
+    first = next(iter(man["partitions"].values()))["files"][0]
+    first["rows"] += 1
+    mpath.write_text(_json.dumps(man))
+    assert verify_release(tbl2, "r1")["ok"] is True  # size still matches
+    out = verify_release(tbl2, "r1", check_rows=True)
+    assert out["ok"] is False and len(out["row_mismatches"]) == 1
+
+    # on tbl the parked copies survive even a later UNPROTECTED delete
+    # (retention roots carry across swaps — r17), so recorded files
+    # only go MISSING when maintenance ran unprotected with nothing
+    # parked: a fresh table, snapshot, then an unprotected rewrite
+    tbl3 = str(tmp_path / "fsck_t3")
+    spark.range(0, 100).selectExpr("id", "id % 2 AS day").repartition(
+        1
+    ).write.partitionBy("day").parquet(tbl3)
+    snapshot_release(tbl3, "r1")
+    delete_where(spark, tbl3, F.col("id") % 2 == 0)
+    out = verify_release(tbl3, "r1")
+    assert out["ok"] is False and out["missing"]
+    assert main([
+        "lake", "release-verify", "--path", tbl3, "--release-id", "r1",
+    ]) == 1
+    cli_out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_out["action"] == "lake-release-verify"
+    assert cli_out["ok"] is False
+    assert main(["lake", "release-verify", "--path", tbl3]) == 2  # no id
+
+
 def test_cli_lake_merge_and_audit_locality(spark, tmp_path, capsys):
     """Round 18: merge_upsert and the locality audit get the CLI faces
     an operator schedules — `lake merge --updates --keys
@@ -1511,10 +1588,21 @@ def test_read_release_bridge_resolves_live_then_retired(
     )
     assert got2 == want
 
-    # UNPROTECTED maintenance breaks the pin loudly, before download
+    # the fsck agrees with the healthy read: everything resolves
+    from streampro_assignment_etl_spark.pipeline.release import (
+        verify_release,
+    )
+
+    v = verify_release(s3tbl, "r1", filesystem=fs, check_rows=True)
+    assert v["ok"] is True and v["retired"] > 0
+
+    # UNPROTECTED maintenance breaks the pin loudly, before download —
+    # and the fsck names the damage proactively
     delete_where(spark, s3tbl, F.col("id") % 7 == 0, filesystem=fs)
     with pytest.raises(FileNotFoundError, match="neither live nor retired"):
         read_release(spark, s3tbl, "r1", filesystem=fs)
+    v = verify_release(s3tbl, "r1", filesystem=fs)
+    assert v["ok"] is False and v["missing"]
 
 
 def test_audit_key_partition_locality_detects_violation(spark, tmp_path):
