@@ -681,3 +681,24 @@ def test_quoted_span_gate_plan_broadcasts_spans(spark):
     assert parquet_scan_count(df) == 2
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 3
+
+
+def test_locality_audit_prunes_to_key_columns(spark, tmp_path):
+    """audit_key_partition_locality's 100 TB claim is the plan: the
+    parquet scan reads ONLY the key columns (the partition value comes
+    from the Hive dirs), and the aggregation is the two-exchange
+    distinct-agg shape whose shuffle is bounded by key cardinality —
+    never table bytes."""
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        audit_key_partition_locality,
+    )
+
+    tbl = str(tmp_path / "audit_plan_t")
+    spark.createDataFrame(
+        [(i, f"v{i}", float(i), i % 3) for i in range(60)],
+        "id INT, val STRING, score DOUBLE, part INT",
+    ).write.partitionBy("part").parquet(tbl)
+    df = audit_key_partition_locality(spark, tbl, ("id",), "part")
+    (cols,) = read_schema_columns(df)
+    assert cols == ["id"], cols  # val/score never leave the footer
+    assert shuffle_count(df) == 2  # partial distinct + count-distinct
