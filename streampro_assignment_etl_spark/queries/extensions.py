@@ -3468,3 +3468,74 @@ def merge_key_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((int(r["doc_id"]), int(r["n_partitions"])) for r in rows),
         "doc_id long, n_partitions long",
     ).orderBy("doc_id")
+
+
+@query(
+    "release_fsck_accounting",
+    tags=("lifecycle", "release"),
+    extra=True,
+    oracle="""
+SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS files,
+       CAST(COUNT(DISTINCT lang) - 2 AS BIGINT) AS live,
+       CAST(1 AS BIGINT) AS retired,
+       CAST(1 AS BIGINT) AS n_missing,
+       CAST(0 AS BIGINT) AS ok_flag
+FROM documents
+""",
+)
+def release_fsck_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``verify_release`` under the oracle gate (round 18): the fsck's
+    live/retired/missing accounting derived independently by DuckDB
+    from the source data. One file per lang partition (repartition(1)
+    before the partitioned write pins the layout), snapshot, then one
+    PROTECTED single-row delete (its lang's recorded file parks →
+    retired) and one UNPROTECTED single-row delete in a different lang
+    (its recorded file is destroyed → missing). Ground truth: files =
+    n_langs, live = n_langs − 2, retired = 1, missing = 1, ok = 0 —
+    the oracle computes the same from ``COUNT(DISTINCT lang)``.
+    Guarded: raises when the corpus has < 3 langs (the two damaged
+    partitions must leave a live remainder)."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.release import snapshot_release, verify_release
+    from ..pipeline.writers import delete_where
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lo, hi = docs.agg(F.min("lang"), F.max("lang")).collect()[0]
+    n_langs = docs.select("lang").distinct().count()
+    if n_langs < 3:
+        raise RuntimeError(
+            "release_fsck_accounting: probe vacuous — needs >= 3 langs "
+            "so damage in two partitions leaves a live remainder"
+        )
+    vk_lo = docs.filter(F.col("lang") == lo).agg(F.min("doc_id")).collect()[0][0]
+    vk_hi = docs.filter(F.col("lang") == hi).agg(F.min("doc_id")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="release-fsck-")
+    try:
+        tbl = f"{root}/corpus"
+        docs.repartition(1).write.partitionBy("lang").parquet(tbl)
+        snapshot_release(tbl, "r1")
+        delete_where(
+            spark, tbl, F.col("doc_id") == vk_lo, protect_releases=True
+        )
+        delete_where(spark, tbl, F.col("doc_id") == vk_hi)
+        out = verify_release(tbl, "r1", check_rows=True)
+        if out["size_mismatches"] or out["row_mismatches"]:
+            raise RuntimeError(
+                f"release_fsck_accounting: unexpected corruption class "
+                f"{out} — the probe stages only park/destroy damage"
+            )
+        row = (
+            int(out["files"]),
+            int(out["live"]),
+            int(out["retired"]),
+            len(out["missing"]),
+            int(out["ok"]),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "files long, live long, retired long, n_missing long, ok_flag long",
+    )
