@@ -1304,8 +1304,13 @@ def test_release_pin_exact_or_loud_under_any_maintenance(
         elif op == "compact":
             compact_parquet(spark, tbl, protect_releases=protected)
         elif op == "merge":
+            # guaranteed-new keys: honoring the partition-locality
+            # contract (r18 — the old draw re-inserted key 0 into d2
+            # while its d0 row could survive, the exact violation
+            # audit_key_partition_locality exists to catch)
             upd = spark.createDataFrame(
-                [(n + 100 + step, "d1"), (0, "d2")], "id long, day string"
+                [(n + 100 + step, "d1"), (n + 200 + step, "d2")],
+                "id long, day string",
             )
             merge_upsert(
                 spark, tbl, upd, keys=("id",), partition_col="day",
@@ -1326,6 +1331,20 @@ def test_release_pin_exact_or_loud_under_any_maintenance(
         if not protected and (op != "drop" or dropped_d0):
             fully_protected = False
 
+        # the fsck runs FIRST and must PREDICT the pinned read's fate
+        # (round 18 — verify_release's whole claim is naming the
+        # damage before a read trips): ok ⇔ the read returns exactly;
+        # damage (missing files, or the manifest itself expired) ⇔ the
+        # read fails loudly
+        from streampro_assignment_etl_spark.pipeline.release import (
+            verify_release,
+        )
+
+        try:
+            fsck_damage = not verify_release(tbl, "r1")["ok"]
+        except Exception:
+            fsck_damage = True  # manifest gone (expiry) — loud damage
+
         try:
             got = sorted(
                 tuple(r)
@@ -1339,10 +1358,18 @@ def test_release_pin_exact_or_loud_under_any_maintenance(
                 f"pin lost after step {step} ({op}) despite a fully "
                 f"protected history"
             )
+            assert fsck_damage, (
+                f"read failed loudly after step {step} ({op}) but the "
+                f"fsck reported the release healthy"
+            )
         else:
             assert got == want, (
                 f"SILENTLY WRONG pinned read after step {step} ({op}, "
                 f"protected={protected})"
+            )
+            assert not fsck_damage, (
+                f"fsck reported damage after step {step} ({op}) but "
+                f"the pinned read returned exactly"
             )
     # a fully protected history must still read exactly at the end
     if fully_protected:
