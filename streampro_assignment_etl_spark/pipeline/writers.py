@@ -1436,6 +1436,65 @@ def delete_where(
                     "retire": rel in protected,
                 }
             )
+        # SQL DELETE leaves an EMPTY table, not a missing one (round
+        # 18 — found by the delete≡filter hypothesis property): when
+        # every visible file is dropped with no survivor (a full
+        # wipe), keep ONE zero-row survivor for the first hit file as
+        # the schema anchor — without it the emptied table is
+        # unreadable ("unable to infer schema") for every later
+        # reader, merge, or snapshot. The r16 no-empty-survivors rule
+        # (an emptied PARTITION should vanish) still governs partial
+        # deletes; on Hive layouts the anchor necessarily keeps one
+        # partition dir visible — the readable-empty-table trade.
+        if len(hit_rel) == files_total and all(
+            e["staged"] is None for e in entries
+        ):
+            rel0 = hit_rel[0]
+            parent_rel = rel0.rsplit("/", 1)[0] if "/" in rel0 else ""
+            pfx = f"{parent_rel}/" if parent_rel else ""
+            dot_rel = f"{pfx}.del-{token}-anchor.parquet"
+            anchor = (
+                spark.read.option("basePath", readable_root)
+                .parquet(f"{readable_root}/{rel0}")
+                .filter(F.lit(False))
+                .drop(*part_cols)
+            )
+            stage_rel = f".del-stage-{token}-anchor"
+            if bridge_dir is not None:
+                stage = Path(bridge_dir) / stage_rel
+                anchor.coalesce(1).write.mode("overwrite").parquet(str(stage))
+                part0 = next(iter(stage.glob("part-*.parquet")))
+                with open(part0, "rb") as src, fs.open_output_stream(
+                    f"{base}/{dot_rel}"
+                ) as out:
+                    shutil.copyfileobj(src, out)
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                anchor.coalesce(1).write.mode("overwrite").parquet(
+                    f"{readable_root}/{stage_rel}"
+                )
+                import pyarrow.fs as pafs
+
+                part0 = next(
+                    fi.path
+                    for fi in fs.get_file_info(
+                        pafs.FileSelector(f"{base}/{stage_rel}")
+                    )
+                    if fi.type == pafs.FileType.File
+                    and fi.base_name.startswith("part-")
+                    and fi.base_name.endswith(".parquet")
+                )
+                fs.move(part0, f"{base}/{dot_rel}")
+                try:
+                    fs.delete_dir(f"{base}/{stage_rel}")
+                except (FileNotFoundError, OSError):
+                    pass
+            # fold the anchor into entry 0: the ordinary replay
+            # machinery (promote staged → final, drop original) then
+            # commits it crash-safely like any survivor
+            entries[0]["staged"] = dot_rel
+            entries[0]["final"] = f"{pfx}part-del{token}-anchor.parquet"
+
         # manifest: staged + renamed, so readers/recovery never see a
         # torn JSON (the pre-r15 write_text had no such guarantee)
         man = f"{base}/.delete-manifest-{token}.json"

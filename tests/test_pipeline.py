@@ -1386,6 +1386,74 @@ def test_read_table_snapshot_bridge_races_promote_window(
     assert snap.count() == 500
 
 
+def test_delete_where_full_wipe_leaves_readable_empty_table(
+    spark, tmp_path
+):
+    """Round 18 (found by the delete≡filter hypothesis property): a
+    delete matching EVERY row used to leave a table with zero visible
+    parquet files — unreadable ('unable to infer schema') for every
+    later reader, merge, or snapshot. SQL DELETE leaves an EMPTY
+    table, not a missing one: the full wipe now keeps ONE zero-row
+    survivor as the schema anchor. Partial deletes keep the r16
+    no-empty-survivors rule (an emptied partition vanishes)."""
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        delete_where,
+        merge_upsert,
+    )
+
+    # flat layout, direct route
+    flat = str(tmp_path / "wipe_flat")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, val string"
+    ).repartition(3).write.parquet(flat)
+    out = delete_where(spark, flat, F.lit(True))
+    assert out["rows_deleted"] == 20
+    emptied = spark.read.parquet(flat)
+    assert emptied.count() == 0
+    assert emptied.columns == ["id", "val"]  # schema survives the wipe
+    # idempotent: nothing left to delete, nothing rewritten
+    out2 = delete_where(spark, flat, F.lit(True))
+    assert out2 == {"rows_deleted": 0, "files_rewritten": 0, "files_total": 1}
+    # and the emptied table is a working merge target (pure insert)
+    merge_upsert(
+        spark,
+        flat,
+        spark.createDataFrame([(99, "back")], "id long, val string"),
+        keys=("id",),
+    )
+    assert spark.read.parquet(flat).count() == 1
+
+    # Hive layout through the injected-filesystem bridge route: the
+    # anchor lands inside a partition dir (full schema incl. the
+    # partition column survives; one partition value stays visible)
+    part = str(tmp_path / "wipe_part")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(10)], "id long, day string"
+    ).repartition(2).write.partitionBy("day").parquet(part)
+    out = delete_where(
+        spark, part, F.lit(True), filesystem=pafs.LocalFileSystem()
+    )
+    assert out["rows_deleted"] == 10
+    emptied = spark.read.parquet(part)
+    assert emptied.count() == 0
+    assert sorted(emptied.columns) == ["day", "id"]
+
+    # partial deletes still vanish an emptied partition (r16 rule)
+    part2 = str(tmp_path / "wipe_one_part")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(10)], "id long, day string"
+    ).write.partitionBy("day").parquet(part2)
+    delete_where(spark, part2, F.col("day") == "d0")
+    import pathlib
+
+    # no empty survivor lingers in the emptied partition (the dir
+    # itself may remain; visibility is file-based)
+    assert not list((pathlib.Path(part2) / "day=d0").rglob("*.parquet"))
+    assert spark.read.parquet(part2).count() == 5
+
+
 def test_verify_release_fsck(spark, tmp_path, capsys):
     """Round 18: verify_release is the proactive integrity fsck of the
     audit layer — read_release fails loudly at read time; this reports

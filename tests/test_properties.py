@@ -1097,16 +1097,23 @@ def test_delete_where_equals_filter_semantics(spark, tmp_path_factory, data):
     w = df.repartition(data.draw(st.integers(min_value=1, max_value=4))).write
     (w.partitionBy("day") if partitioned else w).parquet(tbl)
 
-    if data.draw(st.booleans()):
+    shape = data.draw(st.sampled_from(["isin", "threshold", "wipe"]))
+    if shape == "isin":
         subset = data.draw(
             st.lists(
                 st.integers(min_value=-3, max_value=n + 3), min_size=0, max_size=8
             )
         )
         pred = F.col("id").isin(subset) if subset else F.lit(False)
-    else:
+    elif shape == "threshold":
         cut = data.draw(st.integers(min_value=-5, max_value=5))
         pred = F.col("val") > cut  # NULL val -> NULL -> row stays
+    else:
+        # the FULL WIPE, drawn deliberately (round 18 — a random run
+        # found it: zero surviving files left the table unreadable;
+        # the schema-anchor fix makes DELETE-everything leave an
+        # empty-but-readable table)
+        pred = F.lit(True)
 
     expect = sorted(
         tuple(r)
