@@ -134,6 +134,7 @@ def recover_object_swap(
     staged_file_prefix: str,
     stage_dir_prefix: str,
     _infos=None,
+    grace_s: float = 0.0,
 ) -> bool:
     """Finish (or unwind) a crashed swap under ``path`` and sweep its
     orphaned staging debris. Post-manifest crash: replay every
@@ -143,8 +144,20 @@ def recover_object_swap(
     dirs are unreferenced — swept, but ONLY when their token parses as
     12-hex (foreign artifacts are skipped with a warning, never
     destroyed). Returns True if anything was replayed or swept. Run at
-    every consumer's operation entry; single-writer contract."""
+    every consumer's operation entry; single-writer contract.
+
+    ``grace_s`` (ADVICE r18 #1): the debris SWEEP — never the manifest
+    replay — skips artifacts whose newest mtime (for a staging dir,
+    the newest entry anywhere beneath it, not the dir's own mtime)
+    falls inside the window, so a maintenance tick racing a concurrent
+    writer's in-flight staging cannot rmtree it mid-write. The tick
+    passes 15 min; the default 0 keeps op-entry sweeps eager (the op
+    owns its namespace)."""
+    import time
+
     import pyarrow.fs as pafs
+
+    from .writers import _debris_age_s, _mtime_s
 
     fs, base = _pafs_base(path, filesystem)
     infos = _recursive_infos(fs, base) if _infos is None else _infos
@@ -171,6 +184,7 @@ def recover_object_swap(
         _replay(fs, base, entries)
         fs.delete_file(man)
         replayed = True
+    now = time.time()
     doomed_files, doomed_dirs = [], []
     for i in infos:
         n = i.base_name
@@ -183,11 +197,16 @@ def recover_object_swap(
                 n.startswith(tmp_prefix)
                 and _token_of(n, tmp_prefix) is not None
             ):
+                m = _mtime_s(i)
+                if m is not None and now - m < grace_s:
+                    continue  # possibly an in-flight writer's staging
                 doomed_files.append(i.path)
         elif i.type == pafs.FileType.Directory:
             if n.startswith(stage_dir_prefix) and (
                 _token_of(n, stage_dir_prefix) is not None
             ):
+                if _debris_age_s(infos, i.path, now) < grace_s:
+                    continue
                 doomed_dirs.append(i.path)
     # replay only promotes staged files it then deletes or finalizes,
     # so the pre-replay listing cannot name anything replay re-created

@@ -144,7 +144,14 @@ def recover_staged_swap(path: str, grace_s: float = 900.0) -> bool:
     for p in root.parent.iterdir():
         if p.is_dir() and token.fullmatch(p.name):
             try:
-                if now - p.stat().st_mtime < grace_s:
+                # newest mtime ANYWHERE under the dir, not the dir's
+                # own (which only moves on direct-child changes — a
+                # deep in-flight write would look stale; ADVICE r18 #1)
+                newest = max(
+                    [p.stat().st_mtime]
+                    + [q.stat().st_mtime for q in p.rglob("*")]
+                )
+                if now - newest < grace_s:
                     continue  # possibly an in-flight writer's staging
             except OSError:
                 continue  # vanished mid-scan: the owner is live
@@ -326,7 +333,9 @@ CMP_STAGED_PREFIX = ".cmp-"
 CMP_STAGE_DIR_PREFIX = ".cmpstage-"
 
 
-def recover_compact_object_swap(path: str, filesystem=None, _infos=None) -> bool:
+def recover_compact_object_swap(
+    path: str, filesystem=None, _infos=None, grace_s: float = 0.0
+) -> bool:
     """Crash recovery for ``_compact_parquet_object``'s manifest swap:
     replay a committed ``.cmp-manifest-*``, sweep pre-manifest
     ``.cmp-*`` staged files and ``.cmpstage-*`` staging dirs
@@ -343,6 +352,7 @@ def recover_compact_object_swap(path: str, filesystem=None, _infos=None) -> bool
         staged_file_prefix=CMP_STAGED_PREFIX,
         stage_dir_prefix=CMP_STAGE_DIR_PREFIX,
         _infos=_infos,
+        grace_s=grace_s,
     )
 
 
@@ -858,7 +868,9 @@ MRG_STAGED_PREFIX = ".mrg-"
 MRG_STAGE_DIR_PREFIX = ".mrgstage-"
 
 
-def recover_merge_swap(path: str, filesystem=None, _infos=None) -> bool:
+def recover_merge_swap(
+    path: str, filesystem=None, _infos=None, grace_s: float = 0.0
+) -> bool:
     """Crash recovery for the partition-scoped ``merge_upsert`` swap:
     replay a committed ``.mrg-manifest-*``, sweep pre-manifest
     ``.mrg-*`` staged files and ``.mrgstage-*`` staging dirs
@@ -873,6 +885,7 @@ def recover_merge_swap(path: str, filesystem=None, _infos=None) -> bool:
         staged_file_prefix=MRG_STAGED_PREFIX,
         stage_dir_prefix=MRG_STAGE_DIR_PREFIX,
         _infos=_infos,
+        grace_s=grace_s,
     )
 
 
@@ -1086,6 +1099,31 @@ def _fs_exists(fs, p: str) -> bool:
     return fs.get_file_info(p).type != pafs.FileType.NotFound
 
 
+def _mtime_s(info) -> float | None:
+    """FileInfo mtime as epoch seconds, or None when the store doesn't
+    report one (read as infinitely old — sweepable — so stores without
+    mtimes keep the eager pre-grace behavior)."""
+    m = getattr(info, "mtime", None)
+    return m.timestamp() if m is not None else None
+
+
+def _debris_age_s(infos, path: str, now: float) -> float:
+    """Age of the NEWEST entry at-or-under ``path`` in an already-taken
+    recursive listing — the sweep-grace clock (ADVICE r18 #1): a
+    directory's own mtime only moves on direct-child changes, so a
+    deep in-flight staging write would look stale by the dir's own
+    mtime and get swept mid-write; the newest entry beneath it is the
+    honest liveness signal. Unknown mtimes read as infinitely old."""
+    newest = None
+    pfx = path + "/"
+    for i in infos:
+        if i.path == path or i.path.startswith(pfx):
+            m = _mtime_s(i)
+            if m is not None and (newest is None or m > newest):
+                newest = m
+    return float("inf") if newest is None else now - newest
+
+
 def _recursive_infos(fs, base: str) -> list:
     """One recursive listing of the table — the shared input for the
     recovery sweep AND the visible-file count, so a delete_where call
@@ -1127,7 +1165,9 @@ def _man_full(base: str, p: str) -> str:
     return p if p.startswith("/") else f"{base}/{p}"
 
 
-def recover_delete_where(path: str, filesystem=None, _infos=None) -> bool:
+def recover_delete_where(
+    path: str, filesystem=None, _infos=None, grace_s: float = 0.0
+) -> bool:
     """Finish (or unwind) a ``delete_where`` interrupted by a hard
     crash, and sweep its orphaned staging debris. The manifest written
     before the swap phase lists every (original, staged-survivor,
@@ -1145,8 +1185,16 @@ def recover_delete_where(path: str, filesystem=None, _infos=None) -> bool:
     on a local table and an object-store one. Returns True if any
     manifest was replayed or debris swept. Called automatically at
     ``delete_where`` entry; single-writer maintenance contract (the
-    sweep cannot tell a crashed writer's staging from a live one's)."""
+    sweep cannot tell a crashed writer's staging from a live one's).
+
+    ``grace_s`` (ADVICE r18 #1): the DEBRIS sweep — never the manifest
+    replay, which is correctness — skips artifacts whose newest mtime
+    is within the window, so a maintenance tick racing an in-flight
+    ``delete_where`` cannot destroy its live staging; the tick passes
+    15 min (``maintain_lake_table``), while the default 0 keeps the
+    eager sweep at op entry, where the caller owns the namespace."""
     import json
+    import time
 
     import pyarrow.fs as pafs
 
@@ -1195,6 +1243,7 @@ def recover_delete_where(path: str, filesystem=None, _infos=None) -> bool:
     # reuses the SAME listing taken before replay — replay only
     # promotes dot-staged files it then deletes, so nothing it touches
     # can re-qualify as debris.
+    now = time.time()
     doomed_files, doomed_dirs = [], []
     for i in infos:
         n = i.base_name
@@ -1202,8 +1251,13 @@ def recover_delete_where(path: str, filesystem=None, _infos=None) -> bool:
             (n.startswith(".del-") and n.endswith(".parquet"))
             or (n.startswith(".tmp-delete-"))
         ):
+            m = _mtime_s(i)
+            if m is not None and now - m < grace_s:
+                continue  # possibly an in-flight writer's staging
             doomed_files.append(i.path)
         elif i.type == pafs.FileType.Directory and n.startswith(".del-stage-"):
+            if _debris_age_s(infos, i.path, now) < grace_s:
+                continue
             doomed_dirs.append(i.path)
     for d in doomed_dirs:
         fs.delete_dir(d)
@@ -1664,6 +1718,7 @@ def maintain_lake_table(
     filesystem=None,
     partition_max_files: int | None = None,
     protect_releases: bool = False,
+    grace_s: float = 900.0,
 ) -> dict:
     """The lake table's composed cron body — the missing sibling of
     ``maintain_index`` / ``maintain_store`` (those loops existed for
@@ -1708,14 +1763,20 @@ def maintain_lake_table(
     # swap-restore runs FIRST: it can bring back a whole table whose
     # listing would otherwise read empty). Re-list only when a
     # recovery actually moved files.
+    # The tick's debris sweeps honor grace_s (default 15 min; ADVICE
+    # r18 #1): unlike an op-entry recovery — where the caller owns the
+    # namespace it sweeps — the tick races whatever writer is live, so
+    # fresh staging survives until it ages past the window.
     out: dict = {
-        "swap_recovered": recover_staged_swap(base) if is_local else False,
+        "swap_recovered": (
+            recover_staged_swap(base, grace_s=grace_s) if is_local else False
+        ),
         "compacted": False,
         "threshold": max_files,
     }
     infos = _recursive_infos(fs, base)
     out["delete_recovered"] = recover_delete_where(
-        path, filesystem=filesystem, _infos=infos
+        path, filesystem=filesystem, _infos=infos, grace_s=grace_s
     )
     # the recoveries own disjoint namespaces (.del-*/.tmp-delete- vs
     # .cmp-* vs .mrg-*), so they can safely replay from the same
@@ -1723,10 +1784,10 @@ def maintain_lake_table(
     # partition-scoped compaction AND the partition-scoped merge
     # commit through the manifest swap on both stores
     out["compact_swap_recovered"] = recover_compact_object_swap(
-        path, filesystem, _infos=infos
+        path, filesystem, _infos=infos, grace_s=grace_s
     )
     out["merge_swap_recovered"] = recover_merge_swap(
-        path, filesystem, _infos=infos
+        path, filesystem, _infos=infos, grace_s=grace_s
     )
     changed = (
         out["delete_recovered"]

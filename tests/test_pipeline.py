@@ -2085,7 +2085,10 @@ def test_maintain_lake_table_heals_then_compacts_over_threshold(spark, tmp_path)
     assert spark.read.parquet(tbl).count() == 2000
 
     (root / ".del-0ddba11-7.parquet").write_bytes(b"orphan")
-    out2 = maintain_lake_table(spark, tbl, max_files=64)
+    # grace_s=0: the fabricated debris is fresh by mtime but stands in
+    # for an aged crash; the tick's default 15-min window would
+    # (correctly) protect it as possibly-in-flight staging
+    out2 = maintain_lake_table(spark, tbl, max_files=64, grace_s=0)
     assert out2["swap_recovered"] is False
     assert out2["delete_recovered"] is True  # debris swept
     assert out2["compacted"] is False  # under threshold: cheap tick
@@ -2986,7 +2989,10 @@ def test_remote_compaction_against_moto_s3(spark, tmp_path, moto_s3):
         o.write(b"orphaned staging")
     with fs.open_output_stream(f"{tbl}/.cmp-foreign.parquet") as o:
         o.write(b"not ours")
-    out3 = maintain_lake_table(spark, tbl, max_files=16, filesystem=fs)
+    # grace_s=0: fresh fabricated debris stands in for an aged crash
+    out3 = maintain_lake_table(
+        spark, tbl, max_files=16, filesystem=fs, grace_s=0
+    )
     assert out3["compact_swap_recovered"] is True
     keys = set(etags("lake/frag/"))
     assert f"lake/frag/part-cmp-feedfacefeed-0.parquet" in keys
@@ -3679,3 +3685,137 @@ def test_cli_scd2_preserves_user_column_names(spark, tmp_path, capsys):
     assert main(["scd2", "stats", "--target", target] + cols) == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["keys"] == 2 and stats["open_rows"] == 2
+
+
+def test_bridge_mirror_cache_reuses_and_evicts(spark, tmp_path):
+    """ADVICE r18 #2: the injected-filesystem bridge reads
+    (read_table_snapshot / read_release) used to mkdtemp a fresh
+    O(table-bytes) mirror per call and free it only at interpreter
+    exit — unbounded disk for a long-lived driver. Now identical file
+    sets (fingerprinted by (rel, bytes) off the listing — sound
+    because no writer mutates a file in place) reuse ONE cached
+    mirror, distinct sets LRU-evict beyond the cap, and
+    clear_release_mirrors() is the explicit cleanup."""
+    import pathlib
+
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline import release as rel_mod
+    from streampro_assignment_etl_spark.pipeline.release import (
+        clear_release_mirrors,
+        read_table_snapshot,
+        read_release,
+        snapshot_release,
+    )
+
+    fs = pafs.LocalFileSystem()
+    tbl = tmp_path / "mcache" / "t"
+    spark.range(0, 50).selectExpr("id", "id % 2 AS part").coalesce(
+        1
+    ).write.partitionBy("part").parquet(str(tbl))
+
+    clear_release_mirrors()
+    assert rel_mod._MIRROR_CACHE == {}
+    df1 = read_table_snapshot(spark, str(tbl), filesystem=fs)
+    assert df1.count() == 50
+    assert len(rel_mod._MIRROR_CACHE) == 1
+    m1 = next(iter(rel_mod._MIRROR_CACHE.values()))
+    # identical file set → same mirror, no second download
+    read_table_snapshot(spark, str(tbl), filesystem=fs).count()
+    assert list(rel_mod._MIRROR_CACHE.values()) == [m1]
+    # read_release over the SAME all-live file set shares the mirror
+    # (the key is the file set, not the caller)
+    snapshot_release(str(tbl), "r1", filesystem=fs)
+    assert read_release(spark, str(tbl), "r1", filesystem=fs).count() == 50
+    assert list(rel_mod._MIRROR_CACHE.values()) == [m1]
+
+    # each append changes the visible set → a new mirror; beyond the
+    # cap the least-recently-used mirror is evicted AND removed from
+    # disk
+    for i in range(rel_mod._MIRROR_CACHE_MAX + 1):
+        spark.range(100 + i, 101 + i).selectExpr(
+            "id", "id % 2 AS part"
+        ).coalesce(1).write.mode("append").partitionBy("part").parquet(
+            str(tbl)
+        )
+        read_table_snapshot(spark, str(tbl), filesystem=fs).count()
+    assert len(rel_mod._MIRROR_CACHE) == rel_mod._MIRROR_CACHE_MAX
+    assert m1 not in rel_mod._MIRROR_CACHE.values()
+    assert not pathlib.Path(m1).exists()  # evicted mirrors free disk
+    # the survivors serve the CURRENT data (never a stale reuse)
+    assert (
+        read_table_snapshot(spark, str(tbl), filesystem=fs).count()
+        == 50 + rel_mod._MIRROR_CACHE_MAX + 1
+    )
+    live = list(rel_mod._MIRROR_CACHE.values())
+    clear_release_mirrors()
+    assert rel_mod._MIRROR_CACHE == {}
+    assert not any(pathlib.Path(m).exists() for m in live)
+
+
+def test_tick_grace_protects_fresh_staging_all_namespaces(tmp_path):
+    """ADVICE r18 #1: round 18 added the 15-min sweep grace only to
+    recover_staged_swap, keyed on the dir's OWN mtime — which only
+    moves on direct-child changes, so a deep in-flight write looked
+    stale; and the tick's other sweeps (.del-*, .cmp-*, .mrg-*)
+    stayed eager. Now every tick-driven debris sweep skips artifacts
+    whose NEWEST entry (anywhere beneath a staging dir) is inside the
+    grace window, and sweeps them once aged. Op-entry recoveries
+    (grace_s=0 default) stay eager."""
+    import os
+    import pathlib
+    import time
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        recover_delete_where,
+        recover_merge_swap,
+        recover_staged_swap,
+    )
+
+    root = pathlib.Path(tmp_path) / "t"
+    root.mkdir()
+    (root / "part-a.parquet").write_bytes(b"live")
+
+    # fresh debris in each namespace
+    del_stage = root / ".del-stage-0ddba11-0"
+    del_stage.mkdir()
+    (del_stage / "part-x.parquet").write_bytes(b"half")
+    del_file = root / ".del-0ddba11-1.parquet"
+    del_file.write_bytes(b"staged")
+    mrg_stage = root / ".mrgstage-00000000dead"
+    (mrg_stage / "part=1").mkdir(parents=True)
+    (mrg_stage / "part=1" / "part-y.parquet").write_bytes(b"half")
+    mrg_file = root / ".mrg-00000000dead-0.parquet"
+    mrg_file.write_bytes(b"staged")
+    swap_stage = root.parent / f".{root.name}.compact-0a0a0a0a"
+    (swap_stage / "deep").mkdir(parents=True)
+    (swap_stage / "deep" / "part-z.parquet").write_bytes(b"half")
+
+    # tick-style sweep (grace): everything fresh survives
+    assert recover_delete_where(str(root), grace_s=900) is False
+    assert recover_merge_swap(str(root), grace_s=900) is False
+    recover_staged_swap(str(root), grace_s=900)
+    for p in (del_stage, del_file, mrg_stage, mrg_file, swap_stage):
+        assert p.exists(), p
+
+    # the ADVICE r18 #1 core: an OLD dir whose DEEP file is fresh is an
+    # in-flight write (dir mtime lies; the newest entry under it is the
+    # honest clock) — still protected
+    old = time.time() - 3600
+    for d in (del_stage, mrg_stage, swap_stage):
+        os.utime(d, (old, old))
+    assert recover_delete_where(str(root), grace_s=900) is False
+    recover_staged_swap(str(root), grace_s=900)
+    assert del_stage.exists() and mrg_stage.exists() and swap_stage.exists()
+
+    # aged everywhere → swept
+    for p in [root.parent] + [
+        q for q in root.parent.rglob("*")
+    ]:
+        os.utime(p, (old, old))
+    assert recover_delete_where(str(root), grace_s=900) is True
+    assert recover_merge_swap(str(root), grace_s=900) is True
+    recover_staged_swap(str(root), grace_s=900)
+    for p in (del_stage, del_file, mrg_stage, mrg_file, swap_stage):
+        assert not p.exists(), p
+    assert (root / "part-a.parquet").exists()
