@@ -209,6 +209,20 @@ def build_parser() -> argparse.ArgumentParser:
         "alone already catches deletion and truncation)",
     )
     lk.add_argument(
+        "--checksums",
+        action="store_true",
+        help="release-snapshot: also record a full-byte sha256 per file "
+        "(reads the whole release once) so release-verify --check-sums "
+        "can catch same-size bit-rot",
+    )
+    lk.add_argument(
+        "--check-sums",
+        action="store_true",
+        help="release-verify: recompute each resolved file's sha256 and "
+        "compare against the recorded one (reads every byte; files "
+        "recorded without checksums verify size-only, loudly noted)",
+    )
+    lk.add_argument(
         "--notes", default="", help="release-snapshot: free-form annotation"
     )
     lk.add_argument(
@@ -640,7 +654,10 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                     )
                     return 2
                 out = verify_release(
-                    args.path, args.release_id, check_rows=args.check_rows
+                    args.path,
+                    args.release_id,
+                    check_rows=args.check_rows,
+                    check_sums=args.check_sums,
                 )
                 print(_json.dumps({"action": "lake-release-verify", **out}))
                 return 0 if out["ok"] else 1
@@ -653,7 +670,10 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                     )
                     return 2
                 man = snapshot_release(
-                    args.path, args.release_id, notes=args.notes
+                    args.path,
+                    args.release_id,
+                    notes=args.notes,
+                    checksums=args.checksums,
                 )
                 print(
                     _json.dumps(
