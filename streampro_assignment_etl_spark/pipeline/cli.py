@@ -311,7 +311,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--target-file-bytes", type=int, default=128 * 1024 * 1024
     )
     lk.add_argument(
-        "--partition-col", help="Hive partition column to preserve on compact"
+        "--partition-col",
+        help="Hive partition column to preserve on compact; for merge/"
+        "audit-locality: comma-separated column list for multi-level "
+        "layouts (date,hour scopes on the leaf partition)",
     )
     lk.add_argument("--debug", action="store_true")
 
@@ -786,12 +789,21 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 )
                 return 2
             spark = get_spark("streampro-lake")
+            pcols = [
+                c.strip()
+                for c in (args.partition_col or "").split(",")
+                if c.strip()
+            ]
             out = merge_upsert(
                 spark,
                 args.path,
                 spark.read.parquet(args.updates),
                 keys=tuple(keys),
-                partition_col=args.partition_col,
+                partition_col=(
+                    None
+                    if not pcols
+                    else (pcols[0] if len(pcols) == 1 else pcols)
+                ),
                 protect_releases=args.protect_releases,
                 order_by=args.order_by,
             )
@@ -800,7 +812,8 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
 
         if args.action == "audit-locality":
             # after-the-fact check of the merge's partition-locality
-            # contract: keys living in >1 first-level partition
+            # contract: keys living in >1 partition (leaf-granularity
+            # when --partition-col is a comma-separated list)
             from ..session import get_spark
             from .writers import audit_key_partition_locality
 
@@ -815,8 +828,16 @@ def main(argv: list[str] | None = None, lake_factory=None) -> int:
                 )
                 return 2
             spark = get_spark("streampro-lake")
+            pcols = [
+                c.strip()
+                for c in args.partition_col.split(",")
+                if c.strip()
+            ]
             df = audit_key_partition_locality(
-                spark, args.path, tuple(keys), args.partition_col
+                spark,
+                args.path,
+                tuple(keys),
+                pcols[0] if len(pcols) == 1 else pcols,
             ).cache()
             try:
                 n = df.count()

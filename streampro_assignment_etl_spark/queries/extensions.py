@@ -3539,3 +3539,98 @@ def release_fsck_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         [row],
         "files long, live long, retired long, n_missing long, ok_flag long",
     )
+
+
+@query(
+    "merge_multilevel_locality_audit",
+    tags=("lifecycle", "merge"),
+    extra=True,
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, CAST(2 AS BIGINT) AS n_leaves,
+       CAST(0 AS BIGINT) AS first_level_flags
+FROM documents
+WHERE lang = (SELECT MIN(lang) FROM documents)
+""",
+)
+def merge_multilevel_locality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 19 (VERDICT r18 next #1): the partition-scoped merge and
+    the locality audit over a MULTI-LEVEL Hive layout, oracle-gated.
+    The probe stages a two-level ``lang/bkt`` corpus, commits one
+    merge whose update row violates the locality contract at the
+    SECOND level only — the lowest doc_id of the lowest lang arrives
+    with the right lang but the WRONG bkt, so its key now lives in
+    two LEAF partitions of the same first-level dir — plus one
+    contract-honoring update (right lang, right bkt). Ground truth
+    the oracle derives from source data: the violated key flagged
+    with exactly 2 leaves, and ZERO flags from the first-level audit
+    (same lang — a flat audit cannot see sub-partition violations;
+    this pins the leaf-granularity semantics). Guards: pre-merge
+    audits at both depths must be clean, else the probe raises as
+    vacuous. ≙ reference: none (the reference's pipeline overwrites
+    whole single-level ingestion_date partitions,
+    raw_to_trusted_processor.py:148-211; nested-layout maintenance is
+    north-star lifecycle surface)."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.writers import (
+        audit_key_partition_locality,
+        merge_upsert,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("bkt", (F.col("doc_id") % 2).cast("int"))
+    )
+    lo, hi = docs.agg(F.min("lang"), F.max("lang")).collect()[0]
+    if lo == hi:
+        raise RuntimeError(
+            "merge_multilevel_locality_audit: probe vacuous — a single "
+            "lang leaves no honoring-update partition"
+        )
+    vk = docs.filter(F.col("lang") == lo).agg(F.min("doc_id")).collect()[0][0]
+    ck = docs.filter(F.col("lang") == hi).agg(F.min("doc_id")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="merge-mlvl-")
+    try:
+        tbl = f"{root}/corpus"
+        docs.repartition(2, "doc_id").write.partitionBy("lang", "bkt").parquet(
+            tbl
+        )
+        for cols in (("lang", "bkt"), "lang"):
+            if audit_key_partition_locality(
+                spark, tbl, ("doc_id",), cols
+            ).count():
+                raise RuntimeError(
+                    "merge_multilevel_locality_audit: probe vacuous — "
+                    "duplicate doc_ids across partitions BEFORE the merge"
+                )
+        upd = spark.createDataFrame(
+            [
+                (int(vk), lo, int(1 - (vk % 2))),  # right lang, WRONG bkt
+                (int(ck), hi, int(ck % 2)),  # honoring: stays put
+            ],
+            "doc_id long, lang string, bkt int",
+        )
+        merge_upsert(
+            spark, tbl, upd, keys=("doc_id",), partition_col=("lang", "bkt")
+        )
+        leaf = audit_key_partition_locality(
+            spark, tbl, ("doc_id",), ("lang", "bkt")
+        ).collect()
+        flat_flags = audit_key_partition_locality(
+            spark, tbl, ("doc_id",), "lang"
+        ).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    if len(leaf) != 1:
+        raise RuntimeError(
+            f"merge_multilevel_locality_audit: expected exactly the one "
+            f"staged violation, audit returned {leaf!r}"
+        )
+    return spark.createDataFrame(
+        [(int(leaf[0]["doc_id"]), int(leaf[0]["n_partitions"]), int(flat_flags))],
+        "doc_id long, n_leaves long, first_level_flags long",
+    )

@@ -102,7 +102,13 @@ def get_spark(app_name: str = "streampro-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(init_parts))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench hygiene); SPARK_UI_ENABLED=true
+        # turns it on for probes that read the REST metrics API (e.g.
+        # tools/spill_probe.py's spill witness)
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("SPARK_UI_ENABLED", "false"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():

@@ -1319,7 +1319,7 @@ def test_merge_upsert_duplicate_policy_and_edge_layouts(spark, tmp_path):
     root = pathlib.Path(part)
     src = next((root / "part=1").rglob("*.parquet"))
     shutil.copy2(src, root / "stray.parquet")
-    with pytest.raises(ValueError, match="root-level"):
+    with pytest.raises(ValueError, match="leaf partition depth"):
         merge_upsert(
             spark, str(part), ins, keys=("id",), partition_col="part"
         )
@@ -3065,15 +3065,41 @@ def test_compact_fragmented_partitions_rewrites_only_hot_partitions(
     again = compact_fragmented_partitions(spark, tbl, max_files_per_partition=8)
     assert again["partitions_compacted"] == []  # idle tick
 
-    # nested (multi-level) Hive partitioning would be silently
-    # FLATTENED per rewritten partition (conflicting directory
-    # structures on the next read) — must refuse loudly
+    # multi-level Hive layout (round 19 — replaces the pre-r19 loud
+    # refusal): compaction scopes on the LEAF partition dir, so one
+    # hot hour folds while its sibling hour in the SAME date — and
+    # every other date — stays untouched bytes
     nested = str(tmp_path / "nested")
-    spark.range(40).selectExpr(
-        "id", "'d0' AS day", "id % 2 AS hour"
-    ).write.partitionBy("day", "hour").parquet(nested)
-    with pytest.raises(ValueError, match="nested"):
-        compact_fragmented_partitions(spark, nested, max_files_per_partition=0)
+    for h in (0, 1):
+        spark.range(50).selectExpr(
+            "id", "'d0' AS day", f"{h} AS hour"
+        ).repartition(2 if h == 0 else 12).write.mode(
+            "append"
+        ).partitionBy("day", "hour").parquet(nested)
+    spark.range(30).selectExpr(
+        "id + 500 AS id", "'d1' AS day", "0 AS hour"
+    ).repartition(2).write.mode("append").partitionBy(
+        "day", "hour"
+    ).parquet(nested)
+    nmd5 = lambda sub: {  # noqa: E731
+        os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(nested, sub, "*.parquet"))
+    }
+    cold_nested = {s_: nmd5(s_) for s_ in ("day=d0/hour=0", "day=d1/hour=0")}
+    want_nested = sorted(
+        tuple(r) for r in spark.read.parquet(nested).collect()
+    )
+    outn = compact_fragmented_partitions(
+        spark, nested, max_files_per_partition=8
+    )
+    assert outn["partitions_compacted"] == ["day=d0/hour=1"]
+    assert len(nmd5("day=d0/hour=1")) <= 8
+    for s_ in ("day=d0/hour=0", "day=d1/hour=0"):
+        assert nmd5(s_) == cold_nested[s_]  # untouched SIBLING leaves
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(nested).collect())
+        == want_nested
+    )
 
     # composed tick + CLI face
     out2 = maintain_lake_table(spark, tbl, partition_max_files=8)
@@ -4007,3 +4033,150 @@ def test_tick_sweeps_emptied_partition_dirs(spark, tmp_path):
     assert tick["empty_dirs_swept"] == 1  # d=0 subsumes d=0/h=*
     assert not (root2 / "d=0").exists()
     assert spark.read.parquet(tbl2).count() == 20
+
+
+def test_merge_upsert_multilevel_partitions(spark, tmp_path):
+    """Round 19 (VERDICT r18 next #1): the partition-scoped merge
+    accepts a SEQUENCE of partition columns and scopes on the full
+    leaf partition dir — a date/hour layout merges one hour while its
+    sibling hour in the same date, and every other date, stays
+    untouched BYTES. The locality audit runs at leaf granularity with
+    the same column list; files above the leaf depth refuse loudly;
+    the injected-filesystem bridge takes the same route."""
+    import glob
+    import hashlib
+    import os
+    import pathlib
+
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        audit_key_partition_locality,
+        merge_upsert,
+    )
+
+    tbl = str(tmp_path / "ml_t")
+    rows = [
+        (d * 100 + h * 10 + i, f"v{d}{h}{i}", f"d{d}", h)
+        for d in range(2)
+        for h in range(2)
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "id INT, val STRING, date STRING, hour INT"
+    ).repartition(1).write.partitionBy("date", "hour").parquet(tbl)
+
+    md5s = lambda sub: {  # noqa: E731
+        os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(tbl, sub, "*.parquet"))
+    }
+    untouched = ["date=d0/hour=0", "date=d1/hour=0", "date=d1/hour=1"]
+    before = {s: md5s(s) for s in untouched}
+
+    # one update to an existing key in (d0, 1), one new key there, one
+    # new key in a brand-new leaf (d2, 0) — a pure insert
+    upd = spark.createDataFrame(
+        [
+            (10, "UPDATED", "d0", 1),
+            (999, "NEW", "d0", 1),
+            (888, "NEWLEAF", "d2", 0),
+        ],
+        "id INT, val STRING, date STRING, hour INT",
+    )
+    out = merge_upsert(
+        spark, tbl, upd, keys=("id",), partition_col=("date", "hour")
+    )
+    assert out == {
+        "target_rows_before": 5,  # only the touched (d0,1) leaf read
+        "updated": 1,
+        "inserted": 2,
+    }
+    got = {
+        (r["id"], r["val"]) for r in spark.read.parquet(tbl).collect()
+    }
+    assert (10, "UPDATED") in got and (10, "v001") not in got
+    assert (999, "NEW") in got and (888, "NEWLEAF") in got
+    assert len(got) == 22
+    for s in untouched:
+        assert md5s(s) == before[s], s  # sibling hour + other dates
+
+    # leaf-granularity audit: clean after a contract-honoring merge
+    audit = lambda cols: sorted(  # noqa: E731
+        (r["id"], r["n_partitions"])
+        for r in audit_key_partition_locality(
+            spark, tbl, ("id",), cols
+        ).collect()
+    )
+    assert audit(("date", "hour")) == []
+
+    # violation at the SECOND level only: id=0 lives in (d0,0) but an
+    # update stamps it (d0,1) — the leaf audit flags it, the
+    # first-level audit (date alone) must NOT (same date)
+    bad = spark.createDataFrame(
+        [(0, "BAD", "d0", 1)], "id INT, val STRING, date STRING, hour INT"
+    )
+    merge_upsert(
+        spark, tbl, bad, keys=("id",), partition_col=["date", "hour"]
+    )
+    assert audit(("date", "hour")) == [(0, 2)]
+    assert audit("date") == []
+
+    # bridge route agrees (same scoped merge through the fs seam)
+    upd2 = spark.createDataFrame(
+        [(110, "BRIDGED", "d1", 1)],
+        "id INT, val STRING, date STRING, hour INT",
+    )
+    out2 = merge_upsert(
+        spark,
+        tbl,
+        upd2,
+        keys=("id",),
+        partition_col=("date", "hour"),
+        filesystem=pafs.LocalFileSystem(),
+    )
+    assert out2["updated"] == 1 and out2["inserted"] == 0
+    got2 = {
+        (r["id"], r["val"]) for r in spark.read.parquet(tbl).collect()
+    }
+    assert (110, "BRIDGED") in got2
+
+    # a parquet file ABOVE the leaf depth can't be scoped — refuse
+    stray = pathlib.Path(tbl) / "date=d0" / "stray.parquet"
+    import shutil as _sh
+
+    _sh.copy(
+        glob.glob(os.path.join(tbl, "date=d0/hour=0", "*.parquet"))[0],
+        stray,
+    )
+    with pytest.raises(ValueError, match="leaf partition depth"):
+        merge_upsert(
+            spark, tbl, upd2, keys=("id",), partition_col=("date", "hour")
+        )
+    stray.unlink()
+
+
+def test_drop_partitions_refuses_inner_column(spark, tmp_path):
+    """Round 19: drop_partitions_before on a nested layout drops by
+    the FIRST-level column (sub-partitions go with the dir — the
+    correct age-out); naming an INNER column used to no-op silently
+    ('dropped': [] reads as 'nothing expired') — now it refuses
+    loudly."""
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        drop_partitions_before,
+    )
+
+    tbl = str(tmp_path / "nest_drop")
+    spark.createDataFrame(
+        [(i, f"2025-09-{d:02d}", h) for i in range(4) for d in (1, 2) for h in (0, 1)],
+        "id INT, date STRING, hour INT",
+    ).repartition(1).write.partitionBy("date", "hour").parquet(tbl)
+
+    with pytest.raises(ValueError, match="FIRST-level"):
+        drop_partitions_before(tbl, "hour", "1")
+
+    out = drop_partitions_before(tbl, "date", "2025-09-02")
+    assert out["dropped"] == ["2025-09-01"] and out["kept"] == ["2025-09-02"]
+    import pathlib
+
+    assert not (pathlib.Path(tbl) / "date=2025-09-01").exists()
+    assert spark.read.parquet(tbl).count() == 8
