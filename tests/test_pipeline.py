@@ -4180,3 +4180,80 @@ def test_drop_partitions_refuses_inner_column(spark, tmp_path):
 
     assert not (pathlib.Path(tbl) / "date=2025-09-01").exists()
     assert spark.read.parquet(tbl).count() == 8
+
+
+def test_merge_upsert_multilevel_against_moto_s3(spark, tmp_path, moto_s3):
+    """Round 19: the multi-level partition-scoped merge over the S3
+    wire protocol — touched LEAF mirrors/rewrites through the .mrg-
+    manifest swap, the sibling hour inside the touched date keeps its
+    objects ETag-identical, and a brand-new nested leaf is a pure
+    insert whose dirs didn't exist before."""
+    import boto3
+    import pyarrow.dataset as pads
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.writers import merge_upsert
+
+    base_df = spark.createDataFrame(
+        [(i, f"v{i}", f"d{i % 2}", (i // 2) % 2) for i in range(80)],
+        "id INT, val STRING, date STRING, hour INT",
+    )
+    local = tmp_path / "mlseed"
+    base_df.repartition(1).write.partitionBy("date", "hour").parquet(
+        str(local)
+    )
+
+    bucket = "sparkgraft-mlmerge"
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket=bucket)
+    s3 = boto3.client("s3", endpoint_url=moto_s3)
+    fs = pafs.S3FileSystem(
+        endpoint_override=moto_s3, access_key="testing",
+        secret_key="testing", region="us-east-1",
+    )
+    s3tbl = f"{bucket}/lake/ml_t"
+    for p in local.rglob("*.parquet"):
+        rel = p.relative_to(local).as_posix()
+        if any(seg.startswith((".", "_")) for seg in rel.split("/")):
+            continue
+        with open(p, "rb") as f, fs.open_output_stream(f"{s3tbl}/{rel}") as o:
+            o.write(f.read())
+
+    def etags(prefix):
+        return {
+            o["Key"]: o["ETag"]
+            for o in s3.list_objects_v2(
+                Bucket=bucket, Prefix=f"lake/ml_t/{prefix}"
+            ).get("Contents", [])
+            if o["Key"].endswith(".parquet")
+        }
+
+    sibling = etags("date=d0/hour=1/")
+    other_date = etags("date=d1/")
+    assert sibling and other_date
+
+    upd = spark.createDataFrame(
+        [
+            (0, "REMOTE", "d0", 0),  # existing key, touched leaf (d0,0)
+            (900, "REMOTE", "d0", 0),  # new key, same leaf
+            (901, "NEWLEAF", "d7", 1),  # brand-new nested leaf
+        ],
+        "id INT, val STRING, date STRING, hour INT",
+    )
+    stats = merge_upsert(
+        spark, s3tbl, upd, keys=("id",), partition_col=("date", "hour"),
+        filesystem=fs,
+    )
+    assert stats == {"target_rows_before": 20, "updated": 1, "inserted": 2}
+
+    pdf = (
+        pads.dataset(
+            s3tbl, filesystem=fs, format="parquet", partitioning="hive"
+        )
+        .to_table()
+        .to_pandas()
+    )
+    assert len(pdf) == 82
+    assert set(pdf[pdf.val == "REMOTE"].id) == {0, 900}
+    assert set(pdf[(pdf.date == "d7")].id) == {901}
+    assert etags("date=d0/hour=1/") == sibling  # sibling hour: same ETags
+    assert etags("date=d1/") == other_date  # other date: same ETags
