@@ -50,7 +50,12 @@ import hashlib
 import json
 import logging
 
-from .writers import _pafs_base, _recursive_infos, _visible_parquet_files
+from .writers import (
+    _pafs_base,
+    _recursive_infos,
+    _refuse_mixed_layout,
+    _visible_parquet_files,
+)
 
 _log = logging.getLogger(__name__)
 
@@ -355,6 +360,20 @@ def snapshot_release(
             f"the release records a consistent file set"
         )
     visible = _visible_parquet_files(fs, base, infos)
+    if (
+        any("/" in r for r in visible)
+        and any("/" not in r for r in visible)
+    ):
+        # recording a mixed layout is honest (the listing is what it
+        # is) but every pinned READ of it will refuse loudly — say so
+        # at cause time (round 19)
+        _log.warning(
+            "snapshot_release: %r mixes root-level parquet files with "
+            "partition dirs — Spark scans silently DROP the root-level "
+            "rows, so read_release on this release will refuse; rewrite "
+            "the table into one consistent layout",
+            path,
+        )
     sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
     if spark is not None and filesystem is None and visible:
         stats_by_rel = _file_stats_distributed(
@@ -593,6 +612,7 @@ def read_release(spark, path: str, release_id: str, filesystem=None):
                 f"maintenance, or expire_releases reclaimed them): "
                 f"{missing[:5]}"
             )
+        _refuse_mixed_layout(rels, f"read_release({release_id})", path)
         # retired twins mirror AS their original rel so the Hive
         # partition value re-attaches from the mirrored dir name
         pairs = [(r, r) for r in live] + [
@@ -661,6 +681,10 @@ def _resolve_release_frame(spark, path: str, rels: list, what: str, present=None
             f"exist neither live nor retired (unprotected maintenance, "
             f"or expire_releases reclaimed them): {missing[:5]}"
         )
+    # a mixed rel set reads as a SILENT SUBSET (Spark's partition
+    # discovery drops root-level files beside partition dirs) — the
+    # one failure mode a pinned read must never have (round 19)
+    _refuse_mixed_layout(rels, f"read_release({what})", path)
     if path.startswith(("s3://", "s3n://")):
         root = "s3a://" + path.split("://", 1)[1]
     else:
@@ -730,6 +754,7 @@ def read_table_snapshot(spark, path: str, filesystem=None):
                 f"{path!r} (missing table, or mid-swap with only staged "
                 f"files — run recovery first)"
             )
+        _refuse_mixed_layout(visible, "read_table_snapshot", path)
         sizes = {
             i.path[len(base) + 1 :]: int(i.size or 0)
             for i in infos

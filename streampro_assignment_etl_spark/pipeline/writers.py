@@ -216,6 +216,52 @@ def write_csv(
     out.write.mode(mode).option("header", header).csv(path)
 
 
+def _refuse_mixed_layout(rels, what: str, path: str) -> None:
+    """A parquet dir holding BOTH root-level files and partition dirs
+    reads SILENTLY WRONG: Spark's partition discovery — with or
+    without an explicit ``basePath`` — drops the root-level files'
+    rows from the scan entirely (measured round 19: a 15-row mixed
+    table scans as 10 rows, no warning). For a rewrite op that is
+    data loss, for a takedown it is missed subject rows, for a pinned
+    read a silent subset — the audit layer's cardinal sin. Refuse
+    loudly; the one writer shape that produces this layout is a flat
+    ``mode("append")`` onto a partitioned table."""
+    if any("/" in r for r in rels) and any("/" not in r for r in rels):
+        stray = sorted(r for r in rels if "/" not in r)
+        raise ValueError(
+            f"{what}: {path!r} mixes root-level parquet files "
+            f"{stray[:3]} with partition dirs — Spark's partition "
+            f"discovery silently DROPS the root-level rows from every "
+            f"scan; rewrite the table into one consistent layout first "
+            f"(e.g. re-append those rows with partitionBy)"
+        )
+
+
+def _detect_hive_cols(rels) -> list | None:
+    """Partition columns of a CONSISTENT Hive layout, in order, from
+    visible base-relative file paths — or None when the table is flat
+    or inconsistent (mixed depths / differing column names / non-Hive
+    dirs). The whole-table compactors use this to preserve a
+    partitioned layout by default (round 19): silently flattening a
+    date-partitioned lake would destroy partition pruning for every
+    later query AND break the partition-scoped merge/audit layout
+    contract — found by the release-pin hypothesis property drawing
+    compact-then-merge."""
+    cols = None
+    for rel in rels:
+        comps = rel.split("/")[:-1]
+        these = []
+        for c in comps:
+            if "=" not in c:
+                return None
+            these.append(c.split("=", 1)[0])
+        if cols is None:
+            cols = these
+        elif cols != these:
+            return None
+    return cols or None
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -226,7 +272,11 @@ def compact_parquet(
     protect_releases: bool = False,
 ) -> dict:
     """Small-files compaction: rewrite a parquet dataset into
-    ~``target_file_bytes`` files.
+    ~``target_file_bytes`` files. Layout-preserving by default (round
+    19): a consistent Hive-partitioned table re-compacts INTO its own
+    partition columns (auto-detected from the visible paths) instead
+    of silently flattening to root-level files; pass ``partition_col``
+    to override, a flat table stays flat.
 
     Streaming ``foreachBatch`` sinks and per-date overwrites accumulate
     tiny part-files; at 100 TB an uncompacted table can carry millions
@@ -292,6 +342,10 @@ def compact_parquet(
             part.startswith((".", "_")) for part in p.relative_to(root).parts
         )
     ]
+    part_rels = [p.relative_to(root).as_posix() for p in part_files]
+    # the read below would silently LOSE the root-level rows on a
+    # mixed layout, turning compaction into data loss — refuse
+    _refuse_mixed_layout(part_rels, "compact_parquet", path)
     total_bytes = sum(p.stat().st_size for p in part_files)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     _warn_if_unprotected_breaks_releases(
@@ -301,16 +355,21 @@ def compact_parquet(
 
     df = spark.read.parquet(str(root))
     staging = root.parent / f".{root.name}.compact-{uuid.uuid4().hex[:8]}"
+    pcols = (
+        [partition_col]
+        if partition_col is not None
+        else (_detect_hive_cols(part_rels) or [])
+    )
     writer = (
-        df.repartition(n_files)
-        if partition_col is None
         # Partitioned layout: cluster rows so each Hive partition is
         # written by few tasks instead of n_files × n_partitions shards.
-        else df.repartition(n_files, partition_col).sortWithinPartitions(partition_col)
+        df.repartition(n_files, *pcols).sortWithinPartitions(*pcols)
+        if pcols
+        else df.repartition(n_files)
     )
     w = writer.write.mode("overwrite")
-    if partition_col is not None:
-        w = w.partitionBy(partition_col)
+    if pcols:
+        w = w.partitionBy(*pcols)
     w.parquet(str(staging))
 
     _staged_swap(root, staging)
@@ -395,6 +454,7 @@ def _compact_parquet_object(
         _infos = _recursive_infos(fs, base)
     infos = _infos
     visible = _visible_parquet_files(fs, base, infos)
+    _refuse_mixed_layout(visible, "compact_parquet", path)
     sizes = {i.path[len(base) + 1 :]: i.size for i in infos if i.size}
     total_bytes = sum(sizes.get(r, 0) for r in visible)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
@@ -418,16 +478,20 @@ def _compact_parquet_object(
         df = spark.read.option("basePath", readable_root).parquet(
             readable_root
         )
+        # layout-preserving default, like the local route (round 19)
+        pcols = (
+            [partition_col]
+            if partition_col is not None
+            else (_detect_hive_cols(visible) or [])
+        )
         writer = (
-            df.repartition(n_files)
-            if partition_col is None
-            else df.repartition(n_files, partition_col).sortWithinPartitions(
-                partition_col
-            )
+            df.repartition(n_files, *pcols).sortWithinPartitions(*pcols)
+            if pcols
+            else df.repartition(n_files)
         )
         w = writer.write.mode("overwrite")
-        if partition_col is not None:
-            w = w.partitionBy(partition_col)
+        if pcols:
+            w = w.partitionBy(*pcols)
         if bridge:
             out_local = scratch / "out"
             w.parquet(str(out_local))
@@ -799,6 +863,9 @@ def merge_upsert(
             _warn_if_unprotected_breaks_releases(
                 target_path, None, "merge_upsert", visible_rels
             )
+        # the read below silently drops root-level rows of a mixed
+        # layout — the merge would rewrite the table without them
+        _refuse_mixed_layout(visible_rels, "merge_upsert", target_path)
         target = spark.read.parquet(str(root))
         before = target.count()
         kept = target.join(updates.select(*keys), list(keys), "left_anti")
@@ -1431,6 +1498,9 @@ def delete_where(
     if recover_delete_where(path, filesystem=filesystem, _infos=infos):
         infos = _recursive_infos(fs, base)  # recovery moved files: re-list
     visible = _visible_parquet_files(fs, base, infos)
+    # a mixed layout would make the hit scan silently MISS every row in
+    # the root-level files — takedown incompleteness; refuse loudly
+    _refuse_mixed_layout(visible, "delete_where", path)
     files_total = len(visible)
 
     bridge_dir = None

@@ -1820,13 +1820,21 @@ def test_recover_staged_swap(spark, tmp_path):
     foreign1 = tmp_path / f".{root.name}.old-notahex!"
     foreign2 = tmp_path / f".{root.name}.mything-deadbeef"
     foreign1.mkdir(), foreign2.mkdir()
-    # age the genuinely-dead debris past the window; inflight stays new
+    # age the genuinely-dead debris past the window; inflight stays
+    # new. The clock is the NEWEST entry under the dir (ADVICE r18 #1:
+    # a deep write doesn't touch the dir's own mtime), so the deep
+    # files must age too — an aged DIR with a fresh inner file is an
+    # in-flight write and must survive (pinned below).
     aged = time.time() - 3600
-    os.utime(stale, (aged, aged))
-    os.utime(orphan, (aged, aged))
+    for d in (stale, orphan):
+        for q in [d] + list(d.rglob("*")):
+            os.utime(q, (aged, aged))
+    os.utime(inflight, (aged, aged))  # dir old, inner file fresh
     assert recover_staged_swap(str(root)) is False  # nothing restored
     assert not stale.exists() and not orphan.exists()
-    assert inflight.exists()  # fresh: the tick must not destroy it
+    # aged dir + FRESH deep file = live writer; the old dir-mtime clock
+    # would have swept it here
+    assert inflight.exists()
     assert foreign1.exists() and foreign2.exists()
     assert [tuple(r) for r in spark.read.parquet(str(root)).collect()] == [(1, "a")]
     # once aged, the same dir IS debris and goes (grace_s=0 = eager)
@@ -2389,9 +2397,12 @@ def test_release_retention_roots_protect_pinned_reads(spark, tmp_path, moto_s3):
 
     snapshot_release(tbl, "r1b")
     appended = [(900 + i, 77, "d9") for i in range(5)]
+    # partitionBy: the table kept its day= layout (r19 layout-
+    # preserving compaction), and a FLAT append onto a partitioned
+    # table is the mixed layout every reader now refuses loudly
     spark.createDataFrame(
         appended, "id long, user_id long, day string"
-    ).coalesce(1).write.mode("append").parquet(tbl)
+    ).coalesce(1).write.mode("append").partitionBy("day").parquet(tbl)
     snapshot_release(tbl, "r1c")
     delta = release_row_delta(spark, tbl, "r1", "r1b", ["id", "user_id"])
     assert {(r["id"], r["user_id"], r["_change"]) for r in delta.collect()} == {
@@ -4257,3 +4268,192 @@ def test_merge_upsert_multilevel_against_moto_s3(spark, tmp_path, moto_s3):
     assert set(pdf[(pdf.date == "d7")].id) == {901}
     assert etags("date=d0/hour=1/") == sibling  # sibling hour: same ETags
     assert etags("date=d1/") == other_date  # other date: same ETags
+
+
+def test_mixed_layout_refused_everywhere(spark, tmp_path):
+    """Round 19 (found by the release-pin hypothesis property): a table
+    mixing root-level parquet files with partition dirs — the shape a
+    flat mode('append') onto a partitioned table produces — reads
+    SILENTLY WRONG in Spark: partition discovery drops the root-level
+    rows from every scan, with or without basePath (measured: 15-row
+    table scans as 10). For compaction / whole-table merge that is
+    data LOSS, for delete_where a takedown that misses subject rows,
+    for the pinned readers a silent subset. Every one of them now
+    refuses loudly instead; snapshot_release records but warns."""
+    from streampro_assignment_etl_spark.pipeline.release import (
+        read_release,
+        read_table_snapshot,
+        snapshot_release,
+    )
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        compact_parquet,
+        delete_where,
+        merge_upsert,
+    )
+
+    tbl = str(tmp_path / "mixed" / "t")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(10)], "id long, day string"
+    ).repartition(1).write.partitionBy("day").parquet(tbl)
+    # the hazard, demonstrated before staging the mixed layout: a
+    # healthy partitioned table scans all 10 rows
+    assert spark.read.parquet(tbl).count() == 10
+    spark.createDataFrame(
+        [(900 + i, "d9") for i in range(5)], "id long, day string"
+    ).coalesce(1).write.mode("append").parquet(tbl)  # FLAT append
+    # Spark silently loses the appended rows — the reason for the guard
+    assert spark.read.parquet(tbl).count() == 10
+
+    with pytest.raises(ValueError, match="silently DROP"):
+        compact_parquet(spark, tbl)
+    with pytest.raises(ValueError, match="silently DROP"):
+        delete_where(spark, tbl, "id = 0")
+    upd = spark.createDataFrame([(0, "d0")], "id long, day string")
+    with pytest.raises(ValueError, match="silently DROP"):
+        merge_upsert(spark, tbl, upd, keys=("id",))
+    with pytest.raises(ValueError, match="silently DROP"):
+        read_table_snapshot(spark, tbl)
+    snapshot_release(tbl, "rmix")  # recording is honest (warns)
+    with pytest.raises(ValueError, match="silently DROP"):
+        read_release(spark, tbl, "rmix")
+
+
+def test_compact_parquet_preserves_hive_layout_by_default(spark, tmp_path):
+    """Round 19 (found by the release-pin property drawing compact-
+    then-merge): whole-table compact_parquet without partition_col
+    used to FLATTEN a Hive-partitioned table — silently destroying
+    partition pruning for every later query and breaking the
+    partition-scoped merge's layout contract. Now a consistent layout
+    (any depth) is auto-detected and preserved; a flat table stays
+    flat; explicit partition_col still overrides."""
+    import pathlib
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        compact_parquet,
+        merge_upsert,
+    )
+
+    tbl = str(tmp_path / "keep_layout")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}", i % 2) for i in range(40)],
+        "id INT, date STRING, hour INT",
+    ).repartition(6).write.partitionBy("date", "hour").parquet(tbl)
+    root = pathlib.Path(tbl)
+    want = sorted(
+        (r["id"], r["date"], int(r["hour"]))
+        for r in spark.read.parquet(tbl).collect()
+    )
+    out = compact_parquet(spark, tbl)
+    assert out["files_after"] < out["files_before"]
+    leaves = {
+        p.parent.relative_to(root).as_posix()
+        for p in root.rglob("*.parquet")
+        if not any(
+            s.startswith((".", "_")) for s in p.relative_to(root).parts
+        )
+    }
+    # every leaf keeps the two-level date=/hour= shape — nothing flat
+    assert leaves and all(
+        l.startswith("date=") and "/hour=" in l for l in leaves
+    ), leaves
+    assert sorted(
+        (r["id"], r["date"], int(r["hour"]))
+        for r in spark.read.parquet(tbl).collect()
+    ) == want
+    # and the partition-scoped merge keeps working on the compacted
+    # table (the exact compact-then-merge sequence the property drew)
+    merge_upsert(
+        spark,
+        tbl,
+        spark.createDataFrame(
+            [(0, "d0", 0)], "id INT, date STRING, hour INT"
+        ),
+        keys=("id",),
+        partition_col=("date", "hour"),
+    )
+
+    # flat stays flat
+    flat = str(tmp_path / "stay_flat")
+    spark.range(100).repartition(5).write.parquet(flat)
+    compact_parquet(spark, flat)
+    assert all(
+        "/" not in p.relative_to(flat).as_posix()
+        for p in pathlib.Path(flat).rglob("*.parquet")
+        if not any(
+            s.startswith((".", "_"))
+            for s in p.relative_to(flat).parts
+        )
+    )
+    assert spark.read.parquet(flat).count() == 100
+
+
+def test_release_row_delta_nested_layout_prunes_and_stays_exact(
+    spark, tmp_path
+):
+    """Round 19: release manifests group files by the FIRST-level Hive
+    component, so release_row_delta's pruning soundness condition
+    (first-level col among key_cols) is depth-correct for nested
+    layouts unchanged. Pins: exact delta over a date/hour table whose
+    change touches one date (pruned route), and the same delta
+    without the partition col in key_cols (unpruned route) — both
+    match."""
+    from streampro_assignment_etl_spark.pipeline.release import (
+        release_row_delta,
+        snapshot_release,
+    )
+    from streampro_assignment_etl_spark.pipeline.writers import delete_where
+
+    tbl = str(tmp_path / "rrd_nest")
+    spark.createDataFrame(
+        [(i, f"d{i % 2}", i % 3) for i in range(60)],
+        "id INT, date STRING, hour INT",
+    ).repartition(1).write.partitionBy("date", "hour").parquet(tbl)
+    snapshot_release(tbl, "r1")
+    delete_where(spark, tbl, "id = 7 OR id = 13", protect_releases=True)
+    snapshot_release(tbl, "r2")
+
+    pruned = sorted(
+        (r["id"], r["date"], r["_change"])
+        for r in release_row_delta(
+            spark, tbl, "r1", "r2", ["id", "date"]
+        ).collect()
+    )
+    assert pruned == [(7, "d1", "removed"), (13, "d1", "removed")]
+    unpruned = sorted(
+        (r["id"], r["_change"])
+        for r in release_row_delta(spark, tbl, "r1", "r2", ["id"]).collect()
+    )
+    assert unpruned == [(7, "removed"), (13, "removed")]
+
+
+def test_cli_lake_merge_multilevel_face(spark, tmp_path, capsys):
+    """Round 19: the CLI merge/audit faces take a comma-separated
+    --partition-col for multi-level layouts."""
+    import json as _json
+
+    from streampro_assignment_etl_spark.pipeline.cli import main
+
+    tbl = str(tmp_path / "cli_ml")
+    spark.createDataFrame(
+        [(i, f"v{i}", f"d{i % 2}", i % 2) for i in range(20)],
+        "id INT, val STRING, date STRING, hour INT",
+    ).repartition(1).write.partitionBy("date", "hour").parquet(tbl)
+    upd = str(tmp_path / "cli_ml_upd")
+    spark.createDataFrame(
+        [(0, "CLI", "d0", 0)], "id INT, val STRING, date STRING, hour INT"
+    ).write.parquet(upd)
+
+    assert main([
+        "lake", "merge", "--path", tbl, "--updates", upd,
+        "--keys", "id", "--partition-col", "date,hour",
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["updated"] == 1 and out["inserted"] == 0
+    assert main([
+        "lake", "audit-locality", "--path", tbl,
+        "--keys", "id", "--partition-col", "date,hour",
+    ]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["violating_keys"] == 0
+
+

@@ -1532,3 +1532,86 @@ def test_duplicate_update_resolution_deterministic_or_loud(
             .collect()
         )
         assert got_tbl == want_tbl
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_multilevel_merge_equals_reference_semantics(
+    spark, tmp_path_factory, data
+):
+    """Round 19: the multi-level partition-scoped merge as a property —
+    for ANY two-level layout and ANY contract-honoring update batch,
+    merge_upsert(partition_col=(p1, p2)) produces exactly the
+    reference semantics (target minus updated keys, plus the batch),
+    and every leaf the batch does NOT touch keeps byte-identical
+    files. Updates draw existing keys WITH their current partition
+    values (the locality contract) plus fresh keys in arbitrary —
+    including brand-new — leaves."""
+    import pathlib
+
+    from streampro_assignment_etl_spark.pipeline.writers import merge_upsert
+
+    n1 = data.draw(st.integers(1, 2), label="n_p1")
+    n2 = data.draw(st.integers(1, 3), label="n_p2")
+    n_rows = data.draw(st.integers(4, 24), label="n_rows")
+    rows = [
+        (i, f"v{i}", f"a{i % n1}", i % n2) for i in range(n_rows)
+    ]
+    root = pathlib.Path(tmp_path_factory.mktemp("mlmerge")) / "t"
+    tbl = str(root)
+    spark.createDataFrame(
+        rows, "id INT, val STRING, p1 STRING, p2 INT"
+    ).repartition(1).write.partitionBy("p1", "p2").parquet(tbl)
+
+    upd_existing = data.draw(
+        st.lists(st.sampled_from(range(n_rows)), unique=True, max_size=5),
+        label="upd_existing",
+    )
+    n_new = data.draw(st.integers(0, 3), label="n_new")
+    upd_rows = [
+        (i, "UPD", f"a{i % n1}", i % n2) for i in upd_existing
+    ] + [
+        (
+            1000 + j,
+            "NEW",
+            data.draw(st.sampled_from([f"a{k}" for k in range(n1 + 1)]),
+                      label=f"new_p1_{j}"),
+            data.draw(st.integers(0, n2), label=f"new_p2_{j}"),
+        )
+        for j in range(n_new)
+    ]
+    if not upd_rows:
+        upd_rows = [(0, "UPD", "a0", 0)]
+        upd_existing = [0]
+    upd = spark.createDataFrame(
+        upd_rows, "id INT, val STRING, p1 STRING, p2 INT"
+    )
+    touched = {(r[2], r[3]) for r in upd_rows}
+    before_bytes = {
+        p: p.read_bytes()
+        for p in root.rglob("*.parquet")
+        if not any(
+            seg.startswith((".", "_")) for seg in p.relative_to(root).parts
+        )
+        and (
+            p.relative_to(root).parts[0].split("=", 1)[1],
+            int(p.relative_to(root).parts[1].split("=", 1)[1]),
+        )
+        not in touched
+    }
+
+    out = merge_upsert(
+        spark, tbl, upd, keys=("id",), partition_col=("p1", "p2")
+    )
+    upd_ids = {r[0] for r in upd_rows}
+    expected = sorted(
+        [r for r in rows if r[0] not in upd_ids] + upd_rows
+    )
+    got = sorted(
+        (r["id"], r["val"], r["p1"], int(r["p2"]))
+        for r in spark.read.parquet(tbl).collect()
+    )
+    assert got == expected
+    assert out["updated"] == len(upd_existing)
+    assert out["inserted"] == len(upd_rows) - len(upd_existing)
+    for p, want in before_bytes.items():
+        assert p.read_bytes() == want, p
