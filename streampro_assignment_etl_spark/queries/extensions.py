@@ -3634,3 +3634,102 @@ def merge_multilevel_locality_audit(
         [(int(leaf[0]["doc_id"]), int(leaf[0]["n_partitions"]), int(flat_flags))],
         "doc_id long, n_leaves long, first_level_flags long",
     )
+
+
+@query(
+    "compact_multilevel_content_preserved",
+    tags=("lifecycle", "compaction"),
+    extra=True,
+    oracle="""
+SELECT lang,
+       CAST(doc_id % 2 AS BIGINT) AS bkt,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, bkt
+""",
+)
+def compact_multilevel_content_preserved(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 19: per-leaf compaction on a MULTI-LEVEL layout under the
+    oracle gate. The probe stages a two-level ``lang/bkt`` corpus with
+    exactly ONE fragmented leaf (the lowest lang's bkt=0, written in
+    12 shards; every other leaf lands as one file), sweeps it with
+    ``compact_fragmented_partitions``, and returns the per-leaf row
+    counts read back from the compacted table — DuckDB derives the
+    same counts from the source, so a compaction that lost, duplicated
+    or cross-contaminated ANY leaf's rows hash-mismatches. Guards
+    (raise = vacuous, never a silent pass): exactly the staged hot
+    leaf must be reported compacted and fold to ≤ 4 files, and a cold
+    sibling leaf's bytes must survive untouched. ≙ reference: none
+    (the reference has no compaction; nested-layout maintenance is
+    north-star lifecycle surface)."""
+    import hashlib as _hl
+    import pathlib
+    import shutil
+    import tempfile
+
+    from ..pipeline.writers import compact_fragmented_partitions
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("bkt", (F.col("doc_id") % 2).cast("int"))
+    )
+    lo = docs.agg(F.min("lang")).collect()[0][0]
+    hot = (F.col("lang") == lo) & (F.col("bkt") == 0)
+    root = tempfile.mkdtemp(prefix="compact-mlvl-")
+    try:
+        tbl = f"{root}/corpus"
+        docs.filter(~hot).repartition(1).write.partitionBy(
+            "lang", "bkt"
+        ).parquet(tbl)
+        docs.filter(hot).repartition(12).write.mode("append").partitionBy(
+            "lang", "bkt"
+        ).parquet(tbl)
+        rp = pathlib.Path(tbl)
+        cold_leaf = sorted(
+            d for d in rp.glob("lang=*/bkt=*") if d.is_dir()
+        )[-1]
+
+        def _md5s(d):
+            return {
+                p.name: _hl.md5(p.read_bytes()).hexdigest()
+                for p in d.glob("*.parquet")
+            }
+
+        cold_before = _md5s(cold_leaf)
+        out = compact_fragmented_partitions(
+            spark, tbl, max_files_per_partition=4
+        )
+        if out["partitions_compacted"] != [f"lang={lo}/bkt=0"]:
+            raise RuntimeError(
+                f"compact_multilevel_content_preserved: probe vacuous — "
+                f"expected exactly the staged hot leaf compacted, got "
+                f"{out['partitions_compacted']!r}"
+            )
+        hot_files = len(list((rp / f"lang={lo}" / "bkt=0").glob("*.parquet")))
+        if hot_files > 4:
+            raise RuntimeError(
+                f"compact_multilevel_content_preserved: hot leaf still "
+                f"has {hot_files} files after the sweep"
+            )
+        if _md5s(cold_leaf) != cold_before:
+            raise RuntimeError(
+                "compact_multilevel_content_preserved: a cold sibling "
+                "leaf's bytes changed — the sweep touched an "
+                "unfragmented leaf"
+            )
+        rows = (
+            spark.read.parquet(tbl)
+            .groupBy("lang", "bkt")
+            .count()
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((r["lang"], int(r["bkt"]), int(r["count"])) for r in rows),
+        "lang string, bkt long, n_docs long",
+    ).orderBy("lang", "bkt")

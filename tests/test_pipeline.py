@@ -4457,3 +4457,92 @@ def test_cli_lake_merge_multilevel_face(spark, tmp_path, capsys):
     assert out["violating_keys"] == 0
 
 
+
+
+def test_nested_compaction_and_drop_against_moto_s3(spark, tmp_path, moto_s3):
+    """Round 19: the per-leaf compaction sweep and the first-level
+    retention drop over the S3 wire protocol on a two-level layout —
+    the hot (date, hour) leaf folds while its sibling hour and other
+    dates keep ETag-identical objects; drop_partitions_before on the
+    first-level column takes the whole date subtree and refuses the
+    inner column loudly."""
+    import boto3
+    import pyarrow.fs as pafs
+
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        compact_fragmented_partitions,
+        drop_partitions_before,
+    )
+
+    local = tmp_path / "nseed"
+    for h, parts in ((0, 2), (1, 12)):
+        spark.range(60).selectExpr(
+            "id", "'2025-09-01' AS date", f"{h} AS hour"
+        ).repartition(parts).write.mode("append").partitionBy(
+            "date", "hour"
+        ).parquet(str(local))
+    spark.range(40).selectExpr(
+        "id + 500 AS id", "'2025-09-02' AS date", "0 AS hour"
+    ).repartition(2).write.mode("append").partitionBy(
+        "date", "hour"
+    ).parquet(str(local))
+
+    bucket = "sparkgraft-nestcmp"
+    boto3.client("s3", endpoint_url=moto_s3).create_bucket(Bucket=bucket)
+    s3 = boto3.client("s3", endpoint_url=moto_s3)
+    fs = pafs.S3FileSystem(
+        endpoint_override=moto_s3, access_key="testing",
+        secret_key="testing", region="us-east-1",
+    )
+    tbl = f"{bucket}/lake/nest"
+    for p in local.rglob("*.parquet"):
+        rel = p.relative_to(local).as_posix()
+        if any(seg.startswith((".", "_")) for seg in rel.split("/")):
+            continue
+        with open(p, "rb") as f, fs.open_output_stream(f"{tbl}/{rel}") as o:
+            o.write(f.read())
+
+    def etags(prefix):
+        return {
+            o["Key"]: o["ETag"]
+            for o in s3.list_objects_v2(
+                Bucket=bucket, Prefix=f"lake/nest/{prefix}"
+            ).get("Contents", [])
+            if o["Key"].endswith(".parquet")
+        }
+
+    cold = {
+        pfx: etags(pfx)
+        for pfx in ("date=2025-09-01/hour=0/", "date=2025-09-02/hour=0/")
+    }
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(local)).select("id").collect()
+    )
+    out = compact_fragmented_partitions(
+        spark, tbl, max_files_per_partition=8, filesystem=fs
+    )
+    assert out["partitions_compacted"] == ["date=2025-09-01/hour=1"]
+    assert len(etags("date=2025-09-01/hour=1/")) <= 8
+    for pfx, want_tags in cold.items():
+        assert etags(pfx) == want_tags, pfx  # sibling + other date
+    import pyarrow.dataset as pads
+
+    got = sorted(
+        (int(i),)
+        for i in pads.dataset(
+            tbl, filesystem=fs, format="parquet", partitioning="hive"
+        ).to_table(columns=["id"]).to_pandas()["id"]
+    )
+    assert got == want
+
+    # retention: inner column refuses; first-level drop takes the
+    # whole date subtree with it through the same seam
+    with pytest.raises(ValueError, match="FIRST-level"):
+        drop_partitions_before(tbl, "hour", "1", filesystem=fs)
+    out2 = drop_partitions_before(
+        tbl, "date", "2025-09-02", filesystem=fs
+    )
+    assert out2["dropped"] == ["2025-09-01"]
+    assert not etags("date=2025-09-01/")
+    assert len(etags("date=2025-09-02/")) > 0

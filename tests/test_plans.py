@@ -702,3 +702,26 @@ def test_locality_audit_prunes_to_key_columns(spark, tmp_path):
     (cols,) = read_schema_columns(df)
     assert cols == ["id"], cols  # val/score never leave the footer
     assert shuffle_count(df) == 2  # partial distinct + count-distinct
+
+
+def test_locality_audit_multilevel_prunes_to_key_columns(spark, tmp_path):
+    """Round 19: the leaf-granularity audit keeps the same 100 TB plan
+    shape on a multi-level layout — both partition columns come from
+    the Hive dirs, so the parquet scan still reads ONLY the key
+    columns, and the distinct-agg over the (date, hour) tuple stays
+    the two-exchange shape bounded by key cardinality."""
+    from streampro_assignment_etl_spark.pipeline.writers import (
+        audit_key_partition_locality,
+    )
+
+    tbl = str(tmp_path / "audit_plan_ml")
+    spark.createDataFrame(
+        [(i, f"v{i}", float(i), f"d{i % 2}", i % 3) for i in range(60)],
+        "id INT, val STRING, score DOUBLE, date STRING, hour INT",
+    ).write.partitionBy("date", "hour").parquet(tbl)
+    df = audit_key_partition_locality(
+        spark, tbl, ("id",), ("date", "hour")
+    )
+    (cols,) = read_schema_columns(df)
+    assert cols == ["id"], cols  # val/score never leave the footer
+    assert shuffle_count(df) == 2
