@@ -804,13 +804,25 @@ def release_row_delta(
     partition proves its own ROWS didn't change, not that a KEY living
     partly elsewhere didn't — a key with rows in both a changed and an
     unchanged partition would misreport (a user deleted from day=1 but
-    alive in day=2 must not read "removed"). Soundness condition: the
-    table's first-level Hive partition column is among ``key_cols``
-    (every key's rows then live in exactly one first-level partition),
-    or the table is unpartitioned (pruning is vacuous). Otherwise the
-    delta reads the FULL pinned file sets of both releases — still
-    exact, just unpruned; include the partition column in ``key_cols``
-    to get the pruned plan.
+    alive in day=2 must not read "removed"). Soundness conditions, in
+    order of how much they prune:
+
+    * LEAF granularity (round 19, multi-level layouts): when the
+      recorded file paths form a consistent Hive layout and EVERY
+      partition column (all levels) is among ``key_cols``, each key's
+      rows live in exactly one leaf — so only leaves whose recorded
+      (path, bytes, rows) triples differ between the releases are
+      read: a date/hour lake whose release rewrote one hour reads one
+      hour twice, not one date. Derived purely from the manifests
+      already on disk (per-leaf grouping of the recorded triples), no
+      manifest schema change — pre-r19 manifests prune at leaf
+      granularity too.
+    * FIRST-level granularity (r16): the first-level column is among
+      ``key_cols`` — prune to first-level partitions whose manifest
+      fingerprints differ.
+    * Otherwise the delta reads the FULL pinned file sets of both
+      releases — still exact, just unpruned; include the partition
+      column(s) in ``key_cols`` to get the pruned plan.
 
     Keys absent from a side classify as added/removed; a key present
     in both with different non-key columns does NOT surface (this is a
@@ -818,27 +830,72 @@ def release_row_delta(
     field-level drift matters)."""
     from pyspark.sql import functions as F
 
+    from .writers import _detect_hive_cols
+
     key_cols = list(key_cols)
     man_a = load_release(path, release_a)
     man_b = load_release(path, release_b)
     d = diff_releases(man_a, man_b)
     part_keys = set(man_a["partitions"]) | set(man_b["partitions"])
     hive_cols = {k.split("=", 1)[0] for k in part_keys if k and "=" in k}
+    all_rels = [
+        f["path"]
+        for man in (man_a, man_b)
+        for p in man["partitions"].values()
+        for f in p["files"]
+    ]
+    layout_cols = _detect_hive_cols(all_rels)
+    leaf_sound = (
+        layout_cols is not None
+        and len(layout_cols) > 1
+        and all(c in key_cols for c in layout_cols)
+    )
     prune_sound = not hive_cols or (
         len(hive_cols) == 1 and next(iter(hive_cols)) in key_cols
     )
-    if prune_sound:
-        changed = set(d["added"]) | set(d["removed"]) | set(d["rewritten"])
-    else:
-        changed = part_keys
+    if leaf_sound:
+        # per-leaf triple sets computed from the recorded entries — an
+        # unchanged leaf's files are identical (path, bytes, rows)
+        # triples in both manifests (the immutable-file argument, one
+        # level deeper than the recorded first-level fingerprints)
+        def _by_leaf(man):
+            out: dict = {}
+            for p in man["partitions"].values():
+                for f in p["files"]:
+                    leaf = f["path"].rsplit("/", 1)[0]
+                    out.setdefault(leaf, set()).add(
+                        (f["path"], int(f["bytes"]), int(f["rows"]))
+                    )
+            return out
 
-    def _rels(man):
-        return sorted(
-            f["path"]
-            for k, p in man["partitions"].items()
-            if k in changed
-            for f in p["files"]
-        )
+        la, lb = _by_leaf(man_a), _by_leaf(man_b)
+        changed_leaves = {
+            k for k in set(la) | set(lb) if la.get(k) != lb.get(k)
+        }
+
+        def _rels(man):
+            return sorted(
+                f["path"]
+                for p in man["partitions"].values()
+                for f in p["files"]
+                if f["path"].rsplit("/", 1)[0] in changed_leaves
+            )
+
+    else:
+        if prune_sound:
+            changed = (
+                set(d["added"]) | set(d["removed"]) | set(d["rewritten"])
+            )
+        else:
+            changed = part_keys
+
+        def _rels(man):
+            return sorted(
+                f["path"]
+                for k, p in man["partitions"].items()
+                if k in changed
+                for f in p["files"]
+            )
 
     rels_a, rels_b = _rels(man_a), _rels(man_b)
     if not rels_a and not rels_b:

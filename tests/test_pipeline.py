@@ -4425,6 +4425,51 @@ def test_release_row_delta_nested_layout_prunes_and_stays_exact(
     )
     assert unpruned == [(7, "removed"), (13, "removed")]
 
+    # leaf-granularity pruning (r19), pinned BEHAVIORALLY: damage an
+    # UNCHANGED sibling hour inside the changed date — a delta whose
+    # key_cols carry every partition column (leaf-sound) never reads
+    # that leaf and stays exact, while the first-level-sound delta
+    # (date only) must read all of date=d1 and trips on the damage.
+    # The deltas above located the change in date=d1 (ids 7, 13).
+    import pathlib
+
+    root = pathlib.Path(tbl)
+    changed_hours = {
+        int(r["hour"])
+        for r in release_row_delta(
+            spark, tbl, "r1", "r2", ["id", "date", "hour"]
+        ).collect()
+    }
+    sibling_hour = next(
+        h for h in (0, 1, 2) if h not in changed_hours
+    )
+    victim = next(root.glob(f"date=d1/hour={sibling_hour}/*.parquet"))
+    moved = victim.with_suffix(".hidden")
+    victim.rename(moved)
+    try:
+        leaf = sorted(
+            (r["id"], int(r["hour"]), r["_change"])
+            for r in release_row_delta(
+                spark, tbl, "r1", "r2", ["id", "date", "hour"]
+            ).collect()
+        )
+        assert [(i, c) for i, _, c in leaf] == [
+            (7, "removed"), (13, "removed")
+        ]
+        with pytest.raises(FileNotFoundError):
+            release_row_delta(
+                spark, tbl, "r1", "r2", ["id", "date"]
+            ).collect()
+    finally:
+        moved.rename(victim)
+    # restored: both granularities agree again
+    assert sorted(
+        (r["id"], r["_change"])
+        for r in release_row_delta(
+            spark, tbl, "r1", "r2", ["id", "date"]
+        ).collect()
+    ) == [(7, "removed"), (13, "removed")]
+
 
 def test_cli_lake_merge_multilevel_face(spark, tmp_path, capsys):
     """Round 19: the CLI merge/audit faces take a comma-separated
