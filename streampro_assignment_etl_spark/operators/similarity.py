@@ -376,6 +376,91 @@ def ann_topk(
     )
 
 
+DEFAULT_PAIR_BLOCK = 256
+
+
+def _unpack_pack_column(col):
+    """(per-row numpy views) of a ``list<struct<_id,_v,_n>>`` Arrow
+    column: ids (int64), V (rows x dim float64), ns (float64), plus the
+    list offsets to slice per pack. Buffer-level conversion — no
+    ``as_py`` per element — so unpacking a 10^4-vector pack costs three
+    array casts, not 10^6 Python objects. Raises loudly on ragged
+    vector lengths (a corpus with mixed embedding dims is garbage
+    upstream; the JVM fold would silently null-pad it)."""
+    import numpy as np
+
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    structs = col.flatten()
+    ids = structs.field("_id").to_numpy(zero_copy_only=False)
+    ns = structs.field("_n").to_numpy(zero_copy_only=False)
+    vlist = structs.field("_v")
+    voff = vlist.offsets.to_numpy(zero_copy_only=False)
+    dims = np.diff(voff)
+    if len(dims) and (dims != dims[0]).any():
+        raise ValueError(
+            f"ragged embedding dims in pack: {sorted(set(dims.tolist()))[:5]}"
+        )
+    dim = int(dims[0]) if len(dims) else 0
+    V = vlist.flatten().to_numpy(zero_copy_only=False).reshape(-1, max(dim, 1))
+    return ids, V, ns, offsets
+
+
+def _make_block_pair_scorer(threshold: float):
+    """mapInArrow scorer for (ba, bb, pa, pb) block-pair rows: exact
+    cosine for every cross pair of the two packs, computed as the same
+    strict left-fold sum as ``dot`` (``np.cumsum`` is a sequential
+    scan, so each pair's accumulation order — and therefore every IEEE
+    rounding step — is bit-identical to the JVM fold and to DuckDB's
+    list_dot_product). Packs are id-ordered blocks of one cell, so
+    ba < bb implies every a-id < every b-id (full cross emitted) and
+    ba == bb is the in-block upper triangle — together exactly the
+    vec_a < vec_b pairs of the cell."""
+    import numpy as np
+    import pyarrow as pa
+
+    def score(batches):
+        for batch in batches:
+            ca, cb = batch.column("pa"), batch.column("pb")
+            same = batch.column("ba").to_numpy(zero_copy_only=False) == batch.column(
+                "bb"
+            ).to_numpy(zero_copy_only=False)
+            ids_a, Va, ns_a, off_a = _unpack_pack_column(ca)
+            ids_b, Vb, ns_b, off_b = _unpack_pack_column(cb)
+            outs: list[tuple] = []
+            for i in range(batch.num_rows):
+                sa, ea = off_a[i], off_a[i + 1]
+                sb, eb = off_b[i], off_b[i + 1]
+                ida, A, na = ids_a[sa:ea], Va[sa:ea], ns_a[sa:ea]
+                idb, B, nb = ids_b[sb:eb], Vb[sb:eb], ns_b[sb:eb]
+                if not len(ida) or not len(idb):
+                    continue
+                # Strict left-fold pairwise dots (see docstring).
+                dots = np.cumsum(A[:, None, :] * B[None, :, :], axis=2)[:, :, -1]
+                cos = dots / (na[:, None] * nb[None, :])
+                if same[i]:
+                    ii, jj = np.triu_indices(len(ida), k=1)
+                else:
+                    ii, jj = np.meshgrid(
+                        np.arange(len(ida)), np.arange(len(idb)), indexing="ij"
+                    )
+                    ii, jj = ii.ravel(), jj.ravel()
+                c = cos[ii, jj]
+                keep = c >= threshold
+                if keep.any():
+                    outs.append((ida[ii][keep], idb[jj][keep], c[keep]))
+            if outs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate([o[0] for o in outs]), type=pa.int64()),
+                        pa.array(np.concatenate([o[1] for o in outs]), type=pa.int64()),
+                        pa.array(np.concatenate([o[2] for o in outs]), type=pa.float64()),
+                    ],
+                    names=["vec_a", "vec_b", "_cos"],
+                )
+
+    return score
+
+
 def near_dup_pairs_cells(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -383,6 +468,7 @@ def near_dup_pairs_cells(
     threshold: float = 0.4,
     n_centroids: int = DEFAULT_CENTROIDS,
     probes: int = DEFAULT_PROBES,
+    block_size: int = DEFAULT_PAIR_BLOCK,
 ) -> DataFrame:
     """Cell-restricted embedding near-dup mining:
     (vec_a, vec_b, cos_sim) for all pairs with cosine >= threshold whose
@@ -390,14 +476,29 @@ def near_dup_pairs_cells(
 
     The scale path for corpus-level near-dup detection: every vector is
     blocked into its ``probes`` nearest centroid cells (the same
-    zero-shuffle ranked-cells projection as ``assign_cells``), and pair
-    generation is an EQUI-JOIN on the cell id — candidates are
-    O(N²·(probes/C)) expected instead of the all-pairs N², and the plan
-    is a shuffled hash join, never a BroadcastNestedLoop. Multi-probe
-    blocking on BOTH sides means a pair is found iff the two vectors
-    share any of their top-P cells — symmetric, strictly higher recall
-    than top-1 blocking. A pair found through several shared cells is
-    deduplicated after the (deterministic) cosine is attached.
+    zero-shuffle ranked-cells projection as ``assign_cells``), each
+    cell's vectors pack into id-ordered blocks of ``block_size``, and
+    candidate generation is an EQUI-JOIN of block pairs on the cell id
+    — candidates are O(N²·(probes/C)) pairs grouped into
+    O((n_c/B)²) block rows per cell, a hash join, never a
+    BroadcastNestedLoop. Multi-probe blocking on BOTH sides means a
+    pair is found iff the two vectors share any of their top-P cells —
+    symmetric, strictly higher recall than top-1 blocking. A pair found
+    through several shared cells is deduplicated after the
+    (deterministic) cosine is attached.
+
+    Scoring runs as one vectorized numpy pass per block pair
+    (``_make_block_pair_scorer``): each vector crosses the Python
+    boundary once per block pair instead of once per PAIR, cutting the
+    Arrow traffic by ~``block_size``× versus scoring joined pair rows,
+    and the per-pair sum keeps the exact sequential fold ``dot`` uses
+    (r19 rewrite: the previous per-pair interpreted fold was 2 × 64
+    lambda evals per candidate — the whole query was ~14.8 s at sf0.1
+    against ~3 s for this plan, identical output pinned by
+    test_near_dup_cells_block_size_invariant and the driver oracle).
+    ``block_size`` bounds per-task memory at B²·dim doubles (~33 MB at
+    B=256, dim=64); results are B-invariant, so mis-sizing costs time,
+    never correctness.
 
     Recall is governed by the same probe math as ``ann_topk``; the
     all-pairs form (the registered oracle) verifies that on the fixed
@@ -405,9 +506,17 @@ def near_dup_pairs_cells(
     """
     cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
     v = _as_double(vec_col)
-    base = emb.select(
-        F.col(id_col).alias("_id"), v.alias("_v"), norm(v).alias("_n")
-    ).filter(_finite_positive(F.col("_n")))  # cosine undefined otherwise
+    # Repartition the raw vectors before the ranked-cells projection:
+    # test-scale corpora arrive as one parquet split and the C-cosine
+    # argmax is the most expensive per-row step (same rationale as
+    # minhash.fuzzy_dup_pairs). At real scale the input is already
+    # thousands of splits and this round-robin is noise.
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    base = (
+        emb.repartition(n_part)
+        .select(F.col(id_col).alias("_id"), v.alias("_v"), norm(v).alias("_n"))
+        .filter(_finite_positive(F.col("_n")))  # cosine undefined otherwise
+    )
     ranked = F.slice(_ranked_cells(F.col("_v"), cents, F.col("_n")), 1, probes)
     blocked = base.select(
         "_id",
@@ -415,18 +524,29 @@ def near_dup_pairs_cells(
         "_n",
         F.explode(F.transform(ranked, lambda s: s["cid"])).alias("cell"),
     )
-    a = blocked.select(
-        F.col("_id").alias("vec_a"), F.col("_v").alias("va"), F.col("_n").alias("na"), "cell"
+    w = Window.partitionBy("cell").orderBy("_id")
+    packs = (
+        blocked.withColumn(
+            "_blk", ((F.row_number().over(w) - 1) / F.lit(block_size)).cast("int")
+        )
+        .groupBy("cell", "_blk")
+        # array_sort on struct(_id first) = deterministic id order
+        # within the pack regardless of collect_list's arrival order.
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "_v", "_n"))).alias("pack"))
     )
-    b = blocked.select(
-        F.col("_id").alias("vec_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb"), "cell"
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    a = packs.select("cell", F.col("_blk").alias("ba"), F.col("pack").alias("pa"))
+    b = packs.select("cell", F.col("_blk").alias("bb"), F.col("pack").alias("pb"))
+    bp = (
         a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= F.lit(float(threshold)))
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("ba") <= F.col("bb"))
+        .select("ba", "bb", "pa", "pb")
+    )
+    scored = bp.mapInArrow(
+        _make_block_pair_scorer(float(threshold)), "vec_a long, vec_b long, _cos double"
+    )
+    return (
+        scored.filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos_sim"))
         .distinct()
     )
 

@@ -660,6 +660,28 @@ def test_near_dup_cells_recall_and_planted_exactness(emb, spark):
     }
     assert found >= {(k, 100 + k) for k in range(20)}, found
 
+def test_near_dup_cells_block_size_invariant(emb):
+    """The r19 block-GEMM scorer's results are ``block_size``-invariant
+    — from the degenerate one-vector-per-block packing through
+    whole-cell blocks — and every emitted cosine is bit-identical
+    across packings (the cumsum fold's accumulation order per pair does
+    not depend on how pairs are grouped into blocks). Mis-sizing the
+    block dial must cost time, never correctness."""
+    frames = [
+        similarity.near_dup_pairs_cells(
+            emb, "vec_id", "embedding",
+            threshold=0.4, n_centroids=16, probes=4, block_size=bs,
+        )
+        .orderBy("vec_a", "vec_b")
+        .collect()
+        for bs in (1, 7, similarity.DEFAULT_PAIR_BLOCK, 100_000)
+    ]
+    ref = [(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in frames[0]]
+    assert ref, "fixture corpus must yield pairs"
+    for other in frames[1:]:
+        assert [(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in other] == ref
+
+
 def test_connected_components_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
     """SPARK_CHECKPOINT_DIR selects reliable checkpoint() (files land in
     the dir and survive executor loss); unset falls back to
