@@ -38,6 +38,17 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of ``dot`` — byte-for-byte the expression the Column
+    form parses to (same fold, same 0.0D seed), for builders that
+    assemble one big ``F.expr`` instead of paying a py4j round trip per
+    operator node (see ``_scored_cells``)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -173,7 +184,7 @@ def collect_centroids(centroids: DataFrame) -> CentroidList:
     return [(r["centroid_id"], list(r["centroid"])) for r in centroids.collect()]
 
 
-def _ranked_cells(vec: Column, cents: CentroidList, vnorm: Column) -> Column:
+def _ranked_cells(vec_sql: str, cents: CentroidList, vnorm_sql: str) -> Column:
     """Array of struct(_ns, cid) sorted so element 1 is the nearest
     centroid (cosine DESC, centroid_id ASC — `_ns` is the negated
     cosine, so the natural ascending struct sort gives exactly the
@@ -183,8 +194,9 @@ def _ranked_cells(vec: Column, cents: CentroidList, vnorm: Column) -> Column:
     ONE zip_with lambda — a per-centroid Python loop would inline C
     copies of the cosine fold (C·3 higher-order nodes + C·dim literal
     children) and plan compile time, not row work, dominates the query
-    at bench scale. Same floats, same fold order, ~C× smaller tree."""
-    return F.array_sort(_scored_cells(vec, cents, vnorm))
+    at bench scale. Same floats, same fold order, ~C× smaller tree.
+    Takes SQL expression text (not Columns) — see ``_scored_cells``."""
+    return F.array_sort(_scored_cells(vec_sql, cents, vnorm_sql))
 
 
 def _double_array_sql(xs: list[float]) -> str:
@@ -208,25 +220,31 @@ def _double_array_sql(xs: list[float]) -> str:
     return "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
 
 
-def _scored_cells(vec: Column, cents: CentroidList, vnorm: Column) -> Column:
+def _scored_cells(vec_sql: str, cents: CentroidList, vnorm_sql: str) -> Column:
     """Unsorted array of struct(_ns, cid) — struct ordering makes
     min(array) ≡ first element of the sorted array, so top-1 consumers
     (``assign_cells``) take ``array_min`` and skip the per-row sort.
 
-    ``vnorm`` is the row's own norm hoisted by the caller (computed
+    ``vnorm_sql`` is the row's own norm hoisted by the caller (computed
     once per row, not once per centroid) and each centroid's norm is
     precomputed on the driver (``_py_norm``, bit-identical fold), so
     scoring C cells costs C dot products instead of 3C: _ns =
-    -(dot(v,c)/(vnorm*cnorm)) ≡ -cosine(v,c) bit-for-bit."""
-    carr = F.expr(
-        "array(" + ",".join(_double_array_sql(cvec) for _, cvec in cents) + ")"
-    )
+    -(dot(v,c)/(vnorm*cnorm)) ≡ -cosine(v,c) bit-for-bit.
+
+    Inputs are SQL expression TEXT (column names, backtick-quoted by
+    the caller if needed), and the whole scorer is ONE parsed
+    ``F.expr`` — building the same tree through Column operators costs
+    ~1,500 py4j round trips (~0.9 s of driver latency per plan build,
+    measured r19: 40% of the warm ann_ivf query) versus one parse of a
+    ~30 KB string; the parsed expressions are identical, so every
+    float is bit-for-bit the same."""
+    carr = "array(" + ",".join(_double_array_sql(cvec) for _, cvec in cents) + ")"
     norms = [_py_norm(cvec) for _, cvec in cents]
     import math
 
     if not all(map(math.isfinite, norms)):
         raise ValueError(f"non-finite centroid norm: {norms}")
-    cmeta = F.expr(
+    cmeta = (
         "array("
         + ",".join(
             f"named_struct('cid', {int(cid)}, 'cn', {cn!r}D)"
@@ -234,13 +252,10 @@ def _scored_cells(vec: Column, cents: CentroidList, vnorm: Column) -> Column:
         )
         + ")"
     )
-    return F.zip_with(
-        carr,
-        cmeta,
-        lambda cvec, m: F.struct(
-            (-(dot(vec, cvec) / (vnorm * m["cn"]))).alias("_ns"),
-            m["cid"].alias("cid"),
-        ),
+    return F.expr(
+        f"zip_with({carr}, {cmeta}, (cvec, m) -> named_struct("
+        f"'_ns', -({_dot_sql(vec_sql, 'cvec')} / ({vnorm_sql} * m.cn)), "
+        f"'cid', m.cid))"
     )
 
 
@@ -286,7 +301,7 @@ def assign_cells(
         F.col(id_col),
         F.col(vec_col),
         F.col("_vn"),
-        F.array_min(_scored_cells(F.col(vec_col), cents, F.col("_vn")))["cid"].alias(
+        F.array_min(_scored_cells(f"`{vec_col}`", cents, "_vn"))["cid"].alias(
             "cell"
         ),
     )
@@ -313,7 +328,7 @@ def probe_cells(
     base = queries.select(
         F.col(id_col).alias("query_id"), v.alias("qv"), norm(v).alias("_qn")
     ).filter(_finite_positive(F.col("_qn")))
-    ranked = F.slice(_ranked_cells(F.col("qv"), cents, F.col("_qn")), 1, probes)
+    ranked = F.slice(_ranked_cells("qv", cents, "_qn"), 1, probes)
     out = base.select(
         "query_id",
         "qv",
@@ -517,7 +532,7 @@ def near_dup_pairs_cells(
         .select(F.col(id_col).alias("_id"), v.alias("_v"), norm(v).alias("_n"))
         .filter(_finite_positive(F.col("_n")))  # cosine undefined otherwise
     )
-    ranked = F.slice(_ranked_cells(F.col("_v"), cents, F.col("_n")), 1, probes)
+    ranked = F.slice(_ranked_cells("_v", cents, "_n"), 1, probes)
     blocked = base.select(
         "_id",
         "_v",

@@ -128,18 +128,24 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Python call per distinct fingerprint per batch (~62k calls ≈
     # 2 s of pure interpreter overhead at sf0.1), the sharded form pays
     # 64 vectorized calls for the identical output (equivalence pinned
-    # by test_sharded_exact_dedup_matches_fine_grained). 16 state
-    # partitions measured best at this key volume (r7: sp=4 → 5.7-8.0 s,
-    # sp=8 → 3.9-4.9 s, sp=16 → 2.9-3.8 s fine-grained; sharded 64/16
-    # → 2.0-2.6 s). State layout freezes at the first checkpoint — see
-    # run_dedup_stream docstring.
+    # by test_sharded_exact_dedup_matches_fine_grained). State
+    # partitions re-measured for the SHARDED layout in r19 (the r7
+    # sp=16 pick was tuned on the fine-grained operator, where 16 ways
+    # of per-key python calls needed the parallelism): with 64
+    # vectorized shard calls the per-partition state-commit constant
+    # dominates instead, and sp=4 wins — warm drains sp=16 → 2.3-3.1 s,
+    # sp=8 → 2.4-2.5 s, sp=4 → 2.1-2.2 s (interleaved A/B, idle box).
+    # ~5k keys / 64 shards is exactly the "size to key volume, not
+    # session default" rule in the run_dedup_stream docstring; at real
+    # firehose volume this dial goes to hundreds. State layout freezes
+    # at the first checkpoint — see run_dedup_stream docstring.
     run_dedup_stream(
         spark,
         str(landing),
         out,
         ckpt,
         max_files_per_trigger=1,
-        shuffle_partitions=16,
+        shuffle_partitions=4,
         n_shards=64,
     )
     return (

@@ -682,6 +682,36 @@ def test_near_dup_cells_block_size_invariant(emb):
         assert [(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in other] == ref
 
 
+def test_connected_components_local_matches_distributed(spark):
+    """The r19 hybrid finish (driver union-find under the frontier
+    threshold) labels exactly like the distributed star-contraction —
+    on a component mix that exercises chains, stars, and singletons
+    joined out of order."""
+    from streampro_assignment_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(30)]                 # long chain
+        + [(100, 100 + i) for i in range(1, 8)]         # star
+        + [(205, 203), (201, 205), (203, 207)]          # out-of-order merges
+        + [(300, 301)]
+    )
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            df, "doc_a", "doc_b", local_threshold=0
+        ).collect()
+    }
+    assert local == dist
+    assert (201, 201) in local and (207, 201) in local
+
+
 def test_connected_components_reliable_checkpoint_switch(spark, tmp_path, monkeypatch):
     """SPARK_CHECKPOINT_DIR selects reliable checkpoint() (files land in
     the dir and survive executor loss); unset falls back to

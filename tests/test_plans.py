@@ -171,7 +171,10 @@ def test_dedup_clusters_bounded_iterations(spark):
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
     )
-    got = connected_components(path, "doc_a", "doc_b", max_iter=10)
+    # local_threshold=0 forces the distributed rounds — this test pins
+    # the star-contraction's convergence bound, not the hybrid finish
+    # (that equivalence is pinned in test_operators).
+    got = connected_components(path, "doc_a", "doc_b", max_iter=10, local_threshold=0)
     assert got.filter(F.col("component") != 0).count() == 0
     assert got.count() == 41
 
