@@ -83,6 +83,32 @@ def _stage_single_file(df: DataFrame, staging: Path, writer: str, **options) -> 
     return part
 
 
+def _stage_single_jsonl_parallel(df: DataFrame, staging: Path, **options) -> Path:
+    """``_stage_single_file`` for JSONL only, with the ENCODE run wide:
+    write all partitions in parallel, then concatenate the part files
+    (in part-index order) into one landing object driver-side. JSON
+    Lines is concatenation-closed — the result holds exactly the same
+    line set as the coalesce(1) form, only the (semantically
+    irrelevant) line order differs — so this is safe precisely for the
+    streaming staging paths, whose consumers aggregate or take per-key
+    minima. CSV stays on ``_stage_single_file`` (a header per part
+    makes concatenation lossy). Measured r19 at sf0.1: the 100k-event
+    JSONL encode is the single-task hot spot of the streaming staging
+    (guide §1: one task serializes every row + timestamp format);
+    fan-out cuts the stage from ~1.3 s to ~0.4 s on 32 cores."""
+    import shutil as _shutil
+
+    out = staging / "stage"
+    df.write.mode("overwrite").options(**options).json(str(out))
+    parts = sorted(p for p in out.iterdir() if p.name.startswith("part-"))
+    dst = out / "landing.jsonl"
+    with open(dst, "wb") as fh:
+        for p in parts:
+            with open(p, "rb") as src:
+                _shutil.copyfileobj(src, fh)
+    return dst
+
+
 def _run_pipeline(
     spark: SparkSession,
     lake: LakeStorage,

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from ..sources.testdata import load_table
 from ..streaming import read_events_stream, run_stream_to_parquet, windowed_event_counts
 from .catalog import query
-from .pipeline_q import _TS_FMT, _fresh_lake, _stage_single_file
+from .pipeline_q import (
+    _TS_FMT,
+    _fresh_lake,
+    _stage_single_file,
+    _stage_single_jsonl_parallel,
+)
 
 
 @query(
@@ -40,7 +45,8 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_trunc('hour') rollup over the same rows."""
     lake = _fresh_lake(sf_dir, "stream")
     events = load_table(spark, sf_dir, "events")
-    part = _stage_single_file(events, lake.root, "json", timestampNTZFormat=_TS_FMT)
+    # Parallel JSONL encode (order-insensitive consumer: windowed agg).
+    part = _stage_single_jsonl_parallel(events, lake.root, timestampNTZFormat=_TS_FMT)
     landing = lake.root / "landing_stream"
     landing.mkdir(parents=True, exist_ok=True)
     import shutil
@@ -49,7 +55,11 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = windowed_event_counts(read_events_stream(spark, str(landing)))
     out, ckpt = str(lake.root / "stream_out"), str(lake.root / "stream_ckpt")
-    run_stream_to_parquet(stream, out, ckpt, mode="update")
+    # State partitions sized to the key volume (~3.6k hour×type windows
+    # at sf0.1), not the session's core count — same rule as the
+    # stateful dedup below; 32 near-empty state commits per batch were
+    # pure overhead.
+    run_stream_to_parquet(stream, out, ckpt, mode="update", shuffle_partitions=8)
     # Select the result columns explicitly: the idempotent sink adds a
     # batch_id partition column on read-back.
     return (
@@ -119,7 +129,9 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(hi + 1)).alias("doc_id"), "text"
     )
     for i, half in enumerate((docs, echoes)):
-        part = _stage_single_file(half, lake.root, "json")
+        # Parallel JSONL encode: the operator's min-doc_id-per-batch
+        # selection is line-order-insensitive.
+        part = _stage_single_jsonl_parallel(half, lake.root)
         dst = landing / f"docs_batch{i}.jsonl"
         shutil.copyfile(part, dst)
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))

@@ -129,6 +129,7 @@ def run_stream_to_parquet(
     checkpoint_dir: str,
     mode: str = "update",
     timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Run a streaming aggregation to parquet via foreachBatch with
     availableNow, blocking until drained.
@@ -142,19 +143,33 @@ def run_stream_to_parquet(
     Each micro-batch overwrites its own ``batch_id=N`` subtree, making
     the sink idempotent under checkpoint retries (exactly-once, not
     at-least-once); readers see batch_id as a partition column.
+
+    ``shuffle_partitions`` sets this stream's STATE partition count
+    (frozen at the first checkpoint — same contract and sizing rule as
+    ``run_dedup_stream``: expected distinct-key volume, not the
+    session's core count; each micro-batch pays one state commit per
+    partition). Restored after the drain; None keeps the session value.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
-    q = (
-        result.writeStream.outputMode(mode)
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    spark = result.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.outputMode(mode)
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def read_update_sink(spark: SparkSession, out_dir: str, key_cols: list[str]) -> DataFrame:
