@@ -372,7 +372,7 @@ def scalar_subquery_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery in the projection — Spark plans it as a separate
     subquery stage reused as a literal (RewriteCorrelatedScalarSubquery
     not needed: uncorrelated). Identical SQL text runs on both engines."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "nation"))
     # CAST(100 AS DOUBLE): Spark parses the bare literal 100.0 as
     # DECIMAL(4,1) while DuckDB makes it DOUBLE — pin the type.
     return spark.sql(

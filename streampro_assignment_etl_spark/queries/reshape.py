@@ -306,7 +306,7 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation)."""
     from ..sources.testdata import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(
         """
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

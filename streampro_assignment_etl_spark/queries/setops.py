@@ -161,7 +161,7 @@ ORDER BY p_type
 def in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery through spark.sql — Catalyst rewrites it to a left
     semi join; the subquery's filter pushes to the lineitem scan."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("part", "lineitem"))
     return spark.sql(
         """
         SELECT p_type, COUNT(*) AS n_parts
@@ -496,7 +496,7 @@ def subquery_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     three branches as left semi / left anti / left semi joins (probe
     side streams, no row multiplication, build side broadcast-able),
     and the IN branch's o_totalprice filter pushes to the orders scan."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "orders"))
     return spark.sql(_MEMBERSHIP_SQL)
 
 

@@ -734,7 +734,7 @@ def sp_event_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell 19 analog: distribution with a scalar-subquery denominator."""
     from ..sources.testdata import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("events",))
     # CAST(100 AS DOUBLE): Spark's bare 100.0 literal is DECIMAL(4,1).
     return spark.sql(
         """
@@ -928,5 +928,5 @@ def sp_q2_verbatim_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dialect import run_duckdb_sql
     from ..sources.testdata import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("events",))
     return run_duckdb_sql(spark, _VERBATIM_Q2)

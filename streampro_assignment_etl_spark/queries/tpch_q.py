@@ -137,7 +137,7 @@ def order_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-line orders."""
     from ..sources.testdata import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders", "lineitem"))
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS order_count

@@ -48,14 +48,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def load_tables(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
     apply_runtime_confs(spark)
-    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+    names = only if only is not None else TESTDATA_TABLES
+    return {name: load_table(spark, sf_dir, name) for name in names}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every testdata table as a temp view (lazy, zero-copy)."""
-    tables = load_tables(spark, sf_dir)
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Register testdata tables as temp views (lazy, zero-copy).
+
+    ``only`` restricts registration to the named tables: each view
+    costs a parquet footer read + a catalog call at plan-build time
+    (~0.3 s for all ten, r19 measurement), so SQL-path queries that
+    reference one or two tables pass exactly those."""
+    tables = load_tables(spark, sf_dir, only)
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
