@@ -43,7 +43,10 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + 1h tumbling windows → foreachBatch parquet sink
     (availableNow) → read back. Batch is the oracle: DuckDB's
     date_trunc('hour') rollup over the same rows."""
-    lake = _fresh_lake(sf_dir, "stream")
+    # scratch=True: the lake (landing + checkpoint + sink) is per-run
+    # scratch rebuilt from zero, so it lives on the fastest local fs
+    # (see _scratch_base) — the ext4 fsync tail was pure drain noise.
+    lake = _fresh_lake(sf_dir, "stream", scratch=True)
     events = load_table(spark, sf_dir, "events")
     # Parallel JSONL encode (order-insensitive consumer: windowed agg).
     part = _stage_single_jsonl_parallel(events, lake.root, timestampNTZFormat=_TS_FMT)
@@ -58,8 +61,16 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # State partitions sized to the key volume (~3.6k hour×type windows
     # at sf0.1), not the session's core count — same rule as the
     # stateful dedup below; 32 near-empty state commits per batch were
-    # pure overhead.
-    run_stream_to_parquet(stream, out, ckpt, mode="update", shuffle_partitions=8)
+    # pure overhead. Checkpoint .crc siblings off: scratch checkpoint,
+    # see run_stream_to_parquet.
+    run_stream_to_parquet(
+        stream,
+        out,
+        ckpt,
+        mode="update",
+        shuffle_partitions=8,
+        checkpoint_file_checksum=False,
+    )
     # Select the result columns explicitly: the idempotent sink adds a
     # batch_id partition column on read-back.
     return (
@@ -117,21 +128,41 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays over the same planted union."""
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..streaming.stateful_dedup import run_dedup_stream
 
-    lake = _fresh_lake(sf_dir, "statefuldedup")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    hi = int(docs.agg(F.max("doc_id")).first()[0])
+    # scratch=True: per-run scratch lake on the fastest local fs (see
+    # _scratch_base) — checkpoint durability is moot for a lake that is
+    # rmtree'd at the start of every run.
+    lake = _fresh_lake(sf_dir, "statefuldedup", scratch=True)
+    # documents is scanned three times in this prologue (max-id, batch-0
+    # staging, echo staging): persist for the duration (same-run reuse,
+    # released below — guide §5).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").persist()
     landing = lake.root / "landing_docs"
     landing.mkdir(parents=True, exist_ok=True)
-    echoes = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(hi + 1)).alias("doc_id"), "text"
-    )
-    for i, half in enumerate((docs, echoes)):
-        # Parallel JSONL encode: the operator's min-doc_id-per-batch
-        # selection is line-order-insensitive.
-        part = _stage_single_jsonl_parallel(half, lake.root)
+    try:
+        hi = int(docs.agg(F.max("doc_id")).first()[0])
+        echoes = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(hi + 1)).alias("doc_id"), "text"
+        )
+        # Parallel JSONL encode (the operator's min-doc_id-per-batch
+        # selection is line-order-insensitive), the two independent
+        # staging jobs overlapped from a small thread pool so the echo
+        # job back-fills the doc job's task tail (guide §2.6).
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            parts = list(
+                pool.map(
+                    lambda ih: _stage_single_jsonl_parallel(
+                        ih[1], lake.root, name=f"stage_batch{ih[0]}"
+                    ),
+                    enumerate((docs, echoes)),
+                )
+            )
+    finally:
+        docs.unpersist()
+    for i, part in enumerate(parts):
         dst = landing / f"docs_batch{i}.jsonl"
         shutil.copyfile(part, dst)
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
@@ -159,6 +190,9 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1,
         shuffle_partitions=4,
         n_shards=64,
+        # Scratch checkpoint (fresh lake every run): the per-file .crc
+        # siblings protect nothing here — see run_dedup_stream.
+        checkpoint_file_checksum=False,
     )
     return (
         spark.read.parquet(out)

@@ -130,6 +130,7 @@ def run_stream_to_parquet(
     mode: str = "update",
     timeout_s: int = 300,
     shuffle_partitions: int | None = None,
+    checkpoint_file_checksum: bool | None = None,
 ) -> None:
     """Run a streaming aggregation to parquet via foreachBatch with
     availableNow, blocking until drained.
@@ -149,15 +150,25 @@ def run_stream_to_parquet(
     ``run_dedup_stream``: expected distinct-key volume, not the
     session's core count; each micro-batch pays one state commit per
     partition). Restored after the drain; None keeps the session value.
+
+    ``checkpoint_file_checksum`` toggles the per-checkpoint-file ``.crc``
+    sibling writes for this drain (restored after) — same contract and
+    rationale as ``run_dedup_stream``: off is right ONLY for per-run
+    scratch checkpoints; keep the default for any checkpoint that must
+    survive a restart.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     spark = result.sparkSession
+    _CRC = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     saved = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_crc = spark.conf.get(_CRC)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if checkpoint_file_checksum is not None:
+        spark.conf.set(_CRC, str(checkpoint_file_checksum).lower())
     try:
         q = (
             result.writeStream.outputMode(mode)
@@ -170,6 +181,8 @@ def run_stream_to_parquet(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
+        if checkpoint_file_checksum is not None:
+            spark.conf.set(_CRC, saved_crc)
 
 
 def read_update_sink(spark: SparkSession, out_dir: str, key_cols: list[str]) -> DataFrame:

@@ -648,6 +648,7 @@ def run_dedup_stream(
     n_shards: int | None = None,
     ttl_seconds: int | None = None,
     ttl_event_seconds: int | None = None,
+    checkpoint_file_checksum: bool | None = None,
 ) -> None:
     """Drain a landing dir of docs JSONL through the stateful dedup into
     parquet (availableNow; re-runs resume the fingerprint state). Each
@@ -667,7 +668,18 @@ def run_dedup_stream(
     volume, not the session default: each micro-batch pays one state
     commit per partition (at toy scale 32 partitions is pure commit
     overhead; at 100 TB key volume you want hundreds). Restored after
-    the drain; existing checkpoints ignore it by design."""
+    the drain; existing checkpoints ignore it by design.
+
+    ``checkpoint_file_checksum`` toggles Spark 4.1's
+    ``spark.sql.streaming.checkpoint.fileChecksum.enabled`` for this
+    drain (restored after): every checkpoint/state file write spawns a
+    sibling ``.crc`` write, which for a per-run SCRATCH checkpoint
+    (rebuilt from zero each invocation) is pure fixed cost — ~0.1 s
+    per 2-batch drain of metadata fs ops at sf0.1. Leave None (session
+    default, on) for any checkpoint that outlives the run: the
+    checksum is what detects torn/corrupted checkpoint files on
+    restart. Same single-query-per-session assumption as
+    ``shuffle_partitions``."""
     fields = [
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
@@ -716,9 +728,13 @@ def run_dedup_stream(
     any_ttl = ttl_seconds is not None or ttl_event_seconds is not None
     write_batch = make_pair_sink_writer(out_dir, None, skip_empty=any_ttl)
 
+    _CRC = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     saved = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_crc = spark.conf.get(_CRC)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if checkpoint_file_checksum is not None:
+        spark.conf.set(_CRC, str(checkpoint_file_checksum).lower())
     try:
         q = (
             deduped.writeStream.outputMode("update")
@@ -738,6 +754,8 @@ def run_dedup_stream(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
+        if checkpoint_file_checksum is not None:
+            spark.conf.set(_CRC, saved_crc)
 
 
 # ---------------------------------------------------------------------------
