@@ -355,19 +355,20 @@ def fuzzy_dup_pairs(
     """
     if prune_verification is None:
         prune_verification = _plan_size_estimate(docs) > _PRUNE_AUTO_BYTES
-    # Repartition the RAW docs before shingling: test-scale corpora
-    # arrive as one parquet split, and the shingle transform is the most
-    # expensive per-row step — it must run wide. The words array gets
-    # its own projection so the split isn't re-run per gram (see
-    # shingles_from_words). Every consumer below (signatures + both
-    # verification joins) derives from this frame. At real scale the
-    # input is already thousands of splits and this round-robin is noise.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # Spread a few-split input before shingling: the shingle transform
+    # is the most expensive per-row step — it must run wide. The words
+    # array gets its own projection so the split isn't re-run per gram
+    # (see shingles_from_words). Every consumer below (signatures +
+    # both verification joins) derives from this frame. Gated on the
+    # actual partition count: a many-split corpus at real scale skips
+    # the shuffle (guide §2.4; r19 verdict audit).
     # distinct=False: everything downstream is set-semantic (see
     # shingles_from_words) — duplicate shingles cost a few extra rows
     # through the hash+min fold, the distinct pass costs more.
+    from ._spread import spread_small_input
+
     shingled = (
-        docs.repartition(n_part)
+        spread_small_input(docs)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w"))
         .select(
             "_id", shingles_from_words(F.col("_w"), shingle_n, distinct=False).alias("sh")
@@ -414,12 +415,14 @@ def fuzzy_dup_pairs(
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     """(_id, sh) shingle frame with the hot-path layout every consumer
-    here wants: repartition the RAW docs wide, split once into a
-    materialized words column, then shingle without the distinct pass
-    (set-semantic downstream — see ``shingles_from_words``)."""
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    here wants: spread a few-split input wide (gated — see
+    ``spread_small_input``), split once into a materialized words
+    column, then shingle without the distinct pass (set-semantic
+    downstream — see ``shingles_from_words``)."""
+    from ._spread import spread_small_input
+
     return (
-        docs.repartition(n_part)
+        spread_small_input(docs)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w"))
         .select(
             "_id",

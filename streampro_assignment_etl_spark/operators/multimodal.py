@@ -181,10 +181,12 @@ def extract_features(media: DataFrame, partitions: int | None = None) -> DataFra
 
     mapInPandas streams an iterator of pandas batches per partition —
     payloads never collect to the driver, and numpy touches each batch
-    columnar-wise. Repartition first so batches are balanced when the
-    source was few large files.
+    columnar-wise. A few-split source is spread first so batches are
+    balanced (gated: a many-split source skips the payload shuffle —
+    guide §2.4; an explicit ``partitions`` forces the caller's
+    geometry).
     """
-    n_part = partitions or media.sparkSession.sparkContext.defaultParallelism
+    from ._spread import spread_small_input
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -197,7 +199,10 @@ def extract_features(media: DataFrame, partitions: int | None = None) -> DataFra
                 }
             )
 
-    return media.repartition(n_part).mapInPandas(featurize, FEATURE_SCHEMA)
+    spread = (
+        media.repartition(partitions) if partitions else spread_small_input(media)
+    )
+    return spread.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
 def _decode_stub(payload: bytes, width: int, height: int) -> bytes:
@@ -341,7 +346,7 @@ def extract_features_arrow(
     exists so the choice is measured, not guessed (SCALE.md row)."""
     import pyarrow as pa
 
-    n_part = partitions or media.sparkSession.sparkContext.defaultParallelism
+    from ._spread import spread_small_input
 
     def featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -361,4 +366,7 @@ def extract_features_arrow(
                 names=["media_id", "kind", "n_bytes", "feature"],
             )
 
-    return media.repartition(n_part).mapInArrow(featurize, FEATURE_SCHEMA)
+    spread = (
+        media.repartition(partitions) if partitions else spread_small_input(media)
+    )
+    return spread.mapInArrow(featurize, FEATURE_SCHEMA)

@@ -46,10 +46,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     # Small-file guard (see minhash.fuzzy_dup_pairs): spread the
     # tokenize+hash map side across the cluster when the corpus arrives
-    # in few input splits.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    # in few input splits; gated on the actual partition count so a
+    # many-split corpus skips the shuffle (guide §2.4).
+    from ._spread import spread_small_input
+
     tok = (
-        df.repartition(n_part)
+        spread_small_input(df)
         .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_w"))
         .select(id_col, token_hash60(F.col("_w")).alias("_h"))
     )
