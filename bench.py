@@ -115,7 +115,16 @@ def main() -> None:
     # nine pre-existing batch queries; "streaming_total" is the new
     # micro-batch-drain machinery (dominated by checkpoint/state-store
     # fixed cost, not row volume).
+    #
+    # Round-20 note (same additions-only convention, r19 VERDICT #2):
+    # the set GREW again by embedding_near_dup_cells + dedup_clusters —
+    # the registry's two most expensive non-headline paths, whose r19
+    # optimizations the bench structurally could not see. "value" is
+    # therefore not comparable to BENCH_r19 and earlier; per-query
+    # vs_prev stays valid, "batch_total" keeps the original nine, and
+    # the newcomers get their own "added_r20_total" subtotal.
     streaming_names = {n for n, s in headline.items() if "streaming" in s.tags}
+    added_r20 = {"embedding_near_dup_cells", "dedup_clusters"} & set(timings)
 
     # Round-12 VERDICT #8: consume the anchors mechanically. When a
     # previous round's BENCH_r*.json exists, emit per-query ratios so
@@ -168,10 +177,18 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "batch_total": round(
-            sum(t for n, t in timings.items() if n not in streaming_names), 3
+            sum(
+                t
+                for n, t in timings.items()
+                if n not in streaming_names and n not in added_r20
+            ),
+            3,
         ),
         "streaming_total": round(
             sum(t for n, t in timings.items() if n in streaming_names), 3
+        ),
+        "added_r20_total": round(
+            sum(t for n, t in timings.items() if n in added_r20), 3
         ),
         "queries": timings,
         "sf": sf_from_dir(sf_dir),

@@ -374,6 +374,10 @@ ORDER BY canonical_id
 
 @query(
     "dedup_clusters",
+    # headline since r20 (additions-only harness change, r19 VERDICT
+    # #2): surfaces the iterative connected-components machinery —
+    # the r19 hybrid local finish was invisible to the bench.
+    headline=True,
     tags=("dedup", "connected-components", "graph"),
     oracle=_CLUSTERS_ORACLE,
 )
@@ -942,6 +946,10 @@ ORDER BY vec_a, vec_b
 
 @query(
     "embedding_near_dup_cells",
+    # headline since r20 (additions-only harness change, r19 VERDICT
+    # #2): the registry's most expensive query — its r19 block-GEMM
+    # rewrite (~14.8 -> ~3 s) was invisible to the headline bench.
+    headline=True,
     tags=("dedup", "similarity", "ivf"),
     oracle=_NEAR_DUP_CELLS_ORACLE,
 )

@@ -65,8 +65,25 @@ def test_every_extras_entry_has_oracle():
 
 def test_headline_queries_stay_registered():
     """bench.py times headline entries; they must live in the driver
-    registry, not EXTRAS."""
-    assert [n for n, s in REGISTRY.items() if s.headline], "no headline queries"
+    registry, not EXTRAS — and the set may only ever GROW (the bench
+    contract forbids removing or renaming timed entries; this pins the
+    exact set as of r20 so a drop can't slip through silently)."""
+    headline = {n for n, s in REGISTRY.items() if s.headline}
+    assert headline >= {
+        "pricing_summary",
+        "join_dims_rollup",
+        "theta_range_join",
+        "sp_q1_first_session_conversion",
+        "sp_q2_dominant_genre_retention",
+        "sp_q3_dropoff_outliers",
+        "similarity_topk_cosine",
+        "dedup_fuzzy_minhash",
+        "similarity_ann_ivf",
+        "streaming_stateful_dedup",
+        # r20 additions (r19 VERDICT #2, additions-only)
+        "embedding_near_dup_cells",
+        "dedup_clusters",
+    }
     assert not [n for n, s in EXTRAS.items() if s.headline]
 
 
