@@ -624,15 +624,25 @@ def near_dup_pairs_cells(
         .withColumn(
             "_lblk", ((F.row_number().over(w) - 1) / F.lit(block_size)).cast("long")
         )
-        # Unique block id per (input partition, local block): local
-        # block indexes are partition_rows/B < 2^32, pids < 2^31.
-        .withColumn(
-            "_blk", F.col("_pid").cast("long") * F.lit(1 << 32) + F.col("_lblk")
-        )
-        .groupBy("cell", "_blk")
+        # Group by the window's OWN partition keys plus the local block
+        # so the pack aggregation reuses the window's exchange (keys
+        # (_pid, cell, _lblk) are a superset of the partitioning
+        # (_pid, cell) — grouping by the derived _blk instead would
+        # force a second full-payload shuffle, since the optimizer
+        # can't see that _blk embeds _pid).
+        .groupBy("_pid", "cell", "_lblk")
         # array_sort on struct(_id first) = deterministic id order
         # within the pack regardless of collect_list's arrival order.
         .agg(F.array_sort(F.collect_list(F.struct("_id", "_v", "_n"))).alias("pack"))
+        # Unique block id per (input partition, local block): local
+        # block indexes are partition_rows/B < 2^32, pids < 2^31.
+        .select(
+            "cell",
+            (F.col("_pid").cast("long") * F.lit(1 << 32) + F.col("_lblk")).alias(
+                "_blk"
+            ),
+            "pack",
+        )
     )
     a = packs.select("cell", F.col("_blk").alias("ba"), F.col("pack").alias("pa"))
     b = packs.select("cell", F.col("_blk").alias("bb"), F.col("pack").alias("pb"))

@@ -55,7 +55,13 @@ def drain_available_now(q, timeout_s: int, *, ttl: bool) -> None:
     ``ttl=False`` → plain awaitTermination; ``ttl=True`` → the
     drain-until-idle loop above, then stop."""
     if not ttl:
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            # Timed out: stop the query before the caller's finally
+            # restores session confs (shuffle_partitions / checkpoint
+            # checksum dials), so a still-running drain never sees
+            # them flip back mid-flight.
+            q.stop()
+            q.awaitTermination(timeout_s)
         return
     start = time.time()
     deadline = start + timeout_s

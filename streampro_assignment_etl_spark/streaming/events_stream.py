@@ -177,7 +177,11 @@ def run_stream_to_parquet(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            # Timed out: stop before the finally restores session confs,
+            # so a still-running drain never sees them flip back.
+            q.stop()
+            q.awaitTermination(timeout_s)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)

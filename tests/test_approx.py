@@ -323,6 +323,7 @@ def test_bloom_gate_supersets_exact_decontamination(spark):
         assert bloom.get(doc_id, 0) >= n, (doc_id, n, bloom.get(doc_id))
 
 
+@pytest.mark.slow
 def test_bloom_broadcast_path_matches_literal_path(spark):
     """bloom_filter_members' two array transports must agree exactly:
     the plan-literal form (small arrays, joinless plan) and the

@@ -720,6 +720,54 @@ def test_near_dup_cells_block_size_invariant(emb):
         assert [(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in other] == ref
 
 
+def test_near_dup_cells_hot_cell_deskewed(spark):
+    """r20 de-skew pin: (a) a pathologically hot cell (every vector in
+    ONE cell: C=1, P=1) still yields exactly the brute-force pair set
+    with bit-matching rounded cosines; (b) the pack-building window
+    partitions by (input partition, cell) — not cell alone — so a hot
+    cell is split across input partitions instead of funneling through
+    one task's sort; (c) the pack aggregation reuses the window's
+    exchange (no second full-payload shuffle between Window and the
+    pack ObjectHashAggregate)."""
+    import hashlib
+
+    def hvec(seed, dim=8):
+        return [
+            (int(hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:8], 16) % 2000)
+            / 1000.0
+            - 1.0
+            for i in range(dim)
+        ]
+
+    rows = [(i, hvec(f"hot{i}")) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    got_df = similarity.near_dup_pairs_cells(
+        emb, "vec_id", "embedding", threshold=0.3, n_centroids=1, probes=1,
+        block_size=7,
+    )
+    got = {(r["vec_a"], r["vec_b"], r["cos_sim"]) for r in got_df.collect()}
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    truth = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.3)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .collect()
+    }
+    # C=1/P=1 blocking prunes nothing: exact equality, not just recall.
+    assert got == truth and got, (len(got), len(truth))
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan, plan[:2000]
+    # no Exchange between the Window and the pack aggregation
+    import re
+
+    seg = re.findall(r"ObjectHashAggregate.*?Window", plan, flags=re.S)
+    assert seg and all("Exchange" not in s for s in seg), plan[:2000]
+
+
 def test_connected_components_local_matches_distributed(spark):
     """The r19 hybrid finish (driver union-find under the frontier
     threshold) labels exactly like the distributed star-contraction —
@@ -1646,6 +1694,7 @@ def test_ivfpq_delete_crash_recovery_restores_stranded_partition(
 
 
 @pytest.mark.fast
+@pytest.mark.slow
 def test_cascade_takedown_all_surfaces(emb, spark, tmp_path):
     """operators/takedown.py: one request clears every surface. The
     semantic expansion finds the planted near-copy (cosine ≈ 1) and
@@ -2074,6 +2123,7 @@ def test_ivfpq_index_occupancy_drift_signals_retrain(spark, tmp_path):
     ) < 1e-12
 
 
+@pytest.mark.slow
 def test_maintain_index_drift_triggered_retrain_loop(spark, tmp_path):
     """Round-11 VERDICT #5 — the composed cron body: occupancy drift
     below threshold → no-op; a shifted-distribution append trips the
@@ -2266,6 +2316,7 @@ def test_maintain_index_composite_trigger_early_retrain(spark, tmp_path):
     assert out4["rebuilt"] is False and out4["trigger"] is None, out4
 
 
+@pytest.mark.slow
 def test_new_mass_noise_floor_blocks_small_batch_false_positives(spark, tmp_path):
     """The per-append signal's failure mode, defused: a 6-row honest
     batch over 16 cells reads raw TV ≈ 0.63 from sampling noise alone,
@@ -2559,6 +2610,7 @@ def test_ivfpq_residual_recall_beats_absolute_on_clustered_fixture(spark):
     assert resid >= plain + 0.15, (plain, resid)
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_index_lifecycle_bit_equal(emb, spark, tmp_path):
     """The persisted index in RESIDUAL mode: the manifest carries the
     flag, the build encodes residuals through the same fused
@@ -2848,6 +2900,7 @@ def test_personalized_pagerank_offgraph_restart_mass(spark):
     assert ranks["seed"] > ranks["a"]
 
 
+@pytest.mark.slow
 def test_pagerank_l1_early_stop(spark):
     """VERDICT r13 #5: tol-driven L1 early stop. (1) On a graph whose
     walk decays fast (damping 0.2) the stop FIRES well under the iter

@@ -182,6 +182,7 @@ def test_lexicographic_min_matches(spark, duck, values):
 
 @settings(**HYP)
 @given(st.lists(st.text(alphabet="abcdefg h", min_size=1, max_size=30), min_size=1, max_size=5))
+@pytest.mark.slow
 def test_stream_signature_equals_batch_signature(spark, texts):
     """The streaming map-side MinHash signature must equal the batch
     explode+groupBy layout for arbitrary word streams — batch bootstrap
@@ -253,6 +254,7 @@ def test_zorder_interleave_is_bijective(spark, pairs):
         )
     )
 )
+@pytest.mark.slow
 def test_norm_carried_cosine_is_bit_identical(spark, vectors):
     """The similarity operators replace cosine(a,b) with
     dot(a,b)/(norm_a*norm_b) where the norms are hoisted per row (JVM)
@@ -330,6 +332,7 @@ def test_alpha_token_regex_newline_parity(spark):
     ),
     st.integers(min_value=2, max_value=6),
 )
+@pytest.mark.slow
 def test_heavy_hitters_exact_equals_full_groupby(spark, terms, k):
     """Property: Misra-Gries candidate pruning + exact recount equals
     the straight exact GROUP BY heavy-hitter set for ANY term stream
@@ -982,6 +985,7 @@ def test_span_intervals_match_bruteforce_reference(spark, docs_spans):
     ),
     st.data(),
 )
+@pytest.mark.slow
 def test_scd2_time_block_batches_converge_in_any_order(spark, changes, data):
     """PROPERTY: for ANY change log, deduped on (user, ts), cut into
     TIME-CONTIGUOUS blocks at arbitrary boundaries, sequential
@@ -1065,6 +1069,7 @@ def test_scd2_time_block_batches_converge_in_any_order(spark, changes, data):
 
 @settings(max_examples=8, deadline=None)
 @given(st.data())
+@pytest.mark.slow
 def test_delete_where_equals_filter_semantics(spark, tmp_path_factory, data):
     """delete_where (round-15 FS-seam rewrite) must implement exactly
     SQL DELETE semantics over arbitrary tables: rows where the
@@ -1247,6 +1252,7 @@ def test_object_swap_replay_converges_from_any_crash_point(
 
 @settings(max_examples=6, deadline=None)
 @given(st.data())
+@pytest.mark.slow
 def test_release_pin_exact_or_loud_under_any_maintenance(
     spark, tmp_path_factory, data
 ):
@@ -1389,6 +1395,7 @@ def test_release_pin_exact_or_loud_under_any_maintenance(
 
 @settings(max_examples=6, deadline=None)
 @given(st.data())
+@pytest.mark.slow
 def test_partitioned_merge_equals_filter_union_semantics(
     spark, tmp_path_factory, data
 ):
@@ -1456,6 +1463,7 @@ def test_partitioned_merge_equals_filter_union_semantics(
 
 @settings(max_examples=8, deadline=None)
 @given(st.data())
+@pytest.mark.slow
 def test_duplicate_update_resolution_deterministic_or_loud(
     spark, tmp_path_factory, data
 ):
@@ -1535,6 +1543,7 @@ def test_duplicate_update_resolution_deterministic_or_loud(
 
 @settings(max_examples=5, deadline=None)
 @given(st.data())
+@pytest.mark.slow
 def test_multilevel_merge_equals_reference_semantics(
     spark, tmp_path_factory, data
 ):

@@ -310,6 +310,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert pairs == {(1, 0), (3, 2)}  # in-window matches only
 
 
+@pytest.mark.slow
 def test_stream_stream_join_late_data_and_state_cleanup(spark, tmp_path):
     """Round-12 VERDICT Next #3, the liveness half: (a) rows behind the
     watermark are DROPPED before they can join — a (view, click) pair
@@ -407,6 +408,7 @@ def test_stream_stream_join_late_data_and_state_cleanup(spark, tmp_path):
     assert state_totals[2] <= 4, state_totals  # ≤ the two recent + slack, not 6
 
 
+@pytest.mark.slow
 def test_chained_join_then_window_agg_matches_batch(spark, tmp_path):
     """Chained stateful operators (stream-stream join → windowed
     aggregation, two state stores in one query): closed windows emitted
@@ -501,6 +503,7 @@ def test_chained_join_then_window_agg_matches_batch(spark, tmp_path):
     assert by_user == {7: 3, 8: 1}  # u7: 1+2 attributed views, u8: 1
 
 
+@pytest.mark.slow
 def test_stream_join_hot_key_cap_bounds_state_and_audits(spark, tmp_path):
     """VERDICT r13 #6: the stream-stream join's skew lever. A planted
     hot key (bot user 7, 40 views in the horizon) dominates join state;
@@ -602,6 +605,7 @@ def test_stream_join_hot_key_cap_bounds_state_and_audits(spark, tmp_path):
     assert {101, 102} <= thin1  # non-hot keys untouched
 
 
+@pytest.mark.slow
 def test_streaming_asof_last_view_matches_batch_asof_operator(spark, tmp_path):
     """The streaming as-of join (join → windowed argmax,
     ``last_view_before_click_stream``) pinned against the BATCH as-of
@@ -700,6 +704,7 @@ def test_streaming_asof_last_view_matches_batch_asof_operator(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     spark, tmp_path
 ):
@@ -1067,6 +1072,7 @@ def test_watermarked_dedup_builtin_counterpart(spark, tmp_path):
     assert kept == [1, 5, 6, 9]  # dup-in-delay dropped, post-eviction re-admitted
 
 
+@pytest.mark.slow
 def test_ttl_dedup_evicts_state_after_horizon(spark, tmp_path):
     """TTL dedup: inside the horizon duplicates are dropped; a key idle
     past ttl_seconds is EVICTED (its timeout fires on the next batch it
@@ -1792,6 +1798,7 @@ def test_embedding_dedup_probe_radius_one_narrows_recall(spark, tmp_path):
     assert rule(1) and rule(2) - rule(1), (rule(1), rule(2))
 
 
+@pytest.mark.slow
 def test_embedding_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
     """ttl_seconds bounds state to a recency horizon, asserted
     BEHAVIORALLY (a short-TTL drain's own cleanup batches can evict at
@@ -1920,6 +1927,7 @@ def test_embedding_dedup_quantized_state_same_pairs_half_bytes(spark, tmp_path):
     assert vec_type.elementType.elementType.typeName() == "float", vec_type
 
 
+@pytest.mark.slow
 def test_fuzzy_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
     """The TTL hook works through the fuzzy stream too (same shared
     factory as the embedding dedup): a band cohort idle past the
@@ -1962,6 +1970,7 @@ def test_fuzzy_dedup_ttl_evicts_idle_cohorts(spark, tmp_path):
     assert not any(1 in p for p in pairs), pairs  # evicted: no cross-drain pair
 
 
+@pytest.mark.slow
 def test_event_ttl_dedup_evicts_by_event_time_and_replays_deterministically(
     spark, tmp_path
 ):
@@ -2049,6 +2058,7 @@ def test_event_ttl_dedup_evicts_by_event_time_and_replays_deterministically(
     assert surviving_state(ckpt2) == multi
 
 
+@pytest.mark.slow
 def test_embedding_dedup_event_ttl_per_member_eviction_and_replay(spark, tmp_path):
     """EVENT-time cohort horizon (ttl_event_seconds): members expire by
     their OWN event age against the watermark — no sleeps anywhere. A
@@ -2155,6 +2165,7 @@ def test_embedding_dedup_event_ttl_per_member_eviction_and_replay(spark, tmp_pat
     assert live(state_rows(ckpt1)) == live(multi)
 
 
+@pytest.mark.slow
 def test_fuzzy_dedup_event_ttl_prunes_members_by_event_age(spark, tmp_path):
     """Event-horizon lever on the MinHash cohort (same factory contract
     as the embedding test): a near-dup inside the horizon pairs; after
@@ -2236,6 +2247,7 @@ def test_event_ttl_builders_require_utc_session(spark):
 # ---------------------------------------------------------------------------
 # Streaming ingest into the persisted IVF-PQ index (index_ingest.py).
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_index_append_stream_bit_equal_and_replay_idempotent(spark, tmp_path):
     """The continuously-fresh-index loop: a stream of embedding batches
     appended via foreachBatch must leave the index BIT-EQUAL to one
@@ -2340,6 +2352,7 @@ def test_index_append_stream_bit_equal_and_replay_idempotent(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_sharded_event_ttl_matches_fine_grained_and_replays(spark, tmp_path):
     """dedup_stream_sharded_event_ttl (the firehose layout with the
     replay-safe horizon — round-10 watch item): same emitted sequence
@@ -2421,6 +2434,7 @@ def test_sharded_event_ttl_matches_fine_grained_and_replays(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_bloom_event_ttl_generational_rotation(spark, tmp_path):
     """dedup_stream_bloom_event_ttl: O(1)-state horizon via rotating
     generations — a duplicate within the ttl of stream time is
@@ -2587,6 +2601,7 @@ def _w(prefix, n=20):
     return " ".join(f"{prefix}{i}" for i in range(n))
 
 
+@pytest.mark.slow
 def test_fuzzy_store_ingest_stream_dedupes_and_replays_idempotent(spark, tmp_path):
     """The streaming fuzzy-dedup ingest loop: micro-batches probed
     against the growing signature store — a near-dup of a doc accepted
@@ -2666,6 +2681,7 @@ def test_fuzzy_store_ingest_stream_dedupes_and_replays_idempotent(spark, tmp_pat
     assert redec == dec_rows
 
 
+@pytest.mark.slow
 def test_fuzzy_store_remove_docs_takedown(spark, tmp_path):
     """VERDICT r13 #1 (store half): remove_docs physically drops the
     ids' doc + band rows (surgical — only subtrees containing them are
@@ -2759,6 +2775,7 @@ def test_fuzzy_store_remove_docs_takedown(spark, tmp_path):
     assert out2["epoch"] == e0 + 1
 
 
+@pytest.mark.slow
 def test_fuzzy_store_remove_docs_crash_recovery(spark, tmp_path):
     """ADVICE r14 #2: remove_docs' subtree swap has the same unprotected
     window as the index delete — a crash after the live subtree moved to
@@ -2844,6 +2861,7 @@ def test_fuzzy_store_remove_docs_crash_recovery(spark, tmp_path):
         shutil.rmtree(d)
 
 
+@pytest.mark.slow
 def test_fuzzy_store_remove_docs_fence_race(spark, tmp_path, monkeypatch):
     """remove_docs racing a concurrent ingest batch: the removal loaded
     the manifest at epoch e, the batch commits e+1 first, so the
@@ -2937,6 +2955,7 @@ def _fuzzy_state(spark, fsi, store):
     )
 
 
+@pytest.mark.slow
 def test_fuzzy_store_compaction_and_replay_safety(spark, tmp_path):
     """Round-11 VERDICT #3: the store's ``ingest=`` subtrees fold into
     single-subtree snapshots behind a rename-committed manifest —
@@ -3152,6 +3171,7 @@ def test_ingest_writer_overcap_logging_and_cap_passthrough(
     assert fsi.read_store_docs(spark, store).count() == 4
 
 
+@pytest.mark.slow
 def test_resign_store_geometry_migration(spark, tmp_path, monkeypatch):
     """Round-12 VERDICT Next #7 — geometry migration: ``resign_store``
     re-signs accepted docs under a new LSH geometry into a fresh
@@ -3290,6 +3310,7 @@ def test_resign_store_geometry_migration(spark, tmp_path, monkeypatch):
     }
 
 
+@pytest.mark.slow
 def test_takedown_runbook_live_stream(spark, tmp_path):
     """Round-14 operational narrative, end to end: a takedown lands in
     the MIDDLE of a live ingest stream and the store stays correct
@@ -3351,6 +3372,7 @@ def test_takedown_runbook_live_stream(spark, tmp_path):
     assert {r["doc_id"] for r in fsi.read_store_docs(spark, store).collect()} == docs
 
 
+@pytest.mark.slow
 def test_store_ops_runbook_end_to_end(spark, tmp_path, capsys):
     """The fuzzy store's operations runbook as a test (mirror of the
     index runbook, round-13 surface composed): live checkpointed
@@ -3467,6 +3489,7 @@ def test_store_ops_runbook_end_to_end(spark, tmp_path, capsys):
     assert pr["probed"] > 0  # fence admitted the matching geometry
 
 
+@pytest.mark.slow
 def test_maintain_store_threshold_fold_and_stats(spark, tmp_path):
     """Round-12 VERDICT Next #5 — the store's composed cron body:
     ``store_stats`` reports fragmentation / counts / dup rate in one
@@ -3784,6 +3807,7 @@ def test_scd2_bucketed_sink_converges_and_skips_untouched_buckets(
 
 
 @pytest.mark.fast
+@pytest.mark.slow
 def test_takedown_request_stream_drains_and_audits(spark, tmp_path):
     """streaming/takedown_stream.py: a continuous deletion-request
     topic drained through cascade_takedown with a per-batch audit.
@@ -3965,6 +3989,7 @@ def test_takedown_request_stream_drains_and_audits(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(tbl).collect()} == {4}
 
 
+@pytest.mark.slow
 def test_scd2_bucketed_sink_auto_select_and_full_swap_recovery(spark, tmp_path):
     """VERDICT r14 #5: the bucketed-vs-full crossover rule (SCALE.md
     prose until now) is applied automatically per batch. Pins: a 1-key
@@ -4190,6 +4215,7 @@ def test_scd2_forget_key_fourth_takedown_surface(spark, tmp_path):
     assert sorted(scd2_forgotten_keys(dim)) == [victim, 9_999]
 
 
+@pytest.mark.slow
 def test_scd2_object_store_sink_forget_and_cascade_against_moto_s3(
     spark, tmp_path, moto_s3
 ):

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for queries into plans/r19/<name>_<tag>.txt.
+"""Dump .explain("formatted") for queries into plans/<round>/<name>_<tag>.txt.
 
-Round-19 optimization-round evidence artifacts (distinct from the
+Optimization-round evidence artifacts (distinct from the
 PLANS.md simple-mode dossier): the judge checks plan claims against
 these files.
 
-Usage: python tools/dump_formatted_plans.py <tag> [name1,name2,...]
+Usage: python tools/dump_formatted_plans.py <tag> [name1,name2,...] [round=r20]
        (default: all headline queries; tag is e.g. "before"/"after")
 """
 
@@ -28,9 +28,10 @@ def main() -> None:
         else [n for n, s in REGISTRY.items() if s.headline]
     )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r19")
+    rnd = sys.argv[3] if len(sys.argv) > 3 else os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r20")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark("plan-dump-r19")
+    spark = get_spark("plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         spec = REGISTRY[name]
